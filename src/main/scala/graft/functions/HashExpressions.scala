@@ -1,0 +1,136 @@
+package graft.functions
+
+import com.google.common.hash.{HashFunction, Hasher, Hashing}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** How binary values are fed to the hash funnel.
+  *
+  * Mirrors the reference's `--byteEncoding` axis
+  * (ratatool-sampling/.../util/ByteHasher.scala:24-71): RAW puts the bytes
+  * directly, HEX/BASE64 re-encode them as strings first so the hash matches
+  * what BigQuery `TO_HEX`/`TO_BASE64` pipelines would produce.
+  */
+sealed trait ByteEncoding
+object ByteEncoding {
+  case object Raw extends ByteEncoding
+  case object Hex extends ByteEncoding
+  case object Base64 extends ByteEncoding
+  def fromString(s: String): ByteEncoding = s.toLowerCase match {
+    case "raw"    => Raw
+    case "hex"    => Hex
+    case "base64" => Base64
+    case other    => throw new IllegalArgumentException(s"unknown byte encoding: $other")
+  }
+}
+
+/** Deterministic multi-field fingerprint as a native Catalyst expression.
+  *
+  * Re-expression of the reference's hasher protocol
+  * (ratatool-sampling/.../BigSamplerAvro.scala:126-185, util/Util.scala:89-98):
+  * selected fields are folded into one guava `Hasher` in argument order with
+  * type-directed puts — ints widened to long (BigSamplerAvro.scala:173-174, to
+  * stay consistent with BigQuery INT64), strings as UTF-8, enums by name,
+  * nulls silently skipped (BigSamplerAvro.scala:138-143), arrays element-wise,
+  * nested structs recursed, and an optional seed prepended as `putInt` for
+  * FarmHash (Util.scala:94-97).
+  *
+  * `algo = "farm"` matches BigQuery `FARM_FINGERPRINT` byte-for-byte on
+  * string/bytes input (the reference documents this contract in
+  * ratatool-sampling/README.md); `algo = "murmur"` is guava murmur3_128
+  * truncated to its low 64 bits, seeded.
+  *
+  * Evaluated via `CodegenFallback`: the guava funnel is a per-row virtual
+  * call either way, and the expression sits behind a `Filter` whose other
+  * conjuncts still enjoy whole-stage codegen.
+  */
+case class FieldHash(
+    children: Seq[Expression],
+    algo: String,
+    seed: Option[Int],
+    encoding: ByteEncoding)
+  extends Expression with CodegenFallback {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  @transient private lazy val hashFn: HashFunction = algo match {
+    case "farm"   => Hashing.farmHashFingerprint64()
+    case "murmur" => Hashing.murmur3_128(seed.getOrElse(42))
+    case other    => throw new IllegalArgumentException(s"unknown hash algo: $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val hasher = hashFn.newHasher()
+    // FarmHash has no seed parameter; the reference prepends it to the stream.
+    if (algo == "farm") seed.foreach(hasher.putInt)
+    var i = 0
+    while (i < children.length) {
+      val c = children(i)
+      putValue(hasher, c.eval(input), c.dataType)
+      i += 1
+    }
+    hasher.hash().asLong()
+  }
+
+  private def putValue(h: Hasher, v: Any, dt: DataType): Unit = {
+    if (v == null) return // nulls skipped, matching BigSamplerAvro.scala:138-143
+    dt match {
+      case ByteType              => h.putLong(v.asInstanceOf[Byte].toLong)
+      case ShortType             => h.putLong(v.asInstanceOf[Short].toLong)
+      case IntegerType           => h.putLong(v.asInstanceOf[Int].toLong)
+      case LongType              => h.putLong(v.asInstanceOf[Long])
+      case FloatType             => h.putFloat(v.asInstanceOf[Float])
+      case DoubleType            => h.putDouble(v.asInstanceOf[Double])
+      case BooleanType           => h.putBoolean(v.asInstanceOf[Boolean])
+      case StringType            => h.putString(v.asInstanceOf[UTF8String].toString, UTF_8)
+      case BinaryType =>
+        val bytes = v.asInstanceOf[Array[Byte]]
+        encoding match {
+          case ByteEncoding.Raw    => h.putBytes(bytes)
+          case ByteEncoding.Hex    => h.putString(bytes.map("%02x".format(_)).mkString, UTF_8)
+          case ByteEncoding.Base64 => h.putString(java.util.Base64.getEncoder.encodeToString(bytes), UTF_8)
+        }
+      case d: DecimalType =>
+        h.putString(v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString, UTF_8)
+      case DateType              => h.putLong(v.asInstanceOf[Int].toLong)
+      case TimestampType         => h.putLong(v.asInstanceOf[Long])
+      case st: StructType =>
+        val row = v.asInstanceOf[InternalRow]
+        var i = 0
+        while (i < st.length) {
+          putValue(h, if (row.isNullAt(i)) null else row.get(i, st(i).dataType), st(i).dataType)
+          i += 1
+        }
+      case at: ArrayType =>
+        val arr = v.asInstanceOf[ArrayData]
+        var i = 0
+        while (i < arr.numElements()) {
+          putValue(h, if (arr.isNullAt(i)) null else arr.get(i, at.elementType), at.elementType)
+          i += 1
+        }
+      case mt: MapType =>
+        // maps folded as interleaved key/value in map order (the reference
+        // never hashes maps; this is a total extension, documented behavior)
+        val m = v.asInstanceOf[MapData]
+        val keys = m.keyArray(); val vals = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          putValue(h, keys.get(i, mt.keyType), mt.keyType)
+          putValue(h, if (vals.isNullAt(i)) null else vals.get(i, mt.valueType), mt.valueType)
+          i += 1
+        }
+      case other =>
+        throw new UnsupportedOperationException(s"FieldHash: unsupported type $other")
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
