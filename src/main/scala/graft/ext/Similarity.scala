@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), per the brief's training-data-pipeline surface.
+  *
+  * Two paths:
+  *   - `bruteForceTopK`: broadcast the (small) query set against the full
+  *     corpus; exact, O(corpus × queries). The correctness oracle.
+  *   - `lshTopK`: random-hyperplane LSH — bucket corpus and queries by
+  *     sign-pattern chunks of the projection vector, join per bucket,
+  *     re-rank within candidates. The scale path: shuffle is O(corpus ×
+  *     tables), never corpus². Hyperplanes are generated driver-side from
+  *     a fixed seed and shipped as literals (no closure capture).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` must be
+    * small (it is broadcast); corpus scan stays narrow until the final
+    * per-query top-k (a windowed rank over query partitions). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("v"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine_sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes from a seed. */
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-pattern bucket id of a vector under `bits` hyperplanes, as a
+    * column expression (aggregate over a zipped literal plane — codegen'd
+    * higher-order functions, no UDF). */
+  private def signBits(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(vec, plane, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH ANN: `tables` independent sign-hash tables of `bits` bits each.
+    * Candidates = corpus vectors sharing a bucket with the query in any
+    * table; exact cosine re-rank keeps top-k. Recall grows with tables,
+    * cost with tables × bucket size. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, dim: Int, bits: Int = 12, tables: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val planeSets = Array.tabulate(tables)(t => hyperplanes(dim, bits, seed + t))
+
+    def bucketed(df: DataFrame, id: String, v: String): DataFrame = {
+      val buckets = planeSets.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("table"), signBits(col(v), planes).as("bucket"))
+      }
+      df.select(col(id), col(v), explode(array(buckets: _*)).as("tb"))
+        .select(col(id), col(v), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    }
+
+    val c = bucketed(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v")
+    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv")
+
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), col("v"), col("qv"))
+      .dropDuplicates("query_id", "id")
+      .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("v"), col("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine_sim"), col("rank"))
+  }
+}

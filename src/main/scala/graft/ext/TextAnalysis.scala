@@ -1,0 +1,92 @@
+package graft.ext
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  * All pure column expressions (codegen'd, partition-local, no shuffle) —
+  * at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(whitespaceTokens(text))
+
+  /** BPE-ish subword count estimate: word-piece boundaries approximated by
+    * splitting on non-alphanumerics and counting ~4-char pieces — the
+    * standard chars/4 heuristic, refined by punctuation/digit runs counted
+    * as single tokens. */
+  def approxBpeTokenCount(text: Column): Column = {
+    val words = whitespaceTokens(text)
+    val wordPieces = aggregate(words, lit(0L),
+      (acc, w) => acc + greatest(ceil(length(w).cast("double") / 4.0), lit(1L)))
+    val punct = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+    wordPieces + punct.cast("long")
+  }
+
+  /** Quality-signal columns: length, token stats, punctuation/stopword/
+    * uppercase ratios, repetition. A composite [0,1] score suitable for
+    * threshold filtering (Gopher/C4-style heuristics from public corpus-
+    * curation literature). */
+  def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = whitespaceTokens(t)
+    val nTok = size(toks).cast("double")
+    val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "that", "for", "it")
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(array_intersect(transform(toks, w => lower(w)), stopArr)).cast("double")
+    df
+      .withColumn("n_chars", length(t))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("mean_token_len",
+        when(nTok > 0, aggregate(toks, lit(0L), (a, w) => a + length(w)).cast("double") / nTok))
+      .withColumn("punct_ratio",
+        length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") /
+          greatest(length(t), lit(1)).cast("double"))
+      .withColumn("stopword_hit_ratio", when(nTok > 0, nStop / least(nTok, lit(10.0))))
+      .withColumn("dup_token_ratio",
+        when(nTok > 0, lit(1.0) - size(array_distinct(toks)).cast("double") / nTok))
+      .withColumn("quality_score",
+        least(greatest(
+          lit(0.5) * when(col("mean_token_len").between(3, 10), 1.0).otherwise(0.3) +
+            lit(0.3) * (lit(1.0) - coalesce(col("dup_token_ratio"), lit(1.0))) +
+            lit(0.2) * coalesce(col("stopword_hit_ratio"), lit(0.0)),
+          lit(0.0)), lit(1.0)))
+  }
+
+  /** Character-n-gram language-ID heuristic: scores text against per-
+    * language marker-token tables (function words, public knowledge) and
+    * emits the best-scoring language or "und". Marker lists stay literal
+    * arrays — broadcast-free, codegen'd. */
+  def languageId(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "que"),
+      "es" -> Seq("el", "de", "que", "los", "las", "una", "por", "con"),
+      "it" -> Seq("il", "di", "che", "per", "una", "sono", "della", "non"),
+      "pt" -> Seq("de", "que", "um", "uma", "para", "com", "os", "das"))
+    val toks = transform(whitespaceTokens(text), w => lower(w))
+    val scored = markers.map { case (lang, ms) =>
+      struct(size(array_intersect(toks, array(ms.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit document fingerprint over normalized text (rolling-hash style
+    * content signature): farm fingerprint of the whitespace-squeezed,
+    * lowercased body. Deterministic; BQ FARM_FINGERPRINT-compatible. */
+  def fingerprint(text: Column): Column =
+    farmHash64(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Convenience: attach all analysis columns to a corpus. */
+  def analyze(df: DataFrame, textCol: String): DataFrame =
+    qualitySignals(df, textCol)
+      .withColumn("lang_pred", languageId(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+      .withColumn("approx_bpe_tokens", approxBpeTokenCount(col(textCol)))
+}

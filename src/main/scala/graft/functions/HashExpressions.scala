@@ -2,11 +2,11 @@ package graft.functions
 
 import com.google.common.hash.{HashFunction, Hasher, Hashing}
 import java.nio.charset.StandardCharsets.UTF_8
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData, TypeUtils}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -46,6 +46,17 @@ object ByteEncoding {
   * ratatool-sampling/README.md); `algo = "murmur"` is guava murmur3_128
   * truncated to its low 64 bits, seeded.
   *
+  * Deliberate divergence from the reference: unseeded murmur here uses a
+  * FIXED seed 42, whereas the reference seeds with current-time millis
+  * (Util.scala:91) making unseeded murmur non-reproducible across runs. A
+  * Catalyst expression must be deterministic within a query (it may be
+  * re-evaluated on task retry), so we require reproducibility; callers who
+  * want per-run variation should pass an explicit seed.
+  *
+  * Maps are folded in KEY-SORTED order (not MapData iteration order):
+  * semantically equal maps may store entries differently, and Spark's own
+  * hash expressions forbid MapType for exactly that reason.
+  *
   * Evaluated via `CodegenFallback`: the guava funnel is a per-row virtual
   * call either way, and the expression sits behind a `Filter` whose other
   * conjuncts still enjoy whole-stage codegen.
@@ -60,19 +71,40 @@ case class FieldHash(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (algo != "farm" && algo != "murmur")
+      return TypeCheckResult.TypeCheckFailure(s"unknown hash algo: $algo (expected farm|murmur)")
+    def ok(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           BooleanType | StringType | BinaryType | DateType | TimestampType => true
+      case _: DecimalType  => true
+      case st: StructType  => st.fields.forall(f => ok(f.dataType))
+      case at: ArrayType   => ok(at.elementType)
+      case mt: MapType     => ok(mt.keyType) && ok(mt.valueType)
+      case _               => false
+    }
+    children.find(c => !ok(c.dataType)) match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"FieldHash: unsupported input type ${bad.dataType.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   @transient private lazy val hashFn: HashFunction = algo match {
     case "farm"   => Hashing.farmHashFingerprint64()
     case "murmur" => Hashing.murmur3_128(seed.getOrElse(42))
     case other    => throw new IllegalArgumentException(s"unknown hash algo: $other")
   }
 
+  @transient private lazy val childArray: Array[Expression] = children.toArray
+
   override def eval(input: InternalRow): Any = {
     val hasher = hashFn.newHasher()
     // FarmHash has no seed parameter; the reference prepends it to the stream.
     if (algo == "farm") seed.foreach(hasher.putInt)
     var i = 0
-    while (i < children.length) {
-      val c = children(i)
+    while (i < childArray.length) {
+      val c = childArray(i)
       putValue(hasher, c.eval(input), c.dataType)
       i += 1
     }
@@ -116,15 +148,22 @@ case class FieldHash(
           i += 1
         }
       case mt: MapType =>
-        // maps folded as interleaved key/value in map order (the reference
-        // never hashes maps; this is a total extension, documented behavior)
+        // maps folded as interleaved key/value in KEY-SORTED order: MapData
+        // iteration order is not canonical for semantically equal maps, so
+        // sorting is required for the deterministic-sampling/dedup contract
+        // (the reference never hashes maps; this is a total extension)
         val m = v.asInstanceOf[MapData]
         val keys = m.keyArray(); val vals = m.valueArray()
-        var i = 0
-        while (i < m.numElements()) {
+        val n = m.numElements()
+        val ord = TypeUtils.getInterpretedOrdering(mt.keyType)
+        val idx = Array.range(0, n).sortWith((a, b) =>
+          ord.compare(keys.get(a, mt.keyType), keys.get(b, mt.keyType)) < 0)
+        var j = 0
+        while (j < n) {
+          val i = idx(j)
           putValue(h, keys.get(i, mt.keyType), mt.keyType)
           putValue(h, if (vals.isNullAt(i)) null else vals.get(i, mt.valueType), mt.valueType)
-          i += 1
+          j += 1
         }
       case other =>
         throw new UnsupportedOperationException(s"FieldHash: unsupported type $other")

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Cosine distance `1 - cos_sim(l, r)` over two numeric arrays.
+  *
+  * Re-expression of the reference's vector delta
+  * (ratatool-diffy/src/main/scala/com/spotify/ratatool/diffy/Diffy.scala:168-184):
+  * asserts equal length and non-emptiness there; here mismatched/empty/null
+  * input yields SQL NULL instead of throwing, which composes with the delta
+  * dispatch (`UnknownDelta` in the reference becomes a null delta row).
+  *
+  * Single-pass accumulation of dot/normL/normR in element order, all in
+  * double — deterministic bit-for-bit for a given input, and partition-local
+  * (no shuffle, safe in whole-stage-codegen'd filters via CodegenFallback
+  * boundary only at this expression).
+  */
+case class CosineDistance(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(et, _) if et.isInstanceOf[NumericType] => Some(et)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"cosine_distance expects two numeric arrays, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+
+  @transient private lazy val lType = elemType(left).get
+  @transient private lazy val rType = elemType(right).get
+
+  private def toDouble(a: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case DoubleType  => a.getDouble(i)
+    case FloatType   => a.getFloat(i).toDouble
+    case LongType    => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType   => a.getShort(i).toDouble
+    case ByteType    => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new UnsupportedOperationException(s"cosine_distance: $other")
+  }
+
+  override def nullSafeEval(lv: Any, rv: Any): Any = {
+    val la = lv.asInstanceOf[ArrayData]
+    val ra = rv.asInstanceOf[ArrayData]
+    val n = la.numElements()
+    if (n == 0 || n != ra.numElements()) return null
+    var dot = 0.0; var nl = 0.0; var nr = 0.0
+    var i = 0
+    while (i < n) {
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
+      val x = toDouble(la, i, lType)
+      val y = toDouble(ra, i, rType)
+      dot += x * y; nl += x * x; nr += y * y
+      i += 1
+    }
+    if (nl == 0.0 || nr == 0.0) return null
+    1.0 - dot / (math.sqrt(nl) * math.sqrt(nr))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,147 @@
+package graft.sampling
+
+import graft.GraftFunctions._
+import graft.functions.ByteEncoding
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed record sampler: the Spark-native re-expression of the
+  * reference's BigSampler dispatch
+  * (ratatool-sampling/.../BigSampler.scala:379-434) — three orthogonal axes:
+  *
+  *   - determinism: random (Bernoulli coin) vs deterministic
+  *     (`bound(fieldHash)` coin — same record always in/out, cohorts stay
+  *     consistent across datasets hashed on the same fields);
+  *   - distribution: none / stratified (keep per-stratum proportions) /
+  *     uniform (equalize expected count per stratum,
+  *     SamplerSCollectionFunctions.scala:136-157);
+  *   - precision: approximate (pure per-record coin, narrow, zero shuffle)
+  *     vs exact (rank-based per-stratum cutoff).
+  *
+  * Scale design (100 TB lens):
+  *   - Approximate arms are a single narrow `filter` — no shuffle at all;
+  *     the coin column is pure Catalyst so predicate pushdown/codegen apply.
+  *   - Per-stratum parameter tables (counts → probabilities/targets) are
+  *     tiny (one row per stratum) and are always BROADCAST-joined, mirroring
+  *     the reference's map-side hashJoin and its documented assumption that
+  *     "all distinct keys or strata can fit into memory".
+  *   - Exact arms rank records per stratum by the coin and cut at
+  *     `ceil(count_k * f)`. Simpler and *more* exact than the reference's
+  *     bounded-heap threshold estimation (topByKey + Chernoff bounds,
+  *     SamplerSCollectionFunctions.scala:193-275), at the cost of a shuffle
+  *     by stratum. At extreme scale a stratum's rank-sort spills; the
+  *     two-pass alternative (sampleByKeyExact-style) is noted in SURVEY
+  *     §7.4.4 — this implementation keeps rank as the oracle semantics.
+  */
+object BigSampler {
+
+  sealed trait Determinism
+  /** Bernoulli coin, seeded. */
+  final case class Random(seed: Long = 42L) extends Determinism
+  /** Deterministic coin from hashed fields (reference `diceElement`). */
+  final case class Hashed(fields: Seq[String], algo: String = "farm",
+                          seed: Option[Int] = None,
+                          encoding: ByteEncoding = ByteEncoding.Raw) extends Determinism
+
+  sealed trait Distribution
+  case object NoDistribution extends Distribution
+  final case class Stratified(fields: Seq[String]) extends Distribution
+  final case class Uniform(fields: Seq[String]) extends Distribution
+
+  /** The coin in [0,1): the only place the two determinism modes differ. */
+  private def coin(det: Determinism): Column = det match {
+    case Random(seed)   => rand(seed)
+    case h: Hashed      => hashDice(h.fields.map(col), h.algo, h.seed, h.encoding)
+  }
+
+  private def strataKey(fields: Seq[String]): Column =
+    concat_ws("_", fields.map(f => coalesce(col(f).cast("string"), lit("null"))): _*)
+
+  /** Main entry: sample `fraction` ∈ (0,1] of `df` per the three axes. */
+  def sample(df: DataFrame, fraction: Double, det: Determinism = Random(),
+             dist: Distribution = NoDistribution, exact: Boolean = false): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1], got $fraction")
+    (det, dist, exact) match {
+      case (Random(seed), NoDistribution, false) =>
+        df.sample(withReplacement = false, fraction, seed)
+      case (h: Hashed, NoDistribution, false) =>
+        df.filter(coin(h) < lit(fraction))
+      case (d, Stratified(_), false) =>
+        // constant per-record probability preserves strata proportions in
+        // expectation (reference BigSampler.scala:393-405) — still narrow
+        df.filter(coin(d) < lit(fraction))
+      case (d, Uniform(fields), false) =>
+        uniformApprox(df, fraction, d, fields)
+      case (d, Stratified(fields), true) =>
+        exactRank(df, d, strataKey(fields), fractionTargets(df, strataKey(fields), fraction))
+      case (d, Uniform(fields), true) =>
+        exactRank(df, d, strataKey(fields), uniformTargets(df, strataKey(fields), fraction))
+      case (_, NoDistribution, true) =>
+        // exact without strata = exact uniform over a single global stratum
+        exactRank(df, det, lit(""), fractionTargets(df, lit(""), fraction))
+    }
+  }
+
+  /** Per-stratum target counts for stratified sampling: ceil(count_k * f). */
+  private def fractionTargets(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.groupBy(key.as("__stratum")).agg(
+      ceil(count(lit(1)) * lit(fraction)).as("__target"))
+
+  /** Per-stratum targets for uniform sampling: total*f / #strata for every
+    * stratum (capped by the stratum's own size when filtering by rank). */
+  private def uniformTargets(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    val counts = df.groupBy(key.as("__stratum")).agg(count(lit(1)).as("__n"))
+    // one tiny aggregate over the (small) strata table — stays on executors
+    val pop = counts.agg((sum("__n") * lit(fraction) / count(lit(1))).as("__pop"))
+    counts.crossJoin(broadcast(pop))
+      .select(col("__stratum"), ceil(least(col("__pop"), col("__n").cast("double"))).as("__target"))
+  }
+
+  /** Uniform approximate: per-stratum Bernoulli with p_k = min(pop/n_k, 1)
+    * (reference SamplerSCollectionFunctions.scala:136-157), probabilities
+    * broadcast-joined. */
+  private def uniformApprox(df: DataFrame, fraction: Double, det: Determinism,
+                            fields: Seq[String]): DataFrame = {
+    val key = strataKey(fields)
+    val counts = df.groupBy(key.as("__stratum")).agg(count(lit(1)).as("__n"))
+    val pop = counts.agg((sum("__n") * lit(fraction) / count(lit(1))).as("__pop"))
+    val probs = counts.crossJoin(broadcast(pop))
+      .select(col("__stratum"), least(col("__pop") / col("__n"), lit(1.0)).as("__p"))
+    df.withColumn("__stratum", key)
+      .join(broadcast(probs), "__stratum")
+      .filter(coin(det) < col("__p"))
+      .drop("__stratum", "__p")
+  }
+
+  /** Exact arm: rank by the coin within each stratum, keep rank ≤ target.
+    * Deterministic ties broken by the coin value then arbitrary-but-stable
+    * input order is irrelevant: hash coins are unique w.h.p.; random coins
+    * collide with probability ~0. Exact by construction — the reference's
+    * 1% tolerance assertion (SamplerSCollectionFunctions.scala:79-92) is
+    * unnecessary here, kept as `sampleDiagnostics`. */
+  private def exactRank(df: DataFrame, det: Determinism, key: Column,
+                        targets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coined = df.withColumn("__stratum", key).withColumn("__coin", coin(det))
+    val w = Window.partitionBy("__stratum").orderBy("__coin")
+    coined.withColumn("__rank", row_number().over(w))
+      .join(broadcast(targets), "__stratum")
+      .filter(col("__rank") <= col("__target"))
+      .drop("__stratum", "__coin", "__rank", "__target")
+  }
+
+  /** Achieved-vs-target diagnostics per stratum (reference's distribution
+    * diff logging, SamplerSCollectionFunctions.scala:52-134): returns
+    * (stratum, sampledCount, originalCount, achievedFraction). */
+  def sampleDiagnostics(original: DataFrame, sampled: DataFrame,
+                        fields: Seq[String]): DataFrame = {
+    val k = strataKey(fields)
+    val o = original.groupBy(k.as("stratum")).agg(count(lit(1)).as("original_n"))
+    val s = sampled.groupBy(k.as("stratum")).agg(count(lit(1)).as("sampled_n"))
+    o.join(s, Seq("stratum"), "left")
+      .select(col("stratum"), coalesce(col("sampled_n"), lit(0L)).as("sampled_n"),
+        col("original_n"),
+        (coalesce(col("sampled_n"), lit(0L)).cast("double") / col("original_n"))
+          .as("achieved_fraction"))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.sampling
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Direct (small-n) samplers: the reference's single-process head/reservoir
+  * samplers (ratatool-sampling/.../AvroSampler.scala:45-144,
+  * ParquetSampler.scala, Sampler.scala:30-38) re-expressed on the cluster.
+  *
+  * In the reference these read files on one machine with per-shard futures;
+  * Spark's scan is already parallel, so head is a plain `limit` and
+  * reservoir is `takeSample` (a two-job exact-n sample). The reference's
+  * weighted multi-shard allocation (AvroSampler.scala:66-101) exists only to
+  * compensate for single-process reading and is deliberately subsumed.
+  */
+object DirectSampler {
+
+  /** First n records in a stable order. The reference reads shards in
+    * lexical filename order (AvroSampler.scala:57-59); a distributed scan
+    * has no such order, so `head` is deterministic only when `orderBy`
+    * columns are given — matching the driver-visible contract (n records,
+    * reproducible when asked). */
+  def head(df: DataFrame, n: Int, orderBy: Seq[String] = Nil): DataFrame =
+    if (orderBy.isEmpty) df.limit(n)
+    else df.orderBy(orderBy.map(col): _*).limit(n)
+
+  /** Exact-n uniform reservoir sample (reference AvroSampler.scala:128-144):
+    * implemented with RDD takeSample — single pass per partition with
+    * per-partition reservoirs, merged on the driver; returns a small
+    * driver-side result re-parallelized as a DataFrame. */
+  def reservoir(df: DataFrame, n: Int, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val rows: Array[Row] = df.rdd.takeSample(withReplacement = false, n, seed)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+  }
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column ↔ Expression conversions.
+  *
+  * Spark 4 hides the classic `Column(expr)` constructor behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`; this shim lives in the
+  * `org.apache.spark.sql` namespace solely to re-export those two calls to
+  * graft's custom-expression API. No Spark internals are modified.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
