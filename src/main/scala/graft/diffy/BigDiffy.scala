@@ -56,14 +56,21 @@ final class DiffResult private[diffy] (private val keyed: DataFrame) {
     * moments the reference gets from Algebird (`var_pop`/`stddev_pop`;
     * Spark's skewness/kurtosis are the same population/excess forms). */
   def fieldStats(ignoreNan: Boolean = false): DataFrame = {
-    val base = if (ignoreNan) deltas.filter(!isnan(coalesce(col("delta"), lit(0.0)))) else deltas
-    val perField = base.groupBy("field").agg(
+    // ignoreNan drops NaN VALUES from the moments but keeps the field
+    // occurrence count, matching the reference's computeGlobalAndFieldStats
+    // (BigDiffy.scala:280-284); aggregates skip nulls, so masking NaN to
+    // null removes it from min/max/moments only.
+    val d = if (ignoreNan) when(!isnan(coalesce(col("delta"), lit(0.0))), col("delta"))
+            else col("delta")
+    // delta_type via min(): deterministic when a string field mixes NUMERIC
+    // and STRING deltas across rows (`first` would be run-dependent)
+    val perField = deltas.groupBy("field").agg(
       count(lit(1)).as("count"),
-      first(col("delta_type")).as("delta_type"),
-      min("delta").as("min"), max("delta").as("max"),
-      avg("delta").as("mean"), var_pop("delta").as("variance"),
-      stddev_pop("delta").as("stddev"),
-      skewness(col("delta")).as("skewness"), kurtosis(col("delta")).as("kurtosis"))
+      min(col("delta_type")).as("delta_type"),
+      min(d).as("min"), max(d).as("max"),
+      avg(d).as("mean"), var_pop(d).as("variance"),
+      stddev_pop(d).as("stddev"),
+      skewness(d).as("skewness"), kurtosis(d).as("kurtosis"))
     perField.crossJoin(broadcast(globalStats.select(col("num_diff"))))
       .withColumn("fraction", col("count").cast("double") / col("num_diff"))
       .drop("num_diff")
@@ -92,8 +99,17 @@ object BigDiffy {
   val MissingLhs = "MISSING_LHS"
   val MissingRhs = "MISSING_RHS"
 
+  /** @param enforceUniqueKeys reference semantics: more than one record per
+    *        key per side fails the job (BigDiffy.scala:240-242). The check
+    *        is two key-only aggregations — column-pruned scans, cheap next
+    *        to the diff join itself. Opt out for pre-validated inputs. */
   def diff(lhs: DataFrame, rhs: DataFrame, keys: Seq[String],
-           opts: DiffOptions = DiffOptions()): DiffResult = {
+           opts: DiffOptions = DiffOptions(),
+           enforceUniqueKeys: Boolean = true): DiffResult = {
+    if (enforceUniqueKeys) {
+      assertUniqueKeys(lhs, keys, "lhs")
+      assertUniqueKeys(rhs, keys, "rhs")
+    }
     val l = SchemaPaths.keyBy(lhs, keys, "__l")
     val r = SchemaPaths.keyBy(rhs, keys, "__r")
     val joined = l.join(r, Seq("__key"), "full_outer")
@@ -120,10 +136,17 @@ object BigDiffy {
     }
 
     val deltaStructs: Seq[Column] = plainPaths.map { p =>
-      val dt = lLeaves.getOrElse(p, rLeaves(p))
       val lc = side("__l", lLeaves, p)
       val rc = side("__r", rLeaves, p)
-      DeltaExpr.forLeaf(p, dt, lc, rc, opts)
+      (lLeaves.get(p), rLeaves.get(p)) match {
+        // schema evolution changed the leaf's type: comparing under either
+        // side's type would cast across types (throws under ANSI); the
+        // reference's runtime dispatch degrades to UnknownDelta — match it
+        case (Some(lt), Some(rt)) if lt != rt =>
+          DeltaExpr.forTypeMismatch(p, lt, rt, lc, rc)
+        case (lo, ro) =>
+          DeltaExpr.forLeaf(p, lo.orElse(ro).get, lc, rc, opts)
+      }
     }
     val keyedArrays: Seq[Column] = keyedArrayPaths.map { p =>
       val ArrayType(elem: StructType, _) = lLeaves(p): @unchecked

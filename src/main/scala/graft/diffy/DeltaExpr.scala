@@ -94,6 +94,19 @@ object DeltaExpr {
       .otherwise(lit(null).cast(deltaStructType))
   }
 
+  /** Leaf whose Catalyst type differs between sides (schema evolution):
+    * both sides render to string; inequality yields an UNKNOWN delta,
+    * matching the reference's runtime dispatch falling through to
+    * UnknownDelta on type mismatch (Diffy.scala:97-115). */
+  def forTypeMismatch(path: String, lt: DataType, rt: DataType,
+                      l: Column, r: Column): Column = {
+    val lr = render(l, lt); val rr = render(r, rt)
+    when(!(lr <=> rr),
+      struct(lit(path).as("field"), lr.as("left"), rr.as("right"),
+        lit("UNKNOWN").as("delta_type"), lit(null).cast(DoubleType).as("delta")))
+      .otherwise(lit(null).cast(deltaStructType))
+  }
+
   /** Keyed array-of-struct diff (AvroDiffy.scala:99-115): elements matched
     * by `keyField` instead of position; per matched key, each leaf subfield
     * is diffed with a `path[key].sub` label; keys present on one side only

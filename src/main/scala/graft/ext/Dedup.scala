@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *
   *   - candidate generation groups by a band/chunk hash, so at 100 TB the
   *     shuffle is O(docs × bands), not O(docs²);
-  *   - the within-bucket pair fan-out is bounded per bucket; pathological
-  *     buckets (boilerplate) are capped with `maxBucketSize`, a standard
-  *     production guard (dropped buckets are reported, not silent);
+  *   - the within-bucket pair fan-out is bounded per bucket; buckets larger
+  *     than `maxBucketSize` (boilerplate pathologies) are dropped from
+  *     candidate generation — a standard production guard; use
+  *     [[Dedup.oversizedBuckets]] to audit what was dropped;
   *   - verification (exact Jaccard / Hamming) runs only on candidates.
   */
 object Dedup {
@@ -28,9 +29,9 @@ object Dedup {
   /** Exact dedup on a fingerprint of the given columns instead of the raw
     * values — the shuffle key becomes an 8-byte long instead of the full
     * document text. At 100 TB this is the difference between shuffling
-    * text and shuffling longs. Collisions: farm fingerprint64 over 1e12
-    * docs has ~3e-2 birthday collision odds; acceptable for dedup, or
-    * verify within groups downstream. */
+    * text and shuffling longs. Collisions: 64-bit birthday bound gives
+    * ~0.027 expected colliding pairs at 1e9 docs (~2.7e4 at 1e12 — verify
+    * within groups downstream at that scale). */
   def exactByFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), farmHash64(col(textCol)).as("fingerprint"))
       .groupBy("fingerprint")
@@ -47,7 +48,6 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 5,
                       threshold: Double = 0.8, seed: Int = 0,
                       maxBucketSize: Int = 1000): DataFrame = {
-    val rows = bands // rows per band = numHashes / bands
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rPerB = numHashes / bands
 
@@ -56,12 +56,15 @@ object Dedup {
     val sig = sh.withColumn("sig", minhash(col("sh"), numHashes, seed))
 
     // band signature = farm fingerprint of the band's slice, so the bucket
-    // key is a single long (cheap shuffle key)
+    // key is a single long (cheap shuffle key). Band indices are a
+    // driver-side Int range, so each slice start is a literal — cheaper
+    // than a per-row sequence+transform and keeps slice() overloads happy.
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        farmHash64(slice(col("sig"), b * rPerB + 1, rPerB).cast("string")).as("bsig"))
+    }
     val banded = sig.select(col("id"), col("sh"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            farmHash64(slice(col("sig"), b * rPerB + 1, rPerB).cast("string")).as("bsig"))))
-          .as("bb"))
+        explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
 
     // candidate pairs within a bucket; cap pathological buckets
@@ -94,12 +97,16 @@ object Dedup {
     val fp = df.select(col(idCol).as("id"),
       simhash(whitespaceTokens(col(textCol)), seed).as("fp"))
 
+    // chunk indices are a driver-side Int range: shift amounts become
+    // literal Ints (shiftrightunsigned requires them) and the per-row
+    // sequence+transform disappears
+    val chunkStructs = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("fp"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)).as("csig"))
+    }
     val chunked = fp.select(col("id"), col("fp"),
-        explode(transform(sequence(lit(0), lit(chunks - 1)),
-          c => struct(c.as("chunk"),
-            shiftrightunsigned(col("fp"), c * bitsPer)
-              .bitwiseAND(lit((1L << bitsPer) - 1)).as("csig"))))
-          .as("cc"))
+        explode(array(chunkStructs: _*)).as("cc"))
       .select(col("id"), col("fp"), col("cc.chunk").as("chunk"), col("cc.csig").as("csig"))
 
     val a = chunked.select(col("chunk"), col("csig"), col("id").as("id_a"), col("fp").as("fp_a"))
@@ -113,6 +120,27 @@ object Dedup {
       .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Audit helper: the MinHash-LSH buckets that `minhashNearDups` would drop
+    * for exceeding `maxBucketSize` — run with the same parameters to see
+    * what boilerplate clusters were excluded. Returns (band, bsig, count). */
+  def oversizedBuckets(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 5,
+                       seed: Int = 0, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rPerB = numHashes / bands
+    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhash(col("sh"), numHashes, seed))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        farmHash64(slice(col("sig"), b * rPerB + 1, rPerB).cast("string")).as("bsig"))
+    }
+    sig.select(explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .groupBy("band", "bsig").count()
+      .filter(col("count") > maxBucketSize)
   }
 
   /** N-gram Jaccard similarity for an explicit pair set (verification-style

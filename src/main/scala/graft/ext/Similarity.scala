@@ -59,7 +59,7 @@ object Similarity {
     * cost with tables × bucket size. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, dim: Int, bits: Int = 12, tables: Int = 4,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, maxBucketSize: Int = 100000): DataFrame = {
     val planeSets = Array.tabulate(tables)(t => hyperplanes(dim, bits, seed + t))
 
     def bucketed(df: DataFrame, id: String, v: String): DataFrame = {
@@ -70,9 +70,16 @@ object Similarity {
         .select(col(id), col(v), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     }
 
-    val c = bucketed(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v")
+    val c0 = bucketed(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v")
     val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv")
+
+    // cap hot buckets (e.g. zero/degenerate vectors all land in one sign
+    // pattern): a bucket larger than maxBucketSize would fan out unbounded
+    // against every query sharing it — same guard as Dedup.maxBucketSize
+    val okBuckets = c0.groupBy("table", "bucket").count()
+      .filter(col("count") <= maxBucketSize).drop("count")
+    val c = c0.join(broadcast(okBuckets), Seq("table", "bucket"))
 
     val cand = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("id") =!= col("query_id"))

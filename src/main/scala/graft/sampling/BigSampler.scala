@@ -73,28 +73,25 @@ object BigSampler {
       case (d, Uniform(fields), false) =>
         uniformApprox(df, fraction, d, fields)
       case (d, Stratified(fields), true) =>
-        exactRank(df, d, strataKey(fields), fractionTargets(df, strataKey(fields), fraction))
+        exactRank(df, d, strataKey(fields), fractionTargets(fraction))
       case (d, Uniform(fields), true) =>
-        exactRank(df, d, strataKey(fields), uniformTargets(df, strataKey(fields), fraction))
+        exactRank(df, d, strataKey(fields), uniformTargets(fraction))
       case (_, NoDistribution, true) =>
         // exact without strata = exact uniform over a single global stratum
-        exactRank(df, det, lit(""), fractionTargets(df, lit(""), fraction))
+        exactRank(df, det, lit(""), fractionTargets(fraction))
     }
   }
 
   /** Per-stratum target counts for stratified sampling: ceil(count_k * f). */
-  private def fractionTargets(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    df.groupBy(key.as("__stratum")).agg(
-      ceil(count(lit(1)) * lit(fraction)).as("__target"))
+  private def fractionTargets(fraction: Double)(counts: Map[String, Long]): Map[String, Long] =
+    counts.map { case (s, n) => s -> math.ceil(n * fraction).toLong }
 
   /** Per-stratum targets for uniform sampling: total*f / #strata for every
-    * stratum (capped by the stratum's own size when filtering by rank). */
-  private def uniformTargets(df: DataFrame, key: Column, fraction: Double): DataFrame = {
-    val counts = df.groupBy(key.as("__stratum")).agg(count(lit(1)).as("__n"))
-    // one tiny aggregate over the (small) strata table — stays on executors
-    val pop = counts.agg((sum("__n") * lit(fraction) / count(lit(1))).as("__pop"))
-    counts.crossJoin(broadcast(pop))
-      .select(col("__stratum"), ceil(least(col("__pop"), col("__n").cast("double"))).as("__target"))
+    * stratum, capped by the stratum's own size (reference
+    * SamplerSCollectionFunctions.scala:136-157). */
+  private def uniformTargets(fraction: Double)(counts: Map[String, Long]): Map[String, Long] = {
+    val pop = counts.values.sum * fraction / counts.size
+    counts.map { case (s, n) => s -> math.min(math.ceil(pop).toLong, n) }
   }
 
   /** Uniform approximate: per-stratum Bernoulli with p_k = min(pop/n_k, 1)
@@ -113,21 +110,64 @@ object BigSampler {
       .drop("__stratum", "__p")
   }
 
-  /** Exact arm: rank by the coin within each stratum, keep rank ≤ target.
-    * Deterministic ties broken by the coin value then arbitrary-but-stable
-    * input order is irrelevant: hash coins are unique w.h.p.; random coins
-    * collide with probability ~0. Exact by construction — the reference's
-    * 1% tolerance assertion (SamplerSCollectionFunctions.scala:79-92) is
-    * unnecessary here, kept as `sampleDiagnostics`. */
+  /** Exact arm: keep the `target_k` smallest coins within each stratum —
+    * exact by construction, so the reference's 1% tolerance assertion
+    * (SamplerSCollectionFunctions.scala:79-92) is unnecessary; diagnostics
+    * remain available via `sampleDiagnostics`.
+    *
+    * Scale-safe selection (NO per-stratum global sort): the coin is uniform
+    * in [0,1), so it is range-bucketed into `buckets` slices. One cheap
+    * aggregate collects per-(stratum, bucket) counts to the driver (size =
+    * strata × buckets — the reference's own "strata fit in memory"
+    * assumption), which pins down, per stratum, the bucket containing the
+    * target-th smallest coin. Everything strictly below that bucket passes
+    * with a narrow filter; ONLY the boundary bucket (~n_k/buckets rows) is
+    * rank-sorted. At 100 TB nothing ever funnels a full stratum — let alone
+    * the full dataset — through one task.
+    *
+    * The coin column is evaluated in more than one branch of the plan, so it
+    * must reproduce: hash coins are deterministic by definition; `rand(seed)`
+    * is deterministic per (partition, row-index), which a re-scan of the
+    * same source preserves. */
   private def exactRank(df: DataFrame, det: Determinism, key: Column,
-                        targets: DataFrame): DataFrame = {
+                        targetOf: Map[String, Long] => Map[String, Long],
+                        buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     val coined = df.withColumn("__stratum", key).withColumn("__coin", coin(det))
+      .withColumn("__bkt",
+        least(floor(col("__coin") * buckets), lit(buckets - 1)).cast("int"))
+
+    val bucketCounts: Map[String, Seq[(Int, Long)]] =
+      coined.groupBy("__stratum", "__bkt").count().collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    val targets = targetOf(bucketCounts.view.mapValues(_.map(_._2).sum).toMap)
+
+    // per stratum: cutoff bucket + how many of its rows still fit
+    val cuts = bucketCounts.toSeq.map { case (s, bks) =>
+      val t = targets(s)
+      var cum = 0L; var cutBkt = buckets; var rem = 0L
+      val it = bks.iterator
+      while (it.hasNext && cutBkt == buckets) {
+        val (b, n) = it.next()
+        if (cum + n >= t) { cutBkt = b; rem = t - cum } else cum += n
+      }
+      (s, cutBkt, rem)
+    }
+    import spark.implicits._
+    val cut = broadcast(cuts.toDF("__stratum", "__cutbkt", "__rem"))
+
+    val j = coined.join(cut, "__stratum")
+    val pass = j.filter(col("__bkt") < col("__cutbkt"))
     val w = Window.partitionBy("__stratum").orderBy("__coin")
-    coined.withColumn("__rank", row_number().over(w))
-      .join(broadcast(targets), "__stratum")
-      .filter(col("__rank") <= col("__target"))
-      .drop("__stratum", "__coin", "__rank", "__target")
+    val boundary = j.filter(col("__bkt") === col("__cutbkt"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= col("__rem"))
+      .drop("__rank")
+    pass.unionByName(boundary)
+      .drop("__stratum", "__coin", "__bkt", "__cutbkt", "__rem")
   }
 
   /** Achieved-vs-target diagnostics per stratum (reference's distribution

@@ -1,0 +1,92 @@
+package graft.tools
+
+import graft.diffy.{BigDiffy, DiffOptions}
+import graft.ext.{Dedup, Similarity}
+import graft.sampling.BigSampler
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch end-to-end drive of recently changed operators against the
+  * driver-generated testdata. Not part of the library surface. */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val sf = "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    println(s"== docs rows: ${docs.count()}")
+
+    // near-dup corpus: originals + truncated copies (high Jaccard)
+    val dups = docs.select((col("doc_id") + 100000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 15, 20))").as("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(dups)
+
+    println("== minhashNearDups (expect pairs (i, i+100000)):")
+    val mh = Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.7)
+    mh.orderBy("id_a").show(5, false)
+    println(s"minhash pair count: ${mh.count()}")
+
+    println("== simhashNearDups:")
+    val sh = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
+    sh.orderBy("id_a").show(5, false)
+    println(s"simhash pair count: ${sh.count()}")
+
+    println("== exact stratified sample of lineitem by l_returnflag, f=0.1:")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val strata = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = BigSampler.sample(li, 0.1,
+      BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")),
+      BigSampler.Stratified(Seq("l_returnflag")), exact = true)
+    val got = sampled.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.toSeq.sortBy(_._1).foreach { case (s, n) =>
+      val want = math.ceil(n * 0.1).toLong
+      println(s"  stratum $s: n=$n want=$want got=${got.getOrElse(s, 0L)} " +
+        (if (got.getOrElse(s, 0L) == want) "OK" else "MISMATCH"))
+    }
+
+    println("== exact global (NoDistribution) sample, f=0.05:")
+    val n = li.count()
+    val g = BigSampler.sample(li, 0.05, BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")),
+      BigSampler.NoDistribution, exact = true).count()
+    println(s"  total=$n want=${math.ceil(n * 0.05).toLong} got=$g")
+
+    println("== diff with NaN deltas + fieldStats(ignoreNan):")
+    val lhs = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+    val rhs = Seq((1L, Double.NaN), (2L, 4.0), (3L, 5.0)).toDF("k", "v")
+    val res = BigDiffy.diff(lhs, rhs, Seq("k"))
+    res.fieldStats(ignoreNan = false).show(false)
+    res.fieldStats(ignoreNan = true).show(false)
+
+    println("== type-mismatch leaf (v: double lhs, string rhs):")
+    val rhs2 = Seq((1L, "1.0"), (2L, "oops")).toDF("k", "v")
+    BigDiffy.diff(lhs.filter($"k" <= 2), rhs2, Seq("k")).deltas.show(false)
+
+    println("== duplicate-key enforcement (expect IllegalArgumentException):")
+    val dup = Seq((1L, 1.0), (1L, 2.0)).toDF("k", "v")
+    try {
+      BigDiffy.diff(dup, lhs, Seq("k"))
+      println("  NO ERROR — BUG")
+    } catch {
+      case e: IllegalArgumentException => println(s"  OK: ${e.getMessage.take(90)}")
+    }
+
+    println("== LSH topK with bucket cap on embeddings:")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val queries = emb.filter(col("vec_id") < 5)
+    val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3, dim = dim)
+    ann.orderBy("query_id", "rank").show(20, false)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+    println(s"  brute-force rows: ${bf.count()}, lsh rows: ${ann.count()}")
+
+    spark.stop()
+  }
+}
