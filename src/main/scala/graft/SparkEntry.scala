@@ -1,13 +1,327 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.GraftFunctions._
+import graft.diffy.BigDiffy
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.sampling.{BigSampler, DirectSampler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY §2 (or the
+  * training-data extension surface) driven end-to-end on the driver's
+  * parquet tables; entries in [[oracleSql]] are the DuckDB-equivalent SQL
+  * the driver hash-compares against. Conventions keeping the comparison
+  * deterministic across engines:
+  *   - every output is ORDER BY'd on both sides;
+  *   - double aggregates are ROUND()ed coarsely enough to absorb
+  *     summation-order differences (2dp for ~1e9-magnitude sums, 5-6dp for
+  *     means/ratios);
+  *   - counts are BIGINT on both sides (DuckDB SUM() yields HUGEINT —
+  *     always cast);
+  *   - fraction math is forced to DOUBLE in SQL so ceil/floor see the same
+  *     IEEE values as the Scala side.
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic perturbation of `orders` used by the diffy queries:
+    * lhs drops keys %89==0, rhs drops keys %97==0, bumps o_totalprice by
+    * 1.0 on keys %10==0 and appends "X" to o_orderpriority on keys %50==0
+    * — reproducible in ANSI SQL for the oracle. */
+  private def diffInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = t(spark, dir, "orders")
+    val lhs = o.filter(col("o_orderkey") % 89 =!= 0)
+    val rhs = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 50 === 0, concat(col("o_orderpriority"), lit("X")))
+          .otherwise(col("o_orderpriority")))
+    (lhs, rhs)
+  }
+
+  private def ordersDiff(spark: SparkSession, dir: String) = {
+    val (lhs, rhs) = diffInputs(spark, dir)
+    BigDiffy.diff(lhs, rhs, Seq("o_orderkey"))
+  }
+
+  /** Near-dup corpus for the dedup queries: every document plus a copy with
+    * the last 10 characters truncated (ids shifted by +100000). Truncation
+    * loses ≤14 shingle positions, so with the shortest doc at 48 chars
+    * (≥34 distinct shingles) every constructed pair keeps Jaccard ≥ 0.58 —
+    * comfortably above the 0.5 recall threshold used below. */
+  private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val dups = docs.select((col("doc_id") + 100000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 10, 20))").as("text"))
+    docs.unionByName(dups)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ordersDiff(spark, "/root/testdata/sf0.001").globalStats
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans + aggregation core (S2, A1-analog, A3) ----
+    "q01_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    // broadcast join of the small dimension (J2)
+    "q02_mktsegment_revenue" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")),
+
+    // ---- BigDiffy (J1, D1/D6, A1, A6, F1, F3) ----
+    "diffy_global" -> ((s, d) => ordersDiff(s, d).globalStats),
+    "diffy_key_stats" -> ((s, d) =>
+      ordersDiff(s, d).keyStats.filter(col("diff_type") =!= "SAME")
+        .orderBy("key", "diff_type")),
+    "diffy_field_stats" -> ((s, d) =>
+      ordersDiff(s, d).fieldStats()
+        .select(col("field"), col("count").as("cnt"), col("delta_type"),
+          round(col("min"), 6).as("min_d"), round(col("max"), 6).as("max_d"),
+          round(col("mean"), 6).as("mean_d"), round(col("variance"), 6).as("var_d"),
+          round(col("fraction"), 6).as("fraction_d"))
+        .orderBy("field")),
+
+    // ---- sampling (R2, R5/R6 exact arms, W2, J2, F5/F7/F9, P3) ----
+    "sample_exact_stratified" -> ((s, d) =>
+      BigSampler.sample(t(s, d, "lineitem"), 0.1,
+          BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")),
+          BigSampler.Stratified(Seq("l_returnflag")), exact = true)
+        .groupBy(col("l_returnflag").as("stratum")).agg(count(lit(1)).as("n"))
+        .orderBy("stratum")),
+    "sample_exact_uniform" -> ((s, d) =>
+      BigSampler.sample(t(s, d, "lineitem"), 0.1,
+          BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")),
+          BigSampler.Uniform(Seq("l_returnflag")), exact = true)
+        .groupBy(col("l_returnflag").as("stratum")).agg(count(lit(1)).as("n"))
+        .orderBy("stratum")),
+    // deterministic hash sampling keeps cohorts consistent across tables
+    // that share key VALUES (the hash folds values, not names) — sampled
+    // lineitem order keys must be a subset of sampled orders keys
+    "sample_cohort_consistency" -> ((s, d) => {
+      val sl = BigSampler.sample(t(s, d, "lineitem"), 0.05,
+        BigSampler.Hashed(Seq("l_orderkey")))
+      val so = BigSampler.sample(t(s, d, "orders"), 0.05,
+        BigSampler.Hashed(Seq("o_orderkey")))
+      sl.join(so, sl("l_orderkey") === so("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+    }),
+    // deterministic hash-dice sample itself: not SQL-reproducible (no farm
+    // hash in DuckDB) — registered for the rows-only check
+    "sample_hash_dice" -> ((s, d) =>
+      BigSampler.sample(t(s, d, "lineitem"), 0.1,
+          BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")),
+    "sample_bernoulli" -> ((s, d) =>
+      BigSampler.sample(t(s, d, "lineitem"), 0.1)
+        .select("l_orderkey", "l_linenumber")),
+    "sample_reservoir_n" -> ((s, d) =>
+      DirectSampler.reservoir(t(s, d, "lineitem"), 100).agg(count(lit(1)).as("n"))),
+    "head_sorted" -> ((s, d) =>
+      DirectSampler.head(t(s, d, "lineitem"), 50, Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    // ---- hashing (F5/F7): distinct hashes == distinct key pairs, i.e.
+    // zero collisions over the (non-unique!) synthetic key domain ----
+    "hash_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(fieldHash(Seq(col("l_orderkey"), col("l_linenumber"))).as("h"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("h")).as("n_distinct"))),
+
+    // ---- dedup (training-data extension) ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", Seq("lang", "source"))
+        .orderBy("lang", "source")),
+    "dedup_fingerprint" -> ((s, d) =>
+      Dedup.exactByFingerprint(t(s, d, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("n_groups"), max("dup_count").as("max_dup"))),
+    // recall check: every constructed (i, i+100000) truncation pair must be
+    // recovered by MinHash-LSH with 32 bands of 2 rows (miss P < 1e-5)
+    "minhash_recall" -> ((s, d) =>
+      Dedup.minhashNearDups(nearDupCorpus(s, d), "doc_id", "text",
+          numHashes = 64, bands = 32, shingleLen = 5, threshold = 0.5)
+        .filter(col("id_b") === col("id_a") + 100000)
+        .agg(count(lit(1)).as("n_found"))),
+    "simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDups(nearDupCorpus(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // ---- similarity search (training-data extension) ----
+    "topk_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine_sim"), 5).as("sim_r"))
+        .orderBy("query_id", "rank")
+    }),
+    "lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = dim, bits = 6, tables = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- text analysis (training-data extension) ----
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualitySignals(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_tokens"), round(col("mean_token_len"), 6).as("mean_tok"))
+        .orderBy("doc_id")),
+    "text_bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+    "text_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct"))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-/randomness-dependent ops
+    * (driver records a weaker rows-only check). */
+  def oracleSql: Map[String, String] = {
+    // shared CTE prefix reproducing diffInputs() in DuckDB SQL
+    val diffCtes =
+      """WITH lhs AS (SELECT * FROM orders WHERE o_orderkey % 89 <> 0),
+        |rhs AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderkey % 50 = 0 THEN o_orderpriority || 'X' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |j AS (SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS k,
+        |  CASE WHEN l.o_orderkey IS NULL THEN 'MISSING_LHS'
+        |       WHEN r.o_orderkey IS NULL THEN 'MISSING_RHS'
+        |       WHEN (l.o_custkey IS DISTINCT FROM r.o_custkey)
+        |         OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
+        |         OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice)
+        |         OR (l.o_orderdate IS DISTINCT FROM r.o_orderdate)
+        |         OR (l.o_orderpriority IS DISTINCT FROM r.o_orderpriority) THEN 'DIFFERENT'
+        |       ELSE 'SAME' END AS diff_type
+        |  FROM lhs l FULL OUTER JOIN rhs r ON l.o_orderkey = r.o_orderkey)
+        |""".stripMargin
+    val toks = "list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)"
+    Map(
+      "q01_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+          |  ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_price,
+          |  ROUND(CAST(AVG(l_discount) AS DOUBLE), 6) AS avg_disc,
+          |  CAST(COUNT(*) AS BIGINT) AS cnt
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q02_mktsegment_revenue" ->
+        """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "diffy_global" -> (diffCtes +
+        """SELECT CAST(COUNT(*) AS BIGINT) AS num_total,
+          |  CAST(SUM(CASE WHEN diff_type = 'SAME' THEN 1 ELSE 0 END) AS BIGINT) AS num_same,
+          |  CAST(SUM(CASE WHEN diff_type = 'DIFFERENT' THEN 1 ELSE 0 END) AS BIGINT) AS num_diff,
+          |  CAST(SUM(CASE WHEN diff_type = 'MISSING_LHS' THEN 1 ELSE 0 END) AS BIGINT) AS num_missing_lhs,
+          |  CAST(SUM(CASE WHEN diff_type = 'MISSING_RHS' THEN 1 ELSE 0 END) AS BIGINT) AS num_missing_rhs
+          |FROM j""".stripMargin),
+      "diffy_key_stats" -> (diffCtes +
+        """SELECT CAST(k AS VARCHAR) AS key, diff_type FROM j
+          |WHERE diff_type <> 'SAME' ORDER BY key, diff_type""".stripMargin),
+      "diffy_field_stats" ->
+        """WITH lhs AS (SELECT * FROM orders WHERE o_orderkey % 89 <> 0),
+          |rhs AS (SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+          |  CASE WHEN o_orderkey % 50 = 0 THEN o_orderpriority || 'X' ELSE o_orderpriority END AS o_orderpriority
+          |  FROM orders WHERE o_orderkey % 97 <> 0),
+          |b AS (SELECT l.o_totalprice lp, r.o_totalprice rp,
+          |             l.o_orderpriority lo, r.o_orderpriority ro
+          |      FROM lhs l JOIN rhs r ON l.o_orderkey = r.o_orderkey),
+          |d AS (SELECT 'o_totalprice' AS field, 'NUMERIC' AS delta_type, rp - lp AS delta
+          |      FROM b WHERE lp IS DISTINCT FROM rp
+          |      UNION ALL
+          |      SELECT 'o_orderpriority', 'STRING', CAST(levenshtein(lo, ro) AS DOUBLE)
+          |      FROM b WHERE lo IS DISTINCT FROM ro),
+          |nd AS (SELECT COUNT(*) AS num_diff FROM b
+          |       WHERE (lp IS DISTINCT FROM rp) OR (lo IS DISTINCT FROM ro))
+          |SELECT field, CAST(COUNT(*) AS BIGINT) AS cnt, delta_type,
+          |  ROUND(MIN(delta), 6) AS min_d, ROUND(MAX(delta), 6) AS max_d,
+          |  ROUND(AVG(delta), 6) AS mean_d, ROUND(VAR_POP(delta), 6) AS var_d,
+          |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT num_diff FROM nd), 6) AS fraction_d
+          |FROM d GROUP BY field, delta_type ORDER BY field""".stripMargin,
+      "sample_exact_stratified" ->
+        """SELECT l_returnflag AS stratum,
+          |  CAST(CEIL(COUNT(*) * CAST(0.1 AS DOUBLE)) AS BIGINT) AS n
+          |FROM lineitem GROUP BY l_returnflag ORDER BY stratum""".stripMargin,
+      "sample_exact_uniform" ->
+        """WITH c AS (SELECT l_returnflag AS stratum, COUNT(*) AS nk
+          |           FROM lineitem GROUP BY l_returnflag),
+          |p AS (SELECT SUM(nk) * CAST(0.1 AS DOUBLE) / COUNT(*) AS pop FROM c)
+          |SELECT stratum,
+          |  CAST(LEAST(CEIL(pop), CAST(nk AS DOUBLE)) AS BIGINT) AS n
+          |FROM c, p ORDER BY stratum""".stripMargin,
+      "sample_cohort_consistency" -> "SELECT CAST(0 AS BIGINT) AS n_orphans",
+      "sample_reservoir_n" -> "SELECT CAST(100 AS BIGINT) AS n",
+      "head_sorted" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+      "hash_distinct" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_distinct
+          |FROM lineitem""".stripMargin,
+      "dedup_exact" ->
+        """SELECT lang, source, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+          |  CAST(COUNT(*) AS BIGINT) AS dup_count
+          |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+      "dedup_fingerprint" ->
+        """SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_groups,
+          |  CAST(1 AS BIGINT) AS max_dup FROM documents""".stripMargin,
+      "minhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
+      "topk_cosine" ->
+        """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          |s AS (SELECT q.qid, e.vec_id AS nid,
+          |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS sim
+          |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+          |r AS (SELECT qid, nid, sim,
+          |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM s)
+          |SELECT qid AS query_id, nid AS neighbor_id, CAST(rnk AS INTEGER) AS rank,
+          |  ROUND(sim, 5) AS sim_r
+          |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+      "text_quality" ->
+        s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(len($toks) AS BIGINT) AS n_tokens,
+           |  ROUND(CAST(list_sum(list_transform($toks, x -> len(x))) AS DOUBLE)
+           |        / len($toks), 6) AS mean_tok
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_bpe_tokens" ->
+        s"""SELECT doc_id,
+           |  CAST(list_sum(list_transform($toks, w -> greatest(ceil(len(w)/4.0), 1))) AS BIGINT)
+           |  + CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS n_bpe
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(COUNT(*) AS BIGINT) AS n_distinct FROM documents""".stripMargin,
+    )
+  }
 }
