@@ -49,9 +49,18 @@ object GraftFunctions {
   def cosineDistance(l: Column, r: Column): Column =
     expr2col(CosineDistance(col2expr(l), col2expr(r)))
 
-  /** MinHash signature over shingles: array<string> → array<long>. */
+  /** MinHash signature over shingles (array<string>, or array<long> of
+    * pre-hashed shingles from [[shingleHashes]]) → array<long>. */
   def minhash(shingles: Column, numHashes: Int = 64, seed: Int = 0): Column =
     expr2col(MinHashSignature(col2expr(shingles), numHashes, seed))
+
+  /** Sorted distinct n-gram shingle hashes of a normalized string:
+    * string → array<long>. Lowercases and squeezes whitespace first. One
+    * pass, no string arrays anywhere — composes with [[minhash]] and
+    * [[jaccardSorted]]. */
+  def shingleHashes(text: Column, n: Int = 5, seed: Long = 0L): Column =
+    expr2col(ShingleHashes(
+      col2expr(lower(regexp_replace(text, "\\s+", " "))), n, seed))
 
   /** 64-bit SimHash over tokens: array<string> → long. */
   def simhash(tokens: Column, seed: Int = 0): Column =
@@ -59,6 +68,16 @@ object GraftFunctions {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(l: Column, r: Column): Column = bit_count(l.bitwiseXOR(r))
+
+  /** Exact Jaccard of two sorted distinct long arrays (one-pass merge). */
+  def jaccardSorted(l: Column, r: Column): Column =
+    expr2col(JaccardSorted(col2expr(l), col2expr(r)))
+
+  /** Sorted distinct 64-bit hashes of an array of strings — the compact
+    * set representation `jaccardSorted` consumes. Built from codegen'd
+    * built-ins (xxhash64 inside transform). */
+  def hashedSet(arr: Column): Column =
+    array_sort(array_distinct(transform(arr, s => xxhash64(s))))
 
   /** Character n-gram shingles of a normalized string: string → array<string>.
     * Lowercases and squeezes whitespace first so near-dup shingling is

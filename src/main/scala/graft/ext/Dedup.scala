@@ -44,14 +44,25 @@ object Dedup {
     * candidate pairs within buckets → verify exact shingle-Jaccard ≥
     * `threshold`. Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
+  /** @param broadcastVerify broadcast the per-doc hashed-shingle table into
+    *        the verification joins (default): candidate pairs then never
+    *        shuffle with arrays attached — the pair relation stays 2 longs
+    *        wide. The table is ~2.5 KB/doc, fine to broadcast up to a few
+    *        million docs; disable for corpora beyond executor memory, where
+    *        candidate sparsity makes the shuffle join acceptable. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 5,
                       threshold: Double = 0.8, seed: Int = 0,
-                      maxBucketSize: Int = 1000): DataFrame = {
+                      maxBucketSize: Int = 1000,
+                      broadcastVerify: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rPerB = numHashes / bands
 
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
+    // whole pipeline runs on hashed shingles (sorted distinct longs) — no
+    // string arrays anywhere: shingling is one custom-expression pass,
+    // minhash remixes the longs, verification is a sorted-merge walk
+    val sh = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
     val sig = sh.withColumn("sig", minhash(col("sh"), numHashes, seed))
 
@@ -59,29 +70,38 @@ object Dedup {
     // key is a single long (cheap shuffle key). Band indices are a
     // driver-side Int range, so each slice start is a literal — cheaper
     // than a per-row sequence+transform and keeps slice() overloads happy.
+    // The banded relation carries ONLY (id, band, bsig): the shingle arrays
+    // are re-joined by id after pair dedup, so the ×bands explode shuffle
+    // moves 3 scalars per row, never the document shingles.
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        farmHash64(slice(col("sig"), b * rPerB + 1, rPerB).cast("string")).as("bsig"))
+        farmHash64(slice(col("sig"), b * rPerB + 1, rPerB)).as("bsig"))
     }
-    val banded = sig.select(col("id"), col("sh"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
 
     // candidate pairs within a bucket; cap pathological buckets
-    val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"), col("sh").as("sh_b"))
     val bucketSizes = banded.groupBy("band", "bsig").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
+    val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"))
     val pairs = a.join(bucketSizes, Seq("band", "bsig"))
       .join(b, Seq("band", "bsig"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // verify with exact Jaccard on the shingle sets
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    pairs.withColumn("jaccard", inter / union)
+    // verify with exact Jaccard over the sorted hashed shingle sets: a
+    // one-pass merge (JaccardSorted) instead of generic string-array
+    // intersect/union; the compact set table is re-joined per side
+    def side(n: String) = {
+      val s = sh.select(col("id").as(n), col("sh").as(s"shh_$n"))
+      if (broadcastVerify) broadcast(s) else s
+    }
+    pairs
+      .join(side("id_a"), "id_a")
+      .join(side("id_b"), "id_b")
+      .withColumn("jaccard", jaccardSorted(col("shh_id_a"), col("shh_id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -130,12 +150,13 @@ object Dedup {
                        seed: Int = 0, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rPerB = numHashes / bands
-    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
+    val sig = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhash(col("sh"), numHashes, seed))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        farmHash64(slice(col("sig"), b * rPerB + 1, rPerB).cast("string")).as("bsig"))
+        farmHash64(slice(col("sig"), b * rPerB + 1, rPerB)).as("bsig"))
     }
     sig.select(explode(array(bandStructs: _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bsig").as("bsig"))
@@ -147,13 +168,11 @@ object Dedup {
     * API): joins the pair list to the corpus twice and scores. */
   def ngramJaccard(pairs: DataFrame, corpus: DataFrame, idCol: String,
                    textCol: String, n: Int = 3): DataFrame = {
-    val sh = corpus.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
+    val sh = corpus.select(col(idCol).as("__id"), shingleHashes(col(textCol), n).as("__sh"))
     pairs
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .drop("sh_a", "sh_b")
   }
 }

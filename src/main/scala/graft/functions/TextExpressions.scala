@@ -12,11 +12,13 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature over a bag of shingles: `array<string> -> array<long>`.
   *
-  * For each of `numHashes` hash families i, emits
-  * `min over shingles of murmur128(shingle, seed+i).lowBits`. Families are
-  * simulated by seed perturbation (standard MinHash trick; cf. Broder '97).
-  * Partition-local, no shuffle: the LSH dedup built on top groups by BAND
-  * hash, never comparing all pairs. Null/empty input -> null signature.
+  * Each shingle is hashed ONCE with murmur3_128; the two 64-bit halves
+  * (a, b) generate the `numHashes` families as affine combinations
+  * `h_k = a + (k+1)·b` with b forced odd (Carter-Wegman style universal
+  * family — the standard one-hash MinHash construction, ~64× cheaper in
+  * the scan than per-family re-hashing; cf. Broder '97). Partition-local,
+  * no shuffle: the LSH dedup built on top groups by BAND hash, never
+  * comparing all pairs. Null/empty input -> null signature.
   *
   * This is an engine extension beyond the reference (which has no dedup);
   * designed per the brief's shingle→minhash→band→bucket-join pipeline.
@@ -28,11 +30,22 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
-    case ArrayType(StringType, _) =>
+    case ArrayType(StringType | LongType, _) if numHashes > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType | LongType, _) =>
       TypeCheckResult.TypeCheckFailure(s"numHashes must be positive, got $numHashes")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash expects array<string>, got ${other.catalogString}")
+      s"minhash expects array<string> or array<bigint>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val elementIsLong: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
   override def nullSafeEval(v: Any): Any = {
@@ -43,11 +56,28 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val bytes = arr.getUTF8String(i).getBytes
+        var a = 0L; var b = 0L
+        if (elementIsLong) {
+          // pre-hashed shingles (ShingleHashes): derive the affine pair by
+          // remixing — no byte hashing at all
+          a = mix64(arr.getLong(i) ^ (seed * 0x9e3779b97f4a7c15L))
+          b = mix64(a)
+        } else {
+          val bytes = arr.getUTF8String(i).getBytes
+          val h = Hashing.murmur3_128(seed).hashBytes(bytes).asBytes()
+          var j = 0
+          while (j < 8) { // little-endian halves of the 128-bit digest
+            a |= (h(j) & 0xffL) << (8 * j)
+            b |= (h(j + 8) & 0xffL) << (8 * j)
+            j += 1
+          }
+        }
+        b |= 1L // odd multiplier => full-period affine family mod 2^64
         var k = 0
+        var hk = a
         while (k < numHashes) {
-          val h = Hashing.murmur3_128(seed + k).hashBytes(bytes).asLong()
-          if (h < sig(k)) sig(k) = h
+          hk += b
+          if (hk < sig(k)) sig(k) = hk
           k += 1
         }
       }
@@ -103,6 +133,108 @@ case class SimHash64(child: Expression, seed: Int)
       b += 1
     }
     out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Exact Jaccard similarity of two SORTED distinct long arrays:
+  * `array<long> × array<long> -> double`, one-pass merge walk — far cheaper
+  * than generic array_intersect/array_union on string arrays when pair
+  * volume is high (near-dup verification at scale). Inputs are expected
+  * sorted ascending and duplicate-free (array_sort ∘ array_distinct);
+  * null input -> null; two empty arrays -> null.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted expects two array<bigint>, got ${l.catalogString} / ${r.catalogString}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val lv = left.eval(input)
+    if (lv == null) return null
+    val rv = right.eval(input)
+    if (rv == null) return null
+    val la = lv.asInstanceOf[ArrayData]
+    val ra = rv.asInstanceOf[ArrayData]
+    val n = la.numElements(); val m = ra.numElements()
+    if (n == 0 && m == 0) return null
+    var i = 0; var j = 0; var inter = 0L
+    while (i < n && j < m) {
+      val x = la.getLong(i); val y = ra.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter).toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+/** Character n-gram shingle hashes: `string -> array<long>`, SORTED and
+  * DISTINCT. One pass over the string: each n-char window is folded with a
+  * multiplicative hash and finalized with the splitmix64 mixer; the hash
+  * set is dedup'd by sort+unique, so the output composes directly with
+  * [[JaccardSorted]] and [[MinHashSignature]] without any string-array
+  * array_distinct (which is O(n²) per row for non-primitive element types).
+  * Input is expected pre-normalized (lowercase, squeezed whitespace) by the
+  * caller. Null input or strings shorter than n -> null.
+  */
+case class ShingleHashes(child: Expression, n: Int, seed: Long)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(s"n must be positive, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects string, got ${other.catalogString}")
+  }
+
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val len = s.length
+    if (len < n) return null
+    val m = len - n + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = seed
+      var j = 0
+      while (j < n) { h = h * 31L + s.charAt(i + j); j += 1 }
+      hs(i) = mix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 1
+    var k = 1
+    while (k < m) {
+      if (hs(k) != hs(k - 1)) { hs(out) = hs(k); out += 1 }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
