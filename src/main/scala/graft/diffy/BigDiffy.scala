@@ -127,12 +127,22 @@ object BigDiffy {
     def side(prefix: String, leaves: Map[String, DataType], p: String): Column =
       if (leaves.contains(p)) col(s"$prefix.$p") else lit(null)
 
-    val (keyedArrayPaths, plainPaths) = paths.partition { p =>
+    val (keyedArrayPaths, rest) = paths.partition { p =>
       opts.unorderedFieldKeys.contains(p) &&
         lLeaves.get(p).exists {
           case ArrayType(_: StructType, _) => true
           case _ => false
         }
+    }
+    // map leaves diff per key over the union of key sets (same type both
+    // sides; a type change falls through to the mismatch path)
+    val (mapPaths, plainPaths) = rest.partition { p =>
+      (lLeaves.get(p), rLeaves.get(p)) match {
+        case (Some(lt: MapType), Some(rt)) => lt == rt
+        case (Some(_: MapType), None)      => true
+        case (None, Some(_: MapType))      => true
+        case _                             => false
+      }
     }
 
     val deltaStructs: Seq[Column] = plainPaths.map { p =>
@@ -153,11 +163,16 @@ object BigDiffy {
       DeltaExpr.forKeyedArray(p, elem, opts.unorderedFieldKeys(p),
         col(s"__l.$p"), col(s"__r.$p"))
     }
+    val mapArrays: Seq[Column] = mapPaths.map { p =>
+      val mt = lLeaves.getOrElse(p, rLeaves(p)).asInstanceOf[MapType]
+      DeltaExpr.forMap(p, mt, side("__l", lLeaves, p).cast(mt),
+        side("__r", rLeaves, p).cast(mt))
+    }
 
     val plainArr =
       if (deltaStructs.isEmpty) array().cast(DeltaExpr.deltaArrayType)
       else filter(array(deltaStructs: _*), d => d.isNotNull)
-    val deltasArr = keyedArrays.foldLeft(plainArr)((acc, ka) =>
+    val deltasArr = (keyedArrays ++ mapArrays).foldLeft(plainArr)((acc, ka) =>
       concat(acc, coalesce(ka, array().cast(DeltaExpr.deltaArrayType))))
 
     val keyed = joined

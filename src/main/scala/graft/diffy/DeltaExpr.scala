@@ -63,16 +63,10 @@ object DeltaExpr {
     struct(lit(path).as("field"), render(l, dt).as("left"), render(r, dt).as("right"),
       deltaType.as("delta_type"), delta.as("delta"))
 
-  /** Delta struct for one leaf, or null when the sides agree. */
-  def forLeaf(path: String, dt: DataType, l: Column, r: Column,
-              opts: DiffOptions): Column = {
-    val (lc, rc, neq) = dt match {
-      case _: ArrayType if opts.unordered.contains(path) =>
-        val ls = sortByString(l); val rs = sortByString(r)
-        (ls, rs, !(ls <=> rs))
-      case _ => (l, r, !(l <=> r))
-    }
-    val (deltaType, delta): (Column, Column) = dt match {
+  /** (delta_type, delta) dispatch for one pair of same-type values —
+    * shared by plain leaves, keyed-array subfields, and map values. */
+  private def scalarDelta(dt: DataType, lc: Column, rc: Column): (Column, Column) =
+    dt match {
       case t if isNumeric(t) =>
         (lit("NUMERIC"), rc.cast(DoubleType) - lc.cast(DoubleType))
       case StringType =>
@@ -90,8 +84,47 @@ object DeltaExpr {
       case _ =>
         (lit("UNKNOWN"), lit(null).cast(DoubleType))
     }
+
+  /** Delta struct for one leaf, or null when the sides agree. */
+  def forLeaf(path: String, dt: DataType, l: Column, r: Column,
+              opts: DiffOptions): Column = {
+    val (lc, rc, neq) = dt match {
+      case _: ArrayType if opts.unordered.contains(path) =>
+        val ls = sortByString(l); val rs = sortByString(r)
+        (ls, rs, !(ls <=> rs))
+      case _ => (l, r, !(l <=> r))
+    }
+    val (deltaType, delta) = scalarDelta(dt, lc, rc)
     when(neq, mkDelta(path, lc, rc, dt, deltaType, delta))
       .otherwise(lit(null).cast(deltaStructType))
+  }
+
+  /** Per-key map diff (reference AvroDiffy.scala:144-160): deltas computed
+    * over the UNION of both sides' key sets, one delta per differing key
+    * with a `path[key]` label and the value-type dispatch applied to the
+    * two values (missing key ⇒ null side ⇒ UNKNOWN/absent-value delta).
+    * Returns array<deltaStruct> (possibly empty). Pure higher-order
+    * functions; `try_element_at` keeps missing-key lookups ANSI-safe. */
+  def forMap(path: String, mt: MapType, l: Column, r: Column): Column = {
+    val vt = mt.valueType
+    val allKeys = array_distinct(concat(
+      coalesce(map_keys(l), array().cast(ArrayType(mt.keyType))),
+      coalesce(map_keys(r), array().cast(ArrayType(mt.keyType)))))
+    val perKey = transform(allKeys, k => {
+      val lv = try_element_at(l, k)
+      val rv = try_element_at(r, k)
+      val (dt0, delta) = scalarDelta(vt, lv, rv)
+      // key present on one side only ⇒ UNKNOWN, matching the reference's
+      // unknown-delta for unmatched map entries (AvroDiffy.scala:144-160)
+      val deltaType = when(lv.isNull || rv.isNull, "UNKNOWN").otherwise(dt0)
+      when(!(lv <=> rv),
+        struct(
+          concat(lit(s"$path["), k.cast(StringType), lit("]")).as("field"),
+          render(lv, vt).as("left"), render(rv, vt).as("right"),
+          deltaType.as("delta_type"), delta.as("delta")))
+        .otherwise(lit(null).cast(deltaStructType))
+    })
+    filter(perKey, d => d.isNotNull)
   }
 
   /** Leaf whose Catalyst type differs between sides (schema evolution):
@@ -122,8 +155,10 @@ object DeltaExpr {
     val subFields = elem.fields.filter(_.name != keyField)
 
     val perKey = transform(allKeys, k => {
-      val le = element_at(filter(l, e => keyOf(e) === k), 1)
-      val re = element_at(filter(r, e => keyOf(e) === k), 1)
+      // try_element_at: a key present on only one side filters to an empty
+      // array, and plain element_at(…, 1) THROWS under ANSI mode
+      val le = try_element_at(filter(l, e => keyOf(e) === k), lit(1))
+      val re = try_element_at(filter(r, e => keyOf(e) === k), lit(1))
       val subDeltas: Seq[Column] = subFields.toSeq.map { f =>
         val lv = le.getField(f.name); val rv = re.getField(f.name)
         val sub = forLeaf("", f.dataType, lv, rv, DiffOptions())

@@ -1,9 +1,9 @@
 package graft.tools
 
-import graft.ext.Dedup
+import graft.diffy.{BigDiffy, DiffOptions}
 import org.apache.spark.sql.SparkSession
 
-/** Scratch probe: degenerate inputs through the dedup surface. */
+/** Scratch probe: map + keyed-array diff through the library surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -12,23 +12,28 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val corpus = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog again and again"),
-      (2L, "the quick brown fox jumps over the lazy dog again and agaiN"),
-      (3L, "abc"),                 // shorter than shingleLen=5
-      (4L, ""),                    // empty
-      (5L, "   "),                 // whitespace only
-      (6L, "completely different text with other words entirely here")
-    ).toDF("doc_id", "text")
+    println("== map diff (changed value, one-sided keys, empty map, null map):")
+    val l = Seq(
+      (1L, Map("a" -> 1.0, "b" -> 2.0)),
+      (2L, Map.empty[String, Double]),
+      (3L, Map("x" -> 9.0))).toDF("k", "m")
+    val r = Seq(
+      (1L, Map("a" -> 1.0, "b" -> 3.5, "c" -> 7.0)),
+      (2L, Map("only" -> 1.0)),
+      (3L, Map("x" -> 9.0))).toDF("k", "m")
+    BigDiffy.diff(l, r, Seq("k")).deltas.orderBy("key", "field").show(false)
 
-    val out = Dedup.minhashNearDups(corpus, "doc_id", "text",
-      numHashes = 64, bands = 32, shingleLen = 5, threshold = 0.5)
-    println("== pairs:")
-    out.orderBy("id_a", "id_b").show(false)
+    println("== keyed-array diff with one-sided element (ANSI path):")
+    val la = Seq((1L, Seq((10L, 1.0)))).toDF("k", "arr")
+    val ra = Seq((1L, Seq((10L, 1.0), (20L, 5.0)))).toDF("k", "arr")
+    BigDiffy.diff(la, ra, Seq("k"),
+      DiffOptions(unorderedFieldKeys = Map("arr" -> "_1")))
+      .deltas.show(false)
 
-    val sim = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3, chunks = 4)
-    println("== simhash pairs:")
-    sim.orderBy("id_a", "id_b").show(false)
+    println("== map value type string (levenshtein/numeric-parse inside map):")
+    val ls = Seq((1L, Map("p" -> "kitten", "q" -> "5"))).toDF("k", "m")
+    val rs = Seq((1L, Map("p" -> "sitting", "q" -> "9"))).toDF("k", "m")
+    BigDiffy.diff(ls, rs, Seq("k")).deltas.orderBy("field").show(false)
     spark.stop()
   }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import com.google.common.hash.Hashing
+import graft.GraftFunctions._
+import graft.functions.ByteEncoding
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.functions._
+
+/** Hash kernel invariants, mirroring the reference's property tests
+  * (ratatool-sampling/src/test/.../BigSamplerTest.scala:52-104, 249-409). */
+class HashSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "FieldHash"
+
+  it should "match guava farmHashFingerprint64 on a single string" in {
+    val got = Seq("hello world").toDF("s")
+      .select(farmHash64(col("s"))).as[Long].head()
+    val want = Hashing.farmHashFingerprint64()
+      .newHasher().putString("hello world", UTF_8).hash().asLong()
+    got shouldBe want
+  }
+
+  it should "fold multiple fields in order with int→long widening" in {
+    val got = Seq((42, 7L, "x")).toDF("i", "l", "s")
+      .select(fieldHash(Seq(col("i"), col("l"), col("s")))).as[Long].head()
+    val want = Hashing.farmHashFingerprint64().newHasher()
+      .putLong(42L).putLong(7L).putString("x", UTF_8).hash().asLong()
+    got shouldBe want
+  }
+
+  it should "be deterministic across evaluations and sensitive to seed" in {
+    val df = spark.range(1000).toDF("id")
+    val a = df.select(fieldHash(Seq(col("id")), "farm", Some(1))).as[Long].collect()
+    val b = df.select(fieldHash(Seq(col("id")), "farm", Some(1))).as[Long].collect()
+    val c = df.select(fieldHash(Seq(col("id")), "farm", Some(2))).as[Long].collect()
+    a should contain theSameElementsInOrderAs b
+    a should not contain theSameElementsInOrderAs(c)
+  }
+
+  it should "skip null fields silently (reference BigSamplerAvro.scala:138-143)" in {
+    val got = Seq((Some("a"), Option.empty[String], Some("b")))
+      .toDF("x", "y", "z")
+      .select(fieldHash(Seq(col("x"), col("y"), col("z")))).as[Long].head()
+    val want = Seq(("a", "b")).toDF("x", "z")
+      .select(fieldHash(Seq(col("x"), col("z")))).as[Long].head()
+    got shouldBe want
+  }
+
+  it should "hash bytes per the byteEncoding axis (raw vs hex)" in {
+    val bytes = Array[Byte](1, 2, -3)
+    val df = Seq(Tuple1(bytes)).toDF("b")
+    val raw = df.select(fieldHash(Seq(col("b")))).as[Long].head()
+    val hex = df.select(fieldHash(Seq(col("b")), encoding = ByteEncoding.Hex))
+      .as[Long].head()
+    raw shouldBe Hashing.farmHashFingerprint64().hashBytes(bytes).asLong()
+    hex shouldBe Hashing.farmHashFingerprint64()
+      .newHasher().putString("0102fd", UTF_8).hash().asLong()
+  }
+
+  it should "hash equal logical values identically across int widths (cross-format)" in {
+    val asInt = Seq(7).toDF("v").select(fieldHash(Seq(col("v")))).as[Long].head()
+    val asLong = Seq(7L).toDF("v").select(fieldHash(Seq(col("v")))).as[Long].head()
+    asInt shouldBe asLong
+  }
+
+  behavior of "boundLong"
+
+  it should "map hashes into [0,1] and dice deterministically" in {
+    val df = spark.range(5000).toDF("id")
+    val bounds = df.select(hashDice(Seq(col("id")))).as[Double].collect()
+    all(bounds) should (be >= 0.0 and be <= 1.0)
+    // dice at 10%: the kept set is identical across runs
+    val kept1 = df.filter(hashDice(Seq(col("id"))) < 0.1).as[Long].collect().sorted
+    val kept2 = df.filter(hashDice(Seq(col("id"))) < 0.1).as[Long].collect().sorted
+    kept1 should contain theSameElementsInOrderAs kept2
+    kept1.length.toDouble shouldBe 500.0 +- 150.0
+  }
+
+  behavior of "murmur"
+
+  it should "match guava murmur3_128 low bits with explicit seed" in {
+    val got = Seq("abc").toDF("s").select(murmur128(99, col("s"))).as[Long].head()
+    val want = Hashing.murmur3_128(99)
+      .newHasher().putString("abc", UTF_8).hash().asLong()
+    got shouldBe want
+  }
+}

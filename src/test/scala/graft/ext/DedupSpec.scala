@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.GraftFunctions._
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text operators over small synthetic corpora. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = {
+    val base = (0L until 50L).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 31 + j * 7) % 97}")
+      (i, words.mkString(" "))
+    }
+    // near-dups of the first 10 docs: drop the last two words
+    val near = base.take(10).map { case (i, t) =>
+      (i + 1000L, t.split(" ").dropRight(2).mkString(" "))
+    }
+    (base ++ near).toDF("doc_id", "text").cache()
+  }
+
+  behavior of "exact dedup"
+
+  it should "group duplicates and pick min-id representatives" in {
+    val df = Seq((1L, "x", "p"), (2L, "x", "p"), (3L, "y", "p"))
+      .toDF("id", "a", "b")
+    val got = Dedup.exact(df, "id", Seq("a", "b")).orderBy("a")
+      .select("a", "id", "dup_count").as[(String, Long, Long)].collect()
+    got shouldBe Array(("x", 1L, 2L), ("y", 3L, 1L))
+  }
+
+  it should "dedup by fingerprint with identical groups" in {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("id", "t")
+    val got = Dedup.exactByFingerprint(df, "id", "t")
+      .select("id", "dup_count").orderBy("id").as[(Long, Long)].collect()
+    got shouldBe Array((1L, 2L), (3L, 1L))
+  }
+
+  behavior of "minhashNearDups"
+
+  it should "recover all constructed near-dup pairs and no exact-identical misses" in {
+    val pairs = Dedup.minhashNearDups(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleLen = 5, threshold = 0.5)
+    val constructed = pairs.filter(col("id_b") === col("id_a") + 1000).count()
+    constructed shouldBe 10L
+    // jaccard column is a real similarity: bounded and high for the pairs
+    val js = pairs.filter(col("id_b") === col("id_a") + 1000)
+      .select("jaccard").as[Double].collect()
+    all(js) should (be > 0.5 and be <= 1.0)
+  }
+
+  it should "respect the bucket-size cap (oversized buckets drop pairs)" in {
+    // 30 identical docs -> every band bucket has size 30 > cap 10
+    val same = (0L until 30L).map(i => (i, "all documents share this exact text body"))
+      .toDF("doc_id", "text")
+    Dedup.minhashNearDups(same, "doc_id", "text", maxBucketSize = 10).count() shouldBe 0L
+    Dedup.oversizedBuckets(same, "doc_id", "text", maxBucketSize = 10)
+      .count() should be > 0L
+  }
+
+  behavior of "simhashNearDups"
+
+  it should "find heavily-overlapping docs within the Hamming budget" in {
+    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text",
+      maxHamming = 8, chunks = 16)
+    pairs.filter(col("id_b") === col("id_a") + 1000).count() should be >= 8L
+  }
+
+  behavior of "ngramJaccard"
+
+  it should "score an explicit pair list" in {
+    val pairs = Seq((0L, 1000L), (0L, 25L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccard(pairs, corpus, "doc_id", "text", n = 5)
+      .orderBy(col("jaccard").desc).select("id_b", "jaccard")
+      .as[(Long, Double)].collect()
+    got.head._1 shouldBe 1000L
+    got.head._2 should be > got.last._2
+  }
+
+  behavior of "jaccardSorted kernel"
+
+  it should "agree with set-based jaccard" in {
+    val df = Seq((Seq("abcde", "bcdef", "cdefg"), Seq("bcdef", "cdefg", "zzzzz")))
+      .toDF("a", "b")
+    val j = df.select(jaccardSorted(hashedSet(col("a")), hashedSet(col("b"))))
+      .as[Double].head()
+    j shouldBe 0.5 +- 1e-12 // |∩|=2, |∪|=4
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ANN correctness: LSH recall against the brute-force oracle. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    val clusters = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian()))
+    (0L until 200L).map { i =>
+      val c = clusters((i % 5).toInt)
+      val v = c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding").cache()
+  }
+
+  behavior of "bruteForceTopK"
+
+  it should "return k ranked neighbors per query, self excluded" in {
+    val q = vecs.filter(col("vec_id") < 3)
+    val got = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 4)
+    got.count() shouldBe 12L
+    got.filter(col("query_id") === col("neighbor_id")).count() shouldBe 0L
+    val ranks = got.filter(col("query_id") === 0).orderBy("rank")
+      .select("rank").as[Int].collect()
+    ranks shouldBe Array(1, 2, 3, 4)
+    // top neighbors of a clustered vector share its cluster (ids ≡ 0 mod 5)
+    val top = got.filter(col("query_id") === 0 && col("rank") === 1)
+      .select("neighbor_id").as[Long].head()
+    top % 5 shouldBe 0L
+  }
+
+  behavior of "lshTopK"
+
+  it should "recall most brute-force neighbors on clustered data" in {
+    val q = vecs.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, q, "vec_id", "embedding", 3, dim,
+        bits = 8, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    (bf intersect lsh).size.toDouble / bf.size should be >= 0.8
+  }
+
+  it should "drop hot buckets via maxBucketSize" in {
+    val q = vecs.filter(col("vec_id") < 2)
+    // bits=1 -> 2 buckets; every bucket is hot under a tiny cap
+    Similarity.lshTopK(vecs, q, "vec_id", "embedding", 3, dim,
+      bits = 1, tables = 1, maxBucketSize = 5).count() shouldBe 0L
+  }
+}

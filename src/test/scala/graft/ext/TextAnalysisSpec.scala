@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "quality signals"
+
+  it should "compute token/char counts and ratios" in {
+    val df = Seq((1L, "The quick brown fox, it jumps!")).toDF("id", "text")
+    val r = TextAnalysis.qualitySignals(df, "text").head()
+    r.getAs[Int]("n_chars") shouldBe 30
+    r.getAs[Long]("n_tokens") shouldBe 6L
+    r.getAs[Double]("punct_ratio") shouldBe (2.0 / 30.0) +- 1e-9
+    r.getAs[Double]("dup_token_ratio") shouldBe 0.0
+    r.getAs[Double]("quality_score") should (be >= 0.0 and be <= 1.0)
+  }
+
+  it should "flag repetitive text via dup_token_ratio" in {
+    val df = Seq((1L, "spam spam spam spam spam")).toDF("id", "text")
+    TextAnalysis.qualitySignals(df, "text").head()
+      .getAs[Double]("dup_token_ratio") shouldBe 0.8 +- 1e-9
+  }
+
+  behavior of "languageId"
+
+  it should "identify marker-word languages and fall back to und" in {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der Hund und die Katze ist nicht da"),
+      (3L, "xyzzy plugh qwerty")).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.languageId(col("text")).as("l"))
+      .orderBy("id").as[(Long, String)].collect()
+    got shouldBe Array((1L, "en"), (2L, "de"), (3L, "und"))
+  }
+
+  behavior of "fingerprint"
+
+  it should "be whitespace/case-normalized and content-sensitive" in {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds"))
+      .toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    fps(0) shouldBe fps(1)
+    fps(0) should not be fps(2)
+  }
+
+  behavior of "approxBpeTokenCount"
+
+  it should "count word pieces plus punctuation runs" in {
+    val df = Seq((1L, "hello, extraordinary!")).toDF("id", "text")
+    // hello->2 pieces, extraordinary(13)->4, punct 2
+    df.select(TextAnalysis.approxBpeTokenCount(col("text"))).as[Long].head() shouldBe 8L
+  }
+}

@@ -1,0 +1,103 @@
+package graft.sampling
+
+import graft.SparkSpec
+import graft.sampling.BigSampler._
+import org.apache.spark.sql.functions._
+
+/** Sampler tolerances and exactness, mirroring the reference's e2e scales
+  * (BigSamplerTest.scala:481-832: 25k records, ±tolerances; exact ±0). */
+class BigSamplerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 25k rows over 3 strata with skewed sizes
+  private lazy val data = {
+    val rows = (1L to 25000L).map { i =>
+      val stratum = if (i % 10 < 6) "A" else if (i % 10 < 9) "B" else "C"
+      (i, stratum, i.toDouble)
+    }
+    rows.toDF("id", "g", "v").cache()
+  }
+
+  behavior of "approximate sampling"
+
+  it should "hit 50% within tolerance, deterministically for hash coins" in {
+    val s1 = sample(data, 0.5, Hashed(Seq("id")))
+    val s2 = sample(data, 0.5, Hashed(Seq("id")))
+    val n = s1.count()
+    n.toDouble shouldBe 12500.0 +- 500.0
+    s2.count() shouldBe n
+    s1.select("id").as[Long].collect().sorted shouldBe
+      s2.select("id").as[Long].collect().sorted
+  }
+
+  it should "hit 1% and 100% within tolerance (reference basic job bounds)" in {
+    sample(data, 0.01, Hashed(Seq("id"))).count().toDouble shouldBe 250.0 +- 100.0
+    sample(data, 1.0, Hashed(Seq("id"))).count() shouldBe 25000L
+    sample(data, 0.5, Random(7L)).count().toDouble shouldBe 12500.0 +- 700.0
+  }
+
+  it should "keep strata proportions under stratified approximate" in {
+    val s = sample(data, 0.4, Hashed(Seq("id")), Stratified(Seq("g")))
+    val got = s.groupBy("g").count().as[(String, Long)].collect().toMap
+    got("A").toDouble shouldBe (15000 * 0.4) +- 600.0
+    got("B").toDouble shouldBe (7500 * 0.4) +- 450.0
+    got("C").toDouble shouldBe (2500 * 0.4) +- 300.0
+  }
+
+  it should "equalize expected per-stratum counts under uniform approximate" in {
+    val s = sample(data, 0.3, Random(42L), Uniform(Seq("g")))
+    val got = s.groupBy("g").count().as[(String, Long)].collect().toMap
+    // pop = 25000*0.3/3 = 2500 per stratum (C has exactly 2500 rows: ~all kept)
+    got("A").toDouble shouldBe 2500.0 +- 350.0
+    got("B").toDouble shouldBe 2500.0 +- 350.0
+    got("C").toDouble shouldBe 2500.0 +- 120.0
+  }
+
+  behavior of "exact sampling"
+
+  it should "produce exactly ceil(n_k * f) per stratum (stratified)" in {
+    for (det <- Seq[Determinism](Hashed(Seq("id")), Random(5L))) {
+      val s = sample(data, 0.1, det, Stratified(Seq("g")), exact = true)
+      val got = s.groupBy("g").count().as[(String, Long)].collect().toMap
+      got("A") shouldBe 1500L
+      got("B") shouldBe 750L
+      got("C") shouldBe 250L
+    }
+  }
+
+  it should "produce exact uniform per-stratum targets capped by stratum size" in {
+    val s = sample(data, 0.3, Hashed(Seq("id")), Uniform(Seq("g")), exact = true)
+    val got = s.groupBy("g").count().as[(String, Long)].collect().toMap
+    got("A") shouldBe 2500L
+    got("B") shouldBe 2500L
+    got("C") shouldBe 2500L // capped at stratum size
+  }
+
+  it should "produce exactly ceil(n * f) globally with NoDistribution" in {
+    sample(data, 0.123, Hashed(Seq("id")), exact = true).count() shouldBe
+      math.ceil(25000 * 0.123).toLong
+  }
+
+  it should "reject fractions outside (0, 1]" in {
+    an[IllegalArgumentException] should be thrownBy sample(data, 0.0)
+    an[IllegalArgumentException] should be thrownBy sample(data, 1.2)
+  }
+
+  behavior of "sampleDiagnostics"
+
+  it should "report achieved fractions per stratum" in {
+    val s = sample(data, 0.1, Hashed(Seq("id")), Stratified(Seq("g")), exact = true)
+    val diag = BigSampler.sampleDiagnostics(data, s, Seq("g"))
+      .orderBy("stratum").collect()
+    diag.map(_.getString(0)) shouldBe Array("A", "B", "C")
+    every(diag.map(_.getDouble(3)).toSeq) shouldBe 0.1 +- 0.001
+  }
+
+  behavior of "DirectSampler"
+
+  it should "take deterministic heads and exact-n reservoirs" in {
+    DirectSampler.head(data, 10, Seq("id")).as[(Long, String, Double)]
+      .collect().map(_._1) shouldBe (1L to 10L).toArray
+    DirectSampler.reservoir(data, 99, seed = 1L).count() shouldBe 99L
+  }
+}
