@@ -1,39 +1,43 @@
 package graft.tools
 
-import graft.diffy.{BigDiffy, DiffOptions}
+import graft.diffy.BigDiffy
+import graft.gen.{Gen, RowGen}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Scratch probe: map + keyed-array diff through the library surface. */
+/** Scratch probe: distributed generation through the library surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    println("== map diff (changed value, one-sided keys, empty map, null map):")
-    val l = Seq(
-      (1L, Map("a" -> 1.0, "b" -> 2.0)),
-      (2L, Map.empty[String, Double]),
-      (3L, Map("x" -> 9.0))).toDF("k", "m")
-    val r = Seq(
-      (1L, Map("a" -> 1.0, "b" -> 3.5, "c" -> 7.0)),
-      (2L, Map("only" -> 1.0)),
-      (3L, Map("x" -> 9.0))).toDF("k", "m")
-    BigDiffy.diff(l, r, Seq("k")).deltas.orderBy("key", "field").show(false)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("attrs", MapType(StringType, DoubleType), nullable = true)))
 
-    println("== keyed-array diff with one-sided element (ANSI path):")
-    val la = Seq((1L, Seq((10L, 1.0)))).toDF("k", "arr")
-    val ra = Seq((1L, Seq((10L, 1.0), (20L, 5.0)))).toDF("k", "arr")
-    BigDiffy.diff(la, ra, Seq("k"),
-      DiffOptions(unorderedFieldKeys = Map("arr" -> "_1")))
-      .deltas.show(false)
+    // 100k rows over 32 shards; ids amended to full-range randoms
+    val gen = RowGen.amend(RowGen.of(schema), schema)("id", Gen.long.map(identity[Any]))
+    val df = RowGen.distributed(spark, gen, schema, 100000, shards = 32).cache()
+    println(s"== rows: ${df.count()}  distinct ids: " +
+      df.select(countDistinct(col("id"))).head().getLong(0))
+    df.show(3, 60)
 
-    println("== map value type string (levenshtein/numeric-parse inside map):")
-    val ls = Seq((1L, Map("p" -> "kitten", "q" -> "5"))).toDF("k", "m")
-    val rs = Seq((1L, Map("p" -> "sitting", "q" -> "9"))).toDF("k", "m")
-    BigDiffy.diff(ls, rs, Seq("k")).deltas.orderBy("field").show(false)
+    // correlated pair fixture drives a real diff: perturb rhs score on ~10%
+    val (lh, rh) = (df, df.withColumn("score",
+      when(pmod(col("id"), lit(10)) === 0, col("score") + 1.0).otherwise(col("score"))))
+    val g = BigDiffy.diff(lh, rh, Seq("id")).globalStats.head()
+    println(s"== diff over generated fixture: total=${g.getLong(0)} same=${g.getLong(1)} " +
+      s"diff=${g.getLong(2)}")
+
+    // same seed, different shard count -> same rows? (NOT guaranteed; show)
+    val df16 = RowGen.distributed(spark, gen, schema, 100000, shards = 16)
+    println(s"== 16-shard distinct ids: " +
+      df16.select(countDistinct(col("id"))).head().getLong(0))
     spark.stop()
   }
 }
