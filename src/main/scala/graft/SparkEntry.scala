@@ -180,6 +180,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- Avro round-trip (S1/S10/S6 without spark-avro): write a
+    // deterministic slice as Avro, read it back, aggregate — the oracle
+    // computes the same aggregate straight from parquet ----
+    "avro_roundtrip" -> ((s, d) => {
+      val out = "/tmp/graft_avro_roundtrip"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val slice = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 100 < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+      graft.sources.AvroIO.write(slice, out)
+      graft.sources.AvroIO.read(s, out)
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          countDistinct(col("l_returnflag")).as("n_flags"),
+          date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("min_ship"))
+    }),
+
     // ---- text analysis (training-data extension) ----
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualitySignals(t(s, d, "documents"), "text")
@@ -319,6 +336,12 @@ object SparkEntry {
            |  CAST(list_sum(list_transform($toks, w -> greatest(ceil(len(w)/4.0), 1))) AS BIGINT)
            |  + CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS n_bpe
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "avro_roundtrip" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+          |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+          |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship
+          |FROM lineitem WHERE l_orderkey % 100 < 10""".stripMargin,
       "text_fingerprint" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  CAST(COUNT(*) AS BIGINT) AS n_distinct FROM documents""".stripMargin,

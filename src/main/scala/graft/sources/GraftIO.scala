@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File-level IO utilities around the engine's sources/sinks.
+  *
+  * Reference surface: output-exists short circuit S14 (FileStorage.isDone,
+  * FileStorage.scala:44-74 — used as an idempotent re-run guard before
+  * expensive jobs), glob listing S15 (FileStorage.listFiles:40-42), and
+  * TableRow-style JSON line IO S8 (TableRowJsonIO.scala:32-72 — native
+  * `spark.read.json` in this engine).
+  */
+object GraftIO {
+
+  /** Sorted file list under a directory or glob-free path (lexical order —
+    * the reference processes shards lexically for determinism, W4). */
+  def listFiles(path: String): Seq[String] = {
+    val f = new File(path)
+    if (f.isFile) Seq(path)
+    else if (f.isDirectory)
+      f.listFiles().filter(_.isFile).map(_.getPath)
+        .filterNot(p => new File(p).getName.startsWith(".") ||
+          new File(p).getName.startsWith("_"))
+        .sorted.toSeq
+    else Seq.empty
+  }
+
+  /** Idempotent-output guard: a Spark-written directory is complete iff its
+    * _SUCCESS marker exists (the reference checks the xxxxx-of-yyyyy shard
+    * pattern; Spark's commit protocol gives us the marker instead). */
+  def outputExists(path: String): Boolean = new File(path, "_SUCCESS").isFile
+
+  /** Run `job` only if `output` is not already complete — the reference's
+    * short-circuit around every sampler sink (BigSamplerAvro.scala:240-242). */
+  def unlessDone(output: String)(job: => Unit): Boolean =
+    if (outputExists(output)) false else { job; true }
+
+  /** Newline-delimited JSON read with optional explicit schema (S8). */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** Newline-delimited JSON write (S8). */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Parquet schema sniff without reading data (footer-only, S15). */
+  def parquetSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
+}

@@ -1,43 +1,38 @@
 package graft.tools
 
-import graft.diffy.BigDiffy
-import graft.gen.{Gen, RowGen}
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import graft.sources.AvroConverters
+import java.io.ByteArrayOutputStream
+import org.apache.avro.generic.GenericDatumWriter
+import org.apache.avro.generic.GenericRecord
+import org.apache.avro.io.EncoderFactory
+import org.apache.avro.reflect.ReflectDatumWriter
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
-/** Scratch probe: distributed generation through the library surface. */
+/** Scratch probe: which DatumWriter rejects the converted record? */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val st = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("tags", ArrayType(StringType, false), false)))
+    val schema = AvroConverters.toAvroSchema(st)
+    println("avro schema: " + schema)
+    val rec = AvroConverters.toAvro(Row(1L, Seq("x", "y")), schema, st)
+    println("record: " + rec)
+    println("tags datum class: " + rec.get("tags").getClass)
 
-    val schema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("name", StringType, nullable = true),
-      StructField("score", DoubleType, nullable = false),
-      StructField("attrs", MapType(StringType, DoubleType), nullable = true)))
+    def tryWriter(label: String, w: org.apache.avro.io.DatumWriter[GenericRecord]): Unit =
+      try {
+        w.setSchema(schema)
+        val out = new ByteArrayOutputStream()
+        val enc = EncoderFactory.get().binaryEncoder(out, null)
+        w.write(rec, enc); enc.flush()
+        println(s"== $label: OK (${out.size()} bytes)")
+      } catch {
+        case e: Throwable => println(s"== $label: FAIL ${e.getMessage}")
+      }
 
-    // 100k rows over 32 shards; ids amended to full-range randoms
-    val gen = RowGen.amend(RowGen.of(schema), schema)("id", Gen.long.map(identity[Any]))
-    val df = RowGen.distributed(spark, gen, schema, 100000, shards = 32).cache()
-    println(s"== rows: ${df.count()}  distinct ids: " +
-      df.select(countDistinct(col("id"))).head().getLong(0))
-    df.show(3, 60)
-
-    // correlated pair fixture drives a real diff: perturb rhs score on ~10%
-    val (lh, rh) = (df, df.withColumn("score",
-      when(pmod(col("id"), lit(10)) === 0, col("score") + 1.0).otherwise(col("score"))))
-    val g = BigDiffy.diff(lh, rh, Seq("id")).globalStats.head()
-    println(s"== diff over generated fixture: total=${g.getLong(0)} same=${g.getLong(1)} " +
-      s"diff=${g.getLong(2)}")
-
-    // same seed, different shard count -> same rows? (NOT guaranteed; show)
-    val df16 = RowGen.distributed(spark, gen, schema, 100000, shards = 16)
-    println(s"== 16-shard distinct ids: " +
-      df16.select(countDistinct(col("id"))).head().getLong(0))
-    spark.stop()
+    tryWriter("GenericDatumWriter", new GenericDatumWriter[GenericRecord]())
+    tryWriter("ReflectDatumWriter", new ReflectDatumWriter[GenericRecord]())
   }
 }
