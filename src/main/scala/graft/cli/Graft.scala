@@ -1,0 +1,143 @@
+package graft.cli
+
+import graft.diffy.{BigDiffy, DiffOptions}
+import graft.sampling.{BigSampler, DirectSampler}
+import graft.sources.{AvroIO, GraftIO}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CLI front-end multiplexing the three reference commands
+  * (ratatool-cli/.../Ratatool.scala:25-72):
+  *
+  * {{{
+  * graft bigDiffy   --lhs=<path> --rhs=<path> --key=<k1,k2> --output=<dir>
+  *                  [--input-mode=parquet|avro|json] [--ignore-fields=a,b]
+  *                  [--unordered=f1,f2] [--unordered-keys=arr:subfield,...]
+  *                  [--ignore-nan]
+  * graft bigSampler --input=<path> --output=<dir> --sample=<f in (0,1]>
+  *                  [--fields=k1,k2] [--seed=<int>] [--hash-algorithm=farm|murmur]
+  *                  [--byte-encoding=raw|hex|base64]
+  *                  [--distribution=stratified|uniform] [--distribution-fields=g1]
+  *                  [--exact] [--input-mode=...] [--output-mode=...]
+  * graft directSampler --input=<path> --output=<dir> -n=<rows>
+  *                  [--mode=head|reservoir] [--order-by=c1,c2] [--seed=<long>]
+  * }}}
+  *
+  * Flag names mirror the reference's usage strings (BigSampler.scala:98-132,
+  * BigDiffy.scala:581-616) in kebab case. Outputs are guarded by the
+  * output-exists short circuit (S14) like the reference's samplers.
+  */
+object Graft {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    try run(args.toIndexedSeq, spark)
+    finally spark.stop()
+  }
+
+  /** Parse `--k=v` / `--flag` / `-n=v` style args after the command word. */
+  private[cli] def parseFlags(args: Seq[String]): Map[String, String] =
+    args.map { a =>
+      val s = a.dropWhile(_ == '-')
+      s.indexOf('=') match {
+        case -1 => s -> "true"
+        case i  => s.take(i) -> s.drop(i + 1)
+      }
+    }.toMap
+
+  private def csv(v: Option[String]): Seq[String] =
+    v.map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+
+  def run(args: Seq[String], spark: SparkSession): Unit = args.headOption match {
+    case Some("bigDiffy")      => bigDiffy(parseFlags(args.tail), spark)
+    case Some("bigSampler")    => bigSampler(parseFlags(args.tail), spark)
+    case Some("directSampler") => directSampler(parseFlags(args.tail), spark)
+    case other =>
+      throw new IllegalArgumentException(
+        s"usage: graft <bigDiffy|bigSampler|directSampler> [flags]; got $other")
+  }
+
+  private def read(spark: SparkSession, path: String, mode: String): DataFrame =
+    mode match {
+      case "parquet" => spark.read.parquet(path)
+      case "avro"    => AvroIO.read(spark, path)
+      case "json"    => GraftIO.readJsonLines(spark, path)
+      case m => throw new IllegalArgumentException(s"unknown input-mode $m")
+    }
+
+  private def write(df: DataFrame, path: String, mode: String): Unit = mode match {
+    case "parquet" => df.write.mode("overwrite").parquet(path)
+    case "avro"    => AvroIO.write(df, path)
+    case "json"    => GraftIO.writeJsonLines(df, path)
+    case m => throw new IllegalArgumentException(s"unknown output-mode $m")
+  }
+
+  private def required(f: Map[String, String], k: String): String =
+    f.getOrElse(k, throw new IllegalArgumentException(s"missing required --$k"))
+
+  private def bigDiffy(f: Map[String, String], spark: SparkSession): Unit = {
+    val mode = f.getOrElse("input-mode", "parquet")
+    val lhs = read(spark, required(f, "lhs"), mode)
+    val rhs = read(spark, required(f, "rhs"), mode)
+    val keys = csv(f.get("key"))
+    require(keys.nonEmpty, "missing required --key")
+    val opts = DiffOptions(
+      ignore = csv(f.get("ignore-fields")).toSet,
+      unordered = csv(f.get("unordered")).toSet,
+      unorderedFieldKeys = csv(f.get("unordered-keys")).map { s =>
+        val Array(a, b) = s.split(':'); a -> b
+      }.toMap,
+      ignoreNan = f.contains("ignore-nan"))
+    val out = required(f, "output")
+    // saveStats writes global, keys, then fields — the _SUCCESS marker of
+    // the LAST relation is the completion witness for the whole output
+    if (!GraftIO.unlessDone(s"$out/fields") {
+      BigDiffy.saveStats(BigDiffy.diff(lhs, rhs, keys, opts), out,
+        ignoreNan = opts.ignoreNan)
+    }) System.err.println(s"[graft] output $out already complete, skipping")
+  }
+
+  private def bigSampler(f: Map[String, String], spark: SparkSession): Unit = {
+    val mode = f.getOrElse("input-mode", "parquet")
+    // validate required flags before any IO so a typo'd invocation fails
+    // with the missing flag, not a path error from the wrong stage
+    val input = required(f, "input")
+    val out = required(f, "output")
+    val fraction = required(f, "sample").toDouble
+    val df = read(spark, input, mode)
+    val det: BigSampler.Determinism = csv(f.get("fields")) match {
+      case Nil => BigSampler.Random(f.get("seed").map(_.toLong).getOrElse(42L))
+      case fs => BigSampler.Hashed(fs,
+        f.getOrElse("hash-algorithm", "farm"),
+        f.get("seed").map(_.toInt),
+        graft.functions.ByteEncoding.fromString(f.getOrElse("byte-encoding", "raw")))
+    }
+    val dist: BigSampler.Distribution = f.get("distribution") match {
+      case None => BigSampler.NoDistribution
+      case Some("stratified") => BigSampler.Stratified(csv(f.get("distribution-fields")))
+      case Some("uniform")    => BigSampler.Uniform(csv(f.get("distribution-fields")))
+      case Some(d) => throw new IllegalArgumentException(s"unknown distribution $d")
+    }
+    if (!GraftIO.unlessDone(out) {
+      write(BigSampler.sample(df, fraction, det, dist, exact = f.contains("exact")),
+        out, f.getOrElse("output-mode", mode))
+    }) System.err.println(s"[graft] output $out already complete, skipping")
+  }
+
+  private def directSampler(f: Map[String, String], spark: SparkSession): Unit = {
+    val mode = f.getOrElse("input-mode", "parquet")
+    val df = read(spark, required(f, "input"), mode)
+    val n = required(f, "n").toInt
+    val sampled = f.getOrElse("mode", "head") match {
+      case "head"      => DirectSampler.head(df, n, csv(f.get("order-by")))
+      case "reservoir" => DirectSampler.reservoir(df, n,
+        f.get("seed").map(_.toLong).getOrElse(42L))
+      case m => throw new IllegalArgumentException(s"unknown sampler mode $m")
+    }
+    write(sampled, required(f, "output"), f.getOrElse("output-mode", mode))
+  }
+}

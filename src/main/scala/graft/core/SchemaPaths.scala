@@ -65,4 +65,74 @@ object SchemaPaths {
     * join (reference BigDiffy.scala:229-230). */
   def keyBy(df: DataFrame, keys: Seq[String], valueName: String): DataFrame =
     df.select(multiKey(df.schema, keys).as("__key"), struct(col("*")).as(valueName))
+
+  /** BigQuery-style union merge of two schemas (reference
+    * BigDiffy.scala:549-579 mergeTableSchema): fields present on either
+    * side survive, same-name records merge recursively, same-name
+    * primitives must agree up to numeric widening (int ⊂ long ⊂ double;
+    * float ⊂ double) and nullability is OR'd. A non-widenable type
+    * conflict is an error, matching the reference's merge failure. */
+  def mergeSchemas(l: StructType, r: StructType): StructType = {
+    val rByName = r.fields.map(f => f.name -> f).toMap
+    val merged = l.fields.map { lf =>
+      rByName.get(lf.name) match {
+        case None => lf
+        case Some(rf) =>
+          StructField(lf.name, mergeType(lf.name, lf.dataType, rf.dataType),
+            lf.nullable || rf.nullable)
+      }
+    }
+    val extras = r.fields.filterNot(f => l.fieldNames.contains(f.name))
+    StructType(merged ++ extras)
+  }
+
+  private def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case (x, y) if x == y => Some(x)
+    case (ByteType | ShortType | IntegerType, LongType) => Some(LongType)
+    case (LongType, ByteType | ShortType | IntegerType) => Some(LongType)
+    case (ByteType | ShortType | IntegerType | LongType | FloatType, DoubleType) => Some(DoubleType)
+    case (DoubleType, ByteType | ShortType | IntegerType | LongType | FloatType) => Some(DoubleType)
+    case _ => None
+  }
+
+  private def mergeType(path: String, a: DataType, b: DataType): DataType = (a, b) match {
+    case (x: StructType, y: StructType) => mergeSchemas(x, y)
+    case (ArrayType(x, n1), ArrayType(y, n2)) =>
+      ArrayType(mergeType(path, x, y), n1 || n2)
+    case (MapType(k1, v1, n1), MapType(k2, v2, n2)) if k1 == k2 =>
+      MapType(k1, mergeType(path, v1, v2), n1 || n2)
+    case (x, y) => widen(x, y).getOrElse(
+      throw new IllegalArgumentException(
+        s"schema merge conflict at '$path': ${x.catalogString} vs ${y.catalogString}"))
+  }
+
+  /** Reader-compatibility selection (reference ParquetIO.scala:57-75 picks
+    * whichever side's schema can read both): a schema can read another iff
+    * every field it shares agrees up to widening TOWARD the reader and it
+    * is nullable wherever the other side lacks the field. */
+  def canRead(reader: StructType, writer: StructType): Boolean =
+    writer.fields.forall { wf =>
+      reader.fields.find(_.name == wf.name) match {
+        case None => true // reader ignores unknown writer fields
+        case Some(rf) => readableType(rf.dataType, wf.dataType)
+      }
+    } && reader.fields.forall { rf =>
+      writer.fields.exists(_.name == rf.name) || rf.nullable
+    }
+
+  private def readableType(r: DataType, w: DataType): Boolean = (r, w) match {
+    case (x, y) if x == y => true
+    case (x: StructType, y: StructType) => canRead(x, y)
+    case (ArrayType(x, _), ArrayType(y, _)) => readableType(x, y)
+    case (MapType(k1, x, _), MapType(k2, y, _)) => k1 == k2 && readableType(x, y)
+    case _ => widen(r, w).contains(r) // numeric widening toward the reader
+  }
+
+  /** Pick the side whose schema can read both, preferring lhs (reference
+    * ParquetIO compat selection); error when neither side is compatible. */
+  def compatSchema(l: StructType, r: StructType): StructType =
+    if (canRead(l, r)) l
+    else if (canRead(r, l)) r
+    else throw new IllegalArgumentException(
+      "neither schema can read the other; use mergeSchemas for a union view")
 }

@@ -1,0 +1,102 @@
+package graft.cli
+
+import graft.SparkSpec
+import graft.core.SchemaPaths
+import graft.diffy.CaseClassDiffy
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+
+case class CliRec(k: Long, v: Double, s: String)
+
+/** CLI smoke + CaseClassDiffy + schema merge (reference Ratatool.scala,
+  * CaseClassDiffy.scala, BigDiffy.scala:549-579). */
+class GraftCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("cli").toString
+
+  behavior of "graft CLI"
+
+  it should "run bigDiffy end-to-end and write the three stats relations" in {
+    val base = tmp()
+    val l = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val r = Seq((1L, 1.5), (3L, 3.0)).toDF("k", "v")
+    l.write.parquet(s"$base/lhs"); r.write.parquet(s"$base/rhs")
+    Graft.run(Seq("bigDiffy", s"--lhs=$base/lhs", s"--rhs=$base/rhs",
+      "--key=k", s"--output=$base/out"), spark)
+    val global = spark.read.option("header", "true").option("sep", "\t")
+      .csv(s"$base/out/global").head()
+    global.getString(0) shouldBe "3" // num_total
+    new java.io.File(s"$base/out/keys").exists() shouldBe true
+    new java.io.File(s"$base/out/fields").exists() shouldBe true
+  }
+
+  it should "run bigSampler exact stratified and honor the output guard" in {
+    val base = tmp()
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "A" else "B")).toDF("k", "g")
+    df.write.parquet(s"$base/in")
+    val args = Seq("bigSampler", s"--input=$base/in", s"--output=$base/out",
+      "--sample=0.1", "--fields=k", "--distribution=stratified",
+      "--distribution-fields=g", "--exact")
+    Graft.run(args, spark)
+    spark.read.parquet(s"$base/out").count() shouldBe 100
+    Graft.run(args, spark) // second run: short-circuits, no overwrite error
+  }
+
+  it should "run directSampler head with deterministic ordering" in {
+    val base = tmp()
+    (1L to 50L).map(i => (i, s"r$i")).toDF("k", "v").write.parquet(s"$base/in")
+    Graft.run(Seq("directSampler", s"--input=$base/in", s"--output=$base/out",
+      "-n=5", "--mode=head", "--order-by=k"), spark)
+    spark.read.parquet(s"$base/out").orderBy("k").as[(Long, String)]
+      .collect().map(_._1) shouldBe Array(1L, 2L, 3L, 4L, 5L)
+  }
+
+  it should "reject unknown commands and missing flags with clear errors" in {
+    the[IllegalArgumentException] thrownBy
+      Graft.run(Seq("frobnicate"), spark) should have message
+      "usage: graft <bigDiffy|bigSampler|directSampler> [flags]; got Some(frobnicate)"
+    an[IllegalArgumentException] should be thrownBy
+      Graft.run(Seq("bigSampler", "--input=/x"), spark)
+  }
+
+  behavior of "CaseClassDiffy"
+
+  it should "diff typed Datasets through the generic differ" in {
+    val l = Seq(CliRec(1, 1.0, "a"), CliRec(2, 2.0, "b")).toDS()
+    val r = Seq(CliRec(1, 3.0, "a"), CliRec(2, 2.0, "b")).toDS()
+    val d = CaseClassDiffy.diffDatasets(l, r, Seq("k")).deltas.head()
+    (d.getString(1), d.getDouble(5)) shouldBe (("v", 2.0))
+  }
+
+  behavior of "schema merge"
+
+  it should "union fields, widen numerics, and recurse into structs" in {
+    val l = StructType(Seq(
+      StructField("a", IntegerType, nullable = false),
+      StructField("s", StructType(Seq(StructField("x", FloatType))), nullable = false),
+      StructField("only_l", StringType)))
+    val r = StructType(Seq(
+      StructField("a", LongType, nullable = true),
+      StructField("s", StructType(Seq(StructField("x", DoubleType),
+        StructField("y", StringType))), nullable = false),
+      StructField("only_r", BooleanType)))
+    val m = SchemaPaths.mergeSchemas(l, r)
+    m.fieldNames.toSeq shouldBe Seq("a", "s", "only_l", "only_r")
+    m("a").dataType shouldBe LongType
+    m("a").nullable shouldBe true
+    m("s").dataType.asInstanceOf[StructType]("x").dataType shouldBe DoubleType
+    an[IllegalArgumentException] should be thrownBy
+      SchemaPaths.mergeSchemas(
+        StructType(Seq(StructField("a", StringType))),
+        StructType(Seq(StructField("a", BooleanType))))
+  }
+
+  it should "select the reader-compatible side" in {
+    val wide = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType, nullable = true)))
+    val narrow = StructType(Seq(StructField("a", IntegerType)))
+    SchemaPaths.compatSchema(wide, narrow) shouldBe wide
+    SchemaPaths.compatSchema(narrow, wide) shouldBe wide
+  }
+}
