@@ -2,7 +2,7 @@ package graft
 
 import graft.GraftFunctions._
 import graft.diffy.BigDiffy
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sampling.{BigSampler, DirectSampler}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -197,6 +197,23 @@ object SparkEntry {
           date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("min_ship"))
     }),
 
+    // ---- multimodal plumbing (training-data extension): payloads as
+    // opaque binary + typed metadata; decode kernel is a deterministic
+    // stub, the Spark-side schema/batch shape is real ----
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.withMetadata(
+          t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+          "payload")
+        .select(col("doc_id"), col("meta.n_bytes").cast("long").as("n_bytes"),
+          col("meta.format").as("fmt"))
+        .orderBy("doc_id")),
+    "multimodal_decode" -> ((s, d) => {
+      val withPayload = t(s, d, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      Multimodal.decodeImages(withPayload, "payload")
+        .agg(count(lit(1)).as("n"), round(avg("img.mean_intensity"), 4).as("avg_int"))
+    }),
+
     // ---- text analysis (training-data extension) ----
     "text_quality" -> ((s, d) =>
       TextAnalysis.qualitySignals(t(s, d, "documents"), "text")
@@ -342,6 +359,9 @@ object SparkEntry {
           |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
           |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship
           |FROM lineitem WHERE l_orderkey % 100 < 10""".stripMargin,
+      "multimodal_meta" ->
+        """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+          |  'unknown' AS fmt FROM documents ORDER BY doc_id""".stripMargin,
       "text_fingerprint" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  CAST(COUNT(*) AS BIGINT) AS n_distinct FROM documents""".stripMargin,

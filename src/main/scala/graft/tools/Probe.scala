@@ -1,38 +1,41 @@
 package graft.tools
 
-import graft.sources.AvroConverters
-import java.io.ByteArrayOutputStream
-import org.apache.avro.generic.GenericDatumWriter
-import org.apache.avro.generic.GenericRecord
-import org.apache.avro.io.EncoderFactory
-import org.apache.avro.reflect.ReflectDatumWriter
-import org.apache.spark.sql.Row
-import org.apache.spark.sql.types._
+import graft.ext.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Scratch probe: which DatumWriter rejects the converted record? */
+/** Scratch probe: multimodal pipeline end-to-end on real documents. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val st = StructType(Seq(
-      StructField("id", LongType, false),
-      StructField("tags", ArrayType(StringType, false), false)))
-    val schema = AvroConverters.toAvroSchema(st)
-    println("avro schema: " + schema)
-    val rec = AvroConverters.toAvro(Row(1L, Seq("x", "y")), schema, st)
-    println("record: " + rec)
-    println("tags datum class: " + rec.get("tags").getClass)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
 
-    def tryWriter(label: String, w: org.apache.avro.io.DatumWriter[GenericRecord]): Unit =
-      try {
-        w.setSchema(schema)
-        val out = new ByteArrayOutputStream()
-        val enc = EncoderFactory.get().binaryEncoder(out, null)
-        w.write(rec, enc); enc.flush()
-        println(s"== $label: OK (${out.size()} bytes)")
-      } catch {
-        case e: Throwable => println(s"== $label: FAIL ${e.getMessage}")
-      }
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
 
-    tryWriter("GenericDatumWriter", new GenericDatumWriter[GenericRecord]())
-    tryWriter("ReflectDatumWriter", new ReflectDatumWriter[GenericRecord]())
+    val meta = Multimodal.withMetadata(docs, "payload")
+    println("== metadata:")
+    meta.select("doc_id", "meta.n_bytes", "meta.format", "meta.fingerprint").show(3, false)
+
+    val dec = Multimodal.decodeImages(meta, "payload")
+    val fr = Multimodal.sampleFrames(
+      Multimodal.resizeImages(dec, "img", 224, 224), "payload", 4)
+    println("== decoded+resized+frames:")
+    fr.select("doc_id", "img.width", "img.mean_intensity", "frames").show(3, false)
+    println("== frame offsets monotone per row: " +
+      fr.select(expr("forall(zip_with(frames.byte_offset, slice(frames.byte_offset, 2, 3), (a, b) -> b >= a), x -> x or x is null)"))
+        .distinct().collect().mkString(","))
+
+    // probe: zero-length payload
+    import spark.implicits._
+    val edge = Seq((1L, Array.empty[Byte]), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    println("== empty/null payloads:")
+    Multimodal.sampleFrames(Multimodal.decodeImages(
+      Multimodal.withMetadata(edge, "payload"), "payload"), "payload", 3)
+      .select("id", "meta", "img", "frames").show(false)
+    spark.stop()
   }
 }
