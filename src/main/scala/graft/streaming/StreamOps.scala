@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.GraftFunctions._
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is batch-only (SURVEY §1.1: "no streams anywhere"), but
+  * every deterministic kernel here is a pure Catalyst expression, so the
+  * sampling/dedup/quality operators lift onto streams unchanged — a
+  * stateless filter stays a stateless filter under `readStream`. The only
+  * genuinely stateful pieces are watermarked dedup and windowed
+  * aggregation, which use Spark's built-in state stores with bounded
+  * retention (no unbounded state at 100 TB/day ingest).
+  */
+object StreamOps {
+
+  /** Deterministic hash sampling on a stream: identical semantics to the
+    * batch BigSampler hash arm — same record always in/out, cohorts stay
+    * consistent between a stream and any batch table hashed on the same
+    * fields. Stateless; survives restarts with no state store at all. */
+  def hashSample(stream: DataFrame, fraction: Double, fields: Seq[String],
+                 algo: String = "farm", seed: Option[Int] = None): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1], got $fraction")
+    stream.filter(hashDice(fields.map(col), algo, seed) < lit(fraction))
+  }
+
+  /** Exactly-once content dedup within a watermark horizon: fingerprint
+    * the normalized payload, keep ONE arrival per fingerprint (across
+    * micro-batches the earlier batch wins; within one micro-batch the
+    * survivor is processing-order-dependent, as with Spark's own
+    * dropDuplicates). State is bounded by the watermark
+    * (dropDuplicatesWithinWatermark) — the standard training-data ingest
+    * pattern. */
+  def dedupByContent(stream: DataFrame, textCol: String, tsCol: String,
+                     watermark: String): DataFrame =
+    stream
+      .withColumn("__fp", farmHash64(lower(regexp_replace(col(textCol), "\\s+", " "))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /** Tumbling-window corpus quality telemetry: per (window, lang-ish
+    * bucket) document counts and mean quality score — the streaming analog
+    * of the batch qualitySignals pass. */
+  def windowedQuality(stream: DataFrame, tsCol: String, textCol: String,
+                      windowLen: String, watermark: String): DataFrame =
+    TextAnalysis.qualitySignals(stream, textCol)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("quality_score")).as("mean_quality"),
+        avg(col("n_tokens")).as("mean_tokens"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_docs"), col("mean_quality"), col("mean_tokens"))
+
+  /** Per-event scoring for stream routing: quality + language + token
+    * count columns usable in a `foreachBatch` router. Stateless. */
+  def scoreEvents(stream: DataFrame, textCol: String): DataFrame =
+    TextAnalysis.qualitySignals(stream, textCol)
+      .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming operators driven through MemoryStream micro-batches. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  behavior of "streaming hash sample"
+
+  it should "match the batch hash sample decision for the same records" in {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Long]
+    val sampled = StreamOps.hashSample(input.toDF(), 0.3, Seq("value"))
+    val q = sampled.writeStream.format("memory").queryName("s_sample").start()
+    input.addData(1L to 2000L)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_sample").as[Long].collect().sorted
+    val batch = StreamOps.hashSample((1L to 2000L).toDF("value"), 0.3, Seq("value"))
+      .as[Long].collect().sorted
+    streamed shouldBe batch
+    streamed.length.toDouble shouldBe 600.0 +- 120.0
+  }
+
+  behavior of "streaming content dedup"
+
+  it should "keep first arrivals per fingerprint within the watermark" in {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamOps.dedupByContent(
+      input.toDF().toDF("id", "ts", "text"), "text", "ts", "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("s_dedup")
+      .outputMode("append").start()
+    input.addData((1L, ts(1), "alpha beta"), (2L, ts(2), "ALPHA   beta"),
+      (3L, ts(3), "gamma delta"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s_dedup").select("id").as[Long].collect().sorted
+    got shouldBe Array(1L, 3L) // id 2 is a normalized duplicate of id 1
+  }
+
+  behavior of "windowed quality"
+
+  it should "aggregate quality per tumbling window" in {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = StreamOps.windowedQuality(
+      input.toDF().toDF("ts", "text"), "ts", "text", "10 seconds", "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("s_quality")
+      .outputMode("complete").start()
+    input.addData((ts(1), "the quick brown fox"), (ts(5), "jumps over dogs"),
+      (ts(15), "entirely different window"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s_quality").orderBy("window_start").collect()
+    rows.length shouldBe 2
+    rows.map(_.getAs[Long]("n_docs")).toSeq shouldBe Seq(2L, 1L)
+    all(rows.map(_.getAs[Double]("mean_quality")).toSeq) should (be >= 0.0 and be <= 1.0)
+  }
+}
