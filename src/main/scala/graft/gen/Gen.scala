@@ -82,3 +82,25 @@ object Gen {
     b
   }
 }
+
+/** Property-test harness with reproducible seeds — the reference's
+  * `withGen` (ratatool-scalacheck/.../GenTestUtils.scala:36-77): runs a
+  * property over `n` samples and, on failure, reports the exact seed so
+  * the failing case replays deterministically. */
+object GenTest {
+  def withGen[A](gen: Gen[A], n: Int = 100,
+                 seed: Long = 42L)(property: A => Unit): Unit = {
+    var i = 0
+    while (i < n) {
+      val caseSeed = seed + i
+      val value = gen.sample(caseSeed)
+      try property(value)
+      catch {
+        case e: Throwable =>
+          throw new AssertionError(
+            s"property failed at case $i (replay with seed=$caseSeed): $value", e)
+      }
+      i += 1
+    }
+  }
+}

@@ -1,50 +1,25 @@
 package graft.tools
 
-import graft.streaming.StreamOps
-import java.nio.file.Files
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import graft.gen.{Gen, GenTest}
 
-/** Scratch probe: drive the streaming surface with a real file stream —
-  * readStream over json files arriving in a directory, like production. */
+/** Scratch probe: withGen failure reporting through the library surface. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
+    println("== clean property over 1000 cases:")
+    GenTest.withGen(Gen.chooseInt(0, 100), n = 1000) { v => assert(v <= 100) }
+    println("   ok")
 
-    val dir = Files.createTempDirectory("stream").toString
-    val in = s"$dir/in"; new java.io.File(in).mkdirs()
-
-    // batch 1 lands before the stream starts
-    Seq((1L, "2026-01-01T00:00:01", "the quick brown fox"),
-      (2L, "2026-01-01T00:00:02", "THE  quick brown fox"),
-      (3L, "2026-01-01T00:00:03", "unrelated content here"))
-      .toDF("id", "ts_s", "text").write.json(s"$in/b1")
-
-    val schema = "id LONG, ts_s STRING, text STRING"
-    val stream = spark.readStream.schema(schema).json(s"$in/*")
-      .withColumn("ts", col("ts_s").cast("timestamp"))
-
-    val scored = StreamOps.scoreEvents(
-      StreamOps.dedupByContent(
-        StreamOps.hashSample(stream, 1.0, Seq("id")), "text", "ts", "1 minute"),
-      "text")
-    val q = scored.select("id", "n_tokens", "lang_pred", "fingerprint")
-      .writeStream.format("memory").queryName("probe_stream")
-      .outputMode("append").start()
-    q.processAllAvailable()
-
-    // batch 2 arrives while running: one more dup of id 3, one new doc
-    Seq((4L, "2026-01-01T00:00:04", "unrelated  CONTENT here"),
-      (5L, "2026-01-01T00:00:05", "fresh document entirely"))
-      .toDF("id", "ts_s", "text").write.json(s"$in/b2")
-    q.processAllAvailable(); q.stop()
-
-    println("== streamed, deduped, scored (expect ids 1,3,5; 2 and 4 are dups):")
-    spark.table("probe_stream").orderBy("id").show(false)
-    spark.stop()
+    println("== failing property (expect seed-stamped AssertionError):")
+    try {
+      GenTest.withGen(Gen.chooseInt(0, 1000), n = 300, seed = 7L) { v =>
+        assert(v < 995, s"$v too big")
+      }
+      println("   NO ERROR — BUG")
+    } catch {
+      case e: AssertionError =>
+        println("   message: " + e.getMessage)
+        val seed = e.getMessage.split("seed=")(1).split(')')(0).toLong
+        println("   replayed value with that seed: " + Gen.chooseInt(0, 1000).sample(seed))
+    }
   }
 }

@@ -84,3 +84,26 @@ class RowGenSpec extends SparkSpec {
     (g.getLong(0), g.getLong(1)) shouldBe ((500L, 500L))
   }
 }
+
+/** withGen harness behavior (reference GenTestUtils). */
+class GenTestSpec extends graft.SparkSpec {
+  it should "replay failing cases with the reported seed" in {
+    val gen = Gen.chooseInt(0, 1000)
+    val err = intercept[AssertionError] {
+      GenTest.withGen(gen, n = 200, seed = 7L) { v => assert(v < 990) }
+    }
+    err.getMessage should include("replay with seed=")
+    // the reported seed reproduces the same failing value
+    val seed = err.getMessage.split("seed=")(1).split(')')(0).toLong
+    val replayed = gen.sample(seed)
+    err.getMessage should include(replayed.toString)
+    replayed should be >= 990
+  }
+
+  it should "pass clean properties over all cases" in {
+    noException should be thrownBy
+      GenTest.withGen(Gen.alphaNumString(10), n = 500) { s =>
+        assert(s.length <= 10)
+      }
+  }
+}
