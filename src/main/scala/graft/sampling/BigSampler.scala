@@ -184,4 +184,25 @@ object BigSampler {
         (coalesce(col("sampled_n"), lit(0L)).cast("double") / col("original_n"))
           .as("achieved_fraction"))
   }
+
+  /** Distribution assertion (reference R7: exact sampling throws when any
+    * stratum drifts more than `tolerance` from the target fraction,
+    * SamplerSCollectionFunctions.scala:32, 79-92): collects the small
+    * per-stratum summary and fails the job with the offending strata. The
+    * engine's exact arms are exact by construction, so this is the guard
+    * callers put around APPROXIMATE arms or externally-produced samples. */
+  def assertDistribution(original: DataFrame, sampled: DataFrame,
+                         fields: Seq[String], targetFraction: Double,
+                         tolerance: Double = 0.01): Unit = {
+    val bad = sampleDiagnostics(original, sampled, fields)
+      .filter(abs(col("achieved_fraction") - lit(targetFraction)) > tolerance)
+      .collect()
+    if (bad.nonEmpty) {
+      val detail = bad.map(r => f"${r.getString(0)}: achieved=${r.getDouble(3)}%.4f")
+        .mkString("; ")
+      throw new IllegalStateException(
+        f"sample distribution off target $targetFraction%.4f by more than " +
+          f"$tolerance%.4f in ${bad.length} strata ($detail)")
+    }
+  }
 }

@@ -101,3 +101,37 @@ class BigSamplerSpec extends SparkSpec {
     DirectSampler.reservoir(data, 99, seed = 1L).count() shouldBe 99L
   }
 }
+
+/** R7 distribution assertion + TableRow-analog diff (JSON-read rows through
+  * the generic differ, reference TableRowDiffy semantics). */
+class DistributionAssertSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  it should "pass within tolerance and throw with offending strata named" in {
+    val data = (1L to 10000L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "g").cache()
+    val s = BigSampler.sample(data, 0.2, BigSampler.Hashed(Seq("id")),
+      BigSampler.Stratified(Seq("g")), exact = true)
+    noException should be thrownBy
+      BigSampler.assertDistribution(data, s, Seq("g"), 0.2, tolerance = 0.01)
+    val e = intercept[IllegalStateException] {
+      BigSampler.assertDistribution(data, s, Seq("g"), 0.5, tolerance = 0.01)
+    }
+    e.getMessage should include("2 strata")
+    e.getMessage should include("A: achieved=")
+  }
+
+  it should "diff JSON-read rows (TableRow analog) through the generic differ" in {
+    val dir = java.nio.file.Files.createTempDirectory("trdiff").toString
+    Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("k", "s", "v")
+      .write.json(s"$dir/lhs")
+    Seq((1L, "x", 11.0), (2L, "z", 20.0)).toDF("k", "s", "v")
+      .write.json(s"$dir/rhs")
+    val l = spark.read.json(s"$dir/lhs")
+    val r = spark.read.json(s"$dir/rhs")
+    val deltas = graft.diffy.BigDiffy.diff(l, r, Seq("k")).deltas
+      .orderBy("key").select("key", "field", "delta_type")
+      .as[(String, String, String)].collect()
+    deltas shouldBe Array(("1", "v", "NUMERIC"), ("2", "s", "STRING"))
+  }
+}
