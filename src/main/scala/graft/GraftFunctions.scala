@@ -69,6 +69,11 @@ object GraftFunctions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(l: Column, r: Column): Column = bit_count(l.bitwiseXOR(r))
 
+  /** LSH sign-pattern bucket id of a numeric vector under the given
+    * hyperplanes: one pass over the vector for all bits. */
+  def lshSignBits(vec: Column, planes: Array[Array[Double]]): Column =
+    expr2col(LshSignBits(col2expr(vec), planes.map(_.toSeq).toSeq))
+
   /** Exact Jaccard of two sorted distinct long arrays (one-pass merge). */
   def jaccardSorted(l: Column, r: Column): Column =
     expr2col(JaccardSorted(col2expr(l), col2expr(r)))

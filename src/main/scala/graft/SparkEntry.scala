@@ -197,6 +197,21 @@ object SparkEntry {
           date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("min_ship"))
     }),
 
+    // ---- event-time windowed aggregation over the events table (the
+    // batch shape of the streaming windowedQuality pass) ----
+    "events_window_agg" -> ((s, d) => {
+      // events.ts is a NANOS parquet timestamp, which Spark rejects by
+      // default; read it as long nanos and convert explicitly
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, d, "events")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w", "event_type")
+    }),
+
     // ---- multimodal plumbing (training-data extension): payloads as
     // opaque binary + typed metadata; decode kernel is a deterministic
     // stub, the Spark-side schema/batch shape is real ----
@@ -359,6 +374,11 @@ object SparkEntry {
           |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
           |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship
           |FROM lineitem WHERE l_orderkey % 100 < 10""".stripMargin,
+      "events_window_agg" ->
+        """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w,
+          |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          |  ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+          |FROM events GROUP BY 1, event_type ORDER BY w, event_type""".stripMargin,
       "multimodal_meta" ->
         """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
           |  'unknown' AS fmt FROM documents ORDER BY doc_id""".stripMargin,

@@ -41,17 +41,12 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-pattern bucket id of a vector under `bits` hyperplanes, as a
-    * column expression (aggregate over a zipped literal plane — codegen'd
-    * higher-order functions, no UDF). */
-  private def signBits(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(vec, plane, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  /** Sign-pattern bucket id of a vector under `bits` hyperplanes: ONE
+    * custom-expression pass over the vector for all bits (the previous
+    * aggregate(zip_with(...))-per-bit tree traversed the array `bits`
+    * times per table per row). */
+  private def signBits(vec: Column, planes: Array[Array[Double]]): Column =
+    lshSignBits(vec, planes)
 
   /** LSH ANN: `tables` independent sign-hash tables of `bits` bits each.
     * Candidates = corpus vectors sharing a bucket with the query in any

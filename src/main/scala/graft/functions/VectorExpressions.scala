@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -73,4 +73,64 @@ case class CosineDistance(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** LSH sign-pattern bucket id: all `planes.size` hyperplane dot products
+  * of one vector in a single pass — `array<numeric> -> bigint` where bit b
+  * is set iff `dot(vec, planes(b)) >= 0`. Replaces a per-bit
+  * aggregate(zip_with(...)) expression tree (bits × tables separate array
+  * traversals per row) with one traversal; the hyperplanes are generated
+  * driver-side from a seed and embedded in the expression, not captured in
+  * closures. Engine extension (ANN path of the training-data surface). */
+case class LshSignBits(child: Expression, planes: Seq[Seq[Double]])
+  extends UnaryExpression with CodegenFallback {
+
+  require(planes.nonEmpty && planes.size <= 63, s"need 1..63 planes, got ${planes.size}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et.isInstanceOf[NumericType] => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_sign_bits expects a numeric array, got ${other.catalogString}")
+  }
+
+  @transient private lazy val et =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bits = 0L
+    var b = 0
+    while (b < planeArr.length) {
+      val plane = planeArr(b)
+      val m = math.min(n, plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) {
+        if (!arr.isNullAt(i)) dot += toD(arr, i) * plane(i)
+        i += 1
+      }
+      if (dot >= 0.0) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+
+  private def toD(a: ArrayData, i: Int): Double = et match {
+    case DoubleType  => a.getDouble(i)
+    case FloatType   => a.getFloat(i).toDouble
+    case LongType    => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType   => a.getShort(i).toDouble
+    case ByteType    => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new UnsupportedOperationException(s"lsh_sign_bits: $other")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

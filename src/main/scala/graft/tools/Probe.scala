@@ -1,39 +1,37 @@
 package graft.tools
 
-import graft.sampling.BigSampler
+import graft.ext.Similarity
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe: R7 distribution assertion on real testdata. */
+/** Scratch probe: ANN recall vs brute force on real embeddings after the
+  * LshSignBits rewrite. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
-    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-    val sampled = BigSampler.sample(li, 0.1,
-      BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")),
-      BigSampler.Stratified(Seq("l_returnflag")), exact = true)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val q = emb.filter(col("vec_id") < 20)
 
-    println("== assertion at the true target (0.1, tol 0.01): expect silence")
-    BigSampler.assertDistribution(li, sampled, Seq("l_returnflag"), 0.1)
-    println("   passed")
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, dim,
+        bits = 6, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    println(f"== recall@5 over 20 queries, 500-vector corpus: $recall%.2f " +
+      s"(bf=${bf.size} lsh_hits=${(bf intersect lsh).size})")
 
-    println("== assertion at a wrong target (0.25): expect throw w/ strata detail")
-    try {
-      BigSampler.assertDistribution(li, sampled, Seq("l_returnflag"), 0.25)
-      println("   NO ERROR — BUG")
-    } catch {
-      case e: IllegalStateException => println("   " + e.getMessage)
-    }
-
-    println("== approximate arm within loose tolerance (0.1 +- 0.02):")
-    val approx = BigSampler.sample(li, 0.1, BigSampler.Random(3L),
-      BigSampler.Stratified(Seq("l_returnflag")))
-    BigSampler.assertDistribution(li, approx, Seq("l_returnflag"), 0.1, 0.02)
-    println("   passed")
+    // determinism probe: same call twice -> identical buckets/results
+    val again = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, dim,
+        bits = 6, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    println(s"== deterministic across runs: ${lsh == again}")
     spark.stop()
   }
 }
