@@ -62,7 +62,8 @@ object GraftFunctions {
     expr2col(ShingleHashes(
       col2expr(lower(regexp_replace(text, "\\s+", " "))), n, seed))
 
-  /** 64-bit SimHash over tokens: array<string> → long. */
+  /** 64-bit SimHash: array<string> of tokens, or a raw string (one-pass
+    * whitespace tokenize+hash+vote fast path) → long. */
   def simhash(tokens: Column, seed: Int = 0): Column =
     expr2col(SimHash64(col2expr(tokens), seed))
 

@@ -114,8 +114,8 @@ object Dedup {
                       maxBucketSize: Int = 1000): DataFrame = {
     require(chunks > maxHamming, "need chunks > maxHamming for full recall (pigeonhole)")
     val bitsPer = 64 / chunks
-    val fp = df.select(col(idCol).as("id"),
-      simhash(whitespaceTokens(col(textCol)), seed).as("fp"))
+    // string fast path: tokenize+hash+vote in one pass inside SimHash64
+    val fp = df.select(col(idCol).as("id"), simhash(col(textCol), seed).as("fp"))
 
     // chunk indices are a driver-side Int range: shift amounts become
     // literal Ints (shiftrightunsigned requires them) and the per-row

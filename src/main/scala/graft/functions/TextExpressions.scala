@@ -89,13 +89,21 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** 64-bit SimHash over a bag of tokens: `array<string> -> long`.
+/** 64-bit SimHash over a bag of tokens: `array<string> | string -> long`.
   *
-  * Classic Charikar '02 scheme: each token's 64-bit murmur hash votes +1/-1
-  * per bit position; the sign of each accumulated position forms the
+  * Classic Charikar '02 scheme: each token's 64-bit hash votes +1/-1 per
+  * bit position; the sign of each accumulated position forms the
   * fingerprint. Near-duplicate docs differ in few bits (small Hamming
-  * distance). Partition-local; candidate pairing at scale is done by banding
-  * the 64 bits into chunks and grouping on chunk equality (pigeonhole).
+  * distance). Partition-local; candidate pairing at scale is done by
+  * banding the 64 bits into chunks and grouping on chunk equality
+  * (pigeonhole).
+  *
+  * STRING input is the fast path: whitespace tokenization, hashing
+  * (mult-31 fold + splitmix64 finalizer), and voting happen in ONE pass
+  * over the characters — no token array materialization, no per-token
+  * allocations. ARRAY input keeps the original murmur-per-token semantics
+  * for callers that tokenize themselves; the two paths produce different
+  * (both valid) fingerprint families.
   */
 case class SimHash64(child: Expression, seed: Int)
   extends UnaryExpression with CodegenFallback {
@@ -104,28 +112,29 @@ case class SimHash64(child: Expression, seed: Int)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash expects array<string>, got ${other.catalogString}")
+      s"simhash expects array<string> or string, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return null
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h = Hashing.murmur3_128(seed).hashBytes(arr.getUTF8String(i).getBytes).asLong()
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
+  @transient private lazy val stringInput: Boolean = child.dataType == StringType
+
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def vote(votes: Array[Int], h: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      b += 1
     }
+  }
+
+  private def collapse(votes: Array[Int]): Long = {
     var out = 0L
     var b = 0
     while (b < 64) {
@@ -133,6 +142,45 @@ case class SimHash64(child: Expression, seed: Int)
       b += 1
     }
     out
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    if (stringInput) evalString(v.asInstanceOf[UTF8String].toString)
+    else evalArray(v.asInstanceOf[ArrayData])
+
+  private def evalString(s: String): Any = {
+    val votes = new Array[Int](64)
+    val seedMix = seed.toLong * 0x9e3779b97f4a7c15L
+    var h = 0L
+    var tokLen = 0
+    var tokens = 0
+    var i = 0
+    while (i <= s.length) {
+      val ws = i == s.length || Character.isWhitespace(s.charAt(i))
+      if (ws) {
+        if (tokLen > 0) { vote(votes, mix64(h ^ seedMix)); tokens += 1 }
+        h = 0L; tokLen = 0
+      } else {
+        h = h * 31L + s.charAt(i); tokLen += 1
+      }
+      i += 1
+    }
+    if (tokens == 0) null else collapse(votes)
+  }
+
+  private def evalArray(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        vote(votes, Hashing.murmur3_128(seed)
+          .hashBytes(arr.getUTF8String(i).getBytes).asLong())
+      }
+      i += 1
+    }
+    collapse(votes)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

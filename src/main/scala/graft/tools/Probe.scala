@@ -1,11 +1,10 @@
 package graft.tools
 
-import graft.ext.Similarity
+import graft.ext.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe: ANN recall vs brute force on real embeddings after the
-  * LshSignBits rewrite. */
+/** Scratch probe: simhash string fast path through simhashNearDups. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -14,24 +13,22 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val q = emb.filter(col("vec_id") < 20)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val dups = docs.select((col("doc_id") + 100000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 10, 20))").as("text"))
+    val corpus = docs.unionByName(dups)
 
-    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, dim,
-        bits = 6, tables = 8)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = (bf intersect lsh).size.toDouble / bf.size
-    println(f"== recall@5 over 20 queries, 500-vector corpus: $recall%.2f " +
-      s"(bf=${bf.size} lsh_hits=${(bf intersect lsh).size})")
+    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
+    val constructed = pairs.filter(col("id_b") === col("id_a") + 100000).count()
+    println(s"== simhash pairs: ${pairs.count()} (constructed recovered: $constructed/500)")
 
-    // determinism probe: same call twice -> identical buckets/results
-    val again = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, dim,
-        bits = 6, tables = 8)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    println(s"== deterministic across runs: ${lsh == again}")
+    // edge probes through the same surface: tabs/newlines, empty, one word
+    val edge = Seq((1L, "a\tb\nc  d"), (2L, "a b c d"), (3L, ""),
+      (4L, "word"), (5L, "   "), (6L, "word")).toDF("doc_id", "text")
+    val ep = Dedup.simhashNearDups(edge, "doc_id", "text", maxHamming = 0)
+    println("== edge pairs (expect (4,6) identical single-word docs):")
+    ep.show(false)
     spark.stop()
   }
 }
