@@ -27,10 +27,25 @@ object DirectSampler {
   /** Exact-n uniform reservoir sample (reference AvroSampler.scala:128-144):
     * implemented with RDD takeSample — single pass per partition with
     * per-partition reservoirs, merged on the driver; returns a small
-    * driver-side result re-parallelized as a DataFrame. */
+    * driver-side result re-parallelized as a DataFrame. Driver-local by
+    * design (mirrors the reference's single-process sampler); keep n small. */
   def reservoir(df: DataFrame, n: Int, seed: Long = 42L): DataFrame = {
+    require(n <= 10000000, s"reservoir materializes n rows on the driver; got n=$n")
     val spark = df.sparkSession
     val rows: Array[Row] = df.rdd.takeSample(withReplacement = false, n, seed)
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+  }
+
+  /** Per-key top-k (reference topByKey, SamplerSCollectionFunctions
+    * .scala:220, 260): keeps the k smallest rows per key under `orderBy` —
+    * window rank instead of the reference's bounded heap (sort spills
+    * instead of a RAM-sized cap; same result). */
+  def topByKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[String],
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy.map(col): _*)
+    df.withColumn("__rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
   }
 }

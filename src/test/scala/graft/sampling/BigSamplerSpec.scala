@@ -135,3 +135,13 @@ class DistributionAssertSpec extends graft.SparkSpec {
     deltas shouldBe Array(("1", "v", "NUMERIC"), ("2", "s", "STRING"))
   }
 }
+
+class TopByKeySpec extends graft.SparkSpec {
+  import spark.implicits._
+  it should "keep the k smallest rows per key" in {
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 5)).toDF("g", "v")
+    DirectSampler.topByKey(df, Seq("g"), Seq("v"), 2)
+      .orderBy("g", "v").as[(String, Int)].collect() shouldBe
+      Array(("a", 1), ("a", 2), ("b", 5), ("b", 9))
+  }
+}
