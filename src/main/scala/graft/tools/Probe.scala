@@ -1,34 +1,38 @@
 package graft.tools
 
-import graft.ext.Dedup
+import graft.sampling.DirectSampler
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe: simhash string fast path through simhashNearDups. */
+/** Scratch probe: topByKey + reservoir guard on real testdata. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-      .select("doc_id", "text")
-    val dups = docs.select((col("doc_id") + 100000).as("doc_id"),
-      expr("substring(text, 1, greatest(length(text) - 10, 20))").as("text"))
-    val corpus = docs.unionByName(dups)
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    println("== topByKey: 2 cheapest lineitems per returnflag:")
+    val top = DirectSampler.topByKey(li, Seq("l_returnflag"),
+      Seq("l_extendedprice", "l_orderkey", "l_linenumber"), 2)
+    top.select("l_returnflag", "l_extendedprice").orderBy("l_returnflag", "l_extendedprice")
+      .show(6, false)
+    println("   rows: " + top.count() + " (expect 6 = 3 flags x 2)")
+    // cross-check against a groupBy-min
+    val mins = li.groupBy("l_returnflag").agg(min("l_extendedprice").as("m"))
+      .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val got = top.groupBy("l_returnflag").agg(min("l_extendedprice").as("m"))
+      .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getDouble(1)))
+    println("   per-flag minima match groupBy-min: " + (mins sameElements got))
 
-    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
-    val constructed = pairs.filter(col("id_b") === col("id_a") + 100000).count()
-    println(s"== simhash pairs: ${pairs.count()} (constructed recovered: $constructed/500)")
-
-    // edge probes through the same surface: tabs/newlines, empty, one word
-    val edge = Seq((1L, "a\tb\nc  d"), (2L, "a b c d"), (3L, ""),
-      (4L, "word"), (5L, "   "), (6L, "word")).toDF("doc_id", "text")
-    val ep = Dedup.simhashNearDups(edge, "doc_id", "text", maxHamming = 0)
-    println("== edge pairs (expect (4,6) identical single-word docs):")
-    ep.show(false)
+    println("== reservoir guard: n beyond the cap:")
+    try {
+      DirectSampler.reservoir(li, 20000000)
+      println("   NO ERROR — BUG")
+    } catch {
+      case e: IllegalArgumentException => println("   " + e.getMessage)
+    }
     spark.stop()
   }
 }
