@@ -18,6 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                  [--byte-encoding=raw|hex|base64]
   *                  [--distribution=stratified|uniform] [--distribution-fields=g1]
   *                  [--exact] [--input-mode=...] [--output-mode=...]
+  *                  [--partition-by=c1,c2]
   * graft directSampler --input=<path> --output=<dir> -n=<rows>
   *                  [--mode=head|reservoir] [--order-by=c1,c2] [--seed=<long>]
   * }}}
@@ -69,10 +70,21 @@ object Graft {
       case m => throw new IllegalArgumentException(s"unknown input-mode $m")
     }
 
-  private def write(df: DataFrame, path: String, mode: String): Unit = mode match {
-    case "parquet" => df.write.mode("overwrite").parquet(path)
-    case "avro"    => AvroIO.write(df, path)
-    case "json"    => GraftIO.writeJsonLines(df, path)
+  /** `partitionBy` is the engine's analog of the reference's BQ
+    * time-partitioned sink (S12, BigSamplerBigQuery.scala:187-199):
+    * directory partitioning on the named columns (avro sink excluded —
+    * the avro-mapred path has no partitioned committer). */
+  private def write(df: DataFrame, path: String, mode: String,
+                    partitionBy: Seq[String] = Nil): Unit = mode match {
+    case "parquet" =>
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    case "avro" =>
+      require(partitionBy.isEmpty, "--partition-by is not supported for avro output")
+      AvroIO.write(df, path)
+    case "json" =>
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
     case m => throw new IllegalArgumentException(s"unknown output-mode $m")
   }
 
@@ -124,7 +136,7 @@ object Graft {
     }
     if (!GraftIO.unlessDone(out) {
       write(BigSampler.sample(df, fraction, det, dist, exact = f.contains("exact")),
-        out, f.getOrElse("output-mode", mode))
+        out, f.getOrElse("output-mode", mode), csv(f.get("partition-by")))
     }) System.err.println(s"[graft] output $out already complete, skipping")
   }
 
