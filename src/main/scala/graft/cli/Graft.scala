@@ -142,14 +142,18 @@ object Graft {
 
   private def directSampler(f: Map[String, String], spark: SparkSession): Unit = {
     val mode = f.getOrElse("input-mode", "parquet")
-    val df = read(spark, required(f, "input"), mode)
+    val input = required(f, "input")
+    val out = required(f, "output")
     val n = required(f, "n").toInt
+    val df = read(spark, input, mode)
     val sampled = f.getOrElse("mode", "head") match {
       case "head"      => DirectSampler.head(df, n, csv(f.get("order-by")))
       case "reservoir" => DirectSampler.reservoir(df, n,
         f.get("seed").map(_.toLong).getOrElse(42L))
       case m => throw new IllegalArgumentException(s"unknown sampler mode $m")
     }
-    write(sampled, required(f, "output"), f.getOrElse("output-mode", mode))
+    if (!GraftIO.unlessDone(out) {
+      write(sampled, out, f.getOrElse("output-mode", mode))
+    }) System.err.println(s"[graft] output $out already complete, skipping")
   }
 }

@@ -76,13 +76,16 @@ object SchemaPaths {
     val rByName = r.fields.map(f => f.name -> f).toMap
     val merged = l.fields.map { lf =>
       rByName.get(lf.name) match {
-        case None => lf
+        // one-sided fields must be nullable in the union view: rows from
+        // the side that lacks the field can only supply null
+        case None => lf.copy(nullable = true)
         case Some(rf) =>
           StructField(lf.name, mergeType(lf.name, lf.dataType, rf.dataType),
             lf.nullable || rf.nullable)
       }
     }
     val extras = r.fields.filterNot(f => l.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true))
     StructType(merged ++ extras)
   }
 
@@ -114,7 +117,11 @@ object SchemaPaths {
     writer.fields.forall { wf =>
       reader.fields.find(_.name == wf.name) match {
         case None => true // reader ignores unknown writer fields
-        case Some(rf) => readableType(rf.dataType, wf.dataType)
+        case Some(rf) =>
+          // a nullable writer field needs a nullable reader field — a
+          // non-nullable reader column fed writer nulls corrupts
+          // downstream null-elision optimizations
+          readableType(rf.dataType, wf.dataType) && (!wf.nullable || rf.nullable)
       }
     } && reader.fields.forall { rf =>
       writer.fields.exists(_.name == rf.name) || rf.nullable

@@ -128,11 +128,15 @@ object BigDiffy {
       if (leaves.contains(p)) col(s"$prefix.$p") else lit(null)
 
     val (keyedArrayPaths, rest) = paths.partition { p =>
+      // the keyed-array differ reads BOTH sides' columns directly, so it
+      // only applies when both sides carry the SAME array<struct> type;
+      // one-sided or type-evolved fields fall to the plain path, which
+      // degrades to UNKNOWN instead of failing analysis
       opts.unorderedFieldKeys.contains(p) &&
         lLeaves.get(p).exists {
           case ArrayType(_: StructType, _) => true
           case _ => false
-        }
+        } && lLeaves.get(p) == rLeaves.get(p)
     }
     // map leaves diff per key over the union of key sets (same type both
     // sides; a type change falls through to the mismatch path)

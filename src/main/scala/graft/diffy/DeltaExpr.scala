@@ -107,6 +107,12 @@ object DeltaExpr {
     * functions; `try_element_at` keeps missing-key lookups ANSI-safe. */
   def forMap(path: String, mt: MapType, l: Column, r: Column): Column = {
     val vt = mt.valueType
+    // a null map on ONE side is itself a difference (the per-key union
+    // would see identical nulls for every key and silently report SAME):
+    // emit a whole-map UNKNOWN delta, matching the plain-leaf behavior
+    val nullityDelta = array(struct(lit(path).as("field"),
+      render(l, mt).as("left"), render(r, mt).as("right"),
+      lit("UNKNOWN").as("delta_type"), lit(null).cast(DoubleType).as("delta")))
     val allKeys = array_distinct(concat(
       coalesce(map_keys(l), array().cast(ArrayType(mt.keyType))),
       coalesce(map_keys(r), array().cast(ArrayType(mt.keyType)))))
@@ -124,7 +130,8 @@ object DeltaExpr {
           deltaType.as("delta_type"), delta.as("delta")))
         .otherwise(lit(null).cast(deltaStructType))
     })
-    filter(perKey, d => d.isNotNull)
+    when(l.isNull =!= r.isNull, nullityDelta)
+      .otherwise(filter(perKey, d => d.isNotNull))
   }
 
   /** Leaf whose Catalyst type differs between sides (schema evolution):

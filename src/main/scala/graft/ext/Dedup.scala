@@ -60,10 +60,14 @@ object Dedup {
 
     // whole pipeline runs on hashed shingles (sorted distinct longs) — no
     // string arrays anywhere: shingling is one custom-expression pass,
-    // minhash remixes the longs, verification is a sorted-merge walk
+    // minhash remixes the longs, verification is a sorted-merge walk.
+    // The compact (id, hashes) table is persisted: it feeds the signature
+    // path AND both verification sides, which would otherwise re-scan and
+    // re-shingle the corpus three times.
     val sh = df.select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("sig", minhash(col("sh"), numHashes, seed))
 
     // band signature = farm fingerprint of the band's slice, so the bucket

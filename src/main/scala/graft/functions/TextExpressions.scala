@@ -41,12 +41,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
   @transient private lazy val elementIsLong: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
-  private def mix64(z0: Long): Long = { // splitmix64 finalizer
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import Mix.mix64
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -119,12 +114,7 @@ case class SimHash64(child: Expression, seed: Int)
 
   @transient private lazy val stringInput: Boolean = child.dataType == StringType
 
-  private def mix64(z0: Long): Long = { // splitmix64 finalizer
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import Mix.mix64
 
   private def vote(votes: Array[Int], h: Long): Unit = {
     var b = 0
@@ -254,12 +244,7 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
       s"shingle_hashes expects string, got ${other.catalogString}")
   }
 
-  private def mix64(z0: Long): Long = { // splitmix64 finalizer
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import Mix.mix64
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString

@@ -118,13 +118,7 @@ object RowGen {
       (Row.fromSeq(sa), Row.fromSeq(sb))
     }
 
-  /** splitmix64 finalizer — a full 64-bit permutation. */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  import graft.functions.Mix.mix64
 
   /** Distributed generation: `rows` records over `shards` partitions, each
     * partition seeded deterministically from (seed, partition id) — same
@@ -146,7 +140,13 @@ object RowGen {
         it.flatMap { shard =>
           val rnd = new SplittableRandom(mix64(mix64(seed) ^ mix64(shard + 1L)))
           val n = perShard + (if (shard < rem) 1 else 0)
-          Iterator.fill(n.toInt)(gen(rnd))
+          // Long-counted iterator: Iterator.fill takes an Int and would
+          // silently wrap for > 2^31 rows per shard
+          new Iterator[Row] {
+            private var i = 0L
+            override def hasNext: Boolean = i < n
+            override def next(): Row = { i += 1; gen(rnd) }
+          }
         }
       }
     spark.createDataFrame(rdd, schema)

@@ -134,9 +134,20 @@ object BigSampler {
                         buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
-    val coined = df.withColumn("__stratum", key).withColumn("__coin", coin(det))
+    val coined0 = df.withColumn("__stratum", key).withColumn("__coin", coin(det))
       .withColumn("__bkt",
         least(floor(col("__coin") * buckets), lit(buckets - 1)).cast("int"))
+    // rand() coins must be IDENTICAL across the counting job and the two
+    // selection branches; that only holds for re-scans of a stable source.
+    // If the lineage contains a shuffle (nondeterministic fetch order),
+    // re-evaluation reassigns coins and exactness silently breaks — so the
+    // Random arm pins the coins by persisting. Hash coins are pure
+    // functions of the row and need no materialization (the recommended
+    // arm at scale).
+    val coined = det match {
+      case _: Random => coined0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _         => coined0
+    }
 
     val bucketCounts: Map[String, Seq[(Int, Long)]] =
       coined.groupBy("__stratum", "__bkt").count().collect()

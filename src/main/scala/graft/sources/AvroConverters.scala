@@ -119,7 +119,12 @@ object AvroConverters {
     case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
       m.asScala.map { case (k, mv) => k.toString -> toCatalyst(mv, vt) }.toMap
     case (i: java.lang.Integer, LongType) => i.longValue()
-    case (x, TimestampType) => new java.sql.Timestamp(x.asInstanceOf[Long] / 1000L)
+    case (x, TimestampType) =>
+      // full micros precision: Timestamp.getTime/1000 round trips would
+      // truncate sub-millisecond digits
+      val micros = x.asInstanceOf[Long]
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
     case (x, TimestampNTZType) => java.time.LocalDateTime.ofEpochSecond(
       Math.floorDiv(x.asInstanceOf[Long], 1000000L),
       (Math.floorMod(x.asInstanceOf[Long], 1000000L) * 1000L).toInt,
@@ -163,7 +168,10 @@ object AvroConverters {
     case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
     case (b: Byte, _) => b.toInt
     case (sh: Short, _) => sh.toInt
-    case (t: java.sql.Timestamp, TimestampType) => t.getTime * 1000L
+    case (t: java.sql.Timestamp, TimestampType) =>
+      // via Instant: getTime*1000 drops the sub-millisecond nanos part
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
     case (t: java.time.Instant, TimestampType) =>
       t.getEpochSecond * 1000000L + t.getNano / 1000L
     case (t: java.time.LocalDateTime, TimestampNTZType) =>

@@ -45,11 +45,19 @@ object AvroIO {
     spark.createDataFrame(rdd, st)
   }
 
-  /** Distributed sharded sink via AvroKeyOutputFormat. */
+  /** Distributed sharded sink via AvroKeyOutputFormat. Overwrite
+    * semantics match the engine's parquet/json sinks: a pre-existing
+    * output directory is removed first (saveAsNewAPIHadoopFile would
+    * otherwise fail every re-run — including crash retries that never
+    * wrote a _SUCCESS marker). */
   def write(df: DataFrame, path: String, recordName: String = "record"): Unit = {
     val st = df.schema
     val schemaJson = AvroConverters.toAvroSchema(st, recordName).toString
-    val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    if (fs.exists(p)) fs.delete(p, true)
+    val job = Job.getInstance(hadoopConf)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
     df.rdd.mapPartitions { it =>
       lazy val schema = new Schema.Parser().parse(schemaJson)

@@ -93,3 +93,49 @@ class DeltaSpec extends SparkSpec {
     d shouldBe Row("0102", "01FF")
   }
 }
+
+/** Regressions from the round-3 review: null-vs-empty maps, one-sided
+  * keyed arrays, merged-schema nullability. */
+class DeltaRegressionSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  it should "report a null map vs a present map as DIFFERENT (whole-map UNKNOWN)" in {
+    val l = Seq((1L, Some(Map.empty[String, Double])), (2L, Some(Map("k" -> 1.0))))
+      .toDF("k", "m")
+    val r = Seq((1L, Option.empty[Map[String, Double]]), (2L, Some(Map("k" -> 1.0))))
+      .toDF("k", "m")
+    val res = BigDiffy.diff(l, r, Seq("k"))
+    res.keyStats.orderBy("key").as[(String, String)].collect() shouldBe
+      Array(("1", "DIFFERENT"), ("2", "SAME"))
+    val d = res.deltas.head()
+    (d.getString(1), d.getString(4)) shouldBe (("m", "UNKNOWN"))
+  }
+
+  it should "degrade a one-sided unorderedFieldKeys field to UNKNOWN instead of failing" in {
+    val l = Seq((1L, Seq((10L, 1.0)))).toDF("k", "arr")
+    val r = Seq((1L, "not an array")).toDF("k", "arr")
+    val res = BigDiffy.diff(l, r, Seq("k"),
+      DiffOptions(unorderedFieldKeys = Map("arr" -> "_1")))
+    res.deltas.head().getString(4) shouldBe "UNKNOWN"
+    val r2 = Seq(Tuple1(1L)).toDF("k") // rhs lacks arr entirely
+    BigDiffy.diff(l, r2, Seq("k"),
+      DiffOptions(unorderedFieldKeys = Map("arr" -> "_1")))
+      .deltas.head().getString(4) shouldBe "UNKNOWN"
+  }
+
+  it should "mark one-sided merged fields nullable" in {
+    import org.apache.spark.sql.types._
+    val m = graft.core.SchemaPaths.mergeSchemas(
+      StructType(Seq(StructField("a", LongType, nullable = false),
+        StructField("only_l", StringType, nullable = false))),
+      StructType(Seq(StructField("a", LongType, nullable = false),
+        StructField("only_r", BooleanType, nullable = false))))
+    m("a").nullable shouldBe false
+    m("only_l").nullable shouldBe true
+    m("only_r").nullable shouldBe true
+    // shared-field nullability now gates canRead
+    graft.core.SchemaPaths.canRead(
+      StructType(Seq(StructField("a", LongType, nullable = false))),
+      StructType(Seq(StructField("a", LongType, nullable = true)))) shouldBe false
+  }
+}
