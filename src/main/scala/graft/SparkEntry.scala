@@ -163,6 +163,21 @@ object SparkEntry {
       Dedup.simhashNearDups(nearDupCorpus(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
+    // embedding-cosine near-dup recall: scaled copies point in exactly the
+    // same direction (cosine 1), land in the same sign buckets in every
+    // LSH table, and must all be recovered
+    "embedding_dedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      val dups = emb.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionByName(dups)
+      Dedup.embeddingNearDups(corpus, "vec_id", "embedding", dim,
+          simThreshold = 0.99, bits = 6, tables = 8)
+        .filter(col("id_b") === col("id_a") + 100000)
+        .agg(count(lit(1)).as("n_found"))
+    }),
+
     // ---- similarity search (training-data extension) ----
     "topk_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -347,6 +362,7 @@ object SparkEntry {
         """SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_groups,
           |  CAST(1 AS BIGINT) AS max_dup FROM documents""".stripMargin,
       "minhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
+      "embedding_dedup" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings",
       "topk_cosine" ->
         """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
           |s AS (SELECT q.qid, e.vec_id AS nid,

@@ -172,6 +172,42 @@ object Dedup {
       .filter(col("count") > maxBucketSize)
   }
 
+  /** Embedding-cosine near-duplicate pairs: documents whose embedding
+    * vectors have cosine similarity ≥ `simThreshold`. Candidates come from
+    * sign-hyperplane LSH buckets (never all-pairs — same scale shape as
+    * the MinHash path: shuffle is O(docs × tables)); verification is exact
+    * cosine on candidates. Returns (id_a, id_b, cosine_sim), id_a < id_b. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        simThreshold: Double = 0.95, bits: Int = 8,
+                        tables: Int = 8, seed: Long = 42L,
+                        maxBucketSize: Int = 100000): DataFrame = {
+    val planeSets = Array.tabulate(tables) { t =>
+      val rnd = new java.util.Random(seed + t)
+      Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val buckets = planeSets.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("table"), lshSignBits(col("v"), planes).as("bucket"))
+    }
+    val banded = v.select(col("id"), explode(array(buckets: _*)).as("tb"))
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val ok = banded.groupBy("table", "bucket").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1)
+    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(ok, Seq("table", "bucket"))
+      .join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(broadcast(v.select(col("id").as("id_a"), col("v").as("va"))), "id_a")
+      .join(broadcast(v.select(col("id").as("id_b"), col("v").as("vb"))), "id_b")
+      .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("va"), col("vb")))
+      .filter(col("cosine_sim") >= simThreshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
   /** N-gram Jaccard similarity for an explicit pair set (verification-style
     * API): joins the pair list to the corpus twice and scores. */
   def ngramJaccard(pairs: DataFrame, corpus: DataFrame, idCol: String,

@@ -1,45 +1,34 @@
 package graft.tools
 
-import graft.sampling.BigSampler
-import graft.sources.AvroIO
-import java.sql.Timestamp
+import graft.ext.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe: review-fix scenarios that only show up at runtime. */
+/** Scratch probe: embeddingNearDups extremes. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    println("== avro sub-millisecond timestamp roundtrip:")
-    val ts = Timestamp.valueOf("2024-03-01 12:00:00.123456")
-    val dir = java.nio.file.Files.createTempDirectory("avrots").toString + "/out"
-    AvroIO.write(Seq((1L, ts)).toDF("id", "ts"), dir)
-    val back = AvroIO.read(spark, dir).select("ts").head().getTimestamp(0)
-    println(s"   wrote $ts  read $back  equal=${back == ts}")
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val dups = emb.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(dups)
 
-    println("== avro overwrite: second write to same dir:")
-    AvroIO.write(Seq((2L, ts)).toDF("id", "ts"), dir)
-    println("   re-write ok, rows now: " + AvroIO.read(spark, dir).count())
+    val n = Dedup.embeddingNearDups(corpus, "vec_id", "embedding", dim,
+      simThreshold = 0.99, bits = 6, tables = 8).count()
+    println(s"== pairs at threshold 0.99: $n (500 constructed + any true near-dups)")
 
-    println("== Random-coin EXACT sampling on a SHUFFLED lineage:")
-    // a join output: shuffle-fetch order is nondeterministic across jobs
-    val a = (1L to 50000L).map(i => (i, i % 7)).toDF("k", "g")
-    val b = (1L to 50000L).map(i => (i, s"v$i")).toDF("k", "v")
-    val shuffled = a.join(b, "k").repartition(16, col("g"))
-    val want = math.ceil(50000 * 0.1).toLong
-    var ok = true
-    for (trial <- 1 to 3) {
-      val got = BigSampler.sample(shuffled, 0.1, BigSampler.Random(trial.toLong),
-        exact = true).count()
-      println(s"   trial $trial: got=$got want=$want ${if (got == want) "OK" else "MISMATCH"}")
-      ok &= got == want
-    }
-    println(if (ok) "   exactness holds on shuffled lineage" else "   BROKEN")
+    val over = Dedup.embeddingNearDups(corpus, "vec_id", "embedding", dim,
+      simThreshold = 1.01, bits = 6, tables = 8).count()
+    println(s"== pairs at impossible threshold 1.01: $over (expect 0)")
+
+    val capped = Dedup.embeddingNearDups(corpus, "vec_id", "embedding", dim,
+      simThreshold = 0.99, bits = 6, tables = 8, maxBucketSize = 1).count()
+    println(s"== pairs with maxBucketSize=1: $capped (expect 0 — every bucket hot)")
     spark.stop()
   }
 }

@@ -89,3 +89,26 @@ class DedupSpec extends SparkSpec {
     j shouldBe 0.5 +- 1e-12 // |∩|=2, |∪|=4
   }
 }
+
+/** Embedding-cosine near-dup: constructed near-identical vectors must be
+  * recovered; orthogonal vectors must not pair. */
+class EmbeddingDedupSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  it should "pair near-identical embeddings and skip dissimilar ones" in {
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 40L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    // ids 1000+i are tiny perturbations of i (cos ~ 0.999)
+    val near = base.take(10).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + rnd.nextGaussian().toFloat * 0.01f))
+    }
+    val df = (base ++ near).toDF("id", "emb")
+    val pairs = Dedup.embeddingNearDups(df, "id", "emb", dim,
+      simThreshold = 0.98, bits = 4, tables = 12)
+    val constructed = pairs.filter(col("id_b") === col("id_a") + 1000).count()
+    constructed shouldBe 10L
+    // random gaussian pairs essentially never reach cos >= 0.98
+    pairs.filter(col("id_b") =!= col("id_a") + 1000).count() shouldBe 0L
+  }
+}
