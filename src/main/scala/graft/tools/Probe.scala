@@ -1,34 +1,36 @@
 package graft.tools
 
-import graft.ext.Dedup
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Scratch probe: embeddingNearDups extremes. */
+/** Scratch probe: the spark.sql.extensions config route — a FRESH session
+  * built with the extension class, the spark-submit user's path. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val dups = emb.select((col("vec_id") + 100000).as("vec_id"),
-      transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
-    val corpus = emb.select("vec_id", "embedding").unionByName(dups)
+    println("== SQL over extension-registered functions (fresh session):")
+    spark.sql(
+      """SELECT farm_hash64('hello world') AS fh,
+        |       simhash('the quick brown fox') AS sh,
+        |       jaccard_sorted(shingle_hashes('abcdefgh', 3),
+        |                      shingle_hashes('abcdefxx', 3)) AS j
+        |""".stripMargin).show(false)
 
-    val n = Dedup.embeddingNearDups(corpus, "vec_id", "embedding", dim,
-      simThreshold = 0.99, bits = 6, tables = 8).count()
-    println(s"== pairs at threshold 0.99: $n (500 constructed + any true near-dups)")
+    println("== end-to-end SQL dedup sketch on real documents:")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT farm_hash64(text)) AS n_distinct_fp,
+        |       avg(size(shingle_hashes(text, 5))) AS avg_shingles
+        |FROM documents""".stripMargin).show(false)
 
-    val over = Dedup.embeddingNearDups(corpus, "vec_id", "embedding", dim,
-      simThreshold = 1.01, bits = 6, tables = 8).count()
-    println(s"== pairs at impossible threshold 1.01: $over (expect 0)")
-
-    val capped = Dedup.embeddingNearDups(corpus, "vec_id", "embedding", dim,
-      simThreshold = 0.99, bits = 6, tables = 8, maxBucketSize = 1).count()
-    println(s"== pairs with maxBucketSize=1: $capped (expect 0 — every bucket hot)")
+    println("== DESCRIBE FUNCTION works:")
+    spark.sql("DESCRIBE FUNCTION farm_hash64").show(false)
     spark.stop()
   }
 }
