@@ -51,4 +51,18 @@ object GraftIO {
   /** Parquet schema sniff without reading data (footer-only, S15). */
   def parquetSchema(spark: SparkSession, path: String): StructType =
     spark.read.parquet(path).schema
+
+  /** Bucketed parquet table: rows are hash-clustered into `buckets` files
+    * per partition on `bucketCols` and registered in the session catalog.
+    * Joins/aggregations on the bucket columns then plan WITHOUT an
+    * Exchange — at 100 TB this turns the BigDiffy full-outer join of two
+    * tables pre-bucketed on the diff key into a shuffle-free zip of
+    * co-located buckets. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

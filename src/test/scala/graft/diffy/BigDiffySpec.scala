@@ -83,3 +83,30 @@ class BigDiffySpec extends SparkSpec {
     d.getAs[String]("delta_type") shouldBe "UNKNOWN"
   }
 }
+
+/** Co-located diff: both sides pre-bucketed on the key join without any
+  * Exchange (the 100 TB plan shape for repeated diffs of stable tables). */
+class BucketedDiffSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  it should "plan the diff join shuffle-free over bucketed tables" in {
+    // default warehouse (spark-warehouse/ under cwd, gitignored) — the
+    // warehouse dir is a static conf and cannot move at runtime
+    val l = (1L to 2000L).map(i => (i, i.toDouble)).toDF("k", "v")
+    val r = (1L to 2000L).map(i => (i, if (i % 10 == 0) i + 1.0 else i.toDouble))
+      .toDF("k", "v")
+    graft.sources.GraftIO.writeBucketed(l, "diff_lhs", Seq("k"), buckets = 8)
+    graft.sources.GraftIO.writeBucketed(r, "diff_rhs", Seq("k"), buckets = 8)
+
+    val lt = spark.table("diff_lhs")
+    val rt = spark.table("diff_rhs")
+    // joining directly on the bucketed column: no Exchange in the plan
+    val joined = lt.join(rt, Seq("k"), "full_outer")
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "Exchange hashpartitioning"
+
+    // and the full diff over the same tables is numerically right
+    val g = BigDiffy.diff(lt, rt, Seq("k")).globalStats.head()
+    (g.getLong(0), g.getLong(2)) shouldBe ((2000L, 200L))
+  }
+}
