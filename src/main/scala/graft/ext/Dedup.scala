@@ -81,8 +81,14 @@ object Dedup {
       struct(lit(b).as("band"),
         farmHash64(slice(col("sig"), b * rPerB + 1, rPerB)).as("bsig"))
     }
+    // The banded relation feeds THREE plan branches (bucket counts, pair
+    // side a, pair side b); without pinning it, each branch re-shingles and
+    // re-minhashes the whole corpus. Persisting the 3-scalar relation keeps
+    // the signature pass single-execution — it's ~24 bytes/row × bands,
+    // negligible next to the corpus it replaces.
     val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // candidate pairs within a bucket; cap pathological buckets
     val bucketSizes = banded.groupBy("band", "bsig").count()
@@ -105,6 +111,10 @@ object Dedup {
     pairs
       .join(side("id_a"), "id_a")
       .join(side("id_b"), "id_b")
+      // J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|): candidates whose set sizes
+      // alone rule out the threshold never pay the merge walk
+      .filter(least(size(col("shh_id_a")), size(col("shh_id_b"))) >=
+        lit(threshold) * greatest(size(col("shh_id_a")), size(col("shh_id_b"))))
       .withColumn("jaccard", jaccardSorted(col("shh_id_a"), col("shh_id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -129,9 +139,13 @@ object Dedup {
         shiftrightunsigned(col("fp"), c * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)).as("csig"))
     }
+    // pinned for the same reason as minhash's banded relation: three plan
+    // branches (bucket counts + both pair sides) would otherwise each
+    // re-tokenize and re-vote the simhash over the full corpus
     val chunked = fp.select(col("id"), col("fp"),
         explode(array(chunkStructs: _*)).as("cc"))
       .select(col("id"), col("fp"), col("cc.chunk").as("chunk"), col("cc.csig").as("csig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = chunked.select(col("chunk"), col("csig"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = chunked.select(col("chunk"), col("csig"), col("id").as("id_b"), col("fp").as("fp_b"))
@@ -189,8 +203,11 @@ object Dedup {
     val buckets = planeSets.zipWithIndex.map { case (planes, t) =>
       struct(lit(t).as("table"), lshSignBits(col("v"), planes).as("bucket"))
     }
+    // pinned: bucket counts + both pair sides re-project dim×bits×tables
+    // dot products per row otherwise
     val banded = v.select(col("id"), explode(array(buckets: _*)).as("tb"))
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = banded.groupBy("table", "bucket").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
     val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))

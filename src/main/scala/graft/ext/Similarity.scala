@@ -57,29 +57,38 @@ object Similarity {
               seed: Long = 42L, maxBucketSize: Int = 100000): DataFrame = {
     val planeSets = Array.tabulate(tables)(t => hyperplanes(dim, bits, seed + t))
 
+    // bucket the IDS only: the exploded ×tables relation and the candidate
+    // dedup shuffle stay 3 scalars wide — vectors are re-joined by id after
+    // the candidate set is down to distinct (query, id) pairs
     def bucketed(df: DataFrame, id: String, v: String): DataFrame = {
       val buckets = planeSets.zipWithIndex.map { case (planes, t) =>
         struct(lit(t).as("table"), signBits(col(v), planes).as("bucket"))
       }
-      df.select(col(id), col(v), explode(array(buckets: _*)).as("tb"))
-        .select(col(id), col(v), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      df.select(col(id), explode(array(buckets: _*)).as("tb"))
+        .select(col(id), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     }
 
-    val c0 = bucketed(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v")
-    val q = bucketed(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv")
+    val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // pinned: bucket counts + the candidate join would otherwise both
+    // recompute dim×bits×tables dot products per corpus row
+    val cb = bucketed(corpusV, "id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qb = bucketed(queryV, "query_id", "qv")
 
     // cap hot buckets (e.g. zero/degenerate vectors all land in one sign
     // pattern): a bucket larger than maxBucketSize would fan out unbounded
     // against every query sharing it — same guard as Dedup.maxBucketSize
-    val okBuckets = c0.groupBy("table", "bucket").count()
+    val okBuckets = cb.groupBy("table", "bucket").count()
       .filter(col("count") <= maxBucketSize).drop("count")
-    val c = c0.join(broadcast(okBuckets), Seq("table", "bucket"))
 
-    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+    val cand = cb.join(broadcast(okBuckets), Seq("table", "bucket"))
+      .join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"), col("v"), col("qv"))
+      .select(col("query_id"), col("id"))
       .dropDuplicates("query_id", "id")
+      .join(corpusV, "id")
+      .join(broadcast(queryV), "query_id")
       .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("v"), col("qv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("id").asc)

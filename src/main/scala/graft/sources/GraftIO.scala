@@ -59,10 +59,24 @@ object GraftIO {
     * tables pre-bucketed on the diff key into a shuffle-free zip of
     * co-located buckets. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-                    buckets: Int = 32): Unit =
+                    buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    // `overwrite` alone cannot replace an ORPHANED managed-table directory
+    // (location on disk, no catalog entry — what a previous JVM leaves
+    // behind with an in-memory catalog): CREATE TABLE fails with
+    // LOCATION_ALREADY_EXISTS. Drop any catalog entry, then clear the
+    // default-warehouse location. Names are default-database here by
+    // contract (this is a local co-location utility, not a metastore API).
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 }
