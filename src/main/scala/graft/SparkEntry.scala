@@ -143,14 +143,22 @@ object SparkEntry {
           .as("within_tol"))
     }),
     // oracle-gated determinism: the hash coin is a pure function of the
-    // row, so two independent runs select EXACTLY the same multiset
+    // row, so two independent runs select EXACTLY the same multiset —
+    // compared via (count, sum-of-row-hashes) signatures, which stay
+    // narrow/scan-speed where an exceptAll would shuffle every row twice
     "sample_hash_dice_determinism" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      def run() = BigSampler.sample(li, 0.1,
-        BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
-      val (s1, s2) = (run(), run())
-      s1.exceptAll(s2).union(s2.exceptAll(s1))
-        .agg(count(lit(1)).as("n_mismatch"))
+      def sig(tag: String) = {
+        val r = BigSampler.sample(li, 0.1,
+          BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
+        // decimal sum: 6e5 rows × |long| ≈ 5e24 overflows int64 under ANSI
+        r.agg(count(lit(1)).as(s"n_$tag"),
+          sum(xxhash64(struct(r.columns.map(col): _*)).cast("decimal(38,0)"))
+            .as(s"h_$tag"))
+      }
+      sig("a").crossJoin(sig("b"))
+        .select((col("n_a") === col("n_b") && col("h_a") === col("h_b"))
+          .as("deterministic"))
     }),
     "sample_reservoir_n" -> ((s, d) =>
       DirectSampler.reservoir(t(s, d, "lineitem"), 100).agg(count(lit(1)).as("n"))),
@@ -414,7 +422,7 @@ object SparkEntry {
       "simhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
       "lsh_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "sample_bernoulli_tol" -> "SELECT true AS within_tol",
-      "sample_hash_dice_determinism" -> "SELECT CAST(0 AS BIGINT) AS n_mismatch",
+      "sample_hash_dice_determinism" -> "SELECT true AS deterministic",
       "embedding_dedup" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings",
       "topk_cosine" ->
         """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

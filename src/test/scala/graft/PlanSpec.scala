@@ -1,0 +1,67 @@
+package graft
+
+import graft.sampling.BigSampler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions for the scale-critical properties the engine
+  * relies on at 100 TB: filters reach the parquet scan, column pruning
+  * reaches the reader, small sides broadcast, and narrow operators stay
+  * shuffle-free. These lock the EXECUTION SHAPE, not just the results —
+  * a regression that keeps answers right but adds an exchange fails here.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(df: DataFrame): Int =
+    "Exchange".r.findAllIn(plan(df)).size
+
+  "a filtered projection over parquet" should "push the filter and prune columns at the scan" in {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    p should include("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]")
+    p should include("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>")
+  }
+
+  "the deterministic hash-dice sample" should "plan as a single narrow filter with zero exchanges" in {
+    val df = BigSampler.sample(
+      spark.read.parquet(s"$sf/lineitem.parquet"), 0.1,
+      BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
+    exchanges(df) shouldBe 0
+    plan(df) should include("Filter")
+  }
+
+  "a small-dimension join" should "plan as a broadcast hash join when hinted" in {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val customer = spark.read.parquet(s"$sf/customer.parquet")
+    val df = orders.join(broadcast(customer),
+      col("o_custkey") === col("c_custkey"))
+    plan(df) should include("BroadcastHashJoin")
+  }
+
+  "the exact sampler" should "never plan a single-partition exchange" in {
+    val df = BigSampler.sample(
+      spark.read.parquet(s"$sf/lineitem.parquet"), 0.1,
+      BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")),
+      BigSampler.Stratified(Seq("l_returnflag")), exact = true)
+    plan(df) should not include "Exchange SinglePartition"
+  }
+
+  "the diff stats views" should "reuse one cached relation instead of re-joining" in {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val r = diffy.BigDiffy.diff(
+      o.filter(col("o_orderkey") % 7 =!= 0),
+      o.filter(col("o_orderkey") % 11 =!= 0), Seq("o_orderkey"))
+    try {
+      r.globalStats.count()
+      plan(r.keyStats) should include("InMemoryTableScan")
+      plan(r.fieldStats()) should include("InMemoryTableScan")
+    } finally r.unpersist()
+  }
+}
