@@ -252,6 +252,27 @@ object SparkEntry {
           (col("n_matched") >= col("n_bf") * 0.7).as("recall_ok"))
     }),
 
+    // oracle-gated IVF ANN quality: k-means-quantized inverted-file search
+    // must recover ≥55% of the exact brute-force top-k (measured 68–82%
+    // across sfs at nlist=16/nprobe=6; stable across local parallelism —
+    // random gaussian embeddings are IVF's worst case, clustered
+    // real-world embeddings do better per candidate examined)
+    "ivf_topk_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 6)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      val matched = bf.join(ivf,
+        bf("query_id") === col("qid") && bf("neighbor_id") === col("nid"))
+      bf.agg(count(lit(1)).as("n_bf")).crossJoin(
+          matched.agg(count(lit(1)).as("n_matched")))
+        .select(col("n_bf"),
+          (col("n_matched") >= col("n_bf") * 0.55).as("recall_ok"))
+    }),
+
     // ---- Avro round-trip (S1/S10/S6 without spark-avro): write a
     // deterministic slice as Avro, read it back, aggregate — the oracle
     // computes the same aggregate straight from parquet ----
@@ -421,6 +442,7 @@ object SparkEntry {
       "minhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
       "simhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
       "lsh_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
+      "ivf_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "sample_bernoulli_tol" -> "SELECT true AS within_tol",
       "sample_hash_dice_determinism" -> "SELECT true AS deterministic",
       "embedding_dedup" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Cosine distance `1 - cos_sim(l, r)` over two numeric arrays.
@@ -130,6 +130,96 @@ case class LshSignBits(child: Expression, planes: Seq[Seq[Double]])
     case ByteType    => a.getByte(i).toDouble
     case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
     case other => throw new UnsupportedOperationException(s"lsh_sign_bits: $other")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** IVF coarse-quantizer assignment: the `nprobe` nearest centroid indices
+  * of a vector by cosine similarity, most-similar first —
+  * `array<numeric> -> array<int>`. One pass over the vector per centroid,
+  * centroids embedded driver-side (trained by k-means on a corpus sample),
+  * no closure capture. Corpus rows assign with nprobe=1; queries probe
+  * several inverted lists. Engine extension (ANN path of the
+  * training-data surface). Null/empty/zero-norm input -> null.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(nprobe >= 1 && nprobe <= centroids.size,
+    s"nprobe must be in 1..${centroids.size}, got $nprobe")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et.isInstanceOf[NumericType] => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells expects a numeric array, got ${other.catalogString}")
+  }
+
+  @transient private lazy val et =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  // centroids pre-normalized once: cosine argmax becomes a plain dot argmax
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map { c =>
+      val a = c.toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0.0) a else a.map(_ / n)
+    }.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val x = new Array[Double](n)
+    var norm = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val d = toD(arr, i); x(i) = d; norm += d * d
+      i += 1
+    }
+    if (norm == 0.0) return null
+    val sims = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(n, cent.length)
+      var dot = 0.0
+      var j = 0
+      while (j < m) { dot += x(j) * cent(j); j += 1 }
+      sims(c) = dot
+      c += 1
+    }
+    // partial selection of the top-nprobe cells (nprobe is small)
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](cents.length)
+    var k = 0
+    while (k < nprobe) {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < sims.length) {
+        // ties broken by lower cell id for determinism
+        if (!taken(c2) && sims(c2) > bestSim) { best = c2; bestSim = sims(c2) }
+        c2 += 1
+      }
+      taken(best) = true; out(k) = best
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def toD(a: ArrayData, i: Int): Double = et match {
+    case DoubleType  => a.getDouble(i)
+    case FloatType   => a.getFloat(i).toDouble
+    case LongType    => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType   => a.getShort(i).toDouble
+    case ByteType    => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new UnsupportedOperationException(s"nearest_cells: $other")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -52,4 +52,30 @@ class SimilaritySpec extends SparkSpec {
     Similarity.lshTopK(vecs, q, "vec_id", "embedding", 3, dim,
       bits = 1, tables = 1, maxBucketSize = 5).count() shouldBe 0L
   }
+
+  behavior of "ivfTopK"
+
+  it should "recall most brute-force neighbors on clustered data" in {
+    // 5 genuine clusters: the k-means quantizer should carve cells along
+    // them, so probing a few cells recovers nearly all true neighbors
+    val q = vecs.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", 3,
+        nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    (bf intersect ivf).size.toDouble / bf.size should be >= 0.8
+  }
+
+  it should "rank the scaled copy of a query first (same direction, cosine 1)" in {
+    val copies = vecs.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val corpus = vecs.unionByName(copies)
+    val got = Similarity.ivfTopK(corpus, vecs.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 1, nlist = 8, nprobe = 2)
+    got.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (qid, nid) => nid shouldBe (qid + 1000L) }
+  }
 }
