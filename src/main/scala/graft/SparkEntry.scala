@@ -153,7 +153,7 @@ object SparkEntry {
           BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
         // decimal sum: 6e5 rows × |long| ≈ 5e24 overflows int64 under ANSI
         r.agg(count(lit(1)).as(s"n_$tag"),
-          sum(xxhash64(struct(r.columns.map(col): _*)).cast("decimal(38,0)"))
+          sum(xxhash64(struct(r.columns.toIndexedSeq.map(col): _*)).cast("decimal(38,0)"))
             .as(s"h_$tag"))
       }
       sig("a").crossJoin(sig("b"))

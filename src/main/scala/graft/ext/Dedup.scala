@@ -205,7 +205,7 @@ object Dedup {
     }
     // pinned: bucket counts + both pair sides re-project dim×bits×tables
     // dot products per row otherwise
-    val banded = v.select(col("id"), explode(array(buckets: _*)).as("tb"))
+    val banded = v.select(col("id"), explode(array(buckets.toIndexedSeq: _*)).as("tb"))
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = banded.groupBy("table", "bucket").count()

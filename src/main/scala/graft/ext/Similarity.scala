@@ -64,7 +64,7 @@ object Similarity {
       val buckets = planeSets.zipWithIndex.map { case (planes, t) =>
         struct(lit(t).as("table"), signBits(col(v), planes).as("bucket"))
       }
-      df.select(col(id), explode(array(buckets: _*)).as("tb"))
+      df.select(col(id), explode(array(buckets.toIndexedSeq: _*)).as("tb"))
         .select(col(id), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     }
 

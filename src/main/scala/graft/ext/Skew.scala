@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for shuffle joins.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.*`) splits hot
+  * sort-merge partitions at runtime and should be the first resort. Manual
+  * salting remains necessary where AQE cannot reach: joins under
+  * `mapGroupsWithState`-adjacent plans, hot keys known in advance that
+  * overflow even a split partition, and engines/runs with AQE disabled.
+  * Engine extension (100 TB training-data surface; the reference's Beam
+  * runner has no equivalent — hot-key fan-out there is handled by Beam's
+  * combiner lifting, which Spark's partial aggregation already mirrors).
+  */
+object Skew {
+
+  /** Equi-join `large` (skewed on `keys`) with `small`, spreading each hot
+    * key of the large side across `salt` shuffle partitions.
+    *
+    * The large side gets a deterministic per-row salt in `[0, salt)` (hash
+    * of the whole row — reproducible, unlike `rand()`, so re-scans under
+    * task retry assign identical salts); the small side is exploded
+    * `salt`× so every (key, salt) bucket finds its match. Join output
+    * equals the unsalted join exactly; only the shuffle distribution
+    * changes. The small side must tolerate `salt`× replication — it is
+    * a dimension table by contract.
+    *
+    * Supported join types: inner / left (left_outer). Right/full-outer
+    * would need the unmatched-small-side rows deduplicated back from
+    * `salt` copies — out of scope for a skew utility whose small side is
+    * a dimension.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 salt: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salt > 1, s"salt must be > 1, got $salt")
+    val jt = joinType.toLowerCase(java.util.Locale.ROOT)
+    require(Set("inner", "left", "left_outer").contains(jt),
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val largeCols = large.columns.toIndexedSeq
+    val smallCols = small.columns.toIndexedSeq.filterNot(keys.contains)
+    val l = large.withColumn("__salt",
+      pmod(xxhash64(largeCols.map(large(_)): _*), lit(salt)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(s, keys :+ "__salt", jt)
+      .select((largeCols.map(l(_)) ++ smallCols.map(s(_))): _*)
+  }
+
+  /** Per-key frequency report over a prospective join/groupBy key — the
+    * audit a pipeline runs BEFORE deciding to salt: returns the `topN`
+    * hottest keys with counts and their share of all rows. */
+  def keySkewReport(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
+    val total = df.count()
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc)
+      .limit(topN)
+      .withColumn("share", col("n").cast("double") / lit(total.toDouble))
+  }
+}
