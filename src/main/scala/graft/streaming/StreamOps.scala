@@ -2,8 +2,14 @@ package graft.streaming
 
 import graft.GraftFunctions._
 import graft.ext.TextAnalysis
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-fingerprint duplication record emitted by
+  * [[StreamOps.duplicateCounts]]: how many times content with this
+  * fingerprint has arrived so far and when it was first seen. */
+final case class DupCount(fingerprint: Long, n_seen: Long, first_seen_ms: Long)
 
 /** Structured Streaming surface of the engine.
   *
@@ -63,4 +69,48 @@ object StreamOps {
     TextAnalysis.qualitySignals(stream, textCol)
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+
+  /** CUSTOM-STATE example the built-in operators can't express: a running
+    * per-content-fingerprint duplicate counter. Where `dedupByContent`
+    * keeps first arrivals and drops the rest silently, this emits an
+    * updated (fingerprint, n_seen, first_seen) row on every arrival — the
+    * telemetry a training-data ingest uses to find boilerplate storms.
+    *
+    * `flatMapGroupsWithState` with event-time timeout: state for a
+    * fingerprint is dropped once the watermark passes its last arrival by
+    * the timeout, so state size is bounded by the number of DISTINCT
+    * fingerprints per horizon, not by stream length. Partitioned by the
+    * 8-byte fingerprint key — the stateful shuffle carries (long, ts)
+    * pairs, never the documents. */
+  def duplicateCounts(stream: DataFrame, textCol: String, tsCol: String,
+                      watermark: String, stateTimeout: String = "1 hour"): Dataset[DupCount] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .withColumn("__fp", farmHash64(lower(regexp_replace(col(textCol), "\\s+", " "))))
+      .select(col("__fp").as("fp"), col(tsCol).cast("timestamp").as("ts"))
+      // watermark AFTER the projection: a cast/rename creates a fresh
+      // attribute without the event-time tag, which EventTimeTimeout
+      // rejects at analysis
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), DupCount](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (fp, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val arrivals = rows.toSeq
+            val (firstSeen, prev) = state.getOption
+              .getOrElse((arrivals.map(_._2.getTime).min, 0L))
+            val n = prev + arrivals.size
+            state.update((firstSeen, n))
+            state.setTimeoutTimestamp(
+              arrivals.map(_._2.getTime).max, stateTimeout)
+            Iterator.single(DupCount(fp, n, firstSeen))
+          }
+      }
+  }
 }

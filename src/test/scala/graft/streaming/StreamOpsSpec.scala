@@ -60,4 +60,25 @@ class StreamOpsSpec extends SparkSpec {
     rows.map(_.getAs[Long]("n_docs")).toSeq shouldBe Seq(2L, 1L)
     all(rows.map(_.getAs[Double]("mean_quality")).toSeq) should (be >= 0.0 and be <= 1.0)
   }
+
+  behavior of "stateful duplicate counts"
+
+  it should "emit a running count per content fingerprint across micro-batches" in {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val counts = StreamOps.duplicateCounts(
+      input.toDF().toDF("id", "ts", "text"), "text", "ts", "10 seconds")
+    val q = counts.writeStream.format("memory").queryName("s_dupcounts")
+      .outputMode("update").start()
+    input.addData((1L, ts(1), "alpha beta"), (2L, ts(2), "gamma delta"))
+    q.processAllAvailable()
+    // second batch: one normalized dup of "alpha beta", one new doc
+    input.addData((3L, ts(3), "ALPHA   beta"), (4L, ts(4), "epsilon zeta"))
+    q.processAllAvailable(); q.stop()
+    val byFp = spark.table("s_dupcounts")
+      .groupBy("fingerprint").agg(max("n_seen").as("n_seen"))
+      .select("n_seen").as[Long].collect().sorted
+    // three distinct contents: alpha-beta seen twice, the others once
+    byFp shouldBe Array(1L, 1L, 2L)
+  }
 }
