@@ -53,6 +53,30 @@ class PlanSpec extends SparkSpec {
     plan(df) should not include "Exchange SinglePartition"
   }
 
+  "the diff join pipeline" should "shuffle each side exactly once" in {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val r = diffy.BigDiffy.diff(
+      o.filter(col("o_orderkey") % 3 =!= 0),
+      o.filter(col("o_orderkey") % 5 =!= 0), Seq("o_orderkey"),
+      enforceUniqueKeys = false)
+    try {
+      // before the cache fills, keyStats' plan exposes the join pipeline:
+      // one hash exchange per side, nothing else
+      "Exchange hashpartitioning".r.findAllIn(plan(r.keyStats)).size shouldBe 2
+    } finally r.unpersist()
+  }
+
+  "the near-dup banded relation" should "be pinned so the signature pass runs once" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = ext.Dedup.minhashNearDups(docs, "doc_id", "text")
+    plan(pairs) should include("InMemoryTableScan")
+    val ann = ext.Similarity.lshTopK(
+      spark.read.parquet(s"$sf/embeddings.parquet"),
+      spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, dim = 16)
+    plan(ann) should include("InMemoryTableScan")
+  }
+
   "the diff stats views" should "reuse one cached relation instead of re-joining" in {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val r = diffy.BigDiffy.diff(
