@@ -28,9 +28,16 @@ object Bench {
         .count()
     }
     // optional comma-separated subset for targeted local iteration; the
-    // driver leaves it unset and benches everything
+    // driver leaves it unset and benches everything. Empty value = unset;
+    // typo'd names are called out instead of silently benching nothing.
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] unknown queries ignored: ${unknown.mkString(", ")}")
+    }
     // name-sorted: Map hash order would shuffle which query runs first
     // whenever a query is added, making per-query times incomparable
     // across rounds

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   *     candidate generation — a standard production guard; use
   *     [[Dedup.oversizedBuckets]] to audit what was dropped;
   *   - verification (exact Jaccard / Hamming) runs only on candidates.
+  *
+  * Cache lifecycle: the near-dup operators pin small intermediate
+  * relations (hashed shingles, band/chunk signatures) so multi-branch
+  * plans evaluate the signature pass once. The pins are plan-keyed and
+  * cannot be released before the returned DataFrame is consumed; a
+  * long-lived session running many near-dup jobs should call
+  * `spark.catalog.clearCache()` between jobs (or rely on
+  * ContextCleaner GC) if storage memory is contended.
   */
 object Dedup {
 

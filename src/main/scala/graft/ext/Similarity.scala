@@ -124,15 +124,35 @@ object Similarity {
     val n = corpusV.count()
     val trainDf = (if (n > trainCap) corpusV.sample(trainCap.toDouble / n, seed)
                    else corpusV)
+      // KMeans.fit rejects NaN/Inf features; NearestCells already degrades
+      // such rows to null at assignment, so exclude them from training too
+      .filter(!exists(col("v"),
+        x => isnan(x) || abs(x) >= lit(Double.PositiveInfinity)))
       .select(array_to_vector(col("v").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+    // empty/degenerate corpus (nothing finite to train on): KMeans.fit
+    // would throw; return the empty result with the right schema instead
+    // (brute-force/LSH degrade the same way)
+    val trainCount = trainDf.count()
+    if (trainCount == 0)
+      return corpusV.crossJoin(queryV)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          lit(0.0).as("cosine_sim"), lit(1).as("rank"))
+        .limit(0)
+    // Spark 4.1 MLlib crashes (block-mode aggregator AIOOBE) when k
+    // exceeds the training point count — clamp
+    val k_ = math.min(nlist.toLong, trainCount).toInt
+    val model = new KMeans().setK(k_).setSeed(seed).setFeaturesCol("features")
       .fit(trainDf)
     val centroids = model.clusterCenters.map(_.toArray)
+    // KMeans may return fewer than k centers on small/degenerate corpora;
+    // probing more cells than exist is just "probe everything"
+    val effNprobe = math.min(nprobe, centroids.length)
 
     val assigned = corpusV
       .withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
     val probed = queryV
-      .select(col("query_id"), explode(nearestCells(col("qv"), centroids, nprobe)).as("cell"))
+      .select(col("query_id"),
+        explode(nearestCells(col("qv"), centroids, effNprobe)).as("cell"))
 
     val cand = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("id") =!= col("query_id"))

@@ -52,10 +52,14 @@ object Skew {
     * audit a pipeline runs BEFORE deciding to salt: returns the `topN`
     * hottest keys with counts and their share of all rows. */
   def keySkewReport(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
-    val total = df.count()
-    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    // single scan: the total derives from the grouped counts, so the
+    // (possibly expensive) input plan is never executed twice
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n").as("__total"))))
       .orderBy(col("n").desc)
       .limit(topN)
-      .withColumn("share", col("n").cast("double") / lit(total.toDouble))
+      .withColumn("share", col("n").cast("double") / col("__total"))
+      .drop("__total")
   }
 }

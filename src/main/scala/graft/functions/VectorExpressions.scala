@@ -173,12 +173,20 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: 
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
+    // a vector from a different model/dim would get a cell from a
+    // truncated dot product — silently wrong; degrade to null like
+    // CosineDistance does on length mismatch
+    if (n != cents(0).length) return null
     val x = new Array[Double](n)
     var norm = 0.0
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null
-      val d = toD(arr, i); x(i) = d; norm += d * d
+      val d = toD(arr, i)
+      // NaN poisons every dot product: the argmax below would never
+      // select a cell (NaN comparisons are false) and index -1
+      if (java.lang.Double.isNaN(d)) return null
+      x(i) = d; norm += d * d
       i += 1
     }
     if (norm == 0.0) return null

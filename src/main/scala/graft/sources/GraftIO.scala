@@ -64,15 +64,19 @@ object GraftIO {
     // `overwrite` alone cannot replace an ORPHANED managed-table directory
     // (location on disk, no catalog entry — what a previous JVM leaves
     // behind with an in-memory catalog): CREATE TABLE fails with
-    // LOCATION_ALREADY_EXISTS. Drop any catalog entry, then clear the
-    // default-warehouse location. Names are default-database here by
-    // contract (this is a local co-location utility, not a metastore API).
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
-      table.toLowerCase(java.util.Locale.ROOT))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // LOCATION_ALREADY_EXISTS. Clear the stale location ONLY in that
+    // orphan case; when the table IS cataloged, plain overwrite keeps its
+    // staged atomicity and its fail-fast on writing a table being read
+    // (eagerly dropping here would delete the source under a lazy `df`
+    // derived from the same table). Names are default-database by contract
+    // (this is a local co-location utility, not a metastore API).
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)

@@ -109,4 +109,28 @@ class BucketedDiffSpec extends graft.SparkSpec {
     val g = BigDiffy.diff(lt, rt, Seq("k")).globalStats.head()
     (g.getLong(0), g.getLong(2)) shouldBe ((2000L, 200L))
   }
+
+  it should "re-run over an existing table and survive an orphaned location" in {
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("k", "v")
+    graft.sources.GraftIO.writeBucketed(df, "bkt_rerun", Seq("k"), buckets = 4)
+    // cataloged-table overwrite path: plain re-run replaces contents
+    graft.sources.GraftIO.writeBucketed(df.filter(col("k") <= 50L),
+      "bkt_rerun", Seq("k"), buckets = 4)
+    spark.table("bkt_rerun").count() shouldBe 50L
+    // re-bucketing FROM the same table must fail fast, not delete the data
+    an[Exception] should be thrownBy
+      graft.sources.GraftIO.writeBucketed(spark.table("bkt_rerun"),
+        "bkt_rerun", Seq("k"), buckets = 8)
+    spark.table("bkt_rerun").count() shouldBe 50L
+    // orphaned location (dir on disk, no catalog entry): write succeeds
+    val warehouse = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    spark.sql("DROP TABLE bkt_rerun")
+    val orphan = new java.io.File(warehouse, "bkt_orphan")
+    orphan.mkdirs()
+    new java.io.File(orphan, "leftover").createNewFile()
+    graft.sources.GraftIO.writeBucketed(df, "bkt_orphan", Seq("k"), buckets = 4)
+    spark.table("bkt_orphan").count() shouldBe 100L
+    spark.sql("DROP TABLE bkt_orphan")
+  }
 }

@@ -67,6 +67,25 @@ class SimilaritySpec extends SparkSpec {
     (bf intersect ivf).size.toDouble / bf.size should be >= 0.8
   }
 
+  it should "tolerate NaN vectors, tiny corpora, and an empty corpus" in {
+    // NaN embedding: row degrades to null cell (skipped), job survives
+    val dirty = vecs.unionByName(
+      Seq((9000L, Seq.fill(dim)(Float.NaN).toSeq)).toDF("vec_id", "embedding"))
+    noException should be thrownBy
+      Similarity.ivfTopK(dirty, dirty.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 2, nlist = 4, nprobe = 2).count()
+    // corpus with fewer distinct points than nlist: KMeans returns fewer
+    // centroids; nprobe clamps instead of failing the require
+    val tiny = vecs.filter(col("vec_id") < 3)
+    Similarity.ivfTopK(tiny, tiny, "vec_id", "embedding", k = 2,
+      nlist = 16, nprobe = 6).count() should be > 0L
+    // empty corpus: empty result with the right schema, no KMeans.fit crash
+    val empty = vecs.filter(col("vec_id") < 0)
+    val got = Similarity.ivfTopK(empty, tiny, "vec_id", "embedding", k = 2)
+    got.count() shouldBe 0L
+    got.columns.toSeq shouldBe Seq("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
   it should "rank the scaled copy of a query first (same direction, cosine 1)" in {
     val copies = vecs.filter(col("vec_id") < 3)
       .select((col("vec_id") + 1000L).as("vec_id"),
