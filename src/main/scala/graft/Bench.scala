@@ -20,10 +20,13 @@ object Bench {
       import graft.GraftFunctions._
       val warm = spark.range(200000)
         .select(col("id"), concat_ws(" ", lit("warm"), col("id").cast("string")).as("txt"))
+      // every derived column must be consumed by the aggregate — an
+      // unused one is pruned by Catalyst and its kernel never warms
       warm.select(fieldHash(Seq(col("id"))).as("h"),
           minhash(shingleHashes(col("txt"), 3), 16, 0).as("m"),
           simhash(col("txt"), 0).as("s"))
-        .groupBy(col("h") % 64).agg(count(lit(1)), min("s")).count()
+        .groupBy(col("h") % 64)
+        .agg(count(lit(1)), min("s"), max(size(col("m")))).count()
       warm.join(warm.select(col("id"), col("txt").as("t2")), Seq("id"), "full_outer")
         .count()
     }

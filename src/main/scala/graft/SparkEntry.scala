@@ -50,16 +50,24 @@ object SparkEntry {
     BigDiffy.diff(lhs, rhs, Seq("o_orderkey"))
   }
 
-  /** Near-dup corpus for the dedup queries: every document plus a copy with
-    * the last 10 characters truncated (ids shifted by +100000). Truncation
-    * loses ≤14 shingle positions, so with the shortest doc at 48 chars
-    * (≥34 distinct shingles) every constructed pair keeps Jaccard ≥ 0.58 —
+  /** Copy-id offset that can never collide with an existing id at any
+    * scale factor (a fixed constant would alias originals once the corpus
+    * outgrows it). */
+  private def idOffset(df: DataFrame, idCol: String): Long =
+    df.agg(max(col(idCol))).first().getLong(0) + 1
+
+  /** Near-dup corpus for the dedup queries: every document plus a copy
+    * with the last 10 characters truncated (ids shifted by a
+    * collision-free offset, returned alongside). Truncation loses ≤14
+    * shingle positions, so with the shortest doc at 48 chars (≥34
+    * distinct shingles) every constructed pair keeps Jaccard ≥ 0.58 —
     * comfortably above the 0.5 recall threshold used below. */
-  private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private def nearDupCorpus(spark: SparkSession, dir: String): (DataFrame, Long) = {
     val docs = t(spark, dir, "documents").select("doc_id", "text")
-    val dups = docs.select((col("doc_id") + 100000).as("doc_id"),
+    val off = idOffset(docs, "doc_id")
+    val dups = docs.select((col("doc_id") + off).as("doc_id"),
       expr("substring(text, 1, greatest(length(text) - 10, 20))").as("text"))
-    docs.unionByName(dups)
+    (docs.unionByName(dups), off)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -180,24 +188,27 @@ object SparkEntry {
     "dedup_fingerprint" -> ((s, d) =>
       Dedup.exactByFingerprint(t(s, d, "documents"), "doc_id", "text")
         .agg(count(lit(1)).as("n_groups"), max("dup_count").as("max_dup"))),
-    // recall check: every constructed (i, i+100000) truncation pair must be
+    // recall check: every constructed (i, i+off) truncation pair must be
     // recovered by MinHash-LSH with 32 bands of 2 rows (miss P < 1e-5)
-    "minhash_recall" -> ((s, d) =>
-      Dedup.minhashNearDups(nearDupCorpus(s, d), "doc_id", "text",
+    "minhash_recall" -> ((s, d) => {
+      val (corpus, off) = nearDupCorpus(s, d)
+      Dedup.minhashNearDups(corpus, "doc_id", "text",
           numHashes = 64, bands = 32, shingleLen = 5, threshold = 0.5)
-        .filter(col("id_b") === col("id_a") + 100000)
-        .agg(count(lit(1)).as("n_found"))),
+        .filter(col("id_b") === col("id_a") + off)
+        .agg(count(lit(1)).as("n_found"))
+    }),
     "simhash_pairs" -> ((s, d) =>
-      Dedup.simhashNearDups(nearDupCorpus(s, d), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashNearDups(nearDupCorpus(s, d)._1, "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
     // oracle-gated simhash recall: identical texts have identical
-    // fingerprints (Hamming 0), so every exact-copy pair (i, i+200000)
+    // fingerprints (Hamming 0), so every exact-copy pair (i, i+off)
     // MUST be recovered — the count equals the document count exactly
     "simhash_recall" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
-      val copies = docs.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val off = idOffset(docs, "doc_id")
+      val copies = docs.select((col("doc_id") + off).as("doc_id"), col("text"))
       Dedup.simhashNearDups(docs.unionByName(copies), "doc_id", "text", maxHamming = 3)
-        .filter(col("id_b") === col("id_a") + 200000)
+        .filter(col("id_b") === col("id_a") + off)
         .agg(count(lit(1)).as("n_found"))
     }),
 
@@ -207,12 +218,13 @@ object SparkEntry {
     "embedding_dedup" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val dim = emb.select(size(col("embedding"))).first().getInt(0)
-      val dups = emb.select((col("vec_id") + 100000).as("vec_id"),
+      val off = idOffset(emb, "vec_id")
+      val dups = emb.select((col("vec_id") + off).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
       val corpus = emb.select("vec_id", "embedding").unionByName(dups)
       Dedup.embeddingNearDups(corpus, "vec_id", "embedding", dim,
           simThreshold = 0.99, bits = 6, tables = 8)
-        .filter(col("id_b") === col("id_a") + 100000)
+        .filter(col("id_b") === col("id_a") + off)
         .agg(count(lit(1)).as("n_found"))
     }),
 
@@ -507,11 +519,14 @@ object SparkEntry {
            |FROM s ORDER BY doc_id""".stripMargin,
       // the decode stub's mean_intensity is the mean byte value of the
       // UTF-8 payload; the corpus is pure ASCII (verified), so per-char
-      // codepoints equal bytes
+      // codepoints equal bytes. Payloads under 4 bytes decode to null on
+      // the Spark side (stub header check) — mask them out of the AVG the
+      // same way so the oracle holds on any corpus, not just this one
       "multimodal_decode" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n,
-          |  ROUND(AVG(list_sum(list_transform(string_split(text, ''), c -> ord(c)))
-          |            * 1.0 / length(text)), 4) AS avg_int
+          |  ROUND(AVG(CASE WHEN length(text) >= 4 THEN
+          |    list_sum(list_transform(string_split(text, ''), c -> ord(c)))
+          |    * 1.0 / length(text) END), 4) AS avg_int
           |FROM documents""".stripMargin,
       "text_fingerprint" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

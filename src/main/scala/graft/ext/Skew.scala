@@ -19,13 +19,18 @@ object Skew {
   /** Equi-join `large` (skewed on `keys`) with `small`, spreading each hot
     * key of the large side across `salt` shuffle partitions.
     *
-    * The large side gets a deterministic per-row salt in `[0, salt)` (hash
-    * of the whole row — reproducible, unlike `rand()`, so re-scans under
-    * task retry assign identical salts); the small side is exploded
-    * `salt`× so every (key, salt) bucket finds its match. Join output
-    * equals the unsalted join exactly; only the shuffle distribution
-    * changes. The small side must tolerate `salt`× replication — it is
-    * a dimension table by contract.
+    * The large side gets a per-row salt in `[0, salt)` derived from the
+    * key columns hashed together with the row's position
+    * (`monotonically_increasing_id`), so EXACT-DUPLICATE rows of a hot
+    * key — the common skew shape in pre-dedup corpora — still spread
+    * across salt buckets (a whole-row hash would send them all to one),
+    * and map-typed payload columns never enter the hash (xxhash64 rejects
+    * MapType). Stable on a re-scan of the same source, same caveat class
+    * as Spark's own `rand`. The small side is exploded `salt`× so every
+    * (key, salt) bucket finds its match. Join output equals the unsalted
+    * join exactly; only the shuffle distribution changes. The small side
+    * must tolerate `salt`× replication — it is a dimension table by
+    * contract.
     *
     * Supported join types: inner / left (left_outer). Right/full-outer
     * would need the unmatched-small-side rows deduplicated back from
@@ -40,13 +45,18 @@ object Skew {
       s"saltedJoin supports inner/left joins, got $joinType")
     val largeCols = large.columns.toIndexedSeq
     val smallCols = small.columns.toIndexedSeq.filterNot(keys.contains)
-    val l = large.withColumn("__salt",
-      pmod(xxhash64(largeCols.map(large(_)): _*), lit(salt)).cast("int"))
+    val l = large.withColumn("__salt", saltExpr(large, keys, salt))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(s, keys :+ "__salt", jt)
       .select((largeCols.map(l(_)) ++ smallCols.map(s(_))): _*)
   }
+
+  /** The large-side salt: key columns hashed with the row position, so
+    * exact duplicates of a hot key still spread. */
+  private[ext] def saltExpr(large: DataFrame, keys: Seq[String], salt: Int): Column =
+    pmod(xxhash64((keys.map(large(_)) :+ monotonically_increasing_id()): _*),
+      lit(salt)).cast("int")
 
   /** Per-key frequency report over a prospective join/groupBy key — the
     * audit a pipeline runs BEFORE deciding to salt: returns the `topN`

@@ -183,9 +183,10 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: 
     while (i < n) {
       if (arr.isNullAt(i)) return null
       val d = toD(arr, i)
-      // NaN poisons every dot product: the argmax below would never
-      // select a cell (NaN comparisons are false) and index -1
-      if (java.lang.Double.isNaN(d)) return null
+      // non-finite elements make dot products NaN/±Inf (Inf·0, Inf−Inf):
+      // the argmax below could then never select a cell (NaN comparisons
+      // are false → index -1) — degrade the row to null per contract
+      if (!java.lang.Double.isFinite(d)) return null
       x(i) = d; norm += d * d
       i += 1
     }
@@ -206,11 +207,14 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: 
     val taken = new Array[Boolean](cents.length)
     var k = 0
     while (k < nprobe) {
+      // vector elements are finite (screened above) and centroids are
+      // finite by construction, so sims are always orderable: best is
+      // found on the first unvisited cell at the latest
       var best = -1; var bestSim = Double.NegativeInfinity
       var c2 = 0
       while (c2 < sims.length) {
         // ties broken by lower cell id for determinism
-        if (!taken(c2) && sims(c2) > bestSim) { best = c2; bestSim = sims(c2) }
+        if (!taken(c2) && (best < 0 || sims(c2) > bestSim)) { best = c2; bestSim = sims(c2) }
         c2 += 1
       }
       taken(best) = true; out(k) = best

@@ -75,7 +75,27 @@ object GraftIO {
         new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")),
         table.toLowerCase(java.util.Locale.ROOT))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        // refuse to clear the orphan if `df` itself READS from it (e.g. a
+        // recovery flow that re-registers via spark.read.parquet(loc)) —
+        // deleting first would destroy the data under the lazy plan
+        val locStr = fs.makeQualified(loc).toString
+        val readsTarget = df.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(p =>
+                  p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                    .makeQualified(p).toString)
+              case _ => Nil
+            }
+        }.flatten.exists(p => p == locStr || p.startsWith(locStr + "/"))
+        if (readsTarget)
+          throw new IllegalArgumentException(
+            s"writeBucketed: input DataFrame reads from the orphaned target " +
+              s"location $locStr — materialize it elsewhere first")
+        fs.delete(loc, true)
+      }
     }
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)

@@ -43,7 +43,7 @@ object StreamOps {
   def dedupByContent(stream: DataFrame, textCol: String, tsCol: String,
                      watermark: String): DataFrame =
     stream
-      .withColumn("__fp", farmHash64(lower(regexp_replace(col(textCol), "\\s+", " "))))
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
@@ -87,28 +87,35 @@ object StreamOps {
     val spark = stream.sparkSession
     import spark.implicits._
     stream
-      .withColumn("__fp", farmHash64(lower(regexp_replace(col(textCol), "\\s+", " "))))
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .select(col("__fp").as("fp"), col(tsCol).cast("timestamp").as("ts"))
+      // malformed rows (null text → null fingerprint, null/uncastable
+      // timestamp) are skipped, not allowed to kill the query: the tuple
+      // encoder rejects null Longs and getTime NPEs on null timestamps
+      .filter(col("fp").isNotNull && col("ts").isNotNull)
       // watermark AFTER the projection: a cast/rename creates a fresh
       // attribute without the event-time tag, which EventTimeTimeout
       // rejects at analysis
       .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long), DupCount](
+      .flatMapGroupsWithState[(Long, Long, Long), DupCount](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
-        case (fp, rows, state: GroupState[(Long, Long)]) =>
+        case (fp, rows, state: GroupState[(Long, Long, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val arrivals = rows.toSeq
-            val (firstSeen, prev) = state.getOption
-              .getOrElse((arrivals.map(_._2.getTime).min, 0L))
+            val batchMax = arrivals.map(_._2.getTime).max
+            val (firstSeen, prev, lastSeen) = state.getOption
+              .getOrElse((arrivals.map(_._2.getTime).min, 0L, batchMax))
             val n = prev + arrivals.size
-            state.update((firstSeen, n))
-            state.setTimeoutTimestamp(
-              arrivals.map(_._2.getTime).max, stateTimeout)
+            // a LATE out-of-order batch must not rebase the timeout
+            // earlier than the true last arrival — keep the max
+            val newLast = math.max(lastSeen, batchMax)
+            state.update((firstSeen, n, newLast))
+            state.setTimeoutTimestamp(newLast, stateTimeout)
             Iterator.single(DupCount(fp, n, firstSeen))
           }
       }

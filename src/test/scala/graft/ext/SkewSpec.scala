@@ -37,12 +37,26 @@ class SkewSpec extends SparkSpec {
     salted.count() shouldBe factWithOrphans.count()
   }
 
-  it should "spread the hot key across all salt buckets" in {
+  it should "spread the hot key across all salt buckets, even for exact-duplicate rows" in {
     val salts = fact.filter(col("k") === 1L)
-      .withColumn("__salt",
-        pmod(xxhash64(fact.columns.toIndexedSeq.map(fact(_)): _*), lit(8)).cast("int"))
+      .withColumn("__salt", Skew.saltExpr(fact, Seq("k"), 8))
       .select(countDistinct(col("__salt"))).head().getLong(0)
     salts shouldBe 8L
+    // the pre-dedup shape: the hot key's rows are FULL duplicates — a
+    // whole-row hash would collapse them onto one salt
+    val dupFact = spark.range(1000).select(lit(1L).as("k"), lit(42L).as("payload"))
+    val dupSalts = dupFact
+      .withColumn("__salt", Skew.saltExpr(dupFact, Seq("k"), 8))
+      .select(countDistinct(col("__salt"))).head().getLong(0)
+    dupSalts shouldBe 8L
+    // correctness under duplicates: every duplicate row joins
+    Skew.saltedJoin(dupFact, dim, Seq("k"), salt = 8).count() shouldBe 1000L
+  }
+
+  it should "tolerate map-typed payload columns on the large side" in {
+    val withMap = fact.withColumn("attrs", map(lit("a"), col("payload")))
+    Skew.saltedJoin(withMap, dim, Seq("k"), salt = 4).count() shouldBe
+      fact.join(dim, Seq("k")).count()
   }
 
   it should "reject unsupported join types" in {
