@@ -87,6 +87,22 @@ object Drive {
     val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
     println(s"  brute-force rows: ${bf.count()}, lsh rows: ${ann.count()}")
 
+    println("== IVF topK (k-means quantizer) vs brute force:")
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 4)
+    val bfSet = bf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfSet = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    println(s"  ivf rows: ${ivfSet.size}, recall vs bf: ${(bfSet & ivfSet).size}/${bfSet.size}")
+
+    println("== salted join equals plain join on a skewed key:")
+    val fact = spark.range(5000)
+      .select(when(col("id") % 5 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dimT = (1L to 500L).map(k => (k, s"n_$k")).toDF("k", "name")
+    val plainN = fact.join(dimT, Seq("k")).count()
+    val saltN = graft.ext.Skew.saltedJoin(fact, dimT, Seq("k"), salt = 8).count()
+    println(s"  plain=$plainN salted=$saltN " + (if (plainN == saltN) "OK" else "MISMATCH"))
+
     spark.stop()
   }
 }
