@@ -76,7 +76,8 @@ case class FieldHash(
       return TypeCheckResult.TypeCheckFailure(s"unknown hash algo: $algo (expected farm|murmur)")
     def ok(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
-           BooleanType | StringType | BinaryType | DateType | TimestampType => true
+           BooleanType | StringType | BinaryType | DateType | TimestampType |
+           TimestampNTZType => true
       case _: DecimalType  => true
       case st: StructType  => st.fields.forall(f => ok(f.dataType))
       case at: ArrayType   => ok(at.elementType)
@@ -132,7 +133,9 @@ case class FieldHash(
       case d: DecimalType =>
         h.putString(v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString, UTF_8)
       case DateType              => h.putLong(v.asInstanceOf[Int].toLong)
-      case TimestampType         => h.putLong(v.asInstanceOf[Long])
+      // both timestamp flavors store micros-as-long; parquet in this
+      // engine's inputs surfaces as NTZ, so both must hash identically
+      case TimestampType | TimestampNTZType => h.putLong(v.asInstanceOf[Long])
       case st: StructType =>
         val row = v.asInstanceOf[InternalRow]
         var i = 0

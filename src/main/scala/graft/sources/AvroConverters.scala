@@ -42,7 +42,12 @@ object AvroConverters {
       (MapType(StringType, vt, valueContainsNull = vn), false)
     case Schema.Type.STRING  => (StringType, false)
     case Schema.Type.ENUM    => (StringType, false)
-    case Schema.Type.BYTES   => (BinaryType, false)
+    case Schema.Type.BYTES   =>
+      s.getLogicalType match {
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          (DecimalType(d.getPrecision, d.getScale), false)
+        case _ => (BinaryType, false)
+      }
     case Schema.Type.FIXED   => (BinaryType, false)
     case Schema.Type.INT =>
       s.getLogicalType match {
@@ -90,6 +95,10 @@ object AvroConverters {
       .addToSchema(Schema.create(Schema.Type.LONG))
     case DateType => org.apache.avro.LogicalTypes.date()
       .addToSchema(Schema.create(Schema.Type.INT))
+    // the standard Avro decimal logical type: two's-complement unscaled
+    // bytes, precision/scale carried in the schema
+    case d: DecimalType => org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+      .addToSchema(Schema.create(Schema.Type.BYTES))
     case st: StructType => toAvroSchema(st, name, ns)
     case ArrayType(et, containsNull) =>
       val e = fieldSchema(et, s"${name}_item", ns)
@@ -111,6 +120,9 @@ object AvroConverters {
       e.toString
     case (b: ByteBuffer, BinaryType) =>
       val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case (b: ByteBuffer, d: DecimalType) =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out)
+      new java.math.BigDecimal(new java.math.BigInteger(out), d.scale)
     case (f: GenericData.Fixed, BinaryType) => f.bytes()
     case (r: GenericRecord, st: StructType) =>
       Row.fromSeq(st.fields.toSeq.map(f => toCatalyst(r.get(f.name), f.dataType)))
@@ -166,6 +178,10 @@ object AvroConverters {
         out.put(k.toString, toAvroValue(mv, nonNull(s.getValueType), vt)) }
       out
     case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
+    case (bd: java.math.BigDecimal, d: DecimalType) =>
+      ByteBuffer.wrap(bd.setScale(d.scale).unscaledValue.toByteArray)
+    case (bd: BigDecimal, d: DecimalType) =>
+      ByteBuffer.wrap(bd.underlying.setScale(d.scale).unscaledValue.toByteArray)
     case (b: Byte, _) => b.toInt
     case (sh: Short, _) => sh.toInt
     case (t: java.sql.Timestamp, TimestampType) =>

@@ -29,6 +29,26 @@ class HashSpec extends SparkSpec {
     got shouldBe want
   }
 
+  it should "hash NTZ timestamps (the parquet default here) like TZ ones" in {
+    // both flavors are micros-as-long in the funnel: a sampling cohort
+    // keyed on a timestamp must not depend on which flavor the reader chose
+    val df = spark.sql(
+      """SELECT TIMESTAMP'2024-03-01 10:00:00' AS ts,
+        |       TIMESTAMP_NTZ'2024-03-01 10:00:00' AS ts_ntz""".stripMargin)
+    val r = df.select(
+      graft.GraftFunctions.fieldHash(Seq(col("ts"))).as("h_tz"),
+      graft.GraftFunctions.fieldHash(Seq(col("ts_ntz"))).as("h_ntz")).head()
+    r.getLong(0) shouldBe r.getLong(1)
+  }
+
+  it should "be a stable farm fingerprint (guard value)" in {
+    val got = spark.range(1)
+      .select(graft.GraftFunctions.fieldHash(Seq(lit("x"))).as("h")).head().getLong(0)
+    val want = com.google.common.hash.Hashing.farmHashFingerprint64()
+      .newHasher().putString("x", UTF_8).hash().asLong()
+    got shouldBe want
+  }
+
   it should "be deterministic across evaluations and sensitive to seed" in {
     val df = spark.range(1000).toDF("id")
     val a = df.select(fieldHash(Seq(col("id")), "farm", Some(1))).as[Long].collect()

@@ -74,4 +74,15 @@ class AvroIOSpec extends SparkSpec {
       .fields.map(f => (f.name, f.dataType)) shouldBe
       df.schema.fields.map(f => (f.name, f.dataType))
   }
+
+  it should "round-trip decimals via the Avro decimal logical type" in {
+    val dir = Files.createTempDirectory("avro_dec").toString + "/out"
+    val df = Seq("12345.67", "-0.01", "0.00")
+      .toDF("s").select(col("s").cast("decimal(10,2)").as("d"))
+    AvroIO.write(df, dir)
+    val back = AvroIO.read(spark, dir)
+    back.schema("d").dataType shouldBe org.apache.spark.sql.types.DecimalType(10, 2)
+    back.select(col("d").cast("string")).as[String].collect().sorted shouldBe
+      Array("-0.01", "0.00", "12345.67")
+  }
 }
