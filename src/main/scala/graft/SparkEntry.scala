@@ -264,6 +264,24 @@ object SparkEntry {
           (col("n_matched") >= col("n_bf") * 0.7).as("recall_ok"))
     }),
 
+    // oracle-gated clustering: connected components over the near-dup pair
+    // graph — every exact-copy pair (i, i+off) shares an edge, so whatever
+    // organic near-dups merge in, i and its copy ALWAYS land in the same
+    // cluster; the count equals the document count exactly
+    "dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val off = idOffset(docs, "doc_id")
+      val copies = docs.select((col("doc_id") + off).as("doc_id"), col("text"))
+      val pairs = Dedup.simhashNearDups(docs.unionByName(copies), "doc_id", "text",
+        maxHamming = 3)
+      val cc = Dedup.connectedComponents(pairs)
+      val a = cc.select(col("id").as("ida"), col("component").as("ca"))
+      val b = cc.select(col("id").as("idb"), col("component").as("cb"))
+      a.join(b, col("idb") === col("ida") + off)
+        .filter(col("ca") === col("cb"))
+        .agg(count(lit(1)).as("n_same_cluster"))
+    }),
+
     // oracle-gated IVF ANN quality: k-means-quantized inverted-file search
     // must recover ≥55% of the exact brute-force top-k (measured 68–82%
     // across sfs at nlist=16/nprobe=6; stable across local parallelism —
@@ -453,6 +471,7 @@ object SparkEntry {
           |  CAST(1 AS BIGINT) AS max_dup FROM documents""".stripMargin,
       "minhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
       "simhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
+      "dedup_clusters" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_same_cluster FROM documents",
       "lsh_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "ivf_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "sample_bernoulli_tol" -> "SELECT true AS within_tol",

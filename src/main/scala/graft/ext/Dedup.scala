@@ -233,6 +233,83 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** Connected components over a near-dup pair list: every document
+    * reachable through pairs lands in one cluster, labeled by the cluster's
+    * minimum id — the representative a dedup keep-one policy retains.
+    *
+    * Iterative min-label propagation over the (undirected) edge list:
+    * each round every vertex takes the min of its own label and its
+    * neighbors' labels; converges in O(cluster diameter) rounds — near-dup
+    * clusters are shallow (a handful of rounds), and `maxIter` bounds the
+    * pathological chain. Scale shape: each round is one shuffle of the
+    * EDGE list joined to the (id, label) relation — edges are two longs,
+    * orders of magnitude smaller than the corpus; labels persist per round
+    * and the previous round unpersists, so lineage and storage stay flat.
+    * Returns (id, component) for every id that appears in `pairs`;
+    * singleton documents (no pairs) are their own implicit cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // pin the pair list BEFORE mirroring: the union's two branches would
+    // otherwise each evaluate the (possibly expensive) upstream candidate
+    // pipeline that produced the pairs
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, NOT persist: each round references the previous
+    // labels twice (neighbor join + convergence check), so an uncut
+    // logical plan doubles per round — exponential analysis cost by ~20
+    // iterations. Checkpointing truncates lineage each round; on a real
+    // cluster prefer reliable checkpoints (spark.sparkContext
+    // .setCheckpointDir + .checkpoint) to survive executor loss on
+    // long-running clustering jobs.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label per vertex = min over (own, neighbors')
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr_component"))
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+      // path halving: follow the representative's own label once more —
+      // roughly halves the rounds a long chain needs
+      val reps = stepped.select(col("id").as("component"), col("component").as("rep2"))
+      val next = stepped.join(reps, Seq("component"), "left")
+        .select(col("id"), coalesce(col("rep2"), col("component")).as("component"))
+        .localCheckpoint(true)
+      // labels are monotone non-increasing, so an unchanged (exact
+      // decimal) sum IS convergence — one cheap agg instead of an
+      // anti-join comparison per round
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep-one-per-cluster dedup: drops every document whose near-dup
+    * cluster contains a smaller id (the representative). Documents with no
+    * near-dup pair pass through untouched. */
+  def dropNearDups(df: DataFrame, idCol: String, components: DataFrame): DataFrame = {
+    val losers = components.filter(col("id") =!= col("component"))
+      .select(col("id").as("__drop_id"))
+    df.join(losers, df(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** N-gram Jaccard similarity for an explicit pair set (verification-style
     * API): joins the pair list to the corpus twice and scores. */
   def ngramJaccard(pairs: DataFrame, corpus: DataFrame, idCol: String,

@@ -90,6 +90,40 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+/** Connected components over pair lists + keep-one dedup. */
+class ClusterSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  it should "label chains, triangles, and disjoint clusters by min id" in {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    cc(1L) shouldBe 1L; cc(2L) shouldBe 1L; cc(3L) shouldBe 1L; cc(4L) shouldBe 1L
+    cc(10L) shouldBe 10L; cc(11L) shouldBe 10L; cc(12L) shouldBe 10L
+    cc(20L) shouldBe 20L; cc(21L) shouldBe 20L
+  }
+
+  it should "converge on a long chain within maxIter via min propagation" in {
+    // a 64-link chain: worst diameter for label propagation
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, maxIter = 70)
+    cc.select(countDistinct(col("component"))).head().getLong(0) shouldBe 1L
+    cc.agg(min("component")).head().getLong(0) shouldBe 0L
+  }
+
+  it should "drop every non-representative and keep singletons" in {
+    val docs = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    val kept = Dedup.dropNearDups(docs, "doc_id", cc)
+      .select("doc_id").as[Long].collect().sorted
+    // 2,3,11 dropped; representatives 1,10 and all singletons kept
+    kept shouldBe ((1L to 30L).toSet -- Set(2L, 3L, 11L)).toSeq.sorted
+  }
+}
+
 /** Embedding-cosine near-dup: constructed near-identical vectors must be
   * recovered; orthogonal vectors must not pair. */
 class EmbeddingDedupSpec extends graft.SparkSpec {
