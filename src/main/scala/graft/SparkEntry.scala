@@ -52,9 +52,19 @@ object SparkEntry {
 
   /** Copy-id offset that can never collide with an existing id at any
     * scale factor (a fixed constant would alias originals once the corpus
-    * outgrows it). */
+    * outgrows it); 0 for an empty/all-null table so the downstream query
+    * degrades to an empty result instead of an NPE. */
   private def idOffset(df: DataFrame, idCol: String): Long =
-    df.agg(max(col(idCol))).first().getLong(0) + 1
+    df.agg(coalesce(max(col(idCol)) + 1, lit(0L))).first().getLong(0)
+
+  /** Exact-copy corpus shared by the simhash/cluster gates: every document
+    * plus a byte-identical copy at doc_id + offset. */
+  private def exactCopyCorpus(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val off = idOffset(docs, "doc_id")
+    val copies = docs.select((col("doc_id") + off).as("doc_id"), col("text"))
+    (docs.unionByName(copies), off)
+  }
 
   /** Near-dup corpus for the dedup queries: every document plus a copy
     * with the last 10 characters truncated (ids shifted by a
@@ -204,10 +214,8 @@ object SparkEntry {
     // fingerprints (Hamming 0), so every exact-copy pair (i, i+off)
     // MUST be recovered — the count equals the document count exactly
     "simhash_recall" -> ((s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val off = idOffset(docs, "doc_id")
-      val copies = docs.select((col("doc_id") + off).as("doc_id"), col("text"))
-      Dedup.simhashNearDups(docs.unionByName(copies), "doc_id", "text", maxHamming = 3)
+      val (corpus, off) = exactCopyCorpus(s, d)
+      Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
         .filter(col("id_b") === col("id_a") + off)
         .agg(count(lit(1)).as("n_found"))
     }),
@@ -269,11 +277,8 @@ object SparkEntry {
     // organic near-dups merge in, i and its copy ALWAYS land in the same
     // cluster; the count equals the document count exactly
     "dedup_clusters" -> ((s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val off = idOffset(docs, "doc_id")
-      val copies = docs.select((col("doc_id") + off).as("doc_id"), col("text"))
-      val pairs = Dedup.simhashNearDups(docs.unionByName(copies), "doc_id", "text",
-        maxHamming = 3)
+      val (corpus, off) = exactCopyCorpus(s, d)
+      val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
       val cc = Dedup.connectedComponents(pairs)
       val a = cc.select(col("id").as("ida"), col("component").as("ca"))
       val b = cc.select(col("id").as("idb"), col("component").as("cb"))

@@ -239,16 +239,20 @@ object Dedup {
     *
     * Iterative min-label propagation over the (undirected) edge list:
     * each round every vertex takes the min of its own label and its
-    * neighbors' labels; converges in O(cluster diameter) rounds — near-dup
-    * clusters are shallow (a handful of rounds), and `maxIter` bounds the
-    * pathological chain. Scale shape: each round is one shuffle of the
-    * EDGE list joined to the (id, label) relation — edges are two longs,
-    * orders of magnitude smaller than the corpus; labels persist per round
-    * and the previous round unpersists, so lineage and storage stay flat.
+    * neighbors' labels, then follows its representative's label once more
+    * (path halving), so rounds needed ≈ half the largest cluster diameter.
+    * `maxIter` bounds pathological chains; hitting it without convergence
+    * logs a warning and returns the (finer-than-final) labels — safe for
+    * dedup, which then merely under-merges. Scale shape: each round is
+    * one shuffle of the EDGE list joined to the (id, label) relation —
+    * edges are two longs, orders of magnitude smaller than the corpus;
+    * each round's labels are lineage-truncated via localCheckpoint
+    * (storage for dropped rounds is reclaimed by the ContextCleaner,
+    * bounded by maxIter copies of an (id, component) pair relation).
     * Returns (id, component) for every id that appears in `pairs`;
     * singleton documents (no pairs) are their own implicit cluster.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // pin the pair list BEFORE mirroring: the union's two branches would
     // otherwise each evaluate the (possibly expensive) upstream candidate
@@ -267,8 +271,11 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // null-safe: sum over an EMPTY label relation is null — fold to zero
+    // so the first convergence compare doesn't NPE on a pair-free corpus
     def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(l.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -297,6 +304,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents did not converge in " +
+        s"$maxIter rounds — returning finer-grained labels (under-merged clusters)")
     edges.unpersist()
     labels
   }

@@ -25,8 +25,12 @@ object Skew {
     * key — the common skew shape in pre-dedup corpora — still spread
     * across salt buckets (a whole-row hash would send them all to one),
     * and map-typed payload columns never enter the hash (xxhash64 rejects
-    * MapType). Stable on a re-scan of the same source, same caveat class
-    * as Spark's own `rand`. The small side is exploded `salt`× so every
+    * MapType). The position term is NONDETERMINISTIC across recomputes
+    * (no deterministic function can distinguish exact duplicates): Spark
+    * marks the stage indeterminate, so a fetch failure triggers full-stage
+    * rollback-and-rerun rather than silent row loss — the standard cost
+    * of duplicate-spreading salts, identical to `rand()`-based salting.
+    * The small side is exploded `salt`× so every
     * (key, salt) bucket finds its match. Join output equals the unsalted
     * join exactly; only the shuffle distribution changes. The small side
     * must tolerate `salt`× replication — it is a dimension table by

@@ -48,7 +48,13 @@ object AvroConverters {
           (DecimalType(d.getPrecision, d.getScale), false)
         case _ => (BinaryType, false)
       }
-    case Schema.Type.FIXED   => (BinaryType, false)
+    case Schema.Type.FIXED   =>
+      s.getLogicalType match {
+        // Hive/parquet-avro writers commonly back decimals with FIXED
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          (DecimalType(d.getPrecision, d.getScale), false)
+        case _ => (BinaryType, false)
+      }
     case Schema.Type.INT =>
       s.getLogicalType match {
         case _: org.apache.avro.LogicalTypes.Date => (DateType, false)
@@ -123,6 +129,8 @@ object AvroConverters {
     case (b: ByteBuffer, d: DecimalType) =>
       val out = new Array[Byte](b.remaining()); b.duplicate().get(out)
       new java.math.BigDecimal(new java.math.BigInteger(out), d.scale)
+    case (f: GenericData.Fixed, d: DecimalType) =>
+      new java.math.BigDecimal(new java.math.BigInteger(f.bytes()), d.scale)
     case (f: GenericData.Fixed, BinaryType) => f.bytes()
     case (r: GenericRecord, st: StructType) =>
       Row.fromSeq(st.fields.toSeq.map(f => toCatalyst(r.get(f.name), f.dataType)))

@@ -108,15 +108,18 @@ object StreamOps {
           } else {
             val arrivals = rows.toSeq
             val batchMax = arrivals.map(_._2.getTime).max
+            val batchMin = arrivals.map(_._2.getTime).min
             val (firstSeen, prev, lastSeen) = state.getOption
-              .getOrElse((arrivals.map(_._2.getTime).min, 0L, batchMax))
+              .getOrElse((batchMin, 0L, batchMax))
             val n = prev + arrivals.size
-            // a LATE out-of-order batch must not rebase the timeout
-            // earlier than the true last arrival — keep the max
+            // out-of-order batches must not skew either boundary: a LATE
+            // batch can carry the TRUE first arrival (take the min) and
+            // must not rebase the timeout earlier (keep the max)
+            val newFirst = math.min(firstSeen, batchMin)
             val newLast = math.max(lastSeen, batchMax)
-            state.update((firstSeen, n, newLast))
+            state.update((newFirst, n, newLast))
             state.setTimeoutTimestamp(newLast, stateTimeout)
-            Iterator.single(DupCount(fp, n, firstSeen))
+            Iterator.single(DupCount(fp, n, newFirst))
           }
       }
   }

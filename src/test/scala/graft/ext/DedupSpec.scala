@@ -113,6 +113,11 @@ class ClusterSpec extends graft.SparkSpec {
     cc.agg(min("component")).head().getLong(0) shouldBe 0L
   }
 
+  it should "return an empty labeling for an empty pair list" in {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    Dedup.connectedComponents(pairs).count() shouldBe 0L
+  }
+
   it should "drop every non-representative and keep singletons" in {
     val docs = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
