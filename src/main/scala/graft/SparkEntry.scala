@@ -372,6 +372,18 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    // redaction gate: plant a deterministic email + URL + phone per doc,
+    // redact, and hash-compare the full output against DuckDB running the
+    // IDENTICAL (RE2-compatible) patterns
+    "text_redact" -> ((s, d) => {
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com via https://ex.org/page?id="), col("doc_id"),
+          lit(" or +1-650-555-01"), lpad(col("doc_id") % 100, 2, "0")).as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.redact(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -552,6 +564,16 @@ object SparkEntry {
           |    list_sum(list_transform(string_split(text, ''), c -> ord(c)))
           |    * 1.0 / length(text) END), 4) AS avg_int
           |FROM documents""".stripMargin,
+      "text_redact" ->
+        """SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(
+          |    text || ' contact user' || doc_id ||
+          |      '@example.com via https://ex.org/page?id=' || doc_id ||
+          |      ' or +1-650-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    'https?://[^\s]+', '<URL>', 'g'),
+          |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "text_fingerprint" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  CAST(COUNT(*) AS BIGINT) AS n_distinct FROM documents""".stripMargin,

@@ -77,6 +77,32 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** PII-style redaction for training-data curation: emails, URLs, and
+    * phone-like digit runs replaced with stable placeholder tokens. Pure
+    * codegen'd regexp_replace chain — scan speed, no UDF. The patterns are
+    * deliberately RE2-compatible (no backrefs/lookaround) so the same
+    * expressions run under Java regex here and RE2-family engines
+    * elsewhere. Order matters: emails before phones, or a phone-like
+    * digit run inside an address would be mangled first. */
+  def redact(text: Column, emails: Boolean = true, urls: Boolean = true,
+             phones: Boolean = true): Column = {
+    var c = text
+    if (emails) c = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    if (urls) c = regexp_replace(c, "https?://[^\\s]+", "<URL>")
+    if (phones) c = regexp_replace(c, "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>")
+    c
+  }
+
+  /** C4-style duplicate-line fraction: 1 − distinct lines / lines. High
+    * values flag boilerplate (nav bars, repeated headers) — a standard
+    * quality-filter signal. */
+  def dupLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    lit(1.0) - size(array_distinct(lines)).cast("double") /
+      size(lines).cast("double")
+  }
+
   /** 64-bit document fingerprint over normalized text (rolling-hash style
     * content signature): farm fingerprint of the whitespace-squeezed,
     * lowercased body. Deterministic; BQ FARM_FINGERPRINT-compatible. */

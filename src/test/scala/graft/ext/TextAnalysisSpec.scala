@@ -54,4 +54,33 @@ class TextAnalysisSpec extends SparkSpec {
     // hello->2 pieces, extraordinary(13)->4, punct 2
     df.select(TextAnalysis.approxBpeTokenCount(col("text"))).as[Long].head() shouldBe 8L
   }
+
+  behavior of "redact"
+
+  it should "replace emails, urls, and phone runs with placeholders" in {
+    val df = Seq(
+      "mail a.b@x.co.uk now",
+      "see https://ex.com/p?q=1 and http://a.b",
+      "call +1-650-555-0199 ok",
+      "plain text").toDF("text")
+    df.select(TextAnalysis.redact(col("text"))).as[String].collect() shouldBe Array(
+      "mail <EMAIL> now",
+      "see <URL> and <URL>",
+      "call <PHONE> ok",
+      "plain text")
+  }
+
+  it should "leave categories disabled by flag untouched" in {
+    Seq("a@b.io and https://x.y").toDF("text")
+      .select(TextAnalysis.redact(col("text"), urls = false)).as[String].head() shouldBe
+      "<EMAIL> and https://x.y"
+  }
+
+  behavior of "dupLineRatio"
+
+  it should "measure the duplicate-line fraction" in {
+    val df = Seq("a\nb\na\na", "x\ny").toDF("text")
+    df.select(round(TextAnalysis.dupLineRatio(col("text")), 2)).as[Double].collect() shouldBe
+      Array(0.5, 0.0) // 4 lines, 2 distinct -> 0.5; all distinct -> 0.0
+  }
 }
