@@ -1,9 +1,11 @@
 package graft.ext
 
 import graft.GraftFunctions._
+import graft.functions.TopK
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`), per the brief's training-data-pipeline surface.
@@ -16,23 +18,57 @@ import org.apache.spark.sql.functions._
   *     re-rank within candidates. The scale path: shuffle is O(corpus ×
   *     tables), never corpus². Hyperplanes are generated driver-side from
   *     a fixed seed and shipped as literals (no closure capture).
+  *   - `ivfTopK`: k-means inverted-file ANN — data-adaptive cells, trained
+  *     on a bounded sample.
+  *
+  * Uniform contract across all paths: the final per-query top-k is the
+  * k-bounded [[graft.functions.TopK.ByScore]] aggregation (never a window
+  * over `query_id`), and degenerate pairs — null/NaN similarity from
+  * empty, NaN, or dimension-mismatched vectors — are dropped, so a fully
+  * degenerate query emits no rows on the exact path and the ANN paths
+  * alike.
   */
 object Similarity {
 
+  /** Shared final stage of all three search paths: k best candidates per
+    * query by (cosine_sim desc, id asc), via the k-bounded [[TopK.ByScore]]
+    * aggregator — partial O(k) buffers map-side, the per-query shuffle
+    * carries buffers not candidates, and no task ever sorts a query's full
+    * candidate set (the scale property the old per-query `row_number()`
+    * window lacked).
+    *
+    * Contract (all paths): degenerate pairs — null or NaN cosine similarity
+    * from empty / NaN / dimension-mismatched vectors — are dropped, so a
+    * fully-degenerate query yields no output rows. Integral ids are widened
+    * to long in `neighbor_id`; any other id type is rendered as string.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val clean = scored.filter(col("cosine_sim").isNotNull && !isnan(col("cosine_sim")))
+    val agg = scored.schema("id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udaf(new TopK.ByScore[Long](k), ExpressionEncoder[(Long, Double)]())
+          .apply(col("id").cast(LongType), col("cosine_sim"))
+      case _ =>
+        udaf(new TopK.ByScore[String](k), ExpressionEncoder[(String, Double)]())
+          .apply(col("id").cast(StringType), col("cosine_sim"))
+    }
+    clean.groupBy("query_id").agg(agg.as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("neighbor_id"),
+        col("h.cosine_sim").as("cosine_sim"), col("h.rank").as("rank"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector. `queries` must be
-    * small (it is broadcast); corpus scan stays narrow until the final
-    * per-query top-k (a windowed rank over query partitions). */
+    * small (it is broadcast); corpus scan stays narrow into the k-bounded
+    * per-query aggregation. O(corpus × queries) by declared contract — this
+    * is the correctness oracle for the ANN paths. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
       .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("v"), col("qv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine_sim"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes from a seed. */
@@ -90,11 +126,7 @@ object Similarity {
       .join(corpusV, "id")
       .join(broadcast(queryV), "query_id")
       .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("v"), col("qv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine_sim"), col("rank"))
+    topKPerQuery(cand, k)
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
@@ -119,31 +151,54 @@ object Similarity {
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
 
-    // bounded training sample: cap the rows the fit sees regardless of
-    // corpus size (sampling is narrow; the cap collects nothing)
-    val n = corpusV.count()
-    val trainDf = (if (n > trainCap) corpusV.sample(trainCap.toDouble / n, seed)
-                   else corpusV)
-      // KMeans.fit rejects NaN/Inf features; NearestCells already degrades
-      // such rows to null at assignment, so exclude them from training too
+    // bounded training sample WITHOUT a full corpus pass: take the first
+    // ~trainCap/partitions finite vectors of each partition. Each task
+    // early-terminates once its quota is met, so the sampling job touches
+    // ≈ trainCap rows total regardless of corpus size (the previous
+    // corpusV.count() + fraction-sample cost two full scans just to size
+    // the sample). Deterministic given the (sorted) file listing; spread
+    // across all partitions, so ordered data still contributes from every
+    // file — adequate for a coarse quantizer.
+    // KMeans.fit rejects NaN/Inf features; NearestCells already degrades
+    // such rows to null at assignment, so exclude them from training too.
+    val finiteVecs = corpusV
       .filter(!exists(col("v"),
         x => isnan(x) || abs(x) >= lit(Double.PositiveInfinity)))
-      .select(array_to_vector(col("v").cast("array<double>")).as("features"))
-    // empty/degenerate corpus (nothing finite to train on): KMeans.fit
-    // would throw; return the empty result with the right schema instead
-    // (brute-force/LSH degrade the same way)
-    val trainCount = trainDf.count()
-    if (trainCount == 0)
-      return corpusV.crossJoin(queryV)
-        .select(col("query_id"), col("id").as("neighbor_id"),
-          lit(0.0).as("cosine_sim"), lit(1).as("rank"))
-        .limit(0)
-    // Spark 4.1 MLlib crashes (block-mode aggregator AIOOBE) when k
-    // exceeds the training point count — clamp
-    val k_ = math.min(nlist.toLong, trainCount).toInt
-    val model = new KMeans().setK(k_).setSeed(seed).setFeaturesCol("features")
-      .fit(trainDf)
-    val centroids = model.clusterCenters.map(_.toArray)
+      .select(col("v").cast("array<double>"))
+    val parts = math.max(1, finiteVecs.rdd.getNumPartitions)
+    val perPart = math.max(1L, trainCap / parts).toInt
+    import corpus.sparkSession.implicits._
+    val trainDf = finiteVecs.as[Seq[Double]]
+      .mapPartitions(_.take(perPart))
+      .toDF("v")
+      .select(array_to_vector(col("v")).as("features"))
+      // fit iterates over its input: pin the ≤ trainCap sampled rows
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded cost: counts the pinned ≤ trainCap-row sample, not the corpus
+      val trainCount = trainDf.count()
+      // empty/degenerate corpus (nothing finite to train on): KMeans.fit
+      // would throw; return the empty result with the right schema instead
+      // (brute-force/LSH degrade the same way)
+      if (trainCount == 0)
+        return corpusV.crossJoin(queryV)
+          .select(col("query_id"), col("id").as("neighbor_id"),
+            lit(0.0).as("cosine_sim"), lit(1).as("rank"))
+          .limit(0)
+      // Spark 4.1 MLlib crashes (block-mode aggregator AIOOBE) when k
+      // exceeds the training point count — clamp
+      val k_ = math.min(nlist.toLong, trainCount).toInt
+      val model = new KMeans().setK(k_).setSeed(seed).setFeaturesCol("features")
+        .fit(trainDf)
+      ivfSearch(corpusV, queryV, model.clusterCenters.map(_.toArray), k, nprobe)
+    } finally trainDf.unpersist()
+  }
+
+  /** Assignment + probe + re-rank stage of [[ivfTopK]], split out so the
+    * training sample can be unpersisted as soon as the centroids exist. */
+  private def ivfSearch(corpusV: DataFrame, queryV: DataFrame,
+                        centroids: Array[Array[Double]], k: Int,
+                        nprobe: Int): DataFrame = {
     // KMeans may return fewer than k centers on small/degenerate corpora;
     // probing more cells than exist is just "probe everything"
     val effNprobe = math.min(nprobe, centroids.length)
@@ -158,10 +213,6 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .join(broadcast(queryV), Seq("query_id"))
       .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("v"), col("qv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_sim").desc, col("id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"), col("cosine_sim"), col("rank"))
+    topKPerQuery(cand, k)
   }
 }

@@ -77,6 +77,23 @@ class PlanSpec extends SparkSpec {
     plan(ann) should include("InMemoryTableScan")
   }
 
+  "the top-k search paths" should "plan a k-bounded aggregate, never a per-query window" in {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val bf = ext.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+    val lsh = ext.Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 3, dim = 16)
+    val ivf = ext.Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 3,
+      nlist = 4, nprobe = 2)
+    for (df <- Seq(bf, lsh, ivf)) {
+      val p = plan(df)
+      // a Window over query_id would funnel each query's whole candidate
+      // set through one task's sort — the 100 TB killer this shape forbids
+      p should not include "Window"
+      // the k-bounded TopK.ByScore aggregation (partial map-side buffers)
+      p should include("Aggregate")
+    }
+  }
+
   "the diff stats views" should "reuse one cached relation instead of re-joining" in {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val r = diffy.BigDiffy.diff(
