@@ -20,13 +20,30 @@ import org.apache.spark.sql.functions._
   *
   * Cache lifecycle: the near-dup operators pin small intermediate
   * relations (hashed shingles, band/chunk signatures) so multi-branch
-  * plans evaluate the signature pass once. The pins are plan-keyed and
-  * cannot be released before the returned DataFrame is consumed; a
-  * long-lived session running many near-dup jobs should call
-  * `spark.catalog.clearCache()` between jobs (or rely on
-  * ContextCleaner GC) if storage memory is contended.
+  * plans evaluate the signature pass once. Pinning is an EAGER
+  * `localCheckpoint`, not `persist`: the blocks are owned by the RDD and
+  * reclaimed by the ContextCleaner as soon as the returned DataFrame is
+  * garbage-collected, so a long-lived session running many near-dup jobs
+  * does not accumulate plan-keyed cache entries that only
+  * `spark.catalog.clearCache()` could release. (Cost: the signature pass
+  * runs when the operator is CALLED, not when the result is first
+  * consumed.) On a real cluster prefer reliable checkpoints for
+  * multi-hour jobs that must survive executor loss.
   */
 object Dedup {
+
+  /** Auto-mode broadcast decision shared by the near-dup verifiers: a
+    * per-doc side table is safe to broadcast only while the corpus is
+    * small; beyond the cutoff the verification joins fall back to shuffle
+    * (candidate sparsity makes that acceptable). Logs the choice so a
+    * silent executor OOM never hides behind the default. */
+  private def autoBroadcastVerify(op: String, docCount: Long, maxRows: Long): Boolean = {
+    val bc = docCount <= maxRows
+    System.err.println(s"[graft] $op: ~$docCount docs -> " +
+      (if (bc) "broadcasting" else "shuffle-joining") +
+      s" the verification side tables (cutoff $maxRows)")
+    bc
+  }
 
   /** Exact dedup: canonical representative per duplicate group, picked as
     * min(id) for determinism. Single hash-shuffle on the group columns. */
@@ -53,16 +70,20 @@ object Dedup {
     * `threshold`. Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
   /** @param broadcastVerify broadcast the per-doc hashed-shingle table into
-    *        the verification joins (default): candidate pairs then never
-    *        shuffle with arrays attached — the pair relation stays 2 longs
-    *        wide. The table is ~2.5 KB/doc, fine to broadcast up to a few
-    *        million docs; disable for corpora beyond executor memory, where
-    *        candidate sparsity makes the shuffle join acceptable. */
+    *        the verification joins: candidate pairs then never shuffle with
+    *        arrays attached — the pair relation stays 2 longs wide. The
+    *        table is ~2.5 KB/doc, fine to broadcast up to ~1e6 docs but an
+    *        executor OOM beyond; `None` (default) decides from the corpus
+    *        row count (broadcast iff ≤ `broadcastVerifyMaxRows`, measured on
+    *        the already-pinned banded relation, and logs the choice), so a
+    *        1e9-doc corpus falls back to the shuffle join automatically.
+    * @param broadcastVerifyMaxRows auto-mode cutoff for `broadcastVerify` */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 5,
                       threshold: Double = 0.8, seed: Int = 0,
                       maxBucketSize: Int = 1000,
-                      broadcastVerify: Boolean = true): DataFrame = {
+                      broadcastVerify: Option[Boolean] = None,
+                      broadcastVerifyMaxRows: Long = 1000000L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rPerB = numHashes / bands
 
@@ -75,7 +96,7 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sig = sh.withColumn("sig", minhash(col("sh"), numHashes, seed))
 
     // band signature = farm fingerprint of the band's slice, so the bucket
@@ -96,7 +117,7 @@ object Dedup {
     // negligible next to the corpus it replaces.
     val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // candidate pairs within a bucket; cap pathological buckets
     val bucketSizes = banded.groupBy("band", "bsig").count()
@@ -112,9 +133,15 @@ object Dedup {
     // verify with exact Jaccard over the sorted hashed shingle sets: a
     // one-pass merge (JaccardSorted) instead of generic string-array
     // intersect/union; the compact set table is re-joined per side
+    val doBroadcast = broadcastVerify.getOrElse {
+      // banded is pinned anyway; its count materializes the pin once and
+      // gives docs = rows / bands without an extra corpus pass
+      autoBroadcastVerify("minhashNearDups", banded.count() / bands,
+        broadcastVerifyMaxRows)
+    }
     def side(n: String) = {
       val s = sh.select(col("id").as(n), col("sh").as(s"shh_$n"))
-      if (broadcastVerify) broadcast(s) else s
+      if (doBroadcast) broadcast(s) else s
     }
     pairs
       .join(side("id_a"), "id_a")
@@ -153,7 +180,7 @@ object Dedup {
     val chunked = fp.select(col("id"), col("fp"),
         explode(array(chunkStructs: _*)).as("cc"))
       .select(col("id"), col("fp"), col("cc.chunk").as("chunk"), col("cc.csig").as("csig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val a = chunked.select(col("chunk"), col("csig"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = chunked.select(col("chunk"), col("csig"), col("id").as("id_b"), col("fp").as("fp_b"))
@@ -198,11 +225,21 @@ object Dedup {
     * vectors have cosine similarity ≥ `simThreshold`. Candidates come from
     * sign-hyperplane LSH buckets (never all-pairs — same scale shape as
     * the MinHash path: shuffle is O(docs × tables)); verification is exact
-    * cosine on candidates. Returns (id_a, id_b, cosine_sim), id_a < id_b. */
+    * cosine on candidates. Returns (id_a, id_b, cosine_sim), id_a < id_b.
+    *
+    * @param broadcastVerify broadcast the (id, vector) table into the two
+    *        verification joins so candidate pairs never shuffle with
+    *        vectors attached. Only safe while the corpus fits executor
+    *        memory (~dim×4 B/doc + overhead); `None` (default) decides from
+    *        the corpus row count like [[minhashNearDups]] — at 1e9 vectors
+    *        the verifier shuffle-joins instead of OOMing every executor.
+    * @param broadcastVerifyMaxRows auto-mode cutoff for `broadcastVerify` */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                         simThreshold: Double = 0.95, bits: Int = 8,
                         tables: Int = 8, seed: Long = 42L,
-                        maxBucketSize: Int = 100000): DataFrame = {
+                        maxBucketSize: Int = 100000,
+                        broadcastVerify: Option[Boolean] = None,
+                        broadcastVerifyMaxRows: Long = 1000000L): DataFrame = {
     val planeSets = Array.tabulate(tables) { t =>
       val rnd = new java.util.Random(seed + t)
       Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
@@ -215,7 +252,7 @@ object Dedup {
     // dot products per row otherwise
     val banded = v.select(col("id"), explode(array(buckets.toIndexedSeq: _*)).as("tb"))
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val ok = banded.groupBy("table", "bucket").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
     val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
@@ -225,9 +262,18 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val doBroadcast = broadcastVerify.getOrElse(
+      // banded is pinned anyway; its count materializes the pin once and
+      // gives docs = rows / tables without an extra corpus pass
+      autoBroadcastVerify("embeddingNearDups", banded.count() / tables,
+        broadcastVerifyMaxRows))
+    def side(n: String, vn: String) = {
+      val s = v.select(col("id").as(n), col("v").as(vn))
+      if (doBroadcast) broadcast(s) else s
+    }
     pairs
-      .join(broadcast(v.select(col("id").as("id_a"), col("v").as("va"))), "id_a")
-      .join(broadcast(v.select(col("id").as("id_b"), col("v").as("vb"))), "id_b")
+      .join(side("id_a", "va"), "id_a")
+      .join(side("id_b", "vb"), "id_b")
       .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("va"), col("vb")))
       .filter(col("cosine_sim") >= simThreshold)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))

@@ -107,9 +107,11 @@ object Similarity {
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     // pinned: bucket counts + the candidate join would otherwise both
-    // recompute dim×bits×tables dot products per corpus row
-    val cb = bucketed(corpusV, "id", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // recompute dim×bits×tables dot products per corpus row. Eager
+    // localCheckpoint, not persist: blocks are GC-reclaimed with the
+    // DataFrame instead of accumulating in the plan-keyed cache (see
+    // Dedup's cache-lifecycle note)
+    val cb = bucketed(corpusV, "id", "v").localCheckpoint(true)
     val qb = bucketed(queryV, "query_id", "qv")
 
     // cap hot buckets (e.g. zero/degenerate vectors all land in one sign

@@ -67,14 +67,18 @@ class PlanSpec extends SparkSpec {
   }
 
   "the near-dup banded relation" should "be pinned so the signature pass runs once" in {
+    // pins are eager localCheckpoints (GC-reclaimed, no CacheManager leak):
+    // the signature pass shows up as a checkpointed-RDD scan, and the
+    // shingle/minhash expressions appear NOWHERE in the consumer plan
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val pairs = ext.Dedup.minhashNearDups(docs, "doc_id", "text")
-    plan(pairs) should include("InMemoryTableScan")
+    plan(pairs) should include("Scan ExistingRDD")
+    plan(pairs) should not include "shingle_hashes"
     val ann = ext.Similarity.lshTopK(
       spark.read.parquet(s"$sf/embeddings.parquet"),
       spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 3),
       "vec_id", "embedding", k = 3, dim = 16)
-    plan(ann) should include("InMemoryTableScan")
+    plan(ann) should include("Scan ExistingRDD")
   }
 
   "the top-k search paths" should "plan a k-bounded aggregate, never a per-query window" in {

@@ -49,6 +49,14 @@ class DedupSpec extends SparkSpec {
     val js = pairs.filter(col("id_b") === col("id_a") + 1000)
       .select("jaccard").as[Double].collect()
     all(js) should (be > 0.5 and be <= 1.0)
+    // shuffle-join verification (the too-big-to-broadcast fallback) must
+    // produce the identical pair set
+    val shuffled = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        numHashes = 64, bands = 32, shingleLen = 5, threshold = 0.5,
+        broadcastVerify = Some(false))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    shuffled shouldBe pairs.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
   }
 
   it should "respect the bucket-size cap (oversized buckets drop pairs)" in {
@@ -149,5 +157,13 @@ class EmbeddingDedupSpec extends graft.SparkSpec {
     constructed shouldBe 10L
     // random gaussian pairs essentially never reach cos >= 0.98
     pairs.filter(col("id_b") =!= col("id_a") + 1000).count() shouldBe 0L
+
+    // the shuffle-join verification path (the 1e9-doc fallback where the
+    // vector table cannot broadcast) must produce the identical pair set
+    val shuffled = Dedup.embeddingNearDups(df, "id", "emb", dim,
+        simThreshold = 0.98, bits = 4, tables = 12,
+        broadcastVerify = Some(false))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    shuffled shouldBe pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
   }
 }
