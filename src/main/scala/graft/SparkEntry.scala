@@ -356,6 +356,41 @@ object SparkEntry {
       Multimodal.decodeImages(withPayload, "payload")
         .agg(count(lit(1)).as("n"), round(avg("img.mean_intensity"), 4).as("avg_int"))
     }),
+    // REAL codec gate: a deterministic 3×2 RGB PNG (JDK-encoded, fixed
+    // pixel values summing to mean 95.0 exactly) through the JDK-ImageIO
+    // decode kernel, plus a hand-built 0.5 s mono 8 kHz 16-bit WAV header
+    // through the RIFF arithmetic — both checked against precomputed
+    // oracle constants
+    "multimodal_imageio" -> ((s, d) => {
+      import s.implicits._
+      val img = new java.awt.image.BufferedImage(3, 2,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var v = 10
+      for (y <- 0 until 2; x <- 0 until 3) {
+        img.setRGB(x, y, (v << 16) | ((v + 10) << 8) | (v + 20))
+        v += 30
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val wav = java.nio.ByteBuffer.allocate(44 + 8000)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      wav.put("RIFF".getBytes); wav.putInt(36 + 8000); wav.put("WAVE".getBytes)
+      wav.put("fmt ".getBytes); wav.putInt(16); wav.putShort(1); wav.putShort(1)
+      wav.putInt(8000); wav.putInt(16000); wav.putShort(2); wav.putShort(16)
+      wav.put("data".getBytes); wav.putInt(8000)
+      val payloads = Seq((1L, bos.toByteArray), (2L, wav.array()))
+        .toDF("id", "payload")
+      val imgFeats = Multimodal.decodeImages(payloads.filter(col("id") === 1), "payload")
+        .select(col("img.width").as("w"), col("img.height").as("h"),
+          col("img.channels").as("c"),
+          round(col("img.mean_intensity"), 6).as("mean_int"))
+      val audFeats = Multimodal.decodeAudio(payloads.filter(col("id") === 2), "payload")
+        .select(col("audio.channels").as("a_ch"),
+          col("audio.sample_rate").as("a_rate"),
+          col("audio.bits_per_sample").as("a_bits"),
+          round(col("audio.duration_sec"), 6).as("a_dur"))
+      imgFeats.crossJoin(audFeats)
+    }),
 
     // ---- text analysis (training-data extension) ----
     "text_quality" -> ((s, d) =>
@@ -564,6 +599,15 @@ object SparkEntry {
           |    list_sum(list_transform(string_split(text, ''), c -> ord(c)))
           |    * 1.0 / length(text) END), 4) AS avg_int
           |FROM documents""".stripMargin,
+      // precomputed constants: the 3×2 PNG holds RGB triples 10..180
+      // (18 samples summing 1710 -> mean 95.0, lossless), the WAV header
+      // declares mono/8kHz/16-bit with an 8000-byte data chunk ->
+      // 8000 / (8000×1×2) = 0.5 s
+      "multimodal_imageio" ->
+        """SELECT CAST(3 AS INTEGER) AS w, CAST(2 AS INTEGER) AS h,
+          |  CAST(3 AS INTEGER) AS c, CAST(95.0 AS DOUBLE) AS mean_int,
+          |  CAST(1 AS INTEGER) AS a_ch, CAST(8000 AS INTEGER) AS a_rate,
+          |  CAST(16 AS INTEGER) AS a_bits, CAST(0.5 AS DOUBLE) AS a_dur""".stripMargin,
       "text_redact" ->
         """SELECT doc_id,
           |  regexp_replace(regexp_replace(regexp_replace(

@@ -8,17 +8,22 @@ import org.apache.spark.sql.types._
 /** Multimodal columns for training-data pipelines: image/audio/video
   * payloads ride as opaque `binary` columns with typed metadata; decode /
   * feature-extraction / resize / frame-sampling are per-partition batch
-  * operators whose Spark-side plumbing (schema, partitioning, batch shape)
-  * is real while the codec kernels are STUBS — this container has no
-  * image/audio libraries, so the decode step is a clearly-marked
-  * deterministic fake over the payload bytes. Swapping in a real codec
-  * means replacing ONLY the `stubDecode*` functions; every schema and
-  * operator contract stays.
+  * operators.
+  *
+  * Decode kernels: IMAGE decode is REAL for the formats the JDK ships
+  * codecs for — `javax.imageio` reads PNG/JPEG/GIF/BMP with zero extra
+  * dependencies — and WAV audio features are pure header arithmetic (also
+  * real). Payloads no reader claims fall back to the clearly-marked
+  * deterministic `stubDecodeImage` fake (so exotic formats keep the
+  * pipeline shape testable without their codecs); payloads a codec CLAIMS
+  * but cannot decode (right magic, corrupt body) yield null features —
+  * never fake numbers. Frame sampling and resize remain declared stubs
+  * (no video demuxer in the JDK).
   *
   * Scale notes: metadata extraction is pure Catalyst (scan-speed, no
-  * shuffle); decode operators run via mapPartitions in batches so a real
-  * codec can amortize model/codec init per partition — the same shape a
-  * Pandas-UDF `mapInPandas` pipeline has in PySpark.
+  * shuffle); decode operators run via mapPartitions in batches so codec
+  * init amortizes per partition — the same shape a Pandas-UDF
+  * `mapInPandas` pipeline has in PySpark.
   */
 object Multimodal {
 
@@ -51,8 +56,8 @@ object Multimodal {
     StructField("mean_intensity", DoubleType, nullable = true)))
 
   /** STUB image decode: deterministic fake dimensions/intensity derived
-    * from the payload bytes (`???`-grade placeholder for a real codec —
-    * replace this function body alone to integrate one). */
+    * from the payload bytes — the fallback for formats the JDK has no
+    * codec for (replace with the real codec to integrate one). */
   private def stubDecodeImage(bytes: Array[Byte]): Row = {
     if (bytes == null || bytes.length < 4) return Row(null, null, null, null)
     val w = ((bytes(0) & 0x7f) << 4 | (bytes(1) & 0x0f)) + 1
@@ -63,18 +68,124 @@ object Multimodal {
     Row(w, h, 3, sum.toDouble / bytes.length)
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
+    * public, zero extra dependencies): true width/height, raster band
+    * count as channels, and mean raw sample value over all pixels × bands
+    * as intensity. Unknown formats (no registered reader) fall back to
+    * [[stubDecodeImage]]; claimed-but-corrupt payloads yield nulls. */
+  private[ext] def decodeImageBytes(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length < 4) return Row(null, null, null, null)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return stubDecodeImage(bytes) // no codec claims it
+      val w = img.getWidth
+      val h = img.getHeight
+      if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+        // palette-indexed (e.g. GIF): raster samples are palette INDICES,
+        // not intensities — average the resolved RGB components instead
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Row(w, h, 3, sum / (w.toDouble * h * 3))
+      } else {
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        Row(w, h, bands, sum / (w.toDouble * h * bands))
+      }
+    } catch {
+      // a reader claimed the magic bytes but the body is broken: null
+      // features, never fake numbers for a real-format payload
+      case _: Exception => Row(null, null, null, null)
+    }
+  }
+
   /** Image decode + feature extraction over batches: appends
-    * `imageFeatureSchema` columns. Real partition-batch plumbing, stub
-    * kernel. */
+    * `imageFeatureSchema` columns. Real partition-batch plumbing and a
+    * real JDK-ImageIO kernel (stub fallback for formats without a JDK
+    * codec — see [[decodeImageBytes]]). */
   def decodeImages(df: DataFrame, binCol: String,
                    featCol: String = "img"): DataFrame = {
     val schema = df.schema.add(StructField(featCol, imageFeatureSchema, nullable = true))
     val idx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { it =>
-      // per-partition init point: a real codec/model loads HERE, once
+      // per-partition init point: ImageIO scans its reader registry
+      // lazily; heavier codecs/models would load HERE, once
+      javax.imageio.ImageIO.setUseCache(false) // byte-array inputs: no temp files
       it.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-        Row.fromSeq(r.toSeq :+ stubDecodeImage(bytes))
+        Row.fromSeq(r.toSeq :+ decodeImageBytes(bytes))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("duration_sec", DoubleType, nullable = true)))
+
+  /** REAL WAV audio features by RIFF header arithmetic (public format, no
+    * codec needed): walks the chunk list for `fmt ` (channels, sample
+    * rate, bit depth) and `data` (payload size), duration = dataBytes /
+    * (rate × channels × bytesPerSample). Non-WAV or malformed headers
+    * yield nulls. */
+  private[ext] def decodeWavBytes(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length < 12) return Row(null, null, null, null)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = ((bytes(o) & 0xff).toLong |
+      ((bytes(o + 1) & 0xff).toLong << 8) |
+      ((bytes(o + 2) & 0xff).toLong << 16) |
+      ((bytes(o + 3) & 0xff).toLong << 24))
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return Row(null, null, null, null)
+    var off = 12
+    var ch = -1; var rate = -1L; var bits = -1; var dataLen = -1L
+    while (off + 8 <= bytes.length) {
+      val t = tag(off)
+      val len = le32(off + 4)
+      if (t == "fmt " && len >= 16 && off + 8 + 16 <= bytes.length) {
+        ch = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
+      }
+      if (t == "data") dataLen = len
+      // chunks are word-aligned: odd lengths carry one pad byte
+      off += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (ch <= 0 || rate <= 0 || bits < 8 || dataLen < 0) Row(null, null, null, null)
+    else Row(ch, rate.toInt, bits,
+      dataLen.toDouble / (rate.toDouble * ch * (bits / 8)))
+  }
+
+  /** WAV audio feature extraction over batches: appends
+    * `audioFeatureSchema` columns — real header arithmetic, same
+    * partition-batch shape as [[decodeImages]]. */
+  def decodeAudio(df: DataFrame, binCol: String,
+                  featCol: String = "audio"): DataFrame = {
+    val schema = df.schema.add(StructField(featCol, audioFeatureSchema, nullable = true))
+    val idx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ decodeWavBytes(bytes))
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)

@@ -26,18 +26,83 @@ class MultimodalSpec extends SparkSpec {
 
   behavior of "decode plumbing"
 
-  it should "append image features per batch with deterministic stub values" in {
+  it should "null out claimed-but-corrupt payloads and stub-decode unknown formats" in {
     val out = Multimodal.decodeImages(df, "payload")
     out.schema("img").dataType shouldBe Multimodal.imageFeatureSchema
     val feats = out.select("id", "img.width", "img.height", "img.mean_intensity")
       .orderBy("id").collect()
     feats.length shouldBe 4
+    // jpeg/png magic fragments: a JDK reader claims them, the body is
+    // corrupt -> null features, never fake numbers for a real format
+    feats(0).isNullAt(1) shouldBe true
+    feats(1).isNullAt(1) shouldBe true
+    // wav + unknown: no image reader claims them -> deterministic stub
+    feats(2).isNullAt(1) shouldBe false
+    feats(3).isNullAt(1) shouldBe false
     // deterministic: same input -> same features on re-run
     val again = Multimodal.decodeImages(df, "payload")
       .select("id", "img.width", "img.height", "img.mean_intensity")
       .orderBy("id").collect()
     feats.map(_.toString) shouldBe again.map(_.toString)
-    all(feats.map(_.getInt(1))) should be > 0
+  }
+
+  behavior of "real JDK-ImageIO decode"
+
+  private def rgbImage(): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // RGB triples 10..180: sum 1710 over 18 samples -> mean 95.0 exactly
+    var v = 10
+    for (y <- 0 until 2; x <- 0 until 3) {
+      img.setRGB(x, y, (v << 16) | ((v + 10) << 8) | (v + 20))
+      v += 30
+    }
+    img
+  }
+
+  private def encoded(fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgbImage(), fmt, bos)
+    bos.toByteArray
+  }
+
+  it should "decode true dimensions, channels, and mean intensity from PNG and BMP" in {
+    val real = Seq((1L, encoded("png")), (2L, encoded("bmp"))).toDF("id", "payload")
+    val got = Multimodal.decodeImages(real, "payload")
+      .select("id", "img.width", "img.height", "img.channels", "img.mean_intensity")
+      .orderBy("id").as[(Long, Int, Int, Int, Double)].collect()
+    got.map(_._2).toSeq shouldBe Seq(3, 3)
+    got.map(_._3).toSeq shouldBe Seq(2, 2)
+    got.map(_._4).toSeq shouldBe Seq(3, 3)
+    // both formats are lossless for this image
+    got.map(_._5).foreach(_ shouldBe 95.0 +- 1e-9)
+  }
+
+  behavior of "WAV header decode"
+
+  private def wavBytes(ch: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(ch.toShort)
+    bb.putInt(rate); bb.putInt(rate * ch * bits / 8)
+    bb.putShort((ch * bits / 8).toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    bb.array()
+  }
+
+  it should "compute channels, rate, depth, and duration by header arithmetic" in {
+    val a = Seq(
+      (1L, wavBytes(1, 8000, 16, 8000)),   // 0.5 s mono
+      (2L, wavBytes(2, 44100, 16, 44100 * 4)), // 1.0 s stereo
+      (3L, "not audio at all".getBytes))
+      .toDF("id", "payload")
+    val got = Multimodal.decodeAudio(a, "payload")
+      .select("id", "audio.channels", "audio.sample_rate", "audio.duration_sec")
+      .orderBy("id").collect()
+    (got(0).getInt(1), got(0).getInt(2), got(0).getDouble(3)) shouldBe ((1, 8000, 0.5))
+    (got(1).getInt(1), got(1).getInt(2), got(1).getDouble(3)) shouldBe ((2, 44100, 1.0))
+    got(2).isNullAt(1) shouldBe true
   }
 
   it should "resize and frame-sample with stable shapes" in {
