@@ -105,6 +105,17 @@ object SparkEntry {
 
     // ---- BigDiffy (J1, D1/D6, A1, A6, F1, F3) ----
     "diffy_global" -> ((s, d) => ordersDiff(s, d).globalStats),
+    // P5 row-restriction surface (reference BigDiffy.scala:364-374,
+    // 386-395): the same diff under a SQL predicate applied to BOTH sides
+    // pre-key-extraction — the CLI's --row-restriction flag takes the
+    // identical filter(expr(...)) path, and Catalyst pushes the predicate
+    // into the parquet scan (PushedFilters)
+    "diffy_restricted" -> ((s, d) => {
+      val (lhs, rhs) = diffInputs(s, d)
+      val pred = "o_orderkey % 4 = 0"
+      BigDiffy.diff(lhs.filter(expr(pred)), rhs.filter(expr(pred)),
+        Seq("o_orderkey")).globalStats
+    }),
     "diffy_key_stats" -> ((s, d) =>
       ordersDiff(s, d).keyStats.filter(col("diff_type") =!= "SAME")
         .orderBy("key", "diff_type")),
@@ -464,6 +475,19 @@ object SparkEntry {
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       "diffy_global" -> (diffCtes +
+        """SELECT CAST(COUNT(*) AS BIGINT) AS num_total,
+          |  CAST(SUM(CASE WHEN diff_type = 'SAME' THEN 1 ELSE 0 END) AS BIGINT) AS num_same,
+          |  CAST(SUM(CASE WHEN diff_type = 'DIFFERENT' THEN 1 ELSE 0 END) AS BIGINT) AS num_diff,
+          |  CAST(SUM(CASE WHEN diff_type = 'MISSING_LHS' THEN 1 ELSE 0 END) AS BIGINT) AS num_missing_lhs,
+          |  CAST(SUM(CASE WHEN diff_type = 'MISSING_RHS' THEN 1 ELSE 0 END) AS BIGINT) AS num_missing_rhs
+          |FROM j""".stripMargin),
+      // the diffy_global CTEs with the P5 row restriction folded into both
+      // side scans — derived textually so the two oracles cannot drift
+      "diffy_restricted" -> (diffCtes
+        .replace("WHERE o_orderkey % 89 <> 0",
+          "WHERE o_orderkey % 89 <> 0 AND o_orderkey % 4 = 0")
+        .replace("WHERE o_orderkey % 97 <> 0",
+          "WHERE o_orderkey % 97 <> 0 AND o_orderkey % 4 = 0") +
         """SELECT CAST(COUNT(*) AS BIGINT) AS num_total,
           |  CAST(SUM(CASE WHEN diff_type = 'SAME' THEN 1 ELSE 0 END) AS BIGINT) AS num_same,
           |  CAST(SUM(CASE WHEN diff_type = 'DIFFERENT' THEN 1 ELSE 0 END) AS BIGINT) AS num_diff,

@@ -12,13 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * graft bigDiffy   --lhs=<path> --rhs=<path> --key=<k1,k2> --output=<dir>
   *                  [--input-mode=parquet|avro|json] [--ignore-fields=a,b]
   *                  [--unordered=f1,f2] [--unordered-keys=arr:subfield,...]
-  *                  [--ignore-nan]
+  *                  [--ignore-nan] [--row-restriction=<sql predicate>]
   * graft bigSampler --input=<path> --output=<dir> --sample=<f in (0,1]>
   *                  [--fields=k1,k2] [--seed=<int>] [--hash-algorithm=farm|murmur]
   *                  [--byte-encoding=raw|hex|base64]
   *                  [--distribution=stratified|uniform] [--distribution-fields=g1]
   *                  [--exact] [--input-mode=...] [--output-mode=...]
-  *                  [--partition-by=c1,c2]
+  *                  [--partition-by=c1,c2] [--row-restriction=<sql predicate>]
   * graft directSampler --input=<path> --output=<dir> -n=<rows>
   *                  [--mode=head|reservoir] [--order-by=c1,c2] [--seed=<long>]
   * }}}
@@ -91,10 +91,28 @@ object Graft {
   private def required(f: Map[String, String], k: String): String =
     f.getOrElse(k, throw new IllegalArgumentException(s"missing required --$k"))
 
+  /** P5 row-restriction predicate (reference BigDiffy.scala:364-374,
+    * 386-395: a SQL WHERE-style predicate pushed to the BQ Storage API
+    * scan). Here the predicate becomes `filter(expr(...))` BEFORE key
+    * extraction / sampling, and Catalyst pushes it into the parquet scan
+    * (PushedFilters), so a user diffing one partition of a huge table
+    * reads only that partition. Surrounding quotes are stripped like the
+    * reference's quote-strip helper (BigDiffy.scala:364-374). */
+  private[cli] def restrict(df: DataFrame, f: Map[String, String]): DataFrame =
+    f.get("row-restriction").map(_.trim).filter(_.nonEmpty) match {
+      case Some(p) =>
+        val stripped =
+          if (p.length >= 2 && "\"'".contains(p.head) && p.last == p.head)
+            p.substring(1, p.length - 1)
+          else p
+        df.filter(org.apache.spark.sql.functions.expr(stripped))
+      case None => df
+    }
+
   private def bigDiffy(f: Map[String, String], spark: SparkSession): Unit = {
     val mode = f.getOrElse("input-mode", "parquet")
-    val lhs = read(spark, required(f, "lhs"), mode)
-    val rhs = read(spark, required(f, "rhs"), mode)
+    val lhs = restrict(read(spark, required(f, "lhs"), mode), f)
+    val rhs = restrict(read(spark, required(f, "rhs"), mode), f)
     val keys = csv(f.get("key"))
     require(keys.nonEmpty, "missing required --key")
     val opts = DiffOptions(
@@ -120,7 +138,7 @@ object Graft {
     val input = required(f, "input")
     val out = required(f, "output")
     val fraction = required(f, "sample").toDouble
-    val df = read(spark, input, mode)
+    val df = restrict(read(spark, input, mode), f)
     val det: BigSampler.Determinism = csv(f.get("fields")) match {
       case Nil => BigSampler.Random(f.get("seed").map(_.toLong).getOrElse(42L))
       case fs => BigSampler.Hashed(fs,

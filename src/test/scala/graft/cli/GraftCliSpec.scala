@@ -31,6 +31,24 @@ class GraftCliSpec extends SparkSpec {
     new java.io.File(s"$base/out/fields").exists() shouldBe true
   }
 
+  it should "apply --row-restriction to both diff sides and the sampler input" in {
+    val base = tmp()
+    val l = (1L to 100L).map(i => (i, i.toDouble)).toDF("k", "v")
+    val r = (1L to 100L).map(i => (i, i.toDouble + (i % 10))).toDF("k", "v")
+    l.write.parquet(s"$base/lhs"); r.write.parquet(s"$base/rhs")
+    // only k % 4 = 0 rows survive: 25 keys, of which k % 20 ∈ {4,8,12,16}
+    // differ (i % 10 != 0) -> num_total = 25
+    Graft.run(Seq("bigDiffy", s"--lhs=$base/lhs", s"--rhs=$base/rhs",
+      "--key=k", s"--output=$base/out", "--row-restriction='k % 4 = 0'"), spark)
+    val global = spark.read.option("header", "true").option("sep", "\t")
+      .csv(s"$base/out/global").head()
+    global.getString(0) shouldBe "25" // num_total restricted to k % 4 = 0
+    // sampler: restriction first, then the (deterministic) 100% sample
+    Graft.run(Seq("bigSampler", s"--input=$base/lhs", s"--output=$base/samp",
+      "--sample=1.0", "--fields=k", "--row-restriction=k % 4 = 0"), spark)
+    spark.read.parquet(s"$base/samp").count() shouldBe 25
+  }
+
   it should "run bigSampler exact stratified and honor the output guard" in {
     val base = tmp()
     val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "A" else "B")).toDF("k", "g")
