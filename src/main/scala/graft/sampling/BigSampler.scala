@@ -129,6 +129,31 @@ object BigSampler {
     * must reproduce: hash coins are deterministic by definition; `rand(seed)`
     * is deterministic per (partition, row-index), which a re-scan of the
     * same source preserves. */
+  /** True when re-scanning `df` may not reproduce identical `rand(seed)`
+    * coins across jobs: Spark seeds `rand` per (partition, row order), so
+    * re-evaluation is bit-identical for file-scan-rooted narrow plans (the
+    * same replay contract `RDD.sampleByKeyExact`'s two passes rely on:
+    * core/src/main/scala/org/apache/spark/util/random/
+    * StratifiedSamplingUtils.scala re-creates the per-partition RNG
+    * deterministically), but NOT once the lineage contains a shuffle
+    * (nondeterministic fetch order), a limit, or a nondeterministic
+    * expression. Conservative: any such operator triggers pinning. */
+  private def unstableForReplay(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
+           _: Deduplicate | _: Repartition | _: RepartitionByExpression |
+           _: GlobalLimit | _: LocalLimit | _: Sample => true
+      case p => p.expressions.exists(_.exists(e => !e.deterministic))
+    }
+  }
+
+  /** Driver-collect cap for the (stratum, bucket) count table: the exact
+    * arms inherit the reference's "all distinct strata can fit into
+    * memory" contract (ratatool-sampling/README.md); this turns the OOM a
+    * high-cardinality strata key would cause into a clear error. */
+  private val MaxDriverGroups = 4000000
+
   private def exactRank(df: DataFrame, det: Determinism, key: Column,
                         targetOf: Map[String, Long] => Map[String, Long],
                         buckets: Int = 1024): DataFrame = {
@@ -138,19 +163,29 @@ object BigSampler {
       .withColumn("__bkt",
         least(floor(col("__coin") * buckets), lit(buckets - 1)).cast("int"))
     // rand() coins must be IDENTICAL across the counting job and the two
-    // selection branches; that only holds for re-scans of a stable source.
-    // If the lineage contains a shuffle (nondeterministic fetch order),
-    // re-evaluation reassigns coins and exactness silently breaks — so the
-    // Random arm pins the coins by persisting. Hash coins are pure
-    // functions of the row and need no materialization (the recommended
-    // arm at scale).
+    // selection branches. Hash coins are pure functions of the row and
+    // always replay (the recommended arm at scale); rand coins replay on
+    // stable narrow scans (see unstableForReplay), so ONLY a Random coin
+    // over an unstable lineage pins the coined input — a 100 TB scan-
+    // rooted exact sample never materializes the corpus.
     val coined = det match {
-      case _: Random => coined0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      case _         => coined0
+      case _: Random if unstableForReplay(df) =>
+        coined0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => coined0
     }
 
+    // limit(cap + 1) bounds what can ever reach the driver; the agg still
+    // runs fully distributed either way
+    val collected = coined.groupBy("__stratum", "__bkt").count()
+      .limit(MaxDriverGroups + 1).collect()
+    if (collected.length > MaxDriverGroups)
+      throw new IllegalStateException(
+        s"exact sampling collected more than $MaxDriverGroups (stratum, " +
+          "bucket) groups on the driver: the exact arms assume all distinct " +
+          "strata fit in memory (reference ratatool-sampling/README.md); " +
+          "reduce the strata-key cardinality or use approximate sampling")
     val bucketCounts: Map[String, Seq[(Int, Long)]] =
-      coined.groupBy("__stratum", "__bkt").count().collect()
+      collected
         .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
         .groupBy(_._1).view
         .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap

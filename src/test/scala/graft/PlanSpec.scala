@@ -53,6 +53,17 @@ class PlanSpec extends SparkSpec {
     plan(df) should not include "Exchange SinglePartition"
   }
 
+  it should "not materialize the coined corpus for Random coins on a scan-rooted plan" in {
+    // rand(seed) replays identically on a stable parquet scan, so the
+    // Random exact arm needs no full-corpus persist — at 100 TB the pin
+    // WAS a full-dataset materialization
+    val df = BigSampler.sample(
+      spark.read.parquet(s"$sf/lineitem.parquet"), 0.1,
+      BigSampler.Random(5L),
+      BigSampler.Stratified(Seq("l_returnflag")), exact = true)
+    plan(df) should not include "InMemoryTableScan"
+  }
+
   "the diff join pipeline" should "shuffle each side exactly once" in {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val r = diffy.BigDiffy.diff(

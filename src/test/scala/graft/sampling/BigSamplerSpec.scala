@@ -78,6 +78,24 @@ class BigSamplerSpec extends SparkSpec {
       math.ceil(25000 * 0.123).toLong
   }
 
+  it should "stay exact and replayable for Random coins over a parquet scan (no pin)" in {
+    // the Random arm no longer persists the coined corpus for scan-rooted
+    // plans: rand(seed) replays bit-identically across the counting job
+    // and both selection branches, so the sample must be exact, free of
+    // duplicate picks, and identical run-to-run
+    val dir = java.nio.file.Files.createTempDirectory("rxp").toString
+    data.write.parquet(s"$dir/in")
+    val in = spark.read.parquet(s"$dir/in")
+    def run() = sample(in, 0.1, Random(5L), Stratified(Seq("g")), exact = true)
+    val s1 = run()
+    val ids1 = s1.select("id").as[Long].collect().sorted
+    ids1.length shouldBe 2500 // 1500 + 750 + 250, no dupes or drops
+    ids1.distinct.length shouldBe ids1.length
+    s1.groupBy("g").count().as[(String, Long)].collect().toMap shouldBe
+      Map("A" -> 1500L, "B" -> 750L, "C" -> 250L)
+    run().select("id").as[Long].collect().sorted shouldBe ids1
+  }
+
   it should "reject fractions outside (0, 1]" in {
     an[IllegalArgumentException] should be thrownBy sample(data, 0.0)
     an[IllegalArgumentException] should be thrownBy sample(data, 1.2)
