@@ -106,12 +106,22 @@ object StreamOps {
             state.remove()
             Iterator.empty
           } else {
-            val arrivals = rows.toSeq
-            val batchMax = arrivals.map(_._2.getTime).max
-            val batchMin = arrivals.map(_._2.getTime).min
+            // fold the group iterator in ONE pass with O(1) accumulators:
+            // the motivating case (boilerplate storms — millions of
+            // identical docs in one micro-batch) is exactly the one that
+            // would buffer the most tuples if this materialized the group
+            var arrivals = 0L
+            var batchMin = Long.MaxValue
+            var batchMax = Long.MinValue
+            rows.foreach { r =>
+              val t = r._2.getTime
+              arrivals += 1
+              if (t < batchMin) batchMin = t
+              if (t > batchMax) batchMax = t
+            }
             val (firstSeen, prev, lastSeen) = state.getOption
               .getOrElse((batchMin, 0L, batchMax))
-            val n = prev + arrivals.size
+            val n = prev + arrivals
             // out-of-order batches must not skew either boundary: a LATE
             // batch can carry the TRUE first arrival (take the min) and
             // must not rebase the timeout earlier (keep the max)

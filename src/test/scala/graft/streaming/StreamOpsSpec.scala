@@ -27,6 +27,33 @@ class StreamOpsSpec extends SparkSpec {
     streamed.length.toDouble shouldBe 600.0 +- 120.0
   }
 
+  it should "select the exact multiset the batch BigSampler selects over the same slice" in {
+    // the cohort-consistency invariant (reference BigSamplerTest.scala:
+    // 52-62 — the same record hashes in or out everywhere): a stream fed
+    // real lineitem rows across two micro-batches must select EXACTLY the
+    // rows the batch BigSampler.Hashed arm selects from the same slice
+    implicit val sc = spark.sqlContext
+    val rows = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_linenumber").cast("long"))
+      .limit(3000).as[(Long, Long)].collect().toSeq
+    val input = MemoryStream[(Long, Long)]
+    val sampled = StreamOps.hashSample(
+      input.toDF().toDF("l_orderkey", "l_linenumber"), 0.25,
+      Seq("l_orderkey", "l_linenumber"))
+    val q = sampled.writeStream.format("memory").queryName("s_cohort").start()
+    input.addData(rows.take(1500))
+    q.processAllAvailable()
+    input.addData(rows.drop(1500))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_cohort").as[(Long, Long)].collect().sorted
+    val batch = graft.sampling.BigSampler.sample(
+        rows.toDF("l_orderkey", "l_linenumber"), 0.25,
+        graft.sampling.BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
+      .as[(Long, Long)].collect().sorted
+    streamed shouldBe batch
+    streamed.length should be > 0
+  }
+
   behavior of "streaming content dedup"
 
   it should "keep first arrivals per fingerprint within the watermark" in {
