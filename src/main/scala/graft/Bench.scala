@@ -29,6 +29,14 @@ object Bench {
         .agg(count(lit(1)), min("s"), max(size(col("m")))).count()
       warm.join(warm.select(col("id"), col("txt").as("t2")), Seq("id"), "full_outer")
         .count()
+      // the avro write/read path (hand-rolled avro-mapred committer) has
+      // its own first-use setup; avro_roundtrip runs FIRST alphabetically
+      // and used to absorb it — warm it here so per-query deltas stay
+      // comparable round-over-round
+      val avroWarm = "/tmp/graft_bench_avro_warm"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(avroWarm))
+      graft.sources.AvroIO.write(warm.limit(1000), avroWarm)
+      graft.sources.AvroIO.read(spark, avroWarm).count()
     }
     // optional comma-separated subset for targeted local iteration; the
     // driver leaves it unset and benches everything. Empty value = unset;
@@ -48,13 +56,21 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                   false
+                 }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // a query that threw must be distinguishable from a fast success:
+    // failures are listed explicitly (their recorded time is time-to-crash)
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -639,8 +639,8 @@ object SparkEntry {
           |      '@example.com via https://ex.org/page?id=' || doc_id ||
           |      ' or +1-650-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          |    'https?://[^\s]+', '<URL>', 'g'),
-          |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
+          |    'https?://[^ \t\n\r\f]+', '<URL>', 'g'),
+          |    '\+?\d[\d \t\n\r\f().-]{7,}\d', '<PHONE>', 'g') AS redacted
           |FROM documents ORDER BY doc_id""".stripMargin,
       "text_fingerprint" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -82,15 +82,19 @@ object TextAnalysis {
     * codegen'd regexp_replace chain — scan speed, no UDF. The patterns are
     * deliberately RE2-compatible (no backrefs/lookaround) so the same
     * expressions run under Java regex here and RE2-family engines
-    * elsewhere. Order matters: emails before phones, or a phone-like
-    * digit run inside an address would be mangled first. */
+    * elsewhere; whitespace is the EXPLICIT class [ \t\n\r\f] rather than
+    * \s because the engines disagree on \s membership (Java includes
+    * \x0B, and class semantics diverge on non-ASCII whitespace) — with
+    * explicit classes the parity holds on any corpus, not just ASCII.
+    * Order matters: emails before phones, or a phone-like digit run
+    * inside an address would be mangled first. */
   def redact(text: Column, emails: Boolean = true, urls: Boolean = true,
              phones: Boolean = true): Column = {
     var c = text
     if (emails) c = regexp_replace(c,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    if (urls) c = regexp_replace(c, "https?://[^\\s]+", "<URL>")
-    if (phones) c = regexp_replace(c, "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>")
+    if (urls) c = regexp_replace(c, "https?://[^ \\t\\n\\r\\f]+", "<URL>")
+    if (phones) c = regexp_replace(c, "\\+?\\d[\\d \\t\\n\\r\\f().-]{7,}\\d", "<PHONE>")
     c
   }
 
