@@ -94,6 +94,36 @@ object Drive {
     val ivfSet = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     println(s"  ivf rows: ${ivfSet.size}, recall vs bf: ${(bfSet & ivfSet).size}/${bfSet.size}")
 
+    println("== CLI --row-restriction on bigSampler (expect exactly the k%4==0 rows):")
+    val cliBase = java.nio.file.Files.createTempDirectory("drive_cli").toString
+    li.limit(400).write.mode("overwrite").parquet(s"$cliBase/in")
+    graft.cli.Graft.run(Seq("bigSampler", s"--input=$cliBase/in",
+      s"--output=$cliBase/out", "--sample=1.0", "--fields=l_orderkey",
+      "--row-restriction=l_orderkey % 4 = 0"), spark)
+    val restrictedWant = spark.read.parquet(s"$cliBase/in")
+      .filter(col("l_orderkey") % 4 === 0).count()
+    val restrictedGot = spark.read.parquet(s"$cliBase/out").count()
+    println(s"  want=$restrictedWant got=$restrictedGot " +
+      (if (restrictedWant == restrictedGot) "OK" else "MISMATCH"))
+
+    println("== real ImageIO decode (3x2 PNG, expect w=3 h=2 c=3 mean=95.0):")
+    val pimg = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var pv = 10
+    for (y <- 0 until 2; x <- 0 until 3) {
+      pimg.setRGB(x, y, (pv << 16) | ((pv + 10) << 8) | (pv + 20)); pv += 30
+    }
+    val pbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(pimg, "png", pbos)
+    val prow = graft.ext.Multimodal.decodeImages(
+        Seq((1L, pbos.toByteArray)).toDF("id", "payload"), "payload")
+      .select("img.width", "img.height", "img.channels", "img.mean_intensity")
+      .head()
+    println(s"  got w=${prow.getInt(0)} h=${prow.getInt(1)} c=${prow.getInt(2)} " +
+      s"mean=${prow.getDouble(3)} " +
+      (if (prow.getInt(0) == 3 && prow.getInt(1) == 2 && prow.getInt(2) == 3 &&
+        math.abs(prow.getDouble(3) - 95.0) < 1e-9) "OK" else "MISMATCH"))
+
     println("== salted join equals plain join on a skewed key:")
     val fact = spark.range(5000)
       .select(when(col("id") % 5 =!= 0, lit(1L)).otherwise(col("id")).as("k"),

@@ -86,6 +86,24 @@ class SimilaritySpec extends SparkSpec {
     got.columns.toSeq shouldBe Seq("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  it should "support non-integral ids through the string top-k branch" in {
+    // same data, ids rendered as strings: the TopK aggregator's String
+    // branch must rank identically (modulo id type) to the Long branch
+    val svecs = vecs.select(concat(lit("doc-"), format_string("%04d", col("vec_id")))
+      .as("vec_id"), col("embedding"))
+    val q = svecs.filter(col("vec_id") < "doc-0003")
+    val got = Similarity.bruteForceTopK(svecs, q, "vec_id", "embedding", 4)
+    got.schema("neighbor_id").dataType shouldBe
+      org.apache.spark.sql.types.StringType
+    got.count() shouldBe 12L
+    val long = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 3),
+        "vec_id", "embedding", 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().map { case (a, b, r) => (f"doc-$a%04d", f"doc-$b%04d", r) }.toSet
+    got.select("query_id", "neighbor_id", "rank").as[(String, String, Int)]
+      .collect().toSet shouldBe long
+  }
+
   it should "rank the scaled copy of a query first (same direction, cosine 1)" in {
     val copies = vecs.filter(col("vec_id") < 3)
       .select((col("vec_id") + 1000L).as("vec_id"),
