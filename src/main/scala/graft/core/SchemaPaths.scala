@@ -53,7 +53,12 @@ object SchemaPaths {
     coalesce(rendered, lit("null"))
   }
 
-  /** Composite record key: parts joined with `_` (reference MultiKey). */
+  /** Composite record key: parts joined with `_` (reference MultiKey,
+    * BigDiffy.scala:64-70). Parity trap preserved intentionally: the
+    * `_`-join can alias when values themselves contain underscores —
+    * ("a_b","c") renders identically to ("a","b_c") — exactly as in the
+    * reference; callers needing collision-free composites should pick a
+    * separator absent from their key domain. */
   def multiKey(schema: StructType, paths: Seq[String]): Column = {
     require(paths.nonEmpty, "at least one key field required")
     val parts = paths.map(p => keyPart(schema, p))

@@ -39,7 +39,10 @@ object ByteEncoding {
   * stay consistent with BigQuery INT64), strings as UTF-8, enums by name,
   * nulls silently skipped (BigSamplerAvro.scala:138-143), arrays element-wise,
   * nested structs recursed, and an optional seed prepended as `putInt` for
-  * FarmHash (Util.scala:94-97).
+  * FarmHash (Util.scala:94-97). The null-skip is a preserved parity trap:
+  * because a null contributes NO bytes (no position marker), (null, "x")
+  * and ("x", null) fold to the same hash — identical to the reference;
+  * sample on non-null key fields if that distinction matters.
   *
   * `algo = "farm"` matches BigQuery `FARM_FINGERPRINT` byte-for-byte on
   * string/bytes input (the reference documents this contract in
