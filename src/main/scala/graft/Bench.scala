@@ -37,6 +37,14 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(avroWarm))
       graft.sources.AvroIO.write(warm.limit(1000), avroWarm)
       graft.sources.AvroIO.read(spark, avroWarm).count()
+      // MLlib first use (BLAS + class loading) costs ~3 s; without this the
+      // single k-means query (ivf_topk_recall) absorbs it into its timing
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val mlWarm = spark.range(256)
+        .select(array_to_vector(array(col("id").cast("double"),
+          (col("id") % 7).cast("double"))).as("features"))
+      new KMeans().setK(4).setSeed(1L).setMaxIter(2).fit(mlWarm)
     }
     // optional comma-separated subset for targeted local iteration; the
     // driver leaves it unset and benches everything. Empty value = unset;

@@ -144,9 +144,14 @@ object Similarity {
     * on clustered real-world embeddings. Candidates examined per query ≈
     * corpus × nprobe / nlist.
     */
+  /** @param maxIter k-means iterations for the coarse quantizer. A coarse
+    *        quantizer only needs roughly-shaped cells — recall comes from
+    *        `nprobe`, not from a tightly-converged fit — so the default is
+    *        deliberately below MLlib's 20: on small/medium corpora fit
+    *        time is dominated by per-iteration job overhead, not data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-              trainCap: Long = 100000L): DataFrame = {
+              trainCap: Long = 100000L, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -174,6 +179,11 @@ object Similarity {
       .mapPartitions(_.take(perPart))
       .toDF("v")
       .select(array_to_vector(col("v")).as("features"))
+      // the sample is ≤ trainCap rows: collapse it to a few partitions so
+      // each k-means iteration schedules a handful of tasks instead of
+      // one per corpus partition (narrow coalesce — the per-partition
+      // take quotas above are unaffected)
+      .coalesce(8)
       // fit iterates over its input: pin the ≤ trainCap sampled rows
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -190,7 +200,8 @@ object Similarity {
       // Spark 4.1 MLlib crashes (block-mode aggregator AIOOBE) when k
       // exceeds the training point count — clamp
       val k_ = math.min(nlist.toLong, trainCount).toInt
-      val model = new KMeans().setK(k_).setSeed(seed).setFeaturesCol("features")
+      val model = new KMeans().setK(k_).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("features")
         .fit(trainDf)
       ivfSearch(corpusV, queryV, model.clusterCenters.map(_.toArray), k, nprobe)
     } finally trainDf.unpersist()
