@@ -2,7 +2,7 @@ package graft
 
 import graft.GraftFunctions._
 import graft.diffy.BigDiffy
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.sampling.{BigSampler, DirectSampler}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -194,6 +194,28 @@ object SparkEntry {
     "head_sorted" -> ((s, d) =>
       DirectSampler.head(t(s, d, "lineitem"), 50, Seq("l_orderkey", "l_linenumber"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+    // W1 topByKey as a value-exact gate: k smallest rows per key under a
+    // fully-specified order (ties beyond the order columns cannot occur in
+    // the output because only the ordered columns are projected)
+    "topbykey_quantity" -> ((s, d) =>
+      DirectSampler.topByKey(
+          t(s, d, "lineitem")
+            .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+          Seq("l_returnflag"),
+          Seq("l_quantity", "l_orderkey", "l_linenumber"), 3)
+        .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")),
+    // skew-salted join result-equivalence against an independent engine:
+    // the salted plan must aggregate to exactly the plain join's answer
+    "skew_salted_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(o, c, Seq("o_custkey"), salt = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice").cast("double"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
 
     // ---- hashing (F5/F7): distinct hashes == distinct key pairs, i.e.
     // zero collisions over the (non-unique!) synthetic key domain ----
@@ -534,6 +556,19 @@ object SparkEntry {
       "head_sorted" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
           |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+      "topbykey_quantity" ->
+        """WITH r AS (SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+          |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+          |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rk
+          |  FROM lineitem)
+          |SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber
+          |FROM r WHERE rk <= 3
+          |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin,
+      "skew_salted_join" ->
+        """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+          |  ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       "hash_distinct" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
           |  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_distinct
