@@ -269,6 +269,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_found"))
     }),
 
+    // n-gram Jaccard for an explicit pair list, value-exact vs a DuckDB
+    // replica that builds the same distinct char-5-gram sets from raw
+    // text (the hashed-shingle jaccard equals the string-set jaccard
+    // absent 64-bit collisions — the same zero-collision fact the
+    // hash_distinct gate proves on this corpus)
+    "ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs.select(col("doc_id").as("id_a")).filter(col("id_a") < 5)
+        .crossJoin(docs.select(col("doc_id").as("id_b"))
+          .filter(col("id_b").between(5, 9)))
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- similarity search (training-data extension) ----
     "topk_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -588,6 +603,17 @@ object SparkEntry {
       "sample_bernoulli_tol" -> "SELECT true AS within_tol",
       "sample_hash_dice_determinism" -> "SELECT true AS deterministic",
       "embedding_dedup" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings",
+      "ngram_jaccard" ->
+        """WITH g AS (SELECT doc_id, list_distinct(list_transform(
+          |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS gs
+          |  FROM documents),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.gs AS ga, b.gs AS gb
+          |  FROM g a, g b WHERE a.doc_id < 5 AND b.doc_id BETWEEN 5 AND 9)
+          |SELECT id_a, id_b,
+          |  ROUND(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+          |        (len(list_distinct(ga)) + len(list_distinct(gb))
+          |         - len(list_intersect(ga, gb))), 6) AS jac
+          |FROM p ORDER BY id_a, id_b""".stripMargin,
       "topk_cosine" ->
         """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
           |s AS (SELECT q.qid, e.vec_id AS nid,
