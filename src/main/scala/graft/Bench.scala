@@ -15,7 +15,9 @@ object Bench {
     // query isn't charged ~7s of session warmup. Deliberately touches no
     // benched table and caches nothing, so every timed query still runs
     // cold against its own data.
-    locally {
+    // A warm-up-only failure (full /tmp, racing bench runs) must not abort
+    // the bench — the timed queries would still run fine, just colder
+    try {
       import org.apache.spark.sql.functions._
       import graft.GraftFunctions._
       val warm = spark.range(200000)
@@ -45,6 +47,10 @@ object Bench {
         .select(array_to_vector(array(col("id").cast("double"),
           (col("id") % 7).cast("double"))).as("features"))
       new KMeans().setK(4).setSeed(1L).setMaxIter(2).fit(mlWarm)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(avroWarm))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] warmup failed " +
+        s"(continuing with cold-start noise): ${e.getMessage}")
     }
     // optional comma-separated subset for targeted local iteration; the
     // driver leaves it unset and benches everything. Empty value = unset;

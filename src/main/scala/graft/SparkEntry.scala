@@ -411,22 +411,9 @@ object SparkEntry {
     // oracle constants
     "multimodal_imageio" -> ((s, d) => {
       import s.implicits._
-      val img = new java.awt.image.BufferedImage(3, 2,
-        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-      var v = 10
-      for (y <- 0 until 2; x <- 0 until 3) {
-        img.setRGB(x, y, (v << 16) | ((v + 10) << 8) | (v + 20))
-        v += 30
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      val wav = java.nio.ByteBuffer.allocate(44 + 8000)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      wav.put("RIFF".getBytes); wav.putInt(36 + 8000); wav.put("WAVE".getBytes)
-      wav.put("fmt ".getBytes); wav.putInt(16); wav.putShort(1); wav.putShort(1)
-      wav.putInt(8000); wav.putInt(16000); wav.putShort(2); wav.putShort(16)
-      wav.put("data".getBytes); wav.putInt(8000)
-      val payloads = Seq((1L, bos.toByteArray), (2L, wav.array()))
+      val payloads = Seq(
+        (1L, graft.ext.MultimodalFixtures.encodedImage("png")),
+        (2L, graft.ext.MultimodalFixtures.wavBytes(1, 8000, 16, 8000)))
         .toDF("id", "payload")
       val imgFeats = Multimodal.decodeImages(payloads.filter(col("id") === 1), "payload")
         .select(col("img.width").as("w"), col("img.height").as("h"),

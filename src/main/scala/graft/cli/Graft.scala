@@ -101,10 +101,18 @@ object Graft {
   private[cli] def restrict(df: DataFrame, f: Map[String, String]): DataFrame =
     f.get("row-restriction").map(_.trim).filter(_.nonEmpty) match {
       case Some(p) =>
+        // strip surrounding quotes ONLY when they wrap the whole predicate
+        // (no further quote of the same kind inside): a predicate that
+        // merely STARTS and ENDS with distinct string literals — e.g.
+        // '2025-01-01' <= d AND d <= '2025-12-31' — must pass through
+        // untouched, or the strip would re-pair its quotes into garbage
+        val inner = p.substring(1, math.max(p.length - 1, 1))
         val stripped =
-          if (p.length >= 2 && "\"'".contains(p.head) && p.last == p.head)
-            p.substring(1, p.length - 1)
+          if (p.length >= 2 && "\"'".contains(p.head) && p.last == p.head &&
+              !inner.contains(p.head)) inner
           else p
+        require(stripped.trim.nonEmpty,
+          "--row-restriction is empty after quote stripping")
         df.filter(org.apache.spark.sql.functions.expr(stripped))
       case None => df
     }

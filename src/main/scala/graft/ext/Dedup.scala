@@ -35,13 +35,21 @@ object Dedup {
   /** Auto-mode broadcast decision shared by the near-dup verifiers: a
     * per-doc side table is safe to broadcast only while the corpus is
     * small; beyond the cutoff the verification joins fall back to shuffle
-    * (candidate sparsity makes that acceptable). Logs the choice so a
-    * silent executor OOM never hides behind the default. */
-  private def autoBroadcastVerify(op: String, docCount: Long, maxRows: Long): Boolean = {
-    val bc = docCount <= maxRows
-    System.err.println(s"[graft] $op: ~$docCount docs -> " +
+    * (candidate sparsity makes that acceptable). The cutoff is BOTH a row
+    * count and an estimated byte budget — a 900k-row corpus of 4096-dim
+    * vectors is multi-GB and must not broadcast just because its row count
+    * clears the bar. Logs the choice so a silent executor OOM never hides
+    * behind the default. */
+  private val MaxBroadcastVerifyBytes = 1L << 31 // ~2 GB
+
+  private def autoBroadcastVerify(op: String, docCount: Long, maxRows: Long,
+                                  estBytesPerRow: Long): Boolean = {
+    val estBytes = docCount * estBytesPerRow
+    val bc = docCount <= maxRows && estBytes <= MaxBroadcastVerifyBytes
+    System.err.println(s"[graft] $op: ~$docCount docs (~${estBytes >> 20} MiB est) -> " +
       (if (bc) "broadcasting" else "shuffle-joining") +
-      s" the verification side tables (cutoff $maxRows)")
+      s" the verification side tables (cutoffs: $maxRows rows, " +
+      s"${MaxBroadcastVerifyBytes >> 20} MiB)")
     bc
   }
 
@@ -136,8 +144,9 @@ object Dedup {
     val doBroadcast = broadcastVerify.getOrElse {
       // banded is pinned anyway; its count materializes the pin once and
       // gives docs = rows / bands without an extra corpus pass
+      // ~2.5 KB/doc hashed-shingle payload (documented above)
       autoBroadcastVerify("minhashNearDups", banded.count() / bands,
-        broadcastVerifyMaxRows)
+        broadcastVerifyMaxRows, estBytesPerRow = 2560L)
     }
     def side(n: String) = {
       val s = sh.select(col("id").as(n), col("sh").as(s"shh_$n"))
@@ -266,7 +275,7 @@ object Dedup {
       // banded is pinned anyway; its count materializes the pin once and
       // gives docs = rows / tables without an extra corpus pass
       autoBroadcastVerify("embeddingNearDups", banded.count() / tables,
-        broadcastVerifyMaxRows))
+        broadcastVerifyMaxRows, estBytesPerRow = dim.toLong * 4 + 64))
     def side(n: String, vn: String) = {
       val s = v.select(col("id").as(n), col("v").as(vn))
       if (doBroadcast) broadcast(s) else s

@@ -151,28 +151,38 @@ object Multimodal {
     * yield nulls. */
   private[ext] def decodeWavBytes(bytes: Array[Byte]): Row = {
     if (bytes == null || bytes.length < 12) return Row(null, null, null, null)
-    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
-    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
-    def le32(o: Int): Long = ((bytes(o) & 0xff).toLong |
-      ((bytes(o + 1) & 0xff).toLong << 8) |
-      ((bytes(o + 2) & 0xff).toLong << 16) |
-      ((bytes(o + 3) & 0xff).toLong << 24))
-    if (tag(0) != "RIFF" || tag(8) != "WAVE") return Row(null, null, null, null)
-    var off = 12
-    var ch = -1; var rate = -1L; var bits = -1; var dataLen = -1L
-    while (off + 8 <= bytes.length) {
-      val t = tag(off)
-      val len = le32(off + 4)
-      if (t == "fmt " && len >= 16 && off + 8 + 16 <= bytes.length) {
-        ch = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
+    try {
+      def tag(o: Long): String = new String(bytes, o.toInt, 4, "US-ASCII")
+      def le16(o: Long): Int = (bytes(o.toInt) & 0xff) | ((bytes(o.toInt + 1) & 0xff) << 8)
+      def le32(o: Long): Long = ((bytes(o.toInt) & 0xff).toLong |
+        ((bytes(o.toInt + 1) & 0xff).toLong << 8) |
+        ((bytes(o.toInt + 2) & 0xff).toLong << 16) |
+        ((bytes(o.toInt + 3) & 0xff).toLong << 24))
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return Row(null, null, null, null)
+      // offsets in Long: a corrupt 32-bit chunk length near 2^32 must not
+      // overflow the cursor negative or stall the walk — le32 is
+      // unsigned (0..2^32-1) so the cursor only ever moves forward, and
+      // any out-of-bounds read below is caught and nulled
+      var off = 12L
+      var ch = -1; var rate = -1L; var bits = -1; var dataLen = -1L
+      while (off + 8 <= bytes.length) {
+        val t = tag(off)
+        val len = le32(off + 4)
+        if (t == "fmt " && len >= 16 && off + 8 + 16 <= bytes.length) {
+          ch = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
+        }
+        if (t == "data") dataLen = len
+        // chunks are word-aligned: odd lengths carry one pad byte
+        off += 8L + len + (len & 1L)
       }
-      if (t == "data") dataLen = len
-      // chunks are word-aligned: odd lengths carry one pad byte
-      off += 8 + len.toInt + (len.toInt & 1)
+      if (ch <= 0 || rate <= 0 || bits < 8 || dataLen < 0) Row(null, null, null, null)
+      else Row(ch, rate.toInt, bits,
+        dataLen.toDouble / (rate.toDouble * ch * (bits / 8)))
+    } catch {
+      // malformed header (truncated chunk, bogus length): nulls, per the
+      // contract — one corrupt payload must never kill or hang the job
+      case _: Exception => Row(null, null, null, null)
     }
-    if (ch <= 0 || rate <= 0 || bits < 8 || dataLen < 0) Row(null, null, null, null)
-    else Row(ch, rate.toInt, bits,
-      dataLen.toDouble / (rate.toDouble * ch * (bits / 8)))
   }
 
   /** WAV audio feature extraction over batches: appends

@@ -1,0 +1,44 @@
+package graft.ext
+
+/** Deterministic multimodal fixtures shared by the oracle gate
+  * (`multimodal_imageio`), the specs, and the dev drive — ONE source of
+  * truth for the payloads behind the precomputed oracle constants, so the
+  * gate, the suite, and the smoke check cannot drift apart.
+  *
+  * Constants: [[rgbImage]] is a 3×2 TYPE_3BYTE_BGR image with RGB triples
+  * 10..180 — 18 samples summing 1710, mean intensity exactly 95.0 under
+  * any lossless encoding; `wavBytes(1, 8000, 16, 8000)` declares a 0.5 s
+  * mono 8 kHz 16-bit PCM payload.
+  */
+private[graft] object MultimodalFixtures {
+
+  def rgbImage(): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var v = 10
+    for (y <- 0 until 2; x <- 0 until 3) {
+      img.setRGB(x, y, (v << 16) | ((v + 10) << 8) | (v + 20))
+      v += 30
+    }
+    img
+  }
+
+  /** [[rgbImage]] encoded through the JDK writer for `fmt` (png/bmp/...). */
+  def encodedImage(fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgbImage(), fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Canonical 44-byte-header PCM WAV with a zeroed data chunk. */
+  def wavBytes(ch: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(ch.toShort)
+    bb.putInt(rate); bb.putInt(rate * ch * bits / 8)
+    bb.putShort((ch * bits / 8).toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    bb.array()
+  }
+}

@@ -190,13 +190,14 @@ object Similarity {
       // bounded cost: counts the pinned ≤ trainCap-row sample, not the corpus
       val trainCount = trainDf.count()
       // empty/degenerate corpus (nothing finite to train on): KMeans.fit
-      // would throw; return the empty result with the right schema instead
-      // (brute-force/LSH degrade the same way)
+      // would throw; return an empty result ROUTED THROUGH topKPerQuery so
+      // the schema (incl. the integral-id widening / string rendering of
+      // neighbor_id) is identical to the normal path's
       if (trainCount == 0)
-        return corpusV.crossJoin(queryV)
-          .select(col("query_id"), col("id").as("neighbor_id"),
-            lit(0.0).as("cosine_sim"), lit(1).as("rank"))
-          .limit(0)
+        return topKPerQuery(
+          corpusV.crossJoin(queryV)
+            .withColumn("cosine_sim", lit(null).cast("double"))
+            .limit(0), k)
       // Spark 4.1 MLlib crashes (block-mode aggregator AIOOBE) when k
       // exceeds the training point count — clamp
       val k_ = math.min(nlist.toLong, trainCount).toInt

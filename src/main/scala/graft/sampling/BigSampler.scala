@@ -131,19 +131,33 @@ object BigSampler {
     * same source preserves. */
   /** True when re-scanning `df` may not reproduce identical `rand(seed)`
     * coins across jobs: Spark seeds `rand` per (partition, row order), so
-    * re-evaluation is bit-identical for file-scan-rooted narrow plans (the
-    * same replay contract `RDD.sampleByKeyExact`'s two passes rely on:
-    * core/src/main/scala/org/apache/spark/util/random/
+    * re-evaluation is bit-identical for narrow plans rooted ONLY in
+    * order-stable leaves — file scans, local relations, cached relations
+    * (the same replay contract `RDD.sampleByKeyExact`'s two passes rely
+    * on: core/src/main/scala/org/apache/spark/util/random/
     * StratifiedSamplingUtils.scala re-creates the per-partition RNG
-    * deterministically), but NOT once the lineage contains a shuffle
-    * (nondeterministic fetch order), a limit, or a nondeterministic
-    * expression. Conservative: any such operator triggers pinning. */
+    * deterministically). Anything else pins: an operator that reorders
+    * rows between evaluations (shuffle fetch order, limits, sample) or
+    * any other nondeterminism, AND any leaf we cannot prove order-stable
+    * (a JDBC or custom-connector scan without an ORDER BY may legally
+    * return rows in a different order per query). */
   private def unstableForReplay(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
     df.queryExecution.optimizedPlan.exists {
+      // operators that may reorder rows between evaluations
       case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
            _: Deduplicate | _: Repartition | _: RepartitionByExpression |
            _: GlobalLimit | _: LocalLimit | _: Sample => true
+      // order-stable leaves (whitelist — an unknown leaf must pin)
+      case lr: LogicalRelation => !lr.relation.isInstanceOf[HadoopFsRelation]
+      case _: LocalRelation | _: InMemoryRelation | _: OneRowRelation => false
+      case r: DataSourceV2ScanRelation =>
+        // v2 file scans are deterministic; other connectors unknown
+        !r.scan.getClass.getName.contains("FileScan")
+      case l: LeafNode => true
       case p => p.expressions.exists(_.exists(e => !e.deterministic))
     }
   }

@@ -107,16 +107,9 @@ object Drive {
       (if (restrictedWant == restrictedGot) "OK" else "MISMATCH"))
 
     println("== real ImageIO decode (3x2 PNG, expect w=3 h=2 c=3 mean=95.0):")
-    val pimg = new java.awt.image.BufferedImage(3, 2,
-      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    var pv = 10
-    for (y <- 0 until 2; x <- 0 until 3) {
-      pimg.setRGB(x, y, (pv << 16) | ((pv + 10) << 8) | (pv + 20)); pv += 30
-    }
-    val pbos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(pimg, "png", pbos)
     val prow = graft.ext.Multimodal.decodeImages(
-        Seq((1L, pbos.toByteArray)).toDF("id", "payload"), "payload")
+        Seq((1L, graft.ext.MultimodalFixtures.encodedImage("png")))
+          .toDF("id", "payload"), "payload")
       .select("img.width", "img.height", "img.channels", "img.mean_intensity")
       .head()
     println(s"  got w=${prow.getInt(0)} h=${prow.getInt(1)} c=${prow.getInt(2)} " +

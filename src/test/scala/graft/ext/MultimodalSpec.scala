@@ -48,23 +48,10 @@ class MultimodalSpec extends SparkSpec {
 
   behavior of "real JDK-ImageIO decode"
 
-  private def rgbImage(): java.awt.image.BufferedImage = {
-    val img = new java.awt.image.BufferedImage(3, 2,
-      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    // RGB triples 10..180: sum 1710 over 18 samples -> mean 95.0 exactly
-    var v = 10
-    for (y <- 0 until 2; x <- 0 until 3) {
-      img.setRGB(x, y, (v << 16) | ((v + 10) << 8) | (v + 20))
-      v += 30
-    }
-    img
-  }
-
-  private def encoded(fmt: String): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(rgbImage(), fmt, bos)
-    bos.toByteArray
-  }
+  // shared fixture: RGB triples 10..180 -> mean 95.0 exactly (see
+  // MultimodalFixtures — also the source of the gate's oracle constants)
+  private def encoded(fmt: String): Array[Byte] =
+    MultimodalFixtures.encodedImage(fmt)
 
   it should "decode true dimensions, channels, and mean intensity from PNG and BMP" in {
     val real = Seq((1L, encoded("png")), (2L, encoded("bmp"))).toDF("id", "payload")
@@ -80,16 +67,8 @@ class MultimodalSpec extends SparkSpec {
 
   behavior of "WAV header decode"
 
-  private def wavBytes(ch: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
-    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(ch.toShort)
-    bb.putInt(rate); bb.putInt(rate * ch * bits / 8)
-    bb.putShort((ch * bits / 8).toShort); bb.putShort(bits.toShort)
-    bb.put("data".getBytes); bb.putInt(dataLen)
-    bb.array()
-  }
+  private def wavBytes(ch: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] =
+    MultimodalFixtures.wavBytes(ch, rate, bits, dataLen)
 
   it should "compute channels, rate, depth, and duration by header arithmetic" in {
     val a = Seq(
@@ -103,6 +82,23 @@ class MultimodalSpec extends SparkSpec {
     (got(0).getInt(1), got(0).getInt(2), got(0).getDouble(3)) shouldBe ((1, 8000, 0.5))
     (got(1).getInt(1), got(1).getInt(2), got(1).getDouble(3)) shouldBe ((2, 44100, 1.0))
     got(2).isNullAt(1) shouldBe true
+  }
+
+  it should "null out corrupt chunk lengths instead of hanging or crashing" in {
+    // a chunk length of 0xFFFFFFF8 once made the walk advance by zero
+    // (infinite loop) under Int arithmetic; other corrupt lengths drove
+    // the cursor out of bounds — all must yield null features
+    def corrupt(lenBytes: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ Array[Byte](0, 1, 0, 0) ++ "WAVE".getBytes ++
+        "junk".getBytes ++ lenBytes ++ Array.fill[Byte](8)(0)
+    val rows = Seq(
+      (1L, corrupt(Array(0xf8, 0xff, 0xff, 0xff).map(_.toByte))), // -8 as Int
+      (2L, corrupt(Array(0x00, 0x00, 0x00, 0x80).map(_.toByte))), // 2^31
+      (3L, "RIFF1234WAVEfm".getBytes)) // truncated mid-tag
+      .toDF("id", "payload")
+    val got = Multimodal.decodeAudio(rows, "payload")
+      .select("id", "audio.channels").orderBy("id").collect()
+    all(got.map(_.isNullAt(1))) shouldBe true
   }
 
   it should "resize and frame-sample with stable shapes" in {
