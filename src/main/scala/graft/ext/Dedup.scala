@@ -292,7 +292,11 @@ object Dedup {
     * reachable through pairs lands in one cluster, labeled by the cluster's
     * minimum id — the representative a dedup keep-one policy retains.
     *
-    * Iterative min-label propagation over the (undirected) edge list:
+    * Two execution paths selected by edge count: at or below `driverCap`
+    * edges, a driver-side union-find labels the graph in one collect
+    * (several distributed join rounds on a small graph are pure job
+    * overhead); above it, iterative min-label propagation over the
+    * (undirected) edge list:
     * each round every vertex takes the min of its own label and its
     * neighbors' labels, then follows its representative's label once more
     * (path halving), so rounds needed ≈ half the largest cluster diameter.
@@ -307,12 +311,59 @@ object Dedup {
     * Returns (id, component) for every id that appears in `pairs`;
     * singleton documents (no pairs) are their own implicit cluster.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** @param driverCap edge-count ceiling for the driver fast path: an edge
+    *        list at or below it (two longs per edge — ≤ ~80 MB at the
+    *        default) is collected once and labeled with union-find in
+    *        milliseconds, instead of paying several distributed join
+    *        rounds whose cost on a small graph is pure job overhead. The
+    *        near-dup pair lists this operator consumes are usually orders
+    *        of magnitude smaller than the corpus, so most real dedup runs
+    *        take this path; genuinely huge pair graphs fall through to the
+    *        distributed propagation loop unchanged. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          driverCap: Long = 5000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
     // pin the pair list BEFORE mirroring: the union's two branches would
     // otherwise each evaluate the (possibly expensive) upstream candidate
     // pipeline that produced the pairs
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val idType = p.schema("id_a").dataType
+    val integralIds =
+      Seq[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(idType)
+    // the pinned edge count is one cheap scan of checkpointed blocks
+    if (integralIds && p.count() <= driverCap) {
+      // driver fast path: min-root union-find with path compression —
+      // union attaches the LARGER root under the smaller, so each root IS
+      // its component's minimum id, matching the distributed loop's
+      // converged labeling exactly
+      val spark = p.sparkSession
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      p.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+        .collect().foreach { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+      val rows = parent.keysIterator
+        .map(id => org.apache.spark.sql.Row(id, find(id))).toSeq
+      val longLabels = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, rows.size / 500000)),
+        StructType(Seq(StructField("id", LongType, nullable = false),
+          StructField("component", LongType, nullable = false))))
+      // restore the caller's id type so downstream joins line up
+      return longLabels.select(col("id").cast(idType).as("id"),
+        col("component").cast(idType).as("component"))
+    }
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)

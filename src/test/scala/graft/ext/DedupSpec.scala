@@ -126,6 +126,21 @@ class ClusterSpec extends graft.SparkSpec {
     Dedup.connectedComponents(pairs).count() shouldBe 0L
   }
 
+  it should "produce identical labels on the driver and distributed paths" in {
+    // random-ish graph: chains, a triangle, singleton-free
+    val rnd = new scala.util.Random(3)
+    val pairs = (0 until 300).map { _ =>
+      val a = rnd.nextInt(200).toLong; val b = rnd.nextInt(200).toLong
+      (math.min(a, b), math.max(a, b) + 1) // avoid self-loops
+    }.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // driverCap = 0 forces the distributed min-label propagation loop
+    val dist = Dedup.connectedComponents(pairs, driverCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    fast shouldBe dist
+  }
+
   it should "drop every non-representative and keep singletons" in {
     val docs = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
