@@ -49,6 +49,21 @@ class GraftCliSpec extends SparkSpec {
     spark.read.parquet(s"$base/samp").count() shouldBe 25
   }
 
+  it should "push the row-restriction predicate into the parquet scan" in {
+    val df = Graft.restrict(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+      Map("row-restriction" -> "o_orderkey > 1000"))
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,1000)")
+    // predicates that merely start and end with string literals survive
+    // the quote-strip untouched
+    val dated = Graft.restrict(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+      Map("row-restriction" ->
+        "'1995-01-01' <= o_orderpriority AND o_orderpriority <= '5-LOW'"))
+    noException should be thrownBy dated.queryExecution.optimizedPlan
+  }
+
   it should "run bigSampler exact stratified and honor the output guard" in {
     val base = tmp()
     val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "A" else "B")).toDF("k", "g")
