@@ -442,6 +442,15 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    // cross-document boilerplate signal: fraction of each doc's distinct
+    // 5-grams appearing in >= 3 docs, value-exact vs a DuckDB replica
+    // over raw n-gram strings (hashed == string sets absent collisions,
+    // as hash_distinct/ngram_jaccard establish on this corpus)
+    "text_common_ngrams" -> ((s, d) =>
+      TextAnalysis.commonNgramFraction(t(s, d, "documents"), "doc_id", "text",
+          n = 5, minDocFreq = 3)
+        .select(col("doc_id"), round(col("common_frac"), 6).as("common_frac"))
+        .orderBy("doc_id")),
     // redaction gate: plant a deterministic email + URL + phone per doc,
     // redact, and hash-compare the full output against DuckDB running the
     // IDENTICAL (RE2-compatible) patterns
@@ -590,6 +599,16 @@ object SparkEntry {
       "sample_bernoulli_tol" -> "SELECT true AS within_tol",
       "sample_hash_dice_determinism" -> "SELECT true AS deterministic",
       "embedding_dedup" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings",
+      "text_common_ngrams" ->
+        """WITH g AS (SELECT doc_id, list_distinct(list_transform(
+          |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS gs
+          |  FROM documents),
+          |e AS (SELECT doc_id, unnest(gs) AS ng FROM g),
+          |df AS (SELECT ng, COUNT(*) AS nd FROM e GROUP BY ng)
+          |SELECT e.doc_id,
+          |  ROUND(AVG(CASE WHEN df.nd >= 3 THEN 1.0 ELSE 0.0 END), 6) AS common_frac
+          |FROM e JOIN df USING (ng)
+          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
       "ngram_jaccard" ->
         """WITH g AS (SELECT doc_id, list_distinct(list_transform(
           |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS gs

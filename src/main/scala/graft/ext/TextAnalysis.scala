@@ -113,6 +113,30 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     farmHash64(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Corpus-frequent n-gram fraction per document: of a doc's DISTINCT
+    * character n-grams, the fraction appearing in at least `minDocFreq`
+    * documents (itself included). High values flag boilerplate shared
+    * across the corpus (the cross-document complement of [[dupLineRatio]];
+    * the span-level cousin of suffix-array training-data dedup).
+    *
+    * Scale shape: documents reduce to hashed distinct shingles at the
+    * scan (ShingleHashes), so the explode, the doc-frequency groupBy, and
+    * the join back all shuffle 8-byte longs — never text. Returns
+    * (idCol, common_frac); docs shorter than n get common_frac null. */
+  def commonNgramFraction(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5, minDocFreq: Int = 3): DataFrame = {
+    require(minDocFreq >= 1, s"minDocFreq must be >= 1, got $minDocFreq")
+    // ShingleHashes output is distinct per doc, so count(*) per hash IS
+    // the document frequency
+    val ex = df.select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__g"))
+    val docFreq = ex.groupBy("__g").agg(count(lit(1)).as("__nd"))
+    val frac = ex.join(docFreq, "__g")
+      .groupBy(idCol)
+      .agg(avg(when(col("__nd") >= minDocFreq, 1.0).otherwise(0.0)).as("common_frac"))
+    // explode drops docs shorter than n (null shingles): re-attach with null
+    df.select(col(idCol)).join(frac, Seq(idCol), "left")
+  }
+
   /** Convenience: attach all analysis columns to a corpus. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     qualitySignals(df, textCol)

@@ -76,6 +76,27 @@ class TextAnalysisSpec extends SparkSpec {
       "<EMAIL> and https://x.y"
   }
 
+  behavior of "commonNgramFraction"
+
+  it should "score shared boilerplate high and unique text low" in {
+    val docs = Seq(
+      (1L, "shared boilerplate header text"),
+      (2L, "shared boilerplate header text"),
+      (3L, "shared boilerplate header text"),
+      (4L, "zq"), // shorter than n -> null
+      (5L, "xxqjvzzwkpy unique gibberish qqq"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.commonNgramFraction(docs, "doc_id", "text",
+        n = 5, minDocFreq = 3)
+      .orderBy("doc_id").collect()
+    // docs 1-3 are identical: every 5-gram appears in 3 docs
+    got(0).getDouble(1) shouldBe 1.0
+    got(1).getDouble(1) shouldBe 1.0
+    got(2).getDouble(1) shouldBe 1.0
+    got(3).isNullAt(1) shouldBe true
+    got(4).getDouble(1) shouldBe 0.0
+  }
+
   behavior of "dupLineRatio"
 
   it should "measure the duplicate-line fraction" in {
