@@ -106,9 +106,11 @@ object Graft {
         // merely STARTS and ENDS with distinct string literals — e.g.
         // '2025-01-01' <= d AND d <= '2025-12-31' — must pass through
         // untouched, or the strip would re-pair its quotes into garbage
+        // backtick included for reference-CLI parity: its stripQuoteWrap
+        // (BigDiffy.scala) accepts `-wrapped predicates too
         val inner = p.substring(1, math.max(p.length - 1, 1))
         val stripped =
-          if (p.length >= 2 && "\"'".contains(p.head) && p.last == p.head &&
+          if (p.length >= 2 && "\"'`".contains(p.head) && p.last == p.head &&
               !inner.contains(p.head)) inner
           else p
         require(stripped.trim.nonEmpty,

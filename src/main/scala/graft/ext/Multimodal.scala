@@ -68,16 +68,44 @@ object Multimodal {
     Row(w, h, 3, sum.toDouble / bytes.length)
   }
 
+  /** Pixel ceiling for real decode: dimensions are peeked from the header
+    * BEFORE any raster is allocated, and a payload whose DECLARED pixel
+    * count exceeds this cap is nulled without decoding. Without the peek,
+    * a decompression bomb — a few-hundred-byte PNG declaring 30000×30000
+    * — would make `ImageIO.read` allocate a multi-GB `BufferedImage` and
+    * die with `OutOfMemoryError` (an Error, not Exception), killing the
+    * executor: exactly the one-corrupt-payload-kills-the-job failure this
+    * module's contract forbids for untrusted training data. 64 M pixels
+    * ≈ 256 MB as an int raster — far above any sane training image. */
+  private[ext] val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP —
     * public, zero extra dependencies): true width/height, raster band
     * count as channels, and mean raw sample value over all pixels × bands
     * as intensity. Unknown formats (no registered reader) fall back to
-    * [[stubDecodeImage]]; claimed-but-corrupt payloads yield nulls. */
+    * [[stubDecodeImage]]; claimed-but-corrupt payloads — including bombs
+    * over [[MaxDecodePixels]] — yield nulls. */
   private[ext] def decodeImageBytes(bytes: Array[Byte]): Row = {
     if (bytes == null || bytes.length < 4) return Row(null, null, null, null)
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) return stubDecodeImage(bytes) // no codec claims it
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val img =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return stubDecodeImage(bytes) // no codec claims it
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // header-only dimension peek: no raster exists yet, so the
+            // bomb check costs nothing and runs before any big allocation
+            val dw = reader.getWidth(0)
+            val dh = reader.getHeight(0)
+            if (dw.toLong * dh > MaxDecodePixels || dw <= 0 || dh <= 0)
+              return Row(null, null, null, null)
+            reader.read(0)
+          } finally reader.dispose()
+        } finally iis.close()
       val w = img.getWidth
       val h = img.getHeight
       if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
@@ -113,8 +141,14 @@ object Multimodal {
       }
     } catch {
       // a reader claimed the magic bytes but the body is broken: null
-      // features, never fake numbers for a real-format payload
-      case _: Exception => Row(null, null, null, null)
+      // features, never fake numbers for a real-format payload. The
+      // dimension cap above makes raster allocation bounded, but a
+      // malicious codec path could still overshoot (interlace buffers,
+      // metadata) — treat OutOfMemoryError from THIS payload's decode as
+      // a corrupt-payload null too, rather than letting one byte blob
+      // kill the executor; nothing is partially mutated at this point
+      case scala.util.control.NonFatal(_) => Row(null, null, null, null)
+      case _: OutOfMemoryError => Row(null, null, null, null)
     }
   }
 

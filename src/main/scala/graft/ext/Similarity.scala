@@ -158,14 +158,18 @@ object Similarity {
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
 
-    // bounded training sample WITHOUT a full corpus pass: take the first
-    // ~trainCap/partitions finite vectors of each partition. Each task
-    // early-terminates once its quota is met, so the sampling job touches
-    // ≈ trainCap rows total regardless of corpus size (the previous
+    // bounded training sample WITHOUT a full corpus pass: take every
+    // `trainStride`-th finite vector of each partition until the
+    // per-partition quota is met. Each task early-terminates after
+    // scanning ≤ stride × quota rows, so the sampling job touches
+    // O(trainCap) rows total regardless of corpus size (the previous
     // corpusV.count() + fraction-sample cost two full scans just to size
-    // the sample). Deterministic given the (sorted) file listing; spread
-    // across all partitions, so ordered data still contributes from every
-    // file — adequate for a coarse quantizer.
+    // the sample). Striding (vs a pure prefix) matters because embedding
+    // files are routinely written CLUSTERED — a prefix of each partition
+    // would train the quantizer on one corner of the space and recall
+    // would degrade; every m-th row spans each partition's local ordering
+    // at the same bounded scan cost. Deterministic given the (sorted)
+    // file listing — adequate for a coarse quantizer.
     // KMeans.fit rejects NaN/Inf features; NearestCells already degrades
     // such rows to null at assignment, so exclude them from training too.
     val finiteVecs = corpusV
@@ -173,10 +177,13 @@ object Similarity {
         x => isnan(x) || abs(x) >= lit(Double.PositiveInfinity)))
       .select(col("v").cast("array<double>"))
     val parts = math.max(1, finiteVecs.rdd.getNumPartitions)
-    val perPart = math.max(1L, trainCap / parts).toInt
+    // clamp to Int range: trainCap / parts overflows .toInt for caps past
+    // ~2^31 × partitions, which would silently sample NOTHING
+    val perPart = math.min(math.max(1L, trainCap / parts), Int.MaxValue.toLong).toInt
+    val trainStride = 16
     import corpus.sparkSession.implicits._
     val trainDf = finiteVecs.as[Seq[Double]]
-      .mapPartitions(_.take(perPart))
+      .mapPartitions(_.grouped(trainStride).map(_.head).take(perPart))
       .toDF("v")
       .select(array_to_vector(col("v")).as("features"))
       // the sample is ≤ trainCap rows: collapse it to a few partitions so
@@ -199,12 +206,18 @@ object Similarity {
             .withColumn("cosine_sim", lit(null).cast("double"))
             .limit(0), k)
       // Spark 4.1 MLlib crashes (block-mode aggregator AIOOBE) when k
-      // exceeds the training point count — clamp
+      // exceeds the training point count — clamp; and KMeans rejects
+      // k < 2 outright, so a 1-row sample (tiny corpus after striding)
+      // skips the fit: one centroid = one cell = probe everything
       val k_ = math.min(nlist.toLong, trainCount).toInt
-      val model = new KMeans().setK(k_).setSeed(seed).setMaxIter(maxIter)
-        .setFeaturesCol("features")
-        .fit(trainDf)
-      ivfSearch(corpusV, queryV, model.clusterCenters.map(_.toArray), k, nprobe)
+      val centroids =
+        if (k_ < 2)
+          Array(trainDf.head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+        else
+          new KMeans().setK(k_).setSeed(seed).setMaxIter(maxIter)
+            .setFeaturesCol("features")
+            .fit(trainDf).clusterCenters.map(_.toArray)
+      ivfSearch(corpusV, queryV, centroids, k, nprobe)
     } finally trainDf.unpersist()
   }
 

@@ -141,11 +141,28 @@ object BigSampler {
     * any other nondeterminism, AND any leaf we cannot prove order-stable
     * (a JDBC or custom-connector scan without an ORDER BY may legally
     * return rows in a different order per query). */
-  private def unstableForReplay(df: DataFrame): Boolean = {
+  private[sampling] def unstableForReplay(df: DataFrame): Boolean =
+    unstableForReplay(df, df.sparkSession.conf
+      .getOption("spark.dynamicAllocation.enabled").exists(_.equalsIgnoreCase("true")))
+
+  private[sampling] def unstableForReplay(df: DataFrame,
+                                          dynamicAllocation: Boolean): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    // rand replay needs more than a stable SOURCE: the coins are seeded
+    // per (partition, row-index), so the counting job and the two
+    // selection scans must also plan IDENTICAL file splits.
+    // FilePartition.maxSplitBytes derives from the cluster's default
+    // parallelism, which shifts as executors join/leave under dynamic
+    // allocation — the jobs could then bucket the same files into
+    // different partitions, silently reassigning coins (duplicate or
+    // dropped picks). A dynamically-allocated cluster therefore ALWAYS
+    // pins; with fixed executors, split planning is a pure function of
+    // the file listing and the (session-constant) size confs, which is
+    // the residual assumption the whitelist below documents.
+    if (dynamicAllocation) return true
     df.queryExecution.optimizedPlan.exists {
       // operators that may reorder rows between evaluations
       case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |

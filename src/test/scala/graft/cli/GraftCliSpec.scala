@@ -62,6 +62,12 @@ class GraftCliSpec extends SparkSpec {
       Map("row-restriction" ->
         "'1995-01-01' <= o_orderpriority AND o_orderpriority <= '5-LOW'"))
     noException should be thrownBy dated.queryExecution.optimizedPlan
+    // backtick wrappers strip like the reference's stripQuoteWrap
+    val ticked = Graft.restrict(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+      Map("row-restriction" -> "`o_orderkey > 1000`"))
+    ticked.queryExecution.executedPlan.toString should include(
+      "GreaterThan(o_orderkey,1000)")
   }
 
   it should "run bigSampler exact stratified and honor the output guard" in {

@@ -141,6 +141,20 @@ class ClusterSpec extends graft.SparkSpec {
     fast shouldBe dist
   }
 
+  it should "drop null-id pairs identically on the driver and distributed paths" in {
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (null, 3L), (4L, null), (5L, 6L)).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, driverCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    fast shouldBe dist
+    // 3 and 4 only ever appear opposite a null id: excluded from the graph
+    fast.keySet shouldBe Set(1L, 2L, 5L, 6L)
+    fast(2L) shouldBe 1L
+    fast(6L) shouldBe 5L
+  }
+
   it should "drop every non-representative and keep singletons" in {
     val docs = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -65,6 +65,30 @@ class MultimodalSpec extends SparkSpec {
     got.map(_._5).foreach(_ shouldBe 95.0 +- 1e-9)
   }
 
+  it should "null out a decompression-bomb payload without decoding it" in {
+    // a valid tiny PNG whose IHDR is re-signed to DECLARE 30000×30000:
+    // without the header-only dimension peek, ImageIO.read would allocate
+    // a ~3.6 GB raster and die with OutOfMemoryError. PNG layout: 8-byte
+    // signature, then IHDR = len(4) + "IHDR"(4) + data(13: width, height,
+    // …) + crc(4); the CRC covers type+data, so it must be recomputed or
+    // the reader rejects the chunk before the bomb check is exercised.
+    val bomb = MultimodalFixtures.encodedImage("png").clone()
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(16, 30000); putInt(20, 30000)
+    val crc = new java.util.zip.CRC32
+    crc.update(bomb, 12, 17) // "IHDR" + 13 data bytes
+    putInt(29, crc.getValue.toInt)
+    val out = Multimodal.decodeImages(Seq((1L, bomb)).toDF("id", "payload"), "payload")
+      .select("img.width", "img.mean_intensity").collect()
+    out(0).isNullAt(0) shouldBe true
+    out(0).isNullAt(1) shouldBe true
+    // the kernel itself (not just the pipeline) rejects by declared size
+    Multimodal.decodeImageBytes(bomb).isNullAt(0) shouldBe true
+  }
+
   behavior of "WAV header decode"
 
   private def wavBytes(ch: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] =

@@ -96,6 +96,24 @@ class BigSamplerSpec extends SparkSpec {
     run().select("id").as[Long].collect().sorted shouldBe ids1
   }
 
+  it should "pin rand replay under dynamic allocation even on stable scans" in {
+    // rand(seed) coins are per (partition, row-index): a dynamically-
+    // allocated cluster can re-plan file splits between the counting and
+    // selection jobs (maxSplitBytes tracks defaultParallelism), so a
+    // scan-rooted plan that replays fine with fixed executors must STILL
+    // pin when dynamic allocation is on
+    val dir = java.nio.file.Files.createTempDirectory("dyn").toString
+    data.limit(100).write.parquet(s"$dir/in")
+    val stable = spark.read.parquet(s"$dir/in")
+    BigSampler.unstableForReplay(stable, dynamicAllocation = false) shouldBe false
+    BigSampler.unstableForReplay(stable, dynamicAllocation = true) shouldBe true
+    // the session-conf overload: unset locally -> scan-stability decides
+    BigSampler.unstableForReplay(stable) shouldBe false
+    // shuffled lineage pins regardless
+    BigSampler.unstableForReplay(stable.repartition(4),
+      dynamicAllocation = false) shouldBe true
+  }
+
   it should "reject fractions outside (0, 1]" in {
     an[IllegalArgumentException] should be thrownBy sample(data, 0.0)
     an[IllegalArgumentException] should be thrownBy sample(data, 1.2)
