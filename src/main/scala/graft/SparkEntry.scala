@@ -467,6 +467,31 @@ object SparkEntry {
       t(s, d, "documents")
         .select(TextAnalysis.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct"))),
+    // benchmark decontamination: the benchmark is every doc_id % 97 == 0
+    // document; the corpus is all documents plus PLANTED copies of the
+    // benchmark texts (new ids, junk prefix — a superstring keeps every
+    // char n-gram of the original). Kept = docs sharing no 40-char-gram
+    // with the benchmark; value-exact id list vs the DuckDB replica.
+    "decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(bench.select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("zz "), col("text")).as("text")))
+      TextAnalysis.decontaminate(corpus, "doc_id", "text", bench, "text", n = 40)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // exact top-fraction quality selection: keep exactly ceil(n × 0.2)
+    // docs by mean token length, ties broken by doc_id — value-exact id
+    // list vs a DuckDB global-rank replica (the Spark side never sorts
+    // globally: range buckets + boundary-only rank)
+    "quality_top_frac" -> ((s, d) => {
+      val q = TextAnalysis.qualitySignals(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("mean_token_len").as("score"))
+      graft.ext.ScoreFilter.keepTopFraction(q, "score", 0.2,
+          tieBreak = Seq("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -712,6 +737,35 @@ object SparkEntry {
       "text_fingerprint" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  CAST(COUNT(*) AS BIGINT) AS n_distinct FROM documents""".stripMargin,
+      // exact 40-char-gram overlap vs the benchmark (doc_id % 97 == 0):
+      // kept = corpus ids whose gram set misses the benchmark's entirely
+      "decontaminate" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, 'zz ' || text FROM documents WHERE doc_id % 97 = 0),
+          |bg AS (SELECT DISTINCT unnest(list_transform(
+          |    generate_series(1, length(text) - 39), i -> substring(text, i, 40))) AS g
+          |  FROM documents WHERE doc_id % 97 = 0),
+          |cg AS (SELECT doc_id, unnest(list_transform(
+          |    generate_series(1, length(text) - 39), i -> substring(text, i, 40))) AS g
+          |  FROM corpus),
+          |bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+          |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+          |ORDER BY doc_id""".stripMargin,
+      // global top-20% by mean token length, ties by doc_id — the rank
+      // replica of ScoreFilter's bucket-and-boundary selection
+      "quality_top_frac" ->
+        s"""WITH q AS (SELECT doc_id,
+           |  CAST(list_sum(list_transform($toks, x -> len(x))) AS DOUBLE)
+           |    / len($toks) AS score
+           |  FROM documents),
+           |r AS (SELECT doc_id,
+           |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn,
+           |  COUNT(*) OVER () AS n FROM q)
+           |SELECT doc_id FROM r
+           |WHERE rn <= CAST(ceil(n * CAST(0.2 AS DOUBLE)) AS BIGINT)
+           |ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -137,6 +137,57 @@ object TextAnalysis {
     df.select(col(idCol)).join(frac, Seq(idCol), "left")
   }
 
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one character `n`-gram with a benchmark/eval set — the
+    * standard n-gram-overlap decontamination from public LM training
+    * recipes (GPT-3 appendix C / PaLM: drop training docs overlapping
+    * test sets on ~8-13-token n-grams; `n` here is CHARACTERS, so ~40-65
+    * chars approximates those window sizes).
+    *
+    * Scale shape (the benchmark side is SMALL — that is the premise of
+    * the operator): benchmark n-grams reduce to distinct 8-byte hashes
+    * (one tiny aggregation), and the corpus-side probe is explode →
+    * BROADCAST left-semi join — a narrow scan pass over the corpus with
+    * NO corpus shuffle; only the matched doc ids (bounded by the
+    * contaminated fraction) reach the distinct's exchange. Returns
+    * (idCol, contaminated: boolean) for every corpus row. Exact-match
+    * semantics up to 64-bit shingle-hash collisions (same contract as
+    * [[commonNgramFraction]]); docs or benchmark rows shorter than `n`
+    * contribute no n-grams. */
+  def flagContaminated(corpus: DataFrame, idCol: String, textCol: String,
+                       benchmark: DataFrame, benchTextCol: String,
+                       n: Int = 50): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchGrams = benchmark
+      .select(explode(shingleHashes(col(benchTextCol), n)).as("__g")).distinct()
+    val hit = corpus
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .select(idCol).distinct()
+      .withColumn("contaminated", lit(true))
+    corpus.join(hit, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
+  /** Keep only corpus documents with NO `n`-gram overlap against the
+    * benchmark set (the filtering form of [[flagContaminated]]): an
+    * anti-join against the (small) contaminated-id set. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 50): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingleHashes(col(benchTextCol), n)).as("__g")).distinct()
+    val hit = corpus
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .select(idCol).distinct()
+    // the contaminated-id relation is usually tiny (decontamination
+    // removes a small fraction); AQE turns this anti join into a
+    // broadcast at runtime when it is — no hint, so a pathological
+    // everything-contaminated corpus still executes as a shuffle join
+    corpus.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** Convenience: attach all analysis columns to a corpus. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     qualitySignals(df, textCol)

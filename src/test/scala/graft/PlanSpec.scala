@@ -109,6 +109,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  "decontamination" should "probe the corpus with a broadcast semi join, no corpus shuffle" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val flagged = ext.TextAnalysis.flagContaminated(
+      docs, "doc_id", "text", bench, "text", n = 40)
+    val p = plan(flagged)
+    // the benchmark gram set builds and ships as a broadcast; the corpus
+    // side is a narrow explode + semi probe — the only hash exchange is
+    // the distinct over MATCHED ids (bounded by the contaminated count)
+    p should include("BroadcastHashJoin")
+    p should include("LeftSemi")
+  }
+
+  "exact top-fraction selection" should "rank only the boundary bucket, never sort globally" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = ext.TextAnalysis.qualitySignals(docs, "text")
+      .select(col("doc_id"), col("mean_token_len").as("s"))
+    val kept = ext.ScoreFilter.keepTopFraction(q, "s", 0.2, tieBreak = Seq("doc_id"))
+    val p = plan(kept)
+    // the pass branch is a narrow filter; the Window (boundary rank) must
+    // be fed by a bucket-equality filter, not the whole relation — assert
+    // no global Sort outside the windowed boundary branch
+    "Exchange SinglePartition".r.findAllIn(p).size should be <= 1
+    p should include("Window")
+    p should include("Union")
+  }
+
   "the diff stats views" should "reuse one cached relation instead of re-joining" in {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val r = diffy.BigDiffy.diff(

@@ -99,6 +99,36 @@ class TextAnalysisSpec extends SparkSpec {
 
   behavior of "dupLineRatio"
 
+  behavior of "benchmark decontamination"
+
+  it should "flag and drop docs sharing an n-gram with the benchmark" in {
+    val bench = Seq((100L, "the secret benchmark answer sequence here")).toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "completely unrelated prose about weather patterns today"),
+      (2L, "prefix junk then the secret benchmark answer sequence here trailing"),
+      (3L, "short"),
+      (4L, "another clean document with its own distinct wording entirely"))
+      .toDF("doc_id", "text")
+    val flagged = TextAnalysis.flagContaminated(corpus, "doc_id", "text",
+        bench, "btext", n = 20)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    flagged shouldBe Map(1L -> false, 2L -> true, 3L -> false, 4L -> false)
+    // the filtering form keeps exactly the unflagged rows, columns intact
+    val kept = TextAnalysis.decontaminate(corpus, "doc_id", "text",
+      bench, "btext", n = 20)
+    kept.columns.toSeq shouldBe Seq("doc_id", "text")
+    kept.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L, 4L)
+  }
+
+  it should "treat an empty benchmark as contaminating nothing" in {
+    val corpus = Seq((1L, "some document text here okay")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("bid", "btext")
+    TextAnalysis.decontaminate(corpus, "doc_id", "text", bench, "btext", n = 10)
+      .count() shouldBe 1L
+    TextAnalysis.flagContaminated(corpus, "doc_id", "text", bench, "btext", n = 10)
+      .select("contaminated").as[Boolean].collect() shouldBe Array(false)
+  }
+
   it should "measure the duplicate-line fraction" in {
     val df = Seq("a\nb\na\na", "x\ny").toDF("text")
     df.select(round(TextAnalysis.dupLineRatio(col("text")), 2)).as[Double].collect() shouldBe
