@@ -492,6 +492,16 @@ object SparkEntry {
           tieBreak = Seq("doc_id"))
         .select("doc_id").orderBy("doc_id")
     }),
+    // token-budget selection (the data-mixing step): best docs by mean
+    // token length until 15k tokens are claimed — maximal score-desc
+    // prefix with total n_tokens <= budget, vs a DuckDB running-sum rank
+    "token_budget" -> ((s, d) => {
+      val q = TextAnalysis.qualitySignals(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("mean_token_len").as("score"), col("n_tokens"))
+      graft.ext.ScoreFilter.keepTopByBudget(q, "score", "n_tokens", 15000L,
+          tieBreak = Seq("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -766,6 +776,17 @@ object SparkEntry {
            |SELECT doc_id FROM r
            |WHERE rn <= CAST(ceil(n * CAST(0.2 AS DOUBLE)) AS BIGINT)
            |ORDER BY doc_id""".stripMargin,
+      // running-sum prefix in (score desc, doc_id) order: kept while the
+      // cumulative token count stays within the 15k budget — weights are
+      // non-negative, so cw <= budget IS the maximal prefix
+      "token_budget" ->
+        s"""WITH q AS (SELECT doc_id,
+           |  CAST(list_sum(list_transform($toks, x -> len(x))) AS DOUBLE)
+           |    / len($toks) AS score,
+           |  len($toks) AS w FROM documents),
+           |r AS (SELECT doc_id, SUM(w) OVER (ORDER BY score DESC, doc_id
+           |  ROWS UNBOUNDED PRECEDING) AS cw FROM q)
+           |SELECT doc_id FROM r WHERE cw <= 15000 ORDER BY doc_id""".stripMargin,
     )
   }
 }

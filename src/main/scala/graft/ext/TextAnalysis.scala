@@ -169,6 +169,29 @@ object TextAnalysis {
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 
+  /** Stateless per-row contamination flag from a PRE-COLLECTED benchmark
+    * gram-hash array: true when the text shares any `n`-gram with the
+    * benchmark. Being a pure column expression (no join, no distinct, no
+    * state) it lifts unchanged onto a Structured-Streaming corpus, where
+    * [[flagContaminated]]'s distinct + anti-join pipeline cannot run.
+    * The hash array ships once per plan as a literal; suitable while the
+    * benchmark gram set fits driver memory (its premise) — for very
+    * large sets prefer the batch join form. */
+  def contaminationFlag(text: Column, benchGramHashes: Array[Long],
+                        n: Int = 50): Column =
+    if (benchGramHashes.isEmpty) lit(false)
+    else arrays_overlap(shingleHashes(text, n),
+      lit(benchGramHashes)) <=> lit(true)
+
+  /** Collect the distinct benchmark gram hashes [[contaminationFlag]]
+    * consumes (one tiny job over the small benchmark relation). */
+  def benchmarkGramHashes(benchmark: DataFrame, benchTextCol: String,
+                          n: Int = 50): Array[Long] = {
+    import benchmark.sparkSession.implicits._
+    benchmark.select(explode(shingleHashes(col(benchTextCol), n)).as("g"))
+      .distinct().as[Long].collect()
+  }
+
   /** Keep only corpus documents with NO `n`-gram overlap against the
     * benchmark set (the filtering form of [[flagContaminated]]): an
     * anti-join against the (small) contaminated-id set. */

@@ -48,6 +48,46 @@ class ScoreFilterSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted shouldBe (1L to 5L).toArray
   }
 
+  behavior of "keepTopByBudget"
+
+  it should "keep the maximal score-desc prefix within the weight budget" in {
+    // score = id, weight = 10 each: budget 45 fits the top 4 (40), the
+    // 5th would overflow at 50 — prefix stops there
+    val df = (1L to 20L).map(i => (i, i.toDouble, 10L)).toDF("id", "s", "w")
+    ScoreFilter.keepTopByBudget(df, "s", "w", 45L, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().sorted shouldBe Array(17L, 18L, 19L, 20L)
+    // prefix, NOT knapsack: a lighter lower-scored row after the first
+    // overflow does not sneak in
+    val mixed = Seq((1L, 9.0, 30L), (2L, 8.0, 30L), (3L, 7.0, 1L))
+      .toDF("id", "s", "w")
+    ScoreFilter.keepTopByBudget(mixed, "s", "w", 40L, tieBreak = Seq("id"))
+      .select("id").as[Long].collect() shouldBe Array(1L)
+  }
+
+  it should "match a global running-sum rank on skewed scores and weights" in {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 500L).map(i => (i, (i * i % 389).toDouble, rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "s", "w")
+    val got = ScoreFilter.keepTopByBudget(df, "s", "w", 3000L, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().sorted
+    // oracle: running sum over a global sort
+    val want = rows.sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L)) { case ((_, cw), (id, _, w)) => (id, cw + w) }
+      .drop(1).takeWhile(_._2 <= 3000L).map(_._1).sorted
+    got shouldBe want.toArray
+  }
+
+  it should "keep everything under budget and nothing at budget zero" in {
+    val df = (1L to 10L).map(i => (i, i.toDouble, 5L)).toDF("id", "s", "w")
+    ScoreFilter.keepTopByBudget(df, "s", "w", 100L).count() shouldBe 10L
+    ScoreFilter.keepTopByBudget(df, "s", "w", 0L).count() shouldBe 0L
+    // null/negative weights are excluded from selection and the budget
+    val bad = Seq((1L, 2.0, Some(5L)), (2L, 1.0, None), (3L, 3.0, Some(-1L)))
+      .toDF("id", "s", "w")
+    ScoreFilter.keepTopByBudget(bad, "s", "w", 100L)
+      .select("id").as[Long].collect() shouldBe Array(1L)
+  }
+
   it should "return everything at fraction 1.0 and nothing on empty input" in {
     val df = (1L to 17L).map(i => (i, i.toDouble)).toDF("id", "s")
     ScoreFilter.keepTopFraction(df, "s", 1.0, tieBreak = Seq("id"))

@@ -108,4 +108,37 @@ class StreamOpsSpec extends SparkSpec {
     // three distinct contents: alpha-beta seen twice, the others once
     byFp shouldBe Array(1L, 1L, 2L)
   }
+
+  behavior of "streaming decontamination"
+
+  it should "flag the same docs as the batch operator over the same corpus" in {
+    import graft.ext.TextAnalysis
+    implicit val sc = spark.sqlContext
+    val bench = Seq((100L, "the secret benchmark answer sequence here"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "completely unrelated prose about weather patterns today"),
+      (2L, "prefix junk then the secret benchmark answer sequence here trailing"),
+      (3L, "short"),
+      (4L, "another clean document with its own distinct wording entirely"))
+    // the stateless column form: benchmark grams collected once, the
+    // per-row flag lifts onto the stream with no join/distinct/state
+    val grams = TextAnalysis.benchmarkGramHashes(bench, "btext", n = 20)
+    val input = MemoryStream[(Long, String)]
+    val flagged = input.toDF().toDF("doc_id", "text")
+      .withColumn("contaminated",
+        TextAnalysis.contaminationFlag(col("text"), grams, n = 20))
+    val q = flagged.writeStream.format("memory").queryName("s_decon").start()
+    input.addData(corpus.take(2))
+    q.processAllAvailable()
+    input.addData(corpus.drop(2))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_decon")
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    val batch = TextAnalysis.flagContaminated(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", bench, "btext", n = 20)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    streamed shouldBe batch
+    streamed(2L) shouldBe true
+  }
 }
