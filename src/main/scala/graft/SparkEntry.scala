@@ -426,6 +426,24 @@ object SparkEntry {
           round(col("audio.duration_sec"), 6).as("a_dur"))
       imgFeats.crossJoin(audFeats)
     }),
+    // REAL resize gate: a uniform 4×4 gray-100 PNG scaled to 3×3 through
+    // the JDK AffineTransformOp kernel, re-decoded — uniform pixels make
+    // the mean exactly 100.0 whichever pixels nearest-neighbor rounding
+    // picks, so the oracle constants are implementation-independent
+    "multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      val payloads = Seq(
+        (1L, graft.ext.MultimodalFixtures.uniformImage(4, 4, 100, "png")),
+        (2L, "not an image".getBytes))
+        .toDF("id", "payload")
+      val resized = Multimodal.resizeImages(payloads, "payload", 3, 3)
+      Multimodal.decodeImages(resized, "resized", "rimg")
+        .select(col("id"), col("rimg.width").as("rw"),
+          col("rimg.height").as("rh"), col("rimg.channels").as("rc"),
+          round(col("rimg.mean_intensity"), 6).as("rmean"),
+          col("resized").isNull.as("resize_null"))
+        .orderBy("id")
+    }),
 
     // ---- text analysis (training-data extension) ----
     "text_quality" -> ((s, d) =>
@@ -734,6 +752,14 @@ object SparkEntry {
           |  CAST(3 AS INTEGER) AS c, CAST(95.0 AS DOUBLE) AS mean_int,
           |  CAST(1 AS INTEGER) AS a_ch, CAST(8000 AS INTEGER) AS a_rate,
           |  CAST(16 AS INTEGER) AS a_bits, CAST(0.5 AS DOUBLE) AS a_dur""".stripMargin,
+      // uniform source -> mean preserved exactly; undecodable -> null out
+      "multimodal_resize" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(3 AS INTEGER), CAST(3 AS INTEGER),
+          |   CAST(3 AS INTEGER), CAST(100.0 AS DOUBLE), false),
+          |  (CAST(2 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+          |   CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), true))
+          |AS t(id, rw, rh, rc, rmean, resize_null) ORDER BY id""".stripMargin,
       "text_redact" ->
         """SELECT doc_id,
           |  regexp_replace(regexp_replace(regexp_replace(

@@ -235,14 +235,73 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** STUB resize: recomputes fake features at the target size; a real
-    * implementation re-encodes pixels. Keeps the binary payload opaque. */
-  def resizeImages(df: DataFrame, featCol: String, targetW: Int,
-                   targetH: Int): DataFrame =
-    df.withColumn(featCol, struct(
-      lit(targetW).as("width"), lit(targetH).as("height"),
-      col(s"$featCol.channels").as("channels"),
-      col(s"$featCol.mean_intensity").as("mean_intensity")))
+  /** REAL single-payload resize kernel: decode (same reader/bomb-cap
+    * discipline as [[decodeImageBytes]]), nearest-neighbor scale via
+    * `java.awt.image.AffineTransformOp` (pure-Java arithmetic —
+    * deterministic across JVMs, no antialiasing), re-encode as PNG
+    * (lossless, JDK writer). Returns null for payloads no JDK codec
+    * claims, corrupt bodies, or declared bombs — a resize pipeline must
+    * not fabricate pixels. */
+  private[ext] def resizeImageBytes(bytes: Array[Byte], targetW: Int,
+                                    targetH: Int): Array[Byte] = {
+    if (bytes == null || bytes.length < 4) return null
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val img =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return null
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val dw = reader.getWidth(0)
+            val dh = reader.getHeight(0)
+            if (dw.toLong * dh > MaxDecodePixels || dw <= 0 || dh <= 0) return null
+            reader.read(0)
+          } finally reader.dispose()
+        } finally iis.close()
+      // normalize to a direct-color raster first: AffineTransformOp on a
+      // palette-indexed source would interpolate palette INDICES
+      val rgb = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = rgb.createGraphics()
+      try g.drawImage(img, 0, 0, null) finally g.dispose()
+      val op = new java.awt.image.AffineTransformOp(
+        java.awt.geom.AffineTransform.getScaleInstance(
+          targetW.toDouble / rgb.getWidth, targetH.toDouble / rgb.getHeight),
+        java.awt.image.AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      op.filter(rgb, out)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+      case _: OutOfMemoryError => null
+    }
+  }
+
+  /** REAL image resize over batches: appends a `resizedCol` binary column
+    * holding the nearest-neighbor-scaled payload re-encoded as PNG (null
+    * where the source is undecodable) — same partition-batch shape as
+    * [[decodeImages]], JDK-only kernel ([[resizeImageBytes]]). */
+  def resizeImages(df: DataFrame, binCol: String, targetW: Int, targetH: Int,
+                   resizedCol: String = "resized"): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"target dimensions must be positive, got ${targetW}x$targetH")
+    val schema = df.schema.add(StructField(resizedCol, BinaryType, nullable = true))
+    val idx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ resizeImageBytes(bytes, targetW, targetH))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 
   /** STUB video frame sampling: emits `n` deterministic frame offsets per
     * payload as an array of (frame_idx, byte_offset) structs — the real

@@ -30,6 +30,20 @@ private[graft] object MultimodalFixtures {
     bos.toByteArray
   }
 
+  /** Uniform w×h image (every pixel RGB(v,v,v)) encoded for `fmt`: any
+    * resize — whatever pixels nearest-neighbor rounding picks — preserves
+    * mean intensity exactly v, making it the oracle fixture for the
+    * resize gate (implementation-independent constants). */
+  def uniformImage(w: Int, h: Int, v: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
   /** Canonical 44-byte-header PCM WAV with a zeroed data chunk. */
   def wavBytes(ch: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)

@@ -125,10 +125,36 @@ class MultimodalSpec extends SparkSpec {
     all(got.map(_.isNullAt(1))) shouldBe true
   }
 
-  it should "resize and frame-sample with stable shapes" in {
-    val dec = Multimodal.decodeImages(df, "payload")
-    val rs = Multimodal.resizeImages(dec, "img", 64, 64)
-    rs.select("img.width").distinct().as[Int].collect() shouldBe Array(64)
+  behavior of "real resize"
+
+  it should "scale decodable payloads, preserve uniform means, null the rest" in {
+    val uniform = MultimodalFixtures.uniformImage(4, 4, 100, "png")
+    val real = Seq((1L, uniform), (2L, encoded("png")), (3L, wav))
+      .toDF("id", "payload")
+    val rs = Multimodal.resizeImages(real, "payload", 3, 3)
+    val feats = Multimodal.decodeImages(rs, "resized", "rimg")
+      .select("id", "rimg.width", "rimg.height", "rimg.mean_intensity")
+      .orderBy("id").collect()
+    // uniform 4×4 gray-100 -> 3×3, mean EXACTLY preserved whatever
+    // pixels nearest-neighbor rounding picks
+    (feats(0).getInt(1), feats(0).getInt(2)) shouldBe ((3, 3))
+    feats(0).getDouble(3) shouldBe 100.0 +- 1e-9
+    // gradient 3×2 -> 3×3: dims right, mean inside the source range
+    (feats(1).getInt(1), feats(1).getInt(2)) shouldBe ((3, 3))
+    feats(1).getDouble(3) should (be >= 10.0 and be <= 200.0)
+    // non-image payload: resized is null end-to-end
+    feats(2).isNullAt(1) shouldBe true
+    rs.filter(col("id") === 3).select(col("resized").isNull)
+      .as[Boolean].head() shouldBe true
+    // deterministic: identical bytes on re-run
+    val again = Multimodal.resizeImages(real, "payload", 3, 3)
+      .select("id", "resized").as[(Long, Array[Byte])].collect().toMap
+    val first = rs.select("id", "resized").as[(Long, Array[Byte])].collect().toMap
+    first(1L) shouldBe again(1L)
+    first(2L) shouldBe again(2L)
+  }
+
+  it should "frame-sample with stable shapes" in {
     val fr = Multimodal.sampleFrames(df, "payload", 3)
     fr.select(org.apache.spark.sql.functions.size(col("frames")))
       .as[Int].collect() shouldBe Array.fill(4)(3)
