@@ -49,6 +49,12 @@ object GraftFunctions {
   def cosineDistance(l: Column, r: Column): Column =
     expr2col(CosineDistance(col2expr(l), col2expr(r)))
 
+  /** Order-preserving double → long sort key (IEEE-754 bit trick; see
+    * [[graft.functions.DoubleOrderBits]]): monotone in the input, its
+    * high bits are a distribution-free histogram key. */
+  def doubleOrderBits(c: Column): Column =
+    expr2col(DoubleOrderBits(col2expr(c)))
+
   /** MinHash signature over shingles (array<string>, or array<long> of
     * pre-hashed shingles from [[shingleHashes]]) → array<long>. */
   def minhash(shingles: Column, numHashes: Int = 64, seed: Int = 0): Column =

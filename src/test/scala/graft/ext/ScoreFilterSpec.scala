@@ -48,6 +48,27 @@ class ScoreFilterSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted shouldBe (1L to 5L).toArray
   }
 
+  it should "stay exact when an extreme outlier stretches the score range" in {
+    // one 1e300 among [0,1) scores: linear [min,max] bucketing would
+    // collapse every real score into one bucket and rank the whole
+    // corpus in a single task; exponent-spaced bit-buckets don't care
+    val df = ((1L to 1000L).map(i => (i, i / 1000.0)) :+ (9999L, 1e300))
+      .toDF("id", "s")
+    val got = ScoreFilter.keepTopFraction(df, "s", 0.1, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().sorted
+    val want = df.orderBy(col("s").desc, col("id")).limit(101)
+      .select("id").as[Long].collect().sorted
+    got shouldBe want
+  }
+
+  it should "order correctly across negative, zero, and subnormal scores" in {
+    val df = Seq((1L, -5.0), (2L, 0.0), (3L, 5.0), (4L, -0.0),
+      (5L, Double.MinPositiveValue), (6L, -1e-310)).toDF("id", "s")
+    // desc: 5.0 > minpos > +0.0 > -0.0 > -1e-310 > -5.0 -> top 3
+    ScoreFilter.keepTopFraction(df, "s", 0.5, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().sorted shouldBe Array(2L, 3L, 5L)
+  }
+
   behavior of "keepTopByBudget"
 
   it should "keep the maximal score-desc prefix within the weight budget" in {
