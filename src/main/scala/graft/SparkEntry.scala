@@ -520,6 +520,19 @@ object SparkEntry {
           tieBreak = Seq("doc_id"))
         .select("doc_id").orderBy("doc_id")
     }),
+    // domain-mixing: per-domain token budgets filled best-first (domains
+    // synthesized as doc_id % 3), one histogram + one boundary rank for
+    // ALL domains — vs a DuckDB per-key running-sum rank
+    "domain_budget" -> ((s, d) => {
+      val q = TextAnalysis.qualitySignals(t(s, d, "documents"), "text")
+        .withColumn("domain", col("doc_id") % 3)
+        .select(col("doc_id"), col("domain"),
+          col("mean_token_len").as("score"), col("n_tokens"))
+      graft.ext.ScoreFilter.keepTopByBudgetPerKey(q, Seq("domain"),
+          "score", "n_tokens", Map("0" -> 4000L, "1" -> 2000L),
+          defaultBudget = 1000L, tieBreak = Seq("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -813,6 +826,17 @@ object SparkEntry {
            |r AS (SELECT doc_id, SUM(w) OVER (ORDER BY score DESC, doc_id
            |  ROWS UNBOUNDED PRECEDING) AS cw FROM q)
            |SELECT doc_id FROM r WHERE cw <= 15000 ORDER BY doc_id""".stripMargin,
+      // per-domain prefix budgets: domain 0 -> 4000 tokens, 1 -> 2000,
+      // others (domain 2) -> the 1000 default
+      "domain_budget" ->
+        s"""WITH q AS (SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS k,
+           |  CAST(list_sum(list_transform($toks, x -> len(x))) AS DOUBLE)
+           |    / len($toks) AS score,
+           |  len($toks) AS w FROM documents),
+           |r AS (SELECT doc_id, k, SUM(w) OVER (PARTITION BY k
+           |  ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cw FROM q)
+           |SELECT doc_id FROM r WHERE cw <= CASE k WHEN '0' THEN 4000
+           |  WHEN '1' THEN 2000 ELSE 1000 END ORDER BY doc_id""".stripMargin,
     )
   }
 }

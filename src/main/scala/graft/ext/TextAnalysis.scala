@@ -194,7 +194,12 @@ object TextAnalysis {
 
   /** Keep only corpus documents with NO `n`-gram overlap against the
     * benchmark set (the filtering form of [[flagContaminated]]): an
-    * anti-join against the (small) contaminated-id set. */
+    * anti-join against the (small) contaminated-id set.
+    *
+    * Note both forms reference `corpus` twice in the plan (gram probe +
+    * final join); a corpus that is itself an expensive derived relation
+    * should be pinned (persist/localCheckpoint) by the caller — a plain
+    * table scan needs nothing. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
                     n: Int = 50): DataFrame = {

@@ -98,6 +98,44 @@ class ScoreFilterSpec extends SparkSpec {
     got shouldBe want.toArray
   }
 
+  behavior of "keepTopByBudgetPerKey"
+
+  it should "fill each domain's budget best-first, independently" in {
+    // domain a: budget 25 -> ids with top scores until 25 weight; domain
+    // b: budget 10; domain c unlisted -> default 0 -> dropped entirely
+    val rows = (1L to 30L).map { i =>
+      val dom = if (i <= 10) "a" else if (i <= 20) "b" else "c"
+      (i, dom, i.toDouble, 5L)
+    }
+    val df = rows.toDF("id", "dom", "s", "w")
+    val got = ScoreFilter.keepTopByBudgetPerKey(df, Seq("dom"), "s", "w",
+        Map("a" -> 25L, "b" -> 10L), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().sorted
+    // a: top-5 of 1..10 = 6..10; b: top-2 of 11..20 = 19,20; c: none
+    got shouldBe Array(6L, 7L, 8L, 9L, 10L, 19L, 20L)
+  }
+
+  it should "match per-key running-sum oracles on mixed weights and null keys" in {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map { i =>
+      val dom: java.lang.Long = if (i % 5 == 0) null else (i % 3): java.lang.Long
+      (i, dom, (i * 37 % 101).toDouble, rnd.nextInt(20).toLong)
+    }
+    val df = rows.toDF("id", "dom", "s", "w")
+    val budgets = Map("0" -> 300L, "1" -> 150L, "null" -> 100L)
+    val got = ScoreFilter.keepTopByBudgetPerKey(df, Seq("dom"), "s", "w",
+        budgets, defaultBudget = 50L, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().sorted
+    val want = rows.groupBy(r => Option(r._2).map(_.toString).getOrElse("null"))
+      .flatMap { case (k, rs) =>
+        val b = budgets.getOrElse(k, 50L)
+        rs.sortBy { case (id, _, s, _) => (-s, id) }
+          .scanLeft((0L, 0L)) { case ((_, cw), (id, _, _, w)) => (id, cw + w) }
+          .drop(1).takeWhile(_._2 <= b).map(_._1)
+      }.toArray.sorted
+    got shouldBe want
+  }
+
   it should "keep everything under budget and nothing at budget zero" in {
     val df = (1L to 10L).map(i => (i, i.toDouble, 5L)).toDF("id", "s", "w")
     ScoreFilter.keepTopByBudget(df, "s", "w", 100L).count() shouldBe 10L
