@@ -426,6 +426,22 @@ object SparkEntry {
           round(col("audio.duration_sec"), 6).as("a_dur"))
       imgFeats.crossJoin(audFeats)
     }),
+    // REAL frame-sampling gate: a 5-frame animated GIF of uniform frames
+    // (gray 10..50) sampled at n=3 → frames 0/2/4 with means exactly
+    // 10/30/50 — uniform frames survive GIF palette quantization
+    // losslessly, so the constants are implementation-independent
+    "multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      val payloads = Seq(
+        (1L, graft.ext.MultimodalFixtures.animatedGif(Seq(10, 20, 30, 40, 50), 4, 3)))
+        .toDF("id", "payload")
+      Multimodal.sampleFrameFeatures(payloads, "payload", 3)
+        .select(explode(col("frames")).as("f"))
+        .select(col("f.frame_idx").as("fi"), col("f.width").as("fw"),
+          col("f.height").as("fh"),
+          round(col("f.mean_intensity"), 6).as("fmean"))
+        .orderBy("fi")
+    }),
     // REAL resize gate: a uniform 4×4 gray-100 PNG scaled to 3×3 through
     // the JDK AffineTransformOp kernel, re-decoded — uniform pixels make
     // the mean exactly 100.0 whichever pixels nearest-neighbor rounding
@@ -765,6 +781,13 @@ object SparkEntry {
           |  CAST(3 AS INTEGER) AS c, CAST(95.0 AS DOUBLE) AS mean_int,
           |  CAST(1 AS INTEGER) AS a_ch, CAST(8000 AS INTEGER) AS a_rate,
           |  CAST(16 AS INTEGER) AS a_bits, CAST(0.5 AS DOUBLE) AS a_dur""".stripMargin,
+      // evenly-spaced frames of the uniform 5-frame GIF: 0/2/4 at 10/30/50
+      "multimodal_frames" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(0 AS INTEGER), CAST(4 AS INTEGER), CAST(3 AS INTEGER), CAST(10.0 AS DOUBLE)),
+          |  (CAST(2 AS INTEGER), CAST(4 AS INTEGER), CAST(3 AS INTEGER), CAST(30.0 AS DOUBLE)),
+          |  (CAST(4 AS INTEGER), CAST(4 AS INTEGER), CAST(3 AS INTEGER), CAST(50.0 AS DOUBLE)))
+          |AS t(fi, fw, fh, fmean) ORDER BY fi""".stripMargin,
       // uniform source -> mean preserved exactly; undecodable -> null out
       "multimodal_resize" ->
         """SELECT * FROM (VALUES

@@ -106,39 +106,8 @@ object Multimodal {
             reader.read(0)
           } finally reader.dispose()
         } finally iis.close()
-      val w = img.getWidth
-      val h = img.getHeight
-      if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
-        // palette-indexed (e.g. GIF): raster samples are palette INDICES,
-        // not intensities — average the resolved RGB components instead
-        var sum = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        Row(w, h, 3, sum / (w.toDouble * h * 3))
-      } else {
-        val raster = img.getRaster
-        val bands = raster.getNumBands
-        var sum = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            var b = 0
-            while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
-            x += 1
-          }
-          y += 1
-        }
-        Row(w, h, bands, sum / (w.toDouble * h * bands))
-      }
+      val (bands, mean) = imageStats(img)
+      Row(img.getWidth, img.getHeight, bands, mean)
     } catch {
       // a reader claimed the magic bytes but the body is broken: null
       // features, never fake numbers for a real-format payload. The
@@ -149,6 +118,43 @@ object Multimodal {
       // kill the executor; nothing is partially mutated at this point
       case scala.util.control.NonFatal(_) => Row(null, null, null, null)
       case _: OutOfMemoryError => Row(null, null, null, null)
+    }
+  }
+
+  /** (channels, mean raw intensity) of a decoded image. Palette-indexed
+    * images (e.g. GIF): raster samples are palette INDICES, not
+    * intensities — average the resolved RGB components instead. */
+  private def imageStats(img: java.awt.image.BufferedImage): (Int, Double) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (3, sum / (w.toDouble * h * 3))
+    } else {
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      (bands, sum / (w.toDouble * h * bands))
     }
   }
 
@@ -306,7 +312,8 @@ object Multimodal {
   /** STUB video frame sampling: emits `n` deterministic frame offsets per
     * payload as an array of (frame_idx, byte_offset) structs — the real
     * kernel would demux containers; the fan-out/explode shape is what a
-    * pipeline consumes. */
+    * pipeline consumes. For animated GIF — the one multi-frame container
+    * the JDK decodes — [[sampleFrameFeatures]] is REAL. */
   def sampleFrames(df: DataFrame, binCol: String, n: Int,
                    frameCol: String = "frames"): DataFrame = {
     val len = length(col(binCol)).cast("long")
@@ -315,5 +322,73 @@ object Multimodal {
         (len * i / math.max(n, 1)).cast("long").as("byte_offset")) // sql / is double
     }
     df.withColumn(frameCol, filter(array(idxs: _*), f => len > 0))
+  }
+
+  val frameFeatureSchema: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_intensity", DoubleType, nullable = false))), containsNull = false)
+
+  /** REAL multi-frame sampling kernel: up to `n` evenly-spaced frames of
+    * a multi-image container (animated GIF in a stock JDK), each decoded
+    * to (frame_idx, width, height, mean_intensity). Single-frame images
+    * yield one entry; payloads no reader claims, corrupt bodies, and
+    * frames past the pixel cap yield null. Frames are decoded AS STORED
+    * (no GIF disposal-method compositing — delta frames stay deltas). */
+  private[ext] def frameFeaturesBytes(bytes: Array[Byte], n: Int): Seq[Row] = {
+    if (bytes == null || bytes.length < 4 || n <= 0) return null
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          // seekForwardOnly = false: getNumImages(true) must count ahead
+          reader.setInput(iis, false, true)
+          val num = reader.getNumImages(true)
+          if (num <= 0) return null
+          val idxs =
+            if (n >= num) 0 until num
+            else (0 until n)
+              .map(j => math.round(j * (num - 1).toDouble / (n - 1)).toInt)
+              .distinct
+          idxs.map { i =>
+            val dw = reader.getWidth(i)
+            val dh = reader.getHeight(i)
+            if (dw.toLong * dh > MaxDecodePixels || dw <= 0 || dh <= 0) null
+            else {
+              val (_, mean) = imageStats(reader.read(i))
+              Row(i, dw, dh, mean)
+            }
+          }.filter(_ != null)
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+      case _: OutOfMemoryError => null
+    }
+  }
+
+  /** Frame sampling over batches: appends `frameCol` =
+    * array<(frame_idx, width, height, mean_intensity)> with up to `n`
+    * evenly-spaced REAL decoded frames per payload (see
+    * [[frameFeaturesBytes]]) — same partition-batch shape as
+    * [[decodeImages]]. */
+  def sampleFrameFeatures(df: DataFrame, binCol: String, n: Int,
+                          frameCol: String = "frames"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val schema = df.schema.add(StructField(frameCol, frameFeatureSchema, nullable = true))
+    val idx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ frameFeaturesBytes(bytes, n))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 }

@@ -44,6 +44,29 @@ private[graft] object MultimodalFixtures {
     bos.toByteArray
   }
 
+  /** Animated GIF of uniform w×h frames, one per gray value in `vs` —
+    * single-color frames survive GIF palette quantization losslessly, so
+    * each decoded frame's mean intensity is exactly its `v` (the same
+    * implementation-independence trick as [[uniformImage]]). */
+  def animatedGif(vs: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      vs.foreach { v =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Canonical 44-byte-header PCM WAV with a zeroed data chunk. */
   def wavBytes(ch: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)

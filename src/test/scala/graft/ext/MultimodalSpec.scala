@@ -160,4 +160,38 @@ class MultimodalSpec extends SparkSpec {
       .as[Int].collect() shouldBe Array.fill(4)(3)
     fr.select(explode(col("frames.byte_offset"))).as[Long].collect().min shouldBe 0L
   }
+
+  behavior of "real GIF frame sampling"
+
+  it should "decode evenly-spaced frames with exact uniform means" in {
+    // 5 uniform frames 10..50: n=3 picks 0, 2, 4 -> means exactly 10/30/50
+    val gif = MultimodalFixtures.animatedGif(Seq(10, 20, 30, 40, 50), 4, 3)
+    val real = Seq((1L, gif), (2L, encoded("png")), (3L, "junk!".getBytes))
+      .toDF("id", "payload")
+    val fr = Multimodal.sampleFrameFeatures(real, "payload", 3)
+    val gifFrames = fr.filter(col("id") === 1)
+      .select(explode(col("frames")).as("f"))
+      .select("f.frame_idx", "f.width", "f.height", "f.mean_intensity")
+      .as[(Int, Int, Int, Double)].collect().sortBy(_._1)
+    gifFrames.map(_._1) shouldBe Array(0, 2, 4)
+    gifFrames.map(t => (t._2, t._3)).distinct shouldBe Array((4, 3))
+    gifFrames.map(_._4) shouldBe Array(10.0, 30.0, 50.0)
+    // single-frame png: one entry, frame 0
+    val png = fr.filter(col("id") === 2)
+      .select(explode(col("frames")).as("f")).select("f.frame_idx")
+      .as[Int].collect()
+    png shouldBe Array(0)
+    // undecodable: null array, not fake frames
+    fr.filter(col("id") === 3).select(col("frames").isNull)
+      .as[Boolean].head() shouldBe true
+  }
+
+  it should "sample all frames when n exceeds the frame count" in {
+    val gif = MultimodalFixtures.animatedGif(Seq(60, 70), 2, 2)
+    val fr = Multimodal.sampleFrameFeatures(Seq((1L, gif)).toDF("id", "payload"),
+      "payload", 10)
+    fr.select(explode(col("frames")).as("f"))
+      .select("f.frame_idx", "f.mean_intensity").as[(Int, Double)]
+      .collect().sortBy(_._1) shouldBe Array((0, 60.0), (1, 70.0))
+  }
 }
