@@ -1,0 +1,70 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end integration of the curation chain over REAL testdata —
+  * exact dedup → near-dup clustering (keep one) → benchmark
+  * decontamination → quality top-fraction → token budget — each stage
+  * consuming the previous stage's output, with planted rows proving
+  * every stage actually fires. The operator-level oracles live in their
+  * own specs/gates; this locks the COMPOSITION. */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  it should "run dedup -> decontaminate -> quality filter -> budget as one chain" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val n0 = docs.count()
+    // plants: an exact duplicate of doc 1, a truncation near-dup of doc
+    // 0, and the benchmark doc is 7 — all must be gone at the end
+    val bench = docs.filter(col("doc_id") === 7)
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") === 1)
+        .select((col("doc_id") + 2000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") === 0)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 12, 30))").as("text")))
+
+    // 1. exact dedup (fingerprint shuffle): keeps min(id) per content
+    val exactKept = Dedup.exactByFingerprint(corpus, "doc_id", "text")
+      .select("doc_id")
+    val afterExact = corpus.join(exactKept, "doc_id")
+    afterExact.count() shouldBe n0 + 1 // only the verbatim copy collapsed
+    afterExact.filter(col("doc_id") === 2001).count() shouldBe 0
+
+    // 2. near-dup clustering + keep-one: the planted truncation pairs
+    // with its source; min-id representative (the original) survives
+    val pairs = Dedup.minhashNearDups(afterExact, "doc_id", "text",
+      threshold = 0.7)
+    val afterNear = Dedup.dropNearDups(afterExact, "doc_id",
+      Dedup.connectedComponents(pairs))
+    afterNear.filter(col("doc_id") === 1000).count() shouldBe 0
+    afterNear.filter(col("doc_id") === 0).count() shouldBe 1
+    val n2 = afterNear.count()
+    n2 should be < (n0 + 1)
+
+    // 3. benchmark decontamination: doc 7 (and any doc sharing a
+    // 40-gram with it) drops
+    val afterDecon = TextAnalysis.decontaminate(afterNear, "doc_id", "text",
+      bench, "text", n = 40)
+    afterDecon.filter(col("doc_id") === 7).count() shouldBe 0
+    val n3 = afterDecon.count()
+    n3 should be < n2
+
+    // 4. quality top-60% by composite score, then a token budget on what
+    // remains — each stage shrinks or holds, never grows
+    val scored = TextAnalysis.qualitySignals(afterDecon, "text")
+    val afterQuality = ScoreFilter.keepTopFraction(
+      scored, "quality_score", 0.6, tieBreak = Seq("doc_id"))
+    afterQuality.count() shouldBe math.ceil(n3 * 0.6).toLong
+    val afterBudget = ScoreFilter.keepTopByBudget(
+      afterQuality, "quality_score", "n_tokens", 800L, tieBreak = Seq("doc_id"))
+    val kept = afterBudget.agg(sum("n_tokens")).head().getLong(0)
+    assert(kept <= 800L,
+      s"budget stage kept $kept tokens, over the 800-token budget")
+    afterBudget.count() should be > 0L
+    // the chain preserves the corpus schema + the quality columns
+    afterBudget.columns should contain allOf ("doc_id", "text", "n_tokens")
+  }
+}
