@@ -126,6 +126,43 @@ object Drive {
     val saltN = graft.ext.Skew.saltedJoin(fact, dimT, Seq("k"), salt = 8).count()
     println(s"  plain=$plainN salted=$saltN " + (if (plainN == saltN) "OK" else "MISMATCH"))
 
+    println("== decontamination drops planted benchmark copies only:")
+    val bench7 = docs.filter(col("doc_id") === 7).select("doc_id", "text")
+    val withPlant = docs.select("doc_id", "text").unionByName(
+      bench7.select((col("doc_id") + 5000).as("doc_id"),
+        concat(lit("xx "), col("text")).as("text")))
+    val deconKept = graft.ext.TextAnalysis.decontaminate(
+      withPlant, "doc_id", "text", bench7, "text", n = 40)
+    val plantGone = deconKept.filter(col("doc_id") === 5007).count() == 0
+    val benchGone = deconKept.filter(col("doc_id") === 7).count() == 0
+    println(s"  kept=${deconKept.count()}/${withPlant.count()} plantGone=$plantGone " +
+      s"benchGone=$benchGone " + (if (plantGone && benchGone) "OK" else "MISMATCH"))
+
+    println("== exact top-fraction + token budget vs global-sort oracle:")
+    val scored = graft.ext.TextAnalysis.qualitySignals(docs, "text")
+    val top = graft.ext.ScoreFilter.keepTopFraction(
+      scored, "quality_score", 0.3, tieBreak = Seq("doc_id"))
+    val wantN = math.ceil(scored.count() * 0.3).toLong
+    val oracleIds = scored.orderBy(col("quality_score").desc, col("doc_id"))
+      .limit(wantN.toInt).select("doc_id").as[Long].collect().sorted
+    val gotIds = top.select("doc_id").as[Long].collect().sorted
+    println(s"  top30%: got=${gotIds.length} want=$wantN " +
+      (if (gotIds.toSeq == oracleIds.toSeq) "OK" else "MISMATCH"))
+    val budgeted = graft.ext.ScoreFilter.keepTopByBudget(
+      scored, "quality_score", "n_tokens", 500L, tieBreak = Seq("doc_id"))
+    val spent = budgeted.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+    println(s"  budget500: rows=${budgeted.count()} tokens=$spent " +
+      (if (spent <= 500L) "OK" else "MISMATCH"))
+
+    println("== GIF frame sampling (5 uniform frames, n=3 -> 0/2/4 @ 10/30/50):")
+    val frameRows = graft.ext.Multimodal.sampleFrameFeatures(
+        Seq((1L, graft.ext.MultimodalFixtures.animatedGif(Seq(10, 20, 30, 40, 50), 4, 3)))
+          .toDF("id", "payload"), "payload", 3)
+      .select(explode(col("frames")).as("f"))
+      .select("f.frame_idx", "f.mean_intensity").as[(Int, Double)].collect().sortBy(_._1)
+    val framesOk = frameRows.toSeq == Seq((0, 10.0), (2, 30.0), (4, 50.0))
+    println(s"  frames=${frameRows.mkString(",")} " + (if (framesOk) "OK" else "MISMATCH"))
+
     spark.stop()
   }
 }
