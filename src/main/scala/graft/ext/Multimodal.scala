@@ -297,6 +297,11 @@ object Multimodal {
                    resizedCol: String = "resized"): DataFrame = {
     require(targetW > 0 && targetH > 0,
       s"target dimensions must be positive, got ${targetW}x$targetH")
+    // the decode side caps DECLARED source pixels per payload; the target
+    // is a job-wide constant, so an over-cap request fails fast here
+    // instead of allocating a multi-GB raster per row on the executors
+    require(targetW.toLong * targetH <= MaxDecodePixels,
+      s"target ${targetW}x$targetH exceeds the $MaxDecodePixels-pixel decode cap")
     val schema = df.schema.add(StructField(resizedCol, BinaryType, nullable = true))
     val idx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { it =>
