@@ -536,6 +536,16 @@ object SparkEntry {
           tieBreak = Seq("doc_id"))
         .select("doc_id").orderBy("doc_id")
     }),
+    // per-domain top-fraction: the best 30% of EVERY domain (vs a global
+    // cut that would starve weak domains) — DuckDB per-key rank replica
+    "domain_top_frac" -> ((s, d) => {
+      val q = TextAnalysis.qualitySignals(t(s, d, "documents"), "text")
+        .withColumn("domain", col("doc_id") % 3)
+        .select(col("doc_id"), col("domain"), col("mean_token_len").as("score"))
+      graft.ext.ScoreFilter.keepTopFractionPerKey(q, Seq("domain"),
+          "score", 0.3, tieBreak = Seq("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    }),
     // domain-mixing: per-domain token budgets filled best-first (domains
     // synthesized as doc_id % 3), one histogram + one boundary rank for
     // ALL domains — vs a DuckDB per-key running-sum rank
@@ -849,6 +859,17 @@ object SparkEntry {
            |r AS (SELECT doc_id, SUM(w) OVER (ORDER BY score DESC, doc_id
            |  ROWS UNBOUNDED PRECEDING) AS cw FROM q)
            |SELECT doc_id FROM r WHERE cw <= 15000 ORDER BY doc_id""".stripMargin,
+      // exact ceil(n_k * 0.3) per domain, ties by doc_id
+      "domain_top_frac" ->
+        s"""WITH q AS (SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS k,
+           |  CAST(list_sum(list_transform($toks, x -> len(x))) AS DOUBLE)
+           |    / len($toks) AS score FROM documents),
+           |r AS (SELECT doc_id,
+           |  ROW_NUMBER() OVER (PARTITION BY k ORDER BY score DESC, doc_id) AS rn,
+           |  COUNT(*) OVER (PARTITION BY k) AS n FROM q)
+           |SELECT doc_id FROM r
+           |WHERE rn <= CAST(ceil(n * CAST(0.3 AS DOUBLE)) AS BIGINT)
+           |ORDER BY doc_id""".stripMargin,
       // per-domain prefix budgets: domain 0 -> 4000 tokens, 1 -> 2000,
       // others (domain 2) -> the 1000 default
       "domain_budget" ->

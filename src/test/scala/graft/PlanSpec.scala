@@ -136,6 +136,21 @@ class PlanSpec extends SparkSpec {
     p should include("Union")
   }
 
+  "per-key selection" should "broadcast the cut table and shuffle by key, never one task" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = ext.TextAnalysis.qualitySignals(docs, "text")
+      .withColumn("domain", col("doc_id") % 5)
+      .select(col("doc_id"), col("domain"), col("mean_token_len").as("s"))
+    val kept = ext.ScoreFilter.keepTopFractionPerKey(
+      q, Seq("domain"), "s", 0.3, tieBreak = Seq("doc_id"))
+    val p = plan(kept)
+    // the per-key cut table (one row per domain) rides a broadcast join;
+    // the boundary rank partitions by (key, bucket), so no domain — let
+    // alone the corpus — funnels through a single task
+    p should include("BroadcastHashJoin")
+    p should not include "Exchange SinglePartition"
+  }
+
   "the diff stats views" should "reuse one cached relation instead of re-joining" in {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val r = diffy.BigDiffy.diff(

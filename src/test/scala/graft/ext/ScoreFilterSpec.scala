@@ -98,6 +98,27 @@ class ScoreFilterSpec extends SparkSpec {
     got shouldBe want.toArray
   }
 
+  behavior of "keepTopFractionPerKey"
+
+  it should "keep exactly ceil(n_k * f) per key, matching per-key sorts" in {
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 600L).map { i =>
+      (i, s"d${i % 4}", rnd.nextInt(1000).toDouble / 7.0)
+    }
+    val df = rows.toDF("id", "dom", "s")
+    val got = ScoreFilter.keepTopFractionPerKey(df, Seq("dom"), "s", 0.25,
+        tieBreak = Seq("id"))
+      .select("id").as[Long].collect().sorted
+    val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val t = math.ceil(rs.size * 0.25).toLong
+      rs.sortBy { case (id, _, s) => (-s, id) }.take(t.toInt).map(_._1)
+    }.toArray.sorted
+    got shouldBe want
+    // every key contributes: a global cut would starve low-score domains
+    ScoreFilter.keepTopFractionPerKey(df, Seq("dom"), "s", 0.25, Seq("id"))
+      .select("dom").distinct().count() shouldBe 4L
+  }
+
   behavior of "keepTopByBudgetPerKey"
 
   it should "fill each domain's budget best-first, independently" in {
