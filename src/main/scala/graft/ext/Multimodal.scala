@@ -357,6 +357,7 @@ object Multimodal {
           if (num <= 0) return null
           val idxs =
             if (n >= num) 0 until num
+            else if (n == 1) Seq(0) // explicit: j*(num-1)/(n-1) is 0/0
             else (0 until n)
               .map(j => math.round(j * (num - 1).toDouble / (n - 1)).toInt)
               .distinct

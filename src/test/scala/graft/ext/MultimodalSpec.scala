@@ -194,4 +194,13 @@ class MultimodalSpec extends SparkSpec {
       .select("f.frame_idx", "f.mean_intensity").as[(Int, Double)]
       .collect().sortBy(_._1) shouldBe Array((0, 60.0), (1, 70.0))
   }
+
+  it should "sample exactly the first frame at n = 1" in {
+    val gif = MultimodalFixtures.animatedGif(Seq(60, 70, 80), 2, 2)
+    Multimodal.sampleFrameFeatures(Seq((1L, gif)).toDF("id", "payload"),
+        "payload", 1)
+      .select(explode(col("frames")).as("f"))
+      .select("f.frame_idx", "f.mean_intensity").as[(Int, Double)]
+      .collect() shouldBe Array((0, 60.0))
+  }
 }
