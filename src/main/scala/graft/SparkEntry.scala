@@ -28,6 +28,14 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with its NANOS parquet timestamp read as long nanos and
+    * truncated to integer micros (`ts_us`) — the temporal gates compare
+    * timestamps as integers on both engines (DuckDB: `epoch_us(ts)`). */
+  private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  }
+
   /** Deterministic perturbation of `orders` used by the diffy queries:
     * lhs drops keys %89==0, rhs drops keys %97==0, bumps o_totalprice by
     * 1.0 on keys %10==0 and appends "X" to o_orderpriority on keys %50==0
@@ -559,6 +567,35 @@ object SparkEntry {
           defaultBudget = 1000L, tieBreak = Seq("doc_id"))
         .select("doc_id").orderBy("doc_id")
     }),
+
+    // ---- temporal surface (training-data extension): as-of join with
+    // time-bucketed carry-in (no per-key window — a hot key spreads over
+    // span/bucketWidth tasks) and gap sessionization ----
+    // each click matched to the user's most recent prior-or-equal
+    // purchase; timestamps compared as integer micros on both engines
+    "asof_join" -> ((s, d) => {
+      val e = eventsUs(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_us", "value")
+      graft.ext.Temporal.asofJoin(clicks, purchases, Seq("user_id"),
+          "ts_us", "ts_us", Seq("value"), bucketWidth = 86400e6)
+        .select(col("event_id"), col("asof_ts"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+    // 1-hour-gap sessions per user; per-user session count / event count
+    // / largest session vs a DuckDB lag+running-sum replica
+    "sessionize_stats" -> ((s, d) => {
+      val e = eventsUs(s, d).select("user_id", "ts_us")
+      val sess = graft.ext.Temporal.sessionize(e, Seq("user_id"), "ts_us",
+        gap = 3600e6)
+      sess.groupBy("user_id", "session_id").agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("cnt").as("n_events"),
+          max("cnt").as("max_sess"))
+        .orderBy("user_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -881,6 +918,34 @@ object SparkEntry {
            |  ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cw FROM q)
            |SELECT doc_id FROM r WHERE cw <= CASE k WHEN '0' THEN 4000
            |  WHEN '1' THEN 2000 ELSE 1000 END ORDER BY doc_id""".stripMargin,
+      // DuckDB's native ASOF JOIN is the oracle for the bucketed
+      // implementation; purchases pre-reduced to one row per (user, ts)
+      // with MAX(value) on both engines so ties are deterministic.
+      // epoch_us(ts) == Spark's `ts div 1000` on the nanos-long read
+      // (both truncate toward zero for post-epoch data)
+      "asof_join" ->
+        """WITH e AS (SELECT event_id, user_id, event_type, value,
+          |  epoch_us(ts) AS tu FROM events),
+          |c AS (SELECT event_id, user_id, tu FROM e WHERE event_type = 'click'),
+          |p AS (SELECT user_id, tu, MAX(value) AS value FROM e
+          |  WHERE event_type = 'purchase' GROUP BY user_id, tu)
+          |SELECT c.event_id, p.tu AS asof_ts, p.value AS asof_value
+          |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tu >= p.tu
+          |ORDER BY c.event_id""".stripMargin,
+      // integer-micros gap math on both engines; ROWS frame pinned (the
+      // SQL default with ORDER BY is RANGE, which groups ties)
+      "sessionize_stats" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+          |g AS (SELECT user_id, tu,
+          |  CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL
+          |    OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu) > 3600000000
+          |    THEN 1 ELSE 0 END AS nw FROM e),
+          |s AS (SELECT user_id, SUM(nw) OVER (PARTITION BY user_id ORDER BY tu
+          |  ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+          |c AS (SELECT user_id, sid, COUNT(*) AS cnt FROM s GROUP BY user_id, sid)
+          |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+          |  CAST(SUM(cnt) AS BIGINT) AS n_events, CAST(MAX(cnt) AS BIGINT) AS max_sess
+          |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     )
   }
 }
