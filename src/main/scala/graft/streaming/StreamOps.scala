@@ -70,6 +70,32 @@ object StreamOps {
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
 
+  /** Gap sessions on a stream: per-key session windows via Spark's
+    * built-in `session_window`, emitting one row per closed session with
+    * its bounds and event count — the streaming analog of
+    * [[graft.ext.Temporal.sessionize]]. State is one open window per
+    * active key, closed and evicted once the watermark passes the
+    * session's end — bounded by ACTIVE keys per horizon, never by stream
+    * length (the batch form's per-key-history contract disappears here).
+    *
+    * Boundary parity note: `session_window` extends a session only while
+    * the next event starts strictly BEFORE current-end (= last event +
+    * gap), so an exactly-`gap` pause starts a new session on the stream
+    * but continues the batch session (whose rule is `diff > gap` splits).
+    * Continuous event-time data never lands on the boundary; document the
+    * divergence rather than distorting either engine's native semantics.
+    */
+  def gapSessions(stream: DataFrame, keys: Seq[String], tsCol: String,
+                  gap: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keys.map(col) ++ Seq(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events")): _*)
+
   /** CUSTOM-STATE example the built-in operators can't express: a running
     * per-content-fingerprint duplicate counter. Where `dedupByContent`
     * keeps first arrivals and drops the rest silently, this emits an

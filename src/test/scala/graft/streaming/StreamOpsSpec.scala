@@ -88,6 +88,51 @@ class StreamOpsSpec extends SparkSpec {
     all(rows.map(_.getAs[Double]("mean_quality")).toSeq) should (be >= 0.0 and be <= 1.0)
   }
 
+  behavior of "gap sessions"
+
+  it should "close the same sessions the batch sessionize finds on real events" in {
+    import graft.ext.Temporal
+    implicit val sc = spark.sqlContext
+    // real event rows (ns timestamps -> micros -> Timestamp), 3 users
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("user_id") < 3)
+      .select(col("user_id"),
+        expr("timestamp_micros(ts div 1000)").cast("timestamp").as("ts"))
+      .as[(Long, Timestamp)].collect().toSeq
+    rows.length should be > 50
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamOps.gapSessions(
+      input.toDF().toDF("user_id", "ts"), Seq("user_id"), "ts",
+      gap = "1 hour", watermark = "1 second")
+    val q = sessions.writeStream.format("memory").queryName("s_sessions")
+      .outputMode("append").start()
+    input.addData(rows)
+    q.processAllAvailable()
+    // two sentinel batches push the watermark past every real session's
+    // end (append emits a session only once the watermark closes it)
+    val far = new Timestamp(rows.map(_._2.getTime).max + 30L * 86400_000L)
+    input.addData((-1L, far))
+    q.processAllAvailable()
+    input.addData((-1L, new Timestamp(far.getTime + 1000L)))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("s_sessions").filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val batch = Temporal.sessionize(rows.toDF("user_id", "ts"),
+        Seq("user_id"), "ts", gap = 3600.0) // cast-to-double => seconds
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("cnt").as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    streamed shouldBe batch
+  }
+
   behavior of "stateful duplicate counts"
 
   it should "emit a running count per content fingerprint across micro-batches" in {
