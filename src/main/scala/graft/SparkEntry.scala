@@ -568,6 +568,23 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // corpus boilerplate stripping: plant a nav-bar prefix and a footer
+    // suffix on half the docs (plus an extra unique segment on every 4th
+    // so the rejoin has >1 survivor); the planted segments are the only
+    // corpus-frequent ones, so stripping must restore the original text —
+    // value-compared against a full DuckDB list_filter replica
+    "strip_boilerplate" -> ((s, d) => {
+      val b1 = lit("Home About Contact Privacy Terms. ")
+      val b2 = lit(". Subscribe Newsletter Footer")
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(b1, col("text"), b2, lit(". "), upper(col("text"))))
+          .when(col("doc_id") % 2 === 0, concat(b1, col("text"), b2))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.stripBoilerplate(docs, "text", ". ", minDocFreq = 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- temporal surface (training-data extension): as-of join with
     // time-bucketed carry-in (no per-key window — a hot key spreads over
     // span/bucketWidth tasks) and gap sessionization ----
@@ -918,6 +935,22 @@ object SparkEntry {
            |  ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cw FROM q)
            |SELECT doc_id FROM r WHERE cw <= CASE k WHEN '0' THEN 4000
            |  WHEN '1' THEN 2000 ELSE 1000 END ORDER BY doc_id""".stripMargin,
+      // full rewrite replica: same planted segments, same >= 3 doc-freq
+      // rule, list_filter instead of the broadcast set. coalesce guards
+      // the no-frequent-segment case (list() of zero rows is NULL)
+      "strip_boilerplate" ->
+        """WITH d AS (SELECT doc_id, CASE
+          |    WHEN doc_id % 4 = 0 THEN 'Home About Contact Privacy Terms. ' || text
+          |      || '. Subscribe Newsletter Footer. ' || upper(text)
+          |    WHEN doc_id % 2 = 0 THEN 'Home About Contact Privacy Terms. ' || text
+          |      || '. Subscribe Newsletter Footer'
+          |    ELSE text END AS text FROM documents),
+          |seg AS (SELECT doc_id, unnest(list_distinct(string_split(text, '. '))) AS s FROM d),
+          |f AS (SELECT s FROM seg GROUP BY s HAVING COUNT(*) >= 3),
+          |fl AS (SELECT coalesce(list(s), []) AS fs FROM f)
+          |SELECT doc_id, array_to_string(list_filter(string_split(text, '. '),
+          |  x -> NOT list_contains(fs, x)), '. ') AS text
+          |FROM d, fl ORDER BY doc_id""".stripMargin,
       // DuckDB's native ASOF JOIN is the oracle for the bucketed
       // implementation; purchases pre-reduced to one row per (user, ts)
       // with MAX(value) on both engines so ties are deterministic.

@@ -137,6 +137,68 @@ object TextAnalysis {
     df.select(col(idCol)).join(frac, Seq(idCol), "left")
   }
 
+  /** C4-style boilerplate stripping: remove every text segment (split by
+    * the literal `delim` — lines, sentences, paragraphs) that occurs in
+    * at least `minDocFreq` distinct documents, and rejoin the survivors
+    * in order. The REWRITING complement of [[commonNgramFraction]]: nav
+    * bars, cookie banners, and repeated headers vanish from every doc at
+    * once (C4 removed any three-sentence span repeated across its crawl;
+    * this is the segment-granularity form).
+    *
+    * Scale shape: the corpus never shuffles. Pass 1 reduces each doc to
+    * its DISTINCT segment hashes at the scan (count-per-hash IS document
+    * frequency), so the only exchange carries 8-byte longs. The frequent
+    * set is tiny by construction — at most total-distinct-segments /
+    * minDocFreq, in practice the corpus's shared boilerplate — and is
+    * collected under a capped guard, sorted, broadcast, and consulted by
+    * a binary-search rewrite in pass 2: a stateless map over the corpus
+    * (no join, no re-aggregation of text by doc). The rewrite closes
+    * over a runtime-collected set, which no codegen'd builtin can hold,
+    * so it is the one deliberate UDF in the text surface; the frequency
+    * pass stays pure Catalyst. Matching is exact-string up to 64-bit
+    * farm-fingerprint collisions (the [[fingerprint]] contract). Null
+    * text stays null; a doc whose every segment is boilerplate becomes
+    * the empty string.
+    */
+  def stripBoilerplate(df: DataFrame, textCol: String, delim: String,
+                       minDocFreq: Int = 3,
+                       maxFrequentSegments: Int = 4 << 20): DataFrame = {
+    require(delim.nonEmpty, "delim must be non-empty")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val delimRegex = java.util.regex.Pattern.quote(delim)
+    val segHashes = array_distinct(
+      transform(split(col(textCol), delimRegex), s => farmHash64(s)))
+    val freqDf = df
+      .select(explode(segHashes).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocFreq)
+      .select("__h")
+    // capped collect: boilerplate sets are small by contract; a corpus
+    // violating that should fail loudly, not OOM the driver
+    val frequent = freqDf.limit(maxFrequentSegments + 1).collect().map(_.getLong(0))
+    if (frequent.length > maxFrequentSegments)
+      throw new IllegalStateException(
+        s"stripBoilerplate: > $maxFrequentSegments segments appear in >= " +
+          s"$minDocFreq docs; raise minDocFreq or maxFrequentSegments")
+    if (frequent.isEmpty) return df
+    java.util.Arrays.sort(frequent)
+    val bc = df.sparkSession.sparkContext.broadcast(frequent)
+    val strip = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val set = bc.value
+        val kept = text.split(delimRegex, -1).filter { p =>
+          // same byte stream as the farmHash64 expression on a string
+          val h = com.google.common.hash.Hashing.farmHashFingerprint64()
+            .hashString(p, java.nio.charset.StandardCharsets.UTF_8).asLong()
+          java.util.Arrays.binarySearch(set, h) < 0
+        }
+        kept.mkString(delim)
+      }
+    }
+    df.withColumn(textCol, strip(col(textCol)))
+  }
+
   /** Benchmark decontamination: flag every corpus document sharing at
     * least one character `n`-gram with a benchmark/eval set — the
     * standard n-gram-overlap decontamination from public LM training

@@ -99,6 +99,44 @@ class TextAnalysisSpec extends SparkSpec {
 
   behavior of "dupLineRatio"
 
+  behavior of "stripBoilerplate"
+
+  it should "remove corpus-frequent segments and keep order, repeats, and empties" in {
+    val df = Seq(
+      (1L, "NAV. unique one. NAV. unique two"),
+      (2L, "NAV. something else"),
+      (3L, "NAV. third doc"),
+      (4L, "only original content here")).toDF("id", "text")
+    val got = TextAnalysis.stripBoilerplate(df, "text", ". ", minDocFreq = 3)
+      .orderBy("id").select("text").as[String].collect().toSeq
+    got shouldBe Seq(
+      "unique one. unique two", // both NAV copies removed, order kept
+      "something else", "third doc", "only original content here")
+  }
+
+  it should "return the empty string for an all-boilerplate doc and null for null" in {
+    val df = Seq((1L, "SPAM"), (2L, "SPAM"), (3L, "SPAM"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = TextAnalysis.stripBoilerplate(df, "text", ". ", minDocFreq = 3)
+      .orderBy("id").select("text").collect().map(r => Option(r.getString(0))).toSeq
+    got shouldBe Seq(Some(""), Some(""), Some(""), None)
+  }
+
+  it should "pass the corpus through untouched when nothing is frequent" in {
+    val df = Seq((1L, "alpha. beta"), (2L, "gamma. delta")).toDF("id", "text")
+    val got = TextAnalysis.stripBoilerplate(df, "text", ". ", minDocFreq = 2)
+      .orderBy("id").select("text").as[String].collect().toSeq
+    got shouldBe Seq("alpha. beta", "gamma. delta")
+  }
+
+  it should "treat the delimiter literally, not as a regex" in {
+    // '.' would match any char as a regex; segments here contain 'x'
+    val df = Seq((1L, "ax b. c"), (2L, "q. c"), (3L, "z. c")).toDF("id", "text")
+    val got = TextAnalysis.stripBoilerplate(df, "text", ". ", minDocFreq = 3)
+      .orderBy("id").select("text").as[String].collect().toSeq
+    got shouldBe Seq("ax b", "q", "z") // 'c' stripped; 'ax b' survives intact
+  }
+
   behavior of "benchmark decontamination"
 
   it should "flag and drop docs sharing an n-gram with the benchmark" in {
