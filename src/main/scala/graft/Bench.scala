@@ -75,7 +75,16 @@ object Bench {
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
                    false
                  }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Query isolation, OUTSIDE the timed section: queries that pin data
+        // (BigDiffy's cached diff relation, localCheckpoint'd dedup/ANN
+        // intermediates) would otherwise leak into every later query's
+        // session — measured 3-5x inflation of unrelated queries once a
+        // diff relation sits in the cache manager. Each query must be
+        // timed as if it ran in a fresh session.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        (name, dt, ok)
       }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -30,7 +30,13 @@ object SparkEntry {
 
   /** `events` with its NANOS parquet timestamp read as long nanos and
     * truncated to integer micros (`ts_us`) — the temporal gates compare
-    * timestamps as integers on both engines (DuckDB: `epoch_us(ts)`). */
+    * timestamps as integers on both engines (DuckDB: `epoch_us(ts)`).
+    *
+    * NOTE the conf.set is deliberately SESSION-WIDE and persists past
+    * this builder: without it any read of a NANOS parquet column throws,
+    * and with it only NANOS columns change meaning (they read as long —
+    * no other table in the suite has one), so the earliest events-reading
+    * query enabling it for the rest of the session is safe by design. */
   private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))

@@ -55,8 +55,18 @@ object Temporal {
     def bkt(c: Column): Column = floor(c.cast("double") / bucketWidth).cast("long")
     val k = keys.map(col)
 
+    // SQL join semantics: a null in ANY key column matches nothing. The
+    // match path below groups by key — where a window partition would pool
+    // null keys together — so null-key rows must never reach it: null-key
+    // left rows short-circuit to the no-match output, null-key right rows
+    // are dropped.
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val leftNullKeyed = left.filter(anyKeyNull)
+    val leftK = left.filter(!anyKeyNull)
+    val rightK = right.filter(!anyKeyNull)
+
     // one right row per (keys, ts): greatest payload struct wins ties
-    val r0 = right
+    val r0 = rightK
       .groupBy((k :+ col(rightTs).as("__rts")): _*)
       .agg(max(struct(payloadCols.map(col): _*)).as("__vals"))
       .select((k :+ col("__rts") :+
@@ -70,7 +80,7 @@ object Temporal {
     // carry-in for EVERY bucket either side touches: the last right row
     // of any strictly-earlier bucket. Rows here are bucket summaries —
     // the per-key ordered scan is over O(span/bucketWidth) entries.
-    val allBuckets = left
+    val allBuckets = leftK
       .select((k :+ bkt(col(leftTs)).as("__b")): _*).distinct()
       .unionByName(bucketLast.select((k :+ col("__b")): _*))
       .distinct()
@@ -97,7 +107,7 @@ object Temporal {
         col("__rts").cast("double").as("__tsd") :+ lit(0).as("__tag") :+
         col("__pay") :+
         lit(null).cast(lrowType).as("__lrow")): _*)
-    val leftRows = left
+    val leftRows = leftK
       .select((k :+ bkt(col(leftTs)).as("__b") :+
         col(leftTs).cast("double").as("__tsd") :+ lit(1).as("__tag") :+
         lit(null).cast(payType).as("__pay") :+
@@ -115,7 +125,11 @@ object Temporal {
     val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
       (col("__m.__rts").as("asof_ts") +:
         payloadCols.map(c => col(s"__m.__vals.$c").as(s"asof_$c")))
-    matched.select(out: _*)
+    val nullOut = leftCols.map(col) ++
+      (lit(null).cast(right.schema(rightTs).dataType).as("asof_ts") +:
+        payloadCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"asof_$c")))
+    matched.select(out: _*).unionByName(leftNullKeyed.select(nullOut: _*))
   }
 
   /** Gap sessionization: appends `sessionCol` (1-based long, counted per

@@ -174,12 +174,20 @@ object TextAnalysis {
       .filter(col("__nd") >= minDocFreq)
       .select("__h")
     // capped collect: boilerplate sets are small by contract; a corpus
-    // violating that should fail loudly, not OOM the driver
-    val frequent = freqDf.limit(maxFrequentSegments + 1).collect().map(_.getLong(0))
-    if (frequent.length > maxFrequentSegments)
+    // violating that should fail loudly, not OOM the driver. Streamed
+    // into a primitive array (not collect()'d as Row objects) so even
+    // the at-cap failure path holds 8 bytes per segment, not a Row.
+    val segIt = freqDf.limit(maxFrequentSegments + 1).toLocalIterator()
+    val segBuf = new scala.collection.mutable.ArrayBuilder.ofLong
+    var nSeg = 0
+    while (segIt.hasNext && nSeg <= maxFrequentSegments) {
+      segBuf += segIt.next().getLong(0); nSeg += 1
+    }
+    if (nSeg > maxFrequentSegments)
       throw new IllegalStateException(
         s"stripBoilerplate: > $maxFrequentSegments segments appear in >= " +
           s"$minDocFreq docs; raise minDocFreq or maxFrequentSegments")
+    val frequent = segBuf.result()
     if (frequent.isEmpty) return df
     java.util.Arrays.sort(frequent)
     val bc = df.sparkSession.sparkContext.broadcast(frequent)

@@ -62,6 +62,22 @@ class TemporalSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  it should "never match null keys, regardless of bucket width" in {
+    // a null-key left row sharing a bucket with a null-key right row is
+    // the trap: Window.partitionBy pools nulls, SQL equality doesn't
+    val l = Seq((1L, Option("a"), 100.0), (2L, Option.empty[String], 100.0))
+      .toDF("id", "k", "ts")
+    val r = Seq((Option("a"), 50.0, 1.0), (Option.empty[String], 50.0, 2.0))
+      .toDF("k", "ts", "v")
+    for (width <- Seq(10.0, 1e9)) {
+      val out = Temporal.asofJoin(l, r, Seq("k"), "ts", "ts", Seq("v"), width)
+        .collect().map(x => x.getLong(0) ->
+          (if (x.isNullAt(x.fieldIndex("asof_v"))) None
+           else Some(x.getDouble(x.fieldIndex("asof_v"))))).toMap
+      out shouldBe Map(1L -> Some(1.0), 2L -> None)
+    }
+  }
+
   behavior of "Temporal.sessionize"
 
   it should "assign gap-delimited 1-based session ids per key" in {
