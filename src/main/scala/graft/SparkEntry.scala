@@ -591,6 +591,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- sequence packing (training-data extension): concat-and-chunk
+    // packing map at seqLen=512 over whitespace token counts, doc_id
+    // order — value-exact vs a DuckDB running-sum + generate-series
+    // replica of the same span arithmetic ----
+    "pack_sequences" -> ((s, d) => {
+      val q = t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ext.Pack.packSequences(q, "doc_id", "n_tokens", 512L)
+        .orderBy("doc_id", "seq_id")
+    }),
+    // greedy whole-doc next-fit bins: bin ids depend on range-partition
+    // boundaries (not a cross-engine contract), so the gate checks the
+    // SQL-expressible invariants — every doc packed exactly once, no
+    // multi-doc bin over capacity, token mass preserved
+    "pack_greedy_invariants" -> ((s, d) => {
+      val q = t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ext.Pack.greedyPackWithinPartitions(q, "doc_id", "n_tokens", 2000L)
+        .groupBy("bin_id")
+        .agg(sum("n_tokens").as("tot"), count(lit(1)).as("cnt"))
+        .agg(sum("cnt").cast("long").as("n_docs"),
+          sum(when(col("tot") > 2000L && col("cnt") > 1, 1L).otherwise(0L))
+            .cast("long").as("n_overfull_bins"),
+          sum("tot").cast("long").as("n_tokens_packed"))
+    }),
+    // overlapping RAG chunking: 120-char windows stepping 90 — full
+    // chunk text value-compared against a DuckDB substring replica
+    "chunk_overlap" -> ((s, d) =>
+      TextAnalysis.chunkDocs(t(s, d, "documents"), "doc_id", "text",
+          size = 120, overlap = 30)
+        .orderBy("doc_id", "chunk_idx")),
+
     // ---- temporal surface (training-data extension): as-of join with
     // time-bucketed carry-in (no per-key window — a hot key spreads over
     // span/bucketWidth tasks) and gap sessionization ----
@@ -957,6 +989,40 @@ object SparkEntry {
           |SELECT doc_id, array_to_string(list_filter(string_split(text, '. '),
           |  x -> NOT list_contains(fs, x)), '. ') AS text
           |FROM d, fl ORDER BY doc_id""".stripMargin,
+      // concat-and-chunk packing map: exclusive running sum over doc_id
+      // order, then one row per overlapped sequence via range(); all-
+      // BIGINT integer arithmetic mirrors the Spark span expressions
+      "pack_sequences" ->
+        s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n
+           |  FROM documents WHERE len($toks) > 0),
+           |o AS (SELECT doc_id, n, CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS f FROM t),
+           |s AS (SELECT doc_id, n, f,
+           |  UNNEST(range(f // 512, (f + n - 1) // 512 + 1)) AS seq_id FROM o)
+           |SELECT doc_id, seq_id,
+           |  GREATEST(seq_id * 512 - f, 0) AS start_in_doc,
+           |  GREATEST(f - seq_id * 512, 0) AS start_in_seq,
+           |  LEAST((seq_id + 1) * 512, f + n) - GREATEST(seq_id * 512, f) AS span_len
+           |FROM s ORDER BY doc_id, seq_id""".stripMargin,
+      // the greedy packer's SQL-expressible invariants: every positive-
+      // token doc packed once, zero multi-doc bins over capacity (the
+      // literal 0 IS the assertion), token mass preserved
+      "pack_greedy_invariants" ->
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(0 AS BIGINT) AS n_overfull_bins,
+           |  CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens_packed
+           |FROM documents WHERE len($toks) > 0""".stripMargin,
+      // 120-char windows stepping 90; identical 1-based substring
+      // semantics and integer chunk-count math on both engines
+      "chunk_overlap" ->
+        """WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+          |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          |c AS (SELECT doc_id, text,
+          |  UNNEST(range(0, CASE WHEN n <= 120 THEN 1
+          |    ELSE (n - 120 + 89) // 90 + 1 END)) AS chunk_idx FROM t)
+          |SELECT doc_id, chunk_idx, chunk_idx * 90 AS chunk_start,
+          |  substring(text, CAST(chunk_idx * 90 + 1 AS INTEGER), 120) AS chunk
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
       // DuckDB's native ASOF JOIN is the oracle for the bucketed
       // implementation; purchases pre-reduced to one row per (user, ts)
       // with MAX(value) on both engines so ties are deterministic.

@@ -286,6 +286,43 @@ object TextAnalysis {
     corpus.join(hit, Seq(idCol), "left_anti")
   }
 
+  /** Overlapping fixed-size chunking (the RAG / long-context prep step):
+    * split each document's text into character windows of `size` whose
+    * starts step by `size - overlap`, so consecutive chunks share
+    * `overlap` characters. The final chunk is whatever remains (>= 1
+    * char, <= size); a doc of <= `size` chars yields exactly one chunk.
+    * Null or empty text yields no rows.
+    *
+    * Output: one row per chunk — the id column, `chunk_idx` (0-based
+    * long), `chunk_start` (0-based char offset), `chunk` (the text).
+    *
+    * Scale shape: a pure per-row generator — `sequence` + `substring`
+    * under `explode`, all codegen'd built-ins, zero shuffle, zero state;
+    * runs at scan speed and lifts unchanged onto a stream. Character
+    * windows, not token windows, by design: chunk-for-embedding
+    * pipelines measure budgets in chars ~ bytes, and token-exact spans
+    * are [[graft.ext.Pack.packSequences]]'s job. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                size: Int, overlap: Int): DataFrame = {
+    require(size > 0, s"size must be positive, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap (size $size)")
+    val step = size - overlap
+    val t = col(textCol)
+    val n = length(t)
+    // chunks start at 0, step, 2*step, ...; the last start is the
+    // smallest i*step with i*step + size >= n — integer math only so
+    // the oracle replicates bit-for-bit
+    val lastIdx = when(n <= size, lit(0L))
+      .otherwise(floor((n - size + step - 1) / step).cast("long"))
+    df.filter(t.isNotNull && n > 0)
+      .select(col(idCol), explode(sequence(lit(0L), lastIdx)).as("chunk_idx"),
+        t.as("__t"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * step).as("chunk_start"),
+        expr(s"substring(__t, chunk_idx * $step + 1, $size)").as("chunk"))
+  }
+
   /** Convenience: attach all analysis columns to a corpus. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     qualitySignals(df, textCol)

@@ -151,6 +151,19 @@ class PlanSpec extends SparkSpec {
     p should not include "Exchange SinglePartition"
   }
 
+  "sequence packing" should "range-partition for the prefix sum and broadcast the offsets" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), ext.TextAnalysis.tokenCount(col("text")).as("n"))
+    val packed = ext.Pack.packSequences(docs, "doc_id", "n", 512L)
+    val p = plan(packed)
+    // the global offset must come from range partitions + a broadcast
+    // prefix table — one range exchange, NO single-partition window (the
+    // naive global running sum would funnel the corpus through one task)
+    p should include("Exchange rangepartitioning")
+    p should include("BroadcastHashJoin")
+    p should not include "Exchange SinglePartition"
+  }
+
   "the diff stats views" should "reuse one cached relation instead of re-joining" in {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val r = diffy.BigDiffy.diff(
