@@ -623,6 +623,29 @@ object SparkEntry {
           size = 120, overlap = 30)
         .orderBy("doc_id", "chunk_idx")),
 
+    // deterministic group-atomic split: label orders by customer so one
+    // customer never straddles train/test. Farm-hash dice aren't DuckDB-
+    // replicable, so the gate checks the SQL-expressible invariants:
+    // every row labeled, zero customers with >1 label, achieved
+    // per-label customer fractions within ±0.02 of 0.8/0.1/0.1
+    "split_assignments" -> ((s, d) => {
+      val split = graft.ext.Split.hashSplit(t(s, d, "orders"),
+        Seq("o_custkey"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val perCust = split.groupBy("o_custkey")
+        .agg(countDistinct("split").as("n_labels"),
+          count(lit(1)).as("n_rows"), min("split").as("label"))
+      perCust.agg(
+        sum("n_rows").cast("long").as("n_rows"),
+        sum(when(col("n_labels") =!= 1, 1L).otherwise(0L)).cast("long")
+          .as("n_nonatomic"),
+        (abs(avg(when(col("label") === "train", 1.0).otherwise(0.0)) - 0.8)
+          <= 0.02).as("train_frac_ok"),
+        (abs(avg(when(col("label") === "val", 1.0).otherwise(0.0)) - 0.1)
+          <= 0.02).as("val_frac_ok"),
+        (abs(avg(when(col("label") === "test", 1.0).otherwise(0.0)) - 0.1)
+          <= 0.02).as("test_frac_ok"))
+    }),
+
     // ---- temporal surface (training-data extension): as-of join with
     // time-bucketed carry-in (no per-key window — a hot key spreads over
     // span/bucketWidth tasks) and gap sessionization ----
@@ -1023,6 +1046,13 @@ object SparkEntry {
           |SELECT doc_id, chunk_idx, chunk_idx * 90 AS chunk_start,
           |  substring(text, CAST(chunk_idx * 90 + 1 AS INTEGER), 120) AS chunk
           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      // the split invariants: row count preserved, zero non-atomic
+      // customers (the literal 0 IS the assertion), fractions in band
+      "split_assignments" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(0 AS BIGINT) AS n_nonatomic,
+          |  true AS train_frac_ok, true AS val_frac_ok, true AS test_frac_ok
+          |FROM orders""".stripMargin,
       // DuckDB's native ASOF JOIN is the oracle for the bucketed
       // implementation; purchases pre-reduced to one row per (user, ts)
       // with MAX(value) on both engines so ties are deterministic.
