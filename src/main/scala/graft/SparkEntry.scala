@@ -623,6 +623,25 @@ object SparkEntry {
           size = 120, overlap = 30)
         .orderBy("doc_id", "chunk_idx")),
 
+    // int8 embedding quantization: per-vector integer checksums of the
+    // code arrays (sum, sum of squares, position-weighted sum) —
+    // value-exact vs a DuckDB replica of the same max-abs/round math
+    // (both engines round half-away-from-zero on doubles)
+    "embedding_quantize" -> ((s, d) => {
+      val c = graft.ext.Embeddings.quantizeInt8(col("embedding"))
+        .getField("q")
+      t(s, d, "embeddings").select(col("vec_id"), c.as("c"))
+        .select(col("vec_id"),
+          aggregate(col("c"), lit(0L), (a, x) => a + x.cast("long"))
+            .as("sum_q"),
+          aggregate(col("c"), lit(0L),
+            (a, x) => a + x.cast("long") * x.cast("long")).as("sum_q2"),
+          aggregate(zip_with(col("c"),
+              sequence(lit(1L), size(col("c")).cast("long")),
+              (x, i) => x.cast("long") * i),
+            lit(0L), (a, x) => a + x).as("wsum_q"))
+        .orderBy("vec_id")
+    }),
     // deterministic group-atomic split: label orders by customer so one
     // customer never straddles train/test. Farm-hash dice aren't DuckDB-
     // replicable, so the gate checks the SQL-expressible invariants:
@@ -1046,6 +1065,20 @@ object SparkEntry {
           |SELECT doc_id, chunk_idx, chunk_idx * 90 AS chunk_start,
           |  substring(text, CAST(chunk_idx * 90 + 1 AS INTEGER), 120) AS chunk
           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      // same quantization arithmetic over DOUBLE[] lists; checksums stay
+      // in BIGINT so equality is exact
+      "embedding_quantize" ->
+        """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |m AS (SELECT vec_id, e,
+          |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc FROM s),
+          |q AS (SELECT vec_id, CASE WHEN sc > 0
+          |  THEN list_transform(e, x ->
+          |    CAST(least(greatest(round(x / sc), -127.0), 127.0) AS BIGINT))
+          |  ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS c FROM m)
+          |SELECT vec_id, CAST(list_sum(c) AS BIGINT) AS sum_q,
+          |  CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS sum_q2,
+          |  CAST(list_sum(list_transform(range(1, len(c) + 1), i -> i * c[i])) AS BIGINT) AS wsum_q
+          |FROM q ORDER BY vec_id""".stripMargin,
       // the split invariants: row count preserved, zero non-atomic
       // customers (the literal 0 IS the assertion), fractions in band
       "split_assignments" ->

@@ -186,4 +186,44 @@ class StreamOpsSpec extends SparkSpec {
     streamed shouldBe batch
     streamed(2L) shouldBe true
   }
+
+  behavior of "streaming chunking and splitting"
+
+  it should "emit the same chunks as the batch chunker over the same docs" in {
+    import graft.ext.TextAnalysis
+    implicit val sc = spark.sqlContext
+    val docs = (1L to 50L).map(i => (i, ("word" + i + " ") * i.toInt))
+    val input = MemoryStream[(Long, String)]
+    val chunked = TextAnalysis.chunkDocs(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      size = 40, overlap = 10)
+    val q = chunked.writeStream.format("memory").queryName("s_chunks").start()
+    input.addData(docs.take(25))
+    q.processAllAvailable()
+    input.addData(docs.drop(25))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_chunks")
+      .as[(Long, Long, Long, String)].collect().sorted
+    val batch = TextAnalysis.chunkDocs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", size = 40, overlap = 10)
+      .as[(Long, Long, Long, String)].collect().sorted
+    streamed shouldBe batch
+    streamed.length should be > 50
+  }
+
+  it should "assign the same split labels as the batch splitter" in {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Long]
+    val labeled = graft.ext.Split.hashSplit(
+      input.toDF().toDF("id"), Seq("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val q = labeled.writeStream.format("memory").queryName("s_split").start()
+    input.addData(1L to 1000L)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_split").as[(Long, String)].collect().toMap
+    val batch = graft.ext.Split.hashSplit((1L to 1000L).toDF("id"),
+        Seq("id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect().toMap
+    streamed shouldBe batch
+  }
 }
