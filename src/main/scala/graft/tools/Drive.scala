@@ -154,6 +154,59 @@ object Drive {
     println(s"  budget500: rows=${budgeted.count()} tokens=$spent " +
       (if (spent <= 500L) "OK" else "MISMATCH"))
 
+    println("== sequence packing: spans tile sequences, mass preserved:")
+    val toks = docs.select(col("doc_id"),
+      graft.ext.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+    val packed = graft.ext.Pack.packSequences(toks, "doc_id", "nt", 256L)
+    val totTok = toks.agg(sum(when(col("nt") > 0, col("nt")).otherwise(0L)))
+      .head().getLong(0)
+    val totSpan = packed.agg(sum("span_len")).head().getLong(0)
+    val fullSeqs = packed.groupBy("seq_id").agg(sum("span_len").as("f"))
+      .filter(col("seq_id") < totTok / 256L && col("f") =!= 256L).count()
+    println(s"  tokens=$totTok spans=$totSpan underfull_nonfinal=$fullSeqs " +
+      (if (totTok == totSpan && fullSeqs == 0) "OK" else "MISMATCH"))
+
+    println("== greedy bins: capacity respected, docs whole:")
+    val bins = graft.ext.Pack.greedyPackWithinPartitions(toks, "doc_id", "nt", 512L)
+    val overfullMulti = bins.groupBy("bin_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("c"))
+      .filter(col("t") > 512L && col("c") > 1).count()
+    println(s"  bins=${bins.select("bin_id").distinct().count()} " +
+      s"overfullMulti=$overfullMulti " +
+      (if (overfullMulti == 0) "OK" else "MISMATCH"))
+
+    println("== chunking covers every char with the declared overlap:")
+    val chunks = graft.ext.TextAnalysis.chunkDocs(docs, "doc_id", "text", 100, 20)
+    val chCover = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_start") + length(col("chunk"))).as("covered"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      .filter(col("covered") =!= col("len")).count()
+    println(s"  chunks=${chunks.count()} uncovered_docs=$chCover " +
+      (if (chCover == 0) "OK" else "MISMATCH"))
+
+    println("== leakage-safe split: clusters never straddle splits:")
+    val comps = Dedup.connectedComponents(mh)
+    val clustered = corpus.join(comps, corpus("doc_id") === comps("id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+    val straddlers = graft.ext.Split.hashSplit(clustered, Seq("cluster_id"),
+        Seq("train" -> 0.9, "test" -> 0.1))
+      .groupBy("cluster_id").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") =!= 1).count()
+    println(s"  straddling_clusters=$straddlers " +
+      (if (straddlers == 0) "OK" else "MISMATCH"))
+
+    println("== int8 quantized cosine tracks exact cosine:")
+    val embQ = emb.select(col("vec_id"),  col("embedding"),
+      graft.ext.Embeddings.quantizeInt8(col("embedding")).getField("q").as("q"))
+    val qerr = embQ.as("a").join(embQ.as("b"),
+        col("b.vec_id") === col("a.vec_id") + 1)
+      .select(abs((lit(1.0) - graft.GraftFunctions.cosineDistance(
+          col("a.embedding"), col("b.embedding"))) -
+        graft.ext.Embeddings.quantizedCosine(col("a.q"), col("b.q"))).as("e"))
+      .agg(max("e")).head().getDouble(0)
+    println(f"  max |cos_q - cos| = $qerr%.5f " +
+      (if (qerr < 0.02) "OK" else "MISMATCH"))
+
     println("== GIF frame sampling (5 uniform frames, n=3 -> 0/2/4 @ 10/30/50):")
     val frameRows = graft.ext.Multimodal.sampleFrameFeatures(
         Seq((1L, graft.ext.MultimodalFixtures.animatedGif(Seq(10, 20, 30, 40, 50), 4, 3)))
