@@ -52,6 +52,9 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] warmup failed " +
         s"(continuing with cold-start noise): ${e.getMessage}")
     }
+    // drop the warmup's garbage + ContextCleaner backlog before the first
+    // timed query (see the per-query isolation note below)
+    System.gc()
     // optional comma-separated subset for targeted local iteration; the
     // driver leaves it unset and benches everything. Empty value = unset;
     // typo'd names are called out instead of silently benching nothing.
@@ -84,6 +87,14 @@ object Bench {
         // timed as if it ran in a fresh session.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // Also nudge the ContextCleaner: it cleans broadcasts/shuffles/
+        // RDDs only when their weak references get GC'd, so state from
+        // prior queries (and the warmup) otherwise piles up until some
+        // LATER query's allocations trigger the collection and absorb
+        // the cleanup into ITS wall time — measured ~11s added to one
+        // query after the warmup alone. An explicit collection here
+        // (~0.1s, untimed) charges each query only for its own work.
+        System.gc()
         (name, dt, ok)
       }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -154,8 +154,8 @@ object TextAnalysis {
     * a binary-search rewrite in pass 2: a stateless map over the corpus
     * (no join, no re-aggregation of text by doc). The rewrite closes
     * over a runtime-collected set, which no codegen'd builtin can hold,
-    * so it is the one deliberate UDF in the text surface; the frequency
-    * pass stays pure Catalyst. Matching is exact-string up to 64-bit
+    * so it is a deliberate UDF (the decontamination probe shares the
+    * pattern); the frequency pass stays pure Catalyst. Matching is exact-string up to 64-bit
     * farm-fingerprint collisions (the [[fingerprint]] contract). Null
     * text stays null; a doc whose every segment is boilerplate becomes
     * the empty string.
@@ -226,17 +226,57 @@ object TextAnalysis {
     * contribute no n-grams. */
   def flagContaminated(corpus: DataFrame, idCol: String, textCol: String,
                        benchmark: DataFrame, benchTextCol: String,
-                       n: Int = 50): DataFrame = {
+                       n: Int = 50, maxBenchGrams: Int = 4 << 20): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val benchGrams = benchmark
+    collectBenchGrams(benchmark, benchTextCol, n, maxBenchGrams) match {
+      case Some(probe) =>
+        // one narrow corpus scan, NO join and NO shuffle anywhere —
+        // column order kept identical to the join form (idCol first)
+        val rest = corpus.columns.filterNot(_ == idCol).map(col)
+        corpus.withColumn("contaminated", probe(col(textCol)))
+          .select(col(idCol) +: rest :+ col("contaminated"): _*)
+      case None =>
+        val benchGrams = benchmark
+          .select(explode(shingleHashes(col(benchTextCol), n)).as("__g")).distinct()
+        val hit = corpus
+          .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__g"))
+          .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+          .select(idCol).distinct()
+          .withColumn("contaminated", lit(true))
+        corpus.join(hit, Seq(idCol), "left")
+          .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+    }
+  }
+
+  /** Collect + broadcast the distinct benchmark gram hashes as a sorted
+    * array and return the per-document membership probe, or None when the
+    * benchmark exceeds `maxBenchGrams` distinct grams (callers fall back
+    * to the distributed explode + broadcast-semi probe). The probe rolls
+    * the window hash across each document (O(len), bit-exact with the
+    * [[graft.functions.ShingleHashes]] expression) and tests each against
+    * a broadcast open-addressed [[graft.functions.LongHashSet]] (~1-2
+    * array reads per window, like the hashed relation the semi join would
+    * build) with early exit on the first hit — a per-DOCUMENT closure
+    * over a runtime broadcast, which no codegen'd builtin can hold, so
+    * like [[stripBoilerplate]]'s rewrite it is a deliberate UDF;
+    * everything around it stays pure Catalyst. Replaces exploding one
+    * (id, hash) row per corpus CHARACTER through join machinery: the scan
+    * does the same hash work but zero row amplification. */
+  private def collectBenchGrams(benchmark: DataFrame, benchTextCol: String,
+      n: Int, maxBenchGrams: Int): Option[Column => Column] = {
+    import benchmark.sparkSession.implicits._
+    val grams = benchmark
       .select(explode(shingleHashes(col(benchTextCol), n)).as("__g")).distinct()
-    val hit = corpus
-      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__g"))
-      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
-      .select(idCol).distinct()
-      .withColumn("contaminated", lit(true))
-    corpus.join(hit, Seq(idCol), "left")
-      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+    // cap check BEFORE materializing on the driver (count is one cheap
+    // reduce-side pass; the collect then reuses the distinct's shuffle
+    // output — both parallel, no single-partition limit funnel)
+    if (grams.count() > maxBenchGrams) return None
+    val set = graft.functions.LongHashSet(grams.as[Long].collect())
+    val bc = benchmark.sparkSession.sparkContext.broadcast(set)
+    val probe = udf { (text: String) =>
+      graft.functions.ShingleHashes.anyWindow(text, n, 0L)(bc.value.contains)
+    }
+    Some(probe(_))
   }
 
   /** Stateless per-row contamination flag from a PRE-COLLECTED benchmark
@@ -263,27 +303,29 @@ object TextAnalysis {
   }
 
   /** Keep only corpus documents with NO `n`-gram overlap against the
-    * benchmark set (the filtering form of [[flagContaminated]]): an
-    * anti-join against the (small) contaminated-id set.
-    *
-    * Note both forms reference `corpus` twice in the plan (gram probe +
-    * final join); a corpus that is itself an expensive derived relation
-    * should be pinned (persist/localCheckpoint) by the caller — a plain
-    * table scan needs nothing. */
+    * benchmark set (the filtering form of [[flagContaminated]]): with the
+    * benchmark grams under `maxBenchGrams` (the normal case) this is ONE
+    * narrow filter pass over the corpus — no join, no shuffle, and the
+    * corpus plan is referenced once, so expensive derived corpora need no
+    * caller-side pinning. Past the cap it falls back to the distributed
+    * probe + anti-join (which references `corpus` twice — pin derived
+    * relations there; AQE broadcasts the usually-tiny contaminated-id
+    * side at runtime). */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
-                    n: Int = 50): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(shingleHashes(col(benchTextCol), n)).as("__g")).distinct()
-    val hit = corpus
-      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__g"))
-      .join(broadcast(benchGrams), Seq("__g"), "left_semi")
-      .select(idCol).distinct()
-    // the contaminated-id relation is usually tiny (decontamination
-    // removes a small fraction); AQE turns this anti join into a
-    // broadcast at runtime when it is — no hint, so a pathological
-    // everything-contaminated corpus still executes as a shuffle join
-    corpus.join(hit, Seq(idCol), "left_anti")
+                    n: Int = 50, maxBenchGrams: Int = 4 << 20): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    collectBenchGrams(benchmark, benchTextCol, n, maxBenchGrams) match {
+      case Some(probe) => corpus.filter(!probe(col(textCol)))
+      case None =>
+        val benchGrams = benchmark
+          .select(explode(shingleHashes(col(benchTextCol), n)).as("__g")).distinct()
+        val hit = corpus
+          .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("__g"))
+          .join(broadcast(benchGrams), Seq("__g"), "left_semi")
+          .select(idCol).distinct()
+        corpus.join(hit, Seq(idCol), "left_anti")
+    }
   }
 
   /** Overlapping fixed-size chunking (the RAG / long-context prep step):

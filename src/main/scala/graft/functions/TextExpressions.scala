@@ -244,22 +244,59 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
       s"shingle_hashes expects string, got ${other.catalogString}")
   }
 
+  override def nullSafeEval(v: Any): Any = {
+    val hs = ShingleHashes.sortedDistinct(v.asInstanceOf[UTF8String].toString, n, seed)
+    if (hs == null) null else new GenericArrayData(hs)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** JVM-side kernels sharing [[ShingleHashes]]'s exact hash arithmetic, so
+  * driver/executor code (broadcast-set membership probes, UDF rewrites)
+  * can interoperate bit-for-bit with columns the expression produced.
+  * The window hash is maintained by the base-31 ROLLING recurrence —
+  * O(len) total instead of O(len·n) re-hashing per position — which is
+  * bit-exact with the Horner loop because both evaluate the same
+  * polynomial `seed·31^n + Σ c_i·31^k` in wrapping Long arithmetic.
+  */
+object ShingleHashes {
   import Mix.mix64
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  /** Streams the mix64'd hash of every n-char window of `s` to `f` in
+    * text order, short-circuiting as soon as `f` returns true; returns
+    * whether any call did. Null/short input streams nothing. */
+  def anyWindow(s: String, n: Int, seed: Long)(f: Long => Boolean): Boolean = {
+    if (s == null) return false
     val len = s.length
-    if (len < n) return null
+    if (len < n) return false
+    var pm1 = 1L // 31^(n-1), wrapping
+    var j = 0
+    while (j < n - 1) { pm1 *= 31L; j += 1 }
+    val sn = seed * pm1 * 31L // the constant seed·31^n term of every window
+    var h = seed
+    j = 0
+    while (j < n) { h = h * 31L + s.charAt(j); j += 1 }
+    if (f(mix64(h))) return true
+    var p = h - sn // char-polynomial part, rolled forward window by window
     val m = len - n + 1
-    val hs = new Array[Long](m)
-    var i = 0
+    var i = 1
     while (i < m) {
-      var h = seed
-      var j = 0
-      while (j < n) { h = h * 31L + s.charAt(i + j); j += 1 }
-      hs(i) = mix64(h)
+      p = (p - s.charAt(i - 1) * pm1) * 31L + s.charAt(i + n - 1)
+      if (f(mix64(sn + p))) return true
       i += 1
     }
+    false
+  }
+
+  /** All window hashes of `s`, SORTED and DISTINCT (the expression's
+    * output contract). Null/short input -> null. */
+  def sortedDistinct(s: String, n: Int, seed: Long): Array[Long] = {
+    if (s == null || s.length < n) return null
+    val m = s.length - n + 1
+    val hs = new Array[Long](m)
+    var idx = 0
+    anyWindow(s, n, seed) { h => hs(idx) = h; idx += 1; false }
     java.util.Arrays.sort(hs)
     var out = 1
     var k = 1
@@ -267,8 +304,6 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
       if (hs(k) != hs(k - 1)) { hs(out) = hs(k); out += 1 }
       k += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+    java.util.Arrays.copyOf(hs, out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

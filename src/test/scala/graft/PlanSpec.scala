@@ -109,15 +109,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  "decontamination" should "probe the corpus with a broadcast semi join, no corpus shuffle" in {
+  "decontamination" should "probe the corpus in one scan with no join or exchange" in {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val flagged = ext.TextAnalysis.flagContaminated(
       docs, "doc_id", "text", bench, "text", n = 40)
     val p = plan(flagged)
-    // the benchmark gram set builds and ships as a broadcast; the corpus
-    // side is a narrow explode + semi probe — the only hash exchange is
-    // the distinct over MATCHED ids (bounded by the contaminated count)
+    // the benchmark gram set collects (a separate tiny job at build time)
+    // and broadcasts as a sorted array; the corpus side is one narrow
+    // scan through the rolling-hash membership probe — zero joins, zero
+    // exchanges, zero row amplification
+    p should not include "Join"
+    p should not include "Exchange"
+  }
+
+  it should "fall back to the broadcast semi probe past the gram cap" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val flagged = ext.TextAnalysis.flagContaminated(
+      docs, "doc_id", "text", bench, "text", n = 40, maxBenchGrams = 0)
+    val p = plan(flagged)
+    // over-cap benchmarks keep the distributed shape: corpus-side narrow
+    // explode + BROADCAST semi probe — the only hash exchange is the
+    // distinct over MATCHED ids (bounded by the contaminated count)
     p should include("BroadcastHashJoin")
     p should include("LeftSemi")
   }

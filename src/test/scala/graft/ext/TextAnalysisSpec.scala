@@ -167,6 +167,58 @@ class TextAnalysisSpec extends SparkSpec {
       .select("contaminated").as[Boolean].collect() shouldBe Array(false)
   }
 
+  it should "produce identical results on the broadcast and join probe paths" in {
+    val bench = Seq((100L, "the secret benchmark answer sequence here"),
+      (101L, "zz overlap window zz")).toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "completely unrelated prose about weather patterns today"),
+      (2L, "prefix junk then the secret benchmark answer sequence here trailing"),
+      (3L, (null: String)),
+      (4L, "mid zz overlap window zz mid"),
+      (5L, "short"))
+      .toDF("doc_id", "text")
+    // maxBenchGrams = 0 forces the distributed explode + semi-join path;
+    // the default takes the broadcast rolling-hash probe — same answers
+    for (op <- Seq(
+        (cap: Int) => TextAnalysis.flagContaminated(corpus, "doc_id", "text",
+          bench, "btext", n = 10, maxBenchGrams = cap)
+          .select("doc_id", "contaminated"),
+        (cap: Int) => TextAnalysis.decontaminate(corpus, "doc_id", "text",
+          bench, "btext", n = 10, maxBenchGrams = cap).select("doc_id"))) {
+      val fast = op(4 << 20).orderBy("doc_id").collect().toSeq
+      val join = op(0).orderBy("doc_id").collect().toSeq
+      fast shouldBe join
+    }
+  }
+
+  it should "roll the window hash bit-exactly like the ShingleHashes expression" in {
+    import graft.functions.{ShingleHashes => SH}
+    val texts = Seq("abcdefghij", "aaaaaaa", "xy", "", "unicode ✓ fläck テスト padding",
+      "the quick brown fox jumps over the lazy dog")
+    for (t <- texts; n <- Seq(1, 3, 7); seed <- Seq(0L, 42L)) {
+      // direct O(len·n) Horner re-hash per window — the original contract
+      val expect: Array[Long] =
+        if (t.length < n) null
+        else {
+          val hs = (0 to t.length - n).map { i =>
+            var h = seed
+            var j = 0
+            while (j < n) { h = h * 31L + t.charAt(i + j); j += 1 }
+            graft.functions.Mix.mix64(h)
+          }
+          hs.distinct.sorted.toArray
+        }
+      SH.sortedDistinct(t, n, seed) shouldBe expect
+      // the streaming probe visits the same multiset of hashes in order
+      if (t.length >= n) {
+        val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+        SH.anyWindow(t, n, seed) { h => seen += h; false }
+        seen.toSet shouldBe expect.toSet
+        seen.size shouldBe (t.length - n + 1)
+      }
+    }
+  }
+
   it should "measure the duplicate-line fraction" in {
     val df = Seq("a\nb\na\na", "x\ny").toDF("text")
     df.select(round(TextAnalysis.dupLineRatio(col("text")), 2)).as[Double].collect() shouldBe
