@@ -579,6 +579,22 @@ object SparkEntry {
     // so the rejoin has >1 survivor); the planted segments are the only
     // corpus-frequent ones, so stripping must restore the original text —
     // value-compared against a full DuckDB list_filter replica
+    // C4-proper global keep-first segment dedup: a shared header planted
+    // on 2/3 of docs survives only at its least (doc_id, pos); docs with
+    // doc_id % 3 == 0 also duplicate their own text within the doc (the
+    // second copy must drop); naturally-duplicated document texts keep
+    // only the lowest-doc_id copy — value-compared against a DuckDB
+    // row_number()-over-(segment) replica of the same rewrite
+    "segment_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("Shared Header. "), col("text"), lit(". "), col("text")))
+          .when(col("doc_id") % 3 === 1, concat(lit("Shared Header. "), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.dedupSegmentsKeepFirst(docs, "doc_id", "text", ". ")
+        .orderBy("doc_id")
+    }),
+
     "strip_boilerplate" -> ((s, d) => {
       val b1 = lit("Home About Contact Privacy Terms. ")
       val b2 = lit(". Subscribe Newsletter Footer")
@@ -1018,6 +1034,22 @@ object SparkEntry {
       // full rewrite replica: same planted segments, same >= 3 doc-freq
       // rule, list_filter instead of the broadcast set. coalesce guards
       // the no-frequent-segment case (list() of zero rows is NULL)
+      // keep-first rewrite replica: 1-based positions are self-consistent;
+      // string_agg skips the CASE's NULLed non-first segments and keeps
+      // position order; coalesce('') covers an all-duplicate doc
+      "segment_dedup" ->
+        """WITH d AS (SELECT doc_id, CASE
+          |    WHEN doc_id % 3 = 0 THEN 'Shared Header. ' || text || '. ' || text
+          |    WHEN doc_id % 3 = 1 THEN 'Shared Header. ' || text
+          |    ELSE text END AS text FROM documents),
+          |segs AS (SELECT doc_id, u.seg AS seg, u.pos AS pos FROM (
+          |  SELECT doc_id, unnest(list_transform(string_split(text, '. '),
+          |    (x, i) -> {'seg': x, 'pos': i})) AS u FROM d)),
+          |r AS (SELECT doc_id, seg, pos,
+          |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs)
+          |SELECT doc_id, coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+          |  '. ' ORDER BY pos), '') AS text
+          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "strip_boilerplate" ->
         """WITH d AS (SELECT doc_id, CASE
           |    WHEN doc_id % 4 = 0 THEN 'Home About Contact Privacy Terms. ' || text

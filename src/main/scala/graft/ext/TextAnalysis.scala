@@ -207,6 +207,51 @@ object TextAnalysis {
     df.withColumn(textCol, strip(col(textCol)))
   }
 
+  /** C4-proper GLOBAL segment dedup: across the whole corpus, keep only
+    * the FIRST occurrence of every distinct text segment (split by the
+    * literal `delim`) and rewrite each document with its later-occurrence
+    * segments removed, preserving segment order. "First" is the least
+    * (id, position) pair under `idCol`'s natural ordering — C4 removed
+    * all but one occurrence of any three-sentence span repeated across
+    * the crawl; this is the same keep-one rule at segment granularity,
+    * where [[stripBoilerplate]] instead removes EVERY occurrence of
+    * corpus-frequent segments.
+    *
+    * Scale shape: document text never shuffles for the dedup decision —
+    * segments reduce to (hash, id, pos) at the scan (~20 bytes/segment),
+    * one hash-keyed aggregation finds each segment's minimum (id, pos)
+    * winner, and only hashes occurring >1 time survive to the loser
+    * pass. Per-doc drop-position sets (bounded by each doc's duplicated
+    * segments, empty for most docs) join back by id — the one
+    * corpus-width shuffle, broadcast by AQE when the duplicate set is
+    * small — and the rewrite is a pure Catalyst indexed array filter
+    * (no UDF). Matching is exact-string up to 64-bit farm-fingerprint
+    * collisions. Null text survives unchanged; a doc whose every segment
+    * lost becomes the empty string. A segment repeated WITHIN one doc
+    * keeps only its first position. */
+  def dedupSegmentsKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                             delim: String): DataFrame = {
+    require(delim.nonEmpty, "delim must be non-empty")
+    val delimRegex = java.util.regex.Pattern.quote(delim)
+    val exploded = df.select(col(idCol).as("__id"),
+      posexplode(transform(split(col(textCol), delimRegex), s => farmHash64(s)))
+        .as(Seq("__pos", "__h")))
+    val winners = exploded.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select("__h", "__w")
+    val drops = exploded.join(winners, Seq("__h"))
+      .filter(col("__w.__id") =!= col("__id") || col("__w.__pos") =!= col("__pos"))
+      .groupBy("__id").agg(collect_set("__pos").as("__drops"))
+    df.join(drops, col(idCol) === col("__id"), "left")
+      .withColumn(textCol, when(col("__drops").isNull, col(textCol))
+        .otherwise(array_join(
+          filter(split(col(textCol), delimRegex),
+            (_, i) => !array_contains(col("__drops"), i)), delim)))
+      .drop("__id", "__drops")
+  }
+
   /** Benchmark decontamination: flag every corpus document sharing at
     * least one character `n`-gram with a benchmark/eval set — the
     * standard n-gram-overlap decontamination from public LM training

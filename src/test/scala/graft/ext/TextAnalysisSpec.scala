@@ -219,6 +219,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  behavior of "global keep-first segment dedup"
+
+  it should "keep only each segment's least (id, pos) occurrence" in {
+    val docs = Seq(
+      (1L, "alpha. beta. alpha"), // within-doc repeat: 2nd alpha drops
+      (2L, "beta. gamma"), // beta lost to doc 1
+      (3L, "delta"),
+      (4L, "gamma. delta. own"), // both lost to docs 2/3
+      (5L, (null: String)), // null text unchanged
+      (6L, "alpha")) // all segments duplicate -> empty string
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSegmentsKeepFirst(docs, "doc_id", "text", ". ")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    out shouldBe Seq(
+      1L -> "alpha. beta",
+      2L -> "gamma",
+      3L -> "delta",
+      4L -> "own",
+      5L -> null,
+      6L -> "")
+    // column set and order of untouched docs preserved
+    TextAnalysis.dedupSegmentsKeepFirst(docs, "doc_id", "text", ". ")
+      .columns.toSeq shouldBe Seq("doc_id", "text")
+  }
+
   it should "measure the duplicate-line fraction" in {
     val df = Seq("a\nb\na\na", "x\ny").toDF("text")
     df.select(round(TextAnalysis.dupLineRatio(col("text")), 2)).as[Double].collect() shouldBe
