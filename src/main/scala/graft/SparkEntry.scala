@@ -245,6 +245,19 @@ object SparkEntry {
     "dedup_fingerprint" -> ((s, d) =>
       Dedup.exactByFingerprint(t(s, d, "documents"), "doc_id", "text")
         .agg(count(lit(1)).as("n_groups"), max("dup_count").as("max_dup"))),
+    // incremental (new-batch-vs-corpus) dedup: even docs form the
+    // accumulated corpus, odd docs plus re-keyed COPIES of every %10==0
+    // (even) doc form the incoming batch — the copies must drop on the
+    // bloom-pruned fingerprint path, every odd doc must survive
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.newAgainst(existing, incoming, "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
     // recall check: every constructed (i, i+off) truncation pair must be
     // recovered by MinHash-LSH with 32 bands of 2 rows (miss P < 1e-5)
     "minhash_recall" -> ((s, d) => {
@@ -833,6 +846,15 @@ object SparkEntry {
       "dedup_fingerprint" ->
         """SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_groups,
           |  CAST(1 AS BIGINT) AS max_dup FROM documents""".stripMargin,
+      // plain anti-join replica of the bloom-pruned incremental dedup
+      // (IS NOT DISTINCT FROM mirrors fingerprint null=null semantics)
+      "dedup_incremental" ->
+        """WITH ex AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+          |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+          |SELECT doc_id FROM inc i WHERE NOT EXISTS (
+          |  SELECT 1 FROM ex e WHERE e.text IS NOT DISTINCT FROM i.text)
+          |ORDER BY doc_id""".stripMargin,
       "minhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
       "simhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
       "dedup_clusters" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_same_cluster FROM documents",

@@ -70,6 +70,45 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup: the rows of `incoming` whose `textCol`
+    * content does not already appear in `existing` (by 64-bit farm
+    * fingerprint) — the append-a-new-crawl step: dedup each new batch
+    * against the accumulated corpus without re-deduping the corpus.
+    *
+    * Scale shape: `existing` is only ever touched as an 8-byte
+    * fingerprint projection. A Bloom filter over those fingerprints (one
+    * distributed aggregation pass; `bloomFpp` false-positive rate, no
+    * false negatives) broadcasts to the incoming scan, which emits
+    * definite-new rows (bloom miss — the vast majority of a typical
+    * batch) straight from the scan with NO shuffle; only true duplicates
+    * plus the ~fpp false positives are exact-verified through the
+    * fingerprint anti join, so the join's incoming side carries a tiny
+    * fraction of the batch. Equivalent by construction to a plain
+    * fingerprint anti join — the bloom only prunes, verification
+    * restores exactness — up to 64-bit collisions (birthday bound as
+    * [[exactByFingerprint]]). Two rows with NULL text fingerprint
+    * identically, so a null-text incoming row is "duplicate" when
+    * `existing` has any null text — fingerprint semantics, not SQL
+    * equality. Empty `existing` returns `incoming` unchanged. */
+  def newAgainst(existing: DataFrame, incoming: DataFrame,
+                 textCol: String, bloomFpp: Double = 0.01): DataFrame = {
+    // above ~0.5 the optimal-bits formula rounds the filter to zero bits
+    require(bloomFpp > 0 && bloomFpp <= 0.5,
+      s"bloomFpp must be in (0, 0.5], got $bloomFpp")
+    val exFp = existing.select(farmHash64(col(textCol)).as("__fp"))
+    val nEx = exFp.count() // sizes the bloom; a cheap 8-byte-projection pass
+    if (nEx == 0) return incoming
+    val bloom = exFp.stat.bloomFilter("__fp", nEx, bloomFpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { (fp: Long) => bc.value.mightContainLong(fp) }
+    val flagged = incoming.withColumn("__fp", farmHash64(col(textCol)))
+      .withColumn("__might", mightContain(col("__fp")))
+    val definiteNew = flagged.filter(!col("__might"))
+    val verified = flagged.filter(col("__might"))
+      .join(exFp, Seq("__fp"), "left_anti")
+    definiteNew.unionByName(verified).drop("__fp", "__might")
+  }
+
   /** MinHash-LSH near-duplicate pairs over a text column.
     *
     * shingle(n chars) → minhash(numHashes) → split into `bands` bands →

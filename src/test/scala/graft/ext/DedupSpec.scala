@@ -38,6 +38,47 @@ class DedupSpec extends SparkSpec {
     got shouldBe Array((1L, 2L), (3L, 1L))
   }
 
+  behavior of "incremental dedup (newAgainst)"
+
+  it should "equal a plain fingerprint anti join, bloom notwithstanding" in {
+    val existing = Seq((1L, "alpha text"), (2L, "beta text"), (3L, (null: String)))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha text"), // exact dup -> dropped
+      (11L, "gamma text"), // new -> kept
+      (12L, (null: String)), // null matches existing null fingerprint -> dropped
+      (13L, "beta text"), // dup -> dropped
+      (14L, "delta")) // new -> kept
+      .toDF("doc_id", "text")
+    val got = Dedup.newAgainst(existing, incoming, "text")
+      .select("doc_id").as[Long].collect().sorted
+    got shouldBe Array(11L, 14L)
+    // a high-fpp bloom (forces false positives through verification)
+    // must produce the identical answer
+    Dedup.newAgainst(existing, incoming, "text", bloomFpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(11L, 14L)
+    // empty existing: incoming unchanged, columns intact
+    val none = existing.filter(lit(false))
+    Dedup.newAgainst(none, incoming, "text").columns.toSeq shouldBe Seq("doc_id", "text")
+    Dedup.newAgainst(none, incoming, "text").count() shouldBe 5L
+  }
+
+  it should "dedup a batch against the synthetic corpus exactly" in {
+    // split the shared corpus: first 30 ids are the accumulated side, the
+    // rest (incl. the 1000+ near-dups, which are NOT exact dups) incoming
+    val existing = corpus.filter(col("doc_id") < 30)
+    val incoming = corpus.filter(col("doc_id") >= 30)
+      .unionByName(corpus.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val expect = incoming.join(existing.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    val got = Dedup.newAgainst(existing, incoming, "text")
+      .select("doc_id").as[Long].collect().sorted
+    got shouldBe expect
+    // the planted re-keyed copies were all dropped
+    got.count(_ >= 5000L) shouldBe 0
+  }
+
   behavior of "minhashNearDups"
 
   it should "recover all constructed near-dup pairs and no exact-identical misses" in {
