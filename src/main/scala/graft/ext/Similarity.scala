@@ -158,41 +158,8 @@ object Similarity {
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
 
-    // bounded training sample WITHOUT a full corpus pass: take every
-    // `trainStride`-th finite vector of each partition until the
-    // per-partition quota is met. Each task early-terminates after
-    // scanning ≤ stride × quota rows, so the sampling job touches
-    // O(trainCap) rows total regardless of corpus size (the previous
-    // corpusV.count() + fraction-sample cost two full scans just to size
-    // the sample). Striding (vs a pure prefix) matters because embedding
-    // files are routinely written CLUSTERED — a prefix of each partition
-    // would train the quantizer on one corner of the space and recall
-    // would degrade; every m-th row spans each partition's local ordering
-    // at the same bounded scan cost. Deterministic given the (sorted)
-    // file listing — adequate for a coarse quantizer.
-    // KMeans.fit rejects NaN/Inf features; NearestCells already degrades
-    // such rows to null at assignment, so exclude them from training too.
-    val finiteVecs = corpusV
-      .filter(!exists(col("v"),
-        x => isnan(x) || abs(x) >= lit(Double.PositiveInfinity)))
-      .select(col("v").cast("array<double>"))
-    val parts = math.max(1, finiteVecs.rdd.getNumPartitions)
-    // clamp to Int range: trainCap / parts overflows .toInt for caps past
-    // ~2^31 × partitions, which would silently sample NOTHING
-    val perPart = math.min(math.max(1L, trainCap / parts), Int.MaxValue.toLong).toInt
-    val trainStride = 16
-    import corpus.sparkSession.implicits._
-    val trainDf = finiteVecs.as[Seq[Double]]
-      .mapPartitions(_.grouped(trainStride).map(_.head).take(perPart))
-      .toDF("v")
-      .select(array_to_vector(col("v")).as("features"))
-      // the sample is ≤ trainCap rows: collapse it to a few partitions so
-      // each k-means iteration schedules a handful of tasks instead of
-      // one per corpus partition (narrow coalesce — the per-partition
-      // take quotas above are unaffected)
-      .coalesce(8)
-      // fit iterates over its input: pin the ≤ trainCap sampled rows
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sample = sampleTrainVecs(corpusV, trainCap)
+    val trainDf = sample.select(array_to_vector(col("v")).as("features"))
     try {
       // bounded cost: counts the pinned ≤ trainCap-row sample, not the corpus
       val trainCount = trainDf.count()
@@ -218,7 +185,42 @@ object Similarity {
             .setFeaturesCol("features")
             .fit(trainDf).clusterCenters.map(_.toArray)
       ivfSearch(corpusV, queryV, centroids, k, nprobe)
-    } finally trainDf.unpersist()
+    } finally sample.unpersist()
+  }
+
+  /** Bounded quantizer-training sample WITHOUT a full corpus pass: take
+    * every `trainStride`-th finite vector of each partition until the
+    * per-partition quota is met. Each task early-terminates after
+    * scanning ≤ stride × quota rows, so the sampling job touches
+    * O(trainCap) rows total regardless of corpus size (count + fraction
+    * sampling would cost two full scans just to size the sample).
+    * Striding (vs a pure prefix) matters because embedding files are
+    * routinely written CLUSTERED — a prefix of each partition would train
+    * the quantizer on one corner of the space and recall would degrade;
+    * every m-th row spans each partition's local ordering at the same
+    * bounded scan cost. Deterministic given the (sorted) file listing —
+    * adequate for a coarse or product quantizer. KMeans.fit rejects
+    * NaN/Inf features; NearestCells already degrades such rows to null at
+    * assignment, so they are excluded from training too. Returns a PINNED
+    * single-column ("v", array<double>) frame coalesced to a few
+    * partitions (each k-means iteration schedules a handful of tasks
+    * instead of one per corpus partition); caller must unpersist. */
+  private def sampleTrainVecs(corpusV: DataFrame, trainCap: Long): DataFrame = {
+    val finiteVecs = corpusV
+      .filter(!exists(col("v"),
+        x => isnan(x) || abs(x) >= lit(Double.PositiveInfinity)))
+      .select(col("v").cast("array<double>"))
+    val parts = math.max(1, finiteVecs.rdd.getNumPartitions)
+    // clamp to Int range: trainCap / parts overflows .toInt for caps past
+    // ~2^31 × partitions, which would silently sample NOTHING
+    val perPart = math.min(math.max(1L, trainCap / parts), Int.MaxValue.toLong).toInt
+    val trainStride = 16
+    import corpusV.sparkSession.implicits._
+    finiteVecs.as[Seq[Double]]
+      .mapPartitions(_.grouped(trainStride).map(_.head).take(perPart))
+      .toDF("v")
+      .coalesce(8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Assignment + probe + re-rank stage of [[ivfTopK]], split out so the
@@ -241,5 +243,138 @@ object Similarity {
       .join(broadcast(queryV), Seq("query_id"))
       .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("v"), col("qv")))
     topKPerQuery(cand, k)
+  }
+
+  /** Product-quantization ANN (ADC — asymmetric distance computation):
+    * `m` independent k-means codebooks over the vector's m sub-ranges
+    * compress each corpus vector to m small integer codes; each query
+    * precomputes one dot-product lookup table per codebook and scores a
+    * corpus row with m table lookups instead of `dim` multiplies.
+    *
+    * Scale shape: this is the MEMORY-side scale path, complementary to
+    * the candidate-pruning paths (LSH/IVF) — the scanned corpus relation
+    * carries m codes + one norm (~m bytes honest payload) instead of dim
+    * floats, a 16-32x smaller footprint per row for every cache, shuffle,
+    * and scan at 100 TB. Codebooks train like [[ivfTopK]]'s quantizer (m
+    * fits on one bounded pinned sample), ship as literals inside the
+    * encode expressions and as a broadcast into the per-QUERY lut UDF
+    * (one call per query row, not per pair). Scoring is pure Catalyst
+    * HOFs: zip_with(codes, luts) + aggregate. The approximate top
+    * `k·rerankFactor` per query (k-bounded aggregator, no window) then
+    * re-ranks by EXACT cosine over just those candidate vectors — the
+    * only stage that ever rejoins full vectors, k·rerankFactor·queries
+    * rows wide.
+    *
+    * The approximate score is cosine(q, reconstruction(x)): dot(q, x̃) /
+    * (|q|·|x̃|) with both terms exact in the quantized space (|x̃| is
+    * precomputed per row at encode). Degenerate rows/queries (NaN, zero
+    * norm, dim mismatch at slice) yield null/NaN scores and drop under
+    * the shared [[topKPerQuery]] contract. `rerankFactor = 1` returns
+    * approximate-score output directly (cosine_sim is then the ADC
+    * estimate). Self-matches are excluded like every other path. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, m: Int = 8, codebookSize: Int = 256, rerankFactor: Int = 4,
+             seed: Long = 42L, trainCap: Long = 100000L, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+
+    val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+
+    val sample = sampleTrainVecs(corpusV, trainCap)
+    val codebooks: Array[Array[Array[Double]]] =
+      try {
+        val trainCount = sample.count()
+        if (trainCount == 0)
+          return topKPerQuery(
+            corpusV.crossJoin(queryV)
+              .withColumn("cosine_sim", lit(null).cast("double"))
+              .limit(0), k)
+        val dim = sample.head().getAs[scala.collection.Seq[Double]](0).length
+        require(m <= dim, s"m=$m subspaces need dim >= m, got dim=$dim")
+        // first (dim % m) subspaces take one extra dimension
+        val lens = Array.tabulate(m)(s => dim / m + (if (s < dim % m) 1 else 0))
+        val offs = lens.scanLeft(0)(_ + _)
+        val k_ = math.min(codebookSize.toLong, trainCount).toInt
+        Array.tabulate(m) { s =>
+          val sub = sample.select(
+            array_to_vector(slice(col("v"), offs(s) + 1, lens(s))).as("features"))
+          if (k_ < 2)
+            Array(sub.head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
+          else
+            new KMeans().setK(k_).setSeed(seed + s).setMaxIter(maxIter)
+              .setFeaturesCol("features")
+              .fit(sub).clusterCenters.map(_.toArray)
+        }
+      } finally sample.unpersist()
+
+    val lens = codebooks.map(_.head.length)
+    val offs = lens.scanLeft(0)(_ + _)
+
+    // ---- encode: m codes + the reconstruction's norm, one scan pass ----
+    val codeCols = Array.tabulate(m) { s =>
+      nearestCells(slice(col("v"), offs(s) + 1, lens(s)), codebooks(s), 1)(0)
+    }
+    val norm2Lit = typedLit(codebooks.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+    val encoded = corpusV.select(col("id"),
+        array(codeCols.toIndexedSeq: _*).as("codes"))
+      .withColumn("xnorm", sqrt(aggregate(
+        zip_with(col("codes"), norm2Lit, (c, arr) => element_at(arr, c + 1)),
+        lit(0.0), (acc, x) => acc + x)))
+
+    // ---- per-query lut: dot(q_sub, centroid) for every (subspace, code) ----
+    val bcCodebooks = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    val bcOffs = corpus.sparkSession.sparkContext.broadcast(offs)
+    val lutUdf = udf { (qv: scala.collection.Seq[Float]) =>
+      if (qv == null) null
+      else {
+        val cbs = bcCodebooks.value; val off = bcOffs.value
+        if (off(cbs.length) != qv.length) null // dim mismatch -> degenerate
+        else cbs.indices.map { s =>
+          cbs(s).map { cent =>
+            var d = 0.0; var j = 0
+            while (j < cent.length) { d += cent(j) * qv(off(s) + j); j += 1 }
+            d
+          }.toSeq
+        }
+      }
+    }
+    val queryLut = queryV
+      .withColumn("lut", lutUdf(col("qv")))
+      .withColumn("qnorm", sqrt(aggregate(
+        transform(col("qv"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
+
+    // ---- ADC scoring: m lookups + adds per (corpus row, query) ----
+    val dotSum = aggregate(
+      zip_with(col("codes"), col("lut"), (c, arr) => element_at(arr, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val approx = encoded
+      .join(broadcast(queryLut.select(col("query_id"), col("lut"), col("qnorm"))),
+        col("id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        when(col("qnorm") > 0 && col("xnorm") > 0,
+          dotSum / (col("qnorm") * col("xnorm"))))
+
+    if (rerankFactor == 1) return topKPerQuery(approx, k)
+
+    // ---- exact re-rank of the approximate top k·rerankFactor ----
+    val cand = topKPerQuery(approx, k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // neighbor_id came back widened (long) or rendered (string): align the
+    // corpus id the same way topKPerQuery did to join the vectors back
+    val joinId = corpusV.schema("id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col("id").cast(LongType)
+      case _ => col("id").cast(StringType)
+    }
+    val rer = cand
+      .join(corpusV.withColumn("__jid", joinId), col("neighbor_id") === col("__jid"))
+      .join(broadcast(queryV), Seq("query_id"))
+      .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("v"), col("qv")))
+      .select(col("id"), col("query_id"), col("cosine_sim"))
+    topKPerQuery(rer, k)
   }
 }

@@ -99,7 +99,9 @@ class PlanSpec extends SparkSpec {
     val lsh = ext.Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 3, dim = 16)
     val ivf = ext.Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 3,
       nlist = 4, nprobe = 2)
-    for (df <- Seq(bf, lsh, ivf)) {
+    val pq = ext.Similarity.pqTopK(emb, q, "vec_id", "embedding", k = 3,
+      m = 4, codebookSize = 8, maxIter = 3)
+    for (df <- Seq(bf, lsh, ivf, pq)) {
       val p = plan(df)
       // a Window over query_id would funnel each query's whole candidate
       // set through one task's sort — the 100 TB killer this shape forbids

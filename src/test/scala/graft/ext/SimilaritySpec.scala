@@ -104,6 +104,64 @@ class SimilaritySpec extends SparkSpec {
       .collect().toSet shouldBe long
   }
 
+  behavior of "pqTopK"
+
+  it should "recall most brute-force neighbors after exact re-rank" in {
+    val q = vecs.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(vecs, q, "vec_id", "embedding", 3,
+        m = 4, codebookSize = 16, rerankFactor = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    (bf intersect pq).size.toDouble / bf.size should be >= 0.8
+    // re-ranked scores are EXACT cosines: every recalled pair's score must
+    // match the brute-force score bit-for-bit (same expression, same data)
+    val bfScores = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    Similarity.pqTopK(vecs, q, "vec_id", "embedding", 3,
+        m = 4, codebookSize = 16, rerankFactor = 8)
+      .select("query_id", "neighbor_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (a, b, s) =>
+        bfScores.get((a, b)).foreach(_ shouldBe s +- 1e-12)
+      }
+  }
+
+  it should "return approximate ADC scores without re-rank, tracking exact cosine" in {
+    val q = vecs.filter(col("vec_id") < 3)
+    val approx = Similarity.pqTopK(vecs, q, "vec_id", "embedding", 5,
+        m = 8, codebookSize = 32, rerankFactor = 1)
+      .select("query_id", "neighbor_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect()
+    approx should not be empty
+    // clustered data at m=8/32 codes: the ADC estimate sits within ~0.1
+    // of the true cosine for every scored pair
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 199)
+      .select("query_id", "neighbor_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    approx.foreach { case (a, b, s) =>
+      math.abs(s - exact((a, b))) should be < 0.1
+    }
+  }
+
+  it should "tolerate NaN rows, tiny corpora, and an empty corpus" in {
+    val dirty = vecs.unionByName(
+      Seq((9000L, Seq.fill(dim)(Float.NaN).toSeq)).toDF("vec_id", "embedding"))
+    noException should be thrownBy
+      Similarity.pqTopK(dirty, dirty.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 2, m = 4, codebookSize = 8).count()
+    val tiny = vecs.filter(col("vec_id") < 3)
+    Similarity.pqTopK(tiny, tiny, "vec_id", "embedding", k = 2,
+      m = 4, codebookSize = 8).count() should be > 0L
+    val empty = vecs.filter(col("vec_id") < 0)
+    val got = Similarity.pqTopK(empty, tiny, "vec_id", "embedding", k = 2)
+    got.count() shouldBe 0L
+    got.columns.toSeq shouldBe Seq("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
   it should "rank the scaled copy of a query first (same direction, cosine 1)" in {
     val copies = vecs.filter(col("vec_id") < 3)
       .select((col("vec_id") + 1000L).as("vec_id"),
