@@ -384,7 +384,7 @@ object SparkEntry {
     }),
     // oracle-gated PQ-ADC quality: product-quantized search (m=16 × 32
     // codes, exact re-rank of the approximate top 10k) must recover ≥70%
-    // of the exact brute-force top-k (measured 76-84% across
+    // of the exact brute-force top-k (measured 78-86% across
     // sf0.001/0.01/0.1) — deterministic: seeded k-means on a strided
     // sample
     "pq_topk_recall" -> ((s, d) => {

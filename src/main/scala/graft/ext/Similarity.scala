@@ -188,6 +188,78 @@ object Similarity {
     } finally sample.unpersist()
   }
 
+  /** Seeded in-memory k-means (k-means++ init + Lloyd) for the PQ
+    * codebooks: deterministic given (points, k, seed). Empty clusters
+    * keep their previous centroid; k is clamped to the point count by
+    * the caller. */
+  private def localKMeansPP(points: Array[Array[Double]], k: Int,
+                            maxIter: Int, seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    if (k <= 1 || n == 1) return Array(points(0).clone())
+    val rnd = new java.util.Random(seed)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val centers = new Array[Array[Double]](k)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.PositiveInfinity)
+    var c = 1
+    while (c < k) {
+      var i = 0; var sum = 0.0
+      while (i < n) {
+        val dd = dist2(points(i), centers(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        sum += minD(i); i += 1
+      }
+      // D²-weighted next seed; duplicate-heavy samples (sum == 0) just
+      // reuse a point, which Lloyd then leaves as a duplicate centroid
+      var r = rnd.nextDouble() * sum; var j = 0
+      while (j < n - 1 && r > minD(j)) { r -= minD(j); j += 1 }
+      centers(c) = points(j).clone()
+      c += 1
+    }
+    val assign = Array.fill(n)(-1)
+    var it = 0; var moved = true
+    while (it < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.PositiveInfinity; var cc = 0
+        while (cc < k) {
+          val dd = dist2(points(i), centers(cc))
+          if (dd < bd) { bd = dd; best = cc }
+          cc += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.fill(k, d)(0.0); val cnt = new Array[Int](k)
+        var i2 = 0
+        while (i2 < n) {
+          val a = assign(i2); cnt(a) += 1; val p = points(i2)
+          var j = 0
+          while (j < d) { sums(a)(j) += p(j); j += 1 }
+          i2 += 1
+        }
+        var cc = 0
+        while (cc < k) {
+          if (cnt(cc) > 0) {
+            var j = 0
+            while (j < d) { sums(cc)(j) /= cnt(cc); j += 1 }
+            centers(cc) = sums(cc)
+          }
+          cc += 1
+        }
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** Bounded quantizer-training sample WITHOUT a full corpus pass: take
     * every `trainStride`-th finite vector of each partition until the
     * per-partition quota is met. Each task early-terminates after
@@ -275,8 +347,6 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, m: Int = 8, codebookSize: Int = 256, rerankFactor: Int = 4,
              seed: Long = 42L, trainCap: Long = 100000L, maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(m >= 1, s"m must be >= 1, got $m")
     require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
@@ -284,30 +354,30 @@ object Similarity {
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
 
+    // The m codebooks train DRIVER-SIDE on the collected bounded sample
+    // (trainCap × dim doubles — ~50 MB at the 100k default over dim 64;
+    // lower trainCap for very wide vectors). PQ training sets are bounded
+    // by design, and m seeded in-memory Lloyd fits cost microseconds
+    // where m MLlib fits cost m job cascades (~13 s vs ~1 s measured on
+    // the m=16 gate) — the corpus-side work stays fully distributed.
     val sample = sampleTrainVecs(corpusV, trainCap)
     val codebooks: Array[Array[Array[Double]]] =
       try {
-        val trainCount = sample.count()
-        if (trainCount == 0)
+        val pts = sample.collect().map(_.getSeq[Double](0).toArray)
+        if (pts.isEmpty)
           return topKPerQuery(
             corpusV.crossJoin(queryV)
               .withColumn("cosine_sim", lit(null).cast("double"))
               .limit(0), k)
-        val dim = sample.head().getAs[scala.collection.Seq[Double]](0).length
+        val dim = pts(0).length
         require(m <= dim, s"m=$m subspaces need dim >= m, got dim=$dim")
         // first (dim % m) subspaces take one extra dimension
         val lens = Array.tabulate(m)(s => dim / m + (if (s < dim % m) 1 else 0))
         val offs = lens.scanLeft(0)(_ + _)
-        val k_ = math.min(codebookSize.toLong, trainCount).toInt
+        val k_ = math.min(codebookSize, pts.length)
         Array.tabulate(m) { s =>
-          val sub = sample.select(
-            array_to_vector(slice(col("v"), offs(s) + 1, lens(s))).as("features"))
-          if (k_ < 2)
-            Array(sub.head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
-          else
-            new KMeans().setK(k_).setSeed(seed + s).setMaxIter(maxIter)
-              .setFeaturesCol("features")
-              .fit(sub).clusterCenters.map(_.toArray)
+          val sub = pts.map(p => java.util.Arrays.copyOfRange(p, offs(s), offs(s) + lens(s)))
+          localKMeansPP(sub, k_, maxIter, seed + s)
         }
       } finally sample.unpersist()
 
