@@ -732,6 +732,25 @@ object SparkEntry {
     }),
     // 1-hour-gap sessions per user; per-user session count / event count
     // / largest session vs a DuckDB lag+running-sum replica
+    // per-language corpus summary card in one aggregation pass — every
+    // number value-exact vs native DuckDB aggregates (token parity via
+    // the text_quality-proven whitespace split)
+    "corpus_report" -> ((s, d) =>
+      TextAnalysis.corpusReport(t(s, d, "documents"), "text", Seq("lang"))
+        .orderBy("lang")),
+
+    // trailing per-user 1-hour window features on every event — count and
+    // sum vs DuckDB's native RANGE BETWEEN frame (equal-ts peers share
+    // results in both engines, so the compare is order-independent)
+    "rolling_agg" -> ((s, d) => {
+      val e = eventsUs(s, d).select("event_id", "user_id", "ts_us", "value")
+      graft.ext.Temporal.rollingAgg(e, Seq("user_id"), "ts_us",
+          span = 3600000000L, valueCol = "value")
+        .select(col("event_id"), col("roll_count"),
+          round(col("roll_sum"), 2).as("roll_sum"))
+        .orderBy("event_id")
+    }),
+
     "sessionize_stats" -> ((s, d) => {
       val e = eventsUs(s, d).select("user_id", "ts_us")
       val sess = graft.ext.Temporal.sessionize(e, Seq("user_id"), "ts_us",
@@ -1177,6 +1196,25 @@ object SparkEntry {
           |ORDER BY c.event_id""".stripMargin,
       // integer-micros gap math on both engines; ROWS frame pinned (the
       // SQL default with ORDER BY is RANGE, which groups ties)
+      "corpus_report" ->
+        s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+           |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           |  CAST(SUM(len($toks)) AS BIGINT) AS n_tokens,
+           |  ROUND(AVG(CAST(len($toks) AS DOUBLE)), 6) AS mean_tokens,
+           |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+           |  ROUND(1.0 - COUNT(DISTINCT text) / CAST(COUNT(text) AS DOUBLE), 6) AS dup_frac
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      // native trailing RANGE frame; Spark's ts_us = ts div 1000 on the
+      // nanos-as-long read equals DuckDB's epoch_us for micro-precision
+      // parquet timestamps (the sessionize_stats-proven convention)
+      "rolling_agg" ->
+        """SELECT event_id, CAST(count(*) OVER w AS BIGINT) AS roll_count,
+          |  ROUND(SUM(value) OVER w, 2) AS roll_sum
+          |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin,
       "sessionize_stats" ->
         """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
           |g AS (SELECT user_id, tu,

@@ -149,6 +149,33 @@ object Temporal {
     * key or use the streaming form ([[graft.streaming.StreamOps]] /
     * `session_window`) whose state is watermark-bounded.
     */
+  /** Per-key TRAILING event-time aggregates (the feature-engineering
+    * staple: "this user's event count / value sum / mean over the last
+    * hour" attached to every event row): a RANGE frame `[ts - span, ts]`
+    * partitioned by `keys`, so equal-timestamp rows are peers and share
+    * one (deterministic) result regardless of their physical order.
+    * `tsCol` must be numeric (e.g. epoch micros — the [[sessionize]]
+    * convention); `span` is in the same unit. Rows with a null timestamp
+    * form their own peer group (Spark's null-ordering contract) — filter
+    * them first if that is not wanted.
+    *
+    * Scale contract: one window partition per key, the same shape and
+    * caveats as [[sessionize]] (hot keys: pre-split or go streaming —
+    * the watermarked windowed aggregates in
+    * [[graft.streaming.StreamOps]] bound state where this unbounded
+    * trailing frame cannot). */
+  def rollingAgg(df: DataFrame, keys: Seq[String], tsCol: String, span: Long,
+                 valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "rollingAgg needs at least one key column")
+    require(span >= 0, s"span must be >= 0, got $span")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-span, Window.currentRow)
+    df.withColumn("roll_count", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
+      .withColumn("roll_mean", avg(col(valueCol)).over(w))
+  }
+
   def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gap: Double,
                  sessionCol: String = "session_id"): DataFrame = {
     require(keys.nonEmpty, "sessionize needs at least one key column")

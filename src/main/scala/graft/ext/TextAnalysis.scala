@@ -410,6 +410,34 @@ object TextAnalysis {
         expr(s"substring(__t, chunk_idx * $step + 1, $size)").as("chunk"))
   }
 
+  /** Corpus summary card (the "dataset datasheet" numbers), per group
+    * when `groupCols` is non-empty (e.g. per language/source): doc and
+    * empty-doc counts, char/token mass, mean tokens per doc, distinct
+    * non-null texts (by 64-bit farm fingerprint — count_distinct over
+    * 8-byte hashes, never strings) and the implied exact-duplicate
+    * fraction. ONE aggregation pass over the corpus; only partial
+    * aggregates shuffle. At extreme cardinalities swap the exact
+    * distinct for `approx_count_distinct` caller-side — the exact form
+    * is the oracle-checkable default. Null texts count in `n_docs` and
+    * `n_empty` but are excluded from the distinct/duplicate math (SQL
+    * COUNT(DISTINCT) semantics). */
+  def corpusReport(df: DataFrame, textCol: String,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    val text = col(textCol)
+    val toks = tokenCount(text)
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(when(text.isNull || length(text) === 0, 1L).otherwise(0L)).as("n_empty"),
+      sum(length(text).cast("long")).as("n_chars"),
+      sum(toks.cast("long")).as("n_tokens"),
+      round(avg(toks.cast("double")), 6).as("mean_tokens"),
+      countDistinct(when(text.isNotNull, farmHash64(text))).as("n_distinct"),
+      round(lit(1.0) - countDistinct(when(text.isNotNull, farmHash64(text)))
+        .cast("double") / count(text), 6).as("dup_frac"))
+    val g = if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols.map(col): _*)
+    g.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Convenience: attach all analysis columns to a corpus. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     qualitySignals(df, textCol)

@@ -107,4 +107,23 @@ class TemporalSpec extends SparkSpec {
       .select("session_id").as[Long].collect().sorted.toSeq
     ids shouldBe Seq(1L, 1L, 2L)
   }
+
+  behavior of "Temporal.rollingAgg"
+
+  it should "aggregate the trailing range per key with equal-ts peers shared" in {
+    val df = Seq(
+      ("u", 0L, 1.0), ("u", 50L, 2.0), ("u", 100L, 4.0), ("u", 100L, 8.0),
+      ("u", 201L, 16.0), ("v", 100L, 32.0))
+      .toDF("u", "ts", "x")
+    val got = Temporal.rollingAgg(df, Seq("u"), "ts", span = 100L, "x")
+      .select("u", "ts", "x", "roll_count", "roll_sum")
+      .as[(String, Long, Double, Long, Double)].collect().toSet
+    got shouldBe Set(
+      ("u", 0L, 1.0, 1L, 1.0),
+      ("u", 50L, 2.0, 2L, 3.0), // [.-50, 50] -> ts 0, 50
+      ("u", 100L, 4.0, 4L, 15.0), // [0,100] incl BOTH ts=100 peers
+      ("u", 100L, 8.0, 4L, 15.0), // peer shares the result
+      ("u", 201L, 16.0, 1L, 16.0), // [101, 201]: both ts=100 rows fall outside
+      ("v", 100L, 32.0, 1L, 32.0))
+  }
 }

@@ -244,6 +244,28 @@ class TextAnalysisSpec extends SparkSpec {
       .columns.toSeq shouldBe Seq("doc_id", "text")
   }
 
+  behavior of "corpusReport"
+
+  it should "summarize counts, mass, and duplicate fraction per group" in {
+    val docs = Seq(
+      ("en", "one two three"), ("en", "one two three"), ("en", "four"),
+      ("en", (null: String)), ("de", ""), ("de", "fünf sechs"))
+      .toDF("lang", "text")
+    val got = TextAnalysis.corpusReport(docs, "text", Seq("lang"))
+      .orderBy("lang")
+      .select("lang", "n_docs", "n_empty", "n_chars", "n_tokens",
+        "mean_tokens", "n_distinct", "dup_frac")
+      .as[(String, Long, Long, Long, Long, Double, Long, Double)]
+      .collect().toSeq
+    got shouldBe Seq(
+      // de: empty + "fünf sechs" -> 2 distinct non-null, no dups
+      ("de", 2L, 1L, 10L, 2L, 1.0, 2L, 0.0),
+      // en: 2 copies + 1 unique + 1 null -> 2 distinct of 3 non-null
+      ("en", 4L, 1L, 30L, 7L, 2.333333, 2L, 0.333333))
+    // ungrouped: one global row
+    TextAnalysis.corpusReport(docs, "text").count() shouldBe 1L
+  }
+
   it should "measure the duplicate-line fraction" in {
     val df = Seq("a\nb\na\na", "x\ny").toDF("text")
     df.select(round(TextAnalysis.dupLineRatio(col("text")), 2)).as[Double].collect() shouldBe
