@@ -109,6 +109,35 @@ object Dedup {
     definiteNew.unionByName(verified).drop("__fp", "__might")
   }
 
+  /** Build the accumulated-corpus Bloom filter [[maybeDuplicateFlag]]
+    * consumes (one distributed aggregation over the 8-byte fingerprint
+    * projection, like [[newAgainst]]'s internal filter). An empty corpus
+    * yields an empty filter that flags nothing. */
+  def corpusBloom(existing: DataFrame, textCol: String,
+                  bloomFpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    require(bloomFpp > 0 && bloomFpp <= 0.5,
+      s"bloomFpp must be in (0, 0.5], got $bloomFpp")
+    val exFp = existing.select(farmHash64(col(textCol)).as("__fp"))
+    val nEx = exFp.count()
+    if (nEx == 0) org.apache.spark.util.sketch.BloomFilter.create(1, bloomFpp)
+    else exFp.stat.bloomFilter("__fp", nEx, bloomFpp)
+  }
+
+  /** The streaming-liftable column form of [[newAgainst]]: a stateless
+    * per-row "might already exist in the corpus" flag from a PRE-BUILT
+    * [[corpusBloom]]. `false` is definitive (Bloom filters have no false
+    * negatives — the row is certainly new); `true` means duplicate OR a
+    * ~fpp false positive, so route flagged rows through the exact batch
+    * anti join when exactness matters. Being a pure column expression (no
+    * join, no state) it runs unchanged on a Structured-Streaming batch
+    * where [[newAgainst]]'s count + anti join cannot; the filter ships in
+    * the closure (once per query start). */
+  def maybeDuplicateFlag(text: Column,
+                         bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val probe = udf { (fp: Long) => bloom.mightContainLong(fp) }
+    probe(farmHash64(text))
+  }
+
   /** MinHash-LSH near-duplicate pairs over a text column.
     *
     * shingle(n chars) → minhash(numHashes) → split into `bands` bands →

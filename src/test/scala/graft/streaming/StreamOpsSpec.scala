@@ -187,6 +187,36 @@ class StreamOpsSpec extends SparkSpec {
     streamed(2L) shouldBe true
   }
 
+  behavior of "streaming incremental dedup"
+
+  it should "flag every batch-dropped row and pass only definitely-new rows" in {
+    import graft.ext.Dedup
+    implicit val sc = spark.sqlContext
+    val existing = (1L to 20L).map(i => (i, s"doc body number ${i % 10}")) // 10 distinct
+      .toDF("doc_id", "text")
+    val incoming = (100L to 130L).map(i =>
+      (i, if (i % 3 == 0) s"doc body number ${i % 10}" else s"fresh content $i"))
+    val bloom = Dedup.corpusBloom(existing, "text")
+    val input = MemoryStream[(Long, String)]
+    val flagged = input.toDF().toDF("doc_id", "text")
+      .withColumn("maybe_dup", Dedup.maybeDuplicateFlag(col("text"), bloom))
+    val q = flagged.writeStream.format("memory").queryName("s_incdedup").start()
+    input.addData(incoming.take(15))
+    q.processAllAvailable()
+    input.addData(incoming.drop(15))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_incdedup")
+      .select("doc_id", "maybe_dup").as[(Long, Boolean)].collect().toMap
+    val batchNew = Dedup.newAgainst(existing, incoming.toDF("doc_id", "text"), "text")
+      .select("doc_id").as[Long].collect().toSet
+    val dropped = incoming.map(_._1).toSet -- batchNew
+    // no false negatives: every row the exact batch op dropped is flagged
+    dropped.foreach(id => streamed(id) shouldBe true)
+    // unflagged rows are exactly-new (a subset of the batch keep set)
+    streamed.collect { case (id, false) => id }.toSet subsetOf batchNew shouldBe true
+    dropped should not be empty
+  }
+
   behavior of "streaming chunking and splitting"
 
   it should "emit the same chunks as the batch chunker over the same docs" in {
