@@ -732,6 +732,19 @@ object SparkEntry {
     }),
     // 1-hour-gap sessions per user; per-user session count / event count
     // / largest session vs a DuckDB lag+running-sum replica
+    // mixture resampling: each language keeps exactly ceil(n_lang × w_lang)
+    // rows under its own target weight (en halved, de quartered, rest 10%)
+    // by a DuckDB-replicable deterministic LCG pseudo-score — value-exact
+    // vs a per-lang rank replica of the same arithmetic
+    "mixture_resample" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("score",
+        ((col("doc_id") * 1103515245L + 12345L) % 1000003L).cast("double"))
+      graft.ext.ScoreFilter.keepTopFractionPerKey(docs, Seq("lang"), "score",
+          fractions = Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1,
+          tieBreak = Seq("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // per-language corpus summary card in one aggregation pass — every
     // number value-exact vs native DuckDB aggregates (token parity via
     // the text_quality-proven whitespace split)
@@ -1196,6 +1209,17 @@ object SparkEntry {
           |ORDER BY c.event_id""".stripMargin,
       // integer-micros gap math on both engines; ROWS frame pinned (the
       // SQL default with ORDER BY is RANGE, which groups ties)
+      "mixture_resample" ->
+        """WITH d AS (SELECT doc_id, lang,
+          |  CAST((doc_id * 1103515245 + 12345) % 1000003 AS DOUBLE) AS score FROM documents),
+          |c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+          |f AS (SELECT lang, n,
+          |  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END AS frac FROM c),
+          |r AS (SELECT doc_id, lang,
+          |  row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn FROM d)
+          |SELECT doc_id FROM r JOIN f USING (lang)
+          |WHERE rn <= CAST(CEIL(CAST(n AS DOUBLE) * frac) AS BIGINT)
+          |ORDER BY doc_id""".stripMargin,
       "corpus_report" ->
         s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            |  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,

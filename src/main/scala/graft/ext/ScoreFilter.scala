@@ -135,9 +135,30 @@ object ScoreFilter {
   def keepTopFractionPerKey(df: DataFrame, keyCols: Seq[String],
                             scoreCol: String, fraction: Double,
                             tieBreak: Seq[String] = Seq.empty): DataFrame = {
-    require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0,1], got $fraction")
+    keepTopFractionPerKey(df, keyCols, scoreCol,
+      Map.empty[String, Double], fraction, tieBreak)
+  }
+
+  /** Per-key FRACTIONS — the mixture-weights form of
+    * [[keepTopFractionPerKey]] (resample each domain at its own rate:
+    * DoReMi-style target mixtures, language rebalancing): `fractions`
+    * maps the stringified key (multi-column keys join with " ", nulls
+    * render "null") to its keep fraction; absent keys use
+    * `defaultFraction`, and a fraction of 0.0 drops the domain
+    * entirely. With a deterministic hash as `scoreCol` this is an exact
+    * deterministic per-domain subsample; with a quality score it is
+    * per-domain quality selection at domain-specific intensities. Same
+    * histogram + broadcast cut table + boundary-only rank shape (and
+    * stringified-key caveat) as the single-fraction form. */
+  def keepTopFractionPerKey(df: DataFrame, keyCols: Seq[String],
+                            scoreCol: String, fractions: Map[String, Double],
+                            defaultFraction: Double,
+                            tieBreak: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    (fractions.valuesIterator ++ Iterator.single(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
     val s = col(scoreCol).cast("double")
     val key = concat_ws(" ",
       keyCols.map(k => coalesce(col(k).cast("string"), lit("null"))): _*)
@@ -151,7 +172,8 @@ object ScoreFilter {
           "distinct keys fit in memory; reduce key cardinality")
     val cuts = hist.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1).toSeq.map { case (k, rows) =>
-        val t = math.ceil(rows.map(_._3).sum * fraction).toLong
+        val t = math.ceil(rows.map(_._3).sum *
+          fractions.getOrElse(k, defaultFraction)).toLong
         var cum = 0L; var cutBkt = Long.MaxValue; var rem = 0L
         val it = rows.sortBy(_._2).iterator
         while (it.hasNext && cutBkt == Long.MaxValue) {

@@ -176,4 +176,31 @@ class ScoreFilterSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       ScoreFilter.keepTopFraction(df, "s", 0.0)
   }
+
+  behavior of "keepTopFractionPerKey with per-key fractions"
+
+  it should "resample each key at its own rate, default elsewhere, 0 drops" in {
+    // 20 'a' rows, 10 'b' rows, 8 'c' rows with a deterministic score
+    val rows = ((1L to 20L).map(i => (i, "a", (i * 7 % 23).toDouble)) ++
+      (21L to 30L).map(i => (i, "b", (i * 11 % 19).toDouble)) ++
+      (31L to 38L).map(i => (i, "c", i.toDouble)))
+    val df = rows.toDF("id", "k", "s")
+    val got = ScoreFilter.keepTopFractionPerKey(df, Seq("k"), "s",
+        fractions = Map("a" -> 0.5, "c" -> 0.0), defaultFraction = 0.3,
+        tieBreak = Seq("id"))
+      .select("id").as[Long].collect().sorted
+    val want = rows.groupBy(_._2).flatMap { case (k, rs) =>
+      val f = Map("a" -> 0.5, "c" -> 0.0).getOrElse(k, 0.3)
+      rs.sortBy { case (id, _, sc) => (-sc, id) }
+        .take(math.ceil(rs.size * f).toInt).map(_._1)
+    }.toArray.sorted
+    got shouldBe want
+    got.count(_ > 30L) shouldBe 0 // fraction 0 dropped every 'c' row
+    // single-fraction form == map form with only a default
+    ScoreFilter.keepTopFractionPerKey(df, Seq("k"), "s", 0.3, Seq("id"))
+      .select("id").as[Long].collect().sorted shouldBe
+      ScoreFilter.keepTopFractionPerKey(df, Seq("k"), "s",
+        Map.empty[String, Double], 0.3, Seq("id"))
+        .select("id").as[Long].collect().sorted
+  }
 }
