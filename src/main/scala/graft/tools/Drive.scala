@@ -207,6 +207,61 @@ object Drive {
     println(f"  max |cos_q - cos| = $qerr%.5f " +
       (if (qerr < 0.02) "OK" else "MISMATCH"))
 
+    println("== keep-first segment dedup: second copy of a segment drops:")
+    val segDocs = docs.select(col("doc_id"),
+      concat(lit("HDR. "), col("text")).as("text"))
+    val segOut = graft.ext.TextAnalysis
+      .dedupSegmentsKeepFirst(segDocs, "doc_id", "text", ". ")
+    val hdrLeft = segOut.filter(col("text").contains("HDR")).count()
+    println(s"  docs_still_carrying_header=$hdrLeft " +
+      (if (hdrLeft == 1) "OK" else "MISMATCH"))
+
+    println("== incremental dedup equals plain anti join:")
+    val exSide = corpus.filter(col("doc_id") % 2 === 0)
+    val inSide = corpus.filter(col("doc_id") % 2 === 1).unionByName(
+      exSide.limit(7).select((col("doc_id") + 900000).as("doc_id"), col("text")))
+    val incGot = Dedup.newAgainst(exSide, inSide, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val incWant = inSide.join(exSide.select("text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    println(s"  got=${incGot.size} want=${incWant.size} " +
+      (if (incGot == incWant && incGot.count(_ >= 900000L) == 0) "OK" else "MISMATCH"))
+
+    println("== PQ top-k recall vs brute force (k=5, m=16):")
+    val pqQ = emb.filter(col("vec_id") < 5)
+    val pqBf = graft.ext.Similarity.bruteForceTopK(emb, pqQ, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pqGot = graft.ext.Similarity.pqTopK(emb, pqQ, "vec_id", "embedding", 5,
+        m = 16, codebookSize = 32, rerankFactor = 10, maxIter = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pqRecall = (pqBf & pqGot).size.toDouble / pqBf.size
+    println(f"  recall=$pqRecall%.2f " + (if (pqRecall >= 0.6) "OK" else "MISMATCH"))
+
+    println("== rolling trailing window matches a per-key scan:")
+    val ev = Seq((1L, 0L, 1.0), (1L, 500L, 2.0), (1L, 900L, 4.0), (1L, 2000L, 8.0))
+      .toDF("k", "ts", "x")
+    val roll = graft.ext.Temporal.rollingAgg(ev, Seq("k"), "ts", 1000L, "x")
+      .orderBy("ts").select("roll_count", "roll_sum").as[(Long, Double)].collect().toSeq
+    val rollOk = roll == Seq((1L, 1.0), (2L, 3.0), (3L, 7.0), (1L, 8.0))
+    println(s"  $roll " + (if (rollOk) "OK" else "MISMATCH"))
+
+    println("== corpus report: doc count conservation across groups:")
+    val rep = graft.ext.TextAnalysis.corpusReport(docs, "text", Seq("lang"))
+    val repDocs = rep.agg(sum("n_docs")).head().getLong(0)
+    println(s"  sum(n_docs)=$repDocs total=${docs.count()} " +
+      (if (repDocs == docs.count()) "OK" else "MISMATCH"))
+
+    println("== mixture resample: exact per-key quotas:")
+    val mixIn = docs.withColumn("score",
+      ((col("doc_id") * 1103515245L + 12345L) % 1000003L).cast("double"))
+    val mixOut = graft.ext.ScoreFilter.keepTopFractionPerKey(mixIn, Seq("lang"),
+      "score", Map("en" -> 0.5), 0.2, Seq("doc_id"))
+    val quotasBad = mixIn.groupBy("lang").count()
+      .join(mixOut.groupBy("lang").agg(count(lit(1)).as("kept")), "lang")
+      .filter(col("kept") =!= ceil(col("count") *
+        when(col("lang") === "en", 0.5).otherwise(0.2)).cast("long")).count()
+    println(s"  keys_off_quota=$quotasBad " + (if (quotasBad == 0) "OK" else "MISMATCH"))
+
     println("== GIF frame sampling (5 uniform frames, n=3 -> 0/2/4 @ 10/30/50):")
     val frameRows = graft.ext.Multimodal.sampleFrameFeatures(
         Seq((1L, graft.ext.MultimodalFixtures.animatedGif(Seq(10, 20, 30, 40, 50), 4, 3)))
