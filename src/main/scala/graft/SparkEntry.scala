@@ -403,6 +403,27 @@ object SparkEntry {
           (col("n_matched") >= col("n_bf") * 0.7).as("recall_ok"))
     }),
 
+    // oracle-gated IVF-PQ quality: coarse cells prune candidates AND a
+    // residual product quantizer scores them (faiss IVFPQ shape); must
+    // recover >=55% of exact brute force like the IVF gate (measured
+    // 60-78% across sf0.001/0.01/0.1) — deterministic seeded training
+    "ivfpq_topk_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val ipq = Similarity.ivfpqTopK(emb, q, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 10, m = 16, codebookSize = 32,
+          rerankFactor = 10, maxIter = 5)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      val matched = bf.join(ipq,
+        bf("query_id") === col("qid") && bf("neighbor_id") === col("nid"))
+      bf.agg(count(lit(1)).as("n_bf")).crossJoin(
+          matched.agg(count(lit(1)).as("n_matched")))
+        .select(col("n_bf"),
+          (col("n_matched") >= col("n_bf") * 0.55).as("recall_ok"))
+    }),
+
     // ---- Avro round-trip (S1/S10/S6 without spark-avro): write a
     // deterministic slice as Avro, read it back, aggregate — the oracle
     // computes the same aggregate straight from parquet ----
@@ -913,6 +934,7 @@ object SparkEntry {
       "lsh_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "ivf_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "pq_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
+      "ivfpq_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "sample_bernoulli_tol" -> "SELECT true AS within_tol",
       "sample_hash_dice_determinism" -> "SELECT true AS deterministic",
       "embedding_dedup" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings",

@@ -419,19 +419,180 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)))
 
     // ---- ADC scoring: m lookups + adds per (corpus row, query) ----
-    val dotSum = aggregate(
-      zip_with(col("codes"), col("lut"), (c, arr) => element_at(arr, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
     val approx = encoded
       .join(broadcast(queryLut.select(col("query_id"), col("lut"), col("qnorm"))),
         col("id") =!= col("query_id"))
       .withColumn("cosine_sim",
         when(col("qnorm") > 0 && col("xnorm") > 0,
+          adcLookupSum(col("codes"), col("lut")) / (col("qnorm") * col("xnorm"))))
+
+    if (rerankFactor == 1) topKPerQuery(approx, k)
+    else exactRerank(approx, corpusV, queryV, k, rerankFactor)
+  }
+
+  /** IVF-PQ (faiss-style) ANN: the [[ivfTopK]] coarse quantizer prunes
+    * CANDIDATES (each query probes `nprobe` of `nlist` cells) and a
+    * RESIDUAL product quantizer scores them — each corpus vector stores
+    * its cell, m codes of (vector − cell centroid), and its
+    * reconstruction norm, so the probed relation carries a few small
+    * integers per row instead of dim floats AND only ~nprobe/nlist of
+    * the corpus is ever scored per query: the compute-side (IVF) and
+    * memory-side (PQ) scale paths composed.
+    *
+    * Scoring is exact in the quantized space: dot(q, x̃) = dot(q,
+    * centroid_cell) + Σ_s dot(q_sub, pqcent_code) — the first term comes
+    * from a per-query centroid-dot array, the second from the same ADC
+    * lookup tables as [[pqTopK]]; |x̃| is looked up from a precomputed
+    * (cell × subspace × code) norm table folded into the encode pass.
+    * Both quantizers train on ONE driver-collected bounded sample
+    * ([[pqTopK]]'s contract); the residual training assigns each sample
+    * point to its nearest coarse centroid in memory. Approximate top
+    * k·rerankFactor then re-ranks by exact cosine, all through the
+    * shared k-bounded aggregator (never a window). */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+                codebookSize: Int = 256, rerankFactor: Int = 4, seed: Long = 42L,
+                trainCap: Long = 100000L, maxIter: Int = 10): DataFrame = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+
+    val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+
+    val sample = sampleTrainVecs(corpusV, trainCap)
+    val (coarse, pqBooks) =
+      try {
+        val pts = sample.collect().map(_.getSeq[Double](0).toArray)
+        if (pts.isEmpty)
+          return topKPerQuery(
+            corpusV.crossJoin(queryV)
+              .withColumn("cosine_sim", lit(null).cast("double"))
+              .limit(0), k)
+        val dim = pts(0).length
+        require(m <= dim, s"m=$m subspaces need dim >= m, got dim=$dim")
+        val coarse = localKMeansPP(pts, math.min(nlist, pts.length), maxIter, seed - 1)
+        def nearestIdx(p: Array[Double]): Int = {
+          var best = 0; var bd = Double.PositiveInfinity; var c = 0
+          while (c < coarse.length) {
+            var d2 = 0.0; var j = 0
+            while (j < dim) { val t = p(j) - coarse(c)(j); d2 += t * t; j += 1 }
+            if (d2 < bd) { bd = d2; best = c }
+            c += 1
+          }
+          best
+        }
+        val resid = pts.map { p =>
+          val cc = coarse(nearestIdx(p))
+          Array.tabulate(dim)(j => p(j) - cc(j))
+        }
+        val lens = Array.tabulate(m)(sp => dim / m + (if (sp < dim % m) 1 else 0))
+        val offs = lens.scanLeft(0)(_ + _)
+        val k_ = math.min(codebookSize, resid.length)
+        val books = Array.tabulate(m) { sp =>
+          val sub = resid.map(p => java.util.Arrays.copyOfRange(p, offs(sp), offs(sp) + lens(sp)))
+          localKMeansPP(sub, k_, maxIter, seed + sp)
+        }
+        (coarse, books)
+      } finally sample.unpersist()
+
+    val dim = coarse.head.length
+    val lens = pqBooks.map(_.head.length)
+    val offs = lens.scanLeft(0)(_ + _)
+
+    // |x̃|² by (cell, subspace, code): |coarse_c[sub] + pqcent|² summed over
+    // the subspace — nlist × m × codebookSize doubles as one plan literal
+    val norm2 = coarse.map { cc =>
+      Array.tabulate(m) { sp =>
+        pqBooks(sp).map { cent =>
+          var s2 = 0.0; var j = 0
+          while (j < cent.length) {
+            val x = cc(offs(sp) + j) + cent(j); s2 += x * x; j += 1
+          }
+          s2
+        }.toSeq
+      }.toSeq
+    }.toSeq
+    val norm2Lit = typedLit(norm2)
+
+    // ---- encode: cell + m residual codes + reconstruction norm ----
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    val cellCol = nearestCells(col("v"), coarse, 1)(0)
+    val residCol = zip_with(col("v").cast("array<double>"),
+      element_at(coarseLit, col("cell") + 1), (x, c) => x - c)
+    val codeCols = Array.tabulate(m) { sp =>
+      nearestCells(slice(col("__resid"), offs(sp) + 1, lens(sp)), pqBooks(sp), 1)(0)
+    }
+    val encoded = corpusV
+      .withColumn("cell", cellCol)
+      .withColumn("__resid", residCol)
+      .withColumn("codes", array(codeCols.toIndexedSeq: _*))
+      .withColumn("xnorm", sqrt(adcLookupSum(col("codes"),
+        element_at(norm2Lit, col("cell") + 1))))
+      .select("id", "cell", "codes", "xnorm")
+
+    // ---- per-query state: residual ADC luts + per-cell centroid dots ----
+    val bcBooks = corpus.sparkSession.sparkContext.broadcast(pqBooks)
+    val bcCoarse = corpus.sparkSession.sparkContext.broadcast(coarse)
+    val bcOffs = corpus.sparkSession.sparkContext.broadcast(offs)
+    val lutUdf = udf { (qv: scala.collection.Seq[Float]) =>
+      val books = bcBooks.value; val off = bcOffs.value
+      if (qv == null || off(books.length) != qv.length) null
+      else books.indices.map { sp =>
+        books(sp).map { cent =>
+          var dd = 0.0; var j = 0
+          while (j < cent.length) { dd += cent(j) * qv(off(sp) + j); j += 1 }
+          dd
+        }.toSeq
+      }
+    }
+    val qcentUdf = udf { (qv: scala.collection.Seq[Float]) =>
+      val cs = bcCoarse.value
+      if (qv == null || cs.head.length != qv.length) null
+      else cs.map { cc =>
+        var dd = 0.0; var j = 0
+        while (j < cc.length) { dd += cc(j) * qv(j); j += 1 }
+        dd
+      }.toSeq
+    }
+    val queryState = queryV
+      .withColumn("lut", lutUdf(col("qv")))
+      .withColumn("qcent", qcentUdf(col("qv")))
+      .withColumn("qnorm", sqrt(aggregate(
+        transform(col("qv"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
+
+    val effNprobe = math.min(nprobe, coarse.length)
+    val probed = queryState.select(col("query_id"), col("lut"), col("qcent"),
+        col("qnorm"), explode(nearestCells(col("qv"), coarse, effNprobe)).as("cell"))
+
+    // ---- probe + ADC score only the candidates sharing a probed cell ----
+    val dotSum = element_at(col("qcent"), col("cell") + 1) +
+      adcLookupSum(col("codes"), col("lut"))
+    val approx = encoded.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        when(col("qnorm") > 0 && col("xnorm") > 0,
           dotSum / (col("qnorm") * col("xnorm"))))
 
-    if (rerankFactor == 1) return topKPerQuery(approx, k)
+    if (rerankFactor == 1) topKPerQuery(approx, k)
+    else exactRerank(approx, corpusV, queryV, k, rerankFactor)
+  }
 
-    // ---- exact re-rank of the approximate top k·rerankFactor ----
+  /** Σ_s table(s)(codes(s)) — the ADC inner loop as a pure Catalyst HOF
+    * (m lookups + adds per row; null codes/tables null-propagate into the
+    * degenerate-drop contract). */
+  private def adcLookupSum(codes: Column, table: Column): Column =
+    aggregate(zip_with(codes, table, (c, arr) => element_at(arr, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Shared tail of the quantized paths: k-bounded approximate top
+    * k·rerankFactor, then EXACT cosine over just those candidates'
+    * re-joined vectors. */
+  private def exactRerank(approx: DataFrame, corpusV: DataFrame,
+                          queryV: DataFrame, k: Int, rerankFactor: Int): DataFrame = {
     val cand = topKPerQuery(approx, k * rerankFactor)
       .select(col("query_id"), col("neighbor_id"))
     // neighbor_id came back widened (long) or rendered (string): align the

@@ -101,7 +101,9 @@ class PlanSpec extends SparkSpec {
       nlist = 4, nprobe = 2)
     val pq = ext.Similarity.pqTopK(emb, q, "vec_id", "embedding", k = 3,
       m = 4, codebookSize = 8, maxIter = 3)
-    for (df <- Seq(bf, lsh, ivf, pq)) {
+    val ivfpq = ext.Similarity.ivfpqTopK(emb, q, "vec_id", "embedding", k = 3,
+      nlist = 4, nprobe = 2, m = 4, codebookSize = 8, maxIter = 3)
+    for (df <- Seq(bf, lsh, ivf, pq, ivfpq)) {
       val p = plan(df)
       // a Window over query_id would funnel each query's whole candidate
       // set through one task's sort — the 100 TB killer this shape forbids

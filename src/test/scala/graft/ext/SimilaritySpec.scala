@@ -162,6 +162,32 @@ class SimilaritySpec extends SparkSpec {
     got.columns.toSeq shouldBe Seq("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  behavior of "ivfpqTopK"
+
+  it should "recall most brute-force neighbors via residual-PQ scored cells" in {
+    val q = vecs.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfpqTopK(vecs, q, "vec_id", "embedding", 3,
+        nlist = 8, nprobe = 4, m = 4, codebookSize = 16, rerankFactor = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    (bf intersect got).size.toDouble / bf.size should be >= 0.8
+  }
+
+  it should "tolerate NaN rows and an empty corpus" in {
+    val dirty = vecs.unionByName(
+      Seq((9000L, Seq.fill(dim)(Float.NaN).toSeq)).toDF("vec_id", "embedding"))
+    noException should be thrownBy
+      Similarity.ivfpqTopK(dirty, dirty.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 2, nlist = 4, nprobe = 2,
+        m = 4, codebookSize = 8).count()
+    val tiny = vecs.filter(col("vec_id") < 3)
+    val empty = vecs.filter(col("vec_id") < 0)
+    val got = Similarity.ivfpqTopK(empty, tiny, "vec_id", "embedding", k = 2)
+    got.count() shouldBe 0L
+    got.columns.toSeq shouldBe Seq("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
   it should "rank the scaled copy of a query first (same direction, cosine 1)" in {
     val copies = vecs.filter(col("vec_id") < 3)
       .select((col("vec_id") + 1000L).as("vec_id"),
