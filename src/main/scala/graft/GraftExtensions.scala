@@ -83,6 +83,10 @@ object GraftExtensions {
       args => SimHash64(args.head,
         if (args.size > 1) intArg(args(1), "seed") else 0)
     }
+    register("double_order_bits",
+      "double_order_bits(x) - order-preserving IEEE-754 double -> int64 key") {
+      args => DoubleOrderBits(args.head)
+    }
     register("jaccard_sorted",
       "jaccard_sorted(a, b) - exact jaccard of two sorted long arrays") {
       args => JaccardSorted(args(0), args(1))

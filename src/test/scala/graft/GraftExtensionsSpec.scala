@@ -26,6 +26,15 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       .newHasher().putString("hello world", UTF_8).hash().asLong()
   }
 
+  it should "preserve double ordering through double_order_bits" in {
+    val r = spark.sql(
+      """SELECT double_order_bits(CAST(-1.5 AS DOUBLE)) AS a,
+        |       double_order_bits(CAST(0.0 AS DOUBLE)) AS b,
+        |       double_order_bits(CAST(2.25 AS DOUBLE)) AS c""".stripMargin).head()
+    (r.getLong(0) < r.getLong(1)) shouldBe true
+    (r.getLong(1) < r.getLong(2)) shouldBe true
+  }
+
   it should "compose shingle_hashes -> minhash -> jaccard_sorted in SQL" in {
     val r = spark.sql(
       """SELECT jaccard_sorted(shingle_hashes('the quick brown fox', 5),

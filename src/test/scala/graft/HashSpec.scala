@@ -105,4 +105,47 @@ class HashSpec extends SparkSpec {
       .newHasher().putString("abc", UTF_8).hash().asLong()
     got shouldBe want
   }
+
+  behavior of "LongHashSet"
+
+  it should "agree with a reference Set over seeded random members and probes" in {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 2, 7, 1000)) {
+      val members = Array.fill(n)(rnd.nextLong())
+      val set = graft.functions.LongHashSet(members)
+      val ref = members.toSet
+      members.foreach(m => set.contains(m) shouldBe true)
+      (0 until 2000).foreach { _ =>
+        val probe = if (rnd.nextBoolean() && n > 0) members(rnd.nextInt(n))
+                    else rnd.nextLong()
+        set.contains(probe) shouldBe ref.contains(probe)
+      }
+      set.size shouldBe ref.size
+    }
+    // the 0L sentinel is tracked out-of-band
+    graft.functions.LongHashSet(Array(0L, 5L)).contains(0L) shouldBe true
+    graft.functions.LongHashSet(Array(5L)).contains(0L) shouldBe false
+  }
+
+  behavior of "rolling shingle hashes"
+
+  it should "match the direct Horner recompute on seeded random unicode text" in {
+    val rnd = new scala.util.Random(13)
+    def randText(len: Int): String =
+      Array.fill(len)((rnd.nextInt(0xD000) + 1).toChar).mkString // BMP, no surrogates
+    for (_ <- 0 until 60) {
+      val t = randText(rnd.nextInt(200))
+      val n = 1 + rnd.nextInt(8)
+      val seed = rnd.nextLong()
+      val direct: Array[Long] =
+        if (t.length < n) null
+        else (0 to t.length - n).map { i =>
+          var h = seed
+          var j = 0
+          while (j < n) { h = h * 31L + t.charAt(i + j); j += 1 }
+          graft.functions.Mix.mix64(h)
+        }.distinct.sorted.toArray
+      graft.functions.ShingleHashes.sortedDistinct(t, n, seed) shouldBe direct
+    }
+  }
 }
