@@ -21,6 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                  [--partition-by=c1,c2] [--row-restriction=<sql predicate>]
   * graft directSampler --input=<path> --output=<dir> -n=<rows>
   *                  [--mode=head|reservoir] [--order-by=c1,c2] [--seed=<long>]
+  * graft corpusReport --input=<path> --output=<dir> [--text-col=text]
+  *                  [--group-by=c1,c2] [--input-mode=...] [--output-mode=...]
+  *                  [--row-restriction=<sql predicate>]      (engine extension)
   * }}}
   *
   * Flag names mirror the reference's usage strings (BigSampler.scala:98-132,
@@ -57,9 +60,30 @@ object Graft {
     case Some("bigDiffy")      => bigDiffy(parseFlags(args.tail), spark)
     case Some("bigSampler")    => bigSampler(parseFlags(args.tail), spark)
     case Some("directSampler") => directSampler(parseFlags(args.tail), spark)
+    case Some("corpusReport")  => corpusReport(parseFlags(args.tail), spark)
     case other =>
       throw new IllegalArgumentException(
-        s"usage: graft <bigDiffy|bigSampler|directSampler> [flags]; got $other")
+        s"usage: graft <bigDiffy|bigSampler|directSampler|corpusReport> [flags]; got $other")
+  }
+
+  /** Engine extension beyond the reference CLI: the per-group dataset
+    * card ([[graft.ext.TextAnalysis.corpusReport]]) as a one-shot job.
+    *
+    * {{{
+    * graft corpusReport --input=<path> --output=<dir> [--text-col=text]
+    *                    [--group-by=lang,source] [--input-mode=parquet|avro|json]
+    *                    [--output-mode=parquet|json] [--row-restriction=<pred>]
+    * }}} */
+  private def corpusReport(f: Map[String, String], spark: SparkSession): Unit = {
+    val input = f.getOrElse("input", sys.error("--input is required"))
+    val output = f.getOrElse("output", sys.error("--output is required"))
+    if (GraftIO.outputExists(output)) {
+      System.err.println(s"[graft] output $output exists; skipping"); return
+    }
+    val df = restrict(read(spark, input, f.getOrElse("input-mode", "parquet")), f)
+    val rep = graft.ext.TextAnalysis.corpusReport(df,
+      f.getOrElse("text-col", "text"), csv(f.get("group-by")))
+    write(rep.coalesce(1), output, f.getOrElse("output-mode", "parquet"))
   }
 
   private def read(spark: SparkSession, path: String, mode: String): DataFrame =

@@ -91,10 +91,26 @@ class GraftCliSpec extends SparkSpec {
       .collect().map(_._1) shouldBe Array(1L, 2L, 3L, 4L, 5L)
   }
 
+  it should "run corpusReport grouped with a restriction and honor the guard" in {
+    val base = tmp()
+    Seq(("en", "one two", 1L), ("en", "one two", 2L), ("de", "drei", 3L))
+      .toDF("lang", "text", "id").write.parquet(s"$base/in")
+    val args = Seq("corpusReport", s"--input=$base/in", s"--output=$base/out",
+      "--group-by=lang", "--row-restriction=id <= 2")
+    Graft.run(args, spark)
+    val rep = spark.read.parquet(s"$base/out")
+    rep.count() shouldBe 1L // restriction leaves only en rows
+    val r = rep.head()
+    r.getAs[String]("lang") shouldBe "en"
+    r.getAs[Long]("n_docs") shouldBe 2L
+    r.getAs[Long]("n_distinct") shouldBe 1L
+    Graft.run(args, spark) // idempotent re-run via the output guard
+  }
+
   it should "reject unknown commands and missing flags with clear errors" in {
     the[IllegalArgumentException] thrownBy
       Graft.run(Seq("frobnicate"), spark) should have message
-      "usage: graft <bigDiffy|bigSampler|directSampler> [flags]; got Some(frobnicate)"
+      "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport> [flags]; got Some(frobnicate)"
     an[IllegalArgumentException] should be thrownBy
       Graft.run(Seq("bigSampler", "--input=/x"), spark)
   }
