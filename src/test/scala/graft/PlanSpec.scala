@@ -140,6 +140,17 @@ class PlanSpec extends SparkSpec {
     p should include("LeftSemi")
   }
 
+  "incremental dedup" should "plan exactly one join (the exact-verify anti join)" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val p = plan(ext.Dedup.newAgainst(existing, incoming, "text"))
+    // the bloom-miss branch must ship rows straight from the scan: one
+    // anti join for the flagged minority, nothing else join-shaped
+    "Join".r.findAllIn(p).size shouldBe 1
+    p should include("LeftAnti")
+  }
+
   "exact top-fraction selection" should "rank only the boundary bucket, never sort globally" in {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val q = ext.TextAnalysis.qualitySignals(docs, "text")
