@@ -258,6 +258,32 @@ object SparkEntry {
       Dedup.newAgainst(existing, incoming, "text")
         .select("doc_id").orderBy("doc_id")
     }),
+    // exact-substring (duplicated span) dedup: every (10j, 10j+5) pair
+    // gets a planted ~108-char verbatim span (above the winnowing
+    // guarantee length), unique per pair, appended to otherwise-distinct
+    // docs — detection must return EXACTLY the planted pair list
+    "dup_spans" -> ((s, d) => {
+      val span = repeat(concat(lit("dupspan"),
+        expr("doc_id div 10").cast("string"), lit(" ")), 12)
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5,
+          concat(col("text"), lit(" "), span))
+          .otherwise(col("text")).as("text"))
+      // detection ALSO surfaces the corpus's NATURAL >=100-char verbatim
+      // spans (verified real — e.g. docs 152/178 share 214 chars; a
+      // suffix array would report them too), which no SQL oracle can
+      // enumerate — so the cross-engine contract filters to spans whose
+      // REPORTED BOUNDS cover planted content: every planted pair must
+      // surface with correct (start, len), nothing else planted-like
+      val det = Dedup.duplicatedSpans(planted, "doc_id", "text",
+        minLen = 100, gram = 16)
+      det.join(planted.select(col("doc_id").as("id_a"), col("text").as("__ta")),
+          Seq("id_a"))
+        .filter(instr(expr("substring(__ta, start_a + 1, span_len)"),
+          "dupspan") > 0)
+        .select("id_a", "id_b").distinct().orderBy("id_a", "id_b")
+    }),
+
     // recall check: every constructed (i, i+off) truncation pair must be
     // recovered by MinHash-LSH with 32 bands of 2 rows (miss P < 1e-5)
     "minhash_recall" -> ((s, d) => {
@@ -919,6 +945,11 @@ object SparkEntry {
       "dedup_fingerprint" ->
         """SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_groups,
           |  CAST(1 AS BIGINT) AS max_dup FROM documents""".stripMargin,
+      // the planted-pair list: (10j, 10j+5) docs share their unique span
+      "dup_spans" ->
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 5
+          |WHERE a.doc_id % 10 = 0 ORDER BY id_a, id_b""".stripMargin,
       // plain anti-join replica of the bloom-pruned incremental dedup
       // (IS NOT DISTINCT FROM mirrors fingerprint null=null semantics)
       "dedup_incremental" ->

@@ -138,6 +138,100 @@ object Dedup {
     probe(farmHash64(text))
   }
 
+  /** Cross-document duplicated-SPAN detection — the exact-substring
+    * dedup of Lee et al. '21 ("Deduplicating Training Data Makes
+    * Language Models Better"), whose reference implementation builds a
+    * corpus-wide suffix array. Re-expressed Spark-first with WINNOWING
+    * anchors (Schleimer et al. '03): each document selects the
+    * minimum-hash `gram`-char window of every `minLen - gram + 1`-window
+    * neighborhood, so any two copies of a span of length >= `minLen`
+    * select at least one IDENTICAL anchor substring regardless of their
+    * offsets (the winnowing guarantee — no alignment needed, no suffix
+    * array). Hash-equal anchors across documents become candidates; each
+    * candidate re-reads both texts once and extends char-by-char to the
+    * MAXIMAL common substring around the seed (which also kills hash
+    * collisions), and spans shorter than `minLen` drop.
+    *
+    * Returns one row per maximal duplicated span occurrence pair:
+    * `(id_a, id_b, start_a, start_b, span_len)` with id_a < id_b —
+    * different anchors inside one maximal span extend to the same
+    * boundaries, so a plain `distinct` collapses them exactly.
+    *
+    * Scale shape: the anchor relation carries ~2·len/(minLen-gram)
+    * (hash, id, pos) tuples per document (never the text); the self-join
+    * groups by 8-byte anchor hash with anchors occurring in more than
+    * `maxAnchorOccurrences` documents dropped (boilerplate pathologies —
+    * the [[minhashNearDups]] bucket-cap guard; audit separately before
+    * raising it). Only CANDIDATE pairs ever shuffle text, through the
+    * two id-joins that feed extension. Within-document repeats are out
+    * of scope (id_a < id_b). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      minLen: Int = 100, gram: Int = 16,
+                      maxAnchorOccurrences: Int = 1000): DataFrame = {
+    require(gram >= 4, s"gram must be >= 4, got $gram")
+    require(minLen > gram, s"minLen must exceed gram, got $minLen <= $gram")
+    require(maxAnchorOccurrences >= 2,
+      s"maxAnchorOccurrences must be >= 2, got $maxAnchorOccurrences")
+    val w = minLen - gram + 1
+    val anchorsUdf = udf { (text: String) =>
+      SpanKernels.winnowAnchors(text, gram, w)
+        .map { case (h, p) => (h, p) }.toSeq
+    }
+    val corpusT = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val anchors = corpusT
+      .select(col("__id"), explode(anchorsUdf(col("__text"))).as("__a"))
+      .select(col("__a._1").as("__h"), col("__id"), col("__a._2").as("__pos"))
+    val okAnchors = anchors.groupBy("__h")
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") > 1 && col("__nd") <= maxAnchorOccurrences)
+      .select("__h")
+    val pruned = anchors.join(broadcast(okAnchors), Seq("__h"))
+    val cand = pruned.select(col("__h"), col("__id").as("id_a"), col("__pos").as("__pa"))
+      .join(pruned.select(col("__h"), col("__id").as("id_b"), col("__pos").as("__pb")),
+        Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .drop("__h").distinct()
+    val extendUdf = udf { (ta: String, tb: String, pa: Int, pb: Int) =>
+      SpanKernels.extendMatch(ta, tb, pa, pb, gram)
+    }
+    cand
+      .join(corpusT.select(col("__id"), col("__text").as("__ta")),
+        col("id_a") === col("__id")).drop("__id")
+      .join(corpusT.select(col("__id"), col("__text").as("__tb")),
+        col("id_b") === col("__id")).drop("__id")
+      .withColumn("__m", extendUdf(col("__ta"), col("__tb"), col("__pa"), col("__pb")))
+      .filter(col("__m").isNotNull && col("__m._3") >= minLen)
+      .select(col("id_a"), col("id_b"), col("__m._1").as("start_a"),
+        col("__m._2").as("start_b"), col("__m._3").as("span_len"))
+      .distinct()
+  }
+
+  /** Keep-first REMOVAL of [[duplicatedSpans]] output: rewrite each doc
+    * appearing as `id_b` (the greater id — the later copy) with its
+    * duplicated ranges cut out, overlapping ranges merged first; docs
+    * with no spans pass through untouched. The complement at span
+    * granularity of [[graft.ext.TextAnalysis.dedupSegmentsKeepFirst]]'s
+    * segment granularity. */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           spans: DataFrame): DataFrame = {
+    val drops = spans.groupBy(col("id_b").as("__id"))
+      .agg(collect_list(struct(col("start_b"), col("span_len"))).as("__spans"))
+    // the two arrays are field-projections of ONE collected struct list,
+    // so their pairing order is identical by construction
+    val cutUdf = udf { (text: String, starts: scala.collection.Seq[Int],
+                        lens: scala.collection.Seq[Int]) =>
+      if (text == null || starts == null) text
+      else SpanKernels.cutRanges(text, starts.zip(lens).toArray)
+    }
+    df.join(drops, col(idCol) === col("__id"), "left")
+      .withColumn(textCol,
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(cutUdf(col(textCol),
+            col("__spans").getField("start_b"),
+            col("__spans").getField("span_len"))))
+      .drop("__id", "__spans")
+  }
+
   /** MinHash-LSH near-duplicate pairs over a text column.
     *
     * shingle(n chars) → minhash(numHashes) → split into `bands` bands →
