@@ -37,6 +37,9 @@ object ScaleProbe {
     tm("decontaminate")(println(
       graft.ext.TextAnalysis.decontaminate(docs, "doc_id", "text",
         bench, "text", n = 40).count()))
+    tm("duplicated_spans")(println(
+      graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", minLen = 100)
+        .count()))
     val mixIn = docs.withColumn("score",
       ((col("doc_id") * 1103515245L + 12345L) % 1000003L).cast("double"))
     tm("mixture_resample")(println(
