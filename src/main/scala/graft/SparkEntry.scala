@@ -284,6 +284,24 @@ object SparkEntry {
         .select("id_a", "id_b").distinct().orderBy("id_a", "id_b")
     }),
 
+    // intra-doc repeats: docs %7==0 carry their unique ~108-char span
+    // TWICE (start and end) — detection is one partition-local pass (no
+    // shuffle, locked in SpanDedupSpec); like dup_spans the contract
+    // filters to spans whose reported bounds cover planted content
+    "self_repeats" -> ((s, d) => {
+      val span = repeat(concat(lit("selfdup"),
+        expr("doc_id div 7").cast("string"), lit(" ")), 12)
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(span, lit(" "), col("text"), lit(" "), span))
+          .otherwise(col("text")).as("text"))
+      Dedup.withinDocRepeats(planted, "doc_id", "text", minLen = 100, gram = 16)
+        .join(planted, Seq("doc_id"))
+        .filter(instr(expr("substring(text, start_b + 1, span_len)"),
+          "selfdup") > 0)
+        .select("doc_id").distinct().orderBy("doc_id")
+    }),
+
     // recall check: every constructed (i, i+off) truncation pair must be
     // recovered by MinHash-LSH with 32 bands of 2 rows (miss P < 1e-5)
     "minhash_recall" -> ((s, d) => {
@@ -945,6 +963,8 @@ object SparkEntry {
       "dedup_fingerprint" ->
         """SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_groups,
           |  CAST(1 AS BIGINT) AS max_dup FROM documents""".stripMargin,
+      "self_repeats" ->
+        """SELECT doc_id FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""",
       // the planted-pair list: (10j, 10j+5) docs share their unique span
       "dup_spans" ->
         """SELECT a.doc_id AS id_a, b.doc_id AS id_b

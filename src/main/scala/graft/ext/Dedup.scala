@@ -206,6 +206,28 @@ object Dedup {
       .distinct()
   }
 
+  /** WITHIN-document repeated spans — the intra-doc half of the
+    * exact-substring dedup ([[duplicatedSpans]] covers cross-doc): one
+    * partition-local pass, NO join and NO shuffle — each document's
+    * winnowing anchors pair up in memory and extend to maximal matches
+    * >= `minLen`. Returns (idCol, start_a, start_b, span_len) with
+    * start_a < start_b; `maxPairsPerDoc` bounds pathologically periodic
+    * documents. Feed `start_b`-keyed rows into
+    * [[stripDuplicatedSpans]]-style removal to keep first occurrences. */
+  def withinDocRepeats(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 100, gram: Int = 16,
+                       maxPairsPerDoc: Int = 1000): DataFrame = {
+    require(gram >= 4, s"gram must be >= 4, got $gram")
+    require(minLen > gram, s"minLen must exceed gram, got $minLen <= $gram")
+    val w = minLen - gram + 1
+    val repeatsUdf = udf { (text: String) =>
+      SpanKernels.selfRepeats(text, gram, w, minLen, maxPairsPerDoc).toSeq
+    }
+    df.select(col(idCol), explode(repeatsUdf(col(textCol))).as("__r"))
+      .select(col(idCol), col("__r._1").as("start_a"),
+        col("__r._2").as("start_b"), col("__r._3").as("span_len"))
+  }
+
   /** Keep-first REMOVAL of [[duplicatedSpans]] output: rewrite each doc
     * appearing as `id_b` (the greater id — the later copy) with its
     * duplicated ranges cut out, overlapping ranges merged first; docs

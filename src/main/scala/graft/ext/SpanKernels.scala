@@ -74,6 +74,47 @@ private[ext] object SpanKernels {
     (pa - l, pb - l, l + gram + r)
   }
 
+  /** Maximal within-document repeated spans >= minLen: winnowing anchors
+    * grouped by hash inside ONE text, each distinct position pair
+    * extended to its maximal match (same guarantee as the cross-doc
+    * path — a self-repeat of length >= w + gram - 1 always shares an
+    * anchor with its copy). Pure per-document function; `maxPairs`
+    * bounds the quadratic blowup of pathologically periodic documents
+    * (the within-doc analog of the anchor-occurrence cap). Returns
+    * distinct maximal (start_a, start_b, len) with start_a < start_b. */
+  def selfRepeats(text: String, gram: Int, w: Int, minLen: Int,
+                  maxPairs: Int): Array[(Int, Int, Int)] = {
+    val anchors = winnowAnchors(text, gram, w)
+    if (anchors.length < 2) return Array.empty
+    val byHash = new java.util.HashMap[Long, java.util.ArrayList[Int]]
+    anchors.foreach { case (h, p) =>
+      byHash.computeIfAbsent(h, _ => new java.util.ArrayList[Int]).add(p)
+    }
+    val out = new java.util.LinkedHashSet[(Int, Int, Int)]
+    var pairs = 0
+    val it = byHash.values().iterator()
+    while (it.hasNext && pairs < maxPairs) {
+      val ps = it.next()
+      if (ps.size > 1) {
+        var i = 0
+        while (i < ps.size && pairs < maxPairs) {
+          var j = i + 1
+          while (j < ps.size && pairs < maxPairs) {
+            pairs += 1
+            val m = extendMatch(text, text, ps.get(i), ps.get(j), gram)
+            if (m != null && m._3 >= minLen && m._1 != m._2) {
+              val span = if (m._1 < m._2) m else (m._2, m._1, m._3)
+              out.add(span)
+            }
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    out.toArray(Array.empty[(Int, Int, Int)])
+  }
+
   /** Remove the given (start, len) ranges from `text`, overlapping or
     * adjacent ranges merged first, out-of-bounds clamped. */
   def cutRanges(text: String, ranges: Array[(Int, Int)]): String = {

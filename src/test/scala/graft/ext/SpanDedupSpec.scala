@@ -102,6 +102,35 @@ class SpanDedupSpec extends SparkSpec {
     Dedup.duplicatedSpans(short, "doc_id", "text", minLen = 100).count() shouldBe 0L
   }
 
+  behavior of "withinDocRepeats"
+
+  it should "find intra-doc repeats with no shuffle and respect the pair cap" in {
+    val span = "a long passage repeated within one single document to trigger the intra doc detector over threshold!"
+    span.length should be >= 100
+    val docs = Seq(
+      (1L, randWords(1, 30) + " " + span + " " + randWords(2, 30) + " " + span),
+      (2L, randWords(3, 80)))
+      .toDF("doc_id", "text")
+    val got = Dedup.withinDocRepeats(docs, "doc_id", "text", minLen = 100, gram = 16)
+      .collect()
+    got.map(_.getAs[Long]("doc_id")).distinct.toSeq shouldBe Seq(1L)
+    val r = got.head
+    val t1 = docs.filter(col("doc_id") === 1).head().getString(1)
+    (r.getAs[Int]("start_a") < r.getAs[Int]("start_b")) shouldBe true
+    t1.substring(r.getAs[Int]("start_b"),
+      r.getAs[Int]("start_b") + r.getAs[Int]("span_len")) should include(span)
+    // the plan is one narrow generate pass: no exchange anywhere
+    val p = Dedup.withinDocRepeats(docs, "doc_id", "text", minLen = 100)
+      .queryExecution.executedPlan.toString
+    p should not include "Exchange"
+    // a pathologically periodic doc is bounded by the pair cap
+    val periodic = Seq((9L, ("repeat me forever and ever again " * 40)))
+      .toDF("doc_id", "text")
+    noException should be thrownBy
+      Dedup.withinDocRepeats(periodic, "doc_id", "text", minLen = 100,
+        maxPairsPerDoc = 50).count()
+  }
+
   behavior of "stripDuplicatedSpans"
 
   it should "cut spans from the later doc only, keep-first" in {
