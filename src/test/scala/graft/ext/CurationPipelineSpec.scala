@@ -67,4 +67,47 @@ class CurationPipelineSpec extends SparkSpec {
     // the chain preserves the corpus schema + the quality columns
     afterBudget.columns should contain allOf ("doc_id", "text", "n_tokens")
   }
+
+  it should "run span strip -> segment dedup -> incremental gate -> mixture -> report" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // plants: doc 3's text appended verbatim into doc 11 (a >=100-char
+    // cross-doc span), and a shared segment header on every 4th doc
+    val span = docs.filter(col("doc_id") === 3).head().getString(1)
+    val corpus = docs.select(col("doc_id"),
+      when(col("doc_id") === 11, concat(col("text"), lit(" "), lit(span)))
+        .when(col("doc_id") % 4 === 0, concat(lit("Nav Header. "), col("text")))
+        .otherwise(col("text")).as("text"))
+
+    // 1. cross-doc span strip (keep-first): doc 11 loses the copied span
+    val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text", minLen = 100)
+    spans.filter(col("id_a") === 3 && col("id_b") === 11).count() should be >= 1L
+    val afterSpans = Dedup.stripDuplicatedSpans(corpus, "doc_id", "text", spans)
+    afterSpans.filter(col("doc_id") === 11).head().getString(1) should not include span
+
+    // 2. global keep-first segment dedup: one doc keeps the Nav Header
+    val afterSeg = TextAnalysis.dedupSegmentsKeepFirst(
+      afterSpans, "doc_id", "text", ". ")
+    afterSeg.filter(col("text").contains("Nav Header")).count() shouldBe 1L
+
+    // 3. incremental dedup against an "already-shipped" half
+    val shipped = afterSeg.filter(col("doc_id") < 250)
+    val incoming = afterSeg.filter(col("doc_id") >= 250)
+    val newRows = Dedup.newAgainst(shipped, incoming, "text")
+    newRows.count() should be <= incoming.count()
+
+    // 4. mixture resample at per-bucket weights, then the corpus card
+    val mixIn = newRows.withColumn("bucket", (col("doc_id") % 3).cast("string"))
+      .withColumn("score",
+        ((col("doc_id") * 1103515245L + 12345L) % 1000003L).cast("double"))
+    val mixed = ScoreFilter.keepTopFractionPerKey(mixIn, Seq("bucket"), "score",
+      Map("0" -> 0.5), 0.25, Seq("doc_id"))
+    val quota = mixIn.groupBy("bucket").count()
+      .join(mixed.groupBy("bucket").agg(count(lit(1)).as("kept")), "bucket")
+      .filter(col("kept") =!= ceil(col("count") *
+        when(col("bucket") === "0", 0.5).otherwise(0.25)).cast("long")).count()
+    quota shouldBe 0L
+    val report = TextAnalysis.corpusReport(mixed, "text", Seq("bucket"))
+    report.agg(sum("n_docs")).head().getLong(0) shouldBe mixed.count()
+  }
 }
