@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column utilities: normalization and int8 quantization as
@@ -66,5 +66,59 @@ object Embeddings {
     when(qa.isNotNull && qb.isNotNull && size(qa) === size(qb) &&
         na > 0L && nb > 0L,
       dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+  }
+
+  /** Train product-quantization codebooks for STORAGE compression
+    * (int8 quantization's 4x, pushed to dim/m×: a 64-dim float vector
+    * becomes m small codes). Same bounded strided sample and seeded
+    * in-memory k-means++/Lloyd as [[Similarity.pqTopK]]'s ADC search —
+    * train once, reuse for both storage and search. Returns m codebooks
+    * of up to `codebookSize` sub-centroids; empty corpus -> empty array. */
+  def pqCodebooks(df: DataFrame, vecCol: String, m: Int = 8,
+                  codebookSize: Int = 256, seed: Long = 42L,
+                  trainCap: Long = 100000L, maxIter: Int = 10): Array[Array[Array[Double]]] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val corpusV = df.select(col(vecCol).as("v"))
+    val sample = Similarity.sampleTrainVecs(corpusV, trainCap)
+    try {
+      val pts = sample.collect().map(_.getSeq[Double](0).toArray)
+      if (pts.isEmpty) return Array.empty
+      val dim = pts(0).length
+      require(m <= dim, s"m=$m subspaces need dim >= m, got dim=$dim")
+      val lens = Array.tabulate(m)(sp => dim / m + (if (sp < dim % m) 1 else 0))
+      val offs = lens.scanLeft(0)(_ + _)
+      val k_ = math.min(codebookSize, pts.length)
+      Array.tabulate(m) { sp =>
+        val sub = pts.map(p => java.util.Arrays.copyOfRange(p, offs(sp), offs(sp) + lens(sp)))
+        Similarity.localKMeansPP(sub, k_, maxIter, seed + sp)
+      }
+    } finally sample.unpersist()
+  }
+
+  /** Encode a vector column to its m PQ codes (array<int>, one nearest
+    * sub-centroid index per subspace). Degenerate vectors (NaN, wrong
+    * dim at slice) yield null codes elements per the NearestCells
+    * contract. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    require(codebooks.nonEmpty, "codebooks must be non-empty")
+    val lens = codebooks.map(_.head.length)
+    val offs = lens.scanLeft(0)(_ + _)
+    val codes = codebooks.indices.map { sp =>
+      graft.GraftFunctions.nearestCells(
+        slice(vec, offs(sp) + 1, lens(sp)), codebooks(sp), 1)(0)
+    }
+    array(codes: _*)
+  }
+
+  /** Reconstruct the approximate vector from PQ codes: the concatenation
+    * of each subspace's selected sub-centroid — pure Catalyst (flatten
+    * of per-subspace literal lookups). */
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    require(codebooks.nonEmpty, "codebooks must be non-empty")
+    val parts = codebooks.indices.map { sp =>
+      element_at(typedLit(codebooks(sp).map(_.toSeq).toSeq),
+        element_at(codes, sp + 1) + 1)
+    }
+    flatten(array(parts: _*))
   }
 }

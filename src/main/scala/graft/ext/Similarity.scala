@@ -192,7 +192,7 @@ object Similarity {
     * codebooks: deterministic given (points, k, seed). Empty clusters
     * keep their previous centroid; k is clamped to the point count by
     * the caller. */
-  private def localKMeansPP(points: Array[Array[Double]], k: Int,
+  private[ext] def localKMeansPP(points: Array[Array[Double]], k: Int,
                             maxIter: Int, seed: Long): Array[Array[Double]] = {
     val n = points.length
     val d = points(0).length
@@ -277,7 +277,7 @@ object Similarity {
     * single-column ("v", array<double>) frame coalesced to a few
     * partitions (each k-means iteration schedules a handful of tasks
     * instead of one per corpus partition); caller must unpersist. */
-  private def sampleTrainVecs(corpusV: DataFrame, trainCap: Long): DataFrame = {
+  private[ext] def sampleTrainVecs(corpusV: DataFrame, trainCap: Long): DataFrame = {
     val finiteVecs = corpusV
       .filter(!exists(col("v"),
         x => isnan(x) || abs(x) >= lit(Double.PositiveInfinity)))

@@ -83,4 +83,34 @@ class EmbeddingsSpec extends SparkSpec {
     df.select(Embeddings.quantizedCosine(col("a"), col("b"))).collect()
       .foreach(_.isNullAt(0) shouldBe true)
   }
+
+  behavior of "PQ storage codec"
+
+  it should "round-trip with high reconstruction cosine on real embeddings" in {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Embeddings.pqCodebooks(emb, "embedding", m = 16, codebookSize = 32,
+      maxIter = 5)
+    books.length shouldBe 16
+    val coded = emb.withColumn("codes", Embeddings.pqEncode(col("embedding"), books))
+      .withColumn("recon", Embeddings.pqDecode(col("codes"), books))
+    // codes are m small ints; reconstruction matches the vector dim
+    coded.select(array_size(col("codes"))).distinct().as[Int].collect() shouldBe Array(16)
+    coded.select(array_size(col("recon"))).distinct().as[Int].collect() shouldBe
+      coded.select(array_size(col("embedding"))).distinct().as[Int].collect()
+    // storage-fidelity: mean cosine(original, reconstruction) is high
+    val meanCos = coded.select(avg(lit(1.0) -
+        graft.GraftFunctions.cosineDistance(col("embedding"), col("recon"))))
+      .as[Double].head()
+    meanCos should be >= 0.75
+    // deterministic: same seed -> identical codebooks
+    val again = Embeddings.pqCodebooks(emb, "embedding", m = 16, codebookSize = 32,
+      maxIter = 5)
+    books.map(_.toSeq.map(_.toSeq)).toSeq shouldBe again.map(_.toSeq.map(_.toSeq)).toSeq
+  }
+
+  it should "return empty codebooks for an empty corpus" in {
+    val empty = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(lit(false))
+    Embeddings.pqCodebooks(empty, "embedding").length shouldBe 0
+  }
 }
