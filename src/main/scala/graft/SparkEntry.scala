@@ -627,6 +627,19 @@ object SparkEntry {
       TextAnalysis.decontaminate(corpus, "doc_id", "text", bench, "text", n = 40)
         .select("doc_id").orderBy("doc_id")
     }),
+    // the contamination AUDIT: per benchmark row, how many corpus docs
+    // share a 40-gram (the planted zz-prefixed copies guarantee >=1 for
+    // every bench row) — value-exact per-bench-id counts vs DuckDB
+    "contamination_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(bench.select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("zz "), col("text")).as("text")))
+      TextAnalysis.contaminationReport(corpus, "doc_id", "text",
+          bench, "doc_id", "text", n = 40)
+        .orderBy("doc_id")
+    }),
     // exact top-fraction quality selection: keep exactly ceil(n × 0.2)
     // docs by mean token length, ties broken by doc_id — value-exact id
     // list vs a DuckDB global-rank replica (the Spark side never sorts
@@ -979,6 +992,23 @@ object SparkEntry {
           |SELECT doc_id FROM inc i WHERE NOT EXISTS (
           |  SELECT 1 FROM ex e WHERE e.text IS NOT DISTINCT FROM i.text)
           |ORDER BY doc_id""".stripMargin,
+      "contamination_report" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, 'zz ' || text FROM documents WHERE doc_id % 97 = 0),
+          |bg AS (SELECT DISTINCT doc_id AS bid, unnest(list_transform(
+          |    generate_series(1, length(text) - 39), i -> substring(text, i, 40))) AS g
+          |  FROM documents WHERE doc_id % 97 = 0),
+          |cg AS (SELECT doc_id AS did, unnest(list_transform(
+          |    generate_series(1, length(text) - 39), i -> substring(text, i, 40))) AS g
+          |  FROM corpus),
+          |hits AS (SELECT DISTINCT bid, did FROM cg JOIN bg USING (g)),
+          |cnt AS (SELECT bid, COUNT(*) AS n FROM hits GROUP BY bid)
+          |SELECT b.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_contaminated_docs
+          |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0) b
+          |LEFT JOIN cnt ON cnt.bid = b.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
       "minhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
       "simhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
       "dedup_clusters" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_same_cluster FROM documents",

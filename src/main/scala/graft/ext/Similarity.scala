@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`), per the brief's training-data-pipeline surface.
   *
-  * Two paths:
+  * Five paths:
   *   - `bruteForceTopK`: broadcast the (small) query set against the full
   *     corpus; exact, O(corpus × queries). The correctness oracle.
   *   - `lshTopK`: random-hyperplane LSH — bucket corpus and queries by
@@ -19,7 +19,10 @@ import org.apache.spark.sql.types._
   *     tables), never corpus². Hyperplanes are generated driver-side from
   *     a fixed seed and shipped as literals (no closure capture).
   *   - `ivfTopK`: k-means inverted-file ANN — data-adaptive cells, trained
-  *     on a bounded sample.
+  *     on a bounded sample. Prunes COMPUTE (candidates per query).
+  *   - `pqTopK`: product-quantization ADC — m-code compression of the
+  *     scanned relation. Prunes MEMORY (bytes per candidate).
+  *   - `ivfpqTopK`: faiss-style residual IVF-PQ — both at once.
   *
   * Uniform contract across all paths: the final per-query top-k is the
   * k-bounded [[graft.functions.TopK.ByScore]] aggregation (never a window

@@ -373,6 +373,35 @@ object TextAnalysis {
     }
   }
 
+  /** Per-BENCHMARK-row contamination audit (the reverse direction of
+    * [[flagContaminated]]): for every benchmark/eval row, how many
+    * corpus documents share at least one `n`-gram with it — the report
+    * that tells you WHICH eval items leak and how badly, before dropping
+    * anything. Scale shape: benchmark grams reduce to distinct (gram,
+    * bench-id) pairs and broadcast; the corpus-side probe is the same
+    * narrow explode + broadcast join with NO corpus shuffle — only
+    * (bench-id, doc-id) hit pairs reach the counting exchange, bounded
+    * by the contamination volume. Benchmark rows with no hits report 0. */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+                          benchmark: DataFrame, benchIdCol: String,
+                          benchTextCol: String, n: Int = 50): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchGrams = benchmark
+      .select(col(benchIdCol).as("__bid"),
+        explode(shingleHashes(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol).as("__did"),
+        explode(shingleHashes(col(textCol), n)).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"))
+      .select("__bid", "__did").distinct()
+      .groupBy("__bid").agg(count(lit(1)).as("n_contaminated_docs"))
+    benchmark.select(col(benchIdCol).as("__bid"))
+      .join(hits, Seq("__bid"), "left")
+      .select(col("__bid").as(benchIdCol),
+        coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"))
+  }
+
   /** Overlapping fixed-size chunking (the RAG / long-context prep step):
     * split each document's text into character windows of `size` whose
     * starts step by `size - overlap`, so consecutive chunks share

@@ -167,6 +167,21 @@ class TextAnalysisSpec extends SparkSpec {
       .select("contaminated").as[Boolean].collect() shouldBe Array(false)
   }
 
+  it should "report per-benchmark contamination counts, zero for clean rows" in {
+    val bench = Seq((100L, "the secret benchmark answer sequence here"),
+      (101L, "a completely unleaked benchmark item nothing shares"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "prefix the secret benchmark answer sequence here suffix"),
+      (2L, "again the secret benchmark answer sequence here wrapped"),
+      (3L, "clean document with its own words entirely"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationReport(corpus, "doc_id", "text",
+        bench, "bid", "btext", n = 20)
+      .orderBy("bid").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq(100L -> 2L, 101L -> 0L)
+  }
+
   it should "produce identical results on the broadcast and join probe paths" in {
     val bench = Seq((100L, "the secret benchmark answer sequence here"),
       (101L, "zz overlap window zz")).toDF("bid", "btext")
