@@ -85,10 +85,12 @@ object GraftFunctions {
   def jaccardSorted(l: Column, r: Column): Column =
     expr2col(JaccardSorted(col2expr(l), col2expr(r)))
 
-  /** The `nprobe` nearest centroid indices of a vector by cosine
-    * similarity, most-similar first (IVF coarse assignment). */
-  def nearestCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
-    expr2col(NearestCells(col2expr(vec), centroids.map(_.toSeq).toSeq, nprobe))
+  /** The `nprobe` nearest centroid indices of a vector, most-similar
+    * first. "cosine" (IVF coarse assignment) or "l2" (Euclidean argmin —
+    * the PQ codebook metric; zero vectors assign instead of nulling). */
+  def nearestCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int,
+                   metric: String = "cosine"): Column =
+    expr2col(NearestCells(col2expr(vec), centroids.map(_.toSeq).toSeq, nprobe, metric))
 
   /** Sorted distinct 64-bit hashes of an array of strings — the compact
     * set representation `jaccardSorted` consumes. Built from codegen'd

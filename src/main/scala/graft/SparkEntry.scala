@@ -428,8 +428,8 @@ object SparkEntry {
     }),
     // oracle-gated PQ-ADC quality: product-quantized search (m=16 × 32
     // codes, exact re-rank of the approximate top 10k) must recover ≥70%
-    // of the exact brute-force top-k (measured 78-86% across
-    // sf0.001/0.01/0.1) — deterministic: seeded k-means on a strided
+    // of the exact brute-force top-k (measured 92-98% across
+    // sf0.001/0.01/0.1 under Euclidean code assignment) — deterministic: seeded k-means on a strided
     // sample
     "pq_topk_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -450,7 +450,8 @@ object SparkEntry {
     // oracle-gated IVF-PQ quality: coarse cells prune candidates AND a
     // residual product quantizer scores them (faiss IVFPQ shape); must
     // recover >=55% of exact brute force like the IVF gate (measured
-    // 60-78% across sf0.001/0.01/0.1) — deterministic seeded training
+    // 72-80% across sf0.001/0.01/0.1 under Euclidean residual-code
+    // assignment) — deterministic seeded training
     "ivfpq_topk_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
@@ -1225,7 +1226,8 @@ object SparkEntry {
           |    (x, i) -> {'seg': x, 'pos': i})) AS u FROM d)),
           |r AS (SELECT doc_id, seg, pos,
           |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs)
-          |SELECT doc_id, coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+          |SELECT doc_id, coalesce(string_agg(
+          |  CASE WHEN seg = '' OR rn = 1 THEN seg END,
           |  '. ' ORDER BY pos), '') AS text
           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "strip_boilerplate" ->

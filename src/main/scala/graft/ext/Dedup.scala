@@ -95,8 +95,14 @@ object Dedup {
     // above ~0.5 the optimal-bits formula rounds the filter to zero bits
     require(bloomFpp > 0 && bloomFpp <= 0.5,
       s"bloomFpp must be in (0, 0.5], got $bloomFpp")
+    // three consumers (count, bloom build, anti join) would each re-run
+    // a derived `existing` plan: pin the 8-byte projection eagerly
+    // (localCheckpoint — ContextCleaner-reclaimed, see the cache note up
+    // top). `incoming` is scanned twice (the two filter branches); pin
+    // it caller-side when it is itself an expensive derived relation.
     val exFp = existing.select(farmHash64(col(textCol)).as("__fp"))
-    val nEx = exFp.count() // sizes the bloom; a cheap 8-byte-projection pass
+      .localCheckpoint(true)
+    val nEx = exFp.count() // sizes the bloom; counts the pinned projection
     if (nEx == 0) return incoming
     val bloom = exFp.stat.bloomFilter("__fp", nEx, bloomFpp)
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
@@ -178,14 +184,27 @@ object Dedup {
         .map { case (h, p) => (h, p) }.toSeq
     }
     val corpusT = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
-    val anchors = corpusT
+    val rawAnchors = corpusT
       .select(col("__id"), explode(anchorsUdf(col("__text"))).as("__a"))
       .select(col("__a._1").as("__h"), col("__id"), col("__a._2").as("__pos"))
+    // periodic text selects the SAME hash at many positions of one doc;
+    // unbounded, a single boilerplate-heavy doc pair would fan out
+    // |pos_a|×|pos_b| candidate extensions. Keep the first few positions
+    // per (hash, doc) — distinct alignments beyond that are periodic
+    // repeats of the same span family. Combined with the distinct-doc
+    // cap below, the per-hash pair fan-out is bounded by
+    // (8 × maxAnchorOccurrences)².
+    val anchors = rawAnchors.groupBy("__h", "__id")
+      .agg(slice(sort_array(collect_list(col("__pos"))), 1, 8).as("__ps"))
+      .select(col("__h"), col("__id"), explode(col("__ps")).as("__pos"))
     val okAnchors = anchors.groupBy("__h")
       .agg(countDistinct(col("__id")).as("__nd"))
       .filter(col("__nd") > 1 && col("__nd") <= maxAnchorOccurrences)
       .select("__h")
-    val pruned = anchors.join(broadcast(okAnchors), Seq("__h"))
+    // no broadcast hint: the shared-anchor set scales with corpus
+    // duplication and can exceed driver/executor memory at the 100 TB
+    // target — AQE broadcasts it only when it measures small
+    val pruned = anchors.join(okAnchors, Seq("__h"))
     val cand = pruned.select(col("__h"), col("__id").as("id_a"), col("__pos").as("__pa"))
       .join(pruned.select(col("__h"), col("__id").as("id_b"), col("__pos").as("__pb")),
         Seq("__h"))

@@ -83,15 +83,7 @@ object Embeddings {
     try {
       val pts = sample.collect().map(_.getSeq[Double](0).toArray)
       if (pts.isEmpty) return Array.empty
-      val dim = pts(0).length
-      require(m <= dim, s"m=$m subspaces need dim >= m, got dim=$dim")
-      val lens = Array.tabulate(m)(sp => dim / m + (if (sp < dim % m) 1 else 0))
-      val offs = lens.scanLeft(0)(_ + _)
-      val k_ = math.min(codebookSize, pts.length)
-      Array.tabulate(m) { sp =>
-        val sub = pts.map(p => java.util.Arrays.copyOfRange(p, offs(sp), offs(sp) + lens(sp)))
-        Similarity.localKMeansPP(sub, k_, maxIter, seed + sp)
-      }
+      Similarity.trainSubCodebooks(pts, m, codebookSize, maxIter, seed)
     } finally sample.unpersist()
   }
 
@@ -103,9 +95,12 @@ object Embeddings {
     require(codebooks.nonEmpty, "codebooks must be non-empty")
     val lens = codebooks.map(_.head.length)
     val offs = lens.scanLeft(0)(_ + _)
+    // l2 assignment: the codebooks minimize Euclidean distortion, and a
+    // zero-norm subspace slice is a legitimate point (cosine would null
+    // it and silently drop the whole row from search results)
     val codes = codebooks.indices.map { sp =>
       graft.GraftFunctions.nearestCells(
-        slice(vec, offs(sp) + 1, lens(sp)), codebooks(sp), 1)(0)
+        slice(vec, offs(sp) + 1, lens(sp)), codebooks(sp), 1, metric = "l2")(0)
     }
     array(codes: _*)
   }

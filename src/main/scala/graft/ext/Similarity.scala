@@ -191,6 +191,24 @@ object Similarity {
     } finally sample.unpersist()
   }
 
+  /** One codebook per even-ish subspace (first dim%m subspaces take one
+    * extra dimension), trained with the seeded in-memory k-means — THE
+    * subspace layout and training shared by pqTopK, ivfpqTopK, and
+    * Embeddings.pqCodebooks, so storage and search codecs can never
+    * silently diverge. */
+  private[ext] def trainSubCodebooks(pts: Array[Array[Double]], m: Int,
+      codebookSize: Int, maxIter: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val dim = pts(0).length
+    require(m <= dim, s"m=$m subspaces need dim >= m, got dim=$dim")
+    val lens = Array.tabulate(m)(sp => dim / m + (if (sp < dim % m) 1 else 0))
+    val offs = lens.scanLeft(0)(_ + _)
+    val k_ = math.min(codebookSize, pts.length)
+    Array.tabulate(m) { sp =>
+      val sub = pts.map(p => java.util.Arrays.copyOfRange(p, offs(sp), offs(sp) + lens(sp)))
+      localKMeansPP(sub, k_, maxIter, seed + sp)
+    }
+  }
+
   /** Seeded in-memory k-means (k-means++ init + Lloyd) for the PQ
     * codebooks: deterministic given (points, k, seed). Empty clusters
     * keep their previous centroid; k is clamped to the point count by
@@ -372,31 +390,19 @@ object Similarity {
             corpusV.crossJoin(queryV)
               .withColumn("cosine_sim", lit(null).cast("double"))
               .limit(0), k)
-        val dim = pts(0).length
-        require(m <= dim, s"m=$m subspaces need dim >= m, got dim=$dim")
-        // first (dim % m) subspaces take one extra dimension
-        val lens = Array.tabulate(m)(s => dim / m + (if (s < dim % m) 1 else 0))
-        val offs = lens.scanLeft(0)(_ + _)
-        val k_ = math.min(codebookSize, pts.length)
-        Array.tabulate(m) { s =>
-          val sub = pts.map(p => java.util.Arrays.copyOfRange(p, offs(s), offs(s) + lens(s)))
-          localKMeansPP(sub, k_, maxIter, seed + s)
-        }
+        trainSubCodebooks(pts, m, codebookSize, maxIter, seed)
       } finally sample.unpersist()
 
     val lens = codebooks.map(_.head.length)
     val offs = lens.scanLeft(0)(_ + _)
 
-    // ---- encode: m codes + the reconstruction's norm, one scan pass ----
-    val codeCols = Array.tabulate(m) { s =>
-      nearestCells(slice(col("v"), offs(s) + 1, lens(s)), codebooks(s), 1)(0)
-    }
+    // ---- encode: m codes + the reconstruction's norm, one scan pass
+    // (the l2-assignment storage codec — one encoder for search AND
+    // storage, see Embeddings.pqEncode) ----
     val norm2Lit = typedLit(codebooks.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
     val encoded = corpusV.select(col("id"),
-        array(codeCols.toIndexedSeq: _*).as("codes"))
-      .withColumn("xnorm", sqrt(aggregate(
-        zip_with(col("codes"), norm2Lit, (c, arr) => element_at(arr, c + 1)),
-        lit(0.0), (acc, x) => acc + x)))
+        Embeddings.pqEncode(col("v"), codebooks).as("codes"))
+      .withColumn("xnorm", sqrt(adcLookupSum(col("codes"), norm2Lit)))
 
     // ---- per-query lut: dot(q_sub, centroid) for every (subspace, code) ----
     val bcCodebooks = corpus.sparkSession.sparkContext.broadcast(codebooks)
@@ -491,14 +497,7 @@ object Similarity {
           val cc = coarse(nearestIdx(p))
           Array.tabulate(dim)(j => p(j) - cc(j))
         }
-        val lens = Array.tabulate(m)(sp => dim / m + (if (sp < dim % m) 1 else 0))
-        val offs = lens.scanLeft(0)(_ + _)
-        val k_ = math.min(codebookSize, resid.length)
-        val books = Array.tabulate(m) { sp =>
-          val sub = resid.map(p => java.util.Arrays.copyOfRange(p, offs(sp), offs(sp) + lens(sp)))
-          localKMeansPP(sub, k_, maxIter, seed + sp)
-        }
-        (coarse, books)
+        (coarse, trainSubCodebooks(resid, m, codebookSize, maxIter, seed))
       } finally sample.unpersist()
 
     val dim = coarse.head.length
@@ -525,8 +524,12 @@ object Similarity {
     val cellCol = nearestCells(col("v"), coarse, 1)(0)
     val residCol = zip_with(col("v").cast("array<double>"),
       element_at(coarseLit, col("cell") + 1), (x, c) => x - c)
+    // l2 assignment like Embeddings.pqEncode: residuals cluster near the
+    // origin, where cosine is mostly noise and zero-norm slices (a vector
+    // AT its centroid) would null out of the index entirely
     val codeCols = Array.tabulate(m) { sp =>
-      nearestCells(slice(col("__resid"), offs(sp) + 1, lens(sp)), pqBooks(sp), 1)(0)
+      nearestCells(slice(col("__resid"), offs(sp) + 1, lens(sp)), pqBooks(sp), 1,
+        metric = "l2")(0)
     }
     val encoded = corpusV
       .withColumn("cell", cellCol)
@@ -568,13 +571,18 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)))
 
     val effNprobe = math.min(nprobe, coarse.length)
-    val probed = queryState.select(col("query_id"), col("lut"), col("qcent"),
-        col("qnorm"), explode(nearestCells(col("qv"), coarse, effNprobe)).as("cell"))
+    // the probed relation stays (query_id, cell) — broadcasting the m×k
+    // lut and qcent arrays through the ×nprobe explode would ship nprobe
+    // copies of every query's tables; they join once per query instead
+    val probed = queryState.select(col("query_id"),
+      explode(nearestCells(col("qv"), coarse, effNprobe)).as("cell"))
 
     // ---- probe + ADC score only the candidates sharing a probed cell ----
     val dotSum = element_at(col("qcent"), col("cell") + 1) +
       adcLookupSum(col("codes"), col("lut"))
     val approx = encoded.join(broadcast(probed), Seq("cell"))
+      .join(broadcast(queryState.select(col("query_id"), col("lut"),
+        col("qcent"), col("qnorm"))), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cosine_sim",
         when(col("qnorm") > 0 && col("xnorm") > 0,

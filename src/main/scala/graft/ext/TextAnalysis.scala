@@ -228,14 +228,18 @@ object TextAnalysis {
     * (no UDF). Matching is exact-string up to 64-bit farm-fingerprint
     * collisions. Null text survives unchanged; a doc whose every segment
     * lost becomes the empty string. A segment repeated WITHIN one doc
-    * keeps only its first position. */
+    * keeps only its first position. EMPTY segments (trailing/consecutive
+    * delimiters) are never dedup candidates — they carry no content, and
+    * treating them as corpus-wide duplicates would strip delimiters from
+    * documents sharing nothing. */
   def dedupSegmentsKeepFirst(df: DataFrame, idCol: String, textCol: String,
                              delim: String): DataFrame = {
     require(delim.nonEmpty, "delim must be non-empty")
     val delimRegex = java.util.regex.Pattern.quote(delim)
     val exploded = df.select(col(idCol).as("__id"),
-      posexplode(transform(split(col(textCol), delimRegex), s => farmHash64(s)))
-        .as(Seq("__pos", "__h")))
+      posexplode(split(col(textCol), delimRegex)).as(Seq("__pos", "__seg")))
+      .filter(length(col("__seg")) > 0)
+      .select(col("__id"), col("__pos"), farmHash64(col("__seg")).as("__h"))
     val winners = exploded.groupBy("__h")
       .agg(min(struct(col("__id"), col("__pos"))).as("__w"),
         count(lit(1)).as("__n"))
@@ -312,16 +316,33 @@ object TextAnalysis {
     import benchmark.sparkSession.implicits._
     val grams = benchmark
       .select(explode(shingleHashes(col(benchTextCol), n)).as("__g")).distinct()
-    // cap check BEFORE materializing on the driver (count is one cheap
-    // reduce-side pass; the collect then reuses the distinct's shuffle
-    // output — both parallel, no single-partition limit funnel)
-    if (grams.count() > maxBenchGrams) return None
-    val set = graft.functions.LongHashSet(grams.as[Long].collect())
-    val bc = benchmark.sparkSession.sparkContext.broadcast(set)
-    val probe = udf { (text: String) =>
-      graft.functions.ShingleHashes.anyWindow(text, n, 0L)(bc.value.contains)
-    }
-    Some(probe(_))
+      // count + collect are separate actions that would otherwise each
+      // re-run the explode + distinct (actions do NOT share shuffle
+      // stages across jobs of different plans) — pin the tiny gram set
+      // for the pair and release it before returning
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // cap check BEFORE materializing on the driver (one cheap parallel
+      // reduce pass; no single-partition limit funnel)
+      if (grams.count() > maxBenchGrams) return None
+      val set = graft.functions.LongHashSet(grams.as[Long].collect())
+      val bc = benchmark.sparkSession.sparkContext.broadcast(set)
+      val probe = udf { (text: String) =>
+        // [[graft.GraftFunctions.shingleHashes]] NORMALIZES before
+        // hashing (regexp_replace(\s+ -> ' ') then lower); the probe
+        // must hash the same bytes or uppercase/multi-whitespace
+        // contamination silently misses. UTF8String.toLowerCase is
+        // exactly Spark's `lower`, and replaceAll here is the same
+        // java.util.regex engine as Spark's regexp_replace.
+        if (text == null) false
+        else {
+          val norm = org.apache.spark.unsafe.types.UTF8String
+            .fromString(text.replaceAll("\\s+", " ")).toLowerCase.toString
+          graft.functions.ShingleHashes.anyWindow(norm, n, 0L)(bc.value.contains)
+        }
+      }
+      Some(probe(_))
+    } finally grams.unpersist()
   }
 
   /** Stateless per-row contamination flag from a PRE-COLLECTED benchmark

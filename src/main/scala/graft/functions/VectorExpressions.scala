@@ -135,16 +135,25 @@ case class LshSignBits(child: Expression, planes: Seq[Seq[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** IVF coarse-quantizer assignment: the `nprobe` nearest centroid indices
-  * of a vector by cosine similarity, most-similar first —
-  * `array<numeric> -> array<int>`. One pass over the vector per centroid,
-  * centroids embedded driver-side (trained by k-means on a corpus sample),
-  * no closure capture. Corpus rows assign with nprobe=1; queries probe
-  * several inverted lists. Engine extension (ANN path of the
-  * training-data surface). Null/empty/zero-norm input -> null.
+/** IVF/PQ quantizer assignment: the `nprobe` nearest centroid indices of
+  * a vector, most-similar first — `array<numeric> -> array<int>`. One
+  * pass over the vector per centroid, centroids embedded driver-side
+  * (trained by k-means on a corpus sample), no closure capture. Corpus
+  * rows assign with nprobe=1; queries probe several inverted lists.
+  * Engine extension (ANN path of the training-data surface).
+  *
+  * `metric`: "cosine" (the IVF coarse-quantizer default — direction
+  * only; zero-norm input degrades to null because no direction exists)
+  * or "l2" (Euclidean argmin, matching the k-means objective the
+  * codebooks were trained under — the PQ assignment metric; zero-norm
+  * input is a legitimate point and gets its nearest centroid). Null /
+  * empty / non-finite / dim-mismatched input -> null under both.
   */
-case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int,
+                        metric: String = "cosine")
   extends UnaryExpression with CodegenFallback {
+
+  require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
 
   require(centroids.nonEmpty, "need at least one centroid")
   require(nprobe >= 1 && nprobe <= centroids.size,
@@ -161,13 +170,18 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: 
 
   @transient private lazy val et =
     child.dataType.asInstanceOf[ArrayType].elementType
-  // centroids pre-normalized once: cosine argmax becomes a plain dot argmax
+  // cosine: centroids pre-normalized once so the argmax is a plain dot.
+  // l2: raw centroids with cached |c|² — argmin |x-c|² = argmax
+  // (x·c - |c|²/2), the |x|² term being constant per row
   @transient private lazy val cents: Array[Array[Double]] =
-    centroids.map { c =>
+    if (metric == "l2") centroids.map(_.toArray).toArray
+    else centroids.map { c =>
       val a = c.toArray
       val n = math.sqrt(a.map(x => x * x).sum)
       if (n == 0.0) a else a.map(_ / n)
     }.toArray
+  @transient private lazy val halfNorm2: Array[Double] =
+    cents.map(c => c.map(x => x * x).sum / 2.0)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -190,7 +204,7 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: 
       x(i) = d; norm += d * d
       i += 1
     }
-    if (norm == 0.0) return null
+    if (norm == 0.0 && metric == "cosine") return null
     val sims = new Array[Double](cents.length)
     var c = 0
     while (c < cents.length) {
@@ -199,7 +213,7 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: 
       var dot = 0.0
       var j = 0
       while (j < m) { dot += x(j) * cent(j); j += 1 }
-      sims(c) = dot
+      sims(c) = if (metric == "l2") dot - halfNorm2(c) else dot
       c += 1
     }
     // partial selection of the top-nprobe cells (nprobe is small)

@@ -167,6 +167,24 @@ class TextAnalysisSpec extends SparkSpec {
       .select("contaminated").as[Boolean].collect() shouldBe Array(false)
   }
 
+  it should "catch contamination through case and whitespace differences on both paths" in {
+    // shingleHashes normalizes (lowercase, squeezed whitespace) before
+    // hashing; the broadcast probe must normalize identically or a doc
+    // quoting the benchmark with different case/spacing slips through
+    val bench = Seq((1L, "The Secret Benchmark Answer Sequence Here")).toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, "prefix the secret benchmark answer sequence here suffix"), // case-diff
+      (2L, "x THE  SECRET\tBENCHMARK ANSWER\nSEQUENCE HERE y"), // case+ws-diff
+      (3L, "totally unrelated clean document body words"))
+      .toDF("doc_id", "text")
+    for (cap <- Seq(4 << 20, 0)) { // broadcast probe AND join fallback
+      val flagged = TextAnalysis.flagContaminated(corpus, "doc_id", "text",
+          bench, "btext", n = 20, maxBenchGrams = cap)
+        .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+      flagged shouldBe Map(1L -> true, 2L -> true, 3L -> false)
+    }
+  }
+
   it should "report per-benchmark contamination counts, zero for clean rows" in {
     val bench = Seq((100L, "the secret benchmark answer sequence here"),
       (101L, "a completely unleaked benchmark item nothing shares"))
@@ -257,6 +275,16 @@ class TextAnalysisSpec extends SparkSpec {
     // column set and order of untouched docs preserved
     TextAnalysis.dedupSegmentsKeepFirst(docs, "doc_id", "text", ". ")
       .columns.toSeq shouldBe Seq("doc_id", "text")
+  }
+
+  it should "never treat empty segments as duplicates" in {
+    // trailing/consecutive delimiters on docs that share NO content:
+    // empty segments are not dedup candidates, so the texts pass through
+    val docs = Seq((1L, "alpha. "), (2L, "beta. "), (3L, "x. . y"))
+      .toDF("doc_id", "text")
+    TextAnalysis.dedupSegmentsKeepFirst(docs, "doc_id", "text", ". ")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq shouldBe Seq(
+      1L -> "alpha. ", 2L -> "beta. ", 3L -> "x. . y")
   }
 
   behavior of "corpusReport"
