@@ -247,6 +247,16 @@ object Dedup {
         col("__r._2").as("start_b"), col("__r._3").as("span_len"))
   }
 
+  /** Keep-first REMOVAL of [[withinDocRepeats]] output: cut each LATER
+    * occurrence (`start_b`, the greater offset) out of its own document,
+    * first occurrences kept — the intra-doc analog of
+    * [[stripDuplicatedSpans]], sharing its merge-and-cut kernel. */
+  def stripWithinDocRepeats(df: DataFrame, idCol: String, textCol: String,
+                            repeats: DataFrame): DataFrame =
+    stripDuplicatedSpans(df, idCol, textCol,
+      repeats.select(col(idCol).as("id_b"),
+        col("start_b"), col("span_len")))
+
   /** Keep-first REMOVAL of [[duplicatedSpans]] output: rewrite each doc
     * appearing as `id_b` (the greater id — the later copy) with its
     * duplicated ranges cut out, overlapping ranges merged first; docs

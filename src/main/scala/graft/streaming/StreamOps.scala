@@ -33,6 +33,26 @@ object StreamOps {
     stream.filter(hashDice(fields.map(col), algo, seed) < lit(fraction))
   }
 
+  /** Deterministic per-DOMAIN hash-dice mixture sampling, stateless —
+    * the streaming arm of the exact mixture
+    * (`ScoreFilter.keepTopFractionPerKey` with a fractions map): each
+    * domain keeps ~its fraction of rows (exact in expectation, not in
+    * count — the exact-quota form needs the full corpus), decided per
+    * row from the hash die over `fields`, so a record gets the same
+    * verdict on a stream or any batch table. Domains absent from the
+    * map use `defaultFraction`; 0.0 drops a domain. */
+  def mixtureSample(stream: DataFrame, domainCol: String, fields: Seq[String],
+                    fractions: Map[String, Double],
+                    defaultFraction: Double): DataFrame = {
+    (fractions.valuesIterator ++ Iterator.single(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
+    val frac =
+      if (fractions.isEmpty) lit(defaultFraction)
+      else coalesce(element_at(typedLit(fractions), col(domainCol)),
+        lit(defaultFraction))
+    stream.filter(hashDice(fields.map(col)) < frac)
+  }
+
   /** Exactly-once content dedup within a watermark horizon: fingerprint
     * the normalized payload, keep ONE arrival per fingerprint (across
     * micro-batches the earlier batch wins; within one micro-batch the

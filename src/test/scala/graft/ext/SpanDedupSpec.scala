@@ -131,6 +131,18 @@ class SpanDedupSpec extends SparkSpec {
         maxPairsPerDoc = 50).count()
   }
 
+  it should "strip later intra-doc occurrences through the removal form" in {
+    val span = "a long passage repeated within one single document to trigger the intra doc detector over threshold!"
+    val t1 = randWords(1, 30) + " " + span + " " + randWords(2, 30) + " " + span
+    val docs = Seq((1L, t1)).toDF("doc_id", "text")
+    val reps = Dedup.withinDocRepeats(docs, "doc_id", "text", minLen = 100, gram = 16)
+    val out = Dedup.stripWithinDocRepeats(docs, "doc_id", "text", reps)
+      .head().getString(1)
+    // first occurrence survives, the later copy is gone
+    out should include(span)
+    out.indexOf(span) shouldBe out.lastIndexOf(span)
+  }
+
   behavior of "stripDuplicatedSpans"
 
   it should "cut spans from the later doc only, keep-first" in {

@@ -187,6 +187,32 @@ class StreamOpsSpec extends SparkSpec {
     streamed(2L) shouldBe true
   }
 
+  behavior of "streaming mixture sampling"
+
+  it should "select the identical per-domain multiset as the batch filter" in {
+    import graft.GraftFunctions._
+    implicit val sc = spark.sqlContext
+    val rows = (1L to 400L).map(i => (i, if (i % 3 == 0) "code" else "web"))
+    val fracs = Map("code" -> 0.8)
+    val input = MemoryStream[(Long, String)]
+    val sampled = StreamOps.mixtureSample(
+      input.toDF().toDF("id", "domain"), "domain", Seq("id"), fracs, 0.25)
+    val q = sampled.writeStream.format("memory").queryName("s_mix").start()
+    input.addData(rows.take(200)); q.processAllAvailable()
+    input.addData(rows.drop(200)); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_mix").select("id").as[Long].collect().sorted
+    val batch = rows.toDF("id", "domain")
+      .filter(hashDice(Seq(col("id"))) <
+        when(col("domain") === "code", 0.8).otherwise(0.25))
+      .select("id").as[Long].collect().sorted
+    streamed shouldBe batch
+    // both domains were actually sampled at distinct rates
+    val got = spark.table("s_mix").groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    got("code").toDouble / rows.count(_._2 == "code") shouldBe 0.8 +- 0.15
+    got("web").toDouble / rows.count(_._2 == "web") shouldBe 0.25 +- 0.15
+  }
+
   behavior of "streaming incremental dedup"
 
   it should "flag every batch-dropped row and pass only definitely-new rows" in {
