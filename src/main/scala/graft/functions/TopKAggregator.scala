@@ -2,9 +2,10 @@ package graft.functions
 
 import scala.reflect.runtime.universe.TypeTag
 
-import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.{Encoder, Encoders, Row}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
 /** k-bounded top-k-by-score aggregation.
   *
@@ -61,5 +62,67 @@ object TopK {
 
     override def bufferEncoder: Encoder[List[(Double, I)]] = ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[Hit[I]]] = ExpressionEncoder()
+  }
+
+  /** Keeps the k smallest FULL rows per group under a lexicographic
+    * ascending ordering over the `ordIdx` field positions (nulls first,
+    * Spark's `asc` default). Schema-generic: input, buffer, and output all
+    * ride the untyped Row encoder, so any DataFrame can use it without a
+    * case class. Same scale shape as [[ByScore]]: ObjectHashAggregate with
+    * map-side partial buffers — every task carries at most k rows per group
+    * it sees, and the shuffle moves those O(k) buffers instead of the
+    * group's whole candidate set (the `row_number() over (partition by
+    * key)` funnel this replaces, reference SamplerSCollectionFunctions
+    * .scala:220,260's bounded per-key heap).
+    *
+    * Ordering fields must be atomic Comparable externals (numeric, string,
+    * decimal, date, timestamp) — exactly what an ORDER BY tuple is.
+    */
+  class SmallestRows(k: Int, schema: StructType, ordIdx: Seq[Int])
+    extends Aggregator[Row, Row, Row] {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    require(ordIdx.nonEmpty, "SmallestRows needs at least one ordering field")
+
+    private val ord = ordIdx.toArray
+
+    // strict "a orders before b" on the ordering tuple
+    private def before(a: Row, b: Row): Boolean = {
+      var i = 0
+      while (i < ord.length) {
+        val x = a.get(ord(i))
+        val y = b.get(ord(i))
+        if (x == null || y == null) {
+          if ((x == null) != (y == null)) return x == null
+        } else {
+          val c = x.asInstanceOf[Comparable[Any]].compareTo(y)
+          if (c != 0) return c < 0
+        }
+        i += 1
+      }
+      false
+    }
+
+    private def rows(b: Row): List[Row] = b.getSeq[Row](0).toList
+
+    override def zero: Row = Row(Nil)
+
+    override def reduce(b: Row, a: Row): Row = {
+      val buf = rows(b)
+      if (buf.lengthCompare(k) >= 0 && !before(a, buf.last)) b
+      else {
+        val (hi, lo) = buf.span(before(_, a))
+        Row((hi ::: a :: lo).take(k))
+      }
+    }
+
+    override def merge(a: Row, b: Row): Row =
+      Row((rows(a) ::: rows(b)).sortWith(before).take(k))
+
+    override def finish(b: Row): Row = b
+
+    private val bufSchema =
+      StructType(Seq(StructField("rows", ArrayType(schema))))
+    override def bufferEncoder: Encoder[Row] = Encoders.row(bufSchema)
+    override def outputEncoder: Encoder[Row] = Encoders.row(bufSchema)
   }
 }

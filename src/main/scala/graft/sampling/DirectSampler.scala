@@ -37,15 +37,23 @@ object DirectSampler {
   }
 
   /** Per-key top-k (reference topByKey, SamplerSCollectionFunctions
-    * .scala:220, 260): keeps the k smallest rows per key under `orderBy` —
-    * window rank instead of the reference's bounded heap (sort spills
-    * instead of a RAM-sized cap; same result). */
+    * .scala:220, 260): keeps the k smallest rows per key under `orderBy`,
+    * via the shared k-bounded [[graft.functions.TopK.SmallestRows]]
+    * aggregator — the reference's bounded per-key heap, run as a partial
+    * hash aggregate. A `row_number()` window here would sort each key's
+    * ENTIRE slice in one task (for a low-cardinality key that is the whole
+    * table through a handful of tasks); the aggregator instead carries at
+    * most k rows per key per task and shuffles only those O(k) buffers. */
   def topByKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[String],
                k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy.map(col): _*)
-    df.withColumn("__rank", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("__rank") <= k)
-      .drop("__rank")
+    val schema = df.schema
+    val ordIdx = orderBy.map(schema.fieldIndex)
+    val topk = udaf(new graft.functions.TopK.SmallestRows(k, schema, ordIdx),
+      org.apache.spark.sql.Encoders.row(schema))
+    // a Row-encoded udaf takes one argument per schema field
+    df.groupBy(keyCols.map(col): _*)
+      .agg(topk(df.columns.toIndexedSeq.map(col): _*).as("__topk"))
+      .select(explode(col("__topk.rows")).as("__row"))
+      .select(col("__row.*"))
   }
 }

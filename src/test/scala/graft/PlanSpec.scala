@@ -113,6 +113,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  "topByKey" should "plan a k-bounded aggregate, never a per-key window" in {
+    val df = sampling.DirectSampler.topByKey(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+      Seq("l_returnflag"), Seq("l_quantity", "l_orderkey", "l_linenumber"), 3)
+    val p = plan(df)
+    // a Window partitioned by a low-cardinality key sorts each key's whole
+    // slice in ONE task — at 100 TB that is the straggler/OOM; the bounded
+    // aggregator shuffles only O(k) buffers per key
+    p should not include "Window"
+    p should include("Aggregate")
+  }
+
   "decontamination" should "probe the corpus in one scan with no join or exchange" in {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bench = docs.filter(col("doc_id") % 97 === 0)
