@@ -101,15 +101,38 @@ object BigDiffy {
 
   /** @param enforceUniqueKeys reference semantics: more than one record per
     *        key per side fails the job (BigDiffy.scala:240-242). The check
-    *        is two key-only aggregations — column-pruned scans, cheap next
-    *        to the diff join itself. Opt out for pre-validated inputs. */
+    *        rides INSIDE the join pass: each side pre-aggregates by key
+    *        (keeping the row plus a per-key count) under the same hash
+    *        partitioning the join needs — no extra exchange, no extra
+    *        job — and a `raise_error` guard fails the first action that
+    *        touches a duplicated key. Opt out for pre-validated inputs. */
   def diff(lhs: DataFrame, rhs: DataFrame, keys: Seq[String],
            opts: DiffOptions = DiffOptions(),
            enforceUniqueKeys: Boolean = true): DiffResult = {
-    if (enforceUniqueKeys) assertUniqueKeysBoth(lhs, rhs, keys)
-    val l = SchemaPaths.keyBy(lhs, keys, "__l")
-    val r = SchemaPaths.keyBy(rhs, keys, "__r")
+    val l0 = SchemaPaths.keyBy(lhs, keys, "__l")
+    val r0 = SchemaPaths.keyBy(rhs, keys, "__r")
+    // the dup-key guard costs nothing extra at scale: the per-side
+    // aggregate shuffles on __key exactly like the raw join would, the
+    // join then reuses that partitioning (PlanSpec: still 2 exchanges),
+    // and with unique keys first() just passes the single row through
+    val (l, r) =
+      if (enforceUniqueKeys)
+        (l0.groupBy("__key").agg(first("__l").as("__l"),
+           count(lit(1)).as("__lcnt")),
+         r0.groupBy("__key").agg(first("__r").as("__r"),
+           count(lit(1)).as("__rcnt")))
+      else (l0, r0)
     val joined = l.join(r, Seq("__key"), "full_outer")
+
+    def dupMsg(side: String, cnt: Column): Column =
+      concat(lit(s"$side: key '"), col("__key"), lit("' appears "),
+        cnt.cast(StringType), lit(" times; keys must be unique per side " +
+          "(reference BigDiffy.scala:240-242)"))
+    val guard: Column => Column =
+      if (!enforceUniqueKeys) identity
+      else c => when(col("__lcnt") > 1, raise_error(dupMsg("lhs", col("__lcnt"))))
+        .when(col("__rcnt") > 1, raise_error(dupMsg("rhs", col("__rcnt"))))
+        .otherwise(c)
 
     val keyPathSet = keys.toSet
     val lLeaves = SchemaPaths.leafPaths(lhs.schema).toMap
@@ -180,34 +203,14 @@ object BigDiffy {
       .withColumn("__deltas", deltasArr)
       .select(
         col("__key").as("key"),
-        when(col("__l").isNull, MissingLhs)
+        guard(when(col("__l").isNull, MissingLhs)
           .when(col("__r").isNull, MissingRhs)
           .when(size(col("__deltas")) > 0, "DIFFERENT")
-          .otherwise("SAME").as("diff_type"),
+          .otherwise("SAME")).as("diff_type"),
         col("__deltas"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     new DiffResult(keyed)
-  }
-
-  /** Both-side uniqueness enforcement in ONE Spark job: the two key-only
-    * projections union with a side tag and share a single groupBy, halving
-    * the per-diff() enforcement overhead vs. two sequential aggregates
-    * while keeping the eager failure and side attribution of
-    * [[assertUniqueKeys]]. */
-  private def assertUniqueKeysBoth(lhs: DataFrame, rhs: DataFrame,
-                                   keys: Seq[String]): Unit = {
-    val lk = lhs.select(SchemaPaths.multiKey(lhs.schema, keys).as("__key"),
-      lit("lhs").as("__side"))
-    val rk = rhs.select(SchemaPaths.multiKey(rhs.schema, keys).as("__key"),
-      lit("rhs").as("__side"))
-    val dup = lk.unionByName(rk).groupBy("__side", "__key")
-      .count().filter(col("count") > 1).limit(1).collect()
-    if (dup.nonEmpty)
-      throw new IllegalArgumentException(
-        s"${dup.head.getString(0)}: key '${dup.head.getString(1)}' appears " +
-          s"${dup.head.getLong(2)} times; keys must be unique per side " +
-          "(reference BigDiffy.scala:240-242)")
   }
 
   /** Reference semantics: keys must be unique per side — more than one

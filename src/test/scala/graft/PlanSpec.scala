@@ -77,6 +77,18 @@ class PlanSpec extends SparkSpec {
     } finally r.unpersist()
   }
 
+  it should "fold the dup-key guard into the same two exchanges" in {
+    // uniqueness enforcement must NOT add a job or an exchange: each side's
+    // count-per-key aggregate shares the join's hash partitioning
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val r = diffy.BigDiffy.diff(
+      o.filter(col("o_orderkey") % 3 =!= 0),
+      o.filter(col("o_orderkey") % 5 =!= 0), Seq("o_orderkey"))
+    try {
+      "Exchange hashpartitioning".r.findAllIn(plan(r.keyStats)).size shouldBe 2
+    } finally r.unpersist()
+  }
+
   "the near-dup banded relation" should "be pinned so the signature pass runs once" in {
     // pins are eager localCheckpoints (GC-reclaimed, no CacheManager leak):
     // the signature pass shows up as a checkpointed-RDD scan, and the

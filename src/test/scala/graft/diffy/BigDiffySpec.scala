@@ -61,8 +61,12 @@ class BigDiffySpec extends SparkSpec {
   it should "fail on duplicate keys by default and allow opt-out" in {
     val dup = Seq((1L, 1.0), (1L, 2.0)).toDF("k", "v")
     val ok = Seq((1L, 1.0)).toDF("k", "v")
-    an[IllegalArgumentException] should be thrownBy
-      BigDiffy.diff(dup, ok, Seq("k"))
+    // the guard rides inside the join pass (no extra job), so the failure
+    // surfaces at the first action that touches the duplicated key
+    val e = the[Exception] thrownBy
+      BigDiffy.diff(dup, ok, Seq("k")).globalStats.head()
+    e.getMessage should include("keys must be unique per side")
+    e.getMessage should include("lhs: key '1' appears 2 times")
     noException should be thrownBy
       BigDiffy.diff(dup, ok, Seq("k"), enforceUniqueKeys = false).globalStats.head()
   }
