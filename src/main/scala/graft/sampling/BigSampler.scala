@@ -122,8 +122,12 @@ object BigSampler {
     * assumption), which pins down, per stratum, the bucket containing the
     * target-th smallest coin. Everything strictly below that bucket passes
     * with a narrow filter; ONLY the boundary bucket (~n_k/buckets rows) is
-    * rank-sorted. At 100 TB nothing ever funnels a full stratum — let alone
-    * the full dataset — through one task.
+    * rank-sorted — and when even that exceeds [[BoundaryWindowMax]] rows,
+    * the next coin digit histograms the boundary `buckets`x finer
+    * (recursively, up to 4 levels ≈ 10^12 rows per stratum), so the final
+    * window never sorts more than ~windowMax rows per stratum. At 100 TB
+    * nothing ever funnels a full stratum — let alone the full dataset —
+    * through one task.
     *
     * The coin column is evaluated in more than one branch of the plan, so it
     * must reproduce: hash coins are deterministic by definition; `rand(seed)`
@@ -185,14 +189,15 @@ object BigSampler {
     * high-cardinality strata key would cause into a clear error. */
   private val MaxDriverGroups = 4000000
 
-  private def exactRank(df: DataFrame, det: Determinism, key: Column,
+  /** Largest boundary set the final rank window may sort in one task per
+    * stratum before another histogram-refinement level kicks in. */
+  private[sampling] val BoundaryWindowMax = 1L << 20
+
+  private[sampling] def exactRank(df: DataFrame, det: Determinism, key: Column,
                         targetOf: Map[String, Long] => Map[String, Long],
-                        buckets: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
+                        buckets: Int = 1024,
+                        windowMax: Long = BoundaryWindowMax): DataFrame = {
     val coined0 = df.withColumn("__stratum", key).withColumn("__coin", coin(det))
-      .withColumn("__bkt",
-        least(floor(col("__coin") * buckets), lit(buckets - 1)).cast("int"))
     // rand() coins must be IDENTICAL across the counting job and the two
     // selection branches. Hash coins are pure functions of the row and
     // always replay (the recommended arm at scale); rand coins replay on
@@ -204,10 +209,42 @@ object BigSampler {
         coined0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case _ => coined0
     }
+    selectSmallest(coined, None, targetOf, buckets, windowMax, digit = 0)
+      .drop("__stratum", "__coin")
+  }
+
+  /** Coin digit `d` in base `buckets`: the histogram key of refinement
+    * level d. The coin is uniform in [0,1), so each digit uniformly
+    * sub-divides the previous level's boundary bucket. Digits beyond 4
+    * (1024^5 = 2^50) would exhaust double precision — the recursion depth
+    * guard below stops refining before that. */
+  private def coinDigit(buckets: Int, d: Int): Column = {
+    val scale = math.pow(buckets.toDouble, (d + 1).toDouble)
+    least(floor(col("__coin") * scale) % buckets, lit(buckets - 1)).cast("int")
+  }
+
+  /** Keep, per stratum, the `target` rows with the smallest coins — by
+    * histogram cut, recursing into the boundary bucket while it is too
+    * large to rank in one task (reference exact semantics, scale-safe
+    * shape: NO per-stratum global sort, and the final window never sees
+    * more than `windowMax` rows per stratum regardless of data size —
+    * each level divides the boundary by `buckets`).
+    *
+    * @param targets per-stratum remaining target; None at level 0 (derived
+    *        from the level-0 histogram via `targetOf` — one pass computes
+    *        counts and the cut together) */
+  private def selectSmallest(coined: DataFrame,
+                             targets: Option[Map[String, Long]],
+                             targetOf: Map[String, Long] => Map[String, Long],
+                             buckets: Int, windowMax: Long,
+                             digit: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = coined.sparkSession
+    val withBkt = coined.withColumn("__bkt", coinDigit(buckets, digit))
 
     // limit(cap + 1) bounds what can ever reach the driver; the agg still
     // runs fully distributed either way
-    val collected = coined.groupBy("__stratum", "__bkt").count()
+    val collected = withBkt.groupBy("__stratum", "__bkt").count()
       .limit(MaxDriverGroups + 1).collect()
     if (collected.length > MaxDriverGroups)
       throw new IllegalStateException(
@@ -220,31 +257,51 @@ object BigSampler {
         .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
         .groupBy(_._1).view
         .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
-    val targets = targetOf(bucketCounts.view.mapValues(_.map(_._2).sum).toMap)
+    val tgt = targets.getOrElse(
+      targetOf(bucketCounts.view.mapValues(_.map(_._2).sum).toMap))
 
-    // per stratum: cutoff bucket + how many of its rows still fit
+    // per stratum: cutoff bucket + how many of its rows still fit + the
+    // boundary bucket's own size (drives the refine-vs-window decision)
     val cuts = bucketCounts.toSeq.map { case (s, bks) =>
-      val t = targets(s)
-      var cum = 0L; var cutBkt = buckets; var rem = 0L
+      val t = tgt.getOrElse(s, 0L)
+      var cum = 0L; var cutBkt = buckets; var rem = 0L; var bSize = 0L
       val it = bks.iterator
       while (it.hasNext && cutBkt == buckets) {
         val (b, n) = it.next()
-        if (cum + n >= t) { cutBkt = b; rem = t - cum } else cum += n
+        if (cum + n >= t) { cutBkt = b; rem = t - cum; bSize = n } else cum += n
       }
-      (s, cutBkt, rem)
+      (s, cutBkt, rem, bSize)
     }
     import spark.implicits._
-    val cut = broadcast(cuts.toDF("__stratum", "__cutbkt", "__rem"))
+    val cut = broadcast(cuts.map { case (s, b, r, _) => (s, b, r) }
+      .toDF("__stratum", "__cutbkt", "__rem"))
 
-    val j = coined.join(cut, "__stratum")
+    val j = withBkt.join(cut, "__stratum")
     val pass = j.filter(col("__bkt") < col("__cutbkt"))
-    val w = Window.partitionBy("__stratum").orderBy("__coin")
-    val boundary = j.filter(col("__bkt") === col("__cutbkt"))
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= col("__rem"))
-      .drop("__rank")
-    pass.unionByName(boundary)
-      .drop("__stratum", "__coin", "__bkt", "__cutbkt", "__rem")
+      .drop("__bkt", "__cutbkt", "__rem")
+    // strata whose boundary contributes nothing are filtered before the
+    // boundary branch ever shuffles them
+    val boundary = j.filter(col("__bkt") === col("__cutbkt") && col("__rem") > 0)
+      .drop("__bkt", "__cutbkt")
+
+    val maxBoundary = cuts.iterator.map(c => if (c._3 > 0) c._4 else 0L)
+      .foldLeft(0L)(math.max)
+    val selected =
+      if (maxBoundary > windowMax && digit < 4) {
+        // boundary too big for one task's sort: recurse — the next coin
+        // digit histograms the boundary 1024x finer; only rows of the
+        // boundary bucket (1/buckets of this level) are re-scanned
+        val subTargets = cuts.map { case (s, _, r, _) => s -> r }.toMap
+        selectSmallest(boundary.drop("__rem"), Some(subTargets), targetOf,
+          buckets, windowMax, digit + 1)
+      } else {
+        val w = Window.partitionBy("__stratum").orderBy("__coin")
+        boundary
+          .withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") <= col("__rem"))
+          .drop("__rank", "__rem")
+      }
+    pass.unionByName(selected)
   }
 
   /** Achieved-vs-target diagnostics per stratum (reference's distribution

@@ -114,6 +114,25 @@ class BigSamplerSpec extends SparkSpec {
       dynamicAllocation = false) shouldBe true
   }
 
+  it should "refine the boundary bucket recursively instead of window-sorting it" in {
+    // force refinement: tiny windowMax makes every boundary bucket "too
+    // big", so selection must recurse through coin digits — and the result
+    // must be IDENTICAL (same deterministic coins, same exact cut) to the
+    // single-level window path
+    def run(windowMax: Long) = BigSampler.exactRank(
+      data, Hashed(Seq("id")),
+      coalesce(col("g").cast("string"), lit("null")),
+      (counts: Map[String, Long]) =>
+        counts.map { case (s, n) => s -> math.ceil(n * 0.1).toLong },
+      buckets = 8, windowMax = windowMax)
+    val refined = run(windowMax = 2)
+    val windowed = run(windowMax = Long.MaxValue)
+    val refinedIds = refined.select("id").as[Long].collect().sorted
+    refinedIds shouldBe windowed.select("id").as[Long].collect().sorted
+    refined.groupBy("g").count().as[(String, Long)].collect().toMap shouldBe
+      Map("A" -> 1500L, "B" -> 750L, "C" -> 250L)
+  }
+
   it should "reject fractions outside (0, 1]" in {
     an[IllegalArgumentException] should be thrownBy sample(data, 0.0)
     an[IllegalArgumentException] should be thrownBy sample(data, 1.2)
