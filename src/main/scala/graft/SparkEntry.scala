@@ -31,16 +31,11 @@ object SparkEntry {
   /** `events` with its NANOS parquet timestamp read as long nanos and
     * truncated to integer micros (`ts_us`) — the temporal gates compare
     * timestamps as integers on both engines (DuckDB: `epoch_us(ts)`).
-    *
-    * NOTE the conf.set is deliberately SESSION-WIDE and persists past
-    * this builder: without it any read of a NANOS parquet column throws,
-    * and with it only NANOS columns change meaning (they read as long —
-    * no other table in the suite has one), so the earliest events-reading
-    * query enabling it for the rest of the session is safe by design. */
-  private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
-  }
+    * The footer-driven explicit schema keeps the NANOS handling scoped to
+    * THIS read — no session-wide legacy-conf mutation. */
+  private def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.GraftIO.readParquetNanosAsLong(spark, s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
 
   /** Deterministic perturbation of `orders` used by the diffy queries:
     * lhs drops keys %89==0, rhs drops keys %97==0, bumps o_totalprice by
@@ -490,9 +485,8 @@ object SparkEntry {
     // batch shape of the streaming windowedQuality pass) ----
     "events_window_agg" -> ((s, d) => {
       // events.ts is a NANOS parquet timestamp, which Spark rejects by
-      // default; read it as long nanos and convert explicitly
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, d, "events")
+      // default; the scoped reader surfaces it as long nanos
+      graft.sources.GraftIO.readParquetNanosAsLong(s, s"$d/events.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))

@@ -144,7 +144,7 @@ object ScoreFilter {
   /** Per-key FRACTIONS — the mixture-weights form of
     * [[keepTopFractionPerKey]] (resample each domain at its own rate:
     * DoReMi-style target mixtures, language rebalancing): `fractions`
-    * maps the stringified key (multi-column keys join with " ", nulls
+    * maps the stringified key (multi-column keys join with "\u0000", nulls
     * render "null") to its keep fraction; absent keys use
     * `defaultFraction`, and a fraction of 0.0 drops the domain
     * entirely. With a deterministic hash as `scoreCol` this is an exact
@@ -160,7 +160,7 @@ object ScoreFilter {
     (fractions.valuesIterator ++ Iterator.single(defaultFraction)).foreach(f =>
       require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
     val s = col(scoreCol).cast("double")
-    val key = concat_ws(" ",
+    val key = concat_ws("\u0000",
       keyCols.map(k => coalesce(col(k).cast("string"), lit("null"))): _*)
     val scored = df.filter(s.isNotNull && !isnan(s))
     val hist = scored.groupBy(key.as("__key"), descBucket(s).as("__bkt"))
@@ -200,7 +200,7 @@ object ScoreFilter {
   /** Per-key [[keepTopByBudget]] — the DOMAIN-MIXING form: each key (a
     * domain, language, source…) gets its own token budget, and within
     * each key the best-scored prefix fills it. `budgets` maps the
-    * stringified key (multi-column keys join with " ", nulls render
+    * stringified key (multi-column keys join with "\u0000", nulls render
     * "null") to its budget; keys absent from the map keep `defaultBudget`
     * (0 drops them).
     *
@@ -211,11 +211,10 @@ object ScoreFilter {
     * every domain's cut resolves in the same two jobs regardless of how
     * many domains there are.
     *
-    * Multi-column keys join with a single space, so `("a b", "c")` and
-    * `("a", "b c")` alias — the same stringified-key trap BigSampler's
-    * strata key and the reference's MultiKey carry (documented there);
-    * avoid embedded spaces in key values or pre-concatenate with a safer
-    * separator. */
+    * Multi-column keys join with NUL (`"\u0000"` — near-impossible in
+    * real key values, unlike the `_` BigSampler's strata key and the
+    * reference's MultiKey use); a key value that does embed NUL can still
+    * alias, so pre-concatenate such keys yourself. */
   def keepTopByBudgetPerKey(df: DataFrame, keyCols: Seq[String],
                             scoreCol: String, weightCol: String,
                             budgets: Map[String, Long],
@@ -226,7 +225,7 @@ object ScoreFilter {
       "budgets must be >= 0")
     val s = col(scoreCol).cast("double")
     val wt = col(weightCol).cast("long")
-    val key = concat_ws(" ",
+    val key = concat_ws("\u0000",
       keyCols.map(k => coalesce(col(k).cast("string"), lit("null"))): _*)
     val scored = df.filter(s.isNotNull && !isnan(s) && wt.isNotNull && wt >= 0)
     val hist = scored.groupBy(key.as("__key"), descBucket(s).as("__bkt"))

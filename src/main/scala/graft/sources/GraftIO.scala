@@ -52,6 +52,41 @@ object GraftIO {
   def parquetSchema(spark: SparkSession, path: String): StructType =
     spark.read.parquet(path).schema
 
+  /** Read a parquet source whose schema contains TIMESTAMP(NANOS) columns,
+    * surfacing them as raw LONG nanos — WITHOUT mutating the session.
+    *
+    * Spark rejects NANOS timestamps unless the session-wide legacy conf
+    * `spark.sql.legacy.parquet.nanosAsLong` is on — but that conf changes
+    * the meaning of every subsequent NANOS read in the session, which a
+    * library function must not do. Instead the first data file's footer is
+    * read directly and converted under a PRIVATE SQLConf with the flag set;
+    * the resulting StructType is passed as an explicit read schema, which
+    * bypasses the session-conf check entirely (both vectorized and row
+    * readers accept INT64-NANOS columns against a LongType request). */
+  def readParquetNanosAsLong(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val file =
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).iterator
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath).toSeq.sortBy(_.getName).headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"readParquetNanosAsLong: no data files under $path"))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hadoopConf))
+    val message = try reader.getFileMetaData.getSchema finally reader.close()
+    val conf = new org.apache.spark.sql.internal.SQLConf
+    conf.setConfString("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(conf).convert(message)
+    spark.read.schema(schema).parquet(path)
+  }
+
   /** Bucketed parquet table: rows are hash-clustered into `buckets` files
     * per partition on `bucketCols` and registered in the session catalog.
     * Joins/aggregations on the bucket columns then plan WITHOUT an

@@ -123,6 +123,10 @@ class PlanSpec extends SparkSpec {
       // the k-bounded TopK.ByScore aggregation (partial map-side buffers)
       p should include("Aggregate")
     }
+    // the oracle path's query side must ride a broadcast (its contract is
+    // small-queries x full-corpus scan; a shuffled nested loop would move
+    // the corpus instead)
+    plan(bf) should include("BroadcastNestedLoopJoin")
   }
 
   "topByKey" should "plan a k-bounded aggregate, never a per-key window" in {

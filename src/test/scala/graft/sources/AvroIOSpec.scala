@@ -75,6 +75,19 @@ class AvroIOSpec extends SparkSpec {
       df.schema.fields.map(f => (f.name, f.dataType))
   }
 
+  it should "read NANOS parquet as long without touching the session conf" in {
+    val events = "/root/testdata/sf0.001/events.parquet"
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val df = GraftIO.readParquetNanosAsLong(spark, events)
+    df.schema("ts").dataType shouldBe org.apache.spark.sql.types.LongType
+    df.agg(org.apache.spark.sql.functions.max("ts")).first().getLong(0) should be > 0L
+    // the legacy conf must still be off: a default read still rejects NANOS
+    spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .getOrElse("false") shouldBe "false"
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      spark.read.parquet(events).schema
+  }
+
   it should "round-trip decimals via the Avro decimal logical type" in {
     val dir = Files.createTempDirectory("avro_dec").toString + "/out"
     val df = Seq("12345.67", "-0.01", "0.00")

@@ -93,9 +93,10 @@ class StreamOpsSpec extends SparkSpec {
   it should "close the same sessions the batch sessionize finds on real events" in {
     import graft.ext.Temporal
     implicit val sc = spark.sqlContext
-    // real event rows (ns timestamps -> micros -> Timestamp), 3 users
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // real event rows (ns timestamps -> micros -> Timestamp), 3 users;
+    // the scoped reader keeps the session conf untouched
+    val rows = graft.sources.GraftIO
+      .readParquetNanosAsLong(spark, "/root/testdata/sf0.001/events.parquet")
       .filter(col("user_id") < 3)
       .select(col("user_id"),
         expr("timestamp_micros(ts div 1000)").cast("timestamp").as("ts"))
