@@ -160,16 +160,31 @@ object SparkEntry {
       sl.join(so, sl("l_orderkey") === so("o_orderkey"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
     }),
-    // deterministic hash-dice sample itself: not SQL-reproducible (no farm
-    // hash in DuckDB) — registered for the rows-only check
-    "sample_hash_dice" -> ((s, d) =>
-      BigSampler.sample(t(s, d, "lineitem"), 0.1,
+    // deterministic hash-dice sample: the row set is not SQL-reproducible
+    // (no farm hash in DuckDB), so the gate asserts the HASH coin's
+    // achieved fraction in-query (its Random twin is sample_bernoulli_tol;
+    // determinism is sample_hash_dice_determinism's angle) — the verdict
+    // row gets an exact constant oracle
+    "sample_hash_dice" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      BigSampler.sample(li, 0.1,
           BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
-        .select("l_orderkey", "l_linenumber")
-        .orderBy("l_orderkey", "l_linenumber")),
-    "sample_bernoulli" -> ((s, d) =>
-      BigSampler.sample(t(s, d, "lineitem"), 0.1)
-        .select("l_orderkey", "l_linenumber")),
+        .agg(count(lit(1)).as("n_samp"))
+        .crossJoin(li.agg(count(lit(1)).as("n_total")))
+        .select((abs(col("n_samp") / col("n_total") - 0.1) <= 0.015)
+          .as("within_tol"))
+    }),
+    // Bernoulli sample: asserts the rand(seed) REPLAY contract in-query —
+    // two independent evaluations over the same stable parquet scan must
+    // select the identical multiset (the property the Random exact arm's
+    // no-pin design rests on; tolerance is sample_bernoulli_tol's angle)
+    "sample_bernoulli" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def run() = BigSampler.sample(li, 0.1).select("l_orderkey", "l_linenumber")
+      run().exceptAll(run()).agg(count(lit(1)).as("n_ab"))
+        .crossJoin(run().exceptAll(run()).agg(count(lit(1)).as("n_ba")))
+        .select((col("n_ab") + col("n_ba") === 0).as("replay_stable"))
+    }),
     // oracle-gated Bernoulli tolerance: achieved fraction within ±0.015 of
     // the target (measured 0.107/0.0995/0.0996 across sfs with seed 42 —
     // deterministic, and far tighter than the reference's CI tolerances)
@@ -306,9 +321,19 @@ object SparkEntry {
         .filter(col("id_b") === col("id_a") + off)
         .agg(count(lit(1)).as("n_found"))
     }),
+    // simhash pair list: the pair set is not SQL-reproducible (no simhash
+    // in DuckDB), so the gate asserts the operator's structural contract
+    // in-query — ordered distinct pairs within the Hamming radius, and a
+    // non-empty result on a corpus full of near-copies (exact recall is
+    // simhash_recall's angle)
     "simhash_pairs" -> ((s, d) =>
       Dedup.simhashNearDups(nearDupCorpus(s, d)._1, "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b")),
+        .agg(
+          every(col("id_a") < col("id_b")).as("ordered_pairs"),
+          every(col("hamming").between(0, 3)).as("hamming_bounded"),
+          (count(lit(1)) === countDistinct(col("id_a"), col("id_b")))
+            .as("pairs_distinct"),
+          (count(lit(1)) > 0).as("has_pairs"))),
     // oracle-gated simhash recall: identical texts have identical
     // fingerprints (Hamming 0), so every exact-copy pair (i, i+off)
     // MUST be recovered — the count equals the document count exactly
@@ -359,12 +384,26 @@ object SparkEntry {
           round(col("cosine_sim"), 5).as("sim_r"))
         .orderBy("query_id", "rank")
     }),
+    // LSH top-k: the hit list is not SQL-reproducible (seeded hyperplane
+    // hashes), so the gate asserts the search contract in-query — per
+    // query at most k hits with contiguous 1..n ranks, cosine sims in
+    // [-1,1], every query answered (quality is lsh_topk_recall's angle)
     "lsh_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val dim = emb.select(size(col("embedding"))).first().getInt(0)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, dim = dim, bits = 4, tables = 16)
-        .orderBy("query_id", "rank")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"), min("rank").as("minr"), max("rank").as("maxr"),
+          countDistinct("rank").as("ndr"),
+          min("cosine_sim").as("mins"), max("cosine_sim").as("maxs"))
+        .agg(
+          every(col("n") <= 5 && col("minr") === 1 &&
+            col("maxr") === col("n") && col("ndr") === col("n"))
+            .as("ranks_contiguous"),
+          every(col("mins") >= -1.000001 && col("maxs") <= 1.000001)
+            .as("sims_in_range"),
+          (count(lit(1)) === 10).as("all_queries_answered"))
     }),
     // oracle-gated ANN quality: LSH top-k must recover ≥70% of the exact
     // brute-force top-k (measured 78–98% across sf0.001/0.01/0.1 with
@@ -1013,6 +1052,14 @@ object SparkEntry {
       "ivfpq_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "sample_bernoulli_tol" -> "SELECT true AS within_tol",
       "sample_hash_dice_determinism" -> "SELECT true AS deterministic",
+      "sample_hash_dice" -> "SELECT true AS within_tol",
+      "sample_bernoulli" -> "SELECT true AS replay_stable",
+      "simhash_pairs" ->
+        """SELECT true AS ordered_pairs, true AS hamming_bounded,
+          |  true AS pairs_distinct, true AS has_pairs""".stripMargin,
+      "lsh_topk" ->
+        """SELECT true AS ranks_contiguous, true AS sims_in_range,
+          |  true AS all_queries_answered""".stripMargin,
       "embedding_dedup" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings",
       "text_common_ngrams" ->
         """WITH g AS (SELECT doc_id, list_distinct(list_transform(
