@@ -41,7 +41,7 @@ object SparkEntry {
     * lhs drops keys %89==0, rhs drops keys %97==0, bumps o_totalprice by
     * 1.0 on keys %10==0 and appends "X" to o_orderpriority on keys %50==0
     * — reproducible in ANSI SQL for the oracle. */
-  private def diffInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def diffInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val o = t(spark, dir, "orders")
     val lhs = o.filter(col("o_orderkey") % 89 =!= 0)
     val rhs = o.filter(col("o_orderkey") % 97 =!= 0)
@@ -181,8 +181,9 @@ object SparkEntry {
     "sample_bernoulli" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       def run() = BigSampler.sample(li, 0.1).select("l_orderkey", "l_linenumber")
-      run().exceptAll(run()).agg(count(lit(1)).as("n_ab"))
-        .crossJoin(run().exceptAll(run()).agg(count(lit(1)).as("n_ba")))
+      val a = run(); val b = run()
+      a.exceptAll(b).agg(count(lit(1)).as("n_ab"))
+        .crossJoin(b.exceptAll(a).agg(count(lit(1)).as("n_ba")))
         .select((col("n_ab") + col("n_ba") === 0).as("replay_stable"))
     }),
     // oracle-gated Bernoulli tolerance: achieved fraction within ±0.015 of

@@ -5,7 +5,7 @@ import scala.reflect.runtime.universe.TypeTag
 import org.apache.spark.sql.{Encoder, Encoders, Row}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, NullType, StructField, StructType}
 
 /** k-bounded top-k-by-score aggregation.
   *
@@ -82,6 +82,19 @@ object TopK {
     extends Aggregator[Row, Row, Row] {
     require(k >= 1, s"top-k needs k >= 1, got $k")
     require(ordIdx.nonEmpty, "SmallestRows needs at least one ordering field")
+    ordIdx.foreach { i =>
+      val f = schema(i)
+      // BinaryType is scalar but its external Array[Byte] is not Comparable
+      val comparable = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | NullType |
+             BinaryType => false
+        case _ => true
+      }
+      require(comparable,
+        s"SmallestRows: ordering field '${f.name}' of type " +
+          s"${f.dataType.catalogString} is not comparable; order by scalar " +
+          "non-binary columns")
+    }
 
     private val ord = ordIdx.toArray
 

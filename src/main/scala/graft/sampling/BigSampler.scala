@@ -197,6 +197,8 @@ object BigSampler {
                         targetOf: Map[String, Long] => Map[String, Long],
                         buckets: Int = 1024,
                         windowMax: Long = BoundaryWindowMax): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two for exact digit extraction, got $buckets")
     val coined0 = df.withColumn("__stratum", key).withColumn("__coin", coin(det))
     // rand() coins must be IDENTICAL across the counting job and the two
     // selection branches. Hash coins are pure functions of the row and
@@ -215,9 +217,14 @@ object BigSampler {
 
   /** Coin digit `d` in base `buckets`: the histogram key of refinement
     * level d. The coin is uniform in [0,1), so each digit uniformly
-    * sub-divides the previous level's boundary bucket. Digits beyond 4
-    * (1024^5 = 2^50) would exhaust double precision — the recursion depth
-    * guard below stops refining before that. */
+    * sub-divides the previous level's boundary bucket. `buckets` MUST be a
+    * power of two (enforced by exactRank): the scale is then a power of
+    * two, so `coin * scale` only shifts the exponent — no mantissa
+    * rounding — making the digit an exact bit-slice of the coin
+    * (monotone within the parent bucket; a non-pow-2 scale could round
+    * the product up across a bucket multiple and wrap `%` to 0). Digits
+    * beyond 4 (1024^5 = 2^50) would exhaust double precision — the
+    * recursion depth guard below stops refining before that. */
   private def coinDigit(buckets: Int, d: Int): Column = {
     val scale = math.pow(buckets.toDouble, (d + 1).toDouble)
     least(floor(col("__coin") * scale) % buckets, lit(buckets - 1)).cast("int")

@@ -62,7 +62,10 @@ object GraftIO {
     * read directly and converted under a PRIVATE SQLConf with the flag set;
     * the resulting StructType is passed as an explicit read schema, which
     * bypasses the session-conf check entirely (both vectorized and row
-    * readers accept INT64-NANOS columns against a LongType request). */
+    * readers accept INT64-NANOS columns against a LongType request).
+    *
+    * The FIRST data file's footer is authoritative — the same one-footer
+    * semantics as a default (mergeSchema=false) parquet read. */
   def readParquetNanosAsLong(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -70,17 +73,31 @@ object GraftIO {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
+    // first data file, lexically, one directory level of nesting allowed;
+    // hive-partitioned layouts (col=value dirs) are rejected up front —
+    // the footer schema would silently omit the partition columns
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    def firstFile(dir: Path): Option[Path] = {
+      val st = fs.listStatus(dir).filter(s => visible(s.getPath.getName))
+        .sortBy(_.getPath.getName)
+      st.find(s => s.getPath.getName.contains("="))
+        .foreach(s => throw new IllegalArgumentException(
+          s"readParquetNanosAsLong: $path looks hive-partitioned " +
+            s"(${s.getPath.getName}); partition columns are absent from " +
+            "file footers — read partitions individually"))
+      st.collectFirst { case s if s.isFile => s.getPath }
+        .orElse(st.iterator.filter(_.isDirectory)
+          .flatMap(s => firstFile(s.getPath)).nextOption())
+    }
     val file =
       if (fs.getFileStatus(p).isFile) p
-      else fs.listStatus(p).iterator
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .map(_.getPath).toSeq.sortBy(_.getName).headOption
-        .getOrElse(throw new IllegalArgumentException(
-          s"readParquetNanosAsLong: no data files under $path"))
+      else firstFile(p).getOrElse(throw new IllegalArgumentException(
+        s"readParquetNanosAsLong: no data files under $path"))
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hadoopConf))
     val message = try reader.getFileMetaData.getSchema finally reader.close()
-    val conf = new org.apache.spark.sql.internal.SQLConf
+    // clone of the SESSION conf (case sensitivity, binary-as-string, … carry
+    // over) with only the nanos flag added — and only on the clone
+    val conf = spark.sessionState.conf.clone()
     conf.setConfString("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = new org.apache.spark.sql.execution.datasources.parquet
       .ParquetToSparkSchemaConverter(conf).convert(message)

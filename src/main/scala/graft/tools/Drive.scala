@@ -69,13 +69,18 @@ object Drive {
     val rhs2 = Seq((1L, "1.0"), (2L, "oops")).toDF("k", "v")
     BigDiffy.diff(lhs.filter($"k" <= 2), rhs2, Seq("k")).deltas.show(false)
 
-    println("== duplicate-key enforcement (expect IllegalArgumentException):")
+    println("== duplicate-key enforcement (guard fires on first action):")
     val dup = Seq((1L, 1.0), (1L, 2.0)).toDF("k", "v")
     try {
-      BigDiffy.diff(dup, lhs, Seq("k"))
+      BigDiffy.diff(dup, lhs, Seq("k")).globalStats.head()
       println("  NO ERROR — BUG")
     } catch {
-      case e: IllegalArgumentException => println(s"  OK: ${e.getMessage.take(90)}")
+      case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("keys must be unique") =>
+        println("  OK: dup-key guard raised")
+      case e: Exception if Option(e.getCause).exists(c =>
+          Option(c.getMessage).exists(_.contains("keys must be unique"))) =>
+        println("  OK: dup-key guard raised (wrapped)")
     }
 
     println("== LSH topK with bucket cap on embeddings:")

@@ -19,11 +19,16 @@ object StressDedup {
     val stages = TrieMap.empty[Int, ArrayBuffer[(Long, Long)]]
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) stages.getOrElseUpdate(te.stageId, ArrayBuffer.empty)
-        .synchronized {
-          stages(te.stageId) += ((m.inputMetrics.bytesRead,
+      if (m != null) {
+        // append via the buffer getOrElseUpdate returned — a concurrent
+        // reset() can clear the map between calls, and a re-lookup would
+        // then throw inside the listener bus
+        val buf = stages.getOrElseUpdate(te.stageId, ArrayBuffer.empty)
+        buf.synchronized {
+          buf += ((m.inputMetrics.bytesRead,
             m.shuffleReadMetrics.totalBytesRead))
         }
+      }
     }
     def reset(): Unit = stages.clear()
     /** Worst max/mean ratio over stages with >= 8 tasks and >= 1 MiB total. */
@@ -71,10 +76,14 @@ object StressDedup {
     println(s"[stress] corpus: ${corpus.count()} docs (${copies}x sf0.1)")
 
     def tm(name: String)(f: => Any): Unit = {
+      // listener events deliver asynchronously: drain before reset so the
+      // previous operator's stragglers aren't counted against this one
+      Thread.sleep(500)
       skew.reset(); System.gc()
       val t0 = System.nanoTime()
       val r = f
       println(f"[stress] $name%-18s ${(System.nanoTime - t0) / 1e9}%7.1f s -> $r")
+      Thread.sleep(500)
       println(skew.report())
     }
 

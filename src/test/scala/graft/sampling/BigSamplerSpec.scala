@@ -199,4 +199,25 @@ class TopByKeySpec extends graft.SparkSpec {
       .orderBy("g", "v").as[(String, Int)].collect() shouldBe
       Array(("a", 1), ("a", 2), ("b", 5), ("b", 9))
   }
+
+  it should "reject non-comparable ordering columns up front" in {
+    // Array[Byte] is not Comparable: without the guard the job would
+    // ClassCastException mid-task on executors
+    val df = Seq(("a", Array[Byte](1))).toDF("g", "b")
+    an[IllegalArgumentException] should be thrownBy
+      DirectSampler.topByKey(df, Seq("g"), Seq("b"), 1)
+    val df2 = Seq(("a", Seq(1))).toDF("g", "arr")
+    an[IllegalArgumentException] should be thrownBy
+      DirectSampler.topByKey(df2, Seq("g"), Seq("arr"), 1)
+  }
+
+  it should "reject non-power-of-two bucket counts in exact sampling" in {
+    // digit extraction is only rounding-exact when coin*scale shifts the
+    // exponent alone (pow-2 scale); other bucket counts could wrap a
+    // boundary coin's digit to 0
+    val df = Seq((1L, "a")).toDF("id", "g")
+    an[IllegalArgumentException] should be thrownBy
+      BigSampler.exactRank(df, Hashed(Seq("id")), col("g"),
+        (c: Map[String, Long]) => c, buckets = 1000)
+  }
 }
