@@ -589,6 +589,25 @@ object SparkEntry {
           round(col("f.mean_intensity"), 6).as("fmean"))
         .orderBy("fi")
     }),
+    // REAL video gate: a 5-frame MJPEG-AVI (uniform gray 0/60/120/180/240)
+    // demuxed by the pure-JDK RIFF walker and frame-decoded via ImageIO at
+    // n=3 → AVI frames 0/2/4. JPEG is lossy, so the gate pins the exact
+    // frame indices/dimensions and a ±3 mean-intensity verdict (the same
+    // tolerance-verdict pattern as the recall gates)
+    "multimodal_video" -> ((s, d) => {
+      import s.implicits._
+      val payloads = Seq(
+        (1L, graft.ext.MultimodalFixtures.mjpegAvi(Seq(0, 60, 120, 180, 240), 8, 6)))
+        .toDF("id", "payload")
+      Multimodal.sampleFrameFeatures(payloads, "payload", 3)
+        .select(explode(col("frames")).as("f"))
+        .select(col("f.frame_idx").cast("long").as("fi"),
+          col("f.width").cast("long").as("fw"),
+          col("f.height").cast("long").as("fh"),
+          (abs(col("f.mean_intensity") - col("f.frame_idx") * 60.0) <= 3.0)
+            .as("mean_ok"))
+        .orderBy("fi")
+    }),
     // REAL resize gate: a uniform 4×4 gray-100 PNG scaled to 3×3 through
     // the JDK AffineTransformOp kernel, re-decoded — uniform pixels make
     // the mean exactly 100.0 whichever pixels nearest-neighbor rounding
@@ -1169,6 +1188,13 @@ object SparkEntry {
           |  (CAST(2 AS INTEGER), CAST(4 AS INTEGER), CAST(3 AS INTEGER), CAST(30.0 AS DOUBLE)),
           |  (CAST(4 AS INTEGER), CAST(4 AS INTEGER), CAST(3 AS INTEGER), CAST(50.0 AS DOUBLE)))
           |AS t(fi, fw, fh, fmean) ORDER BY fi""".stripMargin,
+      // MJPEG-AVI demux: frames 0/2/4 of 5 at 8x6, means within ±3
+      "multimodal_video" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(6 AS BIGINT), true),
+          |  (CAST(2 AS BIGINT), CAST(8 AS BIGINT), CAST(6 AS BIGINT), true),
+          |  (CAST(4 AS BIGINT), CAST(8 AS BIGINT), CAST(6 AS BIGINT), true))
+          |AS t(fi, fw, fh, mean_ok) ORDER BY fi""".stripMargin,
       // uniform source -> mean preserved exactly; undecodable -> null out
       "multimodal_resize" ->
         """SELECT * FROM (VALUES

@@ -121,6 +121,33 @@ object Multimodal {
     }
   }
 
+  /** Bomb-capped single-image decode: the BufferedImage, or null when no
+    * reader claims the payload, the body is corrupt, or the DECLARED
+    * dimensions exceed [[MaxDecodePixels]] (checked header-only, before
+    * any raster allocation). The per-frame kernel of the AVI demux path. */
+  private def decodeBoundedImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes == null || bytes.length < 4) return null
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val dw = reader.getWidth(0)
+          val dh = reader.getHeight(0)
+          if (dw.toLong * dh > MaxDecodePixels || dw <= 0 || dh <= 0) null
+          else reader.read(0)
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+      case _: OutOfMemoryError => null
+    }
+  }
+
   /** (channels, mean raw intensity) of a decoded image. Palette-indexed
     * images (e.g. GIF): raster samples are palette INDICES, not
     * intensities — average the resolved RGB components instead. */
@@ -314,11 +341,13 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
-  /** STUB video frame sampling: emits `n` deterministic frame offsets per
-    * payload as an array of (frame_idx, byte_offset) structs — the real
-    * kernel would demux containers; the fan-out/explode shape is what a
-    * pipeline consumes. For animated GIF — the one multi-frame container
-    * the JDK decodes — [[sampleFrameFeatures]] is REAL. */
+  /** STUB byte-offset frame sampling: emits `n` deterministic frame
+    * offsets per payload as an array of (frame_idx, byte_offset) structs —
+    * the fan-out/explode shape a pipeline consumes when the codec needs an
+    * external decoder. For the containers a stock JDK CAN read end-to-end
+    * — animated GIF (multi-image ImageIO) and MJPEG-AVI (RIFF demux +
+    * JPEG ImageIO, [[demuxAviFrames]]) — [[sampleFrameFeatures]] decodes
+    * REAL frames. */
   def sampleFrames(df: DataFrame, binCol: String, n: Int,
                    frameCol: String = "frames"): DataFrame = {
     val len = length(col(binCol)).cast("long")
@@ -335,14 +364,79 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("mean_intensity", DoubleType, nullable = false))), containsNull = false)
 
+  /** Pure-JDK MJPEG-AVI demuxer: walks the RIFF chunk tree and returns
+    * the payload of each video-data chunk (`##dc`/`##db`) inside the
+    * `movi` list, in stream order. MJPEG stores one complete JPEG per
+    * chunk, which ImageIO then decodes natively — AVI+MJPEG is the one
+    * video container+codec pair a stock JDK reads end-to-end (every other
+    * codec stays behind the declared [[sampleFrames]] offset stub).
+    * Returns null when `bytes` is not a RIFF-AVI payload; a truncated or
+    * lying chunk tree yields the frames walked so far (bounds-checked —
+    * a declared size never reads past the buffer). `maxFrames` caps the
+    * walk so a pathological chunk list cannot accumulate unbounded
+    * frame references. */
+  private[ext] def demuxAviFrames(bytes: Array[Byte],
+                                  maxFrames: Int = 10000): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 12) return null
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
+        (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return null
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val isData = raw"\d\ddb|\d\ddc".r
+    // walk children of [start, end); recurse into LISTs (movi nests rec )
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end && frames.length < maxFrames) {
+        val id = fourcc(p)
+        val sz = u32(p + 4)
+        val dataStart = p + 8
+        if (sz < 0 || dataStart + sz > end) return // lying/truncated size
+        val dataEnd = dataStart + sz.toInt
+        if (id == "LIST" && sz >= 4) walk(dataStart + 4, dataEnd)
+        else if (isData.matches(id) && sz > 0)
+          frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        p = dataEnd + (sz.toInt & 1) // chunks pad to even offsets
+      }
+    }
+    // RIFF size at offset 4 counts from offset 8
+    walk(12, math.min(8 + u32(4), bytes.length.toLong).toInt)
+    frames.toSeq
+  }
+
+  /** Evenly-spaced sample of `n` indices from 0 until num. */
+  private def evenIdxs(n: Int, num: Int): Seq[Int] =
+    if (n >= num) 0 until num
+    else if (n == 1) Seq(0) // explicit: j*(num-1)/(n-1) is 0/0
+    else (0 until n)
+      .map(j => math.round(j * (num - 1).toDouble / (n - 1)).toInt)
+      .distinct
+
   /** REAL multi-frame sampling kernel: up to `n` evenly-spaced frames of
-    * a multi-image container (animated GIF in a stock JDK), each decoded
-    * to (frame_idx, width, height, mean_intensity). Single-frame images
-    * yield one entry; payloads no reader claims, corrupt bodies, and
-    * frames past the pixel cap yield null. Frames are decoded AS STORED
-    * (no GIF disposal-method compositing — delta frames stay deltas). */
+    * a multi-frame container — MJPEG-AVI (RIFF demux, [[demuxAviFrames]])
+    * or any multi-image ImageIO container (animated GIF in a stock JDK) —
+    * each decoded to (frame_idx, width, height, mean_intensity).
+    * Single-frame images yield one entry; payloads no reader claims,
+    * corrupt bodies, and frames past the pixel cap yield null. Frames are
+    * decoded AS STORED (no GIF disposal-method compositing — delta frames
+    * stay deltas). */
   private[ext] def frameFeaturesBytes(bytes: Array[Byte], n: Int): Seq[Row] = {
     if (bytes == null || bytes.length < 4 || n <= 0) return null
+    val avi = demuxAviFrames(bytes)
+    if (avi != null) {
+      if (avi.isEmpty) return null
+      val rows = evenIdxs(n, avi.length).map { i =>
+        val img = decodeBoundedImage(avi(i))
+        if (img == null) null
+        else {
+          val (_, mean) = imageStats(img)
+          Row(i, img.getWidth, img.getHeight, mean)
+        }
+      }.filter(_ != null)
+      return if (rows.isEmpty) null else rows
+    }
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -355,13 +449,7 @@ object Multimodal {
           reader.setInput(iis, false, true)
           val num = reader.getNumImages(true)
           if (num <= 0) return null
-          val idxs =
-            if (n >= num) 0 until num
-            else if (n == 1) Seq(0) // explicit: j*(num-1)/(n-1) is 0/0
-            else (0 until n)
-              .map(j => math.round(j * (num - 1).toDouble / (n - 1)).toInt)
-              .distinct
-          idxs.map { i =>
+          evenIdxs(n, num).map { i =>
             val dw = reader.getWidth(i)
             val dh = reader.getHeight(i)
             if (dw.toLong * dh > MaxDecodePixels || dw <= 0 || dh <= 0) null

@@ -67,6 +67,49 @@ private[graft] object MultimodalFixtures {
     bos.toByteArray
   }
 
+  /** Spec-complete MJPEG-AVI of uniform w×h gray frames, one per value in
+    * `vs`: RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' 00dc…)) with a correct 56-byte main header and
+    * vids/MJPG stream headers — a real (playable) AVI, not a
+    * parser-shaped one. JPEG is lossy, but a uniform frame decodes to a
+    * near-exact mean (assert with a small tolerance). */
+  def mjpegAvi(vs: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      fcc(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(typ) ++ children)
+    val frames = vs.map { v =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(1) ++ le32(25) ++ le32(0) ++ le32(frames.length) ++ le32(0) ++
+      le32(0xffffffffL) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, 24, 0) ++ fcc("MJPG") ++ le32(w.toLong * h * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.map(f => chunk("00dc", f))
+      .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
   /** Canonical 44-byte-header PCM WAV with a zeroed data chunk. */
   def wavBytes(ch: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)

@@ -203,4 +203,39 @@ class MultimodalSpec extends SparkSpec {
       .select("f.frame_idx", "f.mean_intensity").as[(Int, Double)]
       .collect() shouldBe Array((0, 60.0))
   }
+
+  behavior of "real MJPEG-AVI frame sampling"
+
+  it should "demux and decode evenly-spaced video frames" in {
+    // 5 uniform frames 0..240: n=3 picks AVI frames 0, 2, 4; JPEG is
+    // lossy so uniform means decode near-exactly (±3)
+    val avi = MultimodalFixtures.mjpegAvi(Seq(0, 60, 120, 180, 240), 8, 6)
+    Multimodal.demuxAviFrames(avi).length shouldBe 5
+    val fr = Multimodal.sampleFrameFeatures(
+        Seq((1L, avi)).toDF("id", "payload"), "payload", 3)
+      .select(explode(col("frames")).as("f"))
+      .select("f.frame_idx", "f.width", "f.height", "f.mean_intensity")
+      .as[(Int, Int, Int, Double)].collect().sortBy(_._1)
+    fr.map(_._1) shouldBe Array(0, 2, 4)
+    fr.map(t => (t._2, t._3)).distinct shouldBe Array((8, 6))
+    fr.map(_._4).zip(Seq(0.0, 120.0, 240.0)).foreach { case (got, want) =>
+      got shouldBe want +- 3.0
+    }
+  }
+
+  it should "treat truncated and non-AVI RIFF payloads safely" in {
+    val avi = MultimodalFixtures.mjpegAvi(Seq(50, 100), 4, 4)
+    // truncation mid-chunk: the walk stops at the last complete frame
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - 10)
+    Multimodal.demuxAviFrames(cut).length should be <= 2
+    // WAV is RIFF but not AVI: not claimed by the demuxer
+    Multimodal.demuxAviFrames(
+      MultimodalFixtures.wavBytes(1, 8000, 16, 100)) shouldBe null
+    Multimodal.demuxAviFrames("junk".getBytes) shouldBe null
+    // a movi-less AVI yields a null frames column, not fake entries
+    Multimodal.sampleFrameFeatures(
+        Seq((1L, java.util.Arrays.copyOfRange(avi, 0, 12)))
+          .toDF("id", "payload"), "payload", 2)
+      .select(col("frames").isNull).as[Boolean].head() shouldBe true
+  }
 }
