@@ -97,7 +97,9 @@ object Bench {
         System.gc()
         (name, dt, ok)
       }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds: full-precision doubles made the one-line JSON
+    // long enough to fall out of a tail buffer and fail downstream parsing
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // a query that threw must be distinguishable from a fast success:
     // failures are listed explicitly (their recorded time is time-to-crash)
