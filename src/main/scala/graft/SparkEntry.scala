@@ -589,6 +589,23 @@ object SparkEntry {
           round(col("f.mean_intensity"), 6).as("fmean"))
         .orderBy("fi")
     }),
+    // REAL PCM signal gate: a ±16384 16-bit square wave and a +64 8-bit
+    // DC wave — power-of-two amplitudes make rms/peak/dc EXACT doubles,
+    // so the oracle constants are implementation-independent
+    "multimodal_audio_signal" -> ((s, d) => {
+      import s.implicits._
+      val payloads = Seq(
+        (1L, graft.ext.MultimodalFixtures.pcmWav(
+          Seq.tabulate(800)(i => if (i % 2 == 0) 16384L else -16384L), 1, 8000, 16)),
+        (2L, graft.ext.MultimodalFixtures.pcmWav(Seq.fill(100)(64L), 1, 8000, 8)))
+        .toDF("id", "payload")
+      Multimodal.audioSignalFeatures(payloads, "payload")
+        .select(col("id"), col("signal.n_samples").as("ns"),
+          col("signal.rms").as("rms"), col("signal.peak").as("pk"),
+          col("signal.dc_offset").as("dc"),
+          col("signal.clipped_frac").as("clip"))
+        .orderBy("id")
+    }),
     // REAL video gate: a 5-frame MJPEG-AVI (uniform gray 0/60/120/180/240)
     // demuxed by the pure-JDK RIFF walker and frame-decoded via ImageIO at
     // n=3 → AVI frames 0/2/4. JPEG is lossy, so the gate pins the exact
@@ -1188,6 +1205,14 @@ object SparkEntry {
           |  (CAST(2 AS INTEGER), CAST(4 AS INTEGER), CAST(3 AS INTEGER), CAST(30.0 AS DOUBLE)),
           |  (CAST(4 AS INTEGER), CAST(4 AS INTEGER), CAST(3 AS INTEGER), CAST(50.0 AS DOUBLE)))
           |AS t(fi, fw, fh, fmean) ORDER BY fi""".stripMargin,
+      // power-of-two PCM amplitudes: exact normalized signal constants
+      "multimodal_audio_signal" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), CAST(800 AS BIGINT), CAST(0.5 AS DOUBLE),
+          |   CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+          |  (CAST(2 AS BIGINT), CAST(100 AS BIGINT), CAST(0.5 AS DOUBLE),
+          |   CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.0 AS DOUBLE)))
+          |AS t(id, ns, rms, pk, dc, clip) ORDER BY id""".stripMargin,
       // MJPEG-AVI demux: frames 0/2/4 of 5 at 8x6, means within ±3
       "multimodal_video" ->
         """SELECT * FROM (VALUES

@@ -252,6 +252,96 @@ object Multimodal {
     }
   }
 
+  val audioSignalSchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType, nullable = true),
+    StructField("rms", DoubleType, nullable = true),
+    StructField("peak", DoubleType, nullable = true),
+    StructField("dc_offset", DoubleType, nullable = true),
+    StructField("clipped_frac", DoubleType, nullable = true)))
+
+  /** REAL PCM signal features — the step past [[decodeWavBytes]]'s header
+    * arithmetic: decodes every sample of a WAV `data` chunk (integer PCM,
+    * format tag 1; 8-bit unsigned, 16/24/32-bit signed LE) to [-1, 1] and
+    * computes count, RMS, peak |amplitude|, DC offset (mean), and the
+    * fraction of full-scale (clipped) samples — the audio quality/filter
+    * signals a curation pipeline gates on (silence ⇒ rms≈0, clipping ⇒
+    * clipped_frac>0, DC bias ⇒ |dc_offset|≫0). Channels are interleaved
+    * and pooled. Non-WAV, non-integer-PCM (float/compressed), or
+    * sample-less payloads yield nulls; a data chunk longer than the
+    * payload is computed over the bytes actually present (truncation
+    * never fakes samples). Linear in payload bytes, no allocation per
+    * sample. */
+  private[ext] def pcmSignalBytes(bytes: Array[Byte]): Row = {
+    val nulls = Row(null, null, null, null, null)
+    if (bytes == null || bytes.length < 12) return nulls
+    try {
+      def tag(o: Long): String = new String(bytes, o.toInt, 4, "US-ASCII")
+      def le16(o: Long): Int = (bytes(o.toInt) & 0xff) | ((bytes(o.toInt + 1) & 0xff) << 8)
+      def le32(o: Long): Long = ((bytes(o.toInt) & 0xff).toLong |
+        ((bytes(o.toInt + 1) & 0xff).toLong << 8) |
+        ((bytes(o.toInt + 2) & 0xff).toLong << 16) |
+        ((bytes(o.toInt + 3) & 0xff).toLong << 24))
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return nulls
+      var off = 12L
+      var fmtTag = -1; var bits = -1
+      var dataOff = -1L; var dataLen = -1L
+      while (off + 8 <= bytes.length) {
+        val t = tag(off)
+        val len = le32(off + 4)
+        if (t == "fmt " && len >= 16 && off + 8 + 16 <= bytes.length) {
+          fmtTag = le16(off + 8); bits = le16(off + 22)
+        }
+        if (t == "data" && dataOff < 0) { dataOff = off + 8; dataLen = len }
+        off += 8L + len + (len & 1L)
+      }
+      if (fmtTag != 1 || dataOff < 0) return nulls
+      val bytesPer = bits / 8
+      if (!Set(8, 16, 24, 32).contains(bits)) return nulls
+      val end = math.min(dataOff + dataLen, bytes.length.toLong).toInt
+      val n = (end - dataOff.toInt) / bytesPer
+      if (n <= 0) return nulls
+      val fullScale = (1L << (bits - 1)).toDouble
+      var i = dataOff.toInt
+      var sumSq = 0.0; var sum = 0.0; var peak = 0.0; var clipped = 0L
+      var k = 0
+      while (k < n) {
+        val raw: Long = bits match {
+          case 8  => (bytes(i) & 0xff).toLong - 128L
+          case 16 => le16(i).toShort.toLong
+          case 24 => // sign-extend 3-byte LE
+            (((bytes(i) & 0xffL) | (bytes(i + 1) & 0xffL) << 8 |
+              (bytes(i + 2) & 0xffL) << 16) << 40) >> 40
+          case _  => le32(i).toInt.toLong
+        }
+        val v = raw / fullScale
+        sumSq += v * v; sum += v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        if (raw == -fullScale.toLong || raw == fullScale.toLong - 1) clipped += 1
+        i += bytesPer; k += 1
+      }
+      Row(n.toLong, math.sqrt(sumSq / n), peak, sum / n, clipped.toDouble / n)
+    } catch {
+      case _: Exception => nulls
+    }
+  }
+
+  /** PCM signal-feature extraction over batches: appends
+    * [[audioSignalSchema]] — real per-sample decode, same partition-batch
+    * shape as [[decodeImages]]. */
+  def audioSignalFeatures(df: DataFrame, binCol: String,
+                          featCol: String = "signal"): DataFrame = {
+    val schema = df.schema.add(StructField(featCol, audioSignalSchema, nullable = true))
+    val idx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ pcmSignalBytes(bytes))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** WAV audio feature extraction over batches: appends
     * `audioFeatureSchema` columns — real header arithmetic, same
     * partition-batch shape as [[decodeImages]]. */

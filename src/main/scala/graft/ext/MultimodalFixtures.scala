@@ -110,6 +110,32 @@ private[graft] object MultimodalFixtures {
     fcc("RIFF") ++ le32(body.length.toLong) ++ body
   }
 
+  /** PCM WAV carrying the given raw samples (signed; 8-bit written as
+    * unsigned-offset per the format). Power-of-two amplitudes make the
+    * normalized signal features EXACT doubles — e.g. a ±16384 16-bit
+    * square wave has rms = peak = 0.5 and dc_offset = 0.0 exactly. */
+  def pcmWav(samples: Seq[Long], ch: Int, rate: Int, bits: Int): Array[Byte] = {
+    val bytesPer = bits / 8
+    val dataLen = samples.length * bytesPer
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(ch.toShort)
+    bb.putInt(rate); bb.putInt(rate * ch * bits / 8)
+    bb.putShort((ch * bits / 8).toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach { s =>
+      bits match {
+        case 8  => bb.put((s + 128).toByte)
+        case 16 => bb.putShort(s.toShort)
+        case 24 => bb.put((s & 0xff).toByte).put(((s >> 8) & 0xff).toByte)
+          .put(((s >> 16) & 0xff).toByte)
+        case _  => bb.putInt(s.toInt)
+      }
+    }
+    bb.array()
+  }
+
   /** Canonical 44-byte-header PCM WAV with a zeroed data chunk. */
   def wavBytes(ch: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)

@@ -204,6 +204,47 @@ class MultimodalSpec extends SparkSpec {
       .collect() shouldBe Array((0, 60.0))
   }
 
+  behavior of "PCM signal features"
+
+  it should "compute exact rms/peak/dc/clipping on power-of-two waves" in {
+    // ±16384 square wave, 16-bit: normalized ±0.5 exactly
+    val sq = MultimodalFixtures.pcmWav(
+      Seq.tabulate(800)(i => if (i % 2 == 0) 16384L else -16384L), 1, 8000, 16)
+    // constant +64 at 8-bit: normalized 0.5 exactly, DC-biased
+    val dc8 = MultimodalFixtures.pcmWav(Seq.fill(100)(64L), 1, 8000, 8)
+    // full-scale negative 24-bit: every sample clipped
+    val clip = MultimodalFixtures.pcmWav(Seq.fill(10)(-(1L << 23)), 1, 8000, 24)
+    val df = Seq((1L, sq), (2L, dc8), (3L, clip), (4L, "junk".getBytes))
+      .toDF("id", "payload")
+    val got = Multimodal.audioSignalFeatures(df, "payload")
+      .select(col("id"), col("signal.n_samples"), col("signal.rms"),
+        col("signal.peak"), col("signal.dc_offset"), col("signal.clipped_frac"))
+      .as[(Long, Option[Long], Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    got(0) shouldBe ((1L, Some(800L), Some(0.5), Some(0.5), Some(0.0), Some(0.0)))
+    got(1) shouldBe ((2L, Some(100L), Some(0.5), Some(0.5), Some(0.5), Some(0.0)))
+    got(2) shouldBe ((3L, Some(10L), Some(1.0), Some(1.0), Some(-1.0), Some(1.0)))
+    got(3) shouldBe ((4L, None, None, None, None, None))
+  }
+
+  it should "null float-PCM and compute truncated data over present bytes" in {
+    // format tag 3 (IEEE float) is not integer PCM -> nulls
+    val float = {
+      val w = MultimodalFixtures.pcmWav(Seq.fill(4)(0L), 1, 8000, 32)
+      w(20) = 3; w // patch the fmt tag
+    }
+    val cut = {
+      val w = MultimodalFixtures.pcmWav(Seq.fill(100)(16384L), 1, 8000, 16)
+      java.util.Arrays.copyOfRange(w, 0, w.length - 100) // drop 50 samples
+    }
+    val got = Multimodal.audioSignalFeatures(
+        Seq((1L, float), (2L, cut)).toDF("id", "payload"), "payload")
+      .select(col("id"), col("signal.n_samples")).as[(Long, Option[Long])]
+      .collect().sortBy(_._1)
+    got(0) shouldBe ((1L, None))
+    got(1) shouldBe ((2L, Some(50L)))
+  }
+
   behavior of "real MJPEG-AVI frame sampling"
 
   it should "demux and decode evenly-spaced video frames" in {
