@@ -655,6 +655,18 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
+    // Gopher rule filter (Rae et al. '21): per-doc signal values + the
+    // composite keep verdict, value-exact vs a DuckDB replica of every rule
+    "gopher_filter" -> ((s, d) =>
+      TextAnalysis.gopherSignals(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("word_count").as("wc"),
+          round(col("mean_word_len"), 6).as("mwl"),
+          round(col("symbol_ratio"), 6).as("sym"),
+          round(col("bullet_frac"), 6).as("bullet"),
+          round(col("ellipsis_frac"), 6).as("ellip"),
+          round(col("alpha_word_frac"), 6).as("alpha"),
+          col("stopword_hits").as("stop_hits"), col("keep"))
+        .orderBy("doc_id")),
     "text_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
@@ -1140,6 +1152,36 @@ object SparkEntry {
            |  CAST(list_sum(list_transform($toks, w -> greatest(ceil(len(w)/4.0), 1))) AS BIGINT)
            |  + CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS n_bpe
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "gopher_filter" ->
+        s"""WITH w AS (SELECT doc_id, text, $toks AS words,
+           |  string_split(text, chr(10)) AS lines FROM documents),
+           |s AS (SELECT doc_id,
+           |  len(words) AS wc,
+           |  CASE WHEN len(words) > 0 THEN
+           |    CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words)
+           |  END AS mwl,
+           |  CASE WHEN len(words) > 0 THEN
+           |    ((length(text) - length(replace(text, '#', ''))) +
+           |     (length(text) - length(replace(text, '...', ''))) / 3) * 1.0 / len(words)
+           |  END AS sym,
+           |  len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+           |      OR starts_with(ltrim(l), '• '))) * 1.0 / greatest(len(lines), 1) AS bullet,
+           |  len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+           |      OR ends_with(rtrim(l), '…'))) * 1.0 / greatest(len(lines), 1) AS ellip,
+           |  CASE WHEN len(words) > 0 THEN
+           |    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(words)
+           |  END AS alpha,
+           |  len(list_filter(['the','be','to','of','and','that','have','with'],
+           |    sw -> list_contains(list_transform(words, x -> lower(x)), sw))) AS stop_hits
+           |  FROM w)
+           |SELECT doc_id, CAST(wc AS BIGINT) AS wc, ROUND(mwl, 6) AS mwl,
+           |  ROUND(sym, 6) AS sym, ROUND(bullet, 6) AS bullet,
+           |  ROUND(ellip, 6) AS ellip, ROUND(alpha, 6) AS alpha,
+           |  CAST(stop_hits AS BIGINT) AS stop_hits,
+           |  COALESCE(wc BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+           |    AND sym <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
+           |    AND alpha >= 0.8 AND stop_hits >= 2, false) AS keep
+           |FROM s ORDER BY doc_id""".stripMargin,
       "avro_roundtrip" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
           |  ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,

@@ -56,6 +56,71 @@ object TextAnalysis {
           lit(0.0)), lit(1.0)))
   }
 
+  /** Gopher/MassiveText rule-based quality signals (Rae et al. '21,
+    * appendix A1.1 — the standard web-corpus filter set): per document,
+    * word count, mean word length, symbol-to-word ratio ('#' and '…'/
+    * '...'), bullet-line and ellipsis-line fractions, alphabetic-word
+    * fraction, distinct required-stopword hits, and the composite `keep`
+    * verdict under the classic thresholds. Pure Catalyst (split/filter/
+    * aggregate over the token array — no UDF, one narrow pass); every
+    * rule is expressed with engine-portable primitives so a SQL oracle
+    * replicates it value-exactly. */
+  def gopherSignals(df: DataFrame, textCol: String,
+                    minWords: Long = 50L, maxWords: Long = 100000L,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1,
+                    maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                    minAlphaFrac: Double = 0.8,
+                    minStopwordHits: Long = 2L): DataFrame = {
+    val t = col(textCol)
+    val words = whitespaceTokens(t)
+    val n = size(words).cast("double")
+    val lowered = transform(words, w => lower(w))
+    // Gopher's required-word list; hits count DISTINCT stopwords found
+    // (filter the literal list, not the document) so both engines agree
+    // by construction
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val out = df
+      .withColumn("word_count", size(words).cast("long"))
+      .withColumn("mean_word_len", when(n > 0,
+        aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / n))
+      .withColumn("symbol_ratio",
+        when(n > 0, (nHash + nEllipsis).cast("double") / n))
+      .withColumn("bullet_frac",
+        size(filter(lines, l =>
+          ltrim(l).startsWith("- ") || ltrim(l).startsWith("• ")))
+          .cast("double") / nLines)
+      .withColumn("ellipsis_frac",
+        size(filter(lines, l =>
+          rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+          .cast("double") / nLines)
+      .withColumn("alpha_word_frac", when(n > 0,
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / n))
+      .withColumn("stopword_hits",
+        size(filter(array(stops.map(lit): _*),
+          sw => array_contains(lowered, sw))).cast("long"))
+    out.withColumn("keep", coalesce(
+      col("word_count").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("bullet_frac") <= maxBulletFrac &&
+        col("ellipsis_frac") <= maxEllipsisFrac &&
+        col("alpha_word_frac") >= minAlphaFrac &&
+        col("stopword_hits") >= minStopwordHits,
+      lit(false)))
+  }
+
+  /** [[gopherSignals]]' composite filter: the rows a Gopher-rule curation
+    * pass keeps, original columns only. */
+  def gopherFilter(df: DataFrame, textCol: String): DataFrame = {
+    val cols = df.columns.toIndexedSeq.map(col)
+    gopherSignals(df, textCol).filter(col("keep")).select(cols: _*)
+  }
+
   /** Character-n-gram language-ID heuristic: scores text against per-
     * language marker-token tables (function words, public knowledge) and
     * emits the best-scoring language or "und". Marker lists stay literal

@@ -24,6 +24,35 @@ class TextAnalysisSpec extends SparkSpec {
       .getAs[Double]("dup_token_ratio") shouldBe 0.8 +- 1e-9
   }
 
+  behavior of "gopherSignals"
+
+  it should "trip each rule independently and keep clean prose" in {
+    // 60 distinct clean words incl. >= 2 required stopwords
+    val clean = (1 to 56).map(i => s"word$i").mkString(
+      "the quick and careful fox ", " ", "") // 5 + 56 = 61 words
+    val bullets = "- one\n- two\n- three"
+    val ellipses = "so then...\nand more...\nthe end"
+    val symbols = ("the and " + Seq.fill(20)("#tag").mkString(" ")) +
+      " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val numeric = "the and " + (1 to 60).map(_.toString).mkString(" ")
+    val df = Seq((1L, clean), (2L, bullets), (3L, ellipses),
+      (4L, symbols), (5L, numeric), (6L, "")).toDF("id", "text")
+    val got = TextAnalysis.gopherSignals(df, "text")
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    got(1L) shouldBe true
+    got(2L) shouldBe false // 100% bullet lines (and too few words)
+    got(3L) shouldBe false // 2/3 ellipsis lines
+    got(4L) shouldBe false // symbol ratio 20/62 > 0.1
+    got(5L) shouldBe false // alpha-word fraction 2/62 < 0.8
+    got(6L) shouldBe false // empty
+    val r = TextAnalysis.gopherSignals(df.filter($"id" === 1), "text").head()
+    r.getAs[Long]("word_count") shouldBe 61L
+    r.getAs[Long]("stopword_hits") shouldBe 2L // the, and
+    r.getAs[Double]("alpha_word_frac") shouldBe 1.0
+    TextAnalysis.gopherFilter(df, "text").select("id").as[Long]
+      .collect() shouldBe Array(1L)
+  }
+
   behavior of "languageId"
 
   it should "identify marker-word languages and fall back to und" in {
