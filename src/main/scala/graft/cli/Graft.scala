@@ -61,9 +61,36 @@ object Graft {
     case Some("bigSampler")    => bigSampler(parseFlags(args.tail), spark)
     case Some("directSampler") => directSampler(parseFlags(args.tail), spark)
     case Some("corpusReport")  => corpusReport(parseFlags(args.tail), spark)
+    case Some("gopherFilter")  => gopherFilter(parseFlags(args.tail), spark)
     case other =>
       throw new IllegalArgumentException(
-        s"usage: graft <bigDiffy|bigSampler|directSampler|corpusReport> [flags]; got $other")
+        "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
+          s"gopherFilter> [flags]; got $other")
+  }
+
+  /** Engine extension: the Gopher-rule quality filter
+    * ([[graft.ext.TextAnalysis.gopherFilter]]) as a one-shot curation job.
+    *
+    * {{{
+    * graft gopherFilter --input=<path> --output=<dir> [--text-col=text]
+    *                    [--signals-only] [--input-mode=parquet|avro|json]
+    *                    [--output-mode=parquet|json] [--row-restriction=<pred>]
+    * }}}
+    *
+    * `--signals-only` writes every row with its signal columns and `keep`
+    * verdict (audit mode) instead of the filtered corpus. */
+  private def gopherFilter(f: Map[String, String], spark: SparkSession): Unit = {
+    val input = required(f, "input")
+    val out = required(f, "output")
+    val df = restrict(read(spark, input, f.getOrElse("input-mode", "parquet")), f)
+    val textCol = f.getOrElse("text-col", "text")
+    val result =
+      if (f.contains("signals-only")) graft.ext.TextAnalysis.gopherSignals(df, textCol)
+      else graft.ext.TextAnalysis.gopherFilter(df, textCol)
+    if (!GraftIO.unlessDone(out) {
+      write(result, out, f.getOrElse("output-mode", "parquet"),
+        csv(f.get("partition-by")))
+    }) System.err.println(s"[graft] output $out already complete, skipping")
   }
 
   /** Engine extension beyond the reference CLI: the per-group dataset

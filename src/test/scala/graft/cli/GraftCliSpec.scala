@@ -107,10 +107,28 @@ class GraftCliSpec extends SparkSpec {
     Graft.run(args, spark) // idempotent re-run via the output guard
   }
 
+  it should "run gopherFilter in filter and audit modes" in {
+    val base = tmp()
+    val clean = "the quick and careful fox " + (1 to 56).map(i => s"word$i").mkString(" ")
+    Seq((1L, clean), (2L, "- a\n- b"), (3L, ""))
+      .toDF("id", "text").write.parquet(s"$base/in")
+    Graft.run(Seq("gopherFilter", s"--input=$base/in",
+      s"--output=$base/kept"), spark)
+    val kept = spark.read.parquet(s"$base/kept")
+    kept.select("id").as[Long].collect() shouldBe Array(1L)
+    kept.columns.toSeq shouldBe Seq("id", "text") // original columns only
+    Graft.run(Seq("gopherFilter", s"--input=$base/in",
+      s"--output=$base/audit", "--signals-only"), spark)
+    val audit = spark.read.parquet(s"$base/audit")
+    audit.count() shouldBe 3L
+    audit.filter(audit("keep")).select("id").as[Long].collect() shouldBe Array(1L)
+  }
+
   it should "reject unknown commands and missing flags with clear errors" in {
     the[IllegalArgumentException] thrownBy
       Graft.run(Seq("frobnicate"), spark) should have message
-      "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport> [flags]; got Some(frobnicate)"
+      "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
+        "gopherFilter> [flags]; got Some(frobnicate)"
     an[IllegalArgumentException] should be thrownBy
       Graft.run(Seq("bigSampler", "--input=/x"), spark)
   }
