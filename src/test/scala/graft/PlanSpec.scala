@@ -142,6 +142,15 @@ class PlanSpec extends SparkSpec {
     p should include("Aggregate")
   }
 
+  "gopher signals" should "stay a single narrow pass with zero exchanges" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(ext.TextAnalysis.gopherSignals(docs, "text"))
+    // every rule is an expression over the row's own token/line arrays —
+    // a shuffle here would mean someone reintroduced an aggregation
+    p should not include "Exchange"
+    p should not include "Join"
+  }
+
   "decontamination" should "probe the corpus in one scan with no join or exchange" in {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bench = docs.filter(col("doc_id") % 97 === 0)

@@ -268,6 +268,28 @@ class StreamOpsSpec extends SparkSpec {
     streamed.length should be > 50
   }
 
+  it should "keep the same rows as the batch Gopher filter" in {
+    // gopherFilter is a stateless narrow pass (PlanSpec: zero exchanges),
+    // so it lifts to streams unchanged — prove output equality anyway
+    import graft.ext.TextAnalysis
+    implicit val sc = spark.sqlContext
+    val docs = (1L to 60L).map { i =>
+      val body = (1 to 60).map(j => s"word$j").mkString(" ")
+      (i, if (i % 3 == 0) s"the quick and careful fox $body" else "- a\n- b")
+    }
+    val input = MemoryStream[(Long, String)]
+    val kept = TextAnalysis.gopherFilter(
+      input.toDF().toDF("doc_id", "text"), "text")
+    val q = kept.writeStream.format("memory").queryName("s_gopher").start()
+    input.addData(docs)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_gopher").select("doc_id").as[Long].collect().sorted
+    val batch = TextAnalysis.gopherFilter(docs.toDF("doc_id", "text"), "text")
+      .select("doc_id").as[Long].collect().sorted
+    streamed shouldBe batch
+    streamed.length shouldBe 20
+  }
+
   it should "assign the same split labels as the batch splitter" in {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Long]
