@@ -361,6 +361,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_found"))
     }),
 
+    // SemDeDup (cluster-then-prune semantic dedup): k-means isn't SQL, so
+    // the gate plants rescaled copies (cosine 1 with their original) and
+    // asserts the operator's defining invariants in-query, every check
+    // verified with EXACT cosine on the raw vectors: (a) each planted copy
+    // is removed, (b) no original is removed (max natural pairwise cosine
+    // in this data is ~0.5, far under tau), (c) every removed id has an
+    // earlier same-cluster witness at ≥ tau, (d) the kept set is
+    // tau-sparse within every cluster
+    "semdedup" -> ((s, d) => {
+      val tau = 0.9
+      val emb = t(s, d, "embeddings")
+      val off = idOffset(emb, "vec_id")
+      val dups = emb.select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionByName(dups)
+      val r = ext.SemDedup.semanticDedup(corpus, "vec_id", "embedding",
+        k = 8, tau = tau).localCheckpoint(true)
+      val withV = (n: String, vn: String) =>
+        corpus.select(col("vec_id").as(n), col("embedding").as(vn))
+      val kept = r.filter(col("keep")).select(col("id").as("ka"), col("cluster"))
+      val keptPairsOverTau = kept
+        .join(kept.select(col("ka").as("kb"), col("cluster")), Seq("cluster"))
+        .filter(col("ka") < col("kb"))
+        .join(withV("ka", "va"), "ka").join(withV("kb", "vb"), "kb")
+        .filter(lit(1.0) - cosineDistance(col("va"), col("vb")) >= tau)
+      val removed = r.filter(!col("keep")).select(col("id").as("rb"), col("cluster"))
+      val witnessed = removed
+        .join(r.select(col("id").as("ra"), col("cluster")), Seq("cluster"))
+        .filter(col("ra") < col("rb"))
+        .join(withV("ra", "va"), "ra").join(withV("rb", "vb"), "rb")
+        .filter(lit(1.0) - cosineDistance(col("va"), col("vb")) >= tau)
+        .select("rb").distinct()
+      val nRemoved = r.filter(!col("keep")).count()
+      r.agg(
+        count(lit(1)).as("n_corpus"),
+        (sum(when(col("id") >= off && col("keep"), 1L).otherwise(0L)) === 0L)
+          .as("all_planted_removed"),
+        (sum(when(col("id") < off && !col("keep"), 1L).otherwise(0L)) === 0L)
+          .as("originals_kept"))
+        .withColumn("witness_ok", lit(witnessed.count() == nRemoved))
+        .withColumn("kept_maximal", lit(keptPairsOverTau.count() == 0L))
+    }),
+
     // n-gram Jaccard for an explicit pair list, value-exact vs a DuckDB
     // replica that builds the same distinct char-5-gram sets from raw
     // text (the hashed-shingle jaccard equals the string-set jaccard
@@ -1110,6 +1153,11 @@ object SparkEntry {
         """SELECT true AS ranks_contiguous, true AS sims_in_range,
           |  true AS all_queries_answered""".stripMargin,
       "embedding_dedup" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings",
+      "semdedup" ->
+        """SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n_corpus,
+          |  true AS all_planted_removed, true AS originals_kept,
+          |  true AS witness_ok, true AS kept_maximal
+          |FROM embeddings""".stripMargin,
       "text_common_ngrams" ->
         """WITH g AS (SELECT doc_id, list_distinct(list_transform(
           |    generate_series(1, length(text) - 4), i -> substring(text, i, 5))) AS gs
