@@ -698,6 +698,15 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
+    // DSIR importance scoring (Xie et al. '23): per-doc smoothed unigram
+    // log-likelihood ratio of the English slice vs the whole corpus,
+    // value-exact vs a DuckDB replica of the same LM math
+    "importance_scores" -> ((s, d) =>
+      ext.Importance.importanceScores(t(s, d, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("imp_logratio"), 5).as("imp_logratio"))
+        .orderBy("doc_id")),
     // Gopher rule filter (Rae et al. '21): per-doc signal values + the
     // composite keep verdict, value-exact vs a DuckDB replica of every rule
     "gopher_filter" -> ((s, d) =>
@@ -917,6 +926,15 @@ object SparkEntry {
         (abs(avg(when(col("label") === "test", 1.0).otherwise(0.0)) - 0.1)
           <= 0.02).as("test_frac_ok"))
     }),
+
+    // deterministic training-order shuffle: the full (id, shard, order
+    // key) assignment hash-matches DuckDB reproducing the same md5 +
+    // base-16 arithmetic — the engine-portability claim, checked literally
+    "train_order" -> ((s, d) =>
+      graft.ext.Split.trainOrder(t(s, d, "documents").select("doc_id"),
+          Seq("doc_id"), salt = "epoch0", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("order_key"))
+        .orderBy("doc_id")),
 
     // ---- temporal surface (training-data extension): as-of join with
     // time-bucketed carry-in (no per-key window — a hot key spreads over
@@ -1331,6 +1349,25 @@ object SparkEntry {
       "text_fingerprint" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  CAST(COUNT(*) AS BIGINT) AS n_distinct FROM documents""".stripMargin,
+      "importance_scores" ->
+        """WITH base AS (SELECT doc_id, lang = 'en' AS tgt,
+          |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+          |                x -> len(x) > 0) AS ws FROM documents),
+          |dw AS (SELECT doc_id, tgt, unnest(ws) AS w FROM base),
+          |c AS (SELECT doc_id, tgt, w, COUNT(*) AS c FROM dw GROUP BY doc_id, tgt, w),
+          |v AS (SELECT w, SUM(c) AS c_all,
+          |    SUM(CASE WHEN tgt THEN c ELSE 0 END) AS c_t FROM c GROUP BY w),
+          |tot AS (SELECT CAST(SUM(c_all) AS DOUBLE) AS n_all,
+          |    CAST(SUM(c_t) AS DOUBLE) AS n_t,
+          |    CAST(COUNT(*) AS DOUBLE) AS vsz FROM v),
+          |s AS (SELECT c.doc_id, SUM(c.c) AS n_tokens,
+          |    SUM(c.c * ln(((v.c_t + 1) / (tot.n_t + tot.vsz))
+          |                 / ((v.c_all + 1) / (tot.n_all + tot.vsz)))) AS imp
+          |  FROM c JOIN v USING (w) CROSS JOIN tot GROUP BY c.doc_id)
+          |SELECT b.doc_id, CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |  ROUND(COALESCE(s.imp, 0.0), 5) AS imp_logratio
+          |FROM (SELECT doc_id FROM base) b LEFT JOIN s USING (doc_id)
+          |ORDER BY b.doc_id""".stripMargin,
       // exact 40-char-gram overlap vs the benchmark (doc_id % 97 == 0):
       // kept = corpus ids whose gram set misses the benchmark's entirely
       "decontaminate" ->
@@ -1481,6 +1518,16 @@ object SparkEntry {
           |  CAST(0 AS BIGINT) AS n_nonatomic,
           |  true AS train_frac_ok, true AS val_frac_ok, true AS test_frac_ok
           |FROM orders""".stripMargin,
+      "train_order" ->
+        """WITH o AS (SELECT doc_id,
+          |    md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR))) AS order_key
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(CAST(list_sum(list_transform(generate_series(1, 6),
+          |    i -> (strpos('0123456789abcdef', substring(order_key, i, 1)) - 1)
+          |         * 16 ** (6 - i))) AS BIGINT) % 8 AS INT) AS shard,
+          |  order_key
+          |FROM o ORDER BY doc_id""".stripMargin,
       // DuckDB's native ASOF JOIN is the oracle for the bucketed
       // implementation; purchases pre-reduced to one row per (user, ts)
       // with MAX(value) on both engines so ties are deterministic.

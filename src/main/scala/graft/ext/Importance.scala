@@ -1,0 +1,141 @@
+package graft.ext
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+  * arXiv:2302.03169) re-expressed as Spark aggregations: score every
+  * document by how much more likely its tokens are under a TARGET
+  * distribution (e.g. the wiki-like or in-domain slice you want more of)
+  * than under the RAW corpus distribution, then select by that score.
+  *
+  * The score is the unigram log-likelihood ratio
+  * `Σ_w c(w,d) · ln(p_tgt(w) / p_raw(w))` with add-one smoothing over the
+  * joint vocabulary — the hashed-feature generative model of the paper
+  * with the n-gram order fixed at 1 (exact vocabulary) or with the
+  * paper's hashed buckets ([[hashedImportanceScores]]).
+  *
+  * Two paths, one contract:
+  *   - [[importanceScores]] — EXACT vocabulary. Scale shape: one explode +
+  *     per-(doc,word) partial-agg, one word-keyed vocabulary aggregation
+  *     (map-side combined — the shuffle carries (word, count) pairs, not
+  *     occurrences), one word-keyed join back, one doc-keyed final agg.
+  *     The vocabulary relation at 100 TB is large but bounded by distinct
+  *     words, and every stage is a hash shuffle — no windows, no driver
+  *     funnels. The totals row attaches via a 1-row broadcast cross join
+  *     (the engine's standard scalar pattern).
+  *   - [[hashedImportanceScores]] — the paper's fixed-width hashed feature
+  *     space (default 2^13 buckets like DSIR). The "vocabulary" is now AT
+  *     MOST `nBuckets` rows regardless of corpus size, so the LM table
+  *     BROADCASTS and the word-keyed shuffle disappears: explode →
+  *     bucket partial-agg (nBuckets-bounded) → broadcast join → doc agg.
+  *     This is the 100 TB path; collisions are the accepted DSIR
+  *     trade-off (the paper shows hashed n-grams preserve selection
+  *     quality).
+  *
+  * Deterministic importance RESAMPLING (the paper's Gumbel top-k) is
+  * [[gumbelTopFraction]]: perturb `score/temperature` with a Gumbel
+  * variable derived from a seeded per-row hash and keep the top fraction
+  * via the engine's scale-safe [[ScoreFilter.keepTopFraction]] (order-bits
+  * histogram + boundary-only rank — no global sort).
+  *
+  * Reference anchor: the sampling surface extends ratatool's
+  * BigSampler hash-dice determinism idiom (BigSampler.scala:61-81) to
+  * distribution-matching selection; the scoring math is DSIR's, not the
+  * reference's.
+  */
+object Importance {
+
+  /** Per-document unigram importance scores, exact vocabulary.
+    *
+    * @param isTarget row predicate marking the TARGET slice (its token
+    *        distribution is the numerator; the WHOLE input is the raw
+    *        denominator, target rows included — DSIR's raw pool likewise
+    *        contains target-like mass)
+    * @return (id, n_tokens, imp_logratio) — one row per input document;
+    *         empty documents score 0.0 with n_tokens 0
+    */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+                       isTarget: Column): DataFrame = {
+    val base = df.select(col(idCol).as("id"), isTarget.as("tgt"),
+      whitespaceTokens(lower(col(textCol))).as("ws"))
+    val dw = base
+      .select(col("id"), col("tgt"), explode(col("ws")).as("w"))
+      .groupBy("id", "tgt", "w").agg(count(lit(1)).as("c"))
+    scoreAgainstLm(base, dw, broadcastLm = false)
+  }
+
+  /** Per-document importance scores over DSIR's hashed feature space:
+    * words land in `pmod(xxhash64(w), nBuckets)` buckets and the unigram
+    * LM is estimated per bucket. The LM table is ≤ nBuckets rows — it
+    * broadcasts, and no word-keyed shuffle exists at any corpus size. */
+  def hashedImportanceScores(df: DataFrame, idCol: String, textCol: String,
+                             isTarget: Column,
+                             nBuckets: Int = 8192): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val base = df.select(col(idCol).as("id"), isTarget.as("tgt"),
+      whitespaceTokens(lower(col(textCol))).as("ws"))
+    val dw = base
+      .select(col("id"), col("tgt"), explode(col("ws")).as("tok"))
+      .select(col("id"), col("tgt"),
+        pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("w"))
+      .groupBy("id", "tgt", "w").agg(count(lit(1)).as("c"))
+    scoreAgainstLm(base, dw, broadcastLm = true)
+  }
+
+  /** Shared scoring tail: build the smoothed two-distribution LM over the
+    * (id, tgt, w, c) relation, join it back, aggregate per doc, and
+    * re-attach zero-token documents with score 0. `broadcastLm` is the
+    * hashed path's privilege — its LM is nBuckets-bounded, so the join is
+    * map-side; the exact path's vocabulary-sized LM hash-joins. */
+  private def scoreAgainstLm(base: DataFrame, dw: DataFrame,
+                             broadcastLm: Boolean): DataFrame = {
+    val lm = lmOf(dw, col("w"))
+    val scored = dw.join(if (broadcastLm) broadcast(lm) else lm, Seq("w"))
+      .groupBy("id").agg(
+        sum("c").as("n_tokens"),
+        sum(col("c").cast("double") * col("llr")).as("imp_logratio"))
+    base.select("id").distinct()
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("imp_logratio"), lit(0.0d)).as("imp_logratio"))
+  }
+
+  /** Smoothed per-word log-likelihood-ratio table (w, llr) from the
+    * (id, tgt, w, c) counts relation: `ln(p_tgt(w)/p_raw(w))` with
+    * add-one smoothing over the joint vocabulary. */
+  private def lmOf(dw: DataFrame, w: Column): DataFrame = {
+    val vocab = dw.groupBy(w.as("w")).agg(
+      sum("c").as("c_all"),
+      sum(when(col("tgt"), col("c")).otherwise(0L)).as("c_t"))
+    val tot = vocab.agg(sum("c_all").as("n_all"), sum("c_t").as("n_t"),
+      count(lit(1)).as("vsz"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("w"), log(
+        ((col("c_t") + 1).cast("double") / (col("n_t") + col("vsz"))) /
+        ((col("c_all") + 1).cast("double") / (col("n_all") + col("vsz"))))
+        .as("llr"))
+  }
+
+  /** DSIR's Gumbel top-k resampling, made deterministic: keep the top
+    * `fraction` of rows by `score/temperature + Gumbel(hash(salt, id))` —
+    * equivalent to sampling without replacement with probability
+    * ∝ exp(score/temperature), but reproducible across runs and engines
+    * sharing the hash. Selection runs through the engine's
+    * histogram-threshold machinery, never a global sort. */
+  def gumbelTopFraction(df: DataFrame, idCol: String, scoreCol: String,
+                        fraction: Double, temperature: Double = 1.0,
+                        salt: String = "dsir"): DataFrame = {
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    // uniform in (0,1): 53 random-ish bits of the seeded farmhash
+    val u = (pmod(farmHash64(concat_ws(":", lit(salt),
+        col(idCol).cast("string"))), lit(1L << 53)).cast("double") + 0.5d) /
+      lit((1L << 53).toDouble)
+    val key = col(scoreCol).cast("double") / temperature - log(-log(u))
+    ScoreFilter.keepTopFraction(df.withColumn("__gumbel_key", key),
+        "__gumbel_key", fraction)
+      .drop("__gumbel_key")
+  }
+}

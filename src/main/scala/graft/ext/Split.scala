@@ -64,4 +64,57 @@ object Split {
         when(dice < cum, label).otherwise(rest)
       }
   }
+
+  /** Deterministic global training-order shuffle: every row gets a
+    * pseudo-random but reproducible `orderCol` (md5 of salt + keys) and a
+    * `shardCol` derived from it; the result is hash-partitioned by shard
+    * and sorted by order key within each shard — the physical layout a
+    * training job reads (shard files consumed in file order ≙ one global
+    * pseudo-random permutation).
+    *
+    * Why an md5 sort key instead of `orderBy(rand())`:
+    *   - REPRODUCIBLE: the permutation is a pure function of (salt, keys)
+    *     — reruns, retries, and speculative tasks all agree, and a
+    *     different salt (e.g. `"epoch3"`) re-deals the whole permutation
+    *     for the next epoch with zero coordination;
+    *   - RESUMABLE: "continue from position p" is a FILTER on the order
+    *     key (`order_key > last_seen`), not a count-based skip into a
+    *     nondeterministic sort;
+    *   - SCALE-SHAPED: one hash shuffle keyed by shard + a per-partition
+    *     sort — no global total-order sort, no range-boundary sampling
+    *     job, no single-task funnel anywhere. Shard sizes concentrate
+    *     tightly (multinomial, ±√ per shard) because md5 bits are
+    *     uniform — skew is structurally impossible for distinct keys.
+    *
+    * Both derivations are engine-portable arithmetic (md5 hex + base-16
+    * digits), so a reader in ANY system — DuckDB, Trino, Python — can
+    * reproduce the exact order; the `train_order` gate hash-matches the
+    * full (id, shard, order_key) assignment against DuckDB.
+    *
+    * Keys must be row-unique (e.g. the document id) for a true
+    * permutation; duplicate keys sort adjacent, which is occasionally
+    * wanted (grouped curricula) but usually a caller bug. */
+  def trainOrder(df: DataFrame, keyCols: Seq[String], salt: String,
+                 numShards: Int, orderCol: String = "order_key",
+                 shardCol: String = "shard"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val keyed = df
+      .withColumn(orderCol, orderKey(keyCols.map(col), salt))
+      .withColumn(shardCol, shardOf(col(orderCol), numShards))
+    keyed.repartition(numShards, col(shardCol))
+      .sortWithinPartitions(shardCol, orderCol)
+  }
+
+  /** The reproducible order key itself (md5 hex of salt + ":"-joined
+    * keys), for streams or nested use — a pure codegen'd expression. */
+  def orderKey(keys: Seq[Column], salt: String): Column = {
+    require(keys.nonEmpty, "trainOrder needs at least one key column")
+    md5(concat_ws(":", (lit(salt) +: keys.map(_.cast("string"))): _*))
+  }
+
+  /** Shard of an [[orderKey]]: the key's first 6 hex digits as an integer,
+    * mod `numShards` — plain base-16 arithmetic any engine reproduces. */
+  def shardOf(orderKey: Column, numShards: Int): Column =
+    (conv(substring(orderKey, 1, 6), 16, 10).cast("long") % numShards)
+      .cast("int")
 }

@@ -1,0 +1,115 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSIR importance scoring: LLR math against a hand-computed oracle, the
+  * hashed path's agreement + broadcast plan, Gumbel resampling contract. */
+class ImportanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // target docs speak "ml", raw pool speaks "cooking"; doc 5 is empty
+  private lazy val docs = Seq(
+    (0L, "gradient descent model training", true),
+    (1L, "model training loss gradient", true),
+    (2L, "salt pepper butter recipe", false),
+    (3L, "butter recipe oven salt", false),
+    (4L, "gradient butter", false),
+    (5L, "", false)).toDF("doc_id", "text", "is_tgt")
+
+  behavior of "importanceScores"
+
+  it should "match a hand-computed smoothed log-likelihood ratio" in {
+    val got = Importance.importanceScores(docs, "doc_id", "text",
+        col("is_tgt"))
+      .orderBy("id").as[(Long, Long, Double)].collect()
+
+    // replicate the math in plain scala
+    val corpus = Seq(
+      (0L, "gradient descent model training", true),
+      (1L, "model training loss gradient", true),
+      (2L, "salt pepper butter recipe", false),
+      (3L, "butter recipe oven salt", false),
+      (4L, "gradient butter", false),
+      (5L, "", false))
+    val toks = corpus.map { case (id, t, tg) =>
+      (id, t.toLowerCase.split("\\s+").filter(_.nonEmpty), tg) }
+    val all = toks.flatMap(_._2)
+    val tgt = toks.filter(_._3).flatMap(_._2)
+    val vocab = all.distinct
+    val v = vocab.size.toDouble
+    def llr(w: String): Double = math.log(
+      ((tgt.count(_ == w) + 1) / (tgt.size + v)) /
+        ((all.count(_ == w) + 1) / (all.size + v)))
+    val want = toks.map { case (id, ws, _) =>
+      (id, ws.length.toLong, ws.map(llr).sum) }.sortBy(_._1)
+
+    got.map(_._1) shouldBe want.map(_._1).toArray
+    got.map(_._2) shouldBe want.map(_._2).toArray
+    got.zip(want).foreach { case ((_, _, g), (_, _, w)) =>
+      g shouldBe w +- 1e-9 }
+    // sanity: target-speak docs score positive, cooking docs negative
+    got.take(2).foreach(_._3 should be > 0.0)
+    got.slice(2, 4).foreach(_._3 should be < 0.0)
+    got(5)._3 shouldBe 0.0 // empty doc
+  }
+
+  behavior of "hashedImportanceScores"
+
+  it should "score like the exact path when buckets don't collide" in {
+    val exact = Importance.importanceScores(docs, "doc_id", "text",
+        col("is_tgt"))
+      .select("id", "imp_logratio").as[(Long, Double)].collect().toMap
+    val hashed = Importance.hashedImportanceScores(docs, "doc_id", "text",
+        col("is_tgt"), nBuckets = 1 << 20)
+      .select("id", "imp_logratio").as[(Long, Double)].collect().toMap
+    hashed.keySet shouldBe exact.keySet
+    // identical math modulo float summation order (no collisions at 2^20)
+    exact.foreach { case (id, s) => hashed(id) shouldBe s +- 1e-9 }
+  }
+
+  it should "broadcast the bucket LM (no word-keyed shuffle join)" in {
+    val plan = Importance.hashedImportanceScores(docs, "doc_id", "text",
+        col("is_tgt"))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    // the scoring join must not hash-shuffle the exploded token relation
+    "SortMergeJoin".r.findAllIn(plan) shouldBe empty
+  }
+
+  it should "still score every doc under heavy collisions (2 buckets)" in {
+    val got = Importance.hashedImportanceScores(docs, "doc_id", "text",
+      col("is_tgt"), nBuckets = 2)
+    got.count() shouldBe 6L
+    got.filter(col("imp_logratio").isNull).count() shouldBe 0L
+  }
+
+  behavior of "gumbelTopFraction"
+
+  it should "keep ~fraction rows, deterministically, biased toward high scores" in {
+    val n = 2000
+    val scored = (0 until n).map(i =>
+      (i.toLong, if (i < n / 2) 2.0 else -2.0)).toDF("id", "score")
+    val kept = Importance.gumbelTopFraction(scored, "id", "score",
+      fraction = 0.25, temperature = 1.0, salt = "t")
+    val ids = kept.select("id").as[Long].collect().toSet
+    // deterministic
+    Importance.gumbelTopFraction(scored, "id", "score", 0.25, 1.0, "t")
+      .select("id").as[Long].collect().toSet shouldBe ids
+    // a different salt reshuffles the selection
+    Importance.gumbelTopFraction(scored, "id", "score", 0.25, 1.0, "u")
+      .select("id").as[Long].collect().toSet should not be ids
+    ids.size.toDouble shouldBe (n * 0.25) +- n * 0.02
+    // high-score half should dominate the kept set (exp(4):1 odds per pair)
+    ids.count(_ < n / 2).toDouble / ids.size should be > 0.9
+  }
+
+  it should "converge to pure top-fraction as temperature -> 0" in {
+    val scored = (0 until 100).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "score")
+    val kept = Importance.gumbelTopFraction(scored, "id", "score",
+        fraction = 0.1, temperature = 1e-9)
+      .select("id").as[Long].collect().sorted
+    kept shouldBe (90L until 100L).toArray
+  }
+}

@@ -83,4 +83,45 @@ class SplitSpec extends SparkSpec {
     split.groupBy("cluster_id").agg(countDistinct("split").as("n"))
       .filter(col("n") =!= 1).count() shouldBe 0L
   }
+
+  behavior of "trainOrder"
+
+  private lazy val corpus = (0L until 1000L).map(i => (i, s"doc $i"))
+    .toDF("doc_id", "text")
+
+  it should "produce a reproducible permutation that a salt change re-deals" in {
+    def order(salt: String): Seq[Long] =
+      Split.trainOrder(corpus, Seq("doc_id"), salt, numShards = 4)
+        .orderBy("shard", "order_key").select("doc_id").as[Long]
+        .collect().toSeq
+    val e0 = order("epoch0")
+    order("epoch0") shouldBe e0 // deterministic rerun
+    e0 should not be order("epoch1") // new epoch, new permutation
+    e0.sorted shouldBe (0L until 1000L) // still a permutation
+    e0 should not be (0L until 1000L) // and not the identity
+  }
+
+  it should "balance shards within multinomial noise" in {
+    val sizes = Split.trainOrder(corpus, Seq("doc_id"), "s", numShards = 8)
+      .groupBy("shard").count().select("count").as[Long].collect()
+    sizes should have length 8
+    all(sizes) should be > 80L // E=125, 4-sigma ≈ 44
+    all(sizes) should be < 170L
+  }
+
+  it should "derive shard from the order key's leading hex digits" in {
+    val row = Split.trainOrder(corpus.limit(3), Seq("doc_id"), "s", 7)
+      .select("order_key", "shard").as[(String, Int)].collect()
+    row.foreach { case (k, s) =>
+      s shouldBe (java.lang.Long.parseLong(k.take(6), 16) % 7).toInt
+    }
+  }
+
+  it should "sort within each partition with no global sort exchange" in {
+    val plan = Split.trainOrder(corpus, Seq("doc_id"), "s", numShards = 4)
+      .queryExecution.executedPlan.toString
+    plan should include("Exchange hashpartitioning")
+    plan should not include "Exchange rangepartitioning"
+    plan should include("Sort")
+  }
 }
