@@ -377,7 +377,7 @@ object SparkEntry {
         transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
       val corpus = emb.select("vec_id", "embedding").unionByName(dups)
       val r = ext.SemDedup.semanticDedup(corpus, "vec_id", "embedding",
-        k = 8, tau = tau).localCheckpoint(true)
+        k = 32, tau = tau).localCheckpoint(true)
       val withV = (n: String, vn: String) =>
         corpus.select(col("vec_id").as(n), col("embedding").as(vn))
       val kept = r.filter(col("keep")).select(col("id").as("ka"), col("cluster"))
@@ -393,15 +393,22 @@ object SparkEntry {
         .join(withV("ra", "va"), "ra").join(withV("rb", "vb"), "rb")
         .filter(lit(1.0) - cosineDistance(col("va"), col("vb")) >= tau)
         .select("rb").distinct()
-      val nRemoved = r.filter(!col("keep")).count()
+      // single action: the three verification counts attach as 1-row
+      // broadcast scalars instead of separate driver-side jobs
       r.agg(
         count(lit(1)).as("n_corpus"),
         (sum(when(col("id") >= off && col("keep"), 1L).otherwise(0L)) === 0L)
           .as("all_planted_removed"),
         (sum(when(col("id") < off && !col("keep"), 1L).otherwise(0L)) === 0L)
-          .as("originals_kept"))
-        .withColumn("witness_ok", lit(witnessed.count() == nRemoved))
-        .withColumn("kept_maximal", lit(keptPairsOverTau.count() == 0L))
+          .as("originals_kept"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("__n_removed"))
+        .crossJoin(broadcast(witnessed.agg(count(lit(1)).as("__n_witnessed"))))
+        .crossJoin(broadcast(
+          keptPairsOverTau.agg(count(lit(1)).as("__n_kept_viol"))))
+        .select(col("n_corpus"), col("all_planted_removed"),
+          col("originals_kept"),
+          (col("__n_witnessed") === col("__n_removed")).as("witness_ok"),
+          (col("__n_kept_viol") === 0L).as("kept_maximal"))
     }),
 
     // n-gram Jaccard for an explicit pair list, value-exact vs a DuckDB
