@@ -119,6 +119,54 @@ object Importance {
         .as("llr"))
   }
 
+  /** A frozen hashed LM: per-bucket log-likelihood ratios plus the
+    * smoothed default for buckets absent from the training corpus.
+    * Small by construction (≤ nBuckets entries) — ships in a closure /
+    * literal map, never as a relation. */
+  final case class HashedLm(llr: Map[Long, Double], defaultLlr: Double,
+                            nBuckets: Int)
+
+  /** Train a [[HashedLm]] once on a (bounded) reference corpus. The
+    * production DSIR shape is train-once-score-many: fit the LM on a
+    * reference sample here, then score the FULL corpus — or an unbounded
+    * stream — with [[scoreWith]], which is a pure map-side expression.
+    * The driver collect is capped at `nBuckets` rows by construction
+    * (explicitly required ≤ 2^22 ≈ 4M entries, ~100 MB ceiling). */
+  def trainHashedLm(df: DataFrame, textCol: String, isTarget: Column,
+                    nBuckets: Int = 8192): HashedLm = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 22),
+      s"nBuckets must be in [2, 2^22], got $nBuckets")
+    val dw = df.select(isTarget.as("tgt"),
+        explode(whitespaceTokens(lower(col(textCol)))).as("tok"))
+      .select(col("tgt"), pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("w"))
+      .groupBy("w").agg(
+        count(lit(1)).as("c_all"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"))
+    val rows = dw.collect()
+    val nAll = rows.map(_.getLong(1)).sum.toDouble
+    val nT = rows.map(_.getLong(2)).sum.toDouble
+    val vsz = rows.length.toDouble
+    def llr(cT: Long, cAll: Long): Double = math.log(
+      ((cT + 1) / (nT + vsz)) / ((cAll + 1) / (nAll + vsz)))
+    HashedLm(
+      rows.map(r => r.getLong(0) -> llr(r.getLong(2), r.getLong(1))).toMap,
+      llr(0L, 0L), nBuckets)
+  }
+
+  /** Score a text column against a frozen [[HashedLm]] — a single
+    * codegen'd expression (tokenize → bucket → map lookup → sum): zero
+    * shuffle, zero state, identical on batch and streams. Scoring 100 TB
+    * costs one scan; empty/null text scores 0. */
+  def scoreWith(lm: HashedLm, text: Column): Column = {
+    val lmMap = typedLit(lm.llr)
+    aggregate(
+      coalesce(whitespaceTokens(lower(text)), array()),
+      lit(0.0d),
+      (acc, w) => acc + coalesce(
+        element_at(lmMap, pmod(xxhash64(w), lit(lm.nBuckets.toLong))),
+        lit(lm.defaultLlr)))
+  }
+
   /** DSIR's Gumbel top-k resampling, made deterministic: keep the top
     * `fraction` of rows by `score/temperature + Gumbel(hash(salt, id))` —
     * equivalent to sampling without replacement with probability

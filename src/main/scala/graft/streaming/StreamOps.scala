@@ -90,6 +90,18 @@ object StreamOps {
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
 
+  /** DSIR importance scoring on a stream: every arriving document scored
+    * against a FROZEN [[graft.ext.Importance.HashedLm]] (trained once on
+    * a batch reference via `trainHashedLm`). The LM rides in the
+    * expression as a literal map, so this is stateless and shuffle-free
+    * — the train-once-score-many production shape, with the stream
+    * scoring path provably equal to the batch one (same expression). */
+  def importanceScore(stream: DataFrame, textCol: String,
+                      lm: graft.ext.Importance.HashedLm,
+                      scoreCol: String = "imp_logratio"): DataFrame =
+    stream.withColumn(scoreCol,
+      graft.ext.Importance.scoreWith(lm, col(textCol)))
+
   /** Gap sessions on a stream: per-key session windows via Spark's
     * built-in `session_window`, emitting one row per closed session with
     * its bounds and event count — the streaming analog of

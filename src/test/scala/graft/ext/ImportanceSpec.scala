@@ -84,6 +84,33 @@ class ImportanceSpec extends SparkSpec {
     got.filter(col("imp_logratio").isNull).count() shouldBe 0L
   }
 
+  behavior of "trainHashedLm / scoreWith"
+
+  it should "reproduce the self-trained hashed scores as a pure expression" in {
+    val lm = Importance.trainHashedLm(docs, "text", col("is_tgt"),
+      nBuckets = 1 << 16)
+    val frozen = docs.select(col("doc_id"),
+        Importance.scoreWith(lm, col("text")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val batch = Importance.hashedImportanceScores(docs, "doc_id", "text",
+        col("is_tgt"), nBuckets = 1 << 16)
+      .select("id", "imp_logratio").as[(Long, Double)].collect().toMap
+    frozen.keySet shouldBe batch.keySet
+    batch.foreach { case (id, s) => frozen(id) shouldBe s +- 1e-9 }
+  }
+
+  it should "score unseen-bucket tokens with the smoothed default, null text 0" in {
+    val lm = Importance.trainHashedLm(docs, "text", col("is_tgt"),
+      nBuckets = 1 << 16)
+    val novel = Seq((100L, "zzzzqqq xyzzyx"), (101L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = novel.select(col("doc_id"),
+        Importance.scoreWith(lm, col("text")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    got(100L) shouldBe (2 * lm.defaultLlr) +- 1e-9
+    got(101L) shouldBe 0.0
+  }
+
   behavior of "gumbelTopFraction"
 
   it should "keep ~fraction rows, deterministically, biased toward high scores" in {

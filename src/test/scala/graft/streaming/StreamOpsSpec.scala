@@ -305,4 +305,29 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     streamed shouldBe batch
   }
+
+  it should "importance-score a stream exactly like the batch frozen-LM path" in {
+    implicit val sc = spark.sqlContext
+    val ref = Seq(
+      (0L, "gradient descent model training", true),
+      (1L, "salt pepper butter recipe", false),
+      (2L, "butter recipe oven salt", false)).toDF("doc_id", "text", "tgt")
+    val lm = graft.ext.Importance.trainHashedLm(ref, "text", col("tgt"))
+    val docs = Seq((10L, "gradient model"), (11L, "butter salt"),
+      (12L, "never seen words"))
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamOps.importanceScore(
+      input.toDF().toDF("doc_id", "text"), "text", lm)
+    val q = scored.writeStream.format("memory").queryName("s_imp").start()
+    input.addData(docs)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_imp")
+      .select("doc_id", "imp_logratio").as[(Long, Double)].collect().toMap
+    val batch = StreamOps.importanceScore(docs.toDF("doc_id", "text"),
+        "text", lm)
+      .select("doc_id", "imp_logratio").as[(Long, Double)].collect().toMap
+    streamed shouldBe batch
+    streamed(10L) should be > 0.0 // target-speak
+    streamed(11L) should be < 0.0 // raw-speak
+  }
 }
