@@ -231,6 +231,20 @@ class PlanSpec extends SparkSpec {
     p should not include "Exchange SinglePartition"
   }
 
+  "semantic dedup" should "pair per-cluster with hash joins — no cartesian, no window" in {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val r = ext.SemDedup.semanticDedup(emb, "vec_id", "embedding",
+      k = 8, tau = 0.9)
+    val p = plan(r)
+    // the quadratic step must be keyed by cluster (hash join over the
+    // checkpointed assignment), never an all-pairs product, and the keep
+    // decision is a join against the removed set — no per-cluster window
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "Window"
+    p should not include "Exchange SinglePartition"
+  }
+
   "the diff stats views" should "reuse one cached relation instead of re-joining" in {
     val o = spark.read.parquet(s"$sf/orders.parquet")
     val r = diffy.BigDiffy.diff(
