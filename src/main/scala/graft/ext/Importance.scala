@@ -143,6 +143,8 @@ object Importance {
         count(lit(1)).as("c_all"),
         sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"))
     val rows = dw.collect()
+    require(rows.nonEmpty,
+      "trainHashedLm: reference corpus has no tokens to train on")
     val nAll = rows.map(_.getLong(1)).sum.toDouble
     val nT = rows.map(_.getLong(2)).sum.toDouble
     val vsz = rows.length.toDouble

@@ -61,10 +61,12 @@ object SemDedup {
     require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1], got $tau")
     val raw = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // spherical: unit-normalize for training + assignment (zero-norm →
-    // null, which NearestCells / sampleTrainVecs already degrade safely)
+    // null, which NearestCells / sampleTrainVecs already degrade safely);
+    // the raw vector is NOT carried along — cosine is direction-only, so
+    // every later stage (pairing, verification) reads the unit vector
     val nrm = sqrt(aggregate(col("v").cast("array<double>"), lit(0.0d),
       (acc, x) => acc + x * x))
-    val v = raw.select(col("id"), col("v").as("vraw"),
+    val v = raw.select(col("id"),
       when(nrm > 0.0d && !isnan(nrm),
         transform(col("v").cast("array<double>"), x => x / nrm))
         .as("v"))

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * report (max/mean shuffle-read and input bytes) — the empirical check
   * that the bucket/cap design keeps every task near the mean at scale. */
 object StressDedup {
-  private class SkewListener extends SparkListener {
+  private[tools] class SkewListener extends SparkListener {
     val stages = TrieMap.empty[Int, ArrayBuffer[(Long, Long)]]
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
