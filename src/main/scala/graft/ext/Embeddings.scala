@@ -24,10 +24,13 @@ object Embeddings {
     sqrt(aggregate(vec, lit(0.0d), (a, x) => a + x.cast("double") * x.cast("double")))
 
   /** Unit-normalize: `vec / ||vec||_2` as array<double>; null for a null
-    * input, and null for an all-zero vector (no direction to keep). */
+    * input, an all-zero vector (no direction to keep), or a vector with
+    * any NaN element (NaN > 0.0 is TRUE under Spark comparison semantics,
+    * so without the explicit isnan guard a NaN norm would pass the
+    * positivity test and emit a NaN array instead of null). */
   def l2Normalize(vec: Column): Column = {
     val n = l2Norm(vec)
-    when(vec.isNotNull && n > 0.0,
+    when(vec.isNotNull && !isnan(n) && n > 0.0,
       transform(vec, x => x.cast("double") / n))
   }
 

@@ -156,17 +156,27 @@ object Importance {
   }
 
   /** Score a text column against a frozen [[HashedLm]] — a single
-    * codegen'd expression (tokenize → bucket → map lookup → sum): zero
+    * codegen'd expression (tokenize → bucket → array index → sum): zero
     * shuffle, zero state, identical on batch and streams. Scoring 100 TB
-    * costs one scan; empty/null text scores 0. */
+    * costs one scan; empty/null text scores 0.
+    *
+    * The LM ships as a DENSE array literal indexed by bucket, because
+    * Spark's `element_at` on a map literal is a LINEAR key scan — O(
+    * nBuckets) per token, which at the 2^22 cap would dominate the whole
+    * scan. Array ordinal access is O(1); the dense form costs 8 bytes ×
+    * nBuckets once per plan (64 KiB at the default 8192, 32 MiB at the
+    * cap — within a plan literal's budget, and the cap's require guards
+    * it). Buckets unseen in training hold the smoothed default. */
   def scoreWith(lm: HashedLm, text: Column): Column = {
-    val lmMap = typedLit(lm.llr)
+    val dense = Array.fill(lm.nBuckets)(lm.defaultLlr)
+    lm.llr.foreach { case (b, v) => dense(b.toInt) = v }
+    val lmArr = typedLit(dense.toSeq)
     aggregate(
       coalesce(whitespaceTokens(lower(text)), array()),
       lit(0.0d),
-      (acc, w) => acc + coalesce(
-        element_at(lmMap, pmod(xxhash64(w), lit(lm.nBuckets.toLong))),
-        lit(lm.defaultLlr)))
+      (acc, w) => acc +
+        element_at(lmArr, (pmod(xxhash64(w), lit(lm.nBuckets.toLong)) + 1L)
+          .cast("int")))
   }
 
   /** DSIR's Gumbel top-k resampling, made deterministic: keep the top

@@ -30,12 +30,14 @@ import org.apache.spark.sql.functions._
   *     the paper's k ≈ n/1000 with dim 64 that is ~0.5 MB per 1M docs;
   *     the caller caps k, not the engine);
   *   - the within-cluster pair step is a self-join ON the cluster id —
-  *     shuffle keyed by cluster, pair volume Σ cᵢ² bounded by
-  *     `maxClusterSize` exactly like the LSH buckets in
-  *     [[Dedup.minhashNearDups]]: oversized clusters (degenerate k-means,
-  *     adversarial corpora) are skipped — the same honest under-dedup
-  *     fallback, logged via the returned `oversized` flag rather than an
-  *     OOM at 100 TB.
+  *     shuffle keyed by cluster, so a cluster's ENTIRE c² pair volume
+  *     lands in one task. `maxClusterSize` bounds that task: the 10 000
+  *     default caps it at ~5×10⁷ cosine evaluations (seconds, not a hung
+  *     executor); oversized clusters (degenerate k-means, adversarial
+  *     corpora) are skipped — the same honest under-dedup fallback as
+  *     [[Dedup.minhashNearDups]]'s bucket cap, surfaced via the returned
+  *     `oversized` flag rather than an OOM at 100 TB. Size k ≈ n/1000
+  *     (the paper's regime) and the cap rarely binds.
   *
   * Keep policy: a vector is removed iff SOME earlier-id vector in its
   * cluster has cosine ≥ tau (the paper's lower-index rule made
@@ -56,20 +58,15 @@ object SemDedup {
                     k: Int, tau: Double,
                     trainCap: Long = 100000L, maxIter: Int = 20,
                     seed: Long = 42L,
-                    maxClusterSize: Int = 100000): DataFrame = {
+                    maxClusterSize: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1], got $tau")
     val raw = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // spherical: unit-normalize for training + assignment (zero-norm →
-    // null, which NearestCells / sampleTrainVecs already degrade safely);
-    // the raw vector is NOT carried along — cosine is direction-only, so
-    // every later stage (pairing, verification) reads the unit vector
-    val nrm = sqrt(aggregate(col("v").cast("array<double>"), lit(0.0d),
-      (acc, x) => acc + x * x))
-    val v = raw.select(col("id"),
-      when(nrm > 0.0d && !isnan(nrm),
-        transform(col("v").cast("array<double>"), x => x / nrm))
-        .as("v"))
+    // spherical: unit-normalize for training + assignment (zero-norm /
+    // NaN → null, which NearestCells / sampleTrainVecs already degrade
+    // safely); the raw vector is NOT carried along — cosine is
+    // direction-only, so every later stage reads the unit vector
+    val v = raw.select(col("id"), Embeddings.l2Normalize(col("v")).as("v"))
 
     val sample = Similarity.sampleTrainVecs(v, trainCap)
     val centroids =

@@ -67,29 +67,37 @@ object Split {
 
   /** Deterministic global training-order shuffle: every row gets a
     * pseudo-random but reproducible `orderCol` (md5 of salt + keys) and a
-    * `shardCol` derived from it; the result is hash-partitioned by shard
-    * and sorted by order key within each shard — the physical layout a
-    * training job reads (shard files consumed in file order ≙ one global
-    * pseudo-random permutation).
+    * `shardCol` derived from it; rows come back clustered by shard and
+    * sorted by (shard, order key) within each task. The global training
+    * order is BY DEFINITION ascending (shard, order_key) — a pure
+    * function of the values, independent of Spark's partition placement.
+    * To materialize one file per shard, write the result with
+    * `.write.partitionBy(shardCol)` (directory-per-shard); consuming
+    * `shard=0, shard=1, …` directories in order replays the permutation.
+    * (The internal `repartition(numShards, shard)` co-locates each shard
+    * for parallelism but hash-placement may pack two shards into one
+    * task — the within-task sort leads with `shardCol` precisely so that
+    * collided shards still come out contiguous and ordered.)
     *
     * Why an md5 sort key instead of `orderBy(rand())`:
     *   - REPRODUCIBLE: the permutation is a pure function of (salt, keys)
     *     — reruns, retries, and speculative tasks all agree, and a
     *     different salt (e.g. `"epoch3"`) re-deals the whole permutation
     *     for the next epoch with zero coordination;
-    *   - RESUMABLE: "continue from position p" is a FILTER on the order
-    *     key (`order_key > last_seen`), not a count-based skip into a
-    *     nondeterministic sort;
-    *   - SCALE-SHAPED: one hash shuffle keyed by shard + a per-partition
-    *     sort — no global total-order sort, no range-boundary sampling
-    *     job, no single-task funnel anywhere. Shard sizes concentrate
-    *     tightly (multinomial, ±√ per shard) because md5 bits are
-    *     uniform — skew is structurally impossible for distinct keys.
+    *   - RESUMABLE: "continue from position p" is a FILTER on the
+    *     position PAIR — `shard > s OR (shard = s AND order_key > k)` —
+    *     not a count-based skip into a nondeterministic sort (the order
+    *     key alone is not global: it restarts within each shard);
+    *   - SCALE-SHAPED: one hash shuffle + a per-partition sort — no
+    *     global total-order sort, no range-boundary sampling job, no
+    *     single-task funnel anywhere. Shard sizes concentrate tightly
+    *     (multinomial, ±√ per shard) because md5 bits are uniform.
     *
     * Both derivations are engine-portable arithmetic (md5 hex + base-16
     * digits), so a reader in ANY system — DuckDB, Trino, Python — can
-    * reproduce the exact order; the `train_order` gate hash-matches the
-    * full (id, shard, order_key) assignment against DuckDB.
+    * reproduce the exact (shard, order_key) assignment and therefore the
+    * same global order; the `train_order` gate hash-matches the full
+    * assignment against DuckDB.
     *
     * Keys must be row-unique (e.g. the document id) for a true
     * permutation; duplicate keys sort adjacent, which is occasionally

@@ -16,7 +16,7 @@ object ProbeSem {
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, s"/root/testdata/$sf")
       df.show(20, truncate = false)
-      println(s"== $sf $n rows=${df.count()} in ${(System.nanoTime()-t0)/1e9}%.1f s")
+      println(f"== $sf $n rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
