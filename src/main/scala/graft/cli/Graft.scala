@@ -62,10 +62,112 @@ object Graft {
     case Some("directSampler") => directSampler(parseFlags(args.tail), spark)
     case Some("corpusReport")  => corpusReport(parseFlags(args.tail), spark)
     case Some("gopherFilter")  => gopherFilter(parseFlags(args.tail), spark)
+    case Some("semDedup")      => semDedup(parseFlags(args.tail), spark)
+    case Some("dsirScore")     => dsirScore(parseFlags(args.tail), spark)
+    case Some("trainOrder")    => trainOrder(parseFlags(args.tail), spark)
     case other =>
       throw new IllegalArgumentException(
         "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
-          s"gopherFilter> [flags]; got $other")
+          s"gopherFilter|semDedup|dsirScore|trainOrder> [flags]; got $other")
+  }
+
+  /** Engine extension: SemDeDup semantic dedup
+    * ([[graft.ext.SemDedup.semanticDedup]]) as a one-shot job.
+    *
+    * {{{
+    * graft semDedup --input=<path> --output=<dir> --id-col=<c> --vec-col=<c>
+    *                --k=<clusters> [--tau=0.95] [--max-cluster-size=10000]
+    *                [--seed=42] [--assignments-only]
+    *                [--input-mode=...] [--output-mode=...] [--row-restriction=<pred>]
+    * }}}
+    *
+    * Default output is the DEDUPLICATED corpus (kept rows, original
+    * schema); `--assignments-only` writes the full (id, cluster, keep,
+    * oversized) audit table instead. */
+  private def semDedup(f: Map[String, String], spark: SparkSession): Unit = {
+    val df = restrict(read(spark, required(f, "input"),
+      f.getOrElse("input-mode", "parquet")), f)
+    val out = required(f, "output")
+    val idCol = required(f, "id-col")
+    val r = graft.ext.SemDedup.semanticDedup(df, idCol,
+      required(f, "vec-col"), k = required(f, "k").toInt,
+      tau = f.getOrElse("tau", "0.95").toDouble,
+      seed = f.getOrElse("seed", "42").toLong,
+      maxClusterSize = f.getOrElse("max-cluster-size", "10000").toInt)
+    val result =
+      if (f.contains("assignments-only")) r
+      else df.join(r.filter(org.apache.spark.sql.functions.col("keep"))
+        .select(org.apache.spark.sql.functions.col("id").as(idCol)), idCol)
+    if (!GraftIO.unlessDone(out) {
+      write(result, out, f.getOrElse("output-mode", "parquet"),
+        csv(f.get("partition-by")))
+    }) System.err.println(s"[graft] output $out already complete, skipping")
+  }
+
+  /** Engine extension: DSIR importance scoring / selection
+    * ([[graft.ext.Importance]]) as a one-shot job.
+    *
+    * {{{
+    * graft dsirScore --input=<path> --output=<dir> --id-col=<c>
+    *                 --target=<sql predicate over the input>
+    *                 [--text-col=text] [--exact | --buckets=8192]
+    *                 [--top-fraction=<f> [--temperature=1.0] [--salt=dsir]]
+    *                 [--input-mode=...] [--output-mode=...] [--row-restriction=<pred>]
+    * }}}
+    *
+    * Scores every document against the LM of the `--target` slice vs the
+    * whole input. With `--top-fraction`, Gumbel-resamples and writes the
+    * SELECTED subset (original schema + score); otherwise writes
+    * (id, n_tokens, imp_logratio) for every document. */
+  private def dsirScore(f: Map[String, String], spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = restrict(read(spark, required(f, "input"),
+      f.getOrElse("input-mode", "parquet")), f)
+    val out = required(f, "output")
+    val idCol = required(f, "id-col")
+    val textCol = f.getOrElse("text-col", "text")
+    val tgt = expr(stripQuoteWrap(required(f, "target")))
+    val scores =
+      if (f.contains("exact"))
+        graft.ext.Importance.importanceScores(df, idCol, textCol, tgt)
+      else graft.ext.Importance.hashedImportanceScores(df, idCol, textCol,
+        tgt, nBuckets = f.getOrElse("buckets", "8192").toInt)
+    val result = f.get("top-fraction") match {
+      case None => scores
+      case Some(frac) =>
+        val joined = df.join(scores.select(col("id").as(idCol),
+          col("imp_logratio")), idCol)
+        graft.ext.Importance.gumbelTopFraction(joined, idCol, "imp_logratio",
+          frac.toDouble, f.getOrElse("temperature", "1.0").toDouble,
+          f.getOrElse("salt", "dsir"))
+    }
+    if (!GraftIO.unlessDone(out) {
+      write(result, out, f.getOrElse("output-mode", "parquet"),
+        csv(f.get("partition-by")))
+    }) System.err.println(s"[graft] output $out already complete, skipping")
+  }
+
+  /** Engine extension: deterministic training-order shuffle
+    * ([[graft.ext.Split.trainOrder]]) as a one-shot job. Writes
+    * directory-per-shard (`shard=N/...`) with rows sorted by order key
+    * inside each shard — reading the directories in shard order replays
+    * the global permutation.
+    *
+    * {{{
+    * graft trainOrder --input=<path> --output=<dir> --key=<c1,c2>
+    *                  --salt=<epoch tag> [--shards=256]
+    *                  [--input-mode=...] [--output-mode=parquet|json]
+    *                  [--row-restriction=<pred>]
+    * }}} */
+  private def trainOrder(f: Map[String, String], spark: SparkSession): Unit = {
+    val df = restrict(read(spark, required(f, "input"),
+      f.getOrElse("input-mode", "parquet")), f)
+    val out = required(f, "output")
+    val ordered = graft.ext.Split.trainOrder(df, csv(f.get("key")),
+      salt = required(f, "salt"), numShards = f.getOrElse("shards", "256").toInt)
+    if (!GraftIO.unlessDone(out) {
+      write(ordered, out, f.getOrElse("output-mode", "parquet"), Seq("shard"))
+    }) System.err.println(s"[graft] output $out already complete, skipping")
   }
 
   /** Engine extension: the Gopher-rule quality filter
@@ -152,23 +254,26 @@ object Graft {
   private[cli] def restrict(df: DataFrame, f: Map[String, String]): DataFrame =
     f.get("row-restriction").map(_.trim).filter(_.nonEmpty) match {
       case Some(p) =>
-        // strip surrounding quotes ONLY when they wrap the whole predicate
-        // (no further quote of the same kind inside): a predicate that
-        // merely STARTS and ENDS with distinct string literals — e.g.
-        // '2025-01-01' <= d AND d <= '2025-12-31' — must pass through
-        // untouched, or the strip would re-pair its quotes into garbage
-        // backtick included for reference-CLI parity: its stripQuoteWrap
-        // (BigDiffy.scala) accepts `-wrapped predicates too
-        val inner = p.substring(1, math.max(p.length - 1, 1))
-        val stripped =
-          if (p.length >= 2 && "\"'`".contains(p.head) && p.last == p.head &&
-              !inner.contains(p.head)) inner
-          else p
+        val stripped = stripQuoteWrap(p)
         require(stripped.trim.nonEmpty,
           "--row-restriction is empty after quote stripping")
         df.filter(org.apache.spark.sql.functions.expr(stripped))
       case None => df
     }
+
+  /** Strip surrounding quotes ONLY when they wrap the whole predicate
+    * (no further quote of the same kind inside): a predicate that merely
+    * STARTS and ENDS with distinct string literals — e.g.
+    * '2025-01-01' <= d AND d <= '2025-12-31' — must pass through
+    * untouched, or the strip would re-pair its quotes into garbage.
+    * Backtick included for reference-CLI parity: its stripQuoteWrap
+    * (BigDiffy.scala) accepts `-wrapped predicates too. */
+  private[cli] def stripQuoteWrap(p: String): String = {
+    val inner = p.substring(1, math.max(p.length - 1, 1))
+    if (p.length >= 2 && "\"'`".contains(p.head) && p.last == p.head &&
+        !inner.contains(p.head)) inner
+    else p
+  }
 
   private def bigDiffy(f: Map[String, String], spark: SparkSession): Unit = {
     val mode = f.getOrElse("input-mode", "parquet")

@@ -128,9 +128,71 @@ class GraftCliSpec extends SparkSpec {
     the[IllegalArgumentException] thrownBy
       Graft.run(Seq("frobnicate"), spark) should have message
       "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
-        "gopherFilter> [flags]; got Some(frobnicate)"
+        "gopherFilter|semDedup|dsirScore|trainOrder> [flags]; got Some(frobnicate)"
     an[IllegalArgumentException] should be thrownBy
       Graft.run(Seq("bigSampler", "--input=/x"), spark)
+  }
+
+  it should "run semDedup in dedup and audit modes" in {
+    val base = tmp()
+    val rnd = new scala.util.Random(5)
+    val dirA = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val dirB = Array.fill(8)(rnd.nextGaussian().toFloat)
+    // BLOCK layout (ids 0-5 direction A, 6-11 direction B) so the strided
+    // training sample's partition heads see both directions
+    val rows = (0L until 12L).map { i =>
+      val d = if (i < 6) dirA else dirB
+      (i, d.map(x => x * (1f + (i % 6) * 0.3f) +
+        rnd.nextGaussian().toFloat * 0.01f).toSeq)
+    }
+    rows.toDF("vec_id", "embedding").write.parquet(s"$base/in")
+    Graft.run(Seq("semDedup", s"--input=$base/in", s"--output=$base/kept",
+      "--id-col=vec_id", "--vec-col=embedding", "--k=2", "--tau=0.98"), spark)
+    val kept = spark.read.parquet(s"$base/kept")
+    kept.columns.toSeq shouldBe Seq("vec_id", "embedding")
+    kept.select("vec_id").as[Long].collect().sorted shouldBe Array(0L, 6L)
+    Graft.run(Seq("semDedup", s"--input=$base/in", s"--output=$base/audit",
+      "--id-col=vec_id", "--vec-col=embedding", "--k=2", "--tau=0.98",
+      "--assignments-only"), spark)
+    spark.read.parquet(s"$base/audit").count() shouldBe 12L
+  }
+
+  it should "run dsirScore in score and select modes" in {
+    val base = tmp()
+    Seq((0L, "model training gradient", "en"),
+      (1L, "training model descent", "en"),
+      (2L, "butter salt recipe", "de"),
+      (3L, "salt butter oven", "de"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$base/in")
+    Graft.run(Seq("dsirScore", s"--input=$base/in", s"--output=$base/scores",
+      "--id-col=doc_id", "--target=lang = 'en'", "--exact"), spark)
+    val scores = spark.read.parquet(s"$base/scores")
+    scores.columns.toSeq shouldBe Seq("id", "n_tokens", "imp_logratio")
+    scores.count() shouldBe 4L
+    Graft.run(Seq("dsirScore", s"--input=$base/in", s"--output=$base/sel",
+      "--id-col=doc_id", "--target=\"lang = 'en'\"", "--top-fraction=0.5",
+      "--temperature=1e-9"), spark)
+    val sel = spark.read.parquet(s"$base/sel")
+    // T→0 keeps the highest-importance half: the english docs
+    sel.select("doc_id").as[Long].collect().sorted shouldBe Array(0L, 1L)
+    sel.columns should contain("text") // original schema + score ride along
+  }
+
+  it should "run trainOrder writing directory-per-shard sorted by order key" in {
+    val base = tmp()
+    (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      .write.parquet(s"$base/in")
+    Graft.run(Seq("trainOrder", s"--input=$base/in", s"--output=$base/out",
+      "--key=doc_id", "--salt=ep0", "--shards=4"), spark)
+    val dirs = new java.io.File(s"$base/out").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    dirs shouldBe Array("shard=0", "shard=1", "shard=2", "shard=3")
+    val all = spark.read.parquet(s"$base/out")
+    all.count() shouldBe 200L
+    // within a shard directory the row groups are in order-key order
+    val s0 = spark.read.parquet(s"$base/out/shard=0")
+      .select("order_key").as[String].collect()
+    s0.sorted.toSeq shouldBe s0.toSeq
   }
 
   behavior of "CaseClassDiffy"
