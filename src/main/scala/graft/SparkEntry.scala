@@ -705,6 +705,15 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
+    // per-doc tf-idf keywords, LINEAR idf variant (score = tf·N/df is
+    // pure IEEE multiply/divide — bit-identical across engines, so the
+    // RANKING, not just the values, hash-matches DuckDB's row_number)
+    "top_keywords" -> ((s, d) =>
+      TextAnalysis.topKeywords(t(s, d, "documents"), "doc_id", "text",
+          k = 5, minDocFreq = 5, logIdf = false)
+        .select(col("id").as("doc_id"), col("term"), col("rank"),
+          round(col("score"), 6).as("score_r"))
+        .orderBy("doc_id", "rank")),
     // DSIR importance scoring (Xie et al. '23): per-doc smoothed unigram
     // log-likelihood ratio of the English slice vs the whole corpus,
     // value-exact vs a DuckDB replica of the same LM math
@@ -1356,6 +1365,22 @@ object SparkEntry {
       "text_fingerprint" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  CAST(COUNT(*) AS BIGINT) AS n_distinct FROM documents""".stripMargin,
+      "top_keywords" ->
+        s"""WITH tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM
+           |    (SELECT doc_id, unnest(list_filter(string_split_regex(
+           |       trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+           |     FROM documents) GROUP BY doc_id, w),
+           |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+           |        HAVING COUNT(*) >= 5),
+           |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+           |s AS (SELECT tf.doc_id, tf.term,
+           |    tf.tf * (n.n / dfq.df) AS score
+           |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+           |r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER
+           |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+           |SELECT doc_id, term, CAST(rank AS INTEGER) AS rank,
+           |  ROUND(score, 6) AS score_r
+           |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
       "importance_scores" ->
         """WITH base AS (SELECT doc_id, lang = 'en' AS tgt,
           |    list_filter(string_split_regex(trim(lower(text)), '\s+'),

@@ -202,6 +202,47 @@ object TextAnalysis {
     df.select(col(idCol)).join(frac, Seq(idCol), "left")
   }
 
+  /** Per-document tf-idf keyword extraction: the `k` highest-scoring
+    * terms of each document, `score = tf · idf` with
+    * `idf = ln(N / df)` (default) or the LINEAR `N / df` variant
+    * (`logIdf = false`) whose score arithmetic is a single IEEE multiply
+    * + divide — bit-identical across engines, which is what the
+    * `top_keywords` gate drives so DuckDB reproduces the exact ranking
+    * (ln is only ulp-accurate across libms; ranks near the k-cutoff
+    * could flip under it). Ordering is (score desc, term asc).
+    *
+    * Scale shape: one explode → per-(doc, term) partial-agg (the shuffle
+    * carries counts, not occurrences), a term-keyed document-frequency
+    * aggregation joined back on the term key, then the k-bounded
+    * [[graft.functions.TopK.ByScore]] per doc — map-side O(k) buffers,
+    * never a per-doc window. `minDocFreq` prunes hapax noise before the
+    * join. Returns (id, term, rank, score). */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 10, minDocFreq: Int = 2,
+                  logIdf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    require(k >= 1, s"top-k keywords needs k >= 1, got $k")
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(whitespaceTokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+    val nDocs = df.select(countDistinct(col(idCol)).as("__n"))
+    val idf =
+      if (logIdf) log(col("__n").cast("double") / col("df"))
+      else col("__n").cast("double") / col("df")
+    val scored = tf.join(docFreq, "term").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("term"), (col("tf") * idf).as("score"))
+    val agg = udaf(new graft.functions.TopK.ByScore[String](k),
+        ExpressionEncoder[(String, Double)]())
+      .apply(col("term"), col("score"))
+    scored.groupBy("id").agg(agg.as("hits"))
+      .select(col("id"), explode(col("hits")).as("h"))
+      .select(col("id"), col("h.neighbor_id").as("term"),
+        col("h.rank").as("rank"), col("h.cosine_sim").as("score"))
+  }
+
   /** C4-style boilerplate stripping: remove every text segment (split by
     * the literal `delim` — lines, sentences, paragraphs) that occurs in
     * at least `minDocFreq` distinct documents, and rejoin the survivors

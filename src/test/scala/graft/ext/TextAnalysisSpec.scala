@@ -343,4 +343,38 @@ class TextAnalysisSpec extends SparkSpec {
     df.select(round(TextAnalysis.dupLineRatio(col("text")), 2)).as[Double].collect() shouldBe
       Array(0.5, 0.0) // 4 lines, 2 distinct -> 0.5; all distinct -> 0.0
   }
+
+  behavior of "topKeywords"
+
+  private lazy val kwDocs = Seq(
+    (0L, "spark spark spark engine engine common common"),
+    (1L, "duck duck engine common common"),
+    (2L, "goose common engine")).toDF("doc_id", "text")
+
+  it should "rank terms by tf-idf with hapax pruned and ties by term" in {
+    // df: spark 1 (pruned at minDocFreq=2), engine 3, common 3, duck 1
+    // (pruned), goose 1 (pruned); N=3 -> idf(engine)=idf(common)=ln(1)=0
+    // at logIdf — use linear idf (N/df = 1) so scores are tf alone
+    val got = TextAnalysis.topKeywords(kwDocs, "doc_id", "text",
+        k = 2, minDocFreq = 2, logIdf = false)
+      .orderBy("id", "rank")
+      .select("id", "term", "rank", "score")
+      .as[(Long, String, Int, Double)].collect()
+    got shouldBe Array(
+      (0L, "common", 1, 2.0), (0L, "engine", 2, 2.0), // tf 2 & 2: term asc
+      (1L, "common", 1, 2.0), (1L, "engine", 2, 1.0), // tf 2 and 1
+      (2L, "common", 1, 1.0), (2L, "engine", 2, 1.0)) // tie -> term asc
+  }
+
+  it should "compute log idf and never use a window" in {
+    val q = TextAnalysis.topKeywords(kwDocs, "doc_id", "text",
+      k = 1, minDocFreq = 1)
+    q.queryExecution.executedPlan.toString should not include "Window"
+    // doc 0's top log-idf keyword: spark (tf 3, df 1 -> 3*ln(3)), beats
+    // common (tf 2, idf 0) and engine (tf 1, idf 0)
+    val top0 = q.filter(col("id") === 0L).select("term", "score")
+      .as[(String, Double)].head()
+    top0._1 shouldBe "spark"
+    top0._2 shouldBe 3.0 * math.log(3.0) +- 1e-12
+  }
 }
