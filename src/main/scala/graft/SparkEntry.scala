@@ -723,6 +723,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"),
           round(col("imp_logratio"), 5).as("imp_logratio"))
         .orderBy("doc_id")),
+    // multinomial NB posteriors (the CCNet-style domain/language router),
+    // self-trained on the lang labels: the full (doc × class) smoothed
+    // log-probability table, value-exact vs a DuckDB replica
+    "nb_posteriors" -> ((s, d) =>
+      ext.Importance.nbPosteriors(t(s, d, "documents"), "doc_id", "text",
+          "lang")
+        .select(col("id").as("doc_id"), col("cls"), col("n_tokens"),
+          round(col("nb_logprob"), 5).as("nb_logprob"))
+        .orderBy("doc_id", "cls")),
     // Gopher rule filter (Rae et al. '21): per-doc signal values + the
     // composite keep verdict, value-exact vs a DuckDB replica of every rule
     "gopher_filter" -> ((s, d) =>
@@ -1381,6 +1390,29 @@ object SparkEntry {
            |SELECT doc_id, term, CAST(rank AS INTEGER) AS rank,
            |  ROUND(score, 6) AS score_r
            |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+      "nb_posteriors" ->
+        """WITH base AS (SELECT doc_id, lang AS cls,
+          |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+          |                x -> len(x) > 0) AS ws FROM documents),
+          |dw AS (SELECT doc_id, w, COUNT(*) AS c FROM
+          |    (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY doc_id, w),
+          |cw AS (SELECT cls, w, COUNT(*) AS cw FROM
+          |    (SELECT cls, unnest(ws) AS w FROM base) GROUP BY cls, w),
+          |ct AS (SELECT cls, CAST(SUM(cw) AS DOUBLE) AS n_cls FROM cw GROUP BY cls),
+          |v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS vsz FROM cw),
+          |pri AS (SELECT cls, ln(CAST(COUNT(*) AS DOUBLE)
+          |    / (SELECT COUNT(*) FROM base)) AS log_prior
+          |  FROM base GROUP BY cls),
+          |wcls AS (SELECT dv.w, ct.cls,
+          |    ln((COALESCE(cw.cw, 0) + 1) / (ct.n_cls + v.vsz)) AS log_pw
+          |  FROM (SELECT DISTINCT w FROM cw) dv CROSS JOIN ct CROSS JOIN v
+          |  LEFT JOIN cw ON cw.w = dv.w AND cw.cls = ct.cls),
+          |s AS (SELECT dw.doc_id, wcls.cls, SUM(dw.c) AS n_tokens,
+          |    SUM(dw.c * wcls.log_pw) AS ll
+          |  FROM dw JOIN wcls USING (w) GROUP BY dw.doc_id, wcls.cls)
+          |SELECT s.doc_id, s.cls, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+          |  ROUND(s.ll + pri.log_prior, 5) AS nb_logprob
+          |FROM s JOIN pri USING (cls) ORDER BY doc_id, cls""".stripMargin,
       "importance_scores" ->
         """WITH base AS (SELECT doc_id, lang = 'en' AS tgt,
           |    list_filter(string_split_regex(trim(lower(text)), '\s+'),

@@ -179,6 +179,81 @@ object Importance {
           .cast("int")))
   }
 
+  /** Multiclass generalization of the two-distribution LM: a multinomial
+    * Naive Bayes over unigrams (the CCNet/LLaMA-style "which corpus does
+    * this look like" router — domain or language routing as one
+    * aggregation pass, no ML runtime).
+    *
+    * Per-class score of a document is the add-one-smoothed log
+    * likelihood plus log prior:
+    * `ln P(class) + Σ_w c(w,d) · ln((c_class(w)+1)/(N_class+V))`.
+    *
+    * Scale shape matches [[importanceScores]]: explode → per-(doc, word)
+    * partial-agg → word-keyed class-count table joined back → per-doc
+    * aggregation; the class dimension expands INSIDE the word-keyed join
+    * (a dense word × class log-prob table), so the number of shuffles
+    * does not grow with classes. Argmax is [[nbPredict]], with
+    * deterministic class-asc tie-breaking.
+    *
+    * Full NB posterior table: one row per (document, class) with the
+    * add-one-smoothed log probability. Self-trained on the labeled input
+    * (train == score corpus, the corpus-analysis shape); for
+    * train-once-score-many over unlabeled data, freeze per-class
+    * [[HashedLm]]s instead. */
+  def nbPosteriors(df: DataFrame, idCol: String, textCol: String,
+                   labelCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(labelCol).as("cls"),
+      whitespaceTokens(lower(col(textCol))).as("ws"))
+    val dw = base
+      .select(col("id"), explode(col("ws")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("c"))
+    val docWords = base.select(col("id"), col("cls"))
+    val wc = base.select(col("cls"), explode(col("ws")).as("w"))
+      .groupBy("w", "cls").agg(count(lit(1)).as("cw"))
+    val classTot = wc.groupBy("cls").agg(sum("cw").as("n_cls"))
+    val vszDf = wc.select(countDistinct("w").as("vsz"))
+    val priors = docWords.groupBy("cls").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(docWords.select(count(lit(1)).as("n_all"))))
+      .select(col("cls"), log(col("n_docs").cast("double") / col("n_all"))
+        .as("log_prior"))
+    // dense (word × class) log-prob table: every word of the vocabulary
+    // gets a row PER CLASS (absent pairs smoothed), built by joining the
+    // distinct-word relation to the class list — word-keyed, classes are
+    // a broadcast dimension
+    val classes = classTot.join(broadcast(vszDf))
+    val wordClass = wc.select("w").distinct()
+      .crossJoin(broadcast(classes))
+      .join(wc, Seq("w", "cls"), "left")
+      .select(col("w"), col("cls"),
+        log((coalesce(col("cw"), lit(0L)) + 1).cast("double") /
+          (col("n_cls") + col("vsz"))).as("log_pw"))
+    dw.join(wordClass, Seq("w"))
+      .groupBy("id", "cls").agg(
+        sum("c").as("n_tokens"),
+        sum(col("c").cast("double") * col("log_pw")).as("ll"))
+      .join(broadcast(priors), "cls")
+      .select(col("id"), col("cls"), col("n_tokens"),
+        (col("ll") + col("log_prior")).as("nb_logprob"))
+  }
+
+  /** Argmax over [[nbPosteriors]]: (id, predicted, nb_logprob), via the
+    * engine's k-bounded [[graft.functions.TopK.ByScore]] at k = 1 — its
+    * (score desc, id asc) contract IS argmax with deterministic
+    * class-asc tie-breaking, and the aggregation stays map-side O(1)
+    * per (doc, class) row. */
+  def nbPredict(df: DataFrame, idCol: String, textCol: String,
+                labelCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val post = nbPosteriors(df, idCol, textCol, labelCol)
+    val agg = udaf(new graft.functions.TopK.ByScore[String](1),
+        ExpressionEncoder[(String, Double)]())
+      .apply(col("cls"), col("nb_logprob"))
+    post.groupBy("id").agg(agg.as("hits"))
+      .select(col("id"), explode(col("hits")).as("h"))
+      .select(col("id"), col("h.neighbor_id").as("predicted"),
+        col("h.cosine_sim").as("nb_logprob"))
+  }
+
   /** DSIR's Gumbel top-k resampling, made deterministic: keep the top
     * `fraction` of rows by `score/temperature + Gumbel(hash(salt, id))` —
     * equivalent to sampling without replacement with probability

@@ -111,6 +111,47 @@ class ImportanceSpec extends SparkSpec {
     got(101L) shouldBe 0.0
   }
 
+  behavior of "nbPosteriors / nbPredict"
+
+  it should "match hand-computed smoothed class log-probabilities" in {
+    val got = Importance.nbPosteriors(
+        docs.filter(col("doc_id") < 4)
+          .withColumn("dom", col("is_tgt").cast("string")),
+        "doc_id", "text", "dom")
+      .select("id", "cls", "nb_logprob")
+      .as[(Long, String, Double)].collect()
+      .map { case (i, c, p) => (i, c) -> p }.toMap
+
+    // classes: "true" = ml docs {0,1}, "false" = cooking docs {2,3}
+    val mlToks = Seq("gradient", "descent", "model", "training",
+      "model", "training", "loss", "gradient")
+    val ckToks = Seq("salt", "pepper", "butter", "recipe",
+      "butter", "recipe", "oven", "salt")
+    val vocab = (mlToks ++ ckToks).distinct.size.toDouble
+    def lp(toks: Seq[String], cls: Seq[String]): Double =
+      math.log(0.5) + toks.map(w =>
+        math.log((cls.count(_ == w) + 1) / (cls.size + vocab))).sum
+    val d0 = Seq("gradient", "descent", "model", "training")
+    got((0L, "true")) shouldBe lp(d0, mlToks) +- 1e-9
+    got((0L, "false")) shouldBe lp(d0, ckToks) +- 1e-9
+    got.size shouldBe 8 // 4 docs x 2 classes
+  }
+
+  it should "route every doc to its own domain and stay window-free" in {
+    val pred = Importance.nbPredict(
+      docs.filter(col("doc_id") < 5)
+        .withColumn("dom", col("is_tgt").cast("string")),
+      "doc_id", "text", "dom")
+    pred.queryExecution.executedPlan.toString should not include "Window"
+    val byId = pred.select("id", "predicted").as[(Long, String)]
+      .collect().toMap
+    byId(0L) shouldBe "true"
+    byId(1L) shouldBe "true"
+    byId(2L) shouldBe "false"
+    byId(3L) shouldBe "false"
+    byId(4L) shouldBe "false" // "gradient butter" leans cooking (labeled so)
+  }
+
   behavior of "gumbelTopFraction"
 
   it should "keep ~fraction rows, deterministically, biased toward high scores" in {
