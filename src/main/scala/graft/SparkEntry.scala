@@ -744,6 +744,15 @@ object SparkEntry {
           round(col("alpha_word_frac"), 6).as("alpha"),
           col("stopword_hits").as("stop_hits"), col("keep"))
         .orderBy("doc_id")),
+    // Gopher repetition filters (Rae et al. '21 Table A1 right column):
+    // dup line/para fractions, top-{2,3,4}-gram and dup-{5..10}-gram char
+    // fractions + composite rep_keep — value-exact (integer sums, single
+    // IEEE division) vs a DuckDB replica of every rule
+    "repetition_signals" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(t(s, d, "documents"), "text")
+        .select(col("doc_id") +:
+          TextAnalysis.RepetitionRow.fields.map(col) :+ col("rep_keep"): _*)
+        .orderBy("doc_id")),
     "text_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
@@ -1290,6 +1299,76 @@ object SparkEntry {
       // full per-doc replica of the marker-scoring heuristic; Spark's
       // array_max over struct(score, lang) breaks score ties by taking the
       // lexicographically greatest lang, hence the descending CASE order
+      "repetition_signals" ->
+        s"""WITH w AS (SELECT doc_id, text, $toks AS words FROM documents),
+           |lu AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> len(x) > 0)) AS u FROM w),
+           |lc AS (SELECT doc_id, u, count(*) AS c FROM lu GROUP BY 1, 2),
+           |la AS (SELECT doc_id,
+           |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dlf,
+           |  CAST(sum(CASE WHEN c > 1 THEN c * length(u) ELSE 0 END) AS DOUBLE)
+           |    / CAST(sum(c * length(u)) AS DOUBLE) AS dlcf
+           |  FROM lc GROUP BY 1),
+           |pu AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)||chr(10)), x -> len(x) > 0)) AS u FROM w),
+           |pc AS (SELECT doc_id, u, count(*) AS c FROM pu GROUP BY 1, 2),
+           |pa AS (SELECT doc_id,
+           |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dpf,
+           |  CAST(sum(CASE WHEN c > 1 THEN c * length(u) ELSE 0 END) AS DOUBLE)
+           |    / CAST(sum(c * length(u)) AS DOUBLE) AS dpcf
+           |  FROM pc GROUP BY 1),
+           |g AS (SELECT w.doc_id, ns.n,
+           |  array_to_string(w.words[ix.i:ix.i+ns.n-1], ' ') AS gram
+           |  FROM w, unnest([2,3,4,5,6,7,8,9,10]) AS ns(n),
+           |       unnest(range(1, len(w.words)-ns.n+2)) AS ix(i)),
+           |gc AS (SELECT doc_id, n, gram, count(*) AS c, length(gram) AS ln
+           |  FROM g GROUP BY 1, 2, 3),
+           |ga AS (SELECT doc_id, n, max(c) AS mc,
+           |  sum(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS dcl
+           |  FROM gc GROUP BY 1, 2),
+           |gt AS (SELECT gc.doc_id, gc.n, max(gc.c * gc.ln) AS tcl
+           |  FROM gc JOIN ga ON gc.doc_id = ga.doc_id AND gc.n = ga.n AND gc.c = ga.mc
+           |  GROUP BY 1, 2),
+           |gp AS (SELECT ga.doc_id,
+           |  max(CASE WHEN ga.n = 2 THEN gt.tcl END) AS t2,
+           |  max(CASE WHEN ga.n = 3 THEN gt.tcl END) AS t3,
+           |  max(CASE WHEN ga.n = 4 THEN gt.tcl END) AS t4,
+           |  max(CASE WHEN ga.n = 5 THEN ga.dcl END) AS d5,
+           |  max(CASE WHEN ga.n = 6 THEN ga.dcl END) AS d6,
+           |  max(CASE WHEN ga.n = 7 THEN ga.dcl END) AS d7,
+           |  max(CASE WHEN ga.n = 8 THEN ga.dcl END) AS d8,
+           |  max(CASE WHEN ga.n = 9 THEN ga.dcl END) AS d9,
+           |  max(CASE WHEN ga.n = 10 THEN ga.dcl END) AS d10
+           |  FROM ga JOIN gt ON ga.doc_id = gt.doc_id AND ga.n = gt.n GROUP BY 1),
+           |f AS (SELECT w.doc_id, length(w.text) AS tc,
+           |  la.dlf, la.dlcf, pa.dpf, pa.dpcf, gp.t2, gp.t3, gp.t4,
+           |  gp.d5, gp.d6, gp.d7, gp.d8, gp.d9, gp.d10
+           |  FROM w LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
+           |  LEFT JOIN gp USING (doc_id)),
+           |o AS (SELECT doc_id, dlf AS dup_line_frac, dlcf AS dup_line_char_frac,
+           |  dpf AS dup_para_frac, dpcf AS dup_para_char_frac,
+           |  CASE WHEN t2 IS NOT NULL THEN least(1.0, CAST(t2 AS DOUBLE)/CAST(tc AS DOUBLE)) END AS top_2gram_char_frac,
+           |  CASE WHEN t3 IS NOT NULL THEN least(1.0, CAST(t3 AS DOUBLE)/CAST(tc AS DOUBLE)) END AS top_3gram_char_frac,
+           |  CASE WHEN t4 IS NOT NULL THEN least(1.0, CAST(t4 AS DOUBLE)/CAST(tc AS DOUBLE)) END AS top_4gram_char_frac,
+           |  CASE WHEN d5 IS NOT NULL THEN least(1.0, CAST(d5 AS DOUBLE)/CAST(tc AS DOUBLE)) END AS dup_5gram_char_frac,
+           |  CASE WHEN d6 IS NOT NULL THEN least(1.0, CAST(d6 AS DOUBLE)/CAST(tc AS DOUBLE)) END AS dup_6gram_char_frac,
+           |  CASE WHEN d7 IS NOT NULL THEN least(1.0, CAST(d7 AS DOUBLE)/CAST(tc AS DOUBLE)) END AS dup_7gram_char_frac,
+           |  CASE WHEN d8 IS NOT NULL THEN least(1.0, CAST(d8 AS DOUBLE)/CAST(tc AS DOUBLE)) END AS dup_8gram_char_frac,
+           |  CASE WHEN d9 IS NOT NULL THEN least(1.0, CAST(d9 AS DOUBLE)/CAST(tc AS DOUBLE)) END AS dup_9gram_char_frac,
+           |  CASE WHEN d10 IS NOT NULL THEN least(1.0, CAST(d10 AS DOUBLE)/CAST(tc AS DOUBLE)) END AS dup_10gram_char_frac
+           |  FROM f)
+           |SELECT o.*, COALESCE(dup_line_frac <= 0.30, true)
+           |  AND COALESCE(dup_para_frac <= 0.30, true)
+           |  AND COALESCE(dup_line_char_frac <= 0.20, true)
+           |  AND COALESCE(dup_para_char_frac <= 0.20, true)
+           |  AND COALESCE(top_2gram_char_frac <= 0.20, true)
+           |  AND COALESCE(top_3gram_char_frac <= 0.18, true)
+           |  AND COALESCE(top_4gram_char_frac <= 0.16, true)
+           |  AND COALESCE(dup_5gram_char_frac <= 0.15, true)
+           |  AND COALESCE(dup_6gram_char_frac <= 0.14, true)
+           |  AND COALESCE(dup_7gram_char_frac <= 0.13, true)
+           |  AND COALESCE(dup_8gram_char_frac <= 0.12, true)
+           |  AND COALESCE(dup_9gram_char_frac <= 0.11, true)
+           |  AND COALESCE(dup_10gram_char_frac <= 0.10, true) AS rep_keep
+           |FROM o ORDER BY doc_id""".stripMargin,
       "text_lang_id" ->
         s"""WITH t AS (SELECT doc_id,
            |  list_distinct(list_transform($toks, w -> lower(w))) AS dtoks

@@ -121,6 +121,144 @@ object TextAnalysis {
     gopherSignals(df, textCol).filter(col("keep")).select(cols: _*)
   }
 
+  /** Per-doc repetition signals — the OTHER half of Gopher's Table A1
+    * (Rae et al. '21, "repetitious text" filters; reference quality scoring
+    * role: ratatool BigSampler's per-record signals, re-expressed for
+    * curation):
+    *   - `dup_line_frac` / `dup_para_frac`: 1 − distinct/total over
+    *     NON-EMPTY lines (split '\n') / paragraphs (split '\n\n').
+    *     Empties are structure, not content — same rule as
+    *     [[dedupSegmentsKeepFirst]].
+    *   - `dup_line_char_frac` / `dup_para_char_frac`: characters inside
+    *     duplicated lines/paragraphs (ALL occurrences) over characters in
+    *     all non-empty lines/paragraphs.
+    *   - `top_{2,3,4}gram_char_frac`: characters covered by the most
+    *     frequent word n-gram (count × rendered length, ties broken by the
+    *     longest tied gram) over the doc's character count, capped at 1.
+    *   - `dup_{5..10}gram_char_frac`: characters inside word n-grams
+    *     occurring more than once (all occurrences; overlaps counted, hence
+    *     the cap at 1) over the doc's character count.
+    * Signals are null when the doc has no qualifying units (no non-empty
+    * lines; fewer than n words); `rep_keep` treats null as passing — short
+    * docs are [[gopherSignals]]' word-count rule's job, not repetition's.
+    *
+    * Shape: ONE partition-local pass, zero shuffle — per-doc frequency
+    * maps need arbitrary-key lookup, which no Catalyst array primitive
+    * gives without O(len²) `aggregate` rescans or an explode+groupBy
+    * SHUFFLE of every n-gram in the corpus; a bounded per-doc UDF is the
+    * scale-right trade (same judgment as the winnowing anchors). Work is
+    * O(Σ doc_len × 9). Lengths count CODE POINTS (Spark `length`/DuckDB
+    * `length` semantics), not UTF-16 units. */
+  def repetitionSignals(df: DataFrame, textCol: String,
+                        maxDupLineFrac: Double = 0.30,
+                        maxDupParaFrac: Double = 0.30,
+                        maxDupLineCharFrac: Double = 0.20,
+                        maxDupParaCharFrac: Double = 0.20,
+                        maxTopGramCharFrac: Seq[Double] = Seq(0.20, 0.18, 0.16),
+                        maxDupGramCharFrac: Seq[Double] =
+                          Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)): DataFrame = {
+    require(maxTopGramCharFrac.size == 3 && maxDupGramCharFrac.size == 6,
+      "thresholds are per-n: top for n=2,3,4 and dup for n=5..10")
+    val f = udf { text: String => computeRepetition(text) }
+    val sigCols = RepetitionRow.fields
+    val thresholds: Seq[(String, Double)] =
+      Seq(("dup_line_frac", maxDupLineFrac),
+        ("dup_para_frac", maxDupParaFrac),
+        ("dup_line_char_frac", maxDupLineCharFrac),
+        ("dup_para_char_frac", maxDupParaCharFrac)) ++
+        (2 to 4).zip(maxTopGramCharFrac).map { case (n, t) =>
+          (s"top_${n}gram_char_frac", t) } ++
+        (5 to 10).zip(maxDupGramCharFrac).map { case (n, t) =>
+          (s"dup_${n}gram_char_frac", t) }
+    val withSigs = sigCols.foldLeft(df.withColumn("__rep", f(col(textCol)))) {
+      case (d, c) => d.withColumn(c, col("__rep").getField(c))
+    }
+    withSigs
+      .withColumn("rep_keep", thresholds.map { case (c, t) =>
+        coalesce(col(c) <= t, lit(true)) }.reduce(_ && _))
+      .drop("__rep")
+  }
+
+  /** [[repetitionSignals]]' composite filter: rows surviving the Gopher
+    * repetition rules, original columns only. */
+  def repetitionFilter(df: DataFrame, textCol: String): DataFrame = {
+    val cols = df.columns.toIndexedSeq.map(col)
+    repetitionSignals(df, textCol).filter(col("rep_keep")).select(cols: _*)
+  }
+
+  /** Signals row for [[repetitionSignals]] — None = "no qualifying units". */
+  case class RepetitionRow(
+      dup_line_frac: Option[Double], dup_line_char_frac: Option[Double],
+      dup_para_frac: Option[Double], dup_para_char_frac: Option[Double],
+      top_2gram_char_frac: Option[Double], top_3gram_char_frac: Option[Double],
+      top_4gram_char_frac: Option[Double],
+      dup_5gram_char_frac: Option[Double], dup_6gram_char_frac: Option[Double],
+      dup_7gram_char_frac: Option[Double], dup_8gram_char_frac: Option[Double],
+      dup_9gram_char_frac: Option[Double], dup_10gram_char_frac: Option[Double])
+  object RepetitionRow {
+    val fields: Seq[String] =
+      Seq("dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac") ++
+        (2 to 4).map(n => s"top_${n}gram_char_frac") ++
+        (5 to 10).map(n => s"dup_${n}gram_char_frac")
+    val empty: RepetitionRow = RepetitionRow(None, None, None, None,
+      None, None, None, None, None, None, None, None, None)
+  }
+
+  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** One-pass per-doc repetition math; kept deterministic and integer-exact
+    * (Long sums, single IEEE division) so a SQL oracle reproduces every
+    * double bit-for-bit. */
+  private[ext] def computeRepetition(text: String): RepetitionRow = {
+    if (text == null) return RepetitionRow.empty
+    // (dup_unit_frac, dup_unit_char_frac) over non-empty units
+    def unitFracs(units: Array[String]): (Option[Double], Option[Double]) = {
+      val xs = units.filter(_.nonEmpty)
+      if (xs.isEmpty) (None, None)
+      else {
+        val counts = xs.groupBy(identity).map { case (u, o) => (u, o.length) }
+        val total = xs.length.toLong
+        val charTotal = xs.map(cpLen).sum
+        val dupChars = counts.iterator
+          .filter(_._2 > 1).map { case (u, c) => cpLen(u) * c }.sum
+        (Some(1.0 - counts.size.toDouble / total.toDouble),
+          Some(dupChars.toDouble / charTotal.toDouble))
+      }
+    }
+    val (dlf, dlcf) = unitFracs(text.split("\n", -1))
+    val (dpf, dpcf) = unitFracs(text.split("\n\n", -1))
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val tc = cpLen(text)
+    // per-n gram counts; key = space-joined gram (exactly what the oracle
+    // groups by), len derived once per DISTINCT gram
+    def gramCounts(n: Int): Option[collection.mutable.HashMap[String, Int]] = {
+      if (words.length < n) None
+      else {
+        val m = collection.mutable.HashMap.empty[String, Int]
+        var i = 0
+        while (i <= words.length - n) {
+          val g = words.slice(i, i + n).mkString(" ")
+          m.update(g, m.getOrElse(g, 0) + 1)
+          i += 1
+        }
+        Some(m)
+      }
+    }
+    def topFrac(n: Int): Option[Double] = gramCounts(n).map { m =>
+      val mc = m.valuesIterator.max
+      val tcl = m.iterator.collect { case (g, c) if c == mc => cpLen(g) * c }.max
+      math.min(1.0, tcl.toDouble / tc.toDouble)
+    }
+    def dupFrac(n: Int): Option[Double] = gramCounts(n).map { m =>
+      val dcl = m.iterator.collect { case (g, c) if c > 1 => cpLen(g) * c }.sum
+      math.min(1.0, dcl.toDouble / tc.toDouble)
+    }
+    RepetitionRow(dlf, dlcf, dpf, dpcf,
+      topFrac(2), topFrac(3), topFrac(4),
+      dupFrac(5), dupFrac(6), dupFrac(7), dupFrac(8), dupFrac(9), dupFrac(10))
+  }
+
   /** Character-n-gram language-ID heuristic: scores text against per-
     * language marker-token tables (function words, public knowledge) and
     * emits the best-scoring language or "und". Marker lists stay literal

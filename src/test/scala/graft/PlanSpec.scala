@@ -151,6 +151,17 @@ class PlanSpec extends SparkSpec {
     p should not include "Join"
   }
 
+  "repetition signals" should "stay partition-local — no exchange, no join" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(ext.TextAnalysis.repetitionSignals(docs, "text"))
+    // per-doc frequency maps live inside the UDF; an Exchange here would
+    // mean the n-gram counting got rewritten as explode+groupBy, shuffling
+    // every n-gram in the corpus
+    p should not include "Exchange"
+    p should not include "Join"
+    p should not include "Window"
+  }
+
   "decontamination" should "probe the corpus in one scan with no join or exchange" in {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bench = docs.filter(col("doc_id") % 97 === 0)

@@ -377,4 +377,79 @@ class TextAnalysisSpec extends SparkSpec {
     top0._1 shouldBe "spark"
     top0._2 shouldBe 3.0 * math.log(3.0) +- 1e-12
   }
+
+  behavior of "repetitionSignals"
+
+  it should "compute dup-line and top-ngram char fractions exactly" in {
+    // lines: two copies of "a b a b c" + "x"; one paragraph (no blank line)
+    val df = Seq((1L, "a b a b c\na b a b c\nx")).toDF("id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text").head()
+    r.getAs[Double]("dup_line_frac") shouldBe (1.0 - 2.0 / 3.0)
+    r.getAs[Double]("dup_line_char_frac") shouldBe (18.0 / 19.0)
+    r.getAs[Double]("dup_para_frac") shouldBe 0.0
+    r.getAs[Double]("dup_para_char_frac") shouldBe 0.0
+    // words a,b,a,b,c,a,b,a,b,c,x; "a b" occurs 4x, len 3; text len 21
+    r.getAs[Double]("top_2gram_char_frac") shouldBe (12.0 / 21.0)
+    // 3-gram tie at count 2, all len 5 -> 10/21
+    r.getAs[Double]("top_3gram_char_frac") shouldBe (10.0 / 21.0)
+  }
+
+  it should "break top-gram count ties by the longest tied gram" in {
+    val df = Seq((1L, "one two three")).toDF("id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text").head()
+    // both 2-grams occur once; tie -> longest ("two three", 9 chars) / 13
+    r.getAs[Double]("top_2gram_char_frac") shouldBe (9.0 / 13.0)
+    // 3 words: no 5-gram exists -> null, not zero
+    r.isNullAt(r.fieldIndex("dup_5gram_char_frac")) shouldBe true
+  }
+
+  it should "cap overlapping dup-ngram coverage at 1.0" in {
+    // "p q r s t u" twice: two 5-grams each occur twice, 2*9+2*9=36 > 23 chars
+    val df = Seq((1L, "p q r s t u p q r s t u")).toDF("id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text").head()
+    r.getAs[Double]("dup_5gram_char_frac") shouldBe 1.0
+    // six 6-grams, "p q r s t u" twice -> 2*11=22 of 23 chars
+    r.getAs[Double]("dup_6gram_char_frac") shouldBe (22.0 / 23.0)
+  }
+
+  it should "count code points, not UTF-16 units" in {
+    // an astral emoji is 2 UTF-16 chars but 1 code point: fractions must
+    // come out in code points on both engines
+    val df = Seq((1L, "\ud83d\ude00 a \ud83d\ude00")).toDF("id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text").head()
+    r.getAs[Double]("top_2gram_char_frac") shouldBe (3.0 / 5.0)
+  }
+
+  it should "null out signals with no qualifying units and let rep_keep pass them" in {
+    val df = Seq((1L, ""), (2L, "short text"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val rows = TextAnalysis.repetitionSignals(df, "text").orderBy("id").collect()
+    rows(0).isNullAt(rows(0).fieldIndex("dup_line_frac")) shouldBe true
+    rows(0).getAs[Boolean]("rep_keep") shouldBe true
+    // 2 words: 2-gram exists, 3-gram does not
+    rows(1).isNullAt(rows(1).fieldIndex("top_2gram_char_frac")) shouldBe false
+    rows(1).isNullAt(rows(1).fieldIndex("top_3gram_char_frac")) shouldBe true
+    rows(2).getAs[Boolean]("rep_keep") shouldBe true
+  }
+
+  it should "reject repetitious docs via rep_keep and keep clean prose" in {
+    val spammy = (1 to 40).map(_ => "buy cheap pills now").mkString(" ")
+    // long enough that the longest unique 4-gram stays under 16% of chars
+    // (Gopher's repetition rules presume web-document lengths)
+    val clean = (1 to 100).map(i => s"distinct$i token$i").mkString(" ")
+    val df = Seq((1L, spammy), (2L, clean)).toDF("id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text").orderBy("id").collect()
+    out(0).getAs[Boolean]("rep_keep") shouldBe false
+    out(1).getAs[Boolean]("rep_keep") shouldBe true
+    TextAnalysis.repetitionFilter(df, "text").columns.toSeq shouldBe Seq("id", "text")
+    TextAnalysis.repetitionFilter(df, "text").select("id").as[Long].collect() shouldBe Array(2L)
+  }
+
+  it should "treat empty lines and paragraphs as structure, not duplicates" in {
+    // blank lines repeat but must not count as duplicated content
+    val df = Seq((1L, "alpha\n\nbeta\n\ngamma")).toDF("id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text").head()
+    r.getAs[Double]("dup_line_frac") shouldBe 0.0
+    r.getAs[Double]("dup_para_frac") shouldBe 0.0
+  }
 }
