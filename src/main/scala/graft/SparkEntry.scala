@@ -753,6 +753,12 @@ object SparkEntry {
         .select(col("doc_id") +:
           TextAnalysis.RepetitionRow.fields.map(col) :+ col("rep_keep"): _*)
         .orderBy("doc_id")),
+    // exact heavy hitters: Misra-Gries sketch pass (guaranteed superset)
+    // + exact count pass over the bounded candidate set; value-exact vs
+    // DuckDB's full groupBy. 2000 ppm = words at >= 0.2% of the corpus
+    "heavy_hitters" -> ((s, d) =>
+      ext.Frequent.heavyWords(t(s, d, "documents"), "text", minFreqPpm = 2000L)
+        .orderBy("item")),
     "text_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
@@ -1299,6 +1305,13 @@ object SparkEntry {
       // full per-doc replica of the marker-scoring heuristic; Spark's
       // array_max over struct(score, lang) breaks score ties by taking the
       // lexicographically greatest lang, hence the descending CASE order
+      "heavy_hitters" ->
+        s"""WITH x AS (SELECT unnest($toks) AS item FROM documents),
+           |n AS (SELECT count(*) AS total FROM x)
+           |SELECT item, CAST(count(*) AS BIGINT) AS cnt
+           |FROM x, n GROUP BY item, n.total
+           |HAVING count(*) * 1000000 >= 2000 * n.total
+           |ORDER BY item""".stripMargin,
       "repetition_signals" ->
         s"""WITH w AS (SELECT doc_id, text, $toks AS words FROM documents),
            |lu AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> len(x) > 0)) AS u FROM w),

@@ -162,6 +162,16 @@ class PlanSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  "heavy hitters" should "broadcast the candidate set for the exact pass" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(ext.Frequent.heavyWords(docs, "text", minFreqPpm = 2000L))
+    // pass 2 must hash-probe the <= k candidates, not sort-merge the
+    // corpus against them; the only aggregation is map-side-combined
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "Window"
+  }
+
   "decontamination" should "probe the corpus in one scan with no join or exchange" in {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bench = docs.filter(col("doc_id") % 97 === 0)
