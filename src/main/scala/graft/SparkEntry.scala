@@ -753,6 +753,31 @@ object SparkEntry {
         .select(col("doc_id") +:
           TextAnalysis.RepetitionRow.fields.map(col) :+ col("rep_keep"): _*)
         .orderBy("doc_id")),
+    // learned BPE tokenizer (Sennrich '16): train 200 merges on this SF's
+    // corpus, tokenize it, and verify in ONE distributed action that every
+    // doc roundtrips, encoding is deterministic across two evaluations,
+    // and token counts respect the per-word bound (<= chars + words).
+    // BPE itself is not SQL-expressible; the oracle pins the verdicts and
+    // ties n_docs to the real table count
+    "bpe_tokenize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = ext.Bpe.train(docs, "text", numMerges = 200)
+      val norm = udf { t: String =>
+        if (t == null) "" else t.trim.split("\\s+").filter(_.nonEmpty).mkString(" ") }
+      val dec = udf { toks: Seq[String] => model.decode(toks) }
+      val enc1 = model.encodeCol(col("text"))
+      val enc2 = model.encodeCol(concat(col("text"), lit("")))
+      val nWords = size(graft.GraftFunctions.whitespaceTokens(col("text")))
+      docs.select(col("text"), enc1.as("t1"), enc2.as("t2"), nWords.as("nw"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(dec(col("t1")) === norm(col("text")), 0L).otherwise(1L))
+            .as("n_roundtrip_fail"),
+          sum(when(col("t1") === col("t2"), 0L).otherwise(1L)).as("n_det_fail"),
+          sum(when(size(col("t1")) <= length(col("text")) + col("nw"), 0L)
+            .otherwise(1L)).as("n_len_violation"))
+        .withColumn("has_merges", lit(model.merges.nonEmpty))
+    }),
     // exact heavy hitters: Misra-Gries sketch pass (guaranteed superset)
     // + exact count pass over the bounded candidate set; value-exact vs
     // DuckDB's full groupBy. 2000 ppm = words at >= 0.2% of the corpus
@@ -1305,6 +1330,13 @@ object SparkEntry {
       // full per-doc replica of the marker-scoring heuristic; Spark's
       // array_max over struct(score, lang) breaks score ties by taking the
       // lexicographically greatest lang, hence the descending CASE order
+      "bpe_tokenize" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(0 AS BIGINT) AS n_roundtrip_fail,
+          |  CAST(0 AS BIGINT) AS n_det_fail,
+          |  CAST(0 AS BIGINT) AS n_len_violation,
+          |  true AS has_merges
+          |FROM documents""".stripMargin,
       "heavy_hitters" ->
         s"""WITH x AS (SELECT unnest($toks) AS item FROM documents),
            |n AS (SELECT count(*) AS total FROM x)

@@ -1,0 +1,229 @@
+package graft.ext
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned byte-pair-encoding tokenizer (Sennrich et al. '16) — the real
+  * thing, not the chars/4 estimate ([[TextAnalysis.approxBpeTokenCount]]):
+  * train merge rules from corpus statistics, then tokenize any corpus
+  * map-side.
+  *
+  * Scale shape: training reduces the corpus to its WORD-TYPE table with one
+  * map-side-combined count aggregation (only distinct words cross the
+  * wire), takes the top `maxWordTypes` types by a bounded per-partition
+  * top-k (TakeOrderedAndProject — never a global sort), and runs the merge
+  * loop on that bounded table driver-side with incrementally-maintained
+  * pair counts — the same bounded-driver-table judgment as the PQ/IVF
+  * codebook training: corpus size enters the aggregation, never the loop.
+  * Encoding broadcasts the rank table in the task closure and runs as a
+  * pure per-row UDF — zero shuffle, scan speed, with a per-executor
+  * word-type memo (Zipf makes the hit rate ~word-type coverage).
+  *
+  * The end-of-word marker is '\n': words are whitespace tokens, so no word
+  * symbol can contain it — a token ending in '\n' is unambiguously
+  * word-final and decode needs no escaping.
+  */
+object Bpe {
+
+  val Marker = "\n"
+
+  /** A trained tokenizer: ordered merge rules. `ranks` drives greedy
+    * encoding (lowest rank merges first — training order). */
+  case class Model(merges: IndexedSeq[(String, String)]) {
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.iterator.zipWithIndex.toMap
+
+    // per-executor encode memo; word types are Zipf-bounded so a flat cap
+    // keeps memory O(100k strings) while serving nearly every lookup
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    private val MemoCap = 100000
+
+    /** Greedy BPE apply: repeatedly merge the lowest-rank adjacent pair
+      * (left-to-right within a rank), exactly the training replay. */
+    def encodeWord(word: String): Array[String] = {
+      if (word.isEmpty) return Array.empty
+      val hit = memo.get(word)
+      if (hit != null) return hit
+      var syms = {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < word.length) {
+          val n = Character.charCount(word.codePointAt(i))
+          b += word.substring(i, i + n)
+          i += n
+        }
+        b += Marker
+        b.result()
+      }
+      var done = false
+      while (!done && syms.length > 1) {
+        var best = Int.MaxValue
+        var at = -1
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < best) { best = r; at = i }
+          i += 1
+        }
+        if (at < 0) done = true
+        else {
+          // merge every occurrence of the best pair, left to right
+          val (a, b) = merges(best)
+          val nb = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              nb += a + b; j += 2
+            } else { nb += syms(j); j += 1 }
+          }
+          syms = nb.result()
+        }
+      }
+      val out = syms.toArray
+      if (memo.size < MemoCap) memo.put(word, out)
+      out
+    }
+
+    /** Tokenize whitespace-split text; every word's last token ends with
+      * the marker, so the stream decodes unambiguously. */
+    def encode(text: String): Array[String] =
+      if (text == null) Array.empty
+      else text.trim.split("\\s+").iterator.filter(_.nonEmpty)
+        .flatMap(encodeWord).toArray
+
+    /** Inverse of [[encode]] up to whitespace normalization. */
+    def decode(tokens: Seq[String]): String =
+      tokens.mkString("").split(Marker, -1).filter(_.nonEmpty).mkString(" ")
+
+    /** All token strings this model can emit for in-vocabulary text. */
+    def vocab: Set[String] = {
+      val base = merges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+      base ++ merges.iterator.map { case (a, b) => a + b }
+    }
+
+    /** Column form: `array<string>` of tokens — the rank table rides the
+      * task closure (broadcast-sized: numMerges entries). */
+    def encodeCol(text: Column): Column = {
+      val f = udf { t: String => encode(t) }
+      f(text)
+    }
+
+    /** Column form: learned-BPE token count. */
+    def tokenCountCol(text: Column): Column = {
+      val f = udf { t: String => if (t == null) 0L else encode(t).length.toLong }
+      f(text)
+    }
+  }
+
+  /** Learn `numMerges` merge rules from a corpus.
+    *
+    * Deterministic: the word-count aggregation is exact; type selection
+    * orders by (count desc, word asc); each iteration merges the
+    * highest-count pair with ties broken lexicographically — same corpus,
+    * same model, on any cluster. Pair counts are maintained incrementally
+    * (only words CONTAINING the merged pair are revisited), so the loop is
+    * O(numMerges × touched-words), not O(numMerges × table).
+    *
+    * `minPairCount` stops early once the best pair drops below it (2 by
+    * default: merging hapax pairs just memorizes the tail). */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            maxWordTypes: Int = 1 << 16, minPairCount: Long = 2L): Model = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(maxWordTypes >= 1, s"maxWordTypes must be >= 1, got $maxWordTypes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val types: Array[(String, Long)] = df
+      .select(explode(whitespaceTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(maxWordTypes)
+      .as[(String, Long)].collect()
+    Model(mergeLoop(types, numMerges, minPairCount))
+  }
+
+  /** The Sennrich merge loop over a (word, freq) table. Exposed for specs
+    * and for re-training from a saved word-count table. */
+  def mergeLoop(types: Array[(String, Long)], numMerges: Int,
+                minPairCount: Long): IndexedSeq[(String, String)] = {
+    // symbol sequences, mutable per word
+    val words: Array[Array[String]] = types.map { case (w, _) =>
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + n)
+        i += n
+      }
+      b += Marker
+      b.result()
+    }
+    val freqs: Array[Long] = types.map(_._2)
+
+    val pairCounts = collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      collection.mutable.HashMap.empty[(String, String),
+        collection.mutable.BitSet]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val s = words(wi)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = pairCounts.getOrElse(p, 0L) + sign * freqs(wi)
+        if (c <= 0L) pairCounts.remove(p) else pairCounts.update(p, c)
+        if (sign > 0)
+          pairWords.getOrElseUpdate(p, collection.mutable.BitSet.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+
+    val merges = IndexedSeq.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        // highest count, ties to the lexicographically smallest pair
+        val best = pairCounts.iterator.reduce { (x, y) =>
+          val c = java.lang.Long.compare(x._2, y._2)
+          if (c > 0) x else if (c < 0) y
+          else {
+            val p = Ordering[(String, String)].compare(x._1, y._1)
+            if (p <= 0) x else y
+          }
+        }
+        if (best._2 < minPairCount) exhausted = true
+        else {
+          val (a, b) = best._1
+          merges += best._1
+          val touched = pairWords.getOrElse(best._1, collection.mutable.BitSet.empty)
+          touched.foreach { wi =>
+            val s = words(wi)
+            var has = false
+            var i = 0
+            while (!has && i < s.length - 1) {
+              has = s(i) == a && s(i + 1) == b; i += 1
+            }
+            if (has) {
+              addWord(wi, -1L)
+              val nb = Array.newBuilder[String]
+              var j = 0
+              while (j < s.length) {
+                if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+                  nb += a + b; j += 2
+                } else { nb += s(j); j += 1 }
+              }
+              words(wi) = nb.result()
+              addWord(wi, 1L)
+            }
+          }
+          pairCounts.remove(best._1)
+          pairWords.remove(best._1)
+          m += 1
+        }
+      }
+    }
+    merges.result()
+  }
+}
