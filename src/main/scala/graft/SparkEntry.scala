@@ -1023,6 +1023,16 @@ object SparkEntry {
     // rows under its own target weight (en halved, de quartered, rest 10%)
     // by a DuckDB-replicable deterministic LCG pseudo-score — value-exact
     // vs a per-lang rank replica of the same arithmetic
+    // temperature (alpha) mixture weights over domain counts: the standard
+    // way to derive the per-domain fractions mixture_resample consumes;
+    // pow+division rounded to 6dp on both engines
+    "temperature_mixture" -> ((s, d) =>
+      graft.ext.ScoreFilter.temperatureFractions(t(s, d, "documents"),
+          Seq("lang"), alpha = 0.5, sampleBudget = 1000L)
+        .select(col("lang"), col("n"),
+          round(col("weight"), 6).as("weight"),
+          round(col("fraction"), 6).as("fraction"))
+        .orderBy("lang")),
     "mixture_resample" -> ((s, d) => {
       val docs = t(s, d, "documents").withColumn("score",
         ((col("doc_id") * 1103515245L + 12345L) % 1000003L).cast("double"))
@@ -1732,6 +1742,14 @@ object SparkEntry {
           |ORDER BY c.event_id""".stripMargin,
       // integer-micros gap math on both engines; ROWS frame pinned (the
       // SQL default with ORDER BY is RANGE, which groups ties)
+      "temperature_mixture" ->
+        """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+          |t AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS tot FROM c)
+          |SELECT lang, CAST(n AS BIGINT) AS n,
+          |  ROUND(pow(CAST(n AS DOUBLE), 0.5) / t.tot, 6) AS weight,
+          |  ROUND(least(1.0, 1000.0 * (pow(CAST(n AS DOUBLE), 0.5) / t.tot)
+          |    / CAST(n AS DOUBLE)), 6) AS fraction
+          |FROM c, t ORDER BY lang""".stripMargin,
       "mixture_resample" ->
         """WITH d AS (SELECT doc_id, lang,
           |  CAST((doc_id * 1103515245 + 12345) % 1000003 AS DOUBLE) AS score FROM documents),

@@ -65,10 +65,82 @@ object Graft {
     case Some("semDedup")      => semDedup(parseFlags(args.tail), spark)
     case Some("dsirScore")     => dsirScore(parseFlags(args.tail), spark)
     case Some("trainOrder")    => trainOrder(parseFlags(args.tail), spark)
+    case Some("heavyWords")    => heavyWords(parseFlags(args.tail), spark)
+    case Some("bpeTokenize")   => bpeTokenize(parseFlags(args.tail), spark)
     case other =>
       throw new IllegalArgumentException(
         "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
-          s"gopherFilter|semDedup|dsirScore|trainOrder> [flags]; got $other")
+          "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
+          s"bpeTokenize> [flags]; got $other")
+  }
+
+  /** Engine extension: exact frequent items ([[graft.ext.Frequent]]) as a
+    * one-shot job — corpus vocabulary analysis, stopword/boilerplate-token
+    * discovery.
+    *
+    * {{{
+    * graft heavyWords --input=<path> --output=<dir> [--text-col=text]
+    *                  [--item-col=<c>] [--min-freq-ppm=1000]
+    *                  [--input-mode=...] [--output-mode=...] [--row-restriction=<pred>]
+    * }}}
+    *
+    * With `--item-col` counts that column's values directly; otherwise
+    * counts whitespace words of `--text-col`. Output: (item, cnt), exact. */
+  private def heavyWords(f: Map[String, String], spark: SparkSession): Unit = {
+    val df = restrict(read(spark, required(f, "input"),
+      f.getOrElse("input-mode", "parquet")), f)
+    val out = required(f, "output")
+    val ppm = f.getOrElse("min-freq-ppm", "1000").toLong
+    val result = f.get("item-col") match {
+      case Some(c) => graft.ext.Frequent.heavyHitters(df, c, ppm)
+      case None =>
+        graft.ext.Frequent.heavyWords(df, f.getOrElse("text-col", "text"), ppm)
+    }
+    if (!GraftIO.unlessDone(out) {
+      write(result, out, f.getOrElse("output-mode", "parquet"),
+        csv(f.get("partition-by")))
+    }) System.err.println(s"[graft] output $out already complete, skipping")
+  }
+
+  /** Engine extension: learned BPE tokenization ([[graft.ext.Bpe]]) as a
+    * one-shot job: train merges on the input corpus, then tokenize it.
+    *
+    * {{{
+    * graft bpeTokenize --input=<path> --output=<dir> [--text-col=text]
+    *                   [--num-merges=8000] [--max-word-types=65536]
+    *                   [--merges-output=<dir>] [--count-only]
+    *                   [--input-mode=...] [--output-mode=...] [--row-restriction=<pred>]
+    * }}}
+    *
+    * Output: the input columns + `bpe_tokens` (array) or, with
+    * `--count-only`, + `n_bpe_tokens`. `--merges-output` also writes the
+    * learned (rank, left, right) table for reuse/audit. */
+  private def bpeTokenize(f: Map[String, String], spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = restrict(read(spark, required(f, "input"),
+      f.getOrElse("input-mode", "parquet")), f)
+    val out = required(f, "output")
+    val textCol = f.getOrElse("text-col", "text")
+    val model = graft.ext.Bpe.train(df, textCol,
+      numMerges = f.getOrElse("num-merges", "8000").toInt,
+      maxWordTypes = f.getOrElse("max-word-types", "65536").toInt)
+    f.get("merges-output").foreach { mo =>
+      import spark.implicits._
+      val merges = model.merges.zipWithIndex
+        .map { case ((a, b), r) => (r, a, b) }
+        .toDF("rank", "left", "right")
+      if (!GraftIO.unlessDone(mo) {
+        write(merges.coalesce(1), mo, "parquet", Nil)
+      }) System.err.println(s"[graft] merges $mo already complete, skipping")
+    }
+    val result =
+      if (f.contains("count-only"))
+        df.withColumn("n_bpe_tokens", model.tokenCountCol(col(textCol)))
+      else df.withColumn("bpe_tokens", model.encodeCol(col(textCol)))
+    if (!GraftIO.unlessDone(out) {
+      write(result, out, f.getOrElse("output-mode", "parquet"),
+        csv(f.get("partition-by")))
+    }) System.err.println(s"[graft] output $out already complete, skipping")
   }
 
   /** Engine extension: SemDeDup semantic dedup
@@ -186,9 +258,20 @@ object Graft {
     val out = required(f, "output")
     val df = restrict(read(spark, input, f.getOrElse("input-mode", "parquet")), f)
     val textCol = f.getOrElse("text-col", "text")
+    // --repetition adds the Table A1 repetition rules (dup line/para,
+    // top/dup n-gram char fractions) to the base rule set
     val result =
-      if (f.contains("signals-only")) graft.ext.TextAnalysis.gopherSignals(df, textCol)
-      else graft.ext.TextAnalysis.gopherFilter(df, textCol)
+      if (f.contains("signals-only")) {
+        val sig = graft.ext.TextAnalysis.gopherSignals(df, textCol)
+        if (f.contains("repetition"))
+          graft.ext.TextAnalysis.repetitionSignals(sig, textCol)
+        else sig
+      } else {
+        val kept = graft.ext.TextAnalysis.gopherFilter(df, textCol)
+        if (f.contains("repetition"))
+          graft.ext.TextAnalysis.repetitionFilter(kept, textCol)
+        else kept
+      }
     if (!GraftIO.unlessDone(out) {
       write(result, out, f.getOrElse("output-mode", "parquet"),
         csv(f.get("partition-by")))

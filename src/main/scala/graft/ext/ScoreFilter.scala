@@ -271,6 +271,36 @@ object ScoreFilter {
     pass.unionByName(boundary).drop("__key", "__bkt", "__cutbkt", "__rem")
   }
 
+  /** Temperature-smoothed mixture weights over domain counts — the
+    * standard way to COMPUTE the per-domain fractions the selection
+    * operators above consume (Conneau & Lample '19 α-sampling; GPT-3/
+    * XLM-R style rebalancing): weight_d ∝ n_d^alpha, normalized. alpha=1
+    * reproduces the natural distribution, alpha=0 is uniform, and the
+    * usual 0.2–0.7 range up-weights low-resource domains.
+    *
+    * Returns the key columns + `n` (exact count) + `weight` (normalized,
+    * sums to 1) + `fraction`: the per-domain KEEP fraction that realizes
+    * the weights on `sampleBudget` output rows (min(1, budget·w/n)) —
+    * feed it straight into [[keepTopFractionPerKey]]'s fractions map.
+    * One map-side-combined count aggregation plus a 1-row scalar
+    * broadcast; domain cardinality is the only driver-side quantity. */
+  def temperatureFractions(df: DataFrame, keyCols: Seq[String], alpha: Double,
+                           sampleBudget: Long): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(sampleBudget >= 0L, s"sampleBudget must be >= 0, got $sampleBudget")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val powed = counts.withColumn("__w",
+      pow(col("n").cast("double"), lit(alpha)))
+    val tot = powed.agg(sum(col("__w")).as("__tot"))
+    powed.crossJoin(broadcast(tot))
+      .withColumn("weight", col("__w") / col("__tot"))
+      .withColumn("fraction",
+        least(lit(1.0), lit(sampleBudget.toDouble) * col("weight") /
+          col("n").cast("double")))
+      .drop("__w", "__tot")
+  }
+
   /** Driver-collect cap for the per-key histogram (mirrors
     * BigSampler.MaxDriverGroups and the same strata-in-memory contract). */
   private val MaxDriverGroups = 4000000

@@ -90,6 +90,15 @@ object StreamOps {
       .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
 
+  /** The full Gopher Table A1 gate on a stream: rule signals
+    * ([[TextAnalysis.gopherFilter]]) AND repetition signals
+    * ([[TextAnalysis.repetitionFilter]]), both stateless per-row — the
+    * batch operators lift verbatim, so the stream keeps exactly the rows
+    * the batch pass would (spec-proven). Original columns only. */
+  def curationFilter(stream: DataFrame, textCol: String): DataFrame =
+    TextAnalysis.repetitionFilter(
+      TextAnalysis.gopherFilter(stream, textCol), textCol)
+
   /** DSIR importance scoring on a stream: every arriving document scored
     * against a FROZEN [[graft.ext.Importance.HashedLm]] (trained once on
     * a batch reference via `trainHashedLm`). The LM rides in the

@@ -124,11 +124,46 @@ class GraftCliSpec extends SparkSpec {
     audit.filter(audit("keep")).select("id").as[Long].collect() shouldBe Array(1L)
   }
 
+  it should "apply the repetition rules with --repetition" in {
+    val base = tmp()
+    val clean = "the quick and careful fox " + (1 to 56).map(i => s"word$i").mkString(" ")
+    // passes the base rules (wordy, stopwords) but is pure repetition
+    val spammy = "the fox " + (1 to 30).map(_ => "of and that have with be").mkString(" ")
+    Seq((1L, clean), (2L, spammy)).toDF("id", "text").write.parquet(s"$base/in")
+    Graft.run(Seq("gopherFilter", s"--input=$base/in",
+      s"--output=$base/base"), spark)
+    spark.read.parquet(s"$base/base").select("id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L)
+    Graft.run(Seq("gopherFilter", s"--input=$base/in",
+      s"--output=$base/rep", "--repetition"), spark)
+    spark.read.parquet(s"$base/rep").select("id").as[Long].collect() shouldBe
+      Array(1L)
+  }
+
+  it should "run heavyWords and bpeTokenize end to end" in {
+    val base = tmp()
+    Seq((1L, "alpha alpha alpha beta"), (2L, "alpha gamma delta beta"))
+      .toDF("id", "text").write.parquet(s"$base/in")
+    Graft.run(Seq("heavyWords", s"--input=$base/in",
+      s"--output=$base/hw", "--min-freq-ppm=300000"), spark)
+    spark.read.parquet(s"$base/hw").as[(String, Long)].collect().sorted shouldBe
+      Array(("alpha", 4L))
+    Graft.run(Seq("bpeTokenize", s"--input=$base/in", s"--output=$base/toks",
+      "--num-merges=20", s"--merges-output=$base/merges", "--count-only"), spark)
+    val out = spark.read.parquet(s"$base/toks")
+    out.columns.toSeq shouldBe Seq("id", "text", "n_bpe_tokens")
+    // "alpha" seen 4x -> single token; doc 1 = alpha,alpha,alpha,beta
+    out.filter(out("id") === 1L).select("n_bpe_tokens").as[Long].head() shouldBe 4L
+    spark.read.parquet(s"$base/merges").columns.toSeq shouldBe
+      Seq("rank", "left", "right")
+  }
+
   it should "reject unknown commands and missing flags with clear errors" in {
     the[IllegalArgumentException] thrownBy
       Graft.run(Seq("frobnicate"), spark) should have message
       "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
-        "gopherFilter|semDedup|dsirScore|trainOrder> [flags]; got Some(frobnicate)"
+        "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
+        "bpeTokenize> [flags]; got Some(frobnicate)"
     an[IllegalArgumentException] should be thrownBy
       Graft.run(Seq("bigSampler", "--input=/x"), spark)
   }

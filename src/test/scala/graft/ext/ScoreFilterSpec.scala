@@ -203,4 +203,33 @@ class ScoreFilterSpec extends SparkSpec {
         Map.empty[String, Double], 0.3, Seq("id"))
         .select("id").as[Long].collect().sorted
   }
+
+  behavior of "temperatureFractions"
+
+  it should "smooth domain weights by alpha and derive feasible fractions" in {
+    val df = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (1 to 10).map(i => (100L + i, "small"))).toDF("id", "k")
+    // alpha=1: natural distribution
+    val nat = ScoreFilter.temperatureFractions(df, Seq("k"), 1.0, 50L)
+      .select("k", "weight").as[(String, Double)].collect().toMap
+    nat("big") shouldBe 0.9 +- 1e-12
+    nat("small") shouldBe 0.1 +- 1e-12
+    // alpha=0: uniform regardless of counts
+    val uni = ScoreFilter.temperatureFractions(df, Seq("k"), 0.0, 50L)
+      .select("k", "weight").as[(String, Double)].collect().toMap
+    uni("big") shouldBe 0.5 +- 1e-12
+    uni("small") shouldBe 0.5 +- 1e-12
+    // alpha=0.5 up-weights the small domain; fractions realize the budget
+    val t = ScoreFilter.temperatureFractions(df, Seq("k"), 0.5, 50L)
+      .select("k", "n", "weight", "fraction")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val wBig = math.sqrt(90.0) / (math.sqrt(90.0) + math.sqrt(10.0))
+    t("big")._3 shouldBe wBig +- 1e-12
+    t("big")._4 shouldBe (50.0 * wBig / 90.0) +- 1e-12
+    // small domain: budget share exceeds the domain -> fraction caps at 1
+    t("small")._4 shouldBe math.min(1.0, 50.0 * (1 - wBig) / 10.0) +- 1e-12
+    // weights always sum to 1
+    t.values.map(_._3).sum shouldBe 1.0 +- 1e-12
+  }
 }

@@ -214,6 +214,33 @@ class StreamOpsSpec extends SparkSpec {
     got("web").toDouble / rows.count(_._2 == "web") shouldBe 0.25 +- 0.15
   }
 
+  behavior of "streaming curation filter"
+
+  it should "keep exactly the rows the batch Gopher+repetition pass keeps" in {
+    import graft.ext.TextAnalysis
+    implicit val sc = spark.sqlContext
+    val clean = "the quick and careful fox " +
+      (1 to 56).map(i => s"word$i").mkString(" ")
+    val spammy = "the fox " +
+      (1 to 30).map(_ => "of and that have with be").mkString(" ")
+    val corpus = Seq((1L, clean), (2L, spammy), (3L, ""), (4L, clean + " tail"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.curationFilter(input.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("s_curate").start()
+    input.addData(corpus.take(2))
+    q.processAllAvailable()
+    input.addData(corpus.drop(2))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_curate").select("doc_id")
+      .as[Long].collect().sorted
+    val batch = TextAnalysis.repetitionFilter(
+        TextAnalysis.gopherFilter(corpus.toDF("doc_id", "text"), "text"), "text")
+      .select("doc_id").as[Long].collect().sorted
+    streamed shouldBe batch
+    streamed should contain(1L)
+    streamed should not contain 2L
+  }
+
   behavior of "streaming incremental dedup"
 
   it should "flag every batch-dropped row and pass only definitely-new rows" in {
