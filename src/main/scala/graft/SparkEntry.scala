@@ -778,6 +778,22 @@ object SparkEntry {
             .otherwise(1L)).as("n_len_violation"))
         .withColumn("has_merges", lit(model.merges.nonEmpty))
     }),
+    // deflate compression-ratio quality signal: zlib is not available to
+    // the SQL oracle, so the gate pins deterministic per-doc invariants —
+    // ratio bounds and "duplicating a doc strictly improves
+    // compressibility" — plus the SQL-checkable doc count
+    "compression_ratio" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(length(col("text")) >= 16)
+      val r1 = TextAnalysis.compressionRatio(col("text"))
+      val r4 = TextAnalysis.compressionRatio(
+        concat(col("text"), col("text"), col("text"), col("text")))
+      docs.select(r1.as("r1"), r4.as("r4"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("r1") > 0.0 && col("r1") <= 1.5, 0L).otherwise(1L))
+            .as("n_bounds_bad"),
+          sum(when(col("r4") < col("r1"), 0L).otherwise(1L))
+            .as("n_dup_not_smaller"))
+    }),
     // exact heavy hitters: Misra-Gries sketch pass (guaranteed superset)
     // + exact count pass over the bounded candidate set; value-exact vs
     // DuckDB's full groupBy. 2000 ppm = words at >= 0.2% of the corpus
@@ -1347,6 +1363,11 @@ object SparkEntry {
           |  CAST(0 AS BIGINT) AS n_len_violation,
           |  true AS has_merges
           |FROM documents""".stripMargin,
+      "compression_ratio" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(0 AS BIGINT) AS n_bounds_bad,
+          |  CAST(0 AS BIGINT) AS n_dup_not_smaller
+          |FROM documents WHERE length(text) >= 16""".stripMargin,
       "heavy_hitters" ->
         s"""WITH x AS (SELECT unnest($toks) AS item FROM documents),
            |n AS (SELECT count(*) AS total FROM x)

@@ -259,6 +259,33 @@ object TextAnalysis {
       dupFrac(5), dupFrac(6), dupFrac(7), dupFrac(8), dupFrac(9), dupFrac(10))
   }
 
+  /** Deflate compression ratio — compressed bytes / UTF-8 bytes (zlib
+    * level 6, the curation-standard "zlib ratio" signal: near-random text
+    * sits near 1, templated/repetitious text well below; used as a cheap
+    * complement to the n-gram repetition rules on corpora where word-level
+    * filters miss byte-level structure). Pure per-row UDF, one Deflater
+    * per call, zero shuffle; null/empty → null. Not SQL-replicable (no
+    * zlib in the oracle engine), so the gate pins deterministic
+    * invariants instead: bounds, and duplication strictly improving
+    * compressibility. */
+  def compressionRatio(text: Column): Column = {
+    val f = udf { t: String =>
+      if (t == null || t.isEmpty) None
+      else {
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6)
+        try {
+          d.setInput(bytes); d.finish()
+          val buf = new Array[Byte](8192)
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          Some(n.toDouble / bytes.length.toDouble)
+        } finally d.end()
+      }
+    }
+    f(text)
+  }
+
   /** Character-n-gram language-ID heuristic: scores text against per-
     * language marker-token tables (function words, public knowledge) and
     * emits the best-scoring language or "und". Marker lists stay literal

@@ -66,6 +66,21 @@ object StressCuration {
       graft.ext.SemDedup.semanticDedup(vecs, "vec_id", "embedding",
           k = math.max(64, copies * 4), tau = 0.999)
         .agg(count(lit(1)), sum(when(!col("keep"), 1L).otherwise(0L))).head())
+    // round-9 continuation operators: all per-doc or sketch-shaped, so the
+    // interesting question is pure throughput + whether any stage skews
+    tm("repetition")(
+      graft.ext.TextAnalysis.repetitionSignals(corpus, "text")
+        .agg(count(lit(1)),
+          sum(when(col("rep_keep"), 1L).otherwise(0L))).head())
+    tm("heavy_words")(
+      graft.ext.Frequent.heavyWords(corpus, "text", minFreqPpm = 2000L)
+        .agg(count(lit(1)), sum("cnt")).head())
+    tm("bpe_train_count") {
+      val m = graft.ext.Bpe.train(corpus, "text", numMerges = 500)
+      val toks = corpus.select(m.tokenCountCol(col("text")).as("n"))
+        .agg(sum("n")).head()
+      s"merges=${m.merges.size} tokens=$toks"
+    }
     spark.stop()
   }
 }

@@ -452,4 +452,34 @@ class TextAnalysisSpec extends SparkSpec {
     r.getAs[Double]("dup_line_frac") shouldBe 0.0
     r.getAs[Double]("dup_para_frac") shouldBe 0.0
   }
+
+  behavior of "compressionRatio"
+
+  it should "score repetitive text far below near-random text" in {
+    val rep = "spam spam spam spam spam spam spam spam spam spam " * 10
+    val rnd = new scala.util.Random(5)
+    val noisy = (1 to 500).map(_ => ('!' + rnd.nextInt(90)).toChar).mkString
+    val df = Seq((1L, rep), (2L, noisy), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val r = df.select(col("id"),
+        TextAnalysis.compressionRatio(col("text")).as("cr"))
+      .orderBy("id").collect()
+    val repRatio = r(0).getAs[Double]("cr")
+    val rndRatio = r(1).getAs[Double]("cr")
+    repRatio should be < 0.2
+    rndRatio should be > 0.7
+    r(2).isNullAt(1) shouldBe true
+    r(3).isNullAt(1) shouldBe true
+  }
+
+  it should "strictly improve when content duplicates (the gate invariant)" in {
+    val df = Seq((1L, "a modest sentence with ordinary words in it"))
+      .toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.compressionRatio(col("text")).as("r1"),
+      TextAnalysis.compressionRatio(
+        concat(col("text"), col("text"), col("text"), col("text"))).as("r4"))
+      .head()
+    r.getAs[Double]("r4") should be < r.getAs[Double]("r1")
+  }
 }
