@@ -99,6 +99,16 @@ object StreamOps {
     TextAnalysis.repetitionFilter(
       TextAnalysis.gopherFilter(stream, textCol), textCol)
 
+  /** Learned-BPE tokenization on a stream with a FROZEN model — the same
+    * train-once-score-many shape as [[importanceScore]]: train
+    * [[graft.ext.Bpe.Model]] on the accumulated batch corpus, then every
+    * arriving document tokenizes map-side (rank table in the task closure,
+    * zero state, zero shuffle), batch-equal by construction. */
+  def bpeTokenize(stream: DataFrame, model: graft.ext.Bpe.Model,
+                  textCol: String): DataFrame =
+    stream.withColumn("bpe_tokens", model.encodeCol(col(textCol)))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+
   /** DSIR importance scoring on a stream: every arriving document scored
     * against a FROZEN [[graft.ext.Importance.HashedLm]] (trained once on
     * a batch reference via `trainHashedLm`). The LM rides in the

@@ -241,6 +241,34 @@ class StreamOpsSpec extends SparkSpec {
     streamed should not contain 2L
   }
 
+  behavior of "streaming BPE tokenization"
+
+  it should "tokenize arriving docs identically to the batch encode" in {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cats sat on the mats"),
+      (3L, "totally unseen vocabulary zqx"))
+    val model = graft.ext.Bpe.train(
+      corpus.take(2).toDF("doc_id", "text"), "text", numMerges = 30)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.bpeTokenize(
+        input.toDF().toDF("doc_id", "text"), model, "text")
+      .writeStream.format("memory").queryName("s_bpe").start()
+    input.addData(corpus.take(1))
+    q.processAllAvailable()
+    input.addData(corpus.drop(1))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_bpe")
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    corpus.foreach { case (id, t) =>
+      streamed(id) shouldBe model.encode(t).toSeq
+    }
+    // frequent word collapsed; unseen word falls back to chars
+    streamed(1L) should contain("the" + graft.ext.Bpe.Marker)
+    streamed(3L).count(_ == "z") should be >= 1
+  }
+
   behavior of "streaming incremental dedup"
 
   it should "flag every batch-dropped row and pass only definitely-new rows" in {
