@@ -789,7 +789,7 @@ object SparkEntry {
         concat(col("text"), col("text"), col("text"), col("text")))
       docs.select(r1.as("r1"), r4.as("r4"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("r1") > 0.0 && col("r1") <= 1.5, 0L).otherwise(1L))
+          sum(when(col("r1") > 0.0 && col("r1") <= 2.0, 0L).otherwise(1L))
             .as("n_bounds_bad"),
           sum(when(col("r4") < col("r1"), 0L).otherwise(1L))
             .as("n_dup_not_smaller"))

@@ -17,9 +17,18 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional subset (comma-separated names) for fast iteration on a new
     // gate; the checker only compares dumped dirs, so a partial out dir is
-    // a partial — not failing — report. Same contract as Bench's filter.
+    // a partial — not failing — report. Same contract as Bench's filter:
+    // empty value = unset, typo'd names called out instead of silently
+    // dumping nothing (a vacuously-passing compare would hide a dead gate).
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] unknown queries ignored: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -28,9 +28,43 @@ object Bpe {
 
   val Marker = "\n"
 
-  /** A trained tokenizer: ordered merge rules. `ranks` drives greedy
-    * encoding (lowest rank merges first — training order). */
-  case class Model(merges: IndexedSeq[(String, String)]) {
+  /** Word → base symbols: one symbol per CODE POINT (surrogate-pair aware)
+    * plus the trailing end-of-word marker. Shared by training and encoding
+    * so the two can never desynchronize on Unicode edges. */
+  private[ext] def toSymbols(word: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      b += word.substring(i, i + n)
+      i += n
+    }
+    b += Marker
+    b.result()
+  }
+
+  /** Replace every adjacent (a, b) with a+b, left to right — the single
+    * merge-application kernel used by both the training loop and the
+    * greedy encoder (identical replay is the BPE correctness contract). */
+  private[ext] def mergePair(s: Array[String], a: String,
+                             b: String): Array[String] = {
+    val nb = Array.newBuilder[String]
+    var j = 0
+    while (j < s.length) {
+      if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+        nb += a + b; j += 2
+      } else { nb += s(j); j += 1 }
+    }
+    nb.result()
+  }
+
+  /** A trained tokenizer: ordered merge rules plus the base symbol set
+    * seen at training (code points of the word-type table — what `vocab`
+    * needs to be a complete emittable-token table; empty when a model is
+    * built from bare merges). `ranks` drives greedy encoding (lowest rank
+    * merges first — training order). */
+  case class Model(merges: IndexedSeq[(String, String)],
+                   baseSymbols: Set[String] = Set.empty) {
     @transient lazy val ranks: Map[(String, String), Int] =
       merges.iterator.zipWithIndex.toMap
 
@@ -46,17 +80,7 @@ object Bpe {
       if (word.isEmpty) return Array.empty
       val hit = memo.get(word)
       if (hit != null) return hit
-      var syms = {
-        val b = Vector.newBuilder[String]
-        var i = 0
-        while (i < word.length) {
-          val n = Character.charCount(word.codePointAt(i))
-          b += word.substring(i, i + n)
-          i += n
-        }
-        b += Marker
-        b.result()
-      }
+      var syms = toSymbols(word)
       var done = false
       while (!done && syms.length > 1) {
         var best = Int.MaxValue
@@ -69,21 +93,12 @@ object Bpe {
         }
         if (at < 0) done = true
         else {
-          // merge every occurrence of the best pair, left to right
           val (a, b) = merges(best)
-          val nb = Vector.newBuilder[String]
-          var j = 0
-          while (j < syms.length) {
-            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
-              nb += a + b; j += 2
-            } else { nb += syms(j); j += 1 }
-          }
-          syms = nb.result()
+          syms = mergePair(syms, a, b)
         }
       }
-      val out = syms.toArray
-      if (memo.size < MemoCap) memo.put(word, out)
-      out
+      if (memo.size < MemoCap) memo.put(word, syms)
+      syms
     }
 
     /** Tokenize whitespace-split text; every word's last token ends with
@@ -97,10 +112,14 @@ object Bpe {
     def decode(tokens: Seq[String]): String =
       tokens.mkString("").split(Marker, -1).filter(_.nonEmpty).mkString(" ")
 
-    /** All token strings this model can emit for in-vocabulary text. */
+    /** Every token string this model can emit for text whose code points
+      * were seen at training: the base symbols (incl. the marker) plus all
+      * merge operands and products. For out-of-vocabulary code points the
+      * encoder falls back to single-code-point tokens outside this set. */
     def vocab: Set[String] = {
-      val base = merges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
-      base ++ merges.iterator.map { case (a, b) => a + b }
+      val fromMerges = merges.iterator.flatMap { case (a, b) =>
+        Iterator(a, b, a + b) }.toSet
+      baseSymbols ++ fromMerges + Marker
     }
 
     /** Column form: `array<string>` of tokens — the rank table rides the
@@ -139,7 +158,9 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("w")).limit(maxWordTypes)
       .as[(String, Long)].collect()
-    Model(mergeLoop(types, numMerges, minPairCount))
+    val base = types.iterator.flatMap { case (w, _) =>
+      toSymbols(w).iterator }.toSet
+    Model(mergeLoop(types, numMerges, minPairCount), base)
   }
 
   /** The Sennrich merge loop over a (word, freq) table. Exposed for specs
@@ -147,17 +168,7 @@ object Bpe {
   def mergeLoop(types: Array[(String, Long)], numMerges: Int,
                 minPairCount: Long): IndexedSeq[(String, String)] = {
     // symbol sequences, mutable per word
-    val words: Array[Array[String]] = types.map { case (w, _) =>
-      val b = Array.newBuilder[String]
-      var i = 0
-      while (i < w.length) {
-        val n = Character.charCount(w.codePointAt(i))
-        b += w.substring(i, i + n)
-        i += n
-      }
-      b += Marker
-      b.result()
-    }
+    val words: Array[Array[String]] = types.map { case (w, _) => toSymbols(w) }
     val freqs: Array[Long] = types.map(_._2)
 
     val pairCounts = collection.mutable.HashMap.empty[(String, String), Long]
@@ -207,14 +218,7 @@ object Bpe {
             }
             if (has) {
               addWord(wi, -1L)
-              val nb = Array.newBuilder[String]
-              var j = 0
-              while (j < s.length) {
-                if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
-                  nb += a + b; j += 2
-                } else { nb += s(j); j += 1 }
-              }
-              words(wi) = nb.result()
+              words(wi) = mergePair(s, a, b)
               addWord(wi, 1L)
             }
           }

@@ -90,6 +90,17 @@ class BpeSpec extends SparkSpec {
       .map(t => model.encode(t).length.toLong)
   }
 
+  it should "emit only vocab tokens for training-corpus text" in {
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cats sat on the mats")).toDF("id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 10)
+    val v = model.vocab
+    v should contain(Bpe.Marker)
+    docs.as[(Long, String)].collect().foreach { case (_, t) =>
+      model.encode(t).foreach(tok => v should contain(tok))
+    }
+  }
+
   it should "respect the word-type cap" in {
     val docs = (1 to 100).map(i => (i.toLong, s"unique$i common common"))
       .toDF("id", "text")
