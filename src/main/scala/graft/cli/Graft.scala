@@ -303,6 +303,10 @@ object Graft {
       case "parquet" => spark.read.parquet(path)
       case "avro"    => AvroIO.read(spark, path)
       case "json"    => GraftIO.readJsonLines(spark, path)
+      // header+inferSchema mirrors the reference's CSV convenience readers;
+      // production flows should land on parquet/avro for pushdown + types
+      case "csv"     => spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(path)
       case m => throw new IllegalArgumentException(s"unknown input-mode $m")
     }
 
@@ -321,6 +325,19 @@ object Graft {
     case "json" =>
       val w = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).json(path)
+    case "csv" =>
+      // arrays/structs don't fit CSV cells: fail here with a clear message
+      // instead of Spark's deep AnalysisException
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType, NullType, BinaryType}
+      val bad = df.schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | NullType |
+             BinaryType => true
+        case _ => false
+      })
+      require(bad.isEmpty,
+        s"--output-mode=csv needs atomic columns; non-atomic: ${bad.map(_.name).mkString(", ")}")
+      val w = df.write.mode("overwrite").option("header", "true")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).csv(path)
     case m => throw new IllegalArgumentException(s"unknown output-mode $m")
   }
 

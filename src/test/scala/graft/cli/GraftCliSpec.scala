@@ -158,6 +158,22 @@ class GraftCliSpec extends SparkSpec {
       Seq("rank", "left", "right")
   }
 
+  it should "round-trip csv input and output modes" in {
+    val base = tmp()
+    Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("id", "text")
+      .write.option("header", "true").csv(s"$base/in")
+    Graft.run(Seq("heavyWords", s"--input=$base/in", "--input-mode=csv",
+      s"--output=$base/out", "--output-mode=csv", "--min-freq-ppm=1"), spark)
+    val out = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$base/out")
+    out.count() shouldBe 4L // every word appears once of 4 = 250000 ppm >= 1
+    // non-atomic columns refuse csv output with a clear message
+    Seq((1L, "a b")).toDF("id", "text").write.parquet(s"$base/in2")
+    an[IllegalArgumentException] should be thrownBy
+      Graft.run(Seq("bpeTokenize", s"--input=$base/in2",
+        s"--output=$base/toks", "--num-merges=5", "--output-mode=csv"), spark)
+  }
+
   it should "reject unknown commands and missing flags with clear errors" in {
     the[IllegalArgumentException] thrownBy
       Graft.run(Seq("frobnicate"), spark) should have message
