@@ -163,6 +163,28 @@ object Bpe {
     Model(mergeLoop(types, numMerges, minPairCount), base)
   }
 
+  /** Rebuild a [[Model]] from a saved (rank, left, right) merge table —
+    * the inverse of the CLI's `--merges-output`, closing the
+    * train-once-reuse-everywhere loop: tokenize tomorrow's corpus with
+    * yesterday's tokenizer without retraining. The table is numMerges rows
+    * (driver-sized by construction). Base symbols are recovered from the
+    * single-code-point merge operands; pass `baseSymbols` when the full
+    * emittable-vocab table matters. */
+  def fromMergesTable(df: DataFrame,
+                      baseSymbols: Set[String] = Set.empty): Model = {
+    val merges = df.select("rank", "left", "right").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right")))
+      .sortBy(_._1)
+      .map { case (_, a, b) => (a, b) }
+      .toIndexedSeq
+    val recovered =
+      if (baseSymbols.nonEmpty) baseSymbols
+      else merges.iterator.flatMap { case (a, b) => Iterator(a, b) }
+        .filter(s => s.codePointCount(0, s.length) == 1).toSet
+    Model(merges, recovered)
+  }
+
   /** The Sennrich merge loop over a (word, freq) table. Exposed for specs
     * and for re-training from a saved word-count table. */
   def mergeLoop(types: Array[(String, Long)], numMerges: Int,

@@ -101,6 +101,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  it should "rebuild an identical tokenizer from a saved merges table" in {
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cats sat on the mats")).toDF("id", "text")
+    val model = Bpe.train(docs, "text", numMerges = 15)
+    val table = model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }.toDF("rank", "left", "right")
+    // shuffle row order: rank must drive the rebuild, not row order
+    val reloaded = Bpe.fromMergesTable(table.orderBy(col("left")))
+    reloaded.merges shouldBe model.merges
+    docs.as[(Long, String)].collect().foreach { case (_, t) =>
+      reloaded.encode(t).toSeq shouldBe model.encode(t).toSeq
+    }
+  }
+
   it should "respect the word-type cap" in {
     val docs = (1 to 100).map(i => (i.toLong, s"unique$i common common"))
       .toDF("id", "text")
