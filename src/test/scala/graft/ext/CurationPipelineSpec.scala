@@ -110,4 +110,59 @@ class CurationPipelineSpec extends SparkSpec {
     val report = TextAnalysis.corpusReport(mixed, "text", Seq("bucket"))
     report.agg(sum("n_docs")).head().getLong(0) shouldBe mixed.count()
   }
+
+  it should "run curation filter -> vocab -> tokenize -> pack -> order as one chain" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    // plant a repetition-spam doc that passes the base Gopher rules but
+    // must die on the repetition rules
+    val spam = Seq((9001L,
+      "the fox " + (1 to 30).map(_ => "of and that have with be").mkString(" "),
+      "en")).toDF("doc_id", "text", "lang")
+    val corpus = docs.unionByName(spam)
+
+    // 1. full Gopher gate (rules + repetition), thresholds tuned to the
+    // corpus as real curation does (the synthetic docs carry at most one
+    // of the canonical required stopwords, and half sit under 50 words):
+    // spam passes the rule half, dies on repetition
+    val sig = TextAnalysis.gopherSignals(corpus, "text",
+      minWords = 30L, minStopwordHits = 1L)
+    val kept = TextAnalysis.repetitionFilter(
+      sig.filter(col("keep")).select(col("doc_id"), col("text"), col("lang")),
+      "text")
+    kept.filter(col("doc_id") === 9001L).count() shouldBe 0L
+    kept.count() should be > 100L
+
+    // 2. corpus vocabulary: exact heavy words feed... nothing downstream
+    // here, but the pass must agree with a plain groupBy on the SAME slice
+    val hw = Frequent.heavyWords(kept, "text", minFreqPpm = 2000L)
+      .as[(String, Long)].collect().toMap
+    hw should not be empty
+
+    // 3. learned tokenizer on the kept slice; tokenize map-side
+    val model = Bpe.train(kept, "text", numMerges = 300)
+    val tokenized = kept.select(col("doc_id"),
+        model.tokenCountCol(col("text")).as("n_toks"))
+    // the corpus's most frequent word must be a single token
+    val topWord = hw.maxBy(_._2)._1
+    model.encodeWord(topWord).length shouldBe 1
+
+    // 4. pack to fixed sequences: the span map conserves every token and
+    // never overflows a sequence
+    val seqLen = 128L
+    val packed = Pack.packSequences(tokenized, "doc_id", "n_toks", seqLen)
+    val totalTokens = tokenized.select(sum("n_toks")).head().getLong(0)
+    packed.select(sum("span_len")).head().getLong(0) shouldBe totalTokens
+    packed.filter(col("span_len") > seqLen).count() shouldBe 0L
+    // every sequence except the last is exactly full
+    val lastSeq = packed.select(max("seq_id")).head().getLong(0)
+    packed.filter(col("seq_id") < lastSeq).groupBy("seq_id")
+      .agg(sum("span_len").as("n")).filter(col("n") =!= seqLen)
+      .count() shouldBe 0L
+
+    // 5. deterministic training order over the packed sequences
+    val ordered = Split.trainOrder(
+      packed.select("doc_id", "seq_id"), Seq("doc_id", "seq_id"), "epoch0", 16)
+    ordered.count() shouldBe packed.count()
+  }
 }
