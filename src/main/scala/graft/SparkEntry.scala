@@ -778,6 +778,14 @@ object SparkEntry {
             .otherwise(1L)).as("n_len_violation"))
         .withColumn("has_merges", lit(model.merges.nonEmpty))
     }),
+    // NFC + control-strip normalization, value-exact vs DuckDB's
+    // nfc_normalize: both engines plant the same combining-mark + BEL
+    // suffix so the fold and the strip are both exercised on every row
+    "normalize_text" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.normalizeText(
+          concat(col("text"), lit(" e\u0301\u0007combining"))).as("norm"))
+        .orderBy("doc_id")),
     // deflate compression-ratio quality signal: zlib is not available to
     // the SQL oracle, so the gate pins deterministic per-doc invariants —
     // ratio bounds and "duplicating a doc strictly improves
@@ -1363,6 +1371,12 @@ object SparkEntry {
           |  CAST(0 AS BIGINT) AS n_len_violation,
           |  true AS has_merges
           |FROM documents""".stripMargin,
+      "normalize_text" ->
+        """SELECT doc_id,
+          |  regexp_replace(
+          |    nfc_normalize(text || ' e' || chr(769) || chr(7) || 'combining'),
+          |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS norm
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "compression_ratio" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(0 AS BIGINT) AS n_bounds_bad,

@@ -259,6 +259,26 @@ object TextAnalysis {
       dupFrac(5), dupFrac(6), dupFrac(7), dupFrac(8), dupFrac(9), dupFrac(10))
   }
 
+  /** Unicode + control-character text normalization — the cleaning step
+    * BEFORE fingerprinting/dedup (two byte-different spellings of the same
+    * visible text must dedup together): NFC composition (combining marks
+    * fold into precomposed forms, the Unicode-standard canonical form both
+    * this engine's Normalizer and SQL engines' nfc_normalize implement
+    * identically) followed by stripping C0/DEL control characters except
+    * tab/newline/CR (document structure, not noise). NFC rides a per-row
+    * UDF (no Catalyst normalizer exists); the strip is a codegen'd
+    * regexp_replace. Zero shuffle; null passes through. */
+  def normalizeText(text: Column, stripControl: Boolean = true): Column = {
+    val nfc = udf { t: String =>
+      if (t == null) null
+      else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+    }
+    val n = nfc(text)
+    if (stripControl)
+      regexp_replace(n, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    else n
+  }
+
   /** Deflate compression ratio — compressed bytes / UTF-8 bytes (zlib
     * level 6, the curation-standard "zlib ratio" signal: near-random text
     * sits near 1, templated/repetitious text well below; used as a cheap

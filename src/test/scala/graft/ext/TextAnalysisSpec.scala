@@ -482,4 +482,24 @@ class TextAnalysisSpec extends SparkSpec {
       .head()
     r.getAs[Double]("r4") should be < r.getAs[Double]("r1")
   }
+
+  behavior of "normalizeText"
+
+  it should "fold combining marks, strip noise controls, keep structure" in {
+    val decomposed = "cafe\u0301 menu"         // e + combining acute
+    val noisy = "a\u0007b\u0000c\nd\te"     // BEL + NUL stripped, \n \t kept
+    val df = Seq((1L, decomposed), (2L, noisy), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.normalizeText(col("text")).as("n")).orderBy("id").collect()
+    out(0).getString(1) shouldBe "caf\u00e9 menu"
+    out(0).getString(1).length shouldBe 9      // composed: one code unit fewer
+    out(1).getString(1) shouldBe "abc\nd\te"
+    out(2).isNullAt(1) shouldBe true
+    // idempotent: normalizing normalized text is the identity
+    val again = df.limit(2).select(
+      TextAnalysis.normalizeText(TextAnalysis.normalizeText(col("text"))).as("n"))
+      .collect().map(_.getString(0))
+    again shouldBe out.take(2).map(_.getString(1))
+  }
 }
