@@ -67,11 +67,39 @@ object Graft {
     case Some("trainOrder")    => trainOrder(parseFlags(args.tail), spark)
     case Some("heavyWords")    => heavyWords(parseFlags(args.tail), spark)
     case Some("bpeTokenize")   => bpeTokenize(parseFlags(args.tail), spark)
+    case Some("clean")         => clean(parseFlags(args.tail), spark)
     case other =>
       throw new IllegalArgumentException(
         "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
           "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-          s"bpeTokenize> [flags]; got $other")
+          s"bpeTokenize|clean> [flags]; got $other")
+  }
+
+  /** Engine extension: text cleanup ([[graft.ext.TextAnalysis]]) as a
+    * one-shot job — NFC + control-strip normalization, optional PII-style
+    * redaction. The pass you run BEFORE fingerprint/dedup so byte-variant
+    * spellings collapse.
+    *
+    * {{{
+    * graft clean --input=<path> --output=<dir> [--text-col=text]
+    *             [--redact] [--keep-control]
+    *             [--input-mode=...] [--output-mode=...] [--row-restriction=<pred>]
+    * }}} */
+  private def clean(f: Map[String, String], spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = restrict(read(spark, required(f, "input"),
+      f.getOrElse("input-mode", "parquet")), f)
+    val out = required(f, "output")
+    val textCol = f.getOrElse("text-col", "text")
+    var cleaned = graft.ext.TextAnalysis.normalizeText(col(textCol),
+      stripControl = !f.contains("keep-control"))
+    if (f.contains("redact"))
+      cleaned = graft.ext.TextAnalysis.redact(cleaned)
+    val result = df.withColumn(textCol, cleaned)
+    if (!GraftIO.unlessDone(out) {
+      write(result, out, f.getOrElse("output-mode", "parquet"),
+        csv(f.get("partition-by")))
+    }) System.err.println(s"[graft] output $out already complete, skipping")
   }
 
   /** Engine extension: exact frequent items ([[graft.ext.Frequent]]) as a

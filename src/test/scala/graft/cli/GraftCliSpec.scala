@@ -174,12 +174,23 @@ class GraftCliSpec extends SparkSpec {
         s"--output=$base/toks", "--num-merges=5", "--output-mode=csv"), spark)
   }
 
+  it should "clean text with normalization and optional redaction" in {
+    val base = tmp()
+    Seq((1L, "cafe\u0301 contact: a@b.co now\u0007!"))
+      .toDF("id", "text").write.parquet(s"$base/in")
+    Graft.run(Seq("clean", s"--input=$base/in", s"--output=$base/out",
+      "--redact"), spark)
+    val cleaned = spark.read.parquet(s"$base/out")
+      .select("text").as[String].head()
+    cleaned shouldBe "caf\u00e9 contact: <EMAIL> now!"
+  }
+
   it should "reject unknown commands and missing flags with clear errors" in {
     the[IllegalArgumentException] thrownBy
       Graft.run(Seq("frobnicate"), spark) should have message
       "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
         "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-        "bpeTokenize> [flags]; got Some(frobnicate)"
+        "bpeTokenize|clean> [flags]; got Some(frobnicate)"
     an[IllegalArgumentException] should be thrownBy
       Graft.run(Seq("bigSampler", "--input=/x"), spark)
   }
