@@ -753,6 +753,26 @@ object SparkEntry {
         .select(col("doc_id") +:
           TextAnalysis.RepetitionRow.fields.map(col) :+ col("rep_keep"): _*)
         .orderBy("doc_id")),
+    // Misra-Gries theoretical bound, verified on the real corpus: every
+    // sketch estimate must satisfy est <= true <= est + ceil(N/(k+1)).
+    // The candidate SET varies with merge order, so the gate checks the
+    // bound (constant-oracle verdict), not the items
+    "mg_bound" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(graft.GraftFunctions.whitespaceTokens(col("text")))
+          .as("word"))
+      val approx = ext.Frequent.approxTopK(words, "word", k = 64)
+      val exact = words.groupBy("word").agg(count(lit(1)).as("true_cnt"))
+      approx.join(exact, col("item") === col("word"))
+        .agg(count(lit(1)).as("n_sketch_items"),
+          sum(when(col("est") <= col("true_cnt") &&
+            col("true_cnt") <= col("est") + col("max_undercount"), 0L)
+            .otherwise(1L)).as("n_bound_violations"))
+        .select(
+          when(col("n_sketch_items").between(1L, 64L), lit(true))
+            .otherwise(lit(false)).as("sketch_bounded"),
+          col("n_bound_violations"))
+    }),
     // learned BPE tokenizer (Sennrich '16): train 200 merges on this SF's
     // corpus, tokenize it, and verify in ONE distributed action that every
     // doc roundtrips, encoding is deterministic across two evaluations,
@@ -1364,6 +1384,8 @@ object SparkEntry {
       // full per-doc replica of the marker-scoring heuristic; Spark's
       // array_max over struct(score, lang) breaks score ties by taking the
       // lexicographically greatest lang, hence the descending CASE order
+      "mg_bound" ->
+        """SELECT true AS sketch_bounded, CAST(0 AS BIGINT) AS n_bound_violations""".stripMargin,
       "bpe_tokenize" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(0 AS BIGINT) AS n_roundtrip_fail,

@@ -105,6 +105,25 @@ object Frequent {
       .where(col("cnt") * lit(1000000L) >= lit(minFreqPpm) * lit(n))
   }
 
+  /** Single-pass APPROXIMATE frequent items: the raw Misra–Gries summary
+    * with its per-item guarantee made explicit — `est` never exceeds the
+    * true count and undercounts by at most `max_undercount` = ⌈N/(k+1)⌉
+    * (one corpus-wide constant). Use when a second scan is too expensive
+    * and a bounded estimate suffices; [[heavyHitters]] is the exact
+    * two-pass form. The candidate SET can vary with partition merge order;
+    * the bound holds for every returned item regardless. */
+  def approxTopK(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"approxTopK needs k >= 1, got $k")
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .where(col("item").isNotNull)
+    val mg = udaf(new MisraGries(k), Encoders.STRING)
+    items.agg(mg(col("item")).as("sketch"), count(lit(1)).as("n"))
+      .select(explode(col("sketch")).as(Seq("item", "est")), col("n"))
+      .withColumn("max_undercount",
+        ceil(col("n").cast("double") / (k + 1)).cast("long"))
+      .drop("n")
+  }
+
   /** [[heavyHitters]] over a text corpus's whitespace words: the corpus's
     * frequent vocabulary with exact counts — stopword discovery, boilerplate
     * tokens, tokenizer seeding. The explode is narrow (no shuffle); both

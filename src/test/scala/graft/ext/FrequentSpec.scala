@@ -67,6 +67,27 @@ class FrequentSpec extends SparkSpec {
     got shouldBe Array(("top", 600L))
   }
 
+  it should "bound every approxTopK estimate by the MG guarantee" in {
+    val r = new Random(23)
+    val data = (1 to 30000).map { _ =>
+      val u = r.nextDouble()
+      s"z${math.min(499, (1.0 / (u + 0.002)).toInt)}"
+    }
+    val df = data.toDF("item").repartition(16)
+    val k = 32
+    val est = Frequent.approxTopK(df, "item", k)
+      .as[(String, Long, Long)].collect()
+    est.length should be <= k
+    est should not be empty
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = math.ceil(data.size.toDouble / (k + 1)).toLong
+    est.foreach { case (item, e, mu) =>
+      mu shouldBe bound
+      e should be <= truth(item)
+      truth(item) should be <= (e + mu)
+    }
+  }
+
   it should "return an empty frame on empty or all-null input" in {
     val empty = Seq.empty[String].toDF("item")
     Frequent.heavyHitters(empty, "item", 1000L).count() shouldBe 0L
