@@ -153,15 +153,24 @@ object Bpe {
     require(maxWordTypes >= 1, s"maxWordTypes must be >= 1, got $maxWordTypes")
     val spark = df.sparkSession
     import spark.implicits._
-    val types: Array[(String, Long)] = df
-      .select(explode(whitespaceTokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(desc("c"), asc("w")).limit(maxWordTypes)
-      .as[(String, Long)].collect()
+    val types: Array[(String, Long)] =
+      wordTypes(df, textCol, maxWordTypes).as[(String, Long)].collect()
     val base = types.iterator.flatMap { case (w, _) =>
       toSymbols(w).iterator }.toSet
     Model(mergeLoop(types, numMerges, minPairCount), base)
   }
+
+  /** The training word-type selection as a plan: map-side-combined count
+    * aggregation + per-partition top-k (orderBy+limit plans as
+    * TakeOrderedAndProject — each task keeps its own top `maxWordTypes`
+    * and the driver merges heaps; a global Sort here would be the
+    * corpus-vocabulary straggler). Exposed so the plan shape is
+    * spec-lockable and so callers can persist the type table. */
+  def wordTypes(df: DataFrame, textCol: String,
+                maxWordTypes: Int): DataFrame = df
+    .select(explode(whitespaceTokens(col(textCol))).as("w"))
+    .groupBy("w").agg(count(lit(1)).as("c"))
+    .orderBy(desc("c"), asc("w")).limit(maxWordTypes)
 
   /** Rebuild a [[Model]] from a saved (rank, left, right) merge table —
     * the inverse of the CLI's `--merges-output`, closing the

@@ -162,6 +162,16 @@ class PlanSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  "bpe word-type selection" should "take per-partition top-k, never sort globally" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(ext.Bpe.wordTypes(docs, "text", 1 << 16))
+    // orderBy+limit must fuse into TakeOrderedAndProject: each task keeps
+    // its own heap and the driver merges — a Sort node here means the
+    // whole corpus vocabulary flows through a global sort before the cap
+    p should include("TakeOrderedAndProject")
+    p should not include "Sort ["
+  }
+
   "heavy hitters" should "broadcast the candidate set for the exact pass" in {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(ext.Frequent.heavyWords(docs, "text", minFreqPpm = 2000L))
