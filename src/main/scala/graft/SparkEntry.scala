@@ -753,6 +753,20 @@ object SparkEntry {
         .select(col("doc_id") +:
           TextAnalysis.RepetitionRow.fields.map(col) :+ col("rep_keep"): _*)
         .orderBy("doc_id")),
+    // corpus drift: KL both ways + Jensen-Shannon between the en and
+    // non-en slices' smoothed unigram distributions, value-exact (5 dp)
+    // vs a full DuckDB replica of the joint-vocabulary math
+    "vocab_divergence" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ext.Importance.vocabDivergence(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"), "text")
+        .select(col("vocab_a"), col("vocab_b"), col("vocab_shared"),
+          col("tokens_a"), col("tokens_b"),
+          round(col("kl_ab"), 5).as("kl_ab"),
+          round(col("kl_ba"), 5).as("kl_ba"),
+          round(col("js"), 5).as("js"))
+    }),
     // Misra-Gries theoretical bound, verified on the real corpus: every
     // sketch estimate must satisfy est <= true <= est + ceil(N/(k+1)).
     // The candidate SET varies with merge order, so the gate checks the
@@ -1384,6 +1398,34 @@ object SparkEntry {
       // full per-doc replica of the marker-scoring heuristic; Spark's
       // array_max over struct(score, lang) breaks score ties by taking the
       // lexicographically greatest lang, hence the descending CASE order
+      "vocab_divergence" ->
+        """WITH wa AS (SELECT unnest(list_filter(
+          |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS w
+          |  FROM documents WHERE lang = 'en'),
+          |wb AS (SELECT unnest(list_filter(
+          |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS w
+          |  FROM documents WHERE lang <> 'en'),
+          |ka AS (SELECT w, count(*) AS na_w FROM wa GROUP BY 1),
+          |kb AS (SELECT w, count(*) AS nb_w FROM wb GROUP BY 1),
+          |j AS (SELECT coalesce(ka.na_w, 0) AS ca, coalesce(kb.nb_w, 0) AS cb
+          |  FROM ka FULL OUTER JOIN kb ON ka.w = kb.w),
+          |t AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM j),
+          |x AS (SELECT j.ca, j.cb, t.na, t.nb, t.v,
+          |  CAST(j.ca + 1 AS DOUBLE) / CAST(t.na + t.v AS DOUBLE) AS p,
+          |  CAST(j.cb + 1 AS DOUBLE) / CAST(t.nb + t.v AS DOUBLE) AS q
+          |  FROM j, t)
+          |SELECT
+          |  CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+          |  CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+          |  CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS vocab_shared,
+          |  CAST(max(na) AS BIGINT) AS tokens_a,
+          |  CAST(max(nb) AS BIGINT) AS tokens_b,
+          |  ROUND(sum(p * ln(p / q)), 5) AS kl_ab,
+          |  ROUND(sum(q * ln(q / p)), 5) AS kl_ba,
+          |  ROUND(sum(p * ln(p * 2.0 / (p + q))) * 0.5 +
+          |        sum(q * ln(q * 2.0 / (p + q))) * 0.5, 5) AS js
+          |FROM x""".stripMargin,
       "mg_bound" ->
         """SELECT true AS sketch_bounded, CAST(0 AS BIGINT) AS n_bound_violations""".stripMargin,
       "bpe_tokenize" ->

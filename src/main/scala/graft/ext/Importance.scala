@@ -260,6 +260,52 @@ object Importance {
     * ∝ exp(score/temperature), but reproducible across runs and engines
     * sharing the hash. Selection runs through the engine's
     * histogram-threshold machinery, never a global sort. */
+  /** Corpus drift detection: KL(A‖B), KL(B‖A), and Jensen–Shannon
+    * divergence between two corpora's unigram word distributions, with
+    * add-one smoothing over the JOINT vocabulary (the same estimator as
+    * [[importanceScores]] — a word absent from one corpus contributes its
+    * smoothed floor, so the divergences are always finite). Also reports
+    * vocabulary sizes/overlap and token masses — the numbers a data-drift
+    * monitor pages on when tomorrow's crawl stops resembling today's.
+    *
+    * One map-side-combined count per corpus, one full-outer join on the
+    * word (8-byte-hashable strings, both sides pre-aggregated to distinct
+    * types), one aggregation row out. Nothing driver-side; vocabulary
+    * never leaves the cluster.
+    *
+    * Output (1 row): vocab_a, vocab_b, vocab_shared, tokens_a, tokens_b,
+    * kl_ab, kl_ba, js (all divergences in nats; js ∈ [0, ln 2]). */
+  def vocabDivergence(a: DataFrame, b: DataFrame,
+                      textCol: String): DataFrame = {
+    def counts(df: DataFrame, name: String): DataFrame = df
+      .select(explode(whitespaceTokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as(name))
+    val joint = counts(a, "ca").join(counts(b, "cb"), Seq("w"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joint.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("v"))
+    val p = (col("ca") + 1).cast("double") /
+      (col("na") + col("v")).cast("double")
+    val q = (col("cb") + 1).cast("double") /
+      (col("nb") + col("v")).cast("double")
+    joint.crossJoin(broadcast(tot))
+      .select(col("ca"), col("cb"), col("na"), col("nb"), col("v"),
+        p.as("p"), q.as("q"))
+      .agg(
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("vocab_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("vocab_b"),
+        sum(when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L))
+          .as("vocab_shared"),
+        max(col("na")).as("tokens_a"),
+        max(col("nb")).as("tokens_b"),
+        sum(col("p") * log(col("p") / col("q"))).as("kl_ab"),
+        sum(col("q") * log(col("q") / col("p"))).as("kl_ba"),
+        (sum(col("p") * log(col("p") * 2.0 / (col("p") + col("q")))) * 0.5 +
+          sum(col("q") * log(col("q") * 2.0 / (col("p") + col("q")))) * 0.5)
+          .as("js"))
+  }
+
   def gumbelTopFraction(df: DataFrame, idCol: String, scoreCol: String,
                         fraction: Double, temperature: Double = 1.0,
                         salt: String = "dsir"): DataFrame = {

@@ -180,4 +180,40 @@ class ImportanceSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     kept shouldBe (90L until 100L).toArray
   }
+
+  behavior of "vocabDivergence"
+
+  it should "report zero divergence for identical corpora and grow with drift" in {
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "beta gamma epsilon"))
+      .toDF("id", "text")
+    val same = Importance.vocabDivergence(a, a, "text").head()
+    same.getAs[Double]("kl_ab") shouldBe 0.0
+    same.getAs[Double]("kl_ba") shouldBe 0.0
+    same.getAs[Double]("js") shouldBe 0.0
+    same.getAs[Long]("vocab_shared") shouldBe same.getAs[Long]("vocab_a")
+
+    // counts must dominate the add-one floor for the divergence to show:
+    // 100 tokens per side, fully disjoint vocabularies
+    val bigA = Seq((1L, Seq.fill(50)("alpha beta").mkString(" "))).toDF("id", "text")
+    val b = Seq((1L, Seq.fill(50)("omega psi").mkString(" "))).toDF("id", "text")
+    val drift = Importance.vocabDivergence(bigA, b, "text").head()
+    drift.getAs[Long]("vocab_shared") shouldBe 0L
+    drift.getAs[Double]("js") should be > 0.3
+    drift.getAs[Double]("js") should be <= math.log(2.0) + 1e-12
+    drift.getAs[Double]("kl_ab") should be > 0.0
+    // JS is symmetric; KL is not in general
+    val rev = Importance.vocabDivergence(b, bigA, "text").head()
+    rev.getAs[Double]("js") shouldBe drift.getAs[Double]("js") +- 1e-12
+  }
+
+  it should "count token mass and vocab sizes exactly" in {
+    val a = Seq((1L, "x x y")).toDF("id", "text")
+    val b = Seq((1L, "y z")).toDF("id", "text")
+    val r = Importance.vocabDivergence(a, b, "text").head()
+    r.getAs[Long]("tokens_a") shouldBe 3L
+    r.getAs[Long]("tokens_b") shouldBe 2L
+    r.getAs[Long]("vocab_a") shouldBe 2L
+    r.getAs[Long]("vocab_b") shouldBe 2L
+    r.getAs[Long]("vocab_shared") shouldBe 1L
+  }
 }
