@@ -75,6 +75,10 @@ object StressCuration {
     tm("heavy_words")(
       graft.ext.Frequent.heavyWords(corpus, "text", minFreqPpm = 2000L)
         .agg(count(lit(1)), sum("cnt")).head())
+    tm("vocab_divergence")(
+      graft.ext.Importance.vocabDivergence(
+        corpus.filter(col("lang") === "en"),
+        corpus.filter(col("lang") =!= "en"), "text").head())
     tm("bpe_train_count") {
       val m = graft.ext.Bpe.train(corpus, "text", numMerges = 500)
       val toks = corpus.select(m.tokenCountCol(col("text")).as("n"))

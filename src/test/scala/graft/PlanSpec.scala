@@ -172,6 +172,17 @@ class PlanSpec extends SparkSpec {
     p should not include "Sort ["
   }
 
+  "vocab divergence" should "join pre-aggregated word types with no window" in {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(ext.Importance.vocabDivergence(
+      docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") =!= "en"), "text"))
+    p should not include "Window"
+    // the only nested-loop is the 1-row scalar totals broadcast
+    "BroadcastNestedLoopJoin".r.findAllIn(p).size should be <= 1
+    p should not include "CartesianProduct"
+  }
+
   "heavy hitters" should "broadcast the candidate set for the exact pass" in {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(ext.Frequent.heavyWords(docs, "text", minFreqPpm = 2000L))
