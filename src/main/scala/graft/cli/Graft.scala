@@ -210,7 +210,7 @@ object Graft {
     * {{{
     * graft dsirScore --input=<path> --output=<dir> --id-col=<c>
     *                 --target=<sql predicate over the input>
-    *                 [--text-col=text] [--exact | --buckets=8192]
+    *                 [--text-col=text] [--exact | --buckets=8192 [--ngram=2]]
     *                 [--top-fraction=<f> [--temperature=1.0] [--salt=dsir]]
     *                 [--input-mode=...] [--output-mode=...] [--row-restriction=<pred>]
     * }}}
@@ -231,7 +231,8 @@ object Graft {
       if (f.contains("exact"))
         graft.ext.Importance.importanceScores(df, idCol, textCol, tgt)
       else graft.ext.Importance.hashedImportanceScores(df, idCol, textCol,
-        tgt, nBuckets = f.getOrElse("buckets", "8192").toInt)
+        tgt, nBuckets = f.getOrElse("buckets", "8192").toInt,
+        ngramOrder = f.getOrElse("ngram", "1").toInt)
     val result = f.get("top-fraction") match {
       case None => scores
       case Some(frac) =>

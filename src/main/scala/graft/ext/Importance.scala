@@ -66,16 +66,35 @@ object Importance {
     scoreAgainstLm(base, dw, broadcastLm = false)
   }
 
+  /** The hashed paths' shared feature stream: space-joined word n-grams
+    * of `lower`ed whitespace tokens (order 1 = the tokens themselves).
+    * Training and scoring MUST build grams identically or the frozen LM
+    * scores garbage — hence one builder. Docs with fewer than n words
+    * yield an empty array. */
+  private[ext] def ngramTokens(text: Column, n: Int): Column = {
+    val ws = whitespaceTokens(lower(text))
+    if (n == 1) ws
+    else when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+      .otherwise(array())
+  }
+
   /** Per-document importance scores over DSIR's hashed feature space:
-    * words land in `pmod(xxhash64(w), nBuckets)` buckets and the unigram
+    * word n-grams land in `pmod(xxhash64(gram), nBuckets)` buckets and the
     * LM is estimated per bucket. The LM table is ≤ nBuckets rows — it
-    * broadcasts, and no word-keyed shuffle exists at any corpus size. */
+    * broadcasts, and no word-keyed shuffle exists at any corpus size.
+    * `ngramOrder` is the paper's n (DSIR uses hashed BIGRAMS by default;
+    * order 1 keeps the unigram behavior): higher orders see word ORDER,
+    * which unigram models provably cannot. `n_tokens` counts grams. */
   def hashedImportanceScores(df: DataFrame, idCol: String, textCol: String,
                              isTarget: Column,
-                             nBuckets: Int = 8192): DataFrame = {
+                             nBuckets: Int = 8192,
+                             ngramOrder: Int = 1): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(ngramOrder >= 1, s"ngramOrder must be >= 1, got $ngramOrder")
     val base = df.select(col(idCol).as("id"), isTarget.as("tgt"),
-      whitespaceTokens(lower(col(textCol))).as("ws"))
+      ngramTokens(col(textCol), ngramOrder).as("ws"))
     val dw = base
       .select(col("id"), col("tgt"), explode(col("ws")).as("tok"))
       .select(col("id"), col("tgt"),
@@ -124,7 +143,7 @@ object Importance {
     * Small by construction (≤ nBuckets entries) — ships in a closure /
     * literal map, never as a relation. */
   final case class HashedLm(llr: Map[Long, Double], defaultLlr: Double,
-                            nBuckets: Int)
+                            nBuckets: Int, ngramOrder: Int = 1)
 
   /** Train a [[HashedLm]] once on a (bounded) reference corpus. The
     * production DSIR shape is train-once-score-many: fit the LM on a
@@ -133,11 +152,12 @@ object Importance {
     * The driver collect is capped at `nBuckets` rows by construction
     * (explicitly required ≤ 2^22 ≈ 4M entries, ~100 MB ceiling). */
   def trainHashedLm(df: DataFrame, textCol: String, isTarget: Column,
-                    nBuckets: Int = 8192): HashedLm = {
+                    nBuckets: Int = 8192, ngramOrder: Int = 1): HashedLm = {
     require(nBuckets >= 2 && nBuckets <= (1 << 22),
       s"nBuckets must be in [2, 2^22], got $nBuckets")
+    require(ngramOrder >= 1, s"ngramOrder must be >= 1, got $ngramOrder")
     val dw = df.select(isTarget.as("tgt"),
-        explode(whitespaceTokens(lower(col(textCol)))).as("tok"))
+        explode(ngramTokens(col(textCol), ngramOrder)).as("tok"))
       .select(col("tgt"), pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).as("w"))
       .groupBy("w").agg(
         count(lit(1)).as("c_all"),
@@ -152,7 +172,7 @@ object Importance {
       ((cT + 1) / (nT + vsz)) / ((cAll + 1) / (nAll + vsz)))
     HashedLm(
       rows.map(r => r.getLong(0) -> llr(r.getLong(2), r.getLong(1))).toMap,
-      llr(0L, 0L), nBuckets)
+      llr(0L, 0L), nBuckets, ngramOrder)
   }
 
   /** Score a text column against a frozen [[HashedLm]] — a single
@@ -172,7 +192,7 @@ object Importance {
     lm.llr.foreach { case (b, v) => dense(b.toInt) = v }
     val lmArr = typedLit(dense.toSeq)
     aggregate(
-      coalesce(whitespaceTokens(lower(text)), array()),
+      coalesce(ngramTokens(text, lm.ngramOrder), array()),
       lit(0.0d),
       (acc, w) => acc +
         element_at(lmArr, (pmod(xxhash64(w), lit(lm.nBuckets.toLong)) + 1L)

@@ -181,6 +181,51 @@ class ImportanceSpec extends SparkSpec {
     kept shouldBe (90L until 100L).toArray
   }
 
+  behavior of "hashed n-gram order"
+
+  it should "see word order that the unigram model provably cannot" in {
+    // two corpora with IDENTICAL unigram distributions whose reversals
+    // share NO bigram: cycling "alpha beta gamma" yields bigrams
+    // {alpha beta, beta gamma, gamma alpha}; the reverse cycle yields
+    // {gamma beta, beta alpha, alpha gamma} — disjoint sets
+    val ab = Seq.fill(40)("alpha beta gamma").mkString(" ")
+    val ba = Seq.fill(40)("gamma beta alpha").mkString(" ")
+    val ref = Seq((1L, ab, true), (2L, ba, false), (3L, ab, true), (4L, ba, false))
+      .toDF("id", "text", "is_tgt")
+
+    val uni = Importance.trainHashedLm(ref, "text", col("is_tgt"),
+      nBuckets = 4096, ngramOrder = 1)
+    val bi = Importance.trainHashedLm(ref, "text", col("is_tgt"),
+      nBuckets = 4096, ngramOrder = 2)
+    val probe = Seq((10L, ab), (11L, ba)).toDF("id", "text")
+    def scores(lm: Importance.HashedLm): Map[Long, Double] =
+      probe.select(col("id"), Importance.scoreWith(lm, col("text")).as("s"))
+        .as[(Long, Double)].collect().toMap
+
+    val u = scores(uni)
+    u(10L) shouldBe u(11L) +- 1e-9 // unigram: the corpora are identical
+    val b = scores(bi)
+    b(10L) should be > (b(11L) + 1.0) // bigram: target order wins clearly
+
+    // batch scorer agrees with the frozen-LM scorer at order 2
+    val batch = Importance.hashedImportanceScores(
+        ref.limit(4).toDF("id", "text", "is_tgt"), "id", "text",
+        col("is_tgt"), nBuckets = 4096, ngramOrder = 2)
+      .select("id", "imp_logratio").as[(Long, Double)].collect().toMap
+    batch(1L) should be > 0.0
+    batch(2L) should be < 0.0
+  }
+
+  it should "yield empty gram streams for docs shorter than the order" in {
+    val lm = Importance.trainHashedLm(
+      Seq((1L, "a b c", true), (2L, "d e f", false)).toDF("id", "text", "t"),
+      "text", col("t"), nBuckets = 64, ngramOrder = 3)
+    Seq((1L, "two words"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(Importance.scoreWith(lm, col("text")))
+      .as[Double].collect() shouldBe Array(0.0, 0.0)
+  }
+
   behavior of "vocabDivergence"
 
   it should "report zero divergence for identical corpora and grow with drift" in {
