@@ -121,6 +121,27 @@ object StreamOps {
     stream.withColumn(scoreCol,
       graft.ext.Importance.scoreWith(lm, col(textCol)))
 
+  /** Ingestion drift telemetry: per tumbling window, the distribution of
+    * frozen-LM scores ([[importanceScore]]) over arriving documents —
+    * mean/min/max log-ratio plus doc count. A reference-trained LM makes
+    * "does this hour's crawl still look like the reference corpus" a
+    * single windowed aggregation; a sustained mean drop is the page. The
+    * windowed arm of [[graft.ext.Importance.vocabDivergence]]'s batch
+    * comparison, with state bounded by windows per watermark horizon. */
+  def driftTelemetry(stream: DataFrame, tsCol: String, textCol: String,
+                     lm: graft.ext.Importance.HashedLm,
+                     windowLen: String, watermark: String): DataFrame =
+    importanceScore(stream, textCol, lm)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("imp_logratio")).as("mean_score"),
+        min(col("imp_logratio")).as("min_score"),
+        max(col("imp_logratio")).as("max_score"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_docs"), col("mean_score"), col("min_score"), col("max_score"))
+
   /** Gap sessions on a stream: per-key session windows via Spark's
     * built-in `session_window`, emitting one row per closed session with
     * its bounds and event count — the streaming analog of

@@ -214,6 +214,53 @@ class StreamOpsSpec extends SparkSpec {
     got("web").toDouble / rows.count(_._2 == "web") shouldBe 0.25 +- 0.15
   }
 
+  behavior of "streaming drift telemetry"
+
+  it should "page on a window whose docs stop resembling the reference" in {
+    import java.sql.Timestamp
+    implicit val sc = spark.sqlContext
+    val ref = Seq(
+      (0L, "gradient descent model training epochs", true),
+      (1L, "salt pepper butter recipe oven", false),
+      (2L, "butter recipe oven salt pepper", false)).toDF("doc_id", "text", "tgt")
+    val lm = graft.ext.Importance.trainHashedLm(ref, "text", col("tgt"))
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // window 1: reference-like traffic; window 2: drifted traffic
+    val events = Seq(
+      (ts(1), "gradient descent training"), (ts(2), "model training epochs"),
+      (ts(31), "butter salt pepper"), (ts(32), "recipe oven butter"))
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.driftTelemetry(
+        input.toDF().toDF("ts", "text"), "ts", "text", lm,
+        windowLen = "30 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("s_drift").start()
+    input.addData(events)
+    q.processAllAvailable()
+    // advance the watermark past both windows so they close and emit
+    input.addData(Seq((Timestamp.valueOf("2026-01-01 12:00:00"), "flush")))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s_drift")
+      .select("window_start", "n_docs", "mean_score")
+      .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+    rows.length should be >= 2
+    val w1 = rows.find(_._1 == Timestamp.valueOf("2026-01-01 10:00:00")).get
+    val w2 = rows.find(_._1 == Timestamp.valueOf("2026-01-01 10:30:00")).get
+    w1._2 shouldBe 2L
+    w2._2 shouldBe 2L
+    w1._3 should be > 0.0 // reference-like window scores positive
+    w2._3 should be < 0.0 // drifted window scores negative
+    // stream aggregates match the batch computation over the same slice
+    val batch = StreamOps.importanceScore(
+        events.toDF("ts", "text"), "text", lm)
+      .groupBy(window(col("ts"), "30 minutes"))
+      .agg(avg("imp_logratio").as("m"))
+      .select(col("window.start"), col("m"))
+      .as[(Timestamp, Double)].collect().toMap
+    w1._3 shouldBe batch(w1._1) +- 1e-12
+    w2._3 shouldBe batch(w2._1) +- 1e-12
+  }
+
   behavior of "streaming curation filter"
 
   it should "keep exactly the rows the batch Gopher+repetition pass keeps" in {
