@@ -1437,9 +1437,9 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "normalize_text" ->
         """SELECT doc_id,
-          |  regexp_replace(
-          |    nfc_normalize(text || ' e' || chr(769) || chr(7) || 'combining'),
-          |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS norm
+          |  nfc_normalize(regexp_replace(
+          |    text || ' e' || chr(769) || chr(7) || 'combining',
+          |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS norm
           |FROM documents ORDER BY doc_id""".stripMargin,
       "compression_ratio" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,

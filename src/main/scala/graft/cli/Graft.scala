@@ -210,7 +210,7 @@ object Graft {
     * {{{
     * graft dsirScore --input=<path> --output=<dir> --id-col=<c>
     *                 --target=<sql predicate over the input>
-    *                 [--text-col=text] [--exact | --buckets=8192 [--ngram=2]]
+    *                 [--text-col=text] [--exact | --buckets=8192 [--ngram=1]]
     *                 [--top-fraction=<f> [--temperature=1.0] [--salt=dsir]]
     *                 [--input-mode=...] [--output-mode=...] [--row-restriction=<pred>]
     * }}}
@@ -335,7 +335,10 @@ object Graft {
       // header+inferSchema mirrors the reference's CSV convenience readers;
       // production flows should land on parquet/avro for pushdown + types
       case "csv"     => spark.read.option("header", "true")
-        .option("inferSchema", "true").csv(path)
+        .option("inferSchema", "true")
+        // text corpora embed newlines; default line-mode parsing would
+        // split quoted multi-line fields into garbage rows
+        .option("multiLine", "true").csv(path)
       case m => throw new IllegalArgumentException(s"unknown input-mode $m")
     }
 

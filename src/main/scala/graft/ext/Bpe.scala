@@ -181,9 +181,12 @@ object Bpe {
     * emittable-vocab table matters. */
   def fromMergesTable(df: DataFrame,
                       baseSymbols: Set[String] = Set.empty): Model = {
-    val merges = df.select("rank", "left", "right").collect()
-      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
-        r.getAs[String]("right")))
+    val merges = df.select(col("rank").cast("int").as("rank"),
+        col("left"), col("right")).collect()
+      .map { r =>
+        require(!r.isNullAt(0), "fromMergesTable: null rank row")
+        (r.getInt(0), r.getString(1), r.getString(2))
+      }
       .sortBy(_._1)
       .map { case (_, a, b) => (a, b) }
       .toIndexedSeq

@@ -324,6 +324,17 @@ object Importance {
         (sum(col("p") * log(col("p") * 2.0 / (col("p") + col("q")))) * 0.5 +
           sum(col("q") * log(col("q") * 2.0 / (col("p") + col("q")))) * 0.5)
           .as("js"))
+      // two token-free corpora are identical, not incomparable: the agg
+      // over zero joint rows would emit nulls, so pin the finite contract
+      .select(
+        coalesce(col("vocab_a"), lit(0L)).as("vocab_a"),
+        coalesce(col("vocab_b"), lit(0L)).as("vocab_b"),
+        coalesce(col("vocab_shared"), lit(0L)).as("vocab_shared"),
+        coalesce(col("tokens_a"), lit(0L)).as("tokens_a"),
+        coalesce(col("tokens_b"), lit(0L)).as("tokens_b"),
+        coalesce(col("kl_ab"), lit(0.0d)).as("kl_ab"),
+        coalesce(col("kl_ba"), lit(0.0d)).as("kl_ba"),
+        coalesce(col("js"), lit(0.0d)).as("js"))
   }
 
   def gumbelTopFraction(df: DataFrame, idCol: String, scoreCol: String,

@@ -273,10 +273,15 @@ object TextAnalysis {
       if (t == null) null
       else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
     }
-    val n = nfc(text)
-    if (stripControl)
-      regexp_replace(n, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
-    else n
+    // strip BEFORE composing: a control byte between a base letter and its
+    // combining mark blocks composition, so NFC-first would leave the pair
+    // decomposed after the strip — missing exactly the dedup collapse this
+    // function exists for, and breaking idempotence
+    val cleaned =
+      if (stripControl)
+        regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      else text
+    nfc(cleaned)
   }
 
   /** Deflate compression ratio — compressed bytes / UTF-8 bytes (zlib

@@ -472,6 +472,16 @@ class TextAnalysisSpec extends SparkSpec {
     r(3).isNullAt(1) shouldBe true
   }
 
+  it should "compose marks even when a control byte splits the pair" in {
+    // strip must run BEFORE NFC: a BEL between base and combining mark
+    // blocks composition, and the two byte-variants must normalize equal
+    val df = Seq((1L, "e\u0007\u0301"), (2L, "\u00e9")).toDF("id", "text")
+    val out = df.select(TextAnalysis.normalizeText(col("text")))
+      .as[String].collect()
+    out(0) shouldBe "\u00e9"
+    out(0) shouldBe out(1)
+  }
+
   it should "strictly improve when content duplicates (the gate invariant)" in {
     val df = Seq((1L, "a modest sentence with ordinary words in it"))
       .toDF("id", "text")
