@@ -68,11 +68,39 @@ object Graft {
     case Some("heavyWords")    => heavyWords(parseFlags(args.tail), spark)
     case Some("bpeTokenize")   => bpeTokenize(parseFlags(args.tail), spark)
     case Some("clean")         => clean(parseFlags(args.tail), spark)
+    case Some("convert")       => convert(parseFlags(args.tail), spark)
     case other =>
       throw new IllegalArgumentException(
         "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
           "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-          s"bpeTokenize|clean> [flags]; got $other")
+          s"bpeTokenize|clean|convert> [flags]; got $other")
+  }
+
+  /** Format conversion — the reference CLI's core errand (ratatool's
+    * Avro/BigQuery conversion tooling, re-expressed over this engine's IO
+    * modes): read any supported format, optionally restrict/project, write
+    * any other, with directory partitioning.
+    *
+    * {{{
+    * graft convert --input=<path> --output=<dir>
+    *               [--input-mode=parquet|avro|json|csv]
+    *               [--output-mode=parquet|avro|json|csv]
+    *               [--columns=c1,c2] [--partition-by=c1,c2]
+    *               [--row-restriction=<sql predicate>]
+    * }}} */
+  private def convert(f: Map[String, String], spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    val df = restrict(read(spark, required(f, "input"),
+      f.getOrElse("input-mode", "parquet")), f)
+    val out = required(f, "output")
+    val projected = csv(f.get("columns")) match {
+      case Nil  => df
+      case cols => df.select(cols.map(col): _*)
+    }
+    if (!GraftIO.unlessDone(out) {
+      write(projected, out, f.getOrElse("output-mode", "parquet"),
+        csv(f.get("partition-by")))
+    }) System.err.println(s"[graft] output $out already complete, skipping")
   }
 
   /** Engine extension: text cleanup ([[graft.ext.TextAnalysis]]) as a

@@ -185,12 +185,28 @@ class GraftCliSpec extends SparkSpec {
     cleaned shouldBe "caf\u00e9 contact: <EMAIL> now!"
   }
 
+  it should "convert between formats with projection and restriction" in {
+    val base = tmp()
+    Seq((1L, "alpha", 10.0), (2L, "beta", 20.0), (3L, "gamma", 30.0))
+      .toDF("id", "name", "score").write.parquet(s"$base/in")
+    Graft.run(Seq("convert", s"--input=$base/in", s"--output=$base/out",
+      "--output-mode=json", "--columns=id,name",
+      "--row-restriction=id >= 2"), spark)
+    val out = graft.sources.GraftIO.readJsonLines(spark, s"$base/out")
+    out.columns.sorted.toSeq shouldBe Seq("id", "name")
+    out.count() shouldBe 2L
+    // and back: json -> avro roundtrip preserves the rows
+    Graft.run(Seq("convert", s"--input=$base/out", "--input-mode=json",
+      s"--output=$base/back", "--output-mode=avro"), spark)
+    graft.sources.AvroIO.read(spark, s"$base/back").count() shouldBe 2L
+  }
+
   it should "reject unknown commands and missing flags with clear errors" in {
     the[IllegalArgumentException] thrownBy
       Graft.run(Seq("frobnicate"), spark) should have message
       "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
         "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-        "bpeTokenize|clean> [flags]; got Some(frobnicate)"
+        "bpeTokenize|clean|convert> [flags]; got Some(frobnicate)"
     an[IllegalArgumentException] should be thrownBy
       Graft.run(Seq("bigSampler", "--input=/x"), spark)
   }
