@@ -75,6 +75,17 @@ object StressCuration {
     tm("heavy_words")(
       graft.ext.Frequent.heavyWords(corpus, "text", minFreqPpm = 2000L)
         .agg(count(lit(1)), sum("cnt")).head())
+    // adversarial MG decrement storm: every item distinct, so a saturated
+    // sketch decrements-all once per k arrivals — the amortized-O(1) claim
+    // under its worst input (Zipf hits the cheap increment path instead)
+    tm("heavy_words_storm")(
+      graft.ext.Frequent.heavyHitters(
+        corpus.select(explode(graft.GraftFunctions.whitespaceTokens(
+            col("text"))).as("w"))
+          .select(concat(col("w"), lit("#"),
+            monotonically_increasing_id()).as("item")),
+        "item", minFreqPpm = 2000L)
+        .agg(count(lit(1))).head())
     tm("vocab_divergence")(
       graft.ext.Importance.vocabDivergence(
         corpus.filter(col("lang") === "en"),
