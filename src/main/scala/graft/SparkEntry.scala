@@ -177,14 +177,22 @@ object SparkEntry {
     // Bernoulli sample: asserts the rand(seed) REPLAY contract in-query —
     // two independent evaluations over the same stable parquet scan must
     // select the identical multiset (the property the Random exact arm's
-    // no-pin design rests on; tolerance is sample_bernoulli_tol's angle)
+    // no-pin design rests on; tolerance is sample_bernoulli_tol's angle).
+    // Compared via (count, sum-of-row-hashes) signatures — narrow and
+    // scan-speed, where the previous two-exceptAll form shuffled every
+    // sampled row twice (3x the gate's cost for the same verdict)
     "sample_bernoulli" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      def run() = BigSampler.sample(li, 0.1).select("l_orderkey", "l_linenumber")
-      val a = run(); val b = run()
-      a.exceptAll(b).agg(count(lit(1)).as("n_ab"))
-        .crossJoin(b.exceptAll(a).agg(count(lit(1)).as("n_ba")))
-        .select((col("n_ab") + col("n_ba") === 0).as("replay_stable"))
+      def sig(tag: String) = {
+        val r = BigSampler.sample(li, 0.1).select("l_orderkey", "l_linenumber")
+        // decimal sum: row-hash sums overflow int64 under ANSI
+        r.agg(count(lit(1)).as(s"n_$tag"),
+          sum(xxhash64(col("l_orderkey"), col("l_linenumber"))
+            .cast("decimal(38,0)")).as(s"h_$tag"))
+      }
+      sig("a").crossJoin(sig("b"))
+        .select((col("n_a") === col("n_b") && col("h_a") <=> col("h_b"))
+          .as("replay_stable"))
     }),
     // oracle-gated Bernoulli tolerance: achieved fraction within ±0.015 of
     // the target (measured 0.107/0.0995/0.0996 across sfs with seed 42 —
@@ -1361,7 +1369,8 @@ object SparkEntry {
            |  END AS mwl,
            |  CASE WHEN len(words) > 0 THEN
            |    ((length(text) - length(replace(text, '#', ''))) +
-           |     (length(text) - length(replace(text, '...', ''))) / 3) * 1.0 / len(words)
+           |     (length(text) - length(replace(text, '...', ''))) / 3 +
+           |     (length(text) - length(replace(text, '…', '')))) * 1.0 / len(words)
            |  END AS sym,
            |  len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
            |      OR starts_with(ltrim(l), '• '))) * 1.0 / greatest(len(lines), 1) AS bullet,

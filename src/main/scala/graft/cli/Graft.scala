@@ -304,7 +304,8 @@ object Graft {
     *
     * {{{
     * graft gopherFilter --input=<path> --output=<dir> [--text-col=text]
-    *                    [--signals-only] [--input-mode=parquet|avro|json]
+    *                    [--signals-only] [--repetition]
+    *                    [--input-mode=parquet|avro|json]
     *                    [--output-mode=parquet|json] [--row-restriction=<pred>]
     * }}}
     *

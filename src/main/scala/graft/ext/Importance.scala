@@ -274,12 +274,6 @@ object Importance {
         col("h.cosine_sim").as("nb_logprob"))
   }
 
-  /** DSIR's Gumbel top-k resampling, made deterministic: keep the top
-    * `fraction` of rows by `score/temperature + Gumbel(hash(salt, id))` —
-    * equivalent to sampling without replacement with probability
-    * ∝ exp(score/temperature), but reproducible across runs and engines
-    * sharing the hash. Selection runs through the engine's
-    * histogram-threshold machinery, never a global sort. */
   /** Corpus drift detection: KL(A‖B), KL(B‖A), and Jensen–Shannon
     * divergence between two corpora's unigram word distributions, with
     * add-one smoothing over the JOINT vocabulary (the same estimator as
@@ -337,6 +331,12 @@ object Importance {
         coalesce(col("js"), lit(0.0d)).as("js"))
   }
 
+  /** DSIR's Gumbel top-k resampling, made deterministic: keep the top
+    * `fraction` of rows by `score/temperature + Gumbel(hash(salt, id))` —
+    * equivalent to sampling without replacement with probability
+    * ∝ exp(score/temperature), but reproducible across runs and engines
+    * sharing the hash. Selection runs through the engine's
+    * histogram-threshold machinery, never a global sort. */
   def gumbelTopFraction(df: DataFrame, idCol: String, scoreCol: String,
                         fraction: Double, temperature: Double = 1.0,
                         salt: String = "dsir"): DataFrame = {

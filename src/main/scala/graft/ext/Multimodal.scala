@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   * deterministic `stubDecodeImage` fake (so exotic formats keep the
   * pipeline shape testable without their codecs); payloads a codec CLAIMS
   * but cannot decode (right magic, corrupt body) yield null features —
-  * never fake numbers. Frame sampling and resize remain declared stubs
-  * (no video demuxer in the JDK).
+  * never fake numbers. Resize ([[resizeImages]]) and frame sampling
+  * ([[sampleFrameFeatures]], animated GIF via ImageIO + MJPEG-AVI via the
+  * pure-JDK [[demuxAviFrames]] RIFF demuxer) are REAL; the remaining stub
+  * boundary is compressed video codecs (mp4/h264 and kin — no JDK decoder
+  * exists), which fall back to the declared deterministic fake.
   *
   * Scale notes: metadata extraction is pure Catalyst (scan-speed, no
   * shuffle); decode operators run via mapPartitions in batches so codec

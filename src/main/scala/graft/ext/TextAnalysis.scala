@@ -81,7 +81,13 @@ object TextAnalysis {
     // by construction
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val nHash = length(t) - length(regexp_replace(t, "#", ""))
-    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    // ellipses count both spellings: each literal "..." run-of-three and
+    // each single U+2026 character (Gopher A1 counts the ellipsis
+    // character too; the two cannot overlap, so the sum is exact). Kept as
+    // two terms added left-to-right so the oracle's IEEE addition order
+    // matches bit-for-bit
+    val nEllipsis3 = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val nEllipsis1 = length(t) - length(regexp_replace(t, "…", ""))
     val lines = split(t, "\n")
     val nLines = greatest(size(lines), lit(1)).cast("double")
     val out = df
@@ -89,7 +95,7 @@ object TextAnalysis {
       .withColumn("mean_word_len", when(n > 0,
         aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / n))
       .withColumn("symbol_ratio",
-        when(n > 0, (nHash + nEllipsis).cast("double") / n))
+        when(n > 0, (nHash + nEllipsis3 + nEllipsis1).cast("double") / n))
       .withColumn("bullet_frac",
         size(filter(lines, l =>
           ltrim(l).startsWith("- ") || ltrim(l).startsWith("• ")))

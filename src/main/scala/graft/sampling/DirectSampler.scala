@@ -43,7 +43,13 @@ object DirectSampler {
     * hash aggregate. A `row_number()` window here would sort each key's
     * ENTIRE slice in one task (for a low-cardinality key that is the whole
     * table through a handful of tasks); the aggregator instead carries at
-    * most k rows per key per task and shuffles only those O(k) buffers. */
+    * most k rows per key per task and shuffles only those O(k) buffers.
+    *
+    * `orderBy` columns must be atomic non-binary scalars (numeric, string,
+    * decimal, date, timestamp — an ORDER BY tuple): the aggregator compares
+    * external Comparable values, and binary/array/struct/map ordering
+    * columns are rejected with a require (a contract narrowing vs the old
+    * window form, which accepted any orderable type). */
   def topByKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[String],
                k: Int): DataFrame = {
     val schema = df.schema
