@@ -107,7 +107,19 @@ object GraftFunctions {
     array_distinct(transform(ids, i => substring(norm, i + lit(1), lit(n))))
   }
 
-  /** Whitespace tokens of a string: string → array<string>. */
+  /** Whitespace tokens of a string: string → array<string>. Blind to
+    * no-whitespace scripts (a CJK document is ONE token) — curation
+    * operators use [[scriptTokens]]; this stays for callers that want the
+    * raw whitespace semantics. */
   def whitespaceTokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Script-aware tokens ([[graft.functions.ScriptTokens]]): whitespace
+    * tokens, with every Han/Hiragana/Katakana/Thai code point further
+    * emitted as its own token (character-unigram segmentation — the
+    * standard heuristic for scripts written without inter-word spaces).
+    * Identical to [[whitespaceTokens]] on text containing none of those
+    * scripts. One codegen'd `regexp_extract_all` — scan speed, no UDF. */
+  def scriptTokens(text: Column): Column =
+    regexp_extract_all(text, lit(graft.functions.ScriptTokens.JavaPattern), lit(0))
 }

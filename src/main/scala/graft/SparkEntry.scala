@@ -28,6 +28,22 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Mixed-script fixture for the cjk_curation gate: the driver corpus is
+    * pure ASCII (verified), so the no-whitespace-script tokenization path
+    * needs its own deterministic rows — Chinese, Japanese, Thai,
+    * mixed-script with and without spaces, and two whitespace-script
+    * controls. Shared verbatim by the Spark query and the DuckDB VALUES
+    * oracle so both engines segment the identical text. */
+  private[graft] val cjkDocs: Seq[(Long, String)] = Seq(
+    0L -> "Hello world this is a plain english document with several words",
+    1L -> "你好世界這是中文測試",
+    2L -> "これは日本語のテストです",
+    3L -> "สวัสดีชาวโลก",
+    4L -> ("mixed 你好 text with ひら and " +
+      "ไทย tokens"),
+    5L -> "Hello你好world",
+    6L -> "short")
+
   /** `events` with its NANOS parquet timestamp read as long nanos and
     * truncated to integer micros (`ts_us`) — the temporal gates compare
     * timestamps as integers on both engines (DuckDB: `epoch_us(ts)`).
@@ -752,6 +768,31 @@ object SparkEntry {
           round(col("alpha_word_frac"), 6).as("alpha"),
           col("stopword_hits").as("stop_hits"), col("keep"))
         .orderBy("doc_id")),
+    // script-aware (CJK) tokenization end-to-end: per-code-point
+    // segmentation of Han/Hiragana/Katakana/Thai runs plus the Gopher
+    // signal set under a CJK-friendly profile, value-exact vs a DuckDB
+    // replica of the same segmentation (RE2 twin pattern). Proves a
+    // no-whitespace-script document tokenizes per code point — not as ONE
+    // "word" — and passes the word-count rule that used to reject it,
+    // while pure-ASCII text segments exactly as before
+    "cjk_curation" -> ((s, d) => {
+      import s.implicits._
+      val docs = cjkDocs.toDF("doc_id", "text")
+      TextAnalysis.gopherSignals(docs, "text",
+          minWords = 5L, maxWords = 100000L,
+          minMeanWordLen = 0.5, maxMeanWordLen = 10.0,
+          maxSymbolRatio = 0.1, maxBulletFrac = 0.9, maxEllipsisFrac = 0.3,
+          minAlphaFrac = 0.0, minStopwordHits = 0L)
+        .select(col("doc_id"),
+          size(scriptTokens(col("text"))).cast("long").as("n_tokens"),
+          concat_ws("|", scriptTokens(col("text"))).as("toks"),
+          col("word_count").as("wc"),
+          round(col("mean_word_len"), 6).as("mwl"),
+          round(col("symbol_ratio"), 6).as("sym"),
+          round(col("alpha_word_frac"), 6).as("alpha"),
+          col("stopword_hits").as("stop_hits"), col("keep"))
+        .orderBy("doc_id")
+    }),
     // Gopher repetition filters (Rae et al. '21 Table A1 right column):
     // dup line/para fractions, top-{2,3,4}-gram and dup-{5..10}-gram char
     // fractions + composite rep_keep — value-exact (integer sums, single
@@ -781,7 +822,7 @@ object SparkEntry {
     // bound (constant-oracle verdict), not the items
     "mg_bound" -> ((s, d) => {
       val words = t(s, d, "documents")
-        .select(explode(graft.GraftFunctions.whitespaceTokens(col("text")))
+        .select(explode(graft.GraftFunctions.scriptTokens(col("text")))
           .as("word"))
       val approx = ext.Frequent.approxTopK(words, "word", k = 64)
       val exact = words.groupBy("word").agg(count(lit(1)).as("true_cnt"))
@@ -809,7 +850,7 @@ object SparkEntry {
       val dec = udf { toks: Seq[String] => model.decode(toks) }
       val enc1 = model.encodeCol(col("text"))
       val enc2 = model.encodeCol(concat(col("text"), lit("")))
-      val nWords = size(graft.GraftFunctions.whitespaceTokens(col("text")))
+      val nWords = size(graft.GraftFunctions.scriptTokens(col("text")))
       docs.select(col("text"), enc1.as("t1"), enc2.as("t2"), nWords.as("nw"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1162,7 +1203,14 @@ object SparkEntry {
         |       ELSE 'SAME' END AS diff_type
         |  FROM lhs l FULL OUTER JOIN rhs r ON l.o_orderkey = r.o_orderkey)
         |""".stripMargin
-    val toks = "list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)"
+    // script-aware tokenization: the RE2 twin of GraftFunctions.scriptTokens
+    // (whitespace words + per-code-point Han/Hiragana/Katakana/Thai tokens);
+    // identical to a whitespace split on text without those scripts
+    // DuckDB string literals do not process backslash escapes, so the
+    // pattern interpolates verbatim
+    val cjkRe2 = graft.functions.ScriptTokens.Re2Pattern
+    val toks = s"regexp_extract_all(text, '$cjkRe2')"
+    val lowToks = s"regexp_extract_all(lower(text), '$cjkRe2')"
     Map(
       "q01_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
@@ -1390,6 +1438,43 @@ object SparkEntry {
            |    AND sym <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
            |    AND alpha >= 0.8 AND stop_hits >= 2, false) AS keep
            |FROM s ORDER BY doc_id""".stripMargin,
+      "cjk_curation" -> {
+        val vals = cjkDocs.map { case (i, text) =>
+          s"(CAST($i AS BIGINT), '$text')" }.mkString(", ")
+        s"""WITH docs(doc_id, text) AS (SELECT * FROM (VALUES $vals) v),
+           |w AS (SELECT doc_id, text,
+           |  regexp_extract_all(text, '$cjkRe2') AS words,
+           |  string_split(text, chr(10)) AS lines FROM docs),
+           |s AS (SELECT doc_id,
+           |  len(words) AS n_tokens,
+           |  array_to_string(words, '|') AS toks,
+           |  CASE WHEN len(words) > 0 THEN
+           |    CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words)
+           |  END AS mwl,
+           |  CASE WHEN len(words) > 0 THEN
+           |    ((length(text) - length(replace(text, '#', ''))) +
+           |     (length(text) - length(replace(text, '...', ''))) / 3 +
+           |     (length(text) - length(replace(text, '…', '')))) * 1.0 / len(words)
+           |  END AS sym,
+           |  len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+           |      OR starts_with(ltrim(l), '• '))) * 1.0 / greatest(len(lines), 1) AS bullet,
+           |  len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+           |      OR ends_with(rtrim(l), '…'))) * 1.0 / greatest(len(lines), 1) AS ellip,
+           |  CASE WHEN len(words) > 0 THEN
+           |    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(words)
+           |  END AS alpha,
+           |  len(list_filter(['the','be','to','of','and','that','have','with'],
+           |    sw -> list_contains(list_transform(words, x -> lower(x)), sw))) AS stop_hits
+           |  FROM w)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, toks,
+           |  CAST(n_tokens AS BIGINT) AS wc, ROUND(mwl, 6) AS mwl,
+           |  ROUND(sym, 6) AS sym, ROUND(alpha, 6) AS alpha,
+           |  CAST(stop_hits AS BIGINT) AS stop_hits,
+           |  COALESCE(n_tokens BETWEEN 5 AND 100000 AND mwl BETWEEN 0.5 AND 10
+           |    AND sym <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
+           |    AND alpha >= 0.0 AND stop_hits >= 0, false) AS keep
+           |FROM s ORDER BY doc_id""".stripMargin
+      },
       "avro_roundtrip" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
           |  ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
@@ -1408,12 +1493,10 @@ object SparkEntry {
       // array_max over struct(score, lang) breaks score ties by taking the
       // lexicographically greatest lang, hence the descending CASE order
       "vocab_divergence" ->
-        """WITH wa AS (SELECT unnest(list_filter(
-          |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS w
-          |  FROM documents WHERE lang = 'en'),
-          |wb AS (SELECT unnest(list_filter(
-          |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS w
-          |  FROM documents WHERE lang <> 'en'),
+        s"""WITH wa AS (SELECT unnest($lowToks) AS w
+           |  FROM documents WHERE lang = 'en'),
+           |wb AS (SELECT unnest($lowToks) AS w
+           |  FROM documents WHERE lang <> 'en'),
           |ka AS (SELECT w, count(*) AS na_w FROM wa GROUP BY 1),
           |kb AS (SELECT w, count(*) AS nb_w FROM wb GROUP BY 1),
           |j AS (SELECT coalesce(ka.na_w, 0) AS ca, coalesce(kb.nb_w, 0) AS cb
@@ -1618,8 +1701,7 @@ object SparkEntry {
           |  CAST(COUNT(*) AS BIGINT) AS n_distinct FROM documents""".stripMargin,
       "top_keywords" ->
         s"""WITH tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM
-           |    (SELECT doc_id, unnest(list_filter(string_split_regex(
-           |       trim(lower(text)), '\\s+'), x -> len(x) > 0)) AS w
+           |    (SELECT doc_id, unnest($lowToks) AS w
            |     FROM documents) GROUP BY doc_id, w),
            |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term
            |        HAVING COUNT(*) >= 5),
@@ -1633,9 +1715,8 @@ object SparkEntry {
            |  ROUND(score, 6) AS score_r
            |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
       "nb_posteriors" ->
-        """WITH base AS (SELECT doc_id, lang AS cls,
-          |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
-          |                x -> len(x) > 0) AS ws FROM documents),
+        s"""WITH base AS (SELECT doc_id, lang AS cls,
+           |    $lowToks AS ws FROM documents),
           |dw AS (SELECT doc_id, w, COUNT(*) AS c FROM
           |    (SELECT doc_id, unnest(ws) AS w FROM base) GROUP BY doc_id, w),
           |cw AS (SELECT cls, w, COUNT(*) AS cw FROM
@@ -1656,9 +1737,8 @@ object SparkEntry {
           |  ROUND(s.ll + pri.log_prior, 5) AS nb_logprob
           |FROM s JOIN pri USING (cls) ORDER BY doc_id, cls""".stripMargin,
       "importance_scores" ->
-        """WITH base AS (SELECT doc_id, lang = 'en' AS tgt,
-          |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
-          |                x -> len(x) > 0) AS ws FROM documents),
+        s"""WITH base AS (SELECT doc_id, lang = 'en' AS tgt,
+           |    $lowToks AS ws FROM documents),
           |dw AS (SELECT doc_id, tgt, unnest(ws) AS w FROM base),
           |c AS (SELECT doc_id, tgt, w, COUNT(*) AS c FROM dw GROUP BY doc_id, tgt, w),
           |v AS (SELECT w, SUM(c) AS c_all,

@@ -20,26 +20,61 @@ import org.apache.spark.sql.functions._
   * pure per-row UDF — zero shuffle, scan speed, with a per-executor
   * word-type memo (Zipf makes the hit rate ~word-type coverage).
   *
-  * The end-of-word marker is '\n': words are whitespace tokens, so no word
-  * symbol can contain it — a token ending in '\n' is unambiguously
-  * word-final and decode needs no escaping.
+  * Word units are SCRIPT-AWARE boundary tokens
+  * ([[graft.functions.ScriptTokens.splitWithBoundaries]]): whitespace
+  * words, with every Han/Hiragana/Katakana/Thai code point its own unit —
+  * so a no-whitespace-script corpus trains on a bounded character-level
+  * type table instead of memorizing whole sentences as single types. The
+  * end-of-word marker is '\n' and is part of the word-unit STRING itself:
+  * a unit carries the trailing marker iff it was followed by whitespace
+  * (or ended the text). No token can contain '\n' otherwise (whitespace
+  * never enters a token), so decode needs no escaping, and adjacent
+  * marker-less units (consecutive CJK characters) re-concatenate WITHOUT
+  * a space — byte-exact round trip on every script, up to whitespace-run
+  * normalization. On whitespace-script corpora the unit table is
+  * identical to the previous whitespace-word form (every word is
+  * boundary-final), so saved models replay unchanged.
+  *
+  * `byteLevel = true` switches the base alphabet to UTF-8 BYTES (GPT-2
+  * style): symbols are single latin-1 chars 0x00-0xFF, so any text is
+  * coverable with a 256-symbol base vocabulary and out-of-vocabulary
+  * code points cannot exist. The '\n' marker IS byte 0x0A, so marker
+  * handling is unchanged. Byte symbols include non-printable chars —
+  * persist byte-level merges via parquet (binary-safe), not CSV.
   */
 object Bpe {
 
   val Marker = "\n"
 
-  /** Word → base symbols: one symbol per CODE POINT (surrogate-pair aware)
-    * plus the trailing end-of-word marker. Shared by training and encoding
-    * so the two can never desynchronize on Unicode edges. */
-  private[ext] def toSymbols(word: String): Array[String] = {
+  /** The 256-symbol byte-level base alphabet (latin-1 chars 0x00-0xFF). */
+  private[ext] val ByteAlphabet: Set[String] =
+    (0 until 256).map(b => b.toChar.toString).toSet
+
+  /** Word unit → base symbols. Code-point mode: one symbol per CODE POINT
+    * (surrogate-pair aware) — the trailing '\n' marker, when the unit has
+    * one, is itself a code point and becomes the final symbol. Byte mode:
+    * one symbol per UTF-8 byte, each mapped to the latin-1 char of its
+    * value (the marker is byte 0x0A and falls out identically). Shared by
+    * training and encoding so the two can never desynchronize on Unicode
+    * edges. */
+  private[ext] def toSymbols(word: String,
+                             byteLevel: Boolean = false): Array[String] = {
     val b = Array.newBuilder[String]
-    var i = 0
-    while (i < word.length) {
-      val n = Character.charCount(word.codePointAt(i))
-      b += word.substring(i, i + n)
-      i += n
+    if (byteLevel) {
+      val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bytes.length) {
+        b += (bytes(i) & 0xff).toChar.toString
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        b += word.substring(i, i + n)
+        i += n
+      }
     }
-    b += Marker
     b.result()
   }
 
@@ -61,12 +96,18 @@ object Bpe {
   /** A trained tokenizer: ordered merge rules plus the base symbol set
     * seen at training (code points of the word-type table — what `vocab`
     * needs to be a complete emittable-token table; empty when a model is
-    * built from bare merges). `ranks` drives greedy encoding (lowest rank
-    * merges first — training order). */
+    * built from bare merges; the full 256-char byte alphabet in byte
+    * mode). `ranks` drives greedy encoding (lowest rank merges first —
+    * training order; first occurrence wins by construction, the merge
+    * loop never emits a pair twice). */
   case class Model(merges: IndexedSeq[(String, String)],
-                   baseSymbols: Set[String] = Set.empty) {
+                   baseSymbols: Set[String] = Set.empty,
+                   byteLevel: Boolean = false) {
     @transient lazy val ranks: Map[(String, String), Int] =
-      merges.iterator.zipWithIndex.toMap
+      merges.iterator.zipWithIndex.foldLeft(
+        Map.empty[(String, String), Int]) { case (m, (p, i)) =>
+        if (m.contains(p)) m else m.updated(p, i)
+      }
 
     // per-executor encode memo; word types are Zipf-bounded so a flat cap
     // keeps memory O(100k strings) while serving nearly every lookup
@@ -80,7 +121,7 @@ object Bpe {
       if (word.isEmpty) return Array.empty
       val hit = memo.get(word)
       if (hit != null) return hit
-      var syms = toSymbols(word)
+      var syms = toSymbols(word, byteLevel)
       var done = false
       while (!done && syms.length > 1) {
         var best = Int.MaxValue
@@ -101,16 +142,31 @@ object Bpe {
       syms
     }
 
-    /** Tokenize whitespace-split text; every word's last token ends with
-      * the marker, so the stream decodes unambiguously. */
+    /** Tokenize text over script-aware boundary word units; a unit's last
+      * token ends with the marker iff the unit was whitespace-final, so
+      * the stream decodes unambiguously — including space-free adjacency
+      * of no-space-script characters. */
     def encode(text: String): Array[String] =
       if (text == null) Array.empty
-      else text.trim.split("\\s+").iterator.filter(_.nonEmpty)
-        .flatMap(encodeWord).toArray
+      else graft.functions.ScriptTokens.splitWithBoundaries(text)
+        .iterator.flatMap(encodeWord).toArray
 
-    /** Inverse of [[encode]] up to whitespace normalization. */
-    def decode(tokens: Seq[String]): String =
-      tokens.mkString("").split(Marker, -1).filter(_.nonEmpty).mkString(" ")
+    /** Inverse of [[encode]] up to whitespace-run normalization: marker
+      * positions (trailing marker dropped) are exactly the single-space
+      * word boundaries; adjacent marker-less tokens re-concatenate. */
+    def decode(tokens: Seq[String]): String = {
+      val joined = tokens.mkString("")
+      val text =
+        if (byteLevel)
+          new String(joined.toCharArray.map(_.toByte),
+            java.nio.charset.StandardCharsets.UTF_8)
+        else joined
+      val words = text.split(Marker, -1)
+      // interior empties (consecutive markers) are impossible by
+      // construction; a trailing marker yields one trailing empty
+      (if (words.nonEmpty && words.last.isEmpty) words.dropRight(1)
+       else words).mkString(" ")
+    }
 
     /** Every token string this model can emit for text whose code points
       * were seen at training: the base symbols (incl. the marker) plus all
@@ -148,16 +204,19 @@ object Bpe {
     * `minPairCount` stops early once the best pair drops below it (2 by
     * default: merging hapax pairs just memorizes the tail). */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            maxWordTypes: Int = 1 << 16, minPairCount: Long = 2L): Model = {
+            maxWordTypes: Int = 1 << 16, minPairCount: Long = 2L,
+            byteLevel: Boolean = false): Model = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(maxWordTypes >= 1, s"maxWordTypes must be >= 1, got $maxWordTypes")
     val spark = df.sparkSession
     import spark.implicits._
     val types: Array[(String, Long)] =
       wordTypes(df, textCol, maxWordTypes).as[(String, Long)].collect()
-    val base = types.iterator.flatMap { case (w, _) =>
-      toSymbols(w).iterator }.toSet
-    Model(mergeLoop(types, numMerges, minPairCount), base)
+    val base =
+      if (byteLevel) ByteAlphabet
+      else types.iterator.flatMap { case (w, _) =>
+        toSymbols(w).iterator }.toSet + Marker
+    Model(mergeLoop(types, numMerges, minPairCount, byteLevel), base, byteLevel)
   }
 
   /** The training word-type selection as a plan: map-side-combined count
@@ -168,9 +227,19 @@ object Bpe {
     * spec-lockable and so callers can persist the type table. */
   def wordTypes(df: DataFrame, textCol: String,
                 maxWordTypes: Int): DataFrame = df
-    .select(explode(whitespaceTokens(col(textCol))).as("w"))
+    .select(explode(boundaryTokens(col(textCol))).as("w"))
     .groupBy("w").agg(count(lit(1)).as("c"))
     .orderBy(desc("c"), asc("w")).limit(maxWordTypes)
+
+  /** The BPE word-unit tokenization as a codegen'd column (Catalyst twin
+    * of [[graft.functions.ScriptTokens.splitWithBoundaries]]): collapse
+    * every whitespace run to a single '\n', append a terminal '\n', and
+    * extract script tokens that absorb an optional trailing '\n' — the
+    * end-of-word marker rides inside the unit string. */
+  def boundaryTokens(text: Column): Column =
+    regexp_extract_all(
+      concat(regexp_replace(text, "\\s+", Marker), lit(Marker)),
+      lit(graft.functions.ScriptTokens.JavaBoundaryPattern), lit(0))
 
   /** Rebuild a [[Model]] from a saved (rank, left, right) merge table —
     * the inverse of the CLI's `--merges-output`, closing the
@@ -180,7 +249,8 @@ object Bpe {
     * single-code-point merge operands; pass `baseSymbols` when the full
     * emittable-vocab table matters. */
   def fromMergesTable(df: DataFrame,
-                      baseSymbols: Set[String] = Set.empty): Model = {
+                      baseSymbols: Set[String] = Set.empty,
+                      byteLevel: Boolean = false): Model = {
     val merges = df.select(col("rank").cast("int").as("rank"),
         col("left"), col("right")).collect()
       .map { r =>
@@ -191,18 +261,39 @@ object Bpe {
       .map { case (_, a, b) => (a, b) }
       .toIndexedSeq
     val recovered =
-      if (baseSymbols.nonEmpty) baseSymbols
+      if (byteLevel) ByteAlphabet
+      else if (baseSymbols.nonEmpty) baseSymbols
       else merges.iterator.flatMap { case (a, b) => Iterator(a, b) }
         .filter(s => s.codePointCount(0, s.length) == 1).toSet
-    Model(merges, recovered)
+    Model(merges, recovered, byteLevel)
   }
 
   /** The Sennrich merge loop over a (word, freq) table. Exposed for specs
-    * and for re-training from a saved word-count table. */
+    * and for re-training from a saved word-count table.
+    *
+    * A later merge can RE-CREATE an already-merged pair's adjacency (word
+    * [a,x,y] where x+y == b re-creates (a,b)); emitting it again would
+    * waste a merge slot and leave a duplicate whose replay priority is
+    * ambiguous. The loop therefore never re-emits: a best pair that was
+    * already emitted is APPLIED to the re-created adjacencies (keeping
+    * the type table consistent with what the greedy encoder — which
+    * re-merges any re-created pair at its original rank — produces)
+    * without consuming a merge slot or appearing twice in `merges`. */
   def mergeLoop(types: Array[(String, Long)], numMerges: Int,
-                minPairCount: Long): IndexedSeq[(String, String)] = {
+                minPairCount: Long,
+                byteLevel: Boolean = false): IndexedSeq[(String, String)] =
+    mergeLoopWithTable(types, numMerges, minPairCount, byteLevel)._1
+
+  /** [[mergeLoop]] plus the final per-type symbol table — the training
+    * end-state the greedy encoder must replay exactly (what the
+    * cascade invariant guarantees; specs assert it). */
+  private[ext] def mergeLoopWithTable(
+      types: Array[(String, Long)], numMerges: Int, minPairCount: Long,
+      byteLevel: Boolean = false)
+      : (IndexedSeq[(String, String)], Map[String, Array[String]]) = {
     // symbol sequences, mutable per word
-    val words: Array[Array[String]] = types.map { case (w, _) => toSymbols(w) }
+    val words: Array[Array[String]] =
+      types.map { case (w, _) => toSymbols(w, byteLevel) }
     val freqs: Array[Long] = types.map(_._2)
 
     val pairCounts = collection.mutable.HashMap.empty[(String, String), Long]
@@ -223,7 +314,32 @@ object Bpe {
     }
     words.indices.foreach(addWord(_, 1L))
 
-    val merges = IndexedSeq.newBuilder[(String, String)]
+    val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
+    val emittedRanks = collection.mutable.HashMap.empty[(String, String), Int]
+    // after every step no word contains an adjacency of an EMITTED pair:
+    // re-apply emitted merges lowest-rank-first until fixpoint — exactly
+    // the greedy encoder's loop, so the training table always equals what
+    // encodeWord produces, and a re-created pair can never re-enter the
+    // selection (ranks stay unique, no slot is wasted)
+    def cascade(s0: Array[String]): Array[String] = {
+      var s = s0
+      var done = false
+      while (!done && s.length > 1) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i < s.length - 1) {
+          val r = emittedRanks.getOrElse((s(i), s(i + 1)), Int.MaxValue)
+          if (r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (a, b) = merges(best)
+          s = mergePair(s, a, b)
+        }
+      }
+      s
+    }
     var m = 0
     var exhausted = false
     while (m < numMerges && !exhausted) {
@@ -242,6 +358,7 @@ object Bpe {
         else {
           val (a, b) = best._1
           merges += best._1
+          emittedRanks.update(best._1, m)
           val touched = pairWords.getOrElse(best._1, collection.mutable.BitSet.empty)
           touched.foreach { wi =>
             val s = words(wi)
@@ -252,7 +369,7 @@ object Bpe {
             }
             if (has) {
               addWord(wi, -1L)
-              words(wi) = mergePair(s, a, b)
+              words(wi) = cascade(mergePair(s, a, b))
               addWord(wi, 1L)
             }
           }
@@ -262,6 +379,7 @@ object Bpe {
         }
       }
     }
-    merges.result()
+    (merges.toIndexedSeq,
+      types.iterator.map(_._1).zip(words.iterator).toMap)
   }
 }

@@ -124,13 +124,15 @@ object Frequent {
       .drop("n")
   }
 
-  /** [[heavyHitters]] over a text corpus's whitespace words: the corpus's
-    * frequent vocabulary with exact counts — stopword discovery, boilerplate
-    * tokens, tokenizer seeding. The explode is narrow (no shuffle); both
-    * passes stay scan-shaped. */
+  /** [[heavyHitters]] over a text corpus's script-aware words
+    * ([[graft.GraftFunctions.scriptTokens]] — whitespace words plus
+    * per-code-point CJK/Thai tokens): the corpus's frequent vocabulary
+    * with exact counts — stopword discovery, boilerplate tokens,
+    * tokenizer seeding. The explode is narrow (no shuffle); both passes
+    * stay scan-shaped. */
   def heavyWords(df: DataFrame, textCol: String, minFreqPpm: Long,
                  slack: Int = 2): DataFrame =
     heavyHitters(
-      df.select(explode(whitespaceTokens(col(textCol))).as("word")),
+      df.select(explode(scriptTokens(col(textCol))).as("word")),
       "word", minFreqPpm, slack)
 }

@@ -59,7 +59,7 @@ object Importance {
   def importanceScores(df: DataFrame, idCol: String, textCol: String,
                        isTarget: Column): DataFrame = {
     val base = df.select(col(idCol).as("id"), isTarget.as("tgt"),
-      whitespaceTokens(lower(col(textCol))).as("ws"))
+      scriptTokens(lower(col(textCol))).as("ws"))
     val dw = base
       .select(col("id"), col("tgt"), explode(col("ws")).as("w"))
       .groupBy("id", "tgt", "w").agg(count(lit(1)).as("c"))
@@ -72,7 +72,7 @@ object Importance {
     * scores garbage — hence one builder. Docs with fewer than n words
     * yield an empty array. */
   private[ext] def ngramTokens(text: Column, n: Int): Column = {
-    val ws = whitespaceTokens(lower(text))
+    val ws = scriptTokens(lower(text))
     if (n == 1) ws
     else when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - n),
@@ -223,7 +223,7 @@ object Importance {
   def nbPosteriors(df: DataFrame, idCol: String, textCol: String,
                    labelCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(labelCol).as("cls"),
-      whitespaceTokens(lower(col(textCol))).as("ws"))
+      scriptTokens(lower(col(textCol))).as("ws"))
     val dw = base
       .select(col("id"), explode(col("ws")).as("w"))
       .groupBy("id", "w").agg(count(lit(1)).as("c"))
@@ -292,7 +292,7 @@ object Importance {
   def vocabDivergence(a: DataFrame, b: DataFrame,
                       textCol: String): DataFrame = {
     def counts(df: DataFrame, name: String): DataFrame = df
-      .select(explode(whitespaceTokens(lower(col(textCol)))).as("w"))
+      .select(explode(scriptTokens(lower(col(textCol)))).as("w"))
       .groupBy("w").agg(count(lit(1)).as(name))
     val joint = counts(a, "ca").join(counts(b, "cb"), Seq("w"), "full_outer")
       .select(coalesce(col("ca"), lit(0L)).as("ca"),

@@ -11,15 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(whitespaceTokens(text))
+  /** Script-aware token count ([[graft.GraftFunctions.scriptTokens]] —
+    * whitespace words, plus one token per no-space-script code point). */
+  def tokenCount(text: Column): Column = size(scriptTokens(text))
 
   /** BPE-ish subword count estimate: word-piece boundaries approximated by
     * splitting on non-alphanumerics and counting ~4-char pieces — the
     * standard chars/4 heuristic, refined by punctuation/digit runs counted
     * as single tokens. */
   def approxBpeTokenCount(text: Column): Column = {
-    val words = whitespaceTokens(text)
+    val words = scriptTokens(text)
     val wordPieces = aggregate(words, lit(0L),
       (acc, w) => acc + greatest(ceil(length(w).cast("double") / 4.0), lit(1L)))
     val punct = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
@@ -32,7 +33,7 @@ object TextAnalysis {
     * curation literature). */
   def qualitySignals(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = whitespaceTokens(t)
+    val toks = scriptTokens(t)
     val nTok = size(toks).cast("double")
     val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "that", "for", "it")
     val stopArr = array(stopwords.map(lit): _*)
@@ -73,7 +74,7 @@ object TextAnalysis {
                     minAlphaFrac: Double = 0.8,
                     minStopwordHits: Long = 2L): DataFrame = {
     val t = col(textCol)
-    val words = whitespaceTokens(t)
+    val words = scriptTokens(t)
     val n = size(words).cast("double")
     val lowered = transform(words, w => lower(w))
     // Gopher's required-word list; hits count DISTINCT stopwords found
@@ -234,7 +235,7 @@ object TextAnalysis {
     }
     val (dlf, dlcf) = unitFracs(text.split("\n", -1))
     val (dpf, dpcf) = unitFracs(text.split("\n\n", -1))
-    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val words = graft.functions.ScriptTokens.split(text)
     val tc = cpLen(text)
     // per-n gram counts; key = space-joined gram (exactly what the oracle
     // groups by), len derived once per DISTINCT gram
@@ -329,7 +330,7 @@ object TextAnalysis {
       "es" -> Seq("el", "de", "que", "los", "las", "una", "por", "con"),
       "it" -> Seq("il", "di", "che", "per", "una", "sono", "della", "non"),
       "pt" -> Seq("de", "que", "um", "uma", "para", "com", "os", "das"))
-    val toks = transform(whitespaceTokens(text), w => lower(w))
+    val toks = transform(scriptTokens(text), w => lower(w))
     val scored = markers.map { case (lang, ms) =>
       struct(size(array_intersect(toks, array(ms.map(lit): _*))).as("score"),
         lit(lang).as("lang"))
@@ -420,7 +421,7 @@ object TextAnalysis {
     require(k >= 1, s"top-k keywords needs k >= 1, got $k")
     val tf = df
       .select(col(idCol).as("id"),
-        explode(whitespaceTokens(lower(col(textCol)))).as("term"))
+        explode(scriptTokens(lower(col(textCol)))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)

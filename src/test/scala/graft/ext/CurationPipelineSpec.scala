@@ -143,9 +143,10 @@ class CurationPipelineSpec extends SparkSpec {
     val model = Bpe.train(kept, "text", numMerges = 300)
     val tokenized = kept.select(col("doc_id"),
         model.tokenCountCol(col("text")).as("n_toks"))
-    // the corpus's most frequent word must be a single token
+    // the corpus's most frequent word must be a single token (as a
+    // boundary-final word unit — the form whitespace corpora train)
     val topWord = hw.maxBy(_._2)._1
-    model.encodeWord(topWord).length shouldBe 1
+    model.encodeWord(topWord + Bpe.Marker).length shouldBe 1
 
     // 4. pack to fixed sequences: the span map conserves every token and
     // never overflows a sequence
