@@ -861,6 +861,37 @@ object SparkEntry {
             .otherwise(1L)).as("n_len_violation"))
         .withColumn("has_merges", lit(model.merges.nonEmpty))
     }),
+    // byte-level BPE (GPT-2-style 256-symbol UTF-8 base alphabet): train
+    // 200 merges on this SF's corpus PLUS the mixed-script fixture (so
+    // multi-byte text — where bytes != code points — exercises the byte
+    // path), then verify in ONE action that every doc roundtrips through
+    // UTF-8 bytes, encoding is deterministic, token counts respect the
+    // per-unit byte bound, and the base alphabet is the full 256 symbols
+    "bpe_bytes" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val cjk = cjkDocs.map { case (i, x) => (i + 10000000L, x) }
+        .toDF("doc_id", "text")
+      val docs = base.unionByName(cjk)
+      val model = ext.Bpe.train(docs, "text", numMerges = 200,
+        byteLevel = true)
+      val norm = udf { t: String =>
+        if (t == null) "" else t.trim.split("\\s+").filter(_.nonEmpty).mkString(" ") }
+      val dec = udf { toks: Seq[String] => model.decode(toks) }
+      val enc1 = model.encodeCol(col("text"))
+      val enc2 = model.encodeCol(concat(col("text"), lit("")))
+      val nWords = size(scriptTokens(col("text")))
+      docs.select(col("text"), enc1.as("t1"), enc2.as("t2"), nWords.as("nw"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(dec(col("t1")) === norm(col("text")), 0L).otherwise(1L))
+            .as("n_roundtrip_fail"),
+          sum(when(col("t1") === col("t2"), 0L).otherwise(1L)).as("n_det_fail"),
+          sum(when(size(col("t1")) <= octet_length(col("text")) + col("nw") + 1, 0L)
+            .otherwise(1L)).as("n_len_violation"))
+        .withColumn("has_merges", lit(model.merges.nonEmpty))
+        .withColumn("full_base", lit(model.baseSymbols.size == 256))
+    }),
     // NFC + control-strip normalization, value-exact vs DuckDB's
     // nfc_normalize: both engines plant the same combining-mark + BEL
     // suffix so the fold and the strip are both exercised on every row
@@ -1526,6 +1557,13 @@ object SparkEntry {
           |  CAST(0 AS BIGINT) AS n_det_fail,
           |  CAST(0 AS BIGINT) AS n_len_violation,
           |  true AS has_merges
+          |FROM documents""".stripMargin,
+      "bpe_bytes" ->
+        """SELECT CAST(count(*) + 7 AS BIGINT) AS n_docs,
+          |  CAST(0 AS BIGINT) AS n_roundtrip_fail,
+          |  CAST(0 AS BIGINT) AS n_det_fail,
+          |  CAST(0 AS BIGINT) AS n_len_violation,
+          |  true AS has_merges, true AS full_base
           |FROM documents""".stripMargin,
       "normalize_text" ->
         """SELECT doc_id,

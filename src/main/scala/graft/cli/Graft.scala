@@ -164,13 +164,15 @@ object Graft {
     * {{{
     * graft bpeTokenize --input=<path> --output=<dir> [--text-col=text]
     *                   [--num-merges=8000] [--max-word-types=65536]
-    *                   [--merges-output=<dir>] [--count-only]
+    *                   [--byte-level] [--merges-output=<dir>] [--count-only]
     *                   [--input-mode=...] [--output-mode=...] [--row-restriction=<pred>]
     * }}}
     *
     * Output: the input columns + `bpe_tokens` (array) or, with
     * `--count-only`, + `n_bpe_tokens`. `--merges-output` also writes the
-    * learned (rank, left, right) table for reuse/audit. */
+    * learned (rank, left, right) table for reuse/audit (parquet — byte-
+    * level merge symbols include non-printable chars). `--byte-level`
+    * trains over the GPT-2-style 256-symbol UTF-8 byte alphabet (no OOV). */
   private def bpeTokenize(f: Map[String, String], spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions.col
     val df = restrict(read(spark, required(f, "input"),
@@ -179,7 +181,8 @@ object Graft {
     val textCol = f.getOrElse("text-col", "text")
     val model = graft.ext.Bpe.train(df, textCol,
       numMerges = f.getOrElse("num-merges", "8000").toInt,
-      maxWordTypes = f.getOrElse("max-word-types", "65536").toInt)
+      maxWordTypes = f.getOrElse("max-word-types", "65536").toInt,
+      byteLevel = f.contains("byte-level"))
     f.get("merges-output").foreach { mo =>
       import spark.implicits._
       val merges = model.merges.zipWithIndex
