@@ -208,7 +208,7 @@ object Graft {
     * {{{
     * graft semDedup --input=<path> --output=<dir> --id-col=<c> --vec-col=<c>
     *                --k=<clusters> [--tau=0.95] [--max-cluster-size=10000]
-    *                [--seed=42] [--assignments-only]
+    *                [--max-split-rounds=6] [--seed=42] [--assignments-only]
     *                [--input-mode=...] [--output-mode=...] [--row-restriction=<pred>]
     * }}}
     *
@@ -224,7 +224,8 @@ object Graft {
       required(f, "vec-col"), k = required(f, "k").toInt,
       tau = f.getOrElse("tau", "0.95").toDouble,
       seed = f.getOrElse("seed", "42").toLong,
-      maxClusterSize = f.getOrElse("max-cluster-size", "10000").toInt)
+      maxClusterSize = f.getOrElse("max-cluster-size", "10000").toInt,
+      maxSplitRounds = f.getOrElse("max-split-rounds", "6").toInt)
     val result =
       if (f.contains("assignments-only")) r
       else df.join(r.filter(org.apache.spark.sql.functions.col("keep"))

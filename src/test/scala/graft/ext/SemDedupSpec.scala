@@ -57,26 +57,80 @@ class SemDedupSpec extends SparkSpec {
     val r = SemDedup.semanticDedup(vecs.unionByName(bad), "vec_id",
       "embedding", k = 2, tau = 0.95, seed = 3L)
     val badRows = r.filter(col("id") >= 500L)
-      .select("cluster", "keep").as[(Int, Boolean)].collect()
+      .select("cluster", "keep").as[(Long, Boolean)].collect()
     badRows should have length 2
-    all(badRows.map(_._1)) shouldBe -1
+    all(badRows.map(_._1)) shouldBe -1L
     all(badRows.map(_._2)) shouldBe true
   }
 
-  it should "skip (not OOM on) oversized clusters and flag their rows" in {
+  it should "recursively split oversized clusters instead of skipping them" in {
+    // k=1 lumps all 40 vectors into ONE cluster, 8× the 5-row cap: the
+    // split rounds must break it down until every final cluster fits
     val r = SemDedup.semanticDedup(vecs, "vec_id", "embedding",
-      k = 2, tau = 0.95, seed = 3L, maxClusterSize = 5)
-    // every >5-member cluster skips pairing: nothing removed, the skipped
-    // rows flagged (singleton clusters — neither pairable nor oversized —
-    // may exist if k-means splits unevenly, hence > 30 not == 40)
+      k = 1, tau = 0.95, seed = 3L, maxClusterSize = 5)
+    r.count() shouldBe 40L
+    r.filter(col("oversized")).count() shouldBe 0L
+    // dedup actually RUNS inside the split clusters (same-direction
+    // cosines are ≥ ~0.99, so any multi-member cluster prunes)
+    r.filter(!col("keep")).count() should be > 0L
+    // the kept set is tau-sparse within every FINAL cluster
+    val kept = r.filter(col("keep")).select(col("id"), col("cluster"))
+    val withV = kept.join(vecs.withColumnRenamed("vec_id", "id"), "id")
+    val a = withV.select(col("cluster"), col("id").as("ia"), col("embedding").as("va"))
+    val b = withV.select(col("cluster"), col("id").as("ib"), col("embedding").as("vb"))
+    a.join(b, Seq("cluster")).filter(col("ia") < col("ib"))
+      .filter(lit(1.0) - graft.GraftFunctions.cosineDistance(col("va"), col("vb")) >= 0.95)
+      .count() shouldBe 0L
+  }
+
+  it should "fully dedup a giant single-direction cluster via exact collapse" in {
+    // 40 copies of one direction at power-of-two scales (normalization is
+    // bit-exact for those): k-means can never split this, but the
+    // exact-direction collapse reduces it to one representative BEFORE
+    // any pair step — full dedup, nothing flagged, no c² anywhere
+    val big = (0L until 40L).map { i =>
+      (i, Seq.fill(dim)(0.5f * (1 << (i % 3).toInt)))
+    }.toDF("vec_id", "embedding")
+    val r = SemDedup.semanticDedup(big, "vec_id", "embedding",
+      k = 1, tau = 0.9, seed = 3L, maxClusterSize = 5)
+    r.count() shouldBe 40L
+    r.filter(col("oversized")).count() shouldBe 0L
+    r.filter(col("keep")).select("id").as[Long].collect() shouldBe Array(0L)
+  }
+
+  it should "flag genuinely unsplittable clusters at tau ~ 1 and terminate" in {
+    // tau numerically 1.0 disables the collapse (the float cosine of
+    // identical vectors may round a hair under 1.0, so removal could lack
+    // a ≥ tau witness); identical directions defeat k-means too — the
+    // sample-identity check must declare the cluster stuck immediately
+    // rather than burn all split rounds, and the honest flag survives
+    val big = (0L until 40L).map(i => (i, Seq.fill(dim)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = SemDedup.semanticDedup(big, "vec_id", "embedding",
+      k = 1, tau = 1.0, seed = 3L, maxClusterSize = 5)
     r.filter(!col("keep")).count() shouldBe 0L
-    r.filter(col("oversized")).count() should be > 30L
+    r.filter(col("oversized")).count() shouldBe 40L
+  }
+
+  it should "restore plain skip-and-flag at maxSplitRounds = 0" in {
+    val r = SemDedup.semanticDedup(vecs, "vec_id", "embedding",
+      k = 1, tau = 0.95, seed = 3L, maxClusterSize = 5, maxSplitRounds = 0)
+    r.filter(!col("keep")).count() shouldBe 0L
+    r.filter(col("oversized")).count() shouldBe 40L
   }
 
   it should "be deterministic across runs for a fixed seed" in {
     def run() = SemDedup.semanticDedup(vecs, "vec_id", "embedding",
         k = 4, tau = 0.95, seed = 9L)
-      .select("id", "cluster", "keep").as[(Long, Int, Boolean)]
+      .select("id", "cluster", "keep").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    run() shouldBe run()
+  }
+
+  it should "be deterministic through the split rounds too" in {
+    def run() = SemDedup.semanticDedup(vecs, "vec_id", "embedding",
+        k = 1, tau = 0.95, seed = 9L, maxClusterSize = 5)
+      .select("id", "cluster", "keep").as[(Long, Long, Boolean)]
       .collect().sortBy(_._1).toSeq
     run() shouldBe run()
   }
