@@ -309,27 +309,53 @@ object Graft {
     * {{{
     * graft gopherFilter --input=<path> --output=<dir> [--text-col=text]
     *                    [--signals-only] [--repetition]
+    *                    [--min-words=50] [--max-words=100000]
+    *                    [--min-mean-word-len=3.0] [--max-mean-word-len=10.0]
+    *                    [--max-symbol-ratio=0.1] [--max-bullet-frac=0.9]
+    *                    [--max-ellipsis-frac=0.3] [--min-alpha-frac=0.8]
+    *                    [--min-stopword-hits=2] [--stopwords=w1,w2,...]
     *                    [--input-mode=parquet|avro|json]
     *                    [--output-mode=parquet|json] [--row-restriction=<pred>]
     * }}}
     *
     * `--signals-only` writes every row with its signal columns and `keep`
-    * verdict (audit mode) instead of the filtered corpus. */
+    * verdict (audit mode) instead of the filtered corpus. The threshold
+    * flags default to the Gopher paper profile (English); a non-English
+    * profile passes its own `--stopwords` list (empty string disables the
+    * rule) plus whatever thresholds its script needs (CJK text typically
+    * wants `--min-alpha-frac=0`). */
   private def gopherFilter(f: Map[String, String], spark: SparkSession): Unit = {
     val input = required(f, "input")
     val out = required(f, "output")
     val df = restrict(read(spark, input, f.getOrElse("input-mode", "parquet")), f)
     val textCol = f.getOrElse("text-col", "text")
+    val minWords = f.getOrElse("min-words", "50").toLong
+    val maxWords = f.getOrElse("max-words", "100000").toLong
+    val minMWL = f.getOrElse("min-mean-word-len", "3.0").toDouble
+    val maxMWL = f.getOrElse("max-mean-word-len", "10.0").toDouble
+    val maxSym = f.getOrElse("max-symbol-ratio", "0.1").toDouble
+    val maxBullet = f.getOrElse("max-bullet-frac", "0.9").toDouble
+    val maxEllipsis = f.getOrElse("max-ellipsis-frac", "0.3").toDouble
+    val minAlpha = f.getOrElse("min-alpha-frac", "0.8").toDouble
+    val minStopHits = f.getOrElse("min-stopword-hits", "2").toLong
+    val stopwords = f.get("stopwords") match {
+      case None => graft.ext.TextAnalysis.DefaultGopherStopwords
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    }
     // --repetition adds the Table A1 repetition rules (dup line/para,
     // top/dup n-gram char fractions) to the base rule set
     val result =
       if (f.contains("signals-only")) {
-        val sig = graft.ext.TextAnalysis.gopherSignals(df, textCol)
+        val sig = graft.ext.TextAnalysis.gopherSignals(df, textCol,
+          minWords, maxWords, minMWL, maxMWL, maxSym, maxBullet,
+          maxEllipsis, minAlpha, minStopHits, stopwords)
         if (f.contains("repetition"))
           graft.ext.TextAnalysis.repetitionSignals(sig, textCol)
         else sig
       } else {
-        val kept = graft.ext.TextAnalysis.gopherFilter(df, textCol)
+        val kept = graft.ext.TextAnalysis.gopherFilter(df, textCol,
+          minWords, maxWords, minMWL, maxMWL, maxSym, maxBullet,
+          maxEllipsis, minAlpha, minStopHits, stopwords)
         if (f.contains("repetition"))
           graft.ext.TextAnalysis.repetitionFilter(kept, textCol)
         else kept

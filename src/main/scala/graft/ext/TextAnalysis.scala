@@ -57,6 +57,13 @@ object TextAnalysis {
           lit(0.0)), lit(1.0)))
   }
 
+  /** Gopher's required-word list (Rae et al. '21, appendix A1.1) — the
+    * default for [[gopherSignals]]' `stopwords`. English-only by the
+    * paper's construction; pass a language-appropriate list (and usually
+    * a lower `minAlphaFrac`) to curate non-English corpora. */
+  val DefaultGopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Gopher/MassiveText rule-based quality signals (Rae et al. '21,
     * appendix A1.1 — the standard web-corpus filter set): per document,
     * word count, mean word length, symbol-to-word ratio ('#' and '…'/
@@ -65,22 +72,28 @@ object TextAnalysis {
     * verdict under the classic thresholds. Pure Catalyst (split/filter/
     * aggregate over the token array — no UDF, one narrow pass); every
     * rule is expressed with engine-portable primitives so a SQL oracle
-    * replicates it value-exactly. */
+    * replicates it value-exactly.
+    *
+    * Every threshold and the required-word list are parameters (paper
+    * defaults) so non-English profiles curate end-to-end: an empty
+    * `stopwords` list disables the rule (hits pinned to 0 — pair it with
+    * `minStopwordHits = 0`). */
   def gopherSignals(df: DataFrame, textCol: String,
                     minWords: Long = 50L, maxWords: Long = 100000L,
                     minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
                     maxSymbolRatio: Double = 0.1,
                     maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
                     minAlphaFrac: Double = 0.8,
-                    minStopwordHits: Long = 2L): DataFrame = {
+                    minStopwordHits: Long = 2L,
+                    stopwords: Seq[String] = DefaultGopherStopwords): DataFrame = {
     val t = col(textCol)
     val words = scriptTokens(t)
     val n = size(words).cast("double")
     val lowered = transform(words, w => lower(w))
-    // Gopher's required-word list; hits count DISTINCT stopwords found
-    // (filter the literal list, not the document) so both engines agree
-    // by construction
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // required-word hits count DISTINCT stopwords found (filter the
+    // literal list, not the document) so both engines agree by
+    // construction
+    val stops = stopwords.map(_.toLowerCase)
     val nHash = length(t) - length(regexp_replace(t, "#", ""))
     // ellipses count both spellings: each literal "..." run-of-three and
     // each single U+2026 character (Gopher A1 counts the ellipsis
@@ -108,7 +121,8 @@ object TextAnalysis {
       .withColumn("alpha_word_frac", when(n > 0,
         size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / n))
       .withColumn("stopword_hits",
-        size(filter(array(stops.map(lit): _*),
+        if (stops.isEmpty) lit(0L) // array() of zero lits has no type
+        else size(filter(array(stops.map(lit): _*),
           sw => array_contains(lowered, sw))).cast("long"))
     out.withColumn("keep", coalesce(
       col("word_count").between(minWords, maxWords) &&
@@ -122,10 +136,21 @@ object TextAnalysis {
   }
 
   /** [[gopherSignals]]' composite filter: the rows a Gopher-rule curation
-    * pass keeps, original columns only. */
-  def gopherFilter(df: DataFrame, textCol: String): DataFrame = {
+    * pass keeps, original columns only. Same parameter surface (paper
+    * defaults), so non-English profiles filter end-to-end. */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   minWords: Long = 50L, maxWords: Long = 100000L,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                   minAlphaFrac: Double = 0.8,
+                   minStopwordHits: Long = 2L,
+                   stopwords: Seq[String] = DefaultGopherStopwords): DataFrame = {
     val cols = df.columns.toIndexedSeq.map(col)
-    gopherSignals(df, textCol).filter(col("keep")).select(cols: _*)
+    gopherSignals(df, textCol, minWords, maxWords, minMeanWordLen,
+        maxMeanWordLen, maxSymbolRatio, maxBulletFrac, maxEllipsisFrac,
+        minAlphaFrac, minStopwordHits, stopwords)
+      .filter(col("keep")).select(cols: _*)
   }
 
   /** Per-doc repetition signals — the OTHER half of Gopher's Table A1

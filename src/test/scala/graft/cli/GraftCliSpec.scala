@@ -124,6 +124,26 @@ class GraftCliSpec extends SparkSpec {
     audit.filter(audit("keep")).select("id").as[Long].collect() shouldBe Array(1L)
   }
 
+  it should "honor a non-English gopherFilter profile via flags" in {
+    val base = tmp()
+    val prose = "la casa de mi abuela tiene una puerta grande y " +
+      (1 to 48).map(i => s"palabra$i").mkString(" ")
+    Seq((1L, prose)).toDF("id", "text").write.parquet(s"$base/in")
+    // paper profile (English stopwords) rejects the Spanish doc
+    Graft.run(Seq("gopherFilter", s"--input=$base/in",
+      s"--output=$base/en"), spark)
+    spark.read.parquet(s"$base/en").count() shouldBe 0L
+    // Spanish profile keeps it
+    Graft.run(Seq("gopherFilter", s"--input=$base/in",
+      s"--output=$base/es", "--stopwords=de,la,que,el,en,y,los,una"), spark)
+    spark.read.parquet(s"$base/es").select("id").as[Long].collect() shouldBe
+      Array(1L)
+    // empty stopwords + hits floor 0 disables the rule entirely
+    Graft.run(Seq("gopherFilter", s"--input=$base/in",
+      s"--output=$base/any", "--stopwords=", "--min-stopword-hits=0"), spark)
+    spark.read.parquet(s"$base/any").count() shouldBe 1L
+  }
+
   it should "apply the repetition rules with --repetition" in {
     val base = tmp()
     val clean = "the quick and careful fox " + (1 to 56).map(i => s"word$i").mkString(" ")

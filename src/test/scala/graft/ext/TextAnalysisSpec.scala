@@ -53,6 +53,34 @@ class TextAnalysisSpec extends SparkSpec {
       .collect() shouldBe Array(1L)
   }
 
+  it should "curate a non-English corpus end-to-end with a custom profile" in {
+    // Spanish prose: zero hits on the English required-word list, so the
+    // paper profile rejects it; a Spanish stopword profile keeps it and
+    // still rejects the same doc drowned in symbols
+    val esStops = Seq("de", "la", "que", "el", "en", "y", "los", "una")
+    val prose = "la casa de mi abuela tiene una puerta grande y " +
+      (1 to 48).map(i => s"palabra$i").mkString(" ") // 57 words
+    val spam = prose + " " + Seq.fill(20)("#etiqueta").mkString(" ")
+    val df = Seq((1L, prose), (2L, spam)).toDF("id", "text")
+    TextAnalysis.gopherFilter(df, "text").count() shouldBe 0L // English profile
+    TextAnalysis.gopherFilter(df, "text", stopwords = esStops)
+      .select("id").as[Long].collect() shouldBe Array(1L)
+    val sig = TextAnalysis.gopherSignals(df.filter($"id" === 1), "text",
+      stopwords = esStops).head()
+    sig.getAs[Long]("stopword_hits") shouldBe 4L // de, la, y, una
+  }
+
+  it should "pin stopword_hits to 0 on an empty stopword list" in {
+    val df = Seq((1L, "plain text with enough words here")).toDF("id", "text")
+    val sig = TextAnalysis.gopherSignals(df, "text",
+      stopwords = Seq.empty).head()
+    sig.getAs[Long]("stopword_hits") shouldBe 0L
+    // rule disabled: minStopwordHits = 0 lets the doc through that gate
+    TextAnalysis.gopherSignals(df, "text", minWords = 3L,
+        minStopwordHits = 0L, stopwords = Seq.empty)
+      .select("keep").as[Boolean].head() shouldBe true
+  }
+
   behavior of "languageId"
 
   it should "identify marker-word languages and fall back to und" in {
