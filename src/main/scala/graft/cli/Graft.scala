@@ -69,11 +69,14 @@ object Graft {
     case Some("bpeTokenize")   => bpeTokenize(parseFlags(args.tail), spark)
     case Some("clean")         => clean(parseFlags(args.tail), spark)
     case Some("convert")       => convert(parseFlags(args.tail), spark)
+    case Some("pipeline")      =>
+      val f = parseFlags(args.tail)
+      Pipeline.run(required(f, "recipe"), f, spark)
     case other =>
       throw new IllegalArgumentException(
         "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
           "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-          s"bpeTokenize|clean|convert> [flags]; got $other")
+          s"bpeTokenize|clean|convert|pipeline> [flags]; got $other")
   }
 
   /** Format conversion — the reference CLI's core errand (ratatool's
@@ -386,7 +389,7 @@ object Graft {
     write(rep.coalesce(1), output, f.getOrElse("output-mode", "parquet"))
   }
 
-  private def read(spark: SparkSession, path: String, mode: String): DataFrame =
+  private[cli] def read(spark: SparkSession, path: String, mode: String): DataFrame =
     mode match {
       case "parquet" => spark.read.parquet(path)
       case "avro"    => AvroIO.read(spark, path)
@@ -405,7 +408,7 @@ object Graft {
     * time-partitioned sink (S12, BigSamplerBigQuery.scala:187-199):
     * directory partitioning on the named columns (avro sink excluded —
     * the avro-mapred path has no partitioned committer). */
-  private def write(df: DataFrame, path: String, mode: String,
+  private[cli] def write(df: DataFrame, path: String, mode: String,
                     partitionBy: Seq[String] = Nil): Unit = mode match {
     case "parquet" =>
       val w = df.write.mode("overwrite")
@@ -432,7 +435,7 @@ object Graft {
     case m => throw new IllegalArgumentException(s"unknown output-mode $m")
   }
 
-  private def required(f: Map[String, String], k: String): String =
+  private[cli] def required(f: Map[String, String], k: String): String =
     f.getOrElse(k, throw new IllegalArgumentException(s"missing required --$k"))
 
   /** P5 row-restriction predicate (reference BigDiffy.scala:364-374,

@@ -160,6 +160,53 @@ class GraftCliSpec extends SparkSpec {
       Array(1L)
   }
 
+  it should "run a pipeline recipe with per-stage counts matching the operators" in {
+    val base = tmp()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // plant an exact duplicate of doc 1 so dedup_exact provably fires
+    docs.unionByName(docs.filter($"doc_id" === 1)
+        .select(($"doc_id" + 2000).as("doc_id"), $"text"))
+      .write.parquet(s"$base/in")
+    val n0 = docs.count()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/recipe.json"),
+      s"""{
+         | "input": "$base/in", "output": "$base/out",
+         | "id_col": "doc_id", "text_col": "text",
+         | "stages": [
+         |   {"op": "dedup_exact"},
+         |   {"op": "quality_top_fraction", "fraction": 0.6}
+         | ]
+         |}""".stripMargin.getBytes("UTF-8"))
+    val stats = Pipeline.run(s"$base/recipe.json", Map.empty, spark)
+
+    // oracle: run each operator individually on the same input
+    val in = spark.read.parquet(s"$base/in")
+    val afterExact = in.join(
+      graft.ext.Dedup.exactByFingerprint(in, "doc_id", "text")
+        .select("doc_id"), "doc_id")
+    val afterQuality = graft.ext.ScoreFilter.keepTopFraction(
+      graft.ext.TextAnalysis.qualitySignals(afterExact, "text"),
+      "quality_score", 0.6, tieBreak = Seq("doc_id"))
+
+    stats.map(s => (s.op, s.rowsIn, s.rowsOut)) shouldBe Seq(
+      ("dedup_exact", n0 + 1, afterExact.count()),
+      ("quality_top_fraction", afterExact.count(), afterQuality.count()))
+    afterExact.count() shouldBe n0 // only the planted copy collapsed
+
+    // the written corpus is the final stage's rows, original schema
+    val out = spark.read.parquet(s"$base/out")
+    out.columns.toSeq shouldBe Seq("doc_id", "text")
+    out.count() shouldBe afterQuality.count()
+    out.select("doc_id").as[Long].collect().sorted shouldBe
+      afterQuality.select("doc_id").as[Long].collect().sorted
+
+    // _stages.json is a readable audit artifact with one row per stage
+    val stJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/out/_stages.json")), "UTF-8")
+    spark.read.json(Seq(stJson).toDS).count() shouldBe 2L
+  }
+
   it should "run heavyWords and bpeTokenize end to end" in {
     val base = tmp()
     Seq((1L, "alpha alpha alpha beta"), (2L, "alpha gamma delta beta"))
