@@ -119,7 +119,10 @@ object GraftFunctions {
     * emitted as its own token (character-unigram segmentation — the
     * standard heuristic for scripts written without inter-word spaces).
     * Identical to [[whitespaceTokens]] on text containing none of those
-    * scripts. One codegen'd `regexp_extract_all` — scan speed, no UDF. */
+    * scripts. A fused one-pass codegen'd expression
+    * ([[graft.functions.ScriptTokensExpr]]) — token-identical to
+    * `regexp_extract_all(text, ScriptTokens.JavaPattern, 0)` without the
+    * regex engine's per-row cost. */
   def scriptTokens(text: Column): Column =
-    regexp_extract_all(text, lit(graft.functions.ScriptTokens.JavaPattern), lit(0))
+    expr2col(graft.functions.ScriptTokensExpr(col2expr(text)))
 }

@@ -307,3 +307,43 @@ object ShingleHashes {
     java.util.Arrays.copyOf(hs, out)
   }
 }
+
+/** Script-aware tokenization `string -> array<string>`: whitespace words,
+  * with every Han/Hiragana/Katakana/Thai code point further emitted as its
+  * own token (character-unigram segmentation — the standard heuristic for
+  * scripts written without inter-word spaces; see
+  * [[graft.functions.ScriptTokens]]).
+  *
+  * Token-for-token identical to
+  * `regexp_extract_all(text, ScriptTokens.JavaPattern, 0)` — the form it
+  * replaced in the curation hot path — but runs the fused one-pass scan
+  * ([[ScriptTokens.fusedSplit]]) instead of the regex engine: ASCII
+  * corpora return to whitespace-split speed, CJK keeps exact semantics.
+  * Generates real code (a static call), so the surrounding whole-stage
+  * codegen span stays intact — no CodegenFallback row boxing.
+  */
+case class ScriptTokensExpr(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"script_tokens expects string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    ScriptTokens.fusedArray(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ScriptTokens.fusedArray($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -273,7 +273,7 @@ class GraftCliSpec extends SparkSpec {
       Graft.run(Seq("frobnicate"), spark) should have message
       "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
         "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-        "bpeTokenize|clean|convert> [flags]; got Some(frobnicate)"
+        "bpeTokenize|clean|convert|pipeline> [flags]; got Some(frobnicate)"
     an[IllegalArgumentException] should be thrownBy
       Graft.run(Seq("bigSampler", "--input=/x"), spark)
   }

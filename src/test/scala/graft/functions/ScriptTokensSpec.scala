@@ -54,6 +54,58 @@ class ScriptTokensSpec extends SparkSpec {
     }
   }
 
+  behavior of "ScriptTokens.fusedSplit"
+
+  it should "equal the regex splitter token-for-token on adversarial fixtures" in {
+    // supplementary-plane Han (U+20000, a surrogate pair in UTF-16), NBSP
+    // (U+00A0: Unicode space but NOT java-regex \s), vertical tab / form
+    // feed (ASCII \s), combining marks, lone CJK at string edges
+    val fixtures = cases.map(_._1) ++ Seq(
+      "𠀀前after𠀀", // U+20000 Han between words
+      "a b",                         // NBSP joins, does not split
+      "xyz",                  // \x0B and \f DO split
+      "你", "好world你", " 你 ", "\t\n你好\r\n",
+      "étude café",            // combining acute, precomposed é
+      "ไทยแท้ๆ 100%", "ｶﾀｶﾅhalf-width", // halfwidth katakana IS Katakana script
+      "㐀㿿䶵", "一twoー三")               // CJK ext A edges; ー is Katakana
+    fixtures.foreach { s =>
+      withClue(s"'$s': ") {
+        ScriptTokens.fusedSplit(s).toSeq shouldBe ScriptTokens.split(s).toSeq
+      }
+    }
+    ScriptTokens.fusedSplit(null) shouldBe null
+  }
+
+  it should "equal the regex splitter on 500 random mixed-script strings" in {
+    val rnd = new scala.util.Random(42)
+    val pool: IndexedSeq[String] = IndexedSeq(
+      "word", "a", "Zt9", ",.;!", " ", "  ", "\t", "\n", "\r\n", "",
+      " ", "　", // ideographic space: not \s, not a no-space script
+      "你", "好世", "ひら", "カタ", "ー", "ไท", "ย",
+      "𠀀", // U+20000 supplementary Han
+      "😀", // emoji (non-script, non-ws)
+      "é", "é", "ß", "Ω")
+    (1 to 500).foreach { _ =>
+      val s = (1 to rnd.nextInt(40)).map(_ => pool(rnd.nextInt(pool.size))).mkString
+      withClue(s"'$s': ") {
+        ScriptTokens.fusedSplit(s).toSeq shouldBe ScriptTokens.split(s).toSeq
+      }
+    }
+  }
+
+  it should "match the regex form through Catalyst (codegen path) on mixed rows" in {
+    val texts = cases.map(_._1) ++ Seq("𠀀前after", "a b 你好")
+    val df = texts.toDF("text").select(
+      col("text"),
+      graft.GraftFunctions.scriptTokens(col("text")).as("fused"),
+      regexp_extract_all(col("text"), lit(ScriptTokens.JavaPattern), lit(0)).as("re"))
+    df.collect().foreach { r =>
+      withClue(s"'${r.getString(0)}': ") {
+        r.getSeq[String](1) shouldBe r.getSeq[String](2)
+      }
+    }
+  }
+
   behavior of "ScriptTokens.splitWithBoundaries"
 
   it should "mark exactly the whitespace-final units" in {
