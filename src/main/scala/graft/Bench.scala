@@ -106,7 +106,19 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full line to a file: the driver captures a bounded
+    // stdout tail, and with 84 queries the one-line JSON has repeatedly
+    // been truncated past parseability (r10/r11 `parsed: null`). The file
+    // is the durable copy; stdout stays for interactive runs.
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      "/root/repo/BENCH_queries.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(benchFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $benchFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -44,14 +44,15 @@ object SparkEntry {
     5L -> "Hello你好world",
     6L -> "short")
 
-  /** `events` with its NANOS parquet timestamp read as long nanos and
-    * truncated to integer micros (`ts_us`) — the temporal gates compare
-    * timestamps as integers on both engines (DuckDB: `epoch_us(ts)`).
-    * The footer-driven explicit schema keeps the NANOS handling scoped to
-    * THIS read — no session-wide legacy-conf mutation. */
+  /** `events` with its parquet timestamp — whatever unit the file was
+    * written with (NANOS, MICROS, MILLIS) — surfaced as canonical integer
+    * micros (`ts_us`); the temporal gates compare timestamps as integers
+    * on both engines (DuckDB: `epoch_us(ts)`). The footer-driven explicit
+    * schema keeps the unit handling scoped to THIS read — no session-wide
+    * legacy-conf mutation. */
   private def eventsUs(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.GraftIO.readParquetNanosAsLong(spark, s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    graft.sources.GraftIO.readParquetTsAsMicros(spark, s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_us")
 
   /** Deterministic perturbation of `orders` used by the diffy queries:
     * lhs drops keys %89==0, rhs drops keys %97==0, bumps o_totalprice by
@@ -598,10 +599,10 @@ object SparkEntry {
     // ---- event-time windowed aggregation over the events table (the
     // batch shape of the streaming windowedQuality pass) ----
     "events_window_agg" -> ((s, d) => {
-      // events.ts is a NANOS parquet timestamp, which Spark rejects by
-      // default; the scoped reader surfaces it as long nanos
-      graft.sources.GraftIO.readParquetNanosAsLong(s, s"$d/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // the unit-aware reader surfaces events.ts as epoch-micros longs
+      // whatever the file's parquet timestamp unit
+      graft.sources.GraftIO.readParquetTsAsMicros(s, s"$d/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts)"))
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
@@ -1138,6 +1139,42 @@ object SparkEntry {
           Seq("doc_id"), salt = "epoch0", numShards = 8)
         .select(col("doc_id"), col("shard"), col("order_key"))
         .orderBy("doc_id")),
+
+    // the JSON-recipe pipeline RUNNER end-to-end (cli/Pipeline): a 7-stage
+    // curation recipe — filter → normalize → gopher → exact-dedup →
+    // top-fraction → token-budget → train-order — run through the real
+    // recipe parser/stage dispatcher/output writer, with the final
+    // (doc_id, shard, order_key) assignment hash-matched against DuckDB
+    // composing the very same operators as nested CTEs. Every stage is
+    // deterministic, so the runner's composition (stage order, column
+    // threading, text mutation in place) is what this gate actually pins.
+    "pipeline_e2e" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pipeline_e2e")
+      val out = s"$tmp/out"
+      val recipe =
+        s"""{
+           |  "input": "$d/documents.parquet",
+           |  "output": "$out",
+           |  "id_col": "doc_id", "text_col": "text",
+           |  "audit": true,
+           |  "stages": [
+           |    {"op": "filter", "predicate": "lang = 'en'"},
+           |    {"op": "normalize"},
+           |    {"op": "gopher", "min_words": 30, "min_stopword_hits": 1,
+           |     "stopwords": ["the","be","to","of","and","that","have","with"]},
+           |    {"op": "dedup_exact"},
+           |    {"op": "quality_top_fraction", "fraction": 0.6},
+           |    {"op": "token_budget", "budget": 2000},
+           |    {"op": "train_order", "salt": "e2e", "shards": 8}
+           |  ]
+           |}""".stripMargin
+      val rp = s"$tmp/recipe.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(rp), recipe)
+      graft.cli.Pipeline.run(rp, Map.empty, s)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("shard"), col("order_key"))
+        .orderBy("doc_id")
+    }),
 
     // ---- temporal surface (training-data extension): as-of join with
     // time-bucketed carry-in (no per-key window — a hot key spreads over
@@ -1952,6 +1989,85 @@ object SparkEntry {
           |         * 16 ** (6 - i))) AS BIGINT) % 8 AS INT) AS shard,
           |  order_key
           |FROM o ORDER BY doc_id""".stripMargin,
+      // the 7-stage pipeline recipe composed as nested CTEs: en filter →
+      // control-strip+NFC → gopher(30 words, ≥1 stopword) → min-id exact
+      // dedup → quality_score top-60% → 2k-token budget prefix →
+      // md5 train order. Stage semantics copied from the individual
+      // operators' oracles above; quality_score replicates
+      // TextAnalysis.qualitySignals' composite arithmetic term-for-term
+      // (same IEEE evaluation order).
+      "pipeline_e2e" ->
+        s"""WITH en AS (SELECT doc_id, nfc_normalize(regexp_replace(text,
+           |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS text
+           |  FROM documents WHERE lang = 'en'),
+           |w AS (SELECT doc_id, text, $toks AS words,
+           |  string_split(text, chr(10)) AS lines FROM en),
+           |g AS (SELECT doc_id, text, words,
+           |  len(words) AS wc,
+           |  CASE WHEN len(words) > 0 THEN
+           |    CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words)
+           |  END AS mwl,
+           |  CASE WHEN len(words) > 0 THEN
+           |    ((length(text) - length(replace(text, '#', ''))) +
+           |     (length(text) - length(replace(text, '...', ''))) / 3 +
+           |     (length(text) - length(replace(text, '…', '')))) * 1.0 / len(words)
+           |  END AS sym,
+           |  len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+           |      OR starts_with(ltrim(l), '• '))) * 1.0 / greatest(len(lines), 1) AS bullet,
+           |  len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+           |      OR ends_with(rtrim(l), '…'))) * 1.0 / greatest(len(lines), 1) AS ellip,
+           |  CASE WHEN len(words) > 0 THEN
+           |    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(words)
+           |  END AS alpha,
+           |  len(list_filter(['the','be','to','of','and','that','have','with'],
+           |    sw -> list_contains(list_transform(words, x -> lower(x)), sw))) AS stop_hits
+           |  FROM w),
+           |kept AS (SELECT doc_id, text, words FROM g
+           |  WHERE COALESCE(wc BETWEEN 30 AND 100000 AND mwl BETWEEN 3 AND 10
+           |    AND sym <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
+           |    AND alpha >= 0.8 AND stop_hits >= 1, false)),
+           |dedup AS (SELECT doc_id, words FROM (
+           |  SELECT doc_id, words, MIN(doc_id) OVER (PARTITION BY text) AS mn
+           |  FROM kept) WHERE doc_id = mn),
+           |q AS (SELECT doc_id,
+           |  len(words) AS n_tokens,
+           |  CASE WHEN len(words) > 0 THEN
+           |    CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE) / len(words)
+           |  END AS mtl,
+           |  CASE WHEN len(words) > 0 THEN
+           |    CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+           |  END AS dup,
+           |  CASE WHEN len(words) > 0 THEN
+           |    CAST(len(list_distinct(list_intersect(
+           |      list_transform(words, x -> lower(x)),
+           |      ['the','a','of','to','and','in','is','that','for','it']))) AS DOUBLE)
+           |    / least(CAST(len(words) AS DOUBLE), 10.0)
+           |  END AS stopr
+           |  FROM dedup),
+           |scored AS (SELECT doc_id, n_tokens,
+           |  least(greatest(
+           |    CAST(0.5 AS DOUBLE) * (CASE WHEN mtl BETWEEN 3 AND 10
+           |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END)
+           |    + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - COALESCE(dup, CAST(1.0 AS DOUBLE)))
+           |    + CAST(0.2 AS DOUBLE) * COALESCE(stopr, CAST(0.0 AS DOUBLE)),
+           |    CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS score FROM q),
+           |tf AS (SELECT doc_id, n_tokens, score,
+           |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn,
+           |  COUNT(*) OVER () AS n FROM scored),
+           |topq AS (SELECT doc_id, n_tokens, score FROM tf
+           |  WHERE rn <= CAST(ceil(n * CAST(0.6 AS DOUBLE)) AS BIGINT)),
+           |tb AS (SELECT doc_id, SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+           |  ROWS UNBOUNDED PRECEDING) AS cw FROM topq),
+           |sel AS (SELECT doc_id FROM tb WHERE cw <= 2000),
+           |o AS (SELECT doc_id,
+           |    md5(concat('e2e', ':', CAST(doc_id AS VARCHAR))) AS order_key
+           |  FROM sel)
+           |SELECT doc_id,
+           |  CAST(CAST(list_sum(list_transform(generate_series(1, 6),
+           |    i -> (strpos('0123456789abcdef', substring(order_key, i, 1)) - 1)
+           |         * 16 ** (6 - i))) AS BIGINT) % 8 AS INT) AS shard,
+           |  order_key
+           |FROM o ORDER BY doc_id""".stripMargin,
       // DuckDB's native ASOF JOIN is the oracle for the bucketed
       // implementation; purchases pre-reduced to one row per (user, ts)
       // with MAX(value) on both engines so ties are deterministic.

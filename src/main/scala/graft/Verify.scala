@@ -29,6 +29,7 @@ object Verify {
         System.err.println(
           s"[verify] unknown queries ignored: ${unknown.mkString(", ")}")
     }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -36,6 +37,21 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.toString).take(500)
+        // FAIL-CLOSED: a throwing query must still produce a comparable
+        // dump. A one-row parquet carrying only an `err` column can never
+        // row/schema/hash-match its oracle, so any checker that iterates
+        // output dirs reports the crash as a red row instead of silently
+        // dropping the query from the artifact (the r11 failure mode:
+        // 4 erroring gates vanished and 80/84 presented as 80/80).
+        try {
+          import spark.implicits._
+          Seq(errors(name)).toDF("err").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-marker write also " +
+            s"failed: ${e2.getMessage}")
+        }
       }
       // per-query isolation: drop pinned relations (cached diff relation,
       // localCheckpoint'd intermediates) so 50+ queries don't accumulate
@@ -58,6 +74,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable error sidecar (underscore-prefixed: never mistaken
+    // for a query dump directory) — the human-facing complement to the
+    // per-query err markers above
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
+    }
+    // exit 0 even with failures: the per-query err markers are the signal;
+    // a non-zero exit could make a driver discard the whole (mostly valid)
+    // dump, which would be fail-open again in the other direction
     spark.stop()
   }
 }

@@ -86,6 +86,14 @@ object Pipeline {
         "pipeline recipe needs a 'stages' array")
     }
 
+    // idempotence check FIRST: a complete output must short-circuit the
+    // whole run — checking only at write time (the old shape) would re-run
+    // every stage and then discard the result
+    if (GraftIO.outputExists(out)) {
+      System.err.println(s"[graft] output $out already complete, skipping")
+      return Vector.empty
+    }
+
     var df = Graft.read(spark, topStr("input"),
       topStr("input_mode", Some("parquet")))
     var stats = Vector.empty[StageStat]
@@ -108,6 +116,8 @@ object Pipeline {
     }
 
     val finalDf = df
+    // unlessDone kept as a race guard (a concurrent run may have completed
+    // while the stages ran); the normal skip already happened up front
     if (!GraftIO.unlessDone(out) {
       Graft.write(finalDf, out, topStr("output_mode", Some("parquet")))
       if (audit) writeStats(out, stats, spark)
@@ -262,8 +272,11 @@ object Pipeline {
   private def writeStats(out: String, stats: Seq[StageStat],
                          spark: SparkSession): Unit = {
     val json = stats.map { st =>
-      f"""{"stage":${st.stage},"op":"${st.op}","rows_in":${st.rowsIn},""" +
-        f""""rows_out":${st.rowsOut},"seconds":${st.seconds}%.3f}"""
+      // Locale.ROOT: a comma-decimal default locale would emit "1,234"
+      // and produce invalid JSON
+      s"""{"stage":${st.stage},"op":"${st.op}","rows_in":${st.rowsIn},""" +
+        s""""rows_out":${st.rowsOut},"seconds":${"%.3f".formatLocal(
+          java.util.Locale.ROOT, st.seconds)}}"""
     }.mkString("[\n ", ",\n ", "\n]\n")
     val p = new org.apache.hadoop.fs.Path(out, "_stages.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

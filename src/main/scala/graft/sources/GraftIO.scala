@@ -67,22 +67,35 @@ object GraftIO {
     * The FIRST data file's footer is authoritative — the same one-footer
     * semantics as a default (mergeSchema=false) parquet read. */
   def readParquetNanosAsLong(spark: SparkSession, path: String): DataFrame = {
+    val message = footerSchema(spark, path)
+    // clone of the SESSION conf (case sensitivity, binary-as-string, … carry
+    // over) with only the nanos flag added — and only on the clone
+    val conf = spark.sessionState.conf.clone()
+    conf.setConfString("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(conf).convert(message)
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** First data file's parquet footer schema — the same one-footer semantics
+    * as a default (mergeSchema=false) parquet read. One directory level of
+    * nesting allowed; hive-partitioned layouts (col=value dirs) are rejected
+    * up front because partition columns are absent from file footers. */
+  private def footerSchema(spark: SparkSession,
+                           path: String): org.apache.parquet.schema.MessageType = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
-    // first data file, lexically, one directory level of nesting allowed;
-    // hive-partitioned layouts (col=value dirs) are rejected up front —
-    // the footer schema would silently omit the partition columns
     def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
     def firstFile(dir: Path): Option[Path] = {
       val st = fs.listStatus(dir).filter(s => visible(s.getPath.getName))
         .sortBy(_.getPath.getName)
       st.find(s => s.getPath.getName.contains("="))
         .foreach(s => throw new IllegalArgumentException(
-          s"readParquetNanosAsLong: $path looks hive-partitioned " +
+          s"footerSchema: $path looks hive-partitioned " +
             s"(${s.getPath.getName}); partition columns are absent from " +
             "file footers — read partitions individually"))
       st.collectFirst { case s if s.isFile => s.getPath }
@@ -92,16 +105,71 @@ object GraftIO {
     val file =
       if (fs.getFileStatus(p).isFile) p
       else firstFile(p).getOrElse(throw new IllegalArgumentException(
-        s"readParquetNanosAsLong: no data files under $path"))
+        s"footerSchema: no data files under $path"))
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hadoopConf))
-    val message = try reader.getFileMetaData.getSchema finally reader.close()
-    // clone of the SESSION conf (case sensitivity, binary-as-string, … carry
-    // over) with only the nanos flag added — and only on the clone
+    try reader.getFileMetaData.getSchema finally reader.close()
+  }
+
+  /** Read a parquet source surfacing each column in `tsCols` as an
+    * epoch-MICROSECOND LONG, whatever INT64 timestamp unit the file uses —
+    * NANOS, MICROS or MILLIS — without mutating the session.
+    *
+    * Real-world parquet is overwhelmingly TIMESTAMP(MICROS); synthetic
+    * writers (e.g. arrow with `ns` precision) emit TIMESTAMP(NANOS), which
+    * Spark rejects outright unless a session-wide legacy conf is set. This
+    * reader makes the unit a per-file detail instead of a caller
+    * assumption: the first footer's logical-type annotation decides the
+    * scale, the physical INT64 is read raw against an explicit LongType
+    * request schema (accepted by both the vectorized and row readers for
+    * every timestamp unit — verified against MICROS and NANOS files), and
+    * the values are normalized to micros (NANOS → div 1000, MILLIS →
+    * × 1000). Integer division truncates sub-micro precision exactly like
+    * a MICROS writer would have.
+    *
+    * A `tsCols` column that is plain INT64 (no timestamp annotation) is
+    * passed through untouched — the caller already has longs and is
+    * responsible for their unit. Non-INT64 timestamp encodings (INT96) are
+    * rejected: their unit cannot be normalized by scaling. */
+  def readParquetTsAsMicros(spark: SparkSession, path: String,
+                            tsCols: Seq[String] = Seq("ts")): DataFrame = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val message = footerSchema(spark, path)
+    // per-column micros conversion (SQL over the raw long) driven by the
+    // footer's logical type; `div` truncates like a MICROS writer would
+    val scale: Map[String, String] = tsCols.map { c =>
+      require(message.containsField(c),
+        s"readParquetTsAsMicros: no column `$c` in $path")
+      val t = message.getType(Array(c): _*)
+      require(t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName ==
+        PrimitiveTypeName.INT64,
+        s"readParquetTsAsMicros: `$c` in $path is not INT64 " +
+          s"($t) — INT96 / nested timestamps cannot be unit-scaled")
+      val sql = t.getLogicalTypeAnnotation match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          ts.getUnit match {
+            case TimeUnit.NANOS  => s"`$c` div 1000 AS `$c`"
+            case TimeUnit.MICROS => s"`$c`"
+            case TimeUnit.MILLIS => s"`$c` * 1000 AS `$c`"
+          }
+        case _ => s"`$c`" // plain INT64 — already the caller's longs
+      }
+      c -> sql
+    }.toMap
+    // request schema: footer-derived (under a nanos-tolerant PRIVATE conf
+    // clone so NANOS columns don't abort conversion), with every requested
+    // ts column overridden to LongType — the readers then hand back the
+    // raw INT64 values regardless of the timestamp annotation
     val conf = spark.sessionState.conf.clone()
     conf.setConfString("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = new org.apache.spark.sql.execution.datasources.parquet
+    val converted = new org.apache.spark.sql.execution.datasources.parquet
       .ParquetToSparkSchemaConverter(conf).convert(message)
-    spark.read.schema(schema).parquet(path)
+    val request = StructType(converted.map(f =>
+      if (scale.contains(f.name)) f.copy(dataType = LongType) else f))
+    val raw = spark.read.schema(request).parquet(path)
+    raw.selectExpr(raw.columns.map(c => scale.getOrElse(c, s"`$c`")): _*)
   }
 
   /** Bucketed parquet table: rows are hash-clustered into `buckets` files

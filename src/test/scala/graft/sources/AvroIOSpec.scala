@@ -75,17 +75,81 @@ class AvroIOSpec extends SparkSpec {
       df.schema.fields.map(f => (f.name, f.dataType))
   }
 
+  /** parquet-mr fixture: a single-file parquet with an INT64 `ts` column
+    * carrying the given timestamp logical-type unit — Spark itself cannot
+    * write NANOS/MILLIS, so the fixture goes through the example writer. */
+  private def writeTsFixture(
+      unit: org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit,
+      values: Seq[Long]): String = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val dir = Files.createTempDirectory("ts_fixture").toString
+    val file = s"$dir/part-00000.parquet"
+    val schema: MessageType = Types.buildMessage()
+      .addField(Types.primitive(PrimitiveTypeName.INT64,
+          org.apache.parquet.schema.Type.Repetition.REQUIRED)
+        .as(LogicalTypeAnnotation.timestampType(false, unit)).named("ts"))
+      .addField(Types.primitive(PrimitiveTypeName.INT64,
+          org.apache.parquet.schema.Type.Repetition.REQUIRED).named("user_id"))
+      .named("event")
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(file))
+      .withType(schema)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try values.zipWithIndex.foreach { case (v, i) =>
+      val g = factory.newGroup()
+      g.add("ts", v); g.add("user_id", i.toLong)
+      writer.write(g)
+    } finally writer.close()
+    file
+  }
+
   it should "read NANOS parquet as long without touching the session conf" in {
-    val events = "/root/testdata/sf0.001/events.parquet"
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val nanos = Seq(1706657176220708000L, 1500000000123456789L)
+    val events = writeTsFixture(TimeUnit.NANOS, nanos)
     spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     val df = GraftIO.readParquetNanosAsLong(spark, events)
     df.schema("ts").dataType shouldBe org.apache.spark.sql.types.LongType
-    df.agg(org.apache.spark.sql.functions.max("ts")).first().getLong(0) should be > 0L
+    df.select("ts").as[Long].collect().sorted shouldBe nanos.sorted.toArray
     // the legacy conf must still be off: a default read still rejects NANOS
     spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       .getOrElse("false") shouldBe "false"
     an[org.apache.spark.sql.AnalysisException] should be thrownBy
       spark.read.parquet(events).schema
+  }
+
+  it should "normalize every parquet timestamp unit to epoch micros" in {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val baseUs = 1706657176220708L
+    // NANOS truncates sub-micro digits; MILLIS scales up; MICROS is raw
+    val cases = Seq(
+      (TimeUnit.NANOS, Seq(baseUs * 1000L + 999L, 123456789L), Seq(baseUs, 123456L)),
+      (TimeUnit.MICROS, Seq(baseUs, 42L), Seq(baseUs, 42L)),
+      (TimeUnit.MILLIS, Seq(baseUs / 1000L, 7L), Seq(baseUs / 1000L * 1000L, 7000L)))
+    for ((unit, in, want) <- cases) {
+      val file = writeTsFixture(unit, in)
+      val df = GraftIO.readParquetTsAsMicros(spark, file)
+      df.schema("ts").dataType shouldBe org.apache.spark.sql.types.LongType
+      df.select("ts").as[Long].collect().sorted shouldBe want.sorted.toArray
+    }
+    // session conf untouched throughout
+    spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .getOrElse("false") shouldBe "false"
+  }
+
+  it should "read the real (MICROS) events table as micros longs" in {
+    val events = "/root/testdata/sf0.001/events.parquet"
+    val df = GraftIO.readParquetTsAsMicros(spark, events)
+    df.schema("ts").dataType shouldBe org.apache.spark.sql.types.LongType
+    // cross-check against Spark's own timestamp decode of the same file
+    val viaTs = spark.read.parquet(events)
+      .select(org.apache.spark.sql.functions
+        .expr("max(unix_micros(cast(ts as timestamp)))")).first().getLong(0)
+    df.agg(org.apache.spark.sql.functions.max("ts")).first().getLong(0) shouldBe viaTs
   }
 
   it should "round-trip decimals via the Avro decimal logical type" in {

@@ -93,13 +93,13 @@ class StreamOpsSpec extends SparkSpec {
   it should "close the same sessions the batch sessionize finds on real events" in {
     import graft.ext.Temporal
     implicit val sc = spark.sqlContext
-    // real event rows (ns timestamps -> micros -> Timestamp), 3 users;
+    // real event rows (unit-aware read -> micros -> Timestamp), 3 users;
     // the scoped reader keeps the session conf untouched
     val rows = graft.sources.GraftIO
-      .readParquetNanosAsLong(spark, "/root/testdata/sf0.001/events.parquet")
+      .readParquetTsAsMicros(spark, "/root/testdata/sf0.001/events.parquet")
       .filter(col("user_id") < 3)
       .select(col("user_id"),
-        expr("timestamp_micros(ts div 1000)").cast("timestamp").as("ts"))
+        expr("timestamp_micros(ts)").cast("timestamp").as("ts"))
       .as[(Long, Timestamp)].collect().toSeq
     rows.length should be > 50
 

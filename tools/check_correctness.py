@@ -38,6 +38,12 @@ def main(sf_dir: str, out_dir: str) -> None:
         if not os.path.isdir(qdir):
             continue
         got = pd.read_parquet(qdir)
+        # fail-closed marker from Verify: the query threw and dumped a
+        # one-row {err} frame instead of results — always a red row
+        if list(got.columns) == ["err"]:
+            results[name] = {"rows": len(got), "ok": False,
+                             "err": str(got["err"].iloc[0]) if len(got) else "?"}
+            continue
         if name not in oracles:
             results[name] = {"rows": len(got), "oracle": False,
                              "ok": len(got) > 0}
