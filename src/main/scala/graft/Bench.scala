@@ -1,5 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Opt-in (SPARK_GRAFT_SKEW=1) per-query task-skew probe: records every
+  * successful task's wall time per stage and reports the worst
+  * max/mean ratio over stages with enough tasks for the ratio to mean
+  * anything. Straggler tasks are THE scale killer — a query whose worst
+  * stage runs 30 even tasks is fine at 1000 executors; one with a 10×
+  * straggler is not, however fast it looks at local[32]. */
+private class SkewListener extends org.apache.spark.scheduler.SparkListener {
+  private val stageTasks =
+    scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+  override def onTaskEnd(
+      t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = synchronized {
+    if (t.taskInfo != null && t.taskInfo.successful)
+      stageTasks.getOrElseUpdate(t.stageId,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += t.taskInfo.duration
+  }
+  def reset(): Unit = synchronized { stageTasks.clear() }
+  /** Worst max/mean task-duration ratio across stages with >= minTasks
+    * tasks (single-digit-task stages produce meaningless ratios); sub-50ms
+    * stages are skipped — scheduling noise dominates their spread. */
+  def worstSkew(minTasks: Int = 8): Double = synchronized {
+    val per = stageTasks.values
+      .filter(ds => ds.size >= minTasks && ds.max >= 50)
+      .map { ds => ds.max / (ds.sum.toDouble / ds.size) }
+    if (per.isEmpty) 1.0 else per.max
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,12 +94,20 @@ object Bench {
       if (unknown.nonEmpty)
         System.err.println(s"[bench] unknown queries ignored: ${unknown.mkString(", ")}")
     }
+    // optional straggler probe (see SkewListener) — off by default to keep
+    // the measured path identical to prior rounds
+    val skewListener = sys.env.get("SPARK_GRAFT_SKEW").filter(_ == "1").map { _ =>
+      val l = new SkewListener
+      spark.sparkContext.addSparkListener(l)
+      l
+    }
     // name-sorted: Map hash order would shuffle which query runs first
     // whenever a query is added, making per-query times incomparable
     // across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        skewListener.foreach(_.reset())
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>
@@ -79,6 +115,9 @@ object Bench {
                    false
                  }
         val dt = (System.nanoTime() - t0) / 1e9
+        // listener events are delivered async; give the bus a beat before
+        // reading so the last stage's tasks are counted
+        val skew = skewListener.map { l => Thread.sleep(200); l.worstSkew() }
         // Query isolation, OUTSIDE the timed section: queries that pin data
         // (BigDiffy's cached diff relation, localCheckpoint'd dedup/ANN
         // intermediates) would otherwise leak into every later query's
@@ -95,18 +134,23 @@ object Bench {
         // query after the warmup alone. An explicit collection here
         // (~0.1s, untimed) charges each query only for its own work.
         System.gc()
-        (name, dt, ok)
+        (name, dt, ok, skew)
       }
     // 3-decimal seconds: full-precision doubles made the one-line JSON
     // long enough to fall out of a tail buffer and fail downstream parsing
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // a query that threw must be distinguishable from a fast success:
     // failures are listed explicitly (their recorded time is time-to-crash)
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val skews =
+      if (results.exists(_._4.isDefined))
+        "," + results.collect { case (k, _, _, Some(s)) => f""""$k":$s%.2f""" }
+          .mkString("\"skews\":{", ",", "}")
+      else ""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$skews,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line to a file: the driver captures a bounded
     // stdout tail, and with 84 queries the one-line JSON has repeatedly

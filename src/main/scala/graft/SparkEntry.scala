@@ -202,13 +202,21 @@ object SparkEntry {
       val li = t(s, d, "lineitem")
       def sig(tag: String) = {
         val r = BigSampler.sample(li, 0.1).select("l_orderkey", "l_linenumber")
-        // decimal sum: row-hash sums overflow int64 under ANSI
+        // decimal sums: row-hash sums overflow int64 under ANSI. TWO
+        // independently-seeded hash sums: a multiset change that collides
+        // one sum (possible in principle for an adversarial ±delta pair)
+        // would also have to collide the second, independent function —
+        // squaring the already-negligible false-match odds at zero extra
+        // shuffle (both sums ride the same scan-side aggregate)
         r.agg(count(lit(1)).as(s"n_$tag"),
           sum(xxhash64(col("l_orderkey"), col("l_linenumber"))
-            .cast("decimal(38,0)")).as(s"h_$tag"))
+            .cast("decimal(38,0)")).as(s"h_$tag"),
+          sum(xxhash64(lit(7L), col("l_orderkey"), col("l_linenumber"))
+            .cast("decimal(38,0)")).as(s"g_$tag"))
       }
       sig("a").crossJoin(sig("b"))
-        .select((col("n_a") === col("n_b") && col("h_a") <=> col("h_b"))
+        .select((col("n_a") === col("n_b") && col("h_a") <=> col("h_b") &&
+            col("g_a") <=> col("g_b"))
           .as("replay_stable"))
     }),
     // oracle-gated Bernoulli tolerance: achieved fraction within ±0.015 of
@@ -546,8 +554,13 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
       val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
+      // rerankFactor is THE recall-vs-cost knob and must deepen as the
+      // corpus grows: a fixed k×rf candidate budget out of n vectors loses
+      // recall as n rises (measured at 10× sf0.1: rf=10 → 0.66, rf=20 →
+      // 0.76, rf=40 → 0.86). rf=20 holds the 0.7 floor through sf1 while
+      // costing only 100 exact rescores per query.
       val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding",
-          k = 5, m = 16, codebookSize = 32, rerankFactor = 10, maxIter = 5)
+          k = 5, m = 16, codebookSize = 32, rerankFactor = 20, maxIter = 5)
         .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
       val matched = bf.join(pq,
         bf("query_id") === col("qid") && bf("neighbor_id") === col("nid"))
@@ -1174,6 +1187,47 @@ object SparkEntry {
       s.read.parquet(out)
         .select(col("doc_id"), col("shard"), col("order_key"))
         .orderBy("doc_id")
+    }),
+
+    // protobuf semantics WITHOUT the runtime (S5/D4 surface): the
+    // reference's ProtoBufDiffyTest goldens replayed through the generic
+    // Row differ over a descriptor-shaped fixture — hasField presence as
+    // struct nullability + DiffOptions(messagePresence): a message null on
+    // one side is ONE delta at the message path, null on both is silence.
+    // Output = all delta rows plus per-key diff_type rows, pinned against
+    // a literal transcription of the expected goldens in the oracle.
+    "proto_semantics" -> ((s, d) => {
+      import graft.diffy.ProtoFixture._
+      import graft.diffy.{BigDiffy, DiffOptions}
+      import s.implicits._
+      def onr(i32: Int, i64: Long, st: String) =
+        Some(Onr(Some(i32), Some(i64), Some(st)))
+      val rep0 = Some(Rep(Seq(10, 11), Seq(20L, 21L), Seq("hello", "world")))
+      val lhs = Seq(
+        Rec("nested_same", onr(10, 20L, "hello"), None),
+        Rec("nested_diff", onr(10, 20L, "hello"), None),
+        Rec("nested_missing_rhs", onr(10, 20L, "hello"), None),
+        Rec("nested_missing_both", None, rep0),
+        Rec("repeated_diff", None, rep0),
+        Rec("missing_rhs_row", onr(1, 2L, "x"), None)).toDS.toDF
+      val rhs = Seq(
+        Rec("nested_same", onr(10, 20L, "hello"), None),
+        Rec("nested_diff", onr(10, 200L, "Hello"), None),
+        Rec("nested_missing_rhs", None, None),
+        Rec("nested_missing_both", None, rep0),
+        Rec("repeated_diff", None,
+          Some(Rep(Seq(10, 11), Seq(-20L, -21L), Seq("Hello", "World"))))).toDS.toDF
+      val res = BigDiffy.diff(lhs, rhs, Seq("k"),
+        DiffOptions(messagePresence = true))
+      res.deltas
+        .select(col("key"), col("field"), col("left"), col("right"),
+          col("delta_type"), round(col("delta"), 6).as("delta"))
+        .unionByName(res.keyStats.select(col("key"),
+          lit("__diff_type").as("field"), lit(null).cast("string").as("left"),
+          lit(null).cast("string").as("right"),
+          col("diff_type").as("delta_type"),
+          lit(null).cast("double").as("delta")))
+        .orderBy("key", "field")
     }),
 
     // ---- temporal surface (training-data extension): as-of join with
@@ -2068,6 +2122,27 @@ object SparkEntry {
            |         * 16 ** (6 - i))) AS BIGINT) % 8 AS INT) AS shard,
            |  order_key
            |FROM o ORDER BY doc_id""".stripMargin,
+      // literal transcription of the reference ProtoBufDiffyTest goldens
+      // (primitive/nested/repeated/cleared-message): the Spark side must
+      // reproduce these EXACT delta rows from the descriptor fixture —
+      // DuckDB is the golden ledger here, not a reimplementation
+      "proto_semantics" ->
+        """SELECT * FROM (VALUES
+          |  ('missing_rhs_row', '__diff_type', NULL, NULL, 'MISSING_RHS', CAST(NULL AS DOUBLE)),
+          |  ('nested_diff', '__diff_type', NULL, NULL, 'DIFFERENT', NULL),
+          |  ('nested_diff', 'optional_nested_field.int64_field', '20', '200', 'NUMERIC', 180.0),
+          |  ('nested_diff', 'optional_nested_field.string_field', 'hello', 'Hello', 'STRING', 1.0),
+          |  ('nested_missing_both', '__diff_type', NULL, NULL, 'SAME', NULL),
+          |  ('nested_missing_rhs', '__diff_type', NULL, NULL, 'DIFFERENT', NULL),
+          |  ('nested_missing_rhs', 'optional_nested_field',
+          |   '{"int32_field":10,"int64_field":20,"string_field":"hello"}', NULL, 'UNKNOWN', NULL),
+          |  ('nested_same', '__diff_type', NULL, NULL, 'SAME', NULL),
+          |  ('repeated_diff', '__diff_type', NULL, NULL, 'DIFFERENT', NULL),
+          |  ('repeated_diff', 'repeated_fields.int64_field', '[20,21]', '[-20,-21]', 'VECTOR', 2.0),
+          |  ('repeated_diff', 'repeated_fields.string_field',
+          |   '["hello","world"]', '["Hello","World"]', 'UNKNOWN', NULL)
+          |) t(key, field, "left", "right", delta_type, delta)
+          |ORDER BY key, field""".stripMargin,
       // DuckDB's native ASOF JOIN is the oracle for the bucketed
       // implementation; purchases pre-reduced to one row per (user, ts)
       // with MAX(value) on both engines so ties are deterministic.

@@ -42,6 +42,17 @@ object SchemaPaths {
       }
     }
 
+  /** All intermediate STRUCT node paths (the non-leaf "message" nodes), in
+    * schema order — the presence-bearing nodes of a protobuf-style schema. */
+  def structNodePaths(schema: StructType, prefix: String = ""): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.dataType match {
+        case st: StructType => p +: structNodePaths(st, p)
+        case _              => Nil
+      }
+    }
+
   /** One key field rendered as string: bytes → uppercase hex, null → "null",
     * everything else → SQL string cast. */
   def keyPart(schema: StructType, path: String): Column = {

@@ -21,7 +21,15 @@ final case class DiffOptions(
     ignore: Set[String] = Set.empty,
     unordered: Set[String] = Set.empty,
     unorderedFieldKeys: Map[String, String] = Map.empty,
-    ignoreNan: Boolean = false)
+    ignoreNan: Boolean = false,
+    /** Protobuf-style message presence (ProtoBufDiffy.scala:111-124): a
+      * nested struct null on exactly ONE side yields a single UNKNOWN
+      * delta at the struct's own path and its subtree is NOT descended;
+      * null on both sides yields nothing. Off by default — the flat-leaf
+      * behavior (a null struct compares leaf-by-leaf) matches the
+      * reference's Avro/TableRow differs, where absent nested records
+      * surface per-field. */
+    messagePresence: Boolean = false)
 
 /** Result of a diff: a cached per-key relation from which the reference's
   * three output views (BigDiffy.scala:148-191) derive lazily. Only the
@@ -147,6 +155,48 @@ object BigDiffy {
     def side(prefix: String, leaves: Map[String, DataType], p: String): Column =
       if (leaves.contains(p)) col(s"$prefix.$p") else lit(null)
 
+    // ---- protobuf message presence (opts.messagePresence) -------------
+    // The presence-bearing struct nodes of both schemas; a leaf delta only
+    // fires when every ancestor message is present on BOTH sides, and a
+    // message absent on exactly one side yields one UNKNOWN delta at the
+    // message path (shallowest absent ancestor wins — deeper nodes are
+    // gated on their own ancestors' presence).
+    val structNodes: Seq[String] =
+      if (!opts.messagePresence) Nil
+      else (SchemaPaths.structNodePaths(lhs.schema) ++
+        SchemaPaths.structNodePaths(rhs.schema)).distinct
+        .filterNot(p => opts.ignore.contains(p) ||
+          opts.ignore.exists(ig => p.startsWith(ig + ".")))
+    def nodeType(schema: StructType, n: String): Option[DataType] =
+      SchemaPaths.typeAt(schema, n).filter(_.isInstanceOf[StructType])
+    def nodeSide(prefix: String, schema: StructType, n: String): Column =
+      if (nodeType(schema, n).isDefined) col(s"$prefix.$n")
+      else lit(null)
+    def bothPresent(n: String): Column =
+      nodeSide("__l", lhs.schema, n).isNotNull &&
+        nodeSide("__r", rhs.schema, n).isNotNull
+    def ancestorsPresent(p: String): Column =
+      structNodes.filter(n => p.startsWith(n + "."))
+        .foldLeft(lit(true))((acc, n) => acc && bothPresent(n))
+    val gate: (String, Column) => Column =
+      if (structNodes.isEmpty) (_, c) => c
+      else (p, c) => when(ancestorsPresent(p), c)
+    val nodeDeltas: Seq[Column] = structNodes.map { n =>
+      val ln = nodeSide("__l", lhs.schema, n)
+      val rn = nodeSide("__r", rhs.schema, n)
+      val lt = nodeType(lhs.schema, n)
+      val rt = nodeType(rhs.schema, n)
+      val render: (Column, Option[DataType]) => Column = {
+        case (c, Some(t)) => DeltaExpr.render(c, t)
+        case (_, None)    => lit(null).cast(StringType)
+      }
+      val oneAbsent = (ln.isNull && rn.isNotNull) || (ln.isNotNull && rn.isNull)
+      gate(n, when(oneAbsent, struct(
+        lit(n).as("field"), render(ln, lt).as("left"), render(rn, rt).as("right"),
+        lit("UNKNOWN").as("delta_type"),
+        lit(null).cast(DoubleType).as("delta"))))
+    }
+
     val (keyedArrayPaths, rest) = paths.partition { p =>
       // the keyed-array differ reads BOTH sides' columns directly, so it
       // only applies when both sides carry the SAME array<struct> type;
@@ -177,20 +227,20 @@ object BigDiffy {
         // side's type would cast across types (throws under ANSI); the
         // reference's runtime dispatch degrades to UnknownDelta — match it
         case (Some(lt), Some(rt)) if lt != rt =>
-          DeltaExpr.forTypeMismatch(p, lt, rt, lc, rc)
+          gate(p, DeltaExpr.forTypeMismatch(p, lt, rt, lc, rc))
         case (lo, ro) =>
-          DeltaExpr.forLeaf(p, lo.orElse(ro).get, lc, rc, opts)
+          gate(p, DeltaExpr.forLeaf(p, lo.orElse(ro).get, lc, rc, opts))
       }
-    }
+    } ++ nodeDeltas
     val keyedArrays: Seq[Column] = keyedArrayPaths.map { p =>
       val ArrayType(elem: StructType, _) = lLeaves(p): @unchecked
-      DeltaExpr.forKeyedArray(p, elem, opts.unorderedFieldKeys(p),
-        col(s"__l.$p"), col(s"__r.$p"))
+      gate(p, DeltaExpr.forKeyedArray(p, elem, opts.unorderedFieldKeys(p),
+        col(s"__l.$p"), col(s"__r.$p")))
     }
     val mapArrays: Seq[Column] = mapPaths.map { p =>
       val mt = lLeaves.getOrElse(p, rLeaves(p)).asInstanceOf[MapType]
-      DeltaExpr.forMap(p, mt, side("__l", lLeaves, p).cast(mt),
-        side("__r", rLeaves, p).cast(mt))
+      gate(p, DeltaExpr.forMap(p, mt, side("__l", lLeaves, p).cast(mt),
+        side("__r", rLeaves, p).cast(mt)))
     }
 
     val plainArr =

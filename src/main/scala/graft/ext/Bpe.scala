@@ -271,6 +271,15 @@ object Bpe {
   /** The Sennrich merge loop over a (word, freq) table. Exposed for specs
     * and for re-training from a saved word-count table.
     *
+    * WORD-TABLE CONTRACT: the loop adds NO end-of-word marker of its own —
+    * each `types` word must already carry its trailing '\n' marker iff the
+    * unit was whitespace-final, exactly as [[wordUnits]] produces them
+    * (see the object scaladoc). Feeding marker-less words trains a model
+    * whose merges never see the boundary symbol, and the greedy encoder
+    * (which DOES receive marked units) will then diverge from training on
+    * every whitespace-final word. Re-train from a saved table only if the
+    * table was saved marker-inclusive.
+    *
     * A later merge can RE-CREATE an already-merged pair's adjacency (word
     * [a,x,y] where x+y == b re-creates (a,b)); emitting it again would
     * waste a merge slot and leave a duplicate whose replay priority is

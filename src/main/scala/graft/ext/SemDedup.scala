@@ -252,8 +252,18 @@ object SemDedup {
             nextChild += cents.length
           }
         }
-        if (childMap.isEmpty) { done ::= active; work = null }
-        else {
+        // a cluster absent from `sampled` had a zero-draw round (the rate
+        // filter admitted no rows) — that is NOT the same as stuck: it
+        // must stay active and re-sample next round under the fresh salt.
+        // Terminate on an empty childMap only when every active cluster
+        // is provably stuck; otherwise advance the round so zero-draw
+        // clusters get their retry (maxSplitRounds still bounds the loop).
+        val zeroDraw = overNow.keySet -- sampled.map(_._1).toSet -- stuck
+        if (childMap.isEmpty && zeroDraw.isEmpty) { done ::= active; work = null }
+        else if (childMap.isEmpty) {
+          work = active.localCheckpoint(true)
+          round += 1
+        } else {
           val bc = spark.sparkContext.broadcast(childMap)
           // Lloyd's own metric (L2 argmin over unit vectors ≡ max cosine
           // up to the centroid-norm term Lloyd converged under)
@@ -276,6 +286,10 @@ object SemDedup {
           work = active
             .withColumn("cluster", reassign(col("cluster"), col("v")))
             .localCheckpoint(true) // pin each round: bounded lineage
+          // the eager checkpoint above fully materialized the reassign, so
+          // this round's centroid broadcast is dead — destroy it instead
+          // of letting one broadcast per round pile up on the executors
+          bc.destroy()
           round += 1
         }
       }

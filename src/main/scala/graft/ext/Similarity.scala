@@ -364,7 +364,15 @@ object Similarity {
     * norm, dim mismatch at slice) yield null/NaN scores and drop under
     * the shared [[topKPerQuery]] contract. `rerankFactor = 1` returns
     * approximate-score output directly (cosine_sim is then the ADC
-    * estimate). Self-matches are excluded like every other path. */
+    * estimate). Self-matches are excluded like every other path.
+    *
+    * SCALE: `rerankFactor` is the recall-vs-cost knob and must grow with
+    * corpus size — a fixed k×rerankFactor candidate budget out of n
+    * vectors loses recall as n rises because ADC near-ties multiply
+    * (measured on the driver embeddings: 10× the corpus took recall@5
+    * from ≥0.8 to 0.66 at rf=10; rf=20 → 0.76, rf=40 → 0.86). Rerank cost
+    * is k×rf exact scores per query — scale rf before reaching for more
+    * codebook bits. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, m: Int = 8, codebookSize: Int = 256, rerankFactor: Int = 4,
              seed: Long = 42L, trainCap: Long = 100000L, maxIter: Int = 10): DataFrame = {

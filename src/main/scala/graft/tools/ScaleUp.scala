@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds an sf1-scale copy of the driver testdata by concatenating a
+  * source scale factor `copies` times with referential-integrity-preserving
+  * key offsets, so the full gate suite can be benchmarked at 10× the
+  * largest driver-provided SF (the sf1 validation the round verdicts ask
+  * for). Writes to a target directory OUTSIDE the read-only testdata tree.
+  *
+  * {{{ sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10" }}}
+  *
+  * Shape choices (what "realistic 10×" means here):
+  *   - dims (`region`, `nation`) stay single-copy — like a real warehouse;
+  *   - every fact key is offset by copyIdx × (max+1), and every foreign key
+  *     by ITS parent's offset, so joins fan out exactly as at 1×;
+  *   - `documents.text` is perturbed per copy with a consonant rotation
+  *     (`translate`) — distinct content, same length/token statistics, so
+  *     dedup/minhash workloads scale by corpus size instead of degenerating
+  *     into 10-cliques of byte-identical copies;
+  *   - `embeddings.embedding` is rotated by copyIdx positions — same norm
+  *     and coordinate distribution, decorrelated content, so ANN workloads
+  *     see 10× genuinely distinct vectors;
+  *   - `events` keeps its time range (10× users ⇒ 10× density, constant
+  *     per-user session shape — the scaling a bigger user base produces).
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def off(df: DataFrame, key: String): Long =
+      df.agg(coalesce(max(col(key)) + 1, lit(0L))).first().getLong(0)
+
+    /** `copies` stacked copies of `df`, transformed per copy. */
+    def stack(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => f(df, i)).reduce(_ unionByName _)
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    // dims — unchanged
+    write(t("region"), "region")
+    write(t("nation"), "nation")
+
+    val customer = t("customer"); val custOff = off(customer, "c_custkey")
+    write(stack(customer)((d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * custOff))), "customer")
+
+    val supplier = t("supplier"); val suppOff = off(supplier, "s_suppkey")
+    write(stack(supplier)((d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppOff))), "supplier")
+
+    val part = t("part"); val partOff = off(part, "p_partkey")
+    write(stack(part)((d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * partOff))), "part")
+
+    val orders = t("orders"); val ordOff = off(orders, "o_orderkey")
+    write(stack(orders)((d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordOff))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * custOff))), "orders")
+
+    write(stack(t("lineitem"))((d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * ordOff))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * partOff))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppOff))), "lineitem")
+
+    val events = t("events")
+    val evOff = off(events, "event_id"); val userOff = off(events, "user_id")
+    write(stack(events)((d, i) => d
+      .withColumn("event_id", col("event_id") + lit(i * evOff))
+      .withColumn("user_id", col("user_id") + lit(i * userOff))), "events")
+
+    // distinct text per copy: rotate a 10-consonant alphabet by copyIdx —
+    // a content-preserving cipher (same length, same token boundaries,
+    // same symbol/stopword profile is NOT preserved for i>0, which is
+    // fine: only copy 0 feeds correctness gates; the rest add bulk)
+    val docs = t("documents"); val docOff = off(docs, "doc_id")
+    val consonants = "bcdfghjklm"
+    write(stack(docs)((d, i) => {
+      val rot = consonants.drop(i % 10) + consonants.take(i % 10)
+      d.withColumn("doc_id", col("doc_id") + lit(i * docOff))
+        .withColumn("text",
+          if (i == 0) col("text") else translate(col("text"), consonants, rot))
+    }), "documents")
+
+    // rotate the vector by copyIdx positions: same norm, decorrelated
+    val emb = t("embeddings"); val vecOff = off(emb, "vec_id")
+    write(stack(emb)((d, i) => {
+      val rotated =
+        if (i == 0) col("embedding")
+        else concat(expr(s"slice(embedding, ${i + 1}, size(embedding) - $i)"),
+          expr(s"slice(embedding, 1, $i)"))
+      d.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
+        .withColumn("embedding", rotated)
+    }), "embeddings")
+
+    spark.stop()
+  }
+}

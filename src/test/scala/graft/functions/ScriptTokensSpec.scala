@@ -94,6 +94,20 @@ class ScriptTokensSpec extends SparkSpec {
   }
 
   it should "match the regex form through Catalyst (codegen path) on mixed rows" in {
+    // CODEGEN_ONLY: without this pin, a Janino compile error in
+    // ScriptTokensExpr.doGenCode would silently fall back to the
+    // interpreted nullSafeEval and this test would still pass — the
+    // factory mode makes a broken codegen path fail loudly instead
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try runCatalystParity()
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  private def runCatalystParity(): Unit = {
     val texts = cases.map(_._1) ++ Seq("𠀀前after", "a b 你好")
     val df = texts.toDF("text").select(
       col("text"),
