@@ -115,9 +115,19 @@ object Bench {
                    false
                  }
         val dt = (System.nanoTime() - t0) / 1e9
-        // listener events are delivered async; give the bus a beat before
-        // reading so the last stage's tasks are counted
-        val skew = skewListener.map { l => Thread.sleep(200); l.worstSkew() }
+        // listener events are delivered async: drain the bus (private API,
+        // via reflection — this is a bench tool) so the final stage's
+        // tasks land in THIS query's window and not the next one's; fall
+        // back to a fixed beat if the internals move
+        val skew = skewListener.map { l =>
+          try {
+            val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+              .invoke(spark.sparkContext)
+            bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+              .invoke(bus, java.lang.Long.valueOf(10000L))
+          } catch { case _: Throwable => Thread.sleep(500) }
+          l.worstSkew()
+        }
         // Query isolation, OUTSIDE the timed section: queries that pin data
         // (BigDiffy's cached diff relation, localCheckpoint'd dedup/ANN
         // intermediates) would otherwise leak into every later query's
@@ -137,8 +147,12 @@ object Bench {
         (name, dt, ok, skew)
       }
     // 3-decimal seconds: full-precision doubles made the one-line JSON
-    // long enough to fall out of a tail buffer and fail downstream parsing
-    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
+    // long enough to fall out of a tail buffer and fail downstream parsing.
+    // Locale.ROOT everywhere: a comma-decimal default locale would emit
+    // "0,394" and invalidate the JSON — including the durable bench file
+    def num(fmt: String, v: Double): String =
+      fmt.formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _, _) => s""""$k":${num("%.3f", v)}""" }
       .mkString("{", ",", "}")
     // a query that threw must be distinguishable from a fast success:
     // failures are listed explicitly (their recorded time is time-to-crash)
@@ -146,7 +160,8 @@ object Bench {
       .mkString("[", ",", "]")
     val skews =
       if (results.exists(_._4.isDefined))
-        "," + results.collect { case (k, _, _, Some(s)) => f""""$k":$s%.2f""" }
+        "," + results.collect { case (k, _, _, Some(s)) =>
+            s""""$k":${num("%.2f", s)}""" }
           .mkString("\"skews\":{", ",", "}")
       else ""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

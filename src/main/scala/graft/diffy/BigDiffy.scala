@@ -156,19 +156,24 @@ object BigDiffy {
       if (leaves.contains(p)) col(s"$prefix.$p") else lit(null)
 
     // ---- protobuf message presence (opts.messagePresence) -------------
-    // The presence-bearing struct nodes of both schemas; a leaf delta only
-    // fires when every ancestor message is present on BOTH sides, and a
-    // message absent on exactly one side yields one UNKNOWN delta at the
-    // message path (shallowest absent ancestor wins — deeper nodes are
-    // gated on their own ancestors' presence).
-    val structNodes: Seq[String] =
-      if (!opts.messagePresence) Nil
-      else (SchemaPaths.structNodePaths(lhs.schema) ++
-        SchemaPaths.structNodePaths(rhs.schema)).distinct
-        .filterNot(p => opts.ignore.contains(p) ||
-          opts.ignore.exists(ig => p.startsWith(ig + ".")))
+    // The presence-bearing struct nodes: paths that are structs in BOTH
+    // schemas (the intersection — proto presence is a single-descriptor
+    // concept; a path that is a struct on one side and a primitive/absent
+    // on the other is schema EVOLUTION and falls to the plain leaf
+    // behavior, else the node delta and the leaf mismatch would both fire
+    // at the same path). A leaf delta only fires when every ancestor
+    // message is present on BOTH sides; a message null on exactly one
+    // side yields one UNKNOWN delta at the message path (shallowest
+    // absent ancestor wins — deeper nodes are gated on their own
+    // ancestors' presence).
     def nodeType(schema: StructType, n: String): Option[DataType] =
       SchemaPaths.typeAt(schema, n).filter(_.isInstanceOf[StructType])
+    val structNodes: Seq[String] =
+      if (!opts.messagePresence) Nil
+      else SchemaPaths.structNodePaths(lhs.schema)
+        .filter(n => nodeType(rhs.schema, n).isDefined)
+        .filterNot(p => opts.ignore.contains(p) ||
+          opts.ignore.exists(ig => p.startsWith(ig + ".")))
     def nodeSide(prefix: String, schema: StructType, n: String): Column =
       if (nodeType(schema, n).isDefined) col(s"$prefix.$n")
       else lit(null)

@@ -240,9 +240,14 @@ object SemDedup {
         var childMap = Map.empty[Long, (Long, Array[Array[Double]])]
         for ((c, ptsSeq) <- sampled) {
           val pts = ptsSeq.map(_.toArray).toArray
-          val oneDirection = pts.forall(p => java.util.Arrays.equals(p, pts(0)))
+          // "stuck" must be PROVEN: >= 2 sampled points, all identical.
+          // A 1-point draw (same astronomically-rare class as a zero
+          // draw) proves nothing — leave the cluster active so it
+          // re-samples next round under the fresh salt
+          val oneDirection = pts.length >= 2 &&
+            pts.forall(p => java.util.Arrays.equals(p, pts(0)))
           if (oneDirection) stuck += c // k-means cannot split identical points
-          else {
+          else if (pts.length >= 2) {
             val kSub = math.min(16,
               math.max(2, math.ceil(2.0 * szs(c) / maxClusterSize).toInt))
             val cents = Similarity.localKMeansPP(pts,
@@ -252,13 +257,13 @@ object SemDedup {
             nextChild += cents.length
           }
         }
-        // a cluster absent from `sampled` had a zero-draw round (the rate
-        // filter admitted no rows) — that is NOT the same as stuck: it
-        // must stay active and re-sample next round under the fresh salt.
-        // Terminate on an empty childMap only when every active cluster
-        // is provably stuck; otherwise advance the round so zero-draw
-        // clusters get their retry (maxSplitRounds still bounds the loop).
-        val zeroDraw = overNow.keySet -- sampled.map(_._1).toSet -- stuck
+        // a cluster that produced no children and is not provably stuck
+        // (zero-draw round, or a 1-point draw above) must stay active and
+        // re-sample next round under the fresh salt. Terminate on an
+        // empty childMap only when every active cluster is provably
+        // stuck; otherwise advance the round so those clusters get their
+        // retry (maxSplitRounds still bounds the loop).
+        val zeroDraw = overNow.keySet -- childMap.keySet -- stuck
         if (childMap.isEmpty && zeroDraw.isEmpty) { done ::= active; work = null }
         else if (childMap.isEmpty) {
           work = active.localCheckpoint(true)

@@ -31,6 +31,13 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // the text cipher has 10 distinct rotations and the embedding rotation
+    // needs copyIdx < dim; past 10 copies the copy-0 content would repeat
+    // byte-identically, reintroducing the degenerate clique structure this
+    // tool exists to avoid — run twice with different sources instead
+    require(copies >= 1 && copies <= 10,
+      s"copies must be in [1,10] (got $copies): rotation-based perturbation " +
+        "repeats past 10 and would emit byte-identical duplicate copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,7 +86,13 @@ object ScaleUp {
       .withColumn("l_partkey", col("l_partkey") + lit(i * partOff))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppOff))), "lineitem")
 
-    val events = t("events")
+    // unit-aware events read (the driver has already flipped the parquet
+    // timestamp unit once, NANOS→MICROS — a plain read would reject NANOS);
+    // re-emit as a MICROS timestamp so the output schema is stable
+    // whatever unit the source carried
+    val events = graft.sources.GraftIO
+      .readParquetTsAsMicros(spark, s"$src/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts)"))
     val evOff = off(events, "event_id"); val userOff = off(events, "user_id")
     write(stack(events)((d, i) => d
       .withColumn("event_id", col("event_id") + lit(i * evOff))

@@ -31,19 +31,26 @@ def main(sf_dir: str, out_dir: str) -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    # Verify's machine-readable failure sidecar: the authoritative signal
+    # that a query THREW (the {err} parquet marker is only its dir-level
+    # shadow — a legitimate gate could emit a single column named err)
+    verify_errors = {}
+    err_path = os.path.join(out_dir, "_errors.json")
+    if os.path.exists(err_path):
+        with open(err_path) as f:
+            verify_errors = json.load(f)
 
     results = {}
+    dumped = set()
     for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(qdir)
         if not os.path.isdir(qdir):
             continue
-        got = pd.read_parquet(qdir)
-        # fail-closed marker from Verify: the query threw and dumped a
-        # one-row {err} frame instead of results — always a red row
-        if list(got.columns) == ["err"]:
-            results[name] = {"rows": len(got), "ok": False,
-                             "err": str(got["err"].iloc[0]) if len(got) else "?"}
+        dumped.add(name)
+        if name in verify_errors:
+            results[name] = {"ok": False, "err": verify_errors[name]}
             continue
+        got = pd.read_parquet(qdir)
         if name not in oracles:
             results[name] = {"rows": len(got), "oracle": False,
                              "ok": len(got) > 0}
@@ -69,6 +76,20 @@ def main(sf_dir: str, out_dir: str) -> None:
         if not schema_match:
             results[name]["got_cols"] = list(g.columns)
             results[name]["want_cols"] = list(w.columns)
+
+    # fail CLOSED on vanished queries: an errored-listed query with no dir
+    # (its marker write also failed) is a red row, and an oracle with no
+    # dump at all is surfaced — either a deliberate SPARK_GRAFT_QUERIES
+    # subset run (warning only) or a Verify run that died partway (the r11
+    # failure mode: 4 crashed gates silently absent from an "80/80" report)
+    for name, msg in verify_errors.items():
+        if name not in results:
+            results[name] = {"ok": False, "err": msg + " (no dump dir)"}
+    missing = sorted(set(oracles) - dumped - set(verify_errors))
+    if missing:
+        print(f"== WARNING: {len(missing)} oracles have no dump "
+              f"(subset run, or Verify died partway): {', '.join(missing)}",
+              file=sys.stderr)
 
     ok = sum(1 for v in results.values()
              if isinstance(v, dict) and v.get("ok"))
