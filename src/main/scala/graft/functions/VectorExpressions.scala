@@ -3,9 +3,27 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+
+/** Shared codegen helper: the Java source snippet reading element `i` of
+  * ArrayData variable `arr` as a primitive double, for a numeric element
+  * type known at codegen time (so the per-element type dispatch happens
+  * once, not per row per element). */
+private[functions] object VectorCodegen {
+  def readAsDouble(arr: String, i: String, dt: DataType): String = dt match {
+    case DoubleType     => s"$arr.getDouble($i)"
+    case FloatType      => s"(double) $arr.getFloat($i)"
+    case LongType       => s"(double) $arr.getLong($i)"
+    case IntegerType    => s"(double) $arr.getInt($i)"
+    case ShortType      => s"(double) $arr.getShort($i)"
+    case ByteType       => s"(double) $arr.getByte($i)"
+    case d: DecimalType => s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case other => throw new UnsupportedOperationException(s"vector codegen: $other")
+  }
+}
 
 /** Cosine distance `1 - cos_sim(l, r)` over two numeric arrays.
   *
@@ -17,11 +35,15 @@ import org.apache.spark.sql.types._
   *
   * Single-pass accumulation of dot/normL/normR in element order, all in
   * double — deterministic bit-for-bit for a given input, and partition-local
-  * (no shuffle, safe in whole-stage-codegen'd filters via CodegenFallback
-  * boundary only at this expression).
+  * (no shuffle). Full `doGenCode` (not CodegenFallback): the loop inlines
+  * into whole-stage codegen with element accessors specialized at codegen
+  * time, so the O(pairs × dim) filters it anchors (SemDedup pair step, ANN
+  * rerank, embedding near-dup verify) stay in one fused stage with zero
+  * boxing. The generated accumulation order matches nullSafeEval exactly —
+  * both paths are bit-identical.
   */
 case class CosineDistance(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -71,6 +93,44 @@ case class CosineDistance(left: Expression, right: Expression)
     1.0 - dot / (math.sqrt(nl) * math.sqrt(nr))
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGen = left.genCode(ctx)
+    val rGen = right.genCode(ctx)
+    val la = lGen.value; val ra = rGen.value
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot"); val nl = ctx.freshName("nl")
+    val nr = ctx.freshName("nr")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    val elemNull = ctx.freshName("elemNull")
+    val resultCode =
+      s"""
+         |int $n = $la.numElements();
+         |if ($n != 0 && $n == $ra.numElements()) {
+         |  double $dot = 0.0; double $nl = 0.0; double $nr = 0.0;
+         |  boolean $elemNull = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($la.isNullAt($i) || $ra.isNullAt($i)) { $elemNull = true; break; }
+         |    double $x = ${VectorCodegen.readAsDouble(la, i, lType)};
+         |    double $y = ${VectorCodegen.readAsDouble(ra, i, rType)};
+         |    $dot += $x * $y; $nl += $x * $x; $nr += $y * $y;
+         |  }
+         |  if (!$elemNull && $nl != 0.0 && $nr != 0.0) {
+         |    ${ev.isNull} = false;
+         |    ${ev.value} = 1.0 - $dot / (java.lang.Math.sqrt($nl) * java.lang.Math.sqrt($nr));
+         |  }
+         |}
+       """.stripMargin
+    ev.copy(code = code"""
+      ${lGen.code}
+      ${rGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${lGen.isNull} && !${rGen.isNull}) {
+        $resultCode
+      }
+    """)
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -83,7 +143,7 @@ case class CosineDistance(left: Expression, right: Expression)
   * driver-side from a seed and embedded in the expression, not captured in
   * closures. Engine extension (ANN path of the training-data surface). */
 case class LshSignBits(child: Expression, planes: Seq[Seq[Double]])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(planes.nonEmpty && planes.size <= 63, s"need 1..63 planes, got ${planes.size}")
 
@@ -101,8 +161,13 @@ case class LshSignBits(child: Expression, planes: Seq[Seq[Double]])
   @transient private lazy val planeArr: Array[Array[Double]] =
     planes.map(_.toArray).toArray
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    evalFromArray(v.asInstanceOf[ArrayData])
+
+  /** Public entry shared by the interpreted path and the generated code
+    * (generated classes live outside this package, so `protected
+    * nullSafeEval` is not callable from them). */
+  def evalFromArray(arr: ArrayData): Long = {
     val n = arr.numElements()
     var bits = 0L
     var b = 0
@@ -132,6 +197,17 @@ case class LshSignBits(child: Expression, planes: Seq[Seq[Double]])
     case other => throw new UnsupportedOperationException(s"lsh_sign_bits: $other")
   }
 
+  // Not CodegenFallback: the child stays codegen'd (no interpreted
+  // re-evaluation of the whole subtree, no INPUT_ROW dependence) and the
+  // compiled multi-plane loop is invoked through one reference-object
+  // call — the plane table (63 × dim doubles) lives once per task in the
+  // expression instance, not in generated source.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshSignBits", this, classOf[LshSignBits].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.evalFromArray($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -151,7 +227,7 @@ case class LshSignBits(child: Expression, planes: Seq[Seq[Double]])
   */
 case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int,
                         metric: String = "cosine")
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
 
@@ -183,8 +259,12 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: 
   @transient private lazy val halfNorm2: Array[Double] =
     cents.map(c => c.map(x => x * x).sum / 2.0)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    evalFromArray(v.asInstanceOf[ArrayData])
+
+  /** Public entry shared by the interpreted path and the generated code;
+    * returns null for the degenerate-input cases the scaladoc lists. */
+  def evalFromArray(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     // a vector from a different model/dim would get a cell from a
@@ -235,6 +315,26 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nprobe: 
       k += 1
     }
     new GenericArrayData(out)
+  }
+
+  // Not CodegenFallback: keeps the child codegen'd and the surrounding
+  // stage fused; the compiled k×dim argmax loop is one reference-object
+  // call. Result may be null on non-null input (zero-norm / dim-mismatch
+  // / non-finite), so the null flag is reassigned from the call result
+  // rather than using nullSafeCodeGen's iff-child-null contract.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    val childGen = child.genCode(ctx)
+    val adCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      $adCls ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = $ref.evalFromArray(${childGen.value});
+        ${ev.isNull} = ${ev.value} == null;
+      }
+    """)
   }
 
   private def toD(a: ArrayData, i: Int): Double = et match {
