@@ -1300,6 +1300,43 @@ object SparkEntry {
           max("cnt").as("max_sess"))
         .orderBy("user_id")
     }),
+
+    // binned range join (point-in-interval): every click joined to the
+    // per-user purchase windows [ts, ts+1d] containing it; left-outer so
+    // zero-match clicks surface. Aggregated per click for a bounded,
+    // order-independent compare vs DuckDB's BETWEEN join
+    "range_join" -> ((s, d) => {
+      val e = eventsUs(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("w_start"),
+          (col("ts_us") + 86400000000L).as("w_end"))
+      graft.ext.Temporal.rangeJoin(clicks, windows, Seq("user_id"),
+          "ts_us", "w_start", "w_end", binWidth = 86400e6, how = "left")
+        .groupBy("event_id")
+        .agg(count(col("w_start")).as("n_in"),
+          coalesce(sum(col("w_start")), lit(0L)).as("sum_starts"))
+        .orderBy("event_id")
+    }),
+
+    // binned interval-overlap join: which per-user purchase windows
+    // [ts, ts+12h] overlap each other (pair responsibility dedup — each
+    // overlapping pair exactly once) vs DuckDB's inequality self-join
+    "interval_overlap" -> ((s, d) => {
+      val p = eventsUs(s, d).filter(col("event_type") === "purchase")
+      val a = p.select(col("event_id"), col("user_id"),
+        col("ts_us").as("s0"), (col("ts_us") + 43200000000L).as("e0"))
+      val b = p.select(col("event_id").as("b_event_id"), col("user_id"),
+        col("ts_us").as("s1"), (col("ts_us") + 43200000000L).as("e1"))
+      graft.ext.Temporal.intervalOverlapJoin(a, b, Seq("user_id"),
+          "s0", "e0", "s1", "e1", binWidth = 43200e6)
+        .filter(col("event_id") < col("b_event_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("event_id") + col("b_event_id")).as("id_sum"))
+        .orderBy("user_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2157,6 +2194,28 @@ object SparkEntry {
           |SELECT c.event_id, p.tu AS asof_ts, p.value AS asof_value
           |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.tu >= p.tu
           |ORDER BY c.event_id""".stripMargin,
+      // inclusive BETWEEN on integer micros both sides; sums of int64
+      // starts are exact (no float accumulation-order sensitivity)
+      "range_join" ->
+        """WITH e AS (SELECT event_id, user_id, event_type,
+          |  epoch_us(ts) AS tu FROM events),
+          |c AS (SELECT event_id, user_id, tu FROM e WHERE event_type = 'click'),
+          |p AS (SELECT user_id, tu AS w_start, tu + 86400000000 AS w_end
+          |  FROM e WHERE event_type = 'purchase')
+          |SELECT c.event_id, COUNT(p.w_start) AS n_in,
+          |  CAST(COALESCE(SUM(p.w_start), 0) AS BIGINT) AS sum_starts
+          |FROM c LEFT JOIN p
+          |  ON c.user_id = p.user_id AND c.tu BETWEEN p.w_start AND p.w_end
+          |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
+      "interval_overlap" ->
+        """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+          |  epoch_us(ts) + 43200000000 AS e FROM events
+          |  WHERE event_type = 'purchase')
+          |SELECT a.user_id, COUNT(*) AS n_pairs,
+          |  CAST(SUM(a.event_id + b.event_id) AS BIGINT) AS id_sum
+          |FROM p a JOIN p b ON a.user_id = b.user_id
+          |  AND a.s <= b.e AND b.s <= a.e AND a.event_id < b.event_id
+          |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
       // integer-micros gap math on both engines; ROWS frame pinned (the
       // SQL default with ORDER BY is RANGE, which groups ties)
       "temperature_mixture" ->

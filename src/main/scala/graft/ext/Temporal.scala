@@ -188,4 +188,113 @@ object Temporal {
     df.withColumn(sessionCol,
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Binned range join: each `points` row matched to every `intervals`
+    * row with equal `keys` and `startCol <= ptCol <= endCol` (inclusive
+    * both ends). Output = all `points` columns then all `intervals`
+    * columns except its keys (same names, same values); `how` = "inner"
+    * or "left" (unmatched points survive with null interval columns).
+    *
+    * Spark plans a raw `BETWEEN` join predicate with no equi-key as
+    * BroadcastNestedLoop (driver-OOM at any real size) or, keyed, puts a
+    * hot key's whole history in one task. This instead makes the range
+    * predicate an EQUI-join on a time bin: intervals are exploded to one
+    * copy per `binWidth`-wide bin they touch (`sequence` of bin ids — an
+    * interval of length L costs `L/binWidth + 1` copies), points carry
+    * their single bin, and the join is shuffle-hash/sort-merge on
+    * `(keys..., bin)` with the exact range check as a post-predicate.
+    * A point's bin holds every interval that could contain it, and the
+    * SAME interval copy can match a point at most once (the copy in the
+    * point's own bin), so no dedup pass is needed.
+    *
+    * Scale shape: shuffle volume = points + exploded intervals; task
+    * bound = one (key, bin) cell's points x intervals. Pick `binWidth`
+    * near the typical interval length — larger wastes post-filtered
+    * pairs inside a cell, smaller multiplies interval copies; either
+    * degrades linearly, never to a nested loop. Null keys, null/NaN
+    * endpoints, and empty intervals (end < start) never match (SQL
+    * semantics); under "left" such points still surface null-extended.
+    * Endpoint columns must cast to double losslessly (timestamps, or
+    * integers below 2^53 — the [[asofJoin]] contract).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                ptCol: String, startCol: String, endCol: String,
+                binWidth: Double, how: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "rangeJoin needs at least one key column")
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(how == "inner" || how == "left", s"how must be inner|left, got $how")
+    val dup = points.columns.toSet
+      .intersect(intervals.columns.toSet.diff(keys.toSet))
+    require(dup.isEmpty,
+      s"rangeJoin: non-key columns shared by both sides (rename first): ${dup.mkString(", ")}")
+    def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
+
+    // one interval copy per touched bin; degenerate intervals (null/NaN
+    // endpoints, end < start) produce an empty/null sequence -> explode
+    // drops them, which IS their match semantics. The interval side is
+    // renamed wholesale (`__i_*`) so the join condition resolves by name
+    // even when both sides share lineage (a self-derived gate query).
+    val sd = col(startCol).cast("double"); val ed = col(endCol).cast("double")
+    val ix = intervals
+      .withColumn("__ib", explode(when(!isnan(sd) && !isnan(ed) && sd <= ed,
+        sequence(bin(col(startCol)), bin(col(endCol))))))
+      .select(col("__ib") +:
+        intervals.columns.toIndexedSeq.map(c => col(c).as(s"__i_$c")): _*)
+    val px = points.withColumn("__pb", bin(col(ptCol)))
+
+    val cond = keys.map(c => col(c) === col(s"__i_$c"))
+      .reduce(_ && _) && (col("__pb") === col("__ib")) &&
+      col(ptCol).cast("double") >= col(s"__i_$startCol").cast("double") &&
+      col(ptCol).cast("double") <= col(s"__i_$endCol").cast("double")
+    val joined = px.join(ix, cond, how)
+    val out = points.columns.toIndexedSeq.map(col) ++
+      intervals.columns.toIndexedSeq.filterNot(keys.contains)
+        .map(c => col(s"__i_$c").as(c))
+    joined.select(out: _*)
+  }
+
+  /** Binned interval-overlap self/cross join: every (`left`, `right`)
+    * pair with equal `keys` whose closed intervals overlap —
+    * `lStart <= rEnd && rStart <= lEnd`. Output = all `left` columns
+    * then all `right` columns except its keys; inner semantics.
+    *
+    * Same binning discipline as [[rangeJoin]] with BOTH sides exploded;
+    * a pair sharing several bins is emitted exactly once via bin
+    * responsibility — only the FIRST bin the two intervals share (the
+    * later of the two start bins, which any overlapping pair provably
+    * shares) counts the match, so no distinct pass over the output.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          binWidth: Double): DataFrame = {
+    require(keys.nonEmpty, "intervalOverlapJoin needs at least one key column")
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val dup = left.columns.toSet
+      .intersect(right.columns.toSet.diff(keys.toSet))
+    require(dup.isEmpty,
+      s"intervalOverlapJoin: non-key columns shared by both sides (rename first): ${dup.mkString(", ")}")
+    def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
+    def expl(df: DataFrame, s: String, e: String, b: String): DataFrame = {
+      val sd = col(s).cast("double"); val ed = col(e).cast("double")
+      val valid = !isnan(sd) && !isnan(ed) && sd <= ed
+      df.withColumn(b, explode(when(valid, sequence(bin(col(s)), bin(col(e))))))
+    }
+    val lx = expl(left, lStart, lEnd, "__lb")
+    val rx0 = expl(right, rStart, rEnd, "__rb")
+    // right side renamed wholesale so the condition resolves by name under
+    // shared lineage (the self-overlap case)
+    val rx = rx0.select(col("__rb") +:
+      right.columns.toIndexedSeq.map(c => col(c).as(s"__r_$c")): _*)
+    val cond = keys.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
+      (col("__lb") === col("__rb")) &&
+      col(lStart).cast("double") <= col(s"__r_$rEnd").cast("double") &&
+      col(s"__r_$rStart").cast("double") <= col(lEnd).cast("double") &&
+      // responsibility: count the pair only in the later start bin
+      (col("__lb") === greatest(bin(col(lStart)), bin(col(s"__r_$rStart"))))
+    val out = left.columns.toIndexedSeq.map(col) ++
+      right.columns.toIndexedSeq.filterNot(keys.contains)
+        .map(c => col(s"__r_$c").as(c))
+    lx.join(rx, cond, "inner").select(out: _*)
+  }
 }
