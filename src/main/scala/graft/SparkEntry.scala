@@ -106,6 +106,44 @@ object SparkEntry {
     (docs.unionByName(dups), off)
   }
 
+  /** Unique memory-sink names for the streaming parity gates: the same
+    * gate runs twice in one session under Bench (warmup + timed), and a
+    * second `.queryName(x).start()` against a still-registered temp view
+    * name must not collide. */
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Stage `df` as a fresh multi-file parquet directory and open it as a
+    * file-source stream delivering one file per micro-batch — the
+    * smallest harness that drives a lift through REAL incremental
+    * execution (state carried across `nFiles` triggers) instead of one
+    * monolithic batch. Returns (stream, staged batch re-read) so both
+    * sides of a parity check see byte-identical rows. */
+  private def stagedStream(s: SparkSession, df: DataFrame,
+                           nFiles: Int): (DataFrame, DataFrame) = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_src").toString
+    df.repartition(nFiles).write.mode("overwrite").parquet(s"$dir/in")
+    val staged = s.read.parquet(s"$dir/in")
+    val stream = s.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    (stream, staged)
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the sink table. Memory-sink scope note: the sink holds the
+    * QUERY OUTPUT (verdict-sized aggregates / id lists here), not the
+    * corpus — the production shape for these lifts is a file/Kafka sink;
+    * the memory sink exists so a parity gate can read the result back. */
+  private def runStream(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+    val qn = s"graft_stream_sink_${streamSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt").toString
+    val q = out.writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", ckpt).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     ordersDiff(spark, "/root/testdata/sf0.001").globalStats
@@ -1337,6 +1375,97 @@ object SparkEntry {
           sum(col("event_id") + col("b_event_id")).as("id_sum"))
         .orderBy("user_id")
     }),
+
+    // ---- Structured Streaming parity (the §2.12 lifts, gate-verified) ----
+    // Per-document VALUE parity of the stream-routing score lift
+    // (qualitySignals + languageId + fingerprint — the expressions the
+    // curation filters are built from): every document scored on a
+    // 4-micro-batch stream must carry bit-identical score/lang/
+    // fingerprint/token columns to the batch pass. (A kept-set parity on
+    // curationFilter would be vacuous here — the synthetic corpus fails
+    // the Gopher gate wholesale, which gopher_filter's own oracle pins.)
+    "stream_score_parity" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val (stream, staged) = stagedStream(s, docs, nFiles = 4)
+      val cols = Seq("quality_score", "lang_pred", "fingerprint", "n_tokens")
+      val streamed = runStream(s,
+        graft.streaming.StreamOps.scoreEvents(stream, "text")
+          .select(col("doc_id").as("sid") +:
+            cols.map(c => col(c).as(s"s_$c")): _*), mode = "append")
+      val batch = graft.streaming.StreamOps.scoreEvents(staged, "text")
+        .select(col("doc_id").as("bid") +: cols.map(c => col(c).as(s"b_$c")): _*)
+      val valsEq = cols.map(c => col(s"b_$c") <=> col(s"s_$c")).reduce(_ && _)
+      batch.join(streamed, col("bid") === col("sid"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("bid").isNull || col("sid").isNull ||
+            !valsEq, 1L).otherwise(0L)), lit(0L)).as("__mism"),
+          count(col("bid")).as("n_docs"))
+        .select(col("n_docs"), (col("__mism") === 0L).as("stream_equals_batch"))
+    }),
+
+    // Watermarked tumbling-window aggregation on a 4-micro-batch event
+    // stream, checked VALUE-EXACT against DuckDB computing the same
+    // 1-hour windows — the windowed state must merge partial aggregates
+    // across triggers into exactly the batch answer (counts and long-sum
+    // means are order-exact, so no tolerance is needed).
+    "stream_window_parity" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+        .select(timestamp_micros(col("ts_us")).as("ts"),
+          coalesce(col("props"), lit("")).as("text"))
+      val (stream, _) = stagedStream(s, ev, nFiles = 4)
+      val win = graft.streaming.StreamOps.windowedQuality(
+        stream, "ts", "text", windowLen = "1 hour", watermark = "0 seconds")
+      runStream(s, win, mode = "complete")
+        .select(unix_micros(col("window_start")).as("win_start_us"),
+          col("n_docs"),
+          round(col("mean_tokens"), 6).as("mean_tokens"))
+        .orderBy("win_start_us")
+    }),
+
+    // flatMapGroupsWithState duplicate counter across 4 micro-batches:
+    // the final per-fingerprint state must equal the batch groupBy —
+    // n_seen accumulates across triggers (update-mode sink keeps every
+    // revision; MAX per key is the final count), first_seen is the true
+    // minimum even when round-robin staging delivers arrivals out of
+    // time order. Counting event_type content makes the fingerprint
+    // cardinality DuckDB-checkable (distinct types) while still forcing
+    // real cross-batch state growth (every type recurs in every batch).
+    "stream_dup_counts" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+        .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
+        .select(timestamp_micros(col("ts_us")).as("ts"),
+          col("event_type").as("text"))
+      val (stream, staged) = stagedStream(s, ev, nFiles = 4)
+      // 3650d watermark delay: nothing is ever late (staging order is
+      // not time order) and no state times out mid-gate
+      val updates = runStream(s,
+        graft.streaming.StreamOps.duplicateCounts(stream, "text", "ts",
+          watermark = "3650 days", stateTimeout = "3650 days").toDF(),
+        mode = "update")
+      val fin = updates.groupBy(col("fingerprint").as("s_fp"))
+        .agg(max(col("n_seen")).as("s_n"),
+          min(col("first_seen_ms")).as("s_first"))
+      val batch = staged
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        // mirror the lift's malformed-row skip (null fingerprint) so both
+        // sides group the identical row set
+        .filter(col("fp").isNotNull)
+        .groupBy("fp")
+        // unix_millis, not unix_micros/1000: `/` on longs is DOUBLE
+        // division in Spark SQL and ~1.7e12-ms values don't round-trip
+        .agg(count(lit(1)).as("b_n"),
+          min(unix_millis(col("ts"))).as("b_first"))
+      val j = batch.join(fin, col("fp") === col("s_fp"), "full_outer")
+      j.agg(count(col("fp")).as("n_fingerprints"),
+          coalesce(sum(col("b_n")), lit(0L)).as("n_total"),
+          sum(when(col("fp").isNull || col("s_fp").isNull ||
+            col("b_n") =!= col("s_n"), 1L).otherwise(0L)).as("__mism"),
+          sum(when(col("b_first") =!= col("s_first"), 1L)
+            .otherwise(0L)).as("__fmism"))
+        .select(col("n_fingerprints"), col("n_total"),
+          (col("__mism") === 0L).as("stream_equals_batch"),
+          (col("__fmism") === 0L).as("first_seen_ok"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2216,6 +2345,25 @@ object SparkEntry {
           |FROM p a JOIN p b ON a.user_id = b.user_id
           |  AND a.s <= b.e AND b.s <= a.e AND a.event_id < b.event_id
           |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+      // streaming parity verdicts: the stream-vs-batch set compare runs
+      // in-query (batch sides are oracle-proven by gopher_filter /
+      // repetition_signals); window parity is VALUE-exact vs DuckDB
+      // computing the same tumbling windows
+      "stream_score_parity" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  true AS stream_equals_batch FROM documents""".stripMargin,
+      "stream_window_parity" ->
+        s"""WITH e AS (SELECT epoch_us(ts) AS tu, COALESCE(props, '') AS text
+           |  FROM events)
+           |SELECT CAST((tu // 3600000000) * 3600000000 AS BIGINT) AS win_start_us,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  ROUND(AVG(CAST(len($toks) AS DOUBLE)), 6) AS mean_tokens
+           |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+      "stream_dup_counts" ->
+        """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_fingerprints,
+          |  CAST(COUNT(*) AS BIGINT) AS n_total,
+          |  true AS stream_equals_batch, true AS first_seen_ok
+          |FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL""".stripMargin,
       // integer-micros gap math on both engines; ROWS frame pinned (the
       // SQL default with ORDER BY is RANGE, which groups ties)
       "temperature_mixture" ->
