@@ -1376,6 +1376,89 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- data layout: Z-order clustering for multi-column pruning ----
+    // Write lineitem z-ordered on (l_partkey, l_orderkey) into 16 files
+    // and AUDIT the layout: per-file min/max spans (exactly what the
+    // parquet footer pruning sees) must be narrow on BOTH clustered
+    // columns, and must beat a single-column sort on the off-sort
+    // dimension (where single-sort files span ~the full range). Content
+    // integrity (count + key sums) pins to DuckDB; the span verdicts use
+    // loose thresholds because range-partition sampling perturbs file
+    // boundaries, never the ~4x locality gap the verdict tests.
+    "zorder_layout" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_zorder").toString
+      graft.ext.Layout.zorderWrite(li, Seq("l_partkey", "l_orderkey"),
+        s"$tmp/z", numFiles = 16)
+      li.repartitionByRange(16, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(s"$tmp/single")
+      val zs = graft.ext.Layout
+        .fileSpanStats(s, s"$tmp/z", Seq("l_partkey", "l_orderkey"))
+        .select(col("mean_span_l_partkey").as("zx"),
+          col("mean_span_l_orderkey").as("zy"))
+      val ss = graft.ext.Layout
+        .fileSpanStats(s, s"$tmp/single", Seq("l_partkey", "l_orderkey"))
+        .select(col("mean_span_l_orderkey").as("sy"))
+      s.read.parquet(s"$tmp/z")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_partkey")).as("sum_pk"),
+          sum(col("l_orderkey")).as("sum_ok"))
+        .crossJoin(zs).crossJoin(ss)
+        .select(col("n_rows"), col("sum_pk").cast("long").as("sum_pk"),
+          col("sum_ok").cast("long").as("sum_ok"),
+          (col("zx") < 0.5 && col("zy") < 0.5).as("both_dims_local"),
+          (col("zy") < col("sy") * 0.7).as("beats_single_sort_offdim"))
+    }),
+
+    // ---- mergeable sketches (the 100 TB COUNT DISTINCT / quantile path) ----
+    // HLL++ distinct counts per group next to the exact answer: the gate
+    // pins the exact counts to DuckDB AND asserts the sketch landed
+    // within 3x its configured rsd (2% -> 6%, floored for tiny groups
+    // where the sparse representation is exact anyway). approx_count_
+    // distinct is the only COUNT DISTINCT that survives 100 TB — a
+    // fixed-size mergeable register set per group vs countDistinct's
+    // per-key expand+dedup shuffle.
+    "approx_distinct_tol" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("__a"),
+          countDistinct(col("l_orderkey")).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("__a") - col("n_exact")).cast("double") <=
+            greatest(col("n_exact") * 0.06, lit(16.0))).as("within_tol"))
+        .orderBy("l_returnflag")),
+
+    // Quantile sketch with its guarantee CHECKED: percentile_approx (GK,
+    // accuracy 10000 => rank error <= n/10000) at 4 probe quantiles; the
+    // gate recomputes each approx value's TRUE rank in one extra pass
+    // (broadcast of 4 probe rows against the scan — no sort anywhere)
+    // and asserts the bound, while the exact interpolated percentiles
+    // pin value-for-value to DuckDB quantile_cont.
+    "approx_quantiles_rank" -> ((s, d) => {
+      val qs = Seq(0.25, 0.5, 0.75, 0.95)
+      val acc = 10000
+      val li = t(s, d, "lineitem").select(col("l_extendedprice").as("p"))
+      val agg1 = li.agg(
+        percentile_approx(col("p"), array(qs.map(lit): _*), lit(acc)).as("av"),
+        expr(s"percentile(p, array(${qs.mkString("D,")}D))").as("ev"),
+        count(col("p")).as("n"))
+      val probes = agg1.select(col("n"), posexplode(col("av")).as(Seq("i", "v")),
+        col("ev"))
+      li.crossJoin(broadcast(probes))
+        .groupBy("i", "v", "n", "ev")
+        .agg(sum(when(col("p") <= col("v"), 1L).otherwise(0L)).as("rank"))
+        .select(
+          element_at(array(qs.map(lit): _*), col("i") + 1).as("q"),
+          round(element_at(col("ev"), col("i") + 1), 4).as("exact_v"),
+          (abs(col("rank") -
+            element_at(array(qs.map(lit): _*), col("i") + 1) * col("n")) <=
+            col("n").cast("double") / acc + 1.0).as("rank_ok"))
+        .orderBy("q")
+    }),
+
     // ---- Structured Streaming parity (the §2.12 lifts, gate-verified) ----
     // Per-document VALUE parity of the stream-routing score lift
     // (qualitySignals + languageId + fingerprint — the expressions the
@@ -2349,6 +2432,24 @@ object SparkEntry {
       // in-query (batch sides are oracle-proven by gopher_filter /
       // repetition_signals); window parity is VALUE-exact vs DuckDB
       // computing the same tumbling windows
+      "zorder_layout" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
+          |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+          |  true AS both_dims_local, true AS beats_single_sort_offdim
+          |FROM lineitem""".stripMargin,
+      "approx_distinct_tol" ->
+        """SELECT l_returnflag,
+          |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+          |  true AS within_tol
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      // DuckDB only binds CONSTANT quantile params — one SELECT per probe
+      "approx_quantiles_rank" ->
+        Seq(0.25, 0.5, 0.75, 0.95).map(q =>
+          s"""SELECT CAST($q AS DOUBLE) AS q,
+             |  ROUND(quantile_cont(l_extendedprice, $q), 4) AS exact_v,
+             |  true AS rank_ok FROM lineitem""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY q"),
       "stream_score_parity" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  true AS stream_equals_batch FROM documents""".stripMargin,
