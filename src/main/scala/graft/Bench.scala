@@ -165,14 +165,21 @@ object Bench {
           .mkString("\"skews\":{", ",", "}")
       else ""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$skews,"sf":"$sfDir"}"""
+    // a subset run is NOT the suite: mark it in the JSON and keep it out
+    // of the durable full-suite file, so a targeted local iteration can
+    // never masquerade as the round's benchmark
+    val partial = only.map(names =>
+      s""","partial":${names.toSeq.sorted.mkString("[\"", "\",\"", "\"]")}""")
+      .getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errs$skews$partial,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line to a file: the driver captures a bounded
     // stdout tail, and with 84 queries the one-line JSON has repeatedly
     // been truncated past parseability (r10/r11 `parsed: null`). The file
     // is the durable copy; stdout stays for interactive runs.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/BENCH_queries.json")
+      if (only.isEmpty) "/root/repo/BENCH_queries.json"
+      else "/root/repo/BENCH_queries_partial.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchFile), line + "\n")
     catch { case e: Throwable =>

@@ -112,6 +112,21 @@ object SparkEntry {
     * name must not collide. */
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Temp directory deleted at JVM exit. Eager deletion is not an option
+    * for gate scratch space: the DataFrames a gate returns read the
+    * staged files LAZILY (Verify/Bench act on them after the gate
+    * function has returned), so cleanup has to outlive the call. */
+  private def sessionTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val ch = f.listFiles(); if (ch != null) ch.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Stage `df` as a fresh multi-file parquet directory and open it as a
     * file-source stream delivering one file per micro-batch — the
     * smallest harness that drives a lift through REAL incremental
@@ -120,8 +135,7 @@ object SparkEntry {
     * sides of a parity check see byte-identical rows. */
   private def stagedStream(s: SparkSession, df: DataFrame,
                            nFiles: Int): (DataFrame, DataFrame) = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_stream_src").toString
+    val dir = sessionTempDir("graft_stream_src")
     df.repartition(nFiles).write.mode("overwrite").parquet(s"$dir/in")
     val staged = s.read.parquet(s"$dir/in")
     val stream = s.readStream.schema(staged.schema)
@@ -137,11 +151,21 @@ object SparkEntry {
   private def runStream(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val qn = s"graft_stream_sink_${streamSeq.incrementAndGet()}"
     val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt").toString
+      .createTempDirectory("graft_stream_ckpt").toFile
     val q = out.writeStream.format("memory").queryName(qn)
-      .option("checkpointLocation", ckpt).outputMode(mode).start()
+      .option("checkpointLocation", ckpt.toString).outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(qn)
+    // the analyzed plan captures the sink's rows directly, so the NAME
+    // registration (and the finished query's checkpoint) can go now —
+    // a Bench session runs every gate twice and must not accumulate
+    // per-run sink tables or checkpoint dirs
+    val result = s.table(qn)
+    s.catalog.dropTempView(qn)
+    def rm(f: java.io.File): Unit = {
+      val ch = f.listFiles(); if (ch != null) ch.foreach(rm); f.delete(); ()
+    }
+    rm(ckpt)
+    result
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -1200,7 +1224,7 @@ object SparkEntry {
     // deterministic, so the runner's composition (stage order, column
     // threading, text mutation in place) is what this gate actually pins.
     "pipeline_e2e" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_pipeline_e2e")
+      val tmp = sessionTempDir("graft_pipeline_e2e")
       val out = s"$tmp/out"
       val recipe =
         s"""{
@@ -1388,10 +1412,13 @@ object SparkEntry {
     "zorder_layout" -> ((s, d) => {
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_zorder").toString
+      val tmp = sessionTempDir("graft_zorder")
+      // bits=6 (64 buckets/dim = 4096 cells over 16 files): identical
+      // locality to the default 8 at this file count, and the codegen'd
+      // boundary tree is 4x smaller — the gate's cost is dominated by
+      // Janino compiling the tree (a constant, not data-proportional)
       graft.ext.Layout.zorderWrite(li, Seq("l_partkey", "l_orderkey"),
-        s"$tmp/z", numFiles = 16)
+        s"$tmp/z", numFiles = 16, bits = 6)
       li.repartitionByRange(16, col("l_partkey"))
         .sortWithinPartitions("l_partkey")
         .write.mode("overwrite").parquet(s"$tmp/single")

@@ -227,6 +227,12 @@ object Temporal {
       .intersect(intervals.columns.toSet.diff(keys.toSet))
     require(dup.isEmpty,
       s"rangeJoin: non-key columns shared by both sides (rename first): ${dup.mkString(", ")}")
+    // the bin/rename scratch names must stay ours — silently overwriting
+    // a caller column would return bin ids under the caller's name
+    val clash = points.columns.filter(c => c == "__pb" || c.startsWith("__i_")) ++
+      intervals.columns.filter(_ == "__ib")
+    require(clash.isEmpty,
+      s"rangeJoin: reserved column names in input (rename first): ${clash.mkString(", ")}")
     def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
 
     // one interval copy per touched bin; degenerate intervals (null/NaN
@@ -274,6 +280,10 @@ object Temporal {
       .intersect(right.columns.toSet.diff(keys.toSet))
     require(dup.isEmpty,
       s"intervalOverlapJoin: non-key columns shared by both sides (rename first): ${dup.mkString(", ")}")
+    val clash = left.columns.filter(c => c == "__lb" || c.startsWith("__r_")) ++
+      right.columns.filter(_ == "__rb")
+    require(clash.isEmpty,
+      s"intervalOverlapJoin: reserved column names in input (rename first): ${clash.mkString(", ")}")
     def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
     def expl(df: DataFrame, s: String, e: String, b: String): DataFrame = {
       val sd = col(s).cast("double"); val ed = col(e).cast("double")
