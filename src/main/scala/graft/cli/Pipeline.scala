@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *   "output": "<dir>",  "output_mode": "parquet",
   *   "id_col": "doc_id", "text_col": "text",
   *   "audit": true,
+  *   "layout": {"zorder": ["lang", "doc_id"], "files": 16, "bits": 8},
   *   "stages": [
   *     {"op": "normalize", "redact": true},
   *     {"op": "filter", "predicate": "lang = 'en'"},
@@ -116,10 +117,35 @@ object Pipeline {
     }
 
     val finalDf = df
+    // optional output layout: {"layout": {"zorder": [cols...], "files": N,
+    // "bits": B}} writes the corpus z-order-clustered on the named columns
+    // (graft.ext.Layout) so downstream scans prune files on ALL of them —
+    // the natural last step of a curation recipe whose output is queried
+    // by (source, date), (lang, quality), ... at 100 TB
+    val layout = recipe.get("layout").map {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => throw new IllegalArgumentException(
+        s"'layout' must be an object, got $other")
+    }
     // unlessDone kept as a race guard (a concurrent run may have completed
     // while the stages ran); the normal skip already happened up front
     if (!GraftIO.unlessDone(out) {
-      Graft.write(finalDf, out, topStr("output_mode", Some("parquet")))
+      layout match {
+        case Some(l) =>
+          val zcols = l.get("zorder") match {
+            case Some(s: Seq[_]) if s.nonEmpty => s.map(_.toString)
+            case _ => throw new IllegalArgumentException(
+              "layout needs a non-empty 'zorder' column array")
+          }
+          val mode = topStr("output_mode", Some("parquet"))
+          require(mode == "parquet",
+            s"layout.zorder writes parquet, got output_mode=$mode")
+          graft.ext.Layout.zorderWrite(finalDf, zcols, out,
+            numFiles = long(l, "files", 16L).toInt,
+            bits = long(l, "bits", 8L).toInt)
+        case None =>
+          Graft.write(finalDf, out, topStr("output_mode", Some("parquet")))
+      }
       if (audit) writeStats(out, stats, spark)
     }) System.err.println(s"[graft] output $out already complete, skipping")
     stats

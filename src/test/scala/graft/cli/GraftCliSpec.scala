@@ -207,6 +207,35 @@ class GraftCliSpec extends SparkSpec {
     spark.read.json(Seq(stJson).toDS).count() shouldBe 2L
   }
 
+  it should "z-order the pipeline output when the recipe asks for a layout" in {
+    val base = tmp()
+    // two numeric columns with independent variation so locality is
+    // measurable on both
+    val n = 4096
+    spark.range(n).selectExpr("id AS doc_id", "id % 64 AS x",
+        "CAST(id / 64 AS LONG) AS y",
+        "concat('document text number ', id) AS text")
+      .write.parquet(s"$base/in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/recipe.json"),
+      s"""{
+         | "input": "$base/in", "output": "$base/out",
+         | "id_col": "doc_id", "text_col": "text",
+         | "layout": {"zorder": ["x", "y"], "files": 16, "bits": 6},
+         | "stages": [ {"op": "dedup_exact"} ]
+         |}""".stripMargin.getBytes("UTF-8"))
+    Pipeline.run(s"$base/recipe.json", Map.empty, spark)
+    val out = spark.read.parquet(s"$base/out")
+    out.count() shouldBe n.toLong // content preserved
+    out.columns.sorted shouldBe Array("doc_id", "text", "x", "y")
+    val spans = graft.ext.Layout.fileSpanStats(spark, s"$base/out", Seq("x", "y"))
+      .select("mean_span_x", "mean_span_y").as[(Double, Double)].head()
+    spans._1 should be < 0.5
+    spans._2 should be < 0.5
+    // the audit artifact still lands next to the clustered output
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/out/_stages.json")) shouldBe true
+  }
+
   it should "run heavyWords and bpeTokenize end to end" in {
     val base = tmp()
     Seq((1L, "alpha alpha alpha beta"), (2L, "alpha gamma delta beta"))
