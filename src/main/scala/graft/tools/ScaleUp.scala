@@ -43,6 +43,10 @@ object ScaleUp {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // write timestamps as annotated INT64 MICROS like the driver's
+      // testdata — Spark's INT96 default has no unit annotation and the
+      // unit-aware reader (readParquetTsAsMicros) rightly refuses it
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
