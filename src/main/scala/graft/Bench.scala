@@ -177,9 +177,17 @@ object Bench {
     // stdout tail, and with 84 queries the one-line JSON has repeatedly
     // been truncated past parseability (r10/r11 `parsed: null`). The file
     // is the durable copy; stdout stays for interactive runs.
-    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      if (only.isEmpty) "/root/repo/BENCH_queries.json"
-      else "/root/repo/BENCH_queries_partial.json")
+    // a subset run NEVER writes the caller's (or default) full-suite
+    // path — even an explicit SPARK_GRAFT_BENCH_FILE is diverted to a
+    // .partial sibling, so a targeted iteration with leftover env vars
+    // cannot overwrite a round's durable record
+    val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      "/root/repo/BENCH_queries.json")
+    val benchFile =
+      if (only.isEmpty) requested
+      else if (requested.endsWith(".json"))
+        requested.stripSuffix(".json") + "_partial.json"
+      else requested + "_partial"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchFile), line + "\n")
     catch { case e: Throwable =>

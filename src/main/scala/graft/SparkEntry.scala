@@ -118,12 +118,8 @@ object SparkEntry {
     * function has returned), so cleanup has to outlive the call. */
   private def sessionTempDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val ch = f.listFiles(); if (ch != null) ch.foreach(rm); f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      { org.apache.commons.io.FileUtils.deleteQuietly(p.toFile); () }))
     p.toString
   }
 
@@ -154,18 +150,20 @@ object SparkEntry {
       .createTempDirectory("graft_stream_ckpt").toFile
     val q = out.writeStream.format("memory").queryName(qn)
       .option("checkpointLocation", ckpt.toString).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
-    // the analyzed plan captures the sink's rows directly, so the NAME
-    // registration (and the finished query's checkpoint) can go now —
-    // a Bench session runs every gate twice and must not accumulate
-    // per-run sink tables or checkpoint dirs
-    val result = s.table(qn)
-    s.catalog.dropTempView(qn)
-    def rm(f: java.io.File): Unit = {
-      val ch = f.listFiles(); if (ch != null) ch.foreach(rm); f.delete(); ()
+    // cleanup in finally: a FAILING stream gate must not leak its sink
+    // registration or checkpoint either — a Bench session runs every
+    // gate twice and must not accumulate per-run state. The analyzed
+    // plan from s.table captures the sink's rows directly, so dropping
+    // the name before returning is safe.
+    try {
+      q.processAllAvailable()
+      s.table(qn)
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(qn)
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+      ()
     }
-    rm(ckpt)
-    result
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -87,6 +87,30 @@ object Pipeline {
         "pipeline recipe needs a 'stages' array")
     }
 
+    // optional output layout: {"layout": {"zorder": [cols...], "files": N,
+    // "bits": B}} writes the corpus z-order-clustered on the named columns
+    // (graft.ext.Layout) so downstream scans prune files on ALL of them —
+    // the natural last step of a curation recipe whose output is queried
+    // by (source, date), (lang, quality), ... at 100 TB. Validated HERE,
+    // before any stage runs: a malformed layout must not throw only after
+    // hours of curation work have completed.
+    val layout = recipe.get("layout").map {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => throw new IllegalArgumentException(
+        s"'layout' must be an object, got $other")
+    }
+    val layoutCols = layout.map { l =>
+      val zcols = l.get("zorder") match {
+        case Some(s: Seq[_]) if s.nonEmpty => s.map(_.toString)
+        case _ => throw new IllegalArgumentException(
+          "layout needs a non-empty 'zorder' column array")
+      }
+      val mode = topStr("output_mode", Some("parquet"))
+      require(mode == "parquet",
+        s"layout.zorder writes parquet, got output_mode=$mode")
+      zcols
+    }
+
     // idempotence check FIRST: a complete output must short-circuit the
     // whole run — checking only at write time (the old shape) would re-run
     // every stage and then discard the result
@@ -116,34 +140,21 @@ object Pipeline {
       }
     }
 
-    val finalDf = df
-    // optional output layout: {"layout": {"zorder": [cols...], "files": N,
-    // "bits": B}} writes the corpus z-order-clustered on the named columns
-    // (graft.ext.Layout) so downstream scans prune files on ALL of them —
-    // the natural last step of a curation recipe whose output is queried
-    // by (source, date), (lang, quality), ... at 100 TB
-    val layout = recipe.get("layout").map {
-      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
-      case other => throw new IllegalArgumentException(
-        s"'layout' must be an object, got $other")
-    }
+    // zorderWrite runs TWO actions (boundary sketch + clustered write);
+    // with audit on, df is already pinned by the last stage's
+    // localCheckpoint — without audit an unpinned chain would re-run
+    // every stage for each action, so pin it here
+    val finalDf =
+      if (layoutCols.isDefined && !audit) df.localCheckpoint(true) else df
     // unlessDone kept as a race guard (a concurrent run may have completed
     // while the stages ran); the normal skip already happened up front
     if (!GraftIO.unlessDone(out) {
-      layout match {
-        case Some(l) =>
-          val zcols = l.get("zorder") match {
-            case Some(s: Seq[_]) if s.nonEmpty => s.map(_.toString)
-            case _ => throw new IllegalArgumentException(
-              "layout needs a non-empty 'zorder' column array")
-          }
-          val mode = topStr("output_mode", Some("parquet"))
-          require(mode == "parquet",
-            s"layout.zorder writes parquet, got output_mode=$mode")
+      (layout, layoutCols) match {
+        case (Some(l), Some(zcols)) =>
           graft.ext.Layout.zorderWrite(finalDf, zcols, out,
             numFiles = long(l, "files", 16L).toInt,
             bits = long(l, "bits", 8L).toInt)
-        case None =>
+        case _ =>
           Graft.write(finalDf, out, topStr("output_mode", Some("parquet")))
       }
       if (audit) writeStats(out, stats, spark)

@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   *      `2^bits - 1` doubles per column, broadcast inside the literal;
   *      equi-depth, not min/max scaling, so skewed columns still fill
   *      the bucket space instead of collapsing into one cell);
-  *   2. per-row bucket ids via a codegen'd linear scan of the boundary
-  *      array (`aggregate` over an array literal — `2^bits` adds/row);
+  *   2. per-row bucket ids via a codegen'd balanced comparison tree
+  *      over the boundaries (`bits` comparisons/row/column);
   *   3. bit-interleave the bucket ids into one long, `repartitionByRange`
   *      on it (the only shuffle) + `sortWithinPartitions`, write.
   *
@@ -54,9 +54,9 @@ object Layout {
 
   /** Equi-depth bucket id of `c` against sorted `boundaries` (the
     * `1/n .. (n-1)/n` quantiles): the count of boundaries strictly below
-    * the value — 0 to boundaries.length inclusive. A codegen'd linear
-    * scan of the broadcast-literal array; nulls land in bucket 0, NaNs
-    * in the top bucket (Spark SQL orders NaN above every double). */
+    * the value — 0 to boundaries.length inclusive. Nulls land in
+    * bucket 0, NaNs in the top bucket (Spark SQL orders NaN above every
+    * double). */
   def equiDepthBucket(c: Column, boundaries: Array[Double]): Column = {
     require(boundaries.nonEmpty, "equiDepthBucket needs at least one boundary")
     val v = c.cast("double")
@@ -112,6 +112,11 @@ object Layout {
                   numFiles: Int, bits: Int = 8): Unit = {
     require(cols.nonEmpty, "zorderWrite needs at least one cluster column")
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    // scratch names must stay ours: a caller column named __zb_N or __z
+    // would be silently replaced and then dropped from the output
+    val clash = df.columns.filter(c => c == "__z" || c.startsWith("__zb_"))
+    require(clash.isEmpty,
+      s"zorderWrite: reserved column names in input (rename first): ${clash.mkString(", ")}")
     val bnds = bucketBoundaries(df, cols, bits)
     // bucket ids are STAGED as named columns and the Morton code
     // references the attributes — inlining the bucket expression into

@@ -229,7 +229,8 @@ object Temporal {
       s"rangeJoin: non-key columns shared by both sides (rename first): ${dup.mkString(", ")}")
     // the bin/rename scratch names must stay ours — silently overwriting
     // a caller column would return bin ids under the caller's name
-    val clash = points.columns.filter(c => c == "__pb" || c.startsWith("__i_")) ++
+    val clash = points.columns
+      .filter(c => c == "__pb" || c == "__ib" || c.startsWith("__i_")) ++
       intervals.columns.filter(_ == "__ib")
     require(clash.isEmpty,
       s"rangeJoin: reserved column names in input (rename first): ${clash.mkString(", ")}")
@@ -280,7 +281,8 @@ object Temporal {
       .intersect(right.columns.toSet.diff(keys.toSet))
     require(dup.isEmpty,
       s"intervalOverlapJoin: non-key columns shared by both sides (rename first): ${dup.mkString(", ")}")
-    val clash = left.columns.filter(c => c == "__lb" || c.startsWith("__r_")) ++
+    val clash = left.columns
+      .filter(c => c == "__lb" || c == "__rb" || c.startsWith("__r_")) ++
       right.columns.filter(_ == "__rb")
     require(clash.isEmpty,
       s"intervalOverlapJoin: reserved column names in input (rename first): ${clash.mkString(", ")}")
