@@ -68,6 +68,33 @@ class LayoutSpec extends SparkSpec {
     bnds.length shouldBe 1 // all 15 quantiles collapse to the single value
   }
 
+  behavior of "zorderWrite plan and guards"
+
+  it should "cluster with exactly one exchange (the range shuffle)" in {
+    val df = (0 until 1024).map(i => (i.toLong, (i * 7 % 64).toLong))
+      .toDF("x", "y")
+    val bnds = Layout.bucketBoundaries(df, Seq("x", "y"), bits = 4)
+    val staged = Seq("x", "y").zip(bnds).zipWithIndex.foldLeft(df) {
+      case (acc, ((c, b), i)) =>
+        acc.withColumn(s"__zb_$i", Layout.equiDepthBucket(col(c), b))
+    }
+    val clustered = staged
+      .withColumn("__z",
+        Layout.interleaveBits(Seq(col("__zb_0"), col("__zb_1")), 4))
+      .repartitionByRange(8, col("__z"))
+      .sortWithinPartitions("__z")
+    val physical = clustered.queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(physical).length shouldBe 1
+  }
+
+  it should "reject reserved scratch column names" in {
+    val df = Seq((1L, 2L)).toDF("x", "__z")
+    val e = intercept[IllegalArgumentException] {
+      Layout.zorderWrite(df, Seq("x"), "/tmp/never", numFiles = 2)
+    }
+    e.getMessage should include("__z")
+  }
+
   behavior of "zorderWrite locality"
 
   it should "keep every file a small rectangle in both dimensions" in {

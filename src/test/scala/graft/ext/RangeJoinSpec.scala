@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+// guard pins live at the bottom of this suite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -126,5 +127,22 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
+  }
+
+  it should "reject reserved scratch column names on either side" in {
+    import spark.implicits._
+    val pts = Seq((1L, 5.0, 7L)).toDF("k", "t", "__ib")
+    val ivsBad = Seq((1L, 0.0, 10.0)).toDF("k", "s", "e")
+    val e1 = intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(pts, ivsBad, Seq("k"), "t", "s", "e", 16.0)
+    }
+    e1.getMessage should include("__ib")
+    val lBad = Seq((1L, 0.0, 10.0, 2L)).toDF("k", "s", "e", "__rb")
+    val r = Seq((1L, 0.0, 10.0)).toDF("k", "b_s", "b_e")
+    val e2 = intercept[IllegalArgumentException] {
+      Temporal.intervalOverlapJoin(lBad, r, Seq("k"), "s", "e",
+        "b_s", "b_e", 16.0)
+    }
+    e2.getMessage should include("__rb")
   }
 }
