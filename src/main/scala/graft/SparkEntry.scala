@@ -1530,6 +1530,32 @@ object SparkEntry {
         .orderBy("win_start_us")
     }),
 
+    // Watermarked stream-stream interval join (clicks x purchase
+    // windows, BOTH sides real 4-trigger streams): buffered two-sided
+    // state must assemble exactly the pairs DuckDB's BETWEEN join
+    // produces — a REAL value oracle on the streaming engine's join,
+    // aggregated per click for an order-independent compare.
+    "stream_interval_join" -> ((s, d) => {
+      val ev = eventsUs(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("pts"))
+      val (ls, _) = stagedStream(s, clicks, nFiles = 4)
+      val (rs, _) = stagedStream(s, purchases, nFiles = 4)
+      val joined = graft.streaming.StreamOps.intervalJoin(ls, rs,
+        Seq("user_id"), "cts", "pts",
+        watermark = "3650 days", lower = "0 seconds", upper = "24 hours")
+      runStream(s, joined.select("event_id", "purchase_id", "pts"),
+          mode = "append")
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_in"),
+          sum(unix_micros(col("pts"))).as("sum_starts"))
+        .orderBy("event_id")
+    }),
+
     // flatMapGroupsWithState duplicate counter across 4 micro-batches:
     // the final per-fingerprint state must equal the batch groupBy —
     // n_seen accumulates across triggers (update-mode sink keeps every
@@ -2485,6 +2511,17 @@ object SparkEntry {
            |  CAST(COUNT(*) AS BIGINT) AS n_docs,
            |  ROUND(AVG(CAST(len($toks) AS DOUBLE)), 6) AS mean_tokens
            |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+      "stream_interval_join" ->
+        """WITH e AS (SELECT event_id, user_id, event_type,
+          |  epoch_us(ts) AS tu FROM events),
+          |c AS (SELECT event_id, user_id, tu FROM e WHERE event_type = 'click'),
+          |p AS (SELECT event_id AS purchase_id, user_id, tu AS w_start,
+          |  tu + 86400000000 AS w_end FROM e WHERE event_type = 'purchase')
+          |SELECT c.event_id, COUNT(*) AS n_in,
+          |  CAST(SUM(p.w_start) AS BIGINT) AS sum_starts
+          |FROM c JOIN p
+          |  ON c.user_id = p.user_id AND c.tu BETWEEN p.w_start AND p.w_end
+          |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
       "stream_dup_counts" ->
         """SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_fingerprints,
           |  CAST(COUNT(*) AS BIGINT) AS n_total,

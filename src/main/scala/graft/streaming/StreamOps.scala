@@ -168,6 +168,46 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events")): _*)
 
+  /** Watermarked stream-stream interval join — the streaming arm of
+    * [[graft.ext.Temporal.rangeJoin]]: every `left` row matched to every
+    * `right` row with equal `keys` and
+    * `rightTs + lower <= leftTs <= rightTs + upper` (inclusive; `lower`/
+    * `upper` are INTERVAL strings like "0 seconds" / "24 hours").
+    * Output = all `left` columns then all `right` columns except its
+    * keys — the [[graft.ext.Temporal.rangeJoin]] column contract.
+    *
+    * Both sides carry the SAME watermark delay, which is what bounds the
+    * join state: a buffered `right` row can be dropped once the
+    * watermark passes `rightTs + upper`, a `left` row once it passes
+    * `leftTs - lower` — Spark derives both bounds from the time-range
+    * condition, so state is O(rows per watermark horizon), never stream
+    * length. Batch-equal for inner semantics on data inside the horizon
+    * (spec-proven); late rows beyond the delay are dropped, which is the
+    * streaming contract, not a divergence. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, watermark: String,
+                   lower: String, upper: String): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one key column")
+    val dup = left.columns.toSet
+      .intersect(right.columns.toSet.diff(keys.toSet))
+    require(dup.isEmpty,
+      s"intervalJoin: non-key columns shared by both sides (rename first): ${dup.mkString(", ")}")
+    val l = left.withWatermark(leftTs, watermark)
+    // rename the right side wholesale so the condition resolves by name;
+    // watermark AFTER the rename — an alias mints a fresh attribute
+    // without the event-time tag (the dedupByContent lesson)
+    val r = right.select(right.columns.toIndexedSeq
+        .map(c => col(c).as(s"__r_$c")): _*)
+      .withWatermark(s"__r_$rightTs", watermark)
+    val cond = keys.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
+      col(leftTs) >= expr(s"`__r_$rightTs` + INTERVAL $lower") &&
+      col(leftTs) <= expr(s"`__r_$rightTs` + INTERVAL $upper")
+    val out = left.columns.toIndexedSeq.map(col) ++
+      right.columns.toIndexedSeq.filterNot(keys.contains)
+        .map(c => col(s"__r_$c").as(c))
+    l.join(r, cond, "inner").select(out: _*)
+  }
+
   /** CUSTOM-STATE example the built-in operators can't express: a running
     * per-content-fingerprint duplicate counter. Where `dedupByContent`
     * keeps first arrivals and drops the rest silently, this emits an

@@ -408,6 +408,44 @@ class StreamOpsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  behavior of "stream-stream interval join"
+
+  it should "match the batch range join across out-of-order micro-batches" in {
+    implicit val sc = spark.sqlContext
+    // clicks land in purchase windows [pts, pts + 10s]; deliver each side
+    // across two micro-batches with the LATER batch carrying earlier
+    // timestamps, so buffered state on both sides must produce the match
+    val clicks = Seq((1L, 100L, ts(15)), (2L, 100L, ts(25)),
+      (3L, 200L, ts(8)), (4L, 100L, ts(5)), (5L, 300L, ts(40)))
+    val purchases = Seq((10L, 100L, ts(10)), (11L, 200L, ts(5)),
+      (12L, 100L, ts(20)), (13L, 400L, ts(40)))
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      lIn.toDF().toDF("click_id", "user_id", "cts"),
+      rIn.toDF().toDF("purchase_id", "user_id", "pts"),
+      Seq("user_id"), "cts", "pts",
+      watermark = "1 hour", lower = "0 seconds", upper = "10 seconds")
+    val q = joined.writeStream.format("memory").queryName("s_ivj")
+      .outputMode("append").start()
+    lIn.addData(clicks.take(2)); rIn.addData(purchases.take(2))
+    q.processAllAvailable()
+    lIn.addData(clicks.drop(2)); rIn.addData(purchases.drop(2))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_ivj")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().sorted
+    val batch = graft.ext.Temporal.rangeJoin(
+        clicks.toDF("click_id", "user_id", "cts")
+          .selectExpr("click_id", "user_id", "unix_micros(cts) AS ctu"),
+        purchases.toDF("purchase_id", "user_id", "pts")
+          .selectExpr("purchase_id", "user_id", "unix_micros(pts) AS w_start",
+            "unix_micros(pts) + 10000000 AS w_end"),
+        Seq("user_id"), "ctu", "w_start", "w_end", binWidth = 10e6)
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().sorted
+    streamed shouldBe batch
+    streamed.length should be > 0
+  }
+
   it should "importance-score a stream exactly like the batch frozen-LM path" in {
     implicit val sc = spark.sqlContext
     val ref = Seq(

@@ -27,7 +27,11 @@ def main(sf_dir: str, out_dir: str) -> None:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (e.g. tools/ScaleUp output): a directory
+            # of part files rather than the driver's single file
+            p = os.path.join(p, "*.parquet")
+        if glob.glob(p) or os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
