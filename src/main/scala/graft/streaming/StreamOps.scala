@@ -183,11 +183,21 @@ object StreamOps {
     * condition, so state is O(rows per watermark horizon), never stream
     * length. Batch-equal for inner semantics on data inside the horizon
     * (spec-proven); late rows beyond the delay are dropped, which is the
-    * streaming contract, not a divergence. */
+    * streaming contract, not a divergence.
+    *
+    * `how` = "inner" (default) or "left_outer": outer emits an unmatched
+    * left row null-extended only once the WATERMARK passes its match
+    * window (the row is provably unmatchable from then on) — so outer
+    * results trail the watermark delay, and a finite run only flushes
+    * unmatched rows whose window the final watermark passed. That is
+    * Spark's outer-join contract, not an approximation. */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, watermark: String,
-                   lower: String, upper: String): DataFrame = {
+                   lower: String, upper: String,
+                   how: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "intervalJoin needs at least one key column")
+    require(how == "inner" || how == "left_outer",
+      s"how must be inner|left_outer, got $how")
     val dup = left.columns.toSet
       .intersect(right.columns.toSet.diff(keys.toSet))
     require(dup.isEmpty,
@@ -205,7 +215,7 @@ object StreamOps {
     val out = left.columns.toIndexedSeq.map(col) ++
       right.columns.toIndexedSeq.filterNot(keys.contains)
         .map(c => col(s"__r_$c").as(c))
-    l.join(r, cond, "inner").select(out: _*)
+    l.join(r, cond, how).select(out: _*)
   }
 
   /** CUSTOM-STATE example the built-in operators can't express: a running

@@ -446,6 +446,35 @@ class StreamOpsSpec extends SparkSpec {
     streamed.length should be > 0
   }
 
+  it should "flush unmatched left rows null-extended once the watermark passes (left_outer)" in {
+    implicit val sc = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Timestamp)]
+    val rIn = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      lIn.toDF().toDF("click_id", "user_id", "cts"),
+      rIn.toDF().toDF("purchase_id", "user_id", "pts"),
+      Seq("user_id"), "cts", "pts",
+      watermark = "5 seconds", lower = "0 seconds", upper = "10 seconds",
+      how = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("s_ivj_outer")
+      .outputMode("append").start()
+    // click 1 matches purchase 10; click 2 (user 999) can never match
+    lIn.addData((1L, 100L, ts(15)), (2L, 999L, ts(15)))
+    rIn.addData((10L, 100L, ts(10)))
+    q.processAllAvailable()
+    // the unmatched row flushes only once the watermark provably passes
+    // its match window: advance event time far beyond cts + upper + delay
+    lIn.addData((99L, 1L, ts(1000))); rIn.addData((98L, 1L, ts(1000)))
+    q.processAllAvailable()
+    lIn.addData((97L, 1L, ts(2000))); rIn.addData((96L, 1L, ts(2000)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("s_ivj_outer")
+      .select("click_id", "purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+    got(1L) shouldBe Some(10L)
+    got(2L) shouldBe None // null-extended after the watermark passed
+  }
+
   it should "importance-score a stream exactly like the batch frozen-LM path" in {
     implicit val sc = spark.sqlContext
     val ref = Seq(
