@@ -1230,6 +1230,7 @@ object SparkEntry {
            |  "output": "$out",
            |  "id_col": "doc_id", "text_col": "text",
            |  "audit": true,
+           |  "layout": {"zorder": ["shard", "doc_id"], "files": 4, "bits": 4},
            |  "stages": [
            |    {"op": "filter", "predicate": "lang = 'en'"},
            |    {"op": "normalize"},

@@ -152,6 +152,27 @@ class AvroIOSpec extends SparkSpec {
     df.agg(org.apache.spark.sql.functions.max("ts")).first().getLong(0) shouldBe viaTs
   }
 
+  it should "refuse INT96 timestamps with a clear message instead of mis-scaling" in {
+    // Spark's legacy INT96 parquet timestamps carry NO unit annotation —
+    // scaling one silently would corrupt every downstream epoch-math
+    // gate, so the reader must fail loudly (the ScaleUp lesson: a tool
+    // writing with the INT96 default broke 8 gates until pinned to
+    // TIMESTAMP_MICROS)
+    val dir = Files.createTempDirectory("int96_fix").toString + "/out"
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try Seq(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+      .toDF("ts").write.parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+    val e = intercept[IllegalArgumentException] {
+      GraftIO.readParquetTsAsMicros(spark, dir)
+    }
+    e.getMessage should include("INT96")
+  }
+
   it should "round-trip decimals via the Avro decimal logical type" in {
     val dir = Files.createTempDirectory("avro_dec").toString + "/out"
     val df = Seq("12345.67", "-0.01", "0.00")
