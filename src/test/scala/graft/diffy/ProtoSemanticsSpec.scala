@@ -96,4 +96,49 @@ class ProtoSemanticsSpec extends SparkSpec {
       ignore = Set("optional_nested_field")))
     res.deltas.count() shouldBe 0L
   }
+
+  behavior of "descriptor-shaped generation (the G3 role without a runtime)"
+
+  // The reference's protobufOf[TestRecord] + amend combinators
+  // (ratatool-scalacheck ProtoBufGeneratorTest.scala) exist to fabricate
+  // presence-tracked records for diff/sampler tests. RowGen over the
+  // descriptor-shaped schema carries that role here: nullable structs ARE
+  // the presence dimension, so schema-driven generation produces records
+  // with and without each message, and amend pins fields exactly like the
+  // reference's `protoBufOf[TestRecord].amend(...)`.
+  it should "generate presence-varied records and drive the presence differ" in {
+    import graft.gen.{Gen, RowGen}
+    val schema = implicitly[org.apache.spark.sql.Encoder[Rec]].schema
+    val g0 = RowGen.of(schema, noneFraction = 0.4, maxArrayLen = 3)
+    // amend the key to a bounded id so lhs/rhs correlate (amend2 shared key)
+    val pair = RowGen.amend2(g0, schema, g0, schema)(
+      ("k", "k", Gen.choose(0, 200).map(i => s"key_$i")))
+    val samples = (1 to 300).map(i => pair.sample(i.toLong))
+    // presence actually varies on the message field
+    val present = samples.count(_._1.getStruct(1) != null)
+    present should be > 30
+    present should be < 270
+    val lhs = spark.createDataFrame(
+      spark.sparkContext.parallelize(samples.map(_._1).distinct), schema)
+      .dropDuplicates("k")
+    val rhs = spark.createDataFrame(
+      spark.sparkContext.parallelize(samples.map(_._2).distinct), schema)
+      .dropDuplicates("k")
+    val res = BigDiffy.diff(lhs, rhs, Seq("k"), popts)
+    // the differ consumes generated presence-tracked rows end-to-end: the
+    // global view accounts for every key exactly once
+    val g = res.globalStats.first()
+    val total = g.getAs[Long]("num_same") + g.getAs[Long]("num_diff") +
+      g.getAs[Long]("num_missing_lhs") + g.getAs[Long]("num_missing_rhs")
+    val keys = lhs.select("k").unionByName(rhs.select("k")).distinct().count()
+    total shouldBe keys
+    // both-null message rows never contribute a presence delta
+    val bothNull = lhs.filter(col("optional_nested_field").isNull)
+      .join(rhs.filter(col("optional_nested_field").isNull), "k")
+      .select("k").as[String].collect().toSet
+    val presenceDeltaKeys = res.deltas
+      .filter(col("field") === "optional_nested_field")
+      .select("key").as[String].collect().toSet
+    presenceDeltaKeys.intersect(bothNull) shouldBe empty
+  }
 }
