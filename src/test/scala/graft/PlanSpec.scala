@@ -298,4 +298,22 @@ class PlanSpec extends SparkSpec {
       plan(r.fieldStats()) should include("InMemoryTableScan")
     } finally r.unpersist()
   }
+
+  // Directory partitioning (the engine's analog of the reference's BQ
+  // time-partitioned sinks, written via `graft convert --partition-by`):
+  // a filter on the partition column must become a PARTITION filter —
+  // directories never listed — not a row-level PushedFilter evaluated
+  // after reading every file. At 100 TB this is the difference between
+  // scanning one day and scanning the lake.
+  "a partitioned parquet layout" should "prune partitions at the scan, not post-filter" in {
+    val dir = java.nio.file.Files
+      .createTempDirectory("plan_part").toString + "/out"
+    spark.range(1000)
+      .selectExpr("id", "CAST(id % 10 AS INT) AS p")
+      .write.partitionBy("p").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("p") === 3)
+    val scan = plan(q)
+    scan should include regex "PartitionFilters: \\[.*p.* = 3.*\\]"
+    q.count() shouldBe 100L
+  }
 }
