@@ -211,7 +211,13 @@ object Temporal {
     * bound = one (key, bin) cell's points x intervals. Pick `binWidth`
     * near the typical interval length — larger wastes post-filtered
     * pairs inside a cell, smaller multiplies interval copies; either
-    * degrades linearly, never to a nested loop. Null keys, null/NaN
+    * degrades linearly, never to a nested loop. Intervals touching more
+    * than `maxBinsPerInterval` bins (default 4096 — a mis-chosen
+    * binWidth or one pathological row) are routed around the explode
+    * entirely: broadcast against the points' distinct (key, bin) set,
+    * so a single million-bin interval costs O(bins with data), never
+    * O(span/binWidth) rows, and no single row can sink the job.
+    * Null keys, null/NaN
     * endpoints, and empty intervals (end < start) never match (SQL
     * semantics); under "left" such points still surface null-extended.
     * Endpoint columns must cast to double losslessly (timestamps, or
@@ -219,10 +225,13 @@ object Temporal {
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
                 ptCol: String, startCol: String, endCol: String,
-                binWidth: Double, how: String = "inner"): DataFrame = {
+                binWidth: Double, how: String = "inner",
+                maxBinsPerInterval: Long = 4096L): DataFrame = {
     require(keys.nonEmpty, "rangeJoin needs at least one key column")
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(how == "inner" || how == "left", s"how must be inner|left, got $how")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval must be >= 1, got $maxBinsPerInterval")
     val dup = points.columns.toSet
       .intersect(intervals.columns.toSet.diff(keys.toSet))
     require(dup.isEmpty,
@@ -230,7 +239,8 @@ object Temporal {
     // the bin/rename scratch names must stay ours — silently overwriting
     // a caller column would return bin ids under the caller's name
     val clash = points.columns
-      .filter(c => c == "__pb" || c == "__ib" || c.startsWith("__i_")) ++
+      .filter(c => c == "__pb" || c == "__pb0" || c == "__ib" ||
+        c.startsWith("__i_")) ++
       intervals.columns.filter(_ == "__ib")
     require(clash.isEmpty,
       s"rangeJoin: reserved column names in input (rename first): ${clash.mkString(", ")}")
@@ -241,12 +251,39 @@ object Temporal {
     // drops them, which IS their match semantics. The interval side is
     // renamed wholesale (`__i_*`) so the join condition resolves by name
     // even when both sides share lineage (a self-derived gate query).
+    //
+    // OVERSIZED intervals (touching > maxBinsPerInterval bins — a
+    // mis-chosen binWidth, or one pathological row in real data) never
+    // reach the explode: copied per-bin, a single interval spanning 1e9
+    // bins would materialize 1e9 rows and kill the job. They instead
+    // join against the points' DISTINCT (key, bin) set — bounded by data
+    // actually present, not by interval length — and their copies feed
+    // the same single downstream join, so inner/left semantics are
+    // identical on both routes. The oversized set is broadcast (if it
+    // were not small, the binWidth is wrong by construction), and the
+    // distinct pass is semi-filtered to oversized KEYS first so the
+    // common no-oversized-rows case shuffles nothing.
     val sd = col(startCol).cast("double"); val ed = col(endCol).cast("double")
-    val ix = intervals
-      .withColumn("__ib", explode(when(!isnan(sd) && !isnan(ed) && sd <= ed,
+    val valid = !isnan(sd) && !isnan(ed) && sd <= ed
+    val nBins = bin(col(endCol)) - bin(col(startCol)) + 1L
+    val isBig = coalesce(valid && nBins > maxBinsPerInterval, lit(false))
+    val iCols = intervals.columns.toIndexedSeq
+    val ixRegular = intervals.filter(!isBig)
+      .withColumn("__ib", explode(when(valid,
         sequence(bin(col(startCol)), bin(col(endCol))))))
-      .select(col("__ib") +:
-        intervals.columns.toIndexedSeq.map(c => col(c).as(s"__i_$c")): _*)
+      .select(col("__ib") +: iCols.map(c => col(c).as(s"__i_$c")): _*)
+    val big = intervals.filter(isBig)
+    val pBins = points
+      .select(keys.map(col) :+ bin(col(ptCol)).as("__pb0"): _*)
+      .join(broadcast(big.select(keys.map(col): _*).distinct()), keys, "left_semi")
+      .distinct()
+    val ixBig = pBins
+      .join(broadcast(big.select(iCols.map(c => col(c).as(s"__i_$c")): _*)),
+        keys.map(c => col(c) === col(s"__i_$c")).reduce(_ && _) &&
+          col("__pb0") >= bin(col(s"__i_$startCol")) &&
+          col("__pb0") <= bin(col(s"__i_$endCol")), "inner")
+      .select(col("__pb0").as("__ib") +: iCols.map(c => col(s"__i_$c")): _*)
+    val ix = ixRegular.unionByName(ixBig)
     val px = points.withColumn("__pb", bin(col(ptCol)))
 
     val cond = keys.map(c => col(c) === col(s"__i_$c"))
@@ -270,13 +307,20 @@ object Temporal {
     * responsibility — only the FIRST bin the two intervals share (the
     * later of the two start bins, which any overlapping pair provably
     * shares) counts the match, so no distinct pass over the output.
+    * Intervals touching more than `maxBinsPerInterval` bins bypass the
+    * explode through broadcast side-joins (pair space partitioned
+    * exactly once across the routes) — the same no-single-row-can-sink-
+    * the-job contract as [[rangeJoin]].
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                           lStart: String, lEnd: String,
                           rStart: String, rEnd: String,
-                          binWidth: Double): DataFrame = {
+                          binWidth: Double,
+                          maxBinsPerInterval: Long = 4096L): DataFrame = {
     require(keys.nonEmpty, "intervalOverlapJoin needs at least one key column")
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval must be >= 1, got $maxBinsPerInterval")
     val dup = left.columns.toSet
       .intersect(right.columns.toSet.diff(keys.toSet))
     require(dup.isEmpty,
@@ -287,26 +331,64 @@ object Temporal {
     require(clash.isEmpty,
       s"intervalOverlapJoin: reserved column names in input (rename first): ${clash.mkString(", ")}")
     def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
-    def expl(df: DataFrame, s: String, e: String, b: String): DataFrame = {
+    def validOf(s: String, e: String): Column = {
       val sd = col(s).cast("double"); val ed = col(e).cast("double")
-      val valid = !isnan(sd) && !isnan(ed) && sd <= ed
-      df.withColumn(b, explode(when(valid, sequence(bin(col(s)), bin(col(e))))))
+      !isnan(sd) && !isnan(ed) && sd <= ed
     }
-    val lx = expl(left, lStart, lEnd, "__lb")
-    val rx0 = expl(right, rStart, rEnd, "__rb")
+    def bigOf(s: String, e: String): Column = coalesce(
+      validOf(s, e) && (bin(col(e)) - bin(col(s)) + 1L) > maxBinsPerInterval,
+      lit(false))
+    def expl(df: DataFrame, s: String, e: String, b: String): DataFrame =
+      df.withColumn(b,
+        explode(when(validOf(s, e), sequence(bin(col(s)), bin(col(e))))))
+    val rCols = right.columns.toIndexedSeq
     // right side renamed wholesale so the condition resolves by name under
     // shared lineage (the self-overlap case)
-    val rx = rx0.select(col("__rb") +:
-      right.columns.toIndexedSeq.map(c => col(c).as(s"__r_$c")): _*)
-    val cond = keys.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
-      (col("__lb") === col("__rb")) &&
+    def renameR(df: DataFrame): DataFrame =
+      df.select(rCols.map(c => col(c).as(s"__r_$c")): _*)
+    val overlapCond = keys.map(c => col(c) === col(s"__r_$c")).reduce(_ && _) &&
       col(lStart).cast("double") <= col(s"__r_$rEnd").cast("double") &&
-      col(s"__r_$rStart").cast("double") <= col(lEnd).cast("double") &&
-      // responsibility: count the pair only in the later start bin
-      (col("__lb") === greatest(bin(col(lStart)), bin(col(s"__r_$rStart"))))
+      col(s"__r_$rStart").cast("double") <= col(lEnd).cast("double")
     val out = left.columns.toIndexedSeq.map(col) ++
-      right.columns.toIndexedSeq.filterNot(keys.contains)
-        .map(c => col(s"__r_$c").as(c))
-    lx.join(rx, cond, "inner").select(out: _*)
+      rCols.filterNot(keys.contains).map(c => col(s"__r_$c").as(c))
+
+    // OVERSIZED intervals (> maxBinsPerInterval bins) never reach the
+    // explode — a single pathological row would otherwise materialize
+    // span/binWidth copies. Pair space partitions exactly once:
+    //   regular x regular -> the binned equi-join (bin responsibility)
+    //   big x all-right   -> broadcast inner join, plain overlap check
+    //   regular x big     -> broadcast inner join, plain overlap check
+    // The big sets broadcast: if they were not small, binWidth is wrong
+    // by construction. Inner semantics, so no null-extension reconciles
+    // across routes.
+    val lBig = bigOf(lStart, lEnd)
+    val rBigRenamed = coalesce(
+      validOf(s"__r_$rStart", s"__r_$rEnd") &&
+        (bin(col(s"__r_$rEnd")) - bin(col(s"__r_$rStart")) + 1L) >
+          maxBinsPerInterval,
+      lit(false))
+    val lR = left.filter(!lBig); val lO = left.filter(lBig)
+    val rAll = renameR(right)
+    val rR = rAll.filter(!rBigRenamed); val rO = rAll.filter(rBigRenamed)
+
+    val lx = expl(lR, lStart, lEnd, "__lb")
+    val rx = rR
+      .withColumn("__rb", explode(when(
+        validOf(s"__r_$rStart", s"__r_$rEnd"),
+        sequence(bin(col(s"__r_$rStart")), bin(col(s"__r_$rEnd"))))))
+    val binned = lx.join(rx,
+      overlapCond && (col("__lb") === col("__rb")) &&
+        // responsibility: count the pair only in the later start bin
+        (col("__lb") === greatest(bin(col(lStart)), bin(col(s"__r_$rStart")))),
+      "inner").select(out: _*)
+    val bigLeft = broadcast(lO)
+      .join(rAll.filter(coalesce(
+        validOf(s"__r_$rStart", s"__r_$rEnd"), lit(false))),
+        overlapCond, "inner")
+      .select(out: _*)
+    val bigRight = lR.filter(validOf(lStart, lEnd))
+      .join(broadcast(rO), overlapCond, "inner")
+      .select(out: _*)
+    binned.unionByName(bigLeft).unionByName(bigRight)
   }
 }

@@ -129,6 +129,55 @@ class RangeJoinSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  it should "route oversized intervals around the explode and stay exact" in {
+    // tiny bin width + a low cap: most random intervals (len up to ~60)
+    // now touch > 4 one-wide bins and take the broadcast side path;
+    // parity with brute force must be unaffected for inner AND left
+    for (how <- Seq("inner", "left")) {
+      val got = Temporal.rangeJoin(pts, ivs, Seq("k"), "t", "s", "e",
+          binWidth = 1.0, how = how, maxBinsPerInterval = 4L)
+        .select("pid", "iid")
+      withClue(s"how=$how: ") {
+        sortedPairs(got) shouldBe sortedPairs(bruteRange(how))
+      }
+    }
+    // a single pathological interval spanning 1e7 bins must not
+    // materialize 1e7 copies: with the cap it joins the points' distinct
+    // bins instead — the query completes instantly and matches brute force
+    val monster = ivs.unionByName(
+      Seq((9999L, 1L, -5e6, 5e6)).toDF("iid", "k", "s", "e"))
+    val got = Temporal.rangeJoin(pts, monster, Seq("k"), "t", "s", "e",
+        binWidth = 1.0, maxBinsPerInterval = 64L)
+      .select("pid", "iid")
+    val brute = pts.crossJoin(monster.select(col("iid"), col("k").as("k2"),
+        col("s"), col("e")))
+      .filter(col("k") === col("k2") && col("t") >= col("s") &&
+        col("t") <= col("e"))
+      .select(col("pid"), col("iid"))
+    sortedPairs(got) shouldBe sortedPairs(brute)
+  }
+
+  it should "route oversized intervals in the overlap join exactly once" in {
+    // cap low enough that some random intervals are 'big' on either side,
+    // plus one monster on each side: pair responsibility must still emit
+    // every overlapping pair exactly once
+    val a = ivs.unionByName(Seq((8888L, 2L, -1e6, 1e6)).toDF("iid", "k", "s", "e"))
+    val b0 = a.select(col("iid").as("b_iid"), col("k"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    val got = Temporal.intervalOverlapJoin(a, b0, Seq("k"),
+        "s", "e", "b_s", "b_e", binWidth = 1.0, maxBinsPerInterval = 8L)
+      .filter(col("iid") < col("b_iid"))
+      .select(col("iid"), col("b_iid"))
+    val brute = a.crossJoin(a.select(col("iid").as("jid"), col("k").as("k2"),
+        col("s").as("s2"), col("e").as("e2")))
+      .filter(col("k") === col("k2") && col("s") <= col("e2") &&
+        col("s2") <= col("e") &&
+        col("s") <= col("e") && col("s2") <= col("e2") && // valid only
+        col("iid") < col("jid"))
+      .select(col("iid"), col("jid"))
+    sortedPairs(got) shouldBe sortedPairs(brute)
+  }
+
   it should "reject reserved scratch column names on either side" in {
     import spark.implicits._
     val pts = Seq((1L, 5.0, 7L)).toDF("k", "t", "__ib")
