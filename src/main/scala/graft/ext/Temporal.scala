@@ -265,25 +265,38 @@ object Temporal {
     // common no-oversized-rows case shuffles nothing.
     val sd = col(startCol).cast("double"); val ed = col(endCol).cast("double")
     val valid = !isnan(sd) && !isnan(ed) && sd <= ed
-    val nBins = bin(col(endCol)) - bin(col(startCol)) + 1L
-    val isBig = coalesce(valid && nBins > maxBinsPerInterval, lit(false))
+    // bigness test in DOUBLE: bin() saturates at Long.MaxValue for huge
+    // endpoints (incl. +Infinity, which passes `valid`), and a LONG
+    // `bin(e) - bin(s) + 1` would overflow negative there and route the
+    // very rows this guard exists for back into the explode. Double
+    // subtraction never overflows; `diff >= max` == `diff + 1 > max`.
+    val isBig = coalesce(valid &&
+      (bin(col(endCol)).cast("double") - bin(col(startCol)).cast("double")
+        >= maxBinsPerInterval.toDouble), lit(false))
     val iCols = intervals.columns.toIndexedSeq
     val ixRegular = intervals.filter(!isBig)
       .withColumn("__ib", explode(when(valid,
         sequence(bin(col(startCol)), bin(col(endCol))))))
       .select(col("__ib") +: iCols.map(c => col(c).as(s"__i_$c")): _*)
     val big = intervals.filter(isBig)
-    val pBins = points
-      .select(keys.map(col) :+ bin(col(ptCol)).as("__pb0"): _*)
-      .join(broadcast(big.select(keys.map(col): _*).distinct()), keys, "left_semi")
-      .distinct()
-    val ixBig = pBins
-      .join(broadcast(big.select(iCols.map(c => col(c).as(s"__i_$c")): _*)),
-        keys.map(c => col(c) === col(s"__i_$c")).reduce(_ && _) &&
-          col("__pb0") >= bin(col(s"__i_$startCol")) &&
-          col("__pb0") <= bin(col(s"__i_$endCol")), "inner")
-      .select(col("__pb0").as("__ib") +: iCols.map(c => col(s"__i_$c")): _*)
-    val ix = ixRegular.unionByName(ixBig)
+    // driver-side short circuit: with no oversized rows (the common,
+    // well-tuned case) the side route would still cost a full extra scan
+    // of points; one tiny probe job on the (filtered) intervals side
+    // keeps the plan single-scan there
+    val hasBig = !big.limit(1).isEmpty
+    val ix = if (!hasBig) ixRegular else {
+      val pBins = points
+        .select(keys.map(col) :+ bin(col(ptCol)).as("__pb0"): _*)
+        .join(broadcast(big.select(keys.map(col): _*).distinct()), keys, "left_semi")
+        .distinct()
+      val ixBig = pBins
+        .join(broadcast(big.select(iCols.map(c => col(c).as(s"__i_$c")): _*)),
+          keys.map(c => col(c) === col(s"__i_$c")).reduce(_ && _) &&
+            col("__pb0") >= bin(col(s"__i_$startCol")) &&
+            col("__pb0") <= bin(col(s"__i_$endCol")), "inner")
+        .select(col("__pb0").as("__ib") +: iCols.map(c => col(s"__i_$c")): _*)
+      ixRegular.unionByName(ixBig)
+    }
     val px = points.withColumn("__pb", bin(col(ptCol)))
 
     val cond = keys.map(c => col(c) === col(s"__i_$c"))
@@ -335,8 +348,11 @@ object Temporal {
       val sd = col(s).cast("double"); val ed = col(e).cast("double")
       !isnan(sd) && !isnan(ed) && sd <= ed
     }
+    // DOUBLE subtraction: a LONG bin diff overflows on saturated bins
+    // (huge/infinite endpoints) — the rangeJoin isBig rationale
     def bigOf(s: String, e: String): Column = coalesce(
-      validOf(s, e) && (bin(col(e)) - bin(col(s)) + 1L) > maxBinsPerInterval,
+      validOf(s, e) && (bin(col(e)).cast("double") - bin(col(s)).cast("double")
+        >= maxBinsPerInterval.toDouble),
       lit(false))
     def expl(df: DataFrame, s: String, e: String, b: String): DataFrame =
       df.withColumn(b,
@@ -362,14 +378,14 @@ object Temporal {
     // by construction. Inner semantics, so no null-extension reconciles
     // across routes.
     val lBig = bigOf(lStart, lEnd)
-    val rBigRenamed = coalesce(
-      validOf(s"__r_$rStart", s"__r_$rEnd") &&
-        (bin(col(s"__r_$rEnd")) - bin(col(s"__r_$rStart")) + 1L) >
-          maxBinsPerInterval,
-      lit(false))
+    val rBigRenamed = bigOf(s"__r_$rStart", s"__r_$rEnd")
     val lR = left.filter(!lBig); val lO = left.filter(lBig)
     val rAll = renameR(right)
     val rR = rAll.filter(!rBigRenamed); val rO = rAll.filter(rBigRenamed)
+    // driver-side short circuit per side — the broadcast routes are free
+    // to skip when no row qualifies (the rangeJoin rationale)
+    val hasLBig = !lO.limit(1).isEmpty
+    val hasRBig = !rO.limit(1).isEmpty
 
     val lx = expl(lR, lStart, lEnd, "__lb")
     val rx = rR
@@ -381,14 +397,17 @@ object Temporal {
         // responsibility: count the pair only in the later start bin
         (col("__lb") === greatest(bin(col(lStart)), bin(col(s"__r_$rStart")))),
       "inner").select(out: _*)
-    val bigLeft = broadcast(lO)
-      .join(rAll.filter(coalesce(
-        validOf(s"__r_$rStart", s"__r_$rEnd"), lit(false))),
-        overlapCond, "inner")
-      .select(out: _*)
-    val bigRight = lR.filter(validOf(lStart, lEnd))
-      .join(broadcast(rO), overlapCond, "inner")
-      .select(out: _*)
-    binned.unionByName(bigLeft).unionByName(bigRight)
+    var result = binned
+    if (hasLBig) result = result.unionByName(
+      broadcast(lO)
+        .join(rAll.filter(coalesce(
+          validOf(s"__r_$rStart", s"__r_$rEnd"), lit(false))),
+          overlapCond, "inner")
+        .select(out: _*))
+    if (hasRBig) result = result.unionByName(
+      lR.filter(validOf(lStart, lEnd))
+        .join(broadcast(rO), overlapCond, "inner")
+        .select(out: _*))
+    result
   }
 }

@@ -202,6 +202,10 @@ object StreamOps {
       .intersect(right.columns.toSet.diff(keys.toSet))
     require(dup.isEmpty,
       s"intervalJoin: non-key columns shared by both sides (rename first): ${dup.mkString(", ")}")
+    // the wholesale __r_* rename must stay ours (the batch joins' guard)
+    val clash = left.columns.filter(_.startsWith("__r_"))
+    require(clash.isEmpty,
+      s"intervalJoin: reserved column names in input (rename first): ${clash.mkString(", ")}")
     val l = left.withWatermark(leftTs, watermark)
     // rename the right side wholesale so the condition resolves by name;
     // watermark AFTER the rename — an alias mints a fresh attribute

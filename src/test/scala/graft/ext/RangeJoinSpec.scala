@@ -144,8 +144,13 @@ class RangeJoinSpec extends SparkSpec {
     // a single pathological interval spanning 1e7 bins must not
     // materialize 1e7 copies: with the cap it joins the points' distinct
     // bins instead — the query completes instantly and matches brute force
+    // the +Infinity / huge-endpoint rows are the overflow regression: bin()
+    // saturates at Long.MaxValue there, and a LONG bin-count would
+    // overflow negative and dodge the guard straight into the explode
     val monster = ivs.unionByName(
-      Seq((9999L, 1L, -5e6, 5e6)).toDF("iid", "k", "s", "e"))
+      Seq((9999L, 1L, -5e6, 5e6),
+        (9998L, 2L, 0.0, Double.PositiveInfinity),
+        (9997L, 3L, -1e300, 1e300)).toDF("iid", "k", "s", "e"))
     val got = Temporal.rangeJoin(pts, monster, Seq("k"), "t", "s", "e",
         binWidth = 1.0, maxBinsPerInterval = 64L)
       .select("pid", "iid")

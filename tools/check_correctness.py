@@ -29,9 +29,17 @@ def main(sf_dir: str, out_dir: str) -> None:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
             # Spark-written table (e.g. tools/ScaleUp output): a directory
-            # of part files rather than the driver's single file
-            p = os.path.join(p, "*.parquet")
-        if glob.glob(p) or os.path.exists(p):
+            # of part files — possibly nested key=value subdirs when
+            # written with partitionBy, hence the recursive glob +
+            # hive_partitioning (which also restores partition columns)
+            pat = os.path.join(p, "**", "*.parquet")
+            if not glob.glob(pat, recursive=True):
+                raise SystemExit(
+                    f"table dir {p} exists but contains no parquet files")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{pat}', hive_partitioning=true)")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
