@@ -91,6 +91,11 @@ object GraftExtensions {
       "jaccard_sorted(a, b) - exact jaccard of two sorted long arrays") {
       args => JaccardSorted(args(0), args(1))
     }
+    register("script_tokens",
+      "script_tokens(text) - whitespace words plus per-code-point tokens " +
+        "for no-whitespace scripts (Han/Kana/Thai/...)") {
+      args => ScriptTokensExpr(args.head)
+    }
     out.result()
   }
 }

@@ -49,6 +49,12 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
     r.getDouble(3) shouldBe 1.0 +- 1e-12
   }
 
+  it should "segment mixed-script text through script_tokens in SQL" in {
+    val r = spark.sql(
+      "SELECT script_tokens('Hello 你好 world') AS t").head()
+    r.getSeq[String](0) shouldBe Seq("Hello", "你", "好", "world")
+  }
+
   it should "reject non-literal parameters with a clear error" in {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash(shingle_hashes('x', 5), id) FROM range(1)").collect()
