@@ -1729,9 +1729,14 @@ object SparkEntry {
         """SELECT lang, source, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
           |  CAST(COUNT(*) AS BIGINT) AS dup_count
           |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+      // computed FROM the data, not from a dup-free assumption: the
+      // driver corpus happens to be all-distinct, but a scaled corpus
+      // (tools/ScaleUp) can carry legitimate duplicate texts and the
+      // gate must stay oracle-true there
       "dedup_fingerprint" ->
-        """SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_groups,
-          |  CAST(1 AS BIGINT) AS max_dup FROM documents""".stripMargin,
+        """WITH g AS (SELECT text, COUNT(*) AS c FROM documents GROUP BY text)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+          |  CAST(MAX(c) AS BIGINT) AS max_dup FROM g""".stripMargin,
       "self_repeats" ->
         """SELECT doc_id FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""",
       // the planted-pair list: (10j, 10j+5) docs share their unique span
@@ -2126,9 +2131,12 @@ object SparkEntry {
           |    'https?://[^ \t\n\r\f]+', '<URL>', 'g'),
           |    '\+?\d[\d \t\n\r\f().-]{7,}\d', '<PHONE>', 'g') AS redacted
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // n_distinct replicates the fingerprint's normalization (lower +
+      // whitespace collapse) instead of assuming an all-distinct corpus
       "text_fingerprint" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-          |  CAST(COUNT(*) AS BIGINT) AS n_distinct FROM documents""".stripMargin,
+          |  CAST(COUNT(DISTINCT lower(regexp_replace(text, '\s+', ' ', 'g'))) AS BIGINT)
+          |    AS n_distinct FROM documents""".stripMargin,
       "top_keywords" ->
         s"""WITH tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM
            |    (SELECT doc_id, unnest($lowToks) AS w

@@ -63,10 +63,19 @@ object Pack {
     val nParts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val tok = col(tokenCol).cast("long")
+    // PINNED (eager localCheckpoint): the per-partition totals below and
+    // the final pass must see the SAME physical partitioning, and
+    // repartitionByRange re-SAMPLES its boundaries on every evaluation —
+    // at small SFs the two samplings happened to coincide, but the sf1
+    // oracle run caught offsets computed for one partitioning applied to
+    // another (globally inconsistent sequence ids; span mass preserved,
+    // order broken). The pinned projection is (id, order, token) only —
+    // a few dozen bytes per document, not the corpus.
     val proj = df.select((idCol +: ord).distinct.map(col) :+ tok.as("__tok"): _*)
       .filter(col("__tok").isNotNull && col("__tok") > 0)
       .repartitionByRange(nParts, ord.map(col): _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
 
     // per-partition totals: #partitions rows to the driver, cumulated
     // into EXCLUSIVE per-partition offsets, broadcast back
