@@ -260,15 +260,20 @@ class PlanSpec extends SparkSpec {
     p should not include "Exchange SinglePartition"
   }
 
-  "sequence packing" should "range-partition for the prefix sum and broadcast the offsets" in {
+  "sequence packing" should "pin the range partitioning once and broadcast the offsets" in {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), ext.TextAnalysis.tokenCount(col("text")).as("n"))
     val packed = ext.Pack.packSequences(docs, "doc_id", "n", 512L)
     val p = plan(packed)
-    // the global offset must come from range partitions + a broadcast
-    // prefix table — one range exchange, NO single-partition window (the
-    // naive global running sum would funnel the corpus through one task)
-    p should include("Exchange rangepartitioning")
+    // the range partitioning runs INSIDE the pinned (localCheckpoint'd)
+    // projection — both the totals pass and this final pass must see the
+    // same physical layout (repartitionByRange re-samples per evaluation;
+    // the sf1 oracle run caught the unpinned double evaluation), so the
+    // downstream plan reads the materialized RDD rather than re-ranging
+    p should include("Scan ExistingRDD")
+    p should not include "Exchange rangepartitioning"
+    // offsets arrive broadcast; NO single-partition window (the naive
+    // global running sum would funnel the corpus through one task)
     p should include("BroadcastHashJoin")
     p should not include "Exchange SinglePartition"
   }
