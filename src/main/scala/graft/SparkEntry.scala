@@ -1439,6 +1439,50 @@ object SparkEntry {
           (col("zy") < col("sy") * 0.7).as("beats_single_sort_offdim"))
     }),
 
+    // ---- bucketed tables: storage-side shuffle elimination ----
+    // Both fact tables written hash-bucketed on the join key
+    // (sources/Bucketed.scala): the sort-merge join then reads bucket i
+    // of both sides in one task — ZERO exchange on a fact-fact join (the
+    // single biggest shuffle saving available at 100 TB; the `merge`
+    // hint keeps the demonstration honest at test scale, where both
+    // sides would otherwise broadcast). The verdict columns are computed
+    // from the PHYSICAL PLAN: `colocated` = no shuffle exchange anywhere
+    // in the join plan, `bucket_pruned` = an equality filter on the
+    // bucket key plans a 1-of-8-buckets scan. Values pin to DuckDB
+    // running the same join on the unbucketed originals — bucketing must
+    // never change results.
+    "bucketed_join" -> ((s, d) => {
+      val tmp = sessionTempDir("graft_bucketed")
+      val ob = graft.sources.Bucketed.writeBucketed(
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        "graft_orders_b", s"$tmp/orders", buckets = 8, keys = Seq("o_orderkey"))
+      val lb = graft.sources.Bucketed.writeBucketed(
+        t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_lineitem_b", s"$tmp/lineitem", buckets = 8, keys = Seq("l_orderkey"))
+      val joined = lb.hint("merge")
+        .join(ob, col("l_orderkey") === col("o_orderkey"))
+      val colocated = !joined.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning")
+      // scoped planning-only flip: autoBucketedScan turns bucketed
+      // reading off for a bare filter scan (no join/agg interest), which
+      // also suppresses bucket pruning; executedPlan is forced INSIDE
+      // the block, then the session conf is restored
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned =
+        try ob.filter(col("o_orderkey") === 7L)
+          .queryExecution.executedPlan.toString
+          .contains("SelectedBucketsCount: 1 out of 8")
+        finally s.conf
+          .unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .withColumn("colocated", lit(colocated))
+        .withColumn("bucket_pruned", lit(pruned))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- mergeable sketches (the 100 TB COUNT DISTINCT / quantile path) ----
     // HLL++ distinct counts per group next to the exact answer: the gate
     // pins the exact counts to DuckDB AND asserts the sketch landed
@@ -2498,6 +2542,13 @@ object SparkEntry {
           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
           |  true AS both_dims_local, true AS beats_single_sort_offdim
           |FROM lineitem""".stripMargin,
+      "bucketed_join" ->
+        """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  ROUND(CAST(SUM(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2)
+          |    AS revenue,
+          |  true AS colocated, true AS bucket_pruned
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "approx_distinct_tol" ->
         """SELECT l_returnflag,
           |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
