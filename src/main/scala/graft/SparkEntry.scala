@@ -1483,6 +1483,48 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // KMV (k-minimum-values) sketch overlap: the mergeable-sketch member
+    // HLL can't replace — a KMV sketch is a uniform sample of the
+    // distinct-hash space, so two sketches estimate INTERSECTION and
+    // Jaccard (corpus overlap: "how many orderkeys does slice A share
+    // with slice B"), not just union. Both sketches + all three exact
+    // counts come from ONE scan (conditional inputs into the same agg);
+    // the exacts pin to DuckDB, the estimates must land inside fixed
+    // tolerance bands (deterministic — the only randomness is xxhash64).
+    // At sf0.001 the sets sit under k (sketch = exact hash set); above
+    // it the estimator regime is exercised.
+    "kmv_overlap" -> ((s, d) => {
+      val k = 1024
+      val key = col("l_orderkey")
+      val inA = key % 3 =!= 0
+      val inB = key % 2 =!= 0
+      val h = xxhash64(key)
+      val est = udf((a: Seq[Long], b: Seq[Long]) => {
+        val (inter, _, uni) =
+          graft.ext.Sketches.overlap(a.toArray, b.toArray, k)
+        Seq(graft.ext.Sketches.estimate(a.toArray, k),
+          graft.ext.Sketches.estimate(b.toArray, k), inter, uni)
+      })
+      t(s, d, "lineitem")
+        .agg(
+          graft.ext.Sketches.kmvSketch(when(inA, h), k).as("ska"),
+          graft.ext.Sketches.kmvSketch(when(inB, h), k).as("skb"),
+          countDistinct(when(inA, key)).as("n_a"),
+          countDistinct(when(inB, key)).as("n_b"),
+          countDistinct(when(inA && inB, key)).as("n_ab"))
+        .withColumn("e", est(col("ska"), col("skb")))
+        .select(col("n_a"), col("n_b"), col("n_ab"),
+          (abs(col("e")(0) - col("n_a")) <=
+            greatest(col("n_a") * 0.15, lit(8.0))).as("a_ok"),
+          (abs(col("e")(1) - col("n_b")) <=
+            greatest(col("n_b") * 0.15, lit(8.0))).as("b_ok"),
+          (abs(col("e")(2) - col("n_ab")) <=
+            greatest(col("n_ab") * 0.25, lit(16.0))).as("inter_ok"),
+          (abs(col("e")(3) - (col("n_a") + col("n_b") - col("n_ab"))) <=
+            greatest((col("n_a") + col("n_b") - col("n_ab")) * 0.15,
+              lit(8.0))).as("union_ok"))
+    }),
+
     // ---- mergeable sketches (the 100 TB COUNT DISTINCT / quantile path) ----
     // HLL++ distinct counts per group next to the exact answer: the gate
     // pins the exact counts to DuckDB AND asserts the sketch landed
@@ -2549,6 +2591,16 @@ object SparkEntry {
           |  true AS colocated, true AS bucket_pruned
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "kmv_overlap" ->
+        """SELECT
+          |  CAST(COUNT(DISTINCT CASE WHEN l_orderkey % 3 <> 0
+          |    THEN l_orderkey END) AS BIGINT) AS n_a,
+          |  CAST(COUNT(DISTINCT CASE WHEN l_orderkey % 2 <> 0
+          |    THEN l_orderkey END) AS BIGINT) AS n_b,
+          |  CAST(COUNT(DISTINCT CASE WHEN l_orderkey % 3 <> 0
+          |    AND l_orderkey % 2 <> 0 THEN l_orderkey END) AS BIGINT) AS n_ab,
+          |  true AS a_ok, true AS b_ok, true AS inter_ok, true AS union_ok
+          |FROM lineitem""".stripMargin,
       "approx_distinct_tol" ->
         """SELECT l_returnflag,
           |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,

@@ -107,9 +107,20 @@ object Sketches {
     * |A∩B| ≈ J·|A∪B|. When both sketches are unfilled they are exact
     * hash sets and so are the answers. */
   def overlap(a: Array[Long], b: Array[Long], k: Int): (Double, Double, Double) = {
-    val x = kmvMerge(a, b, k)
+    // An unfilled sketch IS its side's exact hash set; with both sides
+    // exact the union must be merged UNCAPPED (capping at k would
+    // silently truncate a >k exact union — the membership counts below
+    // would still be right, but the union size would not be).
+    val bothExact = a.length < k && b.length < k
+    val x =
+      if (bothExact) kmvMerge(a, b, a.length + b.length)
+      else kmvMerge(a, b, k)
     val kx = x.length
     if (kx == 0) return (0.0, 0.0, 0.0)
+    // Membership of x in each side's sketch is sound: x among the k
+    // smallest of the union and x ∈ A implies x is no larger than A's
+    // kth-smallest hash (k elements of A below it would displace it
+    // from the union's k smallest), so a full sketch never misses it.
     var c = 0
     var i = 0
     while (i < kx) {
@@ -119,8 +130,9 @@ object Sketches {
       i += 1
     }
     val unionEst =
-      if (a.length < k && b.length < k) kx.toDouble // both exact sets
+      if (bothExact) kx.toDouble
       else {
+        // at least one side was full, so the merge filled: kx == k
         val u = (x(kx - 1).toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
         (kx - 1).toDouble / u
       }
