@@ -1525,6 +1525,55 @@ object SparkEntry {
               lit(8.0))).as("union_ok"))
     }),
 
+    // ---- data-quality profiling (ext/Profile.scala) ----
+    // One-pass per-column profile of `documents`; every exact metric
+    // (counts, completeness, min/max/mean/stddev, string lengths) pins
+    // value-for-value to DuckDB, and the HLL cardinality column becomes
+    // a verdict against the exact distinct count (gate-only audit — the
+    // operator itself never pays an exact distinct).
+    "data_profile" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prof = graft.ext.Profile.profile(docs)
+      val exact = docs
+        .agg(array(docs.columns.toSeq.map(c =>
+          struct(lit(c).as("col"),
+            countDistinct(col(c)).as("n_exact"))): _*).as("__e"))
+        .select(inline(col("__e")))
+      prof.join(exact, "col")
+        .select(col("col"), col("n_rows"), col("n_nonnull"),
+          round(col("completeness"), 6).as("completeness"),
+          (abs(col("approx_distinct") - col("n_exact")) <=
+            greatest(col("n_exact") * 0.06, lit(16.0))).as("distinct_ok"),
+          col("min_v"), col("max_v"),
+          round(col("mean_v"), 4).as("mean_v"),
+          round(col("stddev_v"), 4).as("stddev_v"),
+          round(col("avg_len"), 4).as("avg_len"), col("max_len"))
+        .orderBy("col")
+    }),
+
+    // Declarative constraint suite in one aggregation pass: observed
+    // values AND pass/fail verdicts replicate exactly in DuckDB (the
+    // sketch-valued approx-distinct constraint reports its verdict; its
+    // observed value is sketch-dependent, so the gate masks it and the
+    // wide band makes both engines' verdicts agree).
+    "constraint_check" -> ((s, d) => {
+      import graft.ext.Profile._
+      val docs = t(s, d, "documents")
+      check(docs, Seq(
+        NotNull("doc_id"),
+        Unique(Seq("doc_id")),
+        CompletenessAtLeast("text", 0.99),
+        InRange("n_chars", 1.0, 1000000.0),
+        MatchesRegex("lang", "[a-z]{2}", 0.5),
+        ApproxDistinctBetween("source", 2L, 1000000L)))
+        .select(col("constraint"), col("col"),
+          when(col("constraint") === "approx_distinct_between",
+            lit(null).cast("double")).otherwise(round(col("observed"), 6))
+            .as("observed"),
+          col("passed"))
+        .orderBy("constraint", "col")
+    }),
+
     // ---- mergeable sketches (the 100 TB COUNT DISTINCT / quantile path) ----
     // HLL++ distinct counts per group next to the exact answer: the gate
     // pins the exact counts to DuckDB AND asserts the sketch landed
@@ -2591,6 +2640,57 @@ object SparkEntry {
           |  true AS colocated, true AS bucket_pruned
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "data_profile" -> {
+        def block(c: String, numeric: Boolean): String = {
+          val (minV, maxV, meanV, sdV) =
+            if (numeric) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
+              s"ROUND(AVG(CAST($c AS DOUBLE)), 4)",
+              s"ROUND(STDDEV_SAMP(CAST($c AS DOUBLE)), 4)")
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+              "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+          val (avgLen, maxLen) =
+            if (!numeric) (s"ROUND(AVG(CAST(LENGTH($c) AS DOUBLE)), 4)",
+              s"CAST(MAX(LENGTH($c)) AS BIGINT)")
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS BIGINT)")
+          s"""SELECT '$c' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+             |  ROUND(CAST(COUNT($c) AS DOUBLE) / COUNT(*), 6) AS completeness,
+             |  true AS distinct_ok,
+             |  $minV AS min_v, $maxV AS max_v, $meanV AS mean_v,
+             |  $sdV AS stddev_v, $avgLen AS avg_len, $maxLen AS max_len
+             |FROM documents""".stripMargin
+        }
+        Seq("doc_id" -> true, "lang" -> false, "n_chars" -> true,
+          "source" -> false, "text" -> false)
+          .map { case (c, n) => block(c, n) }
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col")
+      },
+      "constraint_check" ->
+        """SELECT 'approx_distinct_between' AS "constraint", 'source' AS col,
+          |  CAST(NULL AS DOUBLE) AS observed,
+          |  (COUNT(DISTINCT source) BETWEEN 2 AND 1000000) AS passed
+          |FROM documents
+          |UNION ALL SELECT 'completeness_at_least', 'text',
+          |  ROUND(CAST(COUNT(text) AS DOUBLE) / COUNT(*), 6),
+          |  (CAST(COUNT(text) AS DOUBLE) / COUNT(*)) >= 0.99 FROM documents
+          |UNION ALL SELECT 'in_range', 'n_chars',
+          |  CAST(SUM(CASE WHEN n_chars IS NOT NULL
+          |    AND (n_chars < 1 OR n_chars > 1000000) THEN 1 ELSE 0 END) AS DOUBLE),
+          |  SUM(CASE WHEN n_chars IS NOT NULL
+          |    AND (n_chars < 1 OR n_chars > 1000000) THEN 1 ELSE 0 END) = 0
+          |FROM documents
+          |UNION ALL SELECT 'matches_regex', 'lang',
+          |  ROUND(CAST(SUM(CASE WHEN regexp_full_match(lang, '[a-z]{2}')
+          |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(lang), 6),
+          |  (CAST(SUM(CASE WHEN regexp_full_match(lang, '[a-z]{2}')
+          |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(lang)) >= 0.5 FROM documents
+          |UNION ALL SELECT 'not_null', 'doc_id',
+          |  CAST(COUNT(*) - COUNT(doc_id) AS DOUBLE),
+          |  COUNT(*) = COUNT(doc_id) FROM documents
+          |UNION ALL SELECT 'unique', 'doc_id',
+          |  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS DOUBLE),
+          |  COUNT(*) = COUNT(DISTINCT doc_id) FROM documents
+          |ORDER BY "constraint", col""".stripMargin,
       "kmv_overlap" ->
         """SELECT
           |  CAST(COUNT(DISTINCT CASE WHEN l_orderkey % 3 <> 0
