@@ -519,6 +519,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // EXACT similarity self-join (prefix filtering — no false negatives,
+    // unlike the banded minhash path): on the planted near-dup corpus
+    // the operator must recover EVERY planted pair — equality, not a
+    // recall floor (JaccardJoinSpec proves full pair-set equality with
+    // brute force; this gate pins the no-false-negative contract
+    // cross-engine on the real corpus)
+    "jaccard_join_exact" -> ((s, d) => {
+      val (corpus, off) = nearDupCorpus(s, d)
+      Dedup.jaccardJoinExact(corpus, "doc_id", "text",
+          shingleLen = 5, threshold = 0.5)
+        .agg(
+          sum(when(col("id_b") === col("id_a") + off, 1L).otherwise(0L))
+            .as("n_planted_found"),
+          every(col("jaccard") >= 0.5).as("all_above_threshold"),
+          every(col("id_a") < col("id_b")).as("ordered_pairs"))
+    }),
+
     // ---- similarity search (training-data extension) ----
     "topk_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -1906,6 +1923,12 @@ object SparkEntry {
           |LEFT JOIN cnt ON cnt.bid = b.doc_id
           |ORDER BY b.doc_id""".stripMargin,
       "minhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
+      // exact join: every planted pair MUST surface (count equality, no
+      // probabilistic slack) and the invariants must hold
+      "jaccard_join_exact" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted_found,
+          |  true AS all_above_threshold, true AS ordered_pairs
+          |FROM documents""".stripMargin,
       "simhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
       "dedup_clusters" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_same_cluster FROM documents",
       "lsh_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",

@@ -661,6 +661,80 @@ object Dedup {
     df.join(losers, df(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** EXACT set-similarity self-join by prefix filtering (PPJoin,
+    * Xiao et al. '08): every pair with shingle-Jaccard ≥ `threshold`,
+    * with NO false negatives — the guarantee [[minhashNearDups]] trades
+    * away for fewer candidates. Same output contract: (id_a, id_b,
+    * jaccard), id_a < id_b.
+    *
+    * Candidate generation is exact-complete without all-pairs:
+    * each doc's distinct shingle hashes are re-ranked by ASCENDING
+    * global document frequency (rarest first — the order that keeps
+    * corpus-frequent shingles out of prefixes), and only the first
+    * `|A| − ⌈τ·|A|⌉ + 1` tokens explode as join keys: two sets with
+    * J ≥ τ must share ≥ ⌈τ·max(|A|,|B|)⌉ tokens, so their prefixes
+    * under ANY common total order overlap in ≥ 1 token. Candidates are
+    * then pruned by the symmetric length filter (τ·|A| ≤ |B| ≤ |A|/τ)
+    * and PPJoin's positional upper bound
+    * (`min(|A|−i, |B|−j) ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉` for 0-based prefix
+    * positions i, j — the FIRST shared prefix token of a qualifying
+    * pair always survives it), and verified with the exact sorted-merge
+    * Jaccard. Both prunes are proven lossless in JaccardJoinSpec by
+    * pair-set equality with brute force.
+    *
+    * Scale shape: two token-keyed shuffles (frequency count + the
+    * re-rank join) and the prefix self-join — O(docs × prefix) join
+    * keys, never O(docs²). Hot shingles skew the re-rank join's token
+    * key; AQE's skew split handles it (values per token are (id) pairs
+    * only, 16 bytes). Unlike the banded operators there is NO bucket
+    * cap: a cap would silently break the exactness contract. A corpus
+    * whose prefixes still contain mega-frequent tokens (τ close to 0)
+    * is the operator's honest worst case — at τ ≥ 0.5 prefixes are
+    * under half of each doc, frequency-ranked from the rare end. */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int = 5,
+                       threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true) // feeds the freq pass, the prefix pass, and both verify sides
+    val toks = sh.select(col("id"), explode(col("sh")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc token array re-ranked (df asc, tok asc) — a total order
+    // shared by all docs, which is all the prefix theorem needs
+    val ordered = toks.join(freq, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ft"))
+      .withColumn("len", size(col("ft")))
+    val prefix = ordered
+      .withColumn("p",
+        (col("len") - ceil(lit(threshold) * col("len")) + 1).cast("int"))
+      .select(col("id"), col("len"),
+        posexplode(slice(col("ft"), lit(1), col("p"))).as(Seq("pos", "e")))
+      .select(col("e.tok").as("tok"), col("id"), col("len"), col("pos"))
+      .localCheckpoint(true) // the self-join reads it twice
+    def side(n: String) = prefix.select(col("tok"), col("id").as(s"id_$n"),
+      col("len").as(s"len_$n"), col("pos").as(s"pos_$n"))
+    val alpha = ceil(lit(threshold) / (1 + threshold) *
+      (col("len_a") + col("len_b")))
+    val cand = side("a").join(side("b"), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("len_b") >= ceil(lit(threshold) * col("len_a")) &&
+        col("len_a") >= ceil(lit(threshold) * col("len_b")))
+      .filter(least(col("len_a") - col("pos_a"),
+        col("len_b") - col("pos_b")) >= alpha)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** N-gram Jaccard similarity for an explicit pair set (verification-style
     * API): joins the pair list to the corpus twice and scores. */
   def ngramJaccard(pairs: DataFrame, corpus: DataFrame, idCol: String,
