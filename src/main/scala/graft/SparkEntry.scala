@@ -525,14 +525,24 @@ object SparkEntry {
     // recall floor (JaccardJoinSpec proves full pair-set equality with
     // brute force; this gate pins the no-false-negative contract
     // cross-engine on the real corpus)
+    // Corpus: 4-char-truncated copies (measured planted min-J = 0.89-0.93
+    // at every SF), joined at τ=0.8 — the threshold regime where prefix
+    // filtering is effective. The synthetic corpus has a ~2k-shingle
+    // vocabulary across 10k+ docs (every token corpus-frequent), which is
+    // the documented worst case for exact SSJoin at low τ: at τ=0.5 the
+    // candidate set is ~25M pairs and the gate costs ~60 s at sf0.1.
     "jaccard_join_exact" -> ((s, d) => {
-      val (corpus, off) = nearDupCorpus(s, d)
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val off = idOffset(docs, "doc_id")
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + off).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 4, 20))").as("text")))
       Dedup.jaccardJoinExact(corpus, "doc_id", "text",
-          shingleLen = 5, threshold = 0.5)
+          shingleLen = 5, threshold = 0.8)
         .agg(
           sum(when(col("id_b") === col("id_a") + off, 1L).otherwise(0L))
             .as("n_planted_found"),
-          every(col("jaccard") >= 0.5).as("all_above_threshold"),
+          every(col("jaccard") >= 0.8).as("all_above_threshold"),
           every(col("id_a") < col("id_b")).as("ordered_pairs"))
     }),
 

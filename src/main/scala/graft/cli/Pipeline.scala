@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *   "layout": {"zorder": ["lang", "doc_id"], "files": 16, "bits": 8},
   *   "stages": [
   *     {"op": "normalize", "redact": true},
+  *     {"op": "check", "on_fail": "fail",
+  *      "constraints": [{"kind": "not_null", "col": "doc_id"},
+  *                      {"kind": "unique", "cols": ["doc_id"]}]},
   *     {"op": "filter", "predicate": "lang = 'en'"},
   *     {"op": "gopher", "min_words": 30, "min_stopword_hits": 1,
   *      "stopwords": ["the","and"], "repetition": false},
@@ -254,10 +257,76 @@ object Pipeline {
         s.get("salt").map(_.toString).getOrElse("graft"),
         numShards = long(s, "shards", 1024L).toInt)
 
+    // data-quality gate (ext/Profile.check): evaluates the declared
+    // constraints in ONE aggregation action and, by default, ABORTS the
+    // pipeline on any failure — a curation bug (nulled ids, collapsed
+    // cardinality, leaked out-of-range values) should kill the run at
+    // the stage that caused it, not surface in a trained model.
+    // `"on_fail": "warn"` downgrades to logging. Identity on the data.
+    case "check" =>
+      val cs = s.get("constraints") match {
+        case Some(l: Seq[_]) if l.nonEmpty => l.map {
+          case m: Map[_, _] =>
+            parseConstraint(m.asInstanceOf[Map[String, Any]])
+          case other => throw new IllegalArgumentException(
+            s"constraint is not an object: $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "check stage needs a non-empty 'constraints' array")
+      }
+      val verdicts = graft.ext.Profile.check(df, cs).collect() // 1 row/constraint
+      verdicts.foreach { r =>
+        System.err.println(s"[graft pipeline] check ${r.getString(0)}(" +
+          s"${r.getString(1)}): observed=${r.get(2)} passed=${r.getBoolean(3)}")
+      }
+      val failed = verdicts.filterNot(_.getBoolean(3))
+      val onFail = s.get("on_fail").map(_.toString).getOrElse("fail")
+      require(onFail == "fail" || onFail == "warn",
+        s"check on_fail must be 'fail' or 'warn', got '$onFail'")
+      if (failed.nonEmpty && onFail == "fail")
+        throw new IllegalStateException("data-quality check failed: " +
+          failed.map(r => s"${r.getString(0)}(${r.getString(1)}) " +
+            s"observed=${r.get(2)}").mkString("; "))
+      df
+
     case other => throw new IllegalArgumentException(
       s"unknown pipeline op '$other' (known: normalize, filter, gopher, " +
         "repetition, dedup_exact, dedup_near, decontaminate, " +
-        "quality_top_fraction, token_budget, dsir_select, train_order)")
+        "quality_top_fraction, token_budget, dsir_select, train_order, " +
+        "check)")
+  }
+
+  /** JSON → [[graft.ext.Profile.Constraint]]:
+    * `{"kind": "not_null", "col": "doc_id"}`,
+    * `{"kind": "unique", "cols": ["doc_id"]}`,
+    * `{"kind": "completeness_at_least", "col": "text", "frac": 0.99}`,
+    * `{"kind": "in_range", "col": "n_chars", "lo": 1, "hi": 1e6}`,
+    * `{"kind": "matches_regex", "col": "lang", "regex": "[a-z]{2}",
+    *   "min_frac": 0.9}`,
+    * `{"kind": "approx_distinct_between", "col": "source", "lo": 2,
+    *   "hi": 100000}`. */
+  private def parseConstraint(m: Map[String, Any]): graft.ext.Profile.Constraint = {
+    import graft.ext.Profile._
+    str(m, "kind") match {
+      case "not_null" => NotNull(str(m, "col"))
+      case "unique" => m.get("cols") match {
+        case Some(l: Seq[_]) if l.nonEmpty => Unique(l.map(_.toString))
+        case _ => throw new IllegalArgumentException(
+          "unique constraint needs a non-empty 'cols' array")
+      }
+      case "completeness_at_least" =>
+        CompletenessAtLeast(str(m, "col"), dbl(m, "frac", 1.0))
+      case "in_range" =>
+        InRange(str(m, "col"), dbl(m, "lo", Double.NegativeInfinity),
+          dbl(m, "hi", Double.PositiveInfinity))
+      case "matches_regex" =>
+        MatchesRegex(str(m, "col"), str(m, "regex"), dbl(m, "min_frac", 1.0))
+      case "approx_distinct_between" =>
+        ApproxDistinctBetween(str(m, "col"), long(m, "lo", 0L),
+          long(m, "hi", Long.MaxValue))
+      case other => throw new IllegalArgumentException(
+        s"unknown constraint kind '$other'")
+    }
   }
 
   // ---- recipe parsing (json4s ships with Spark) ----------------------

@@ -693,7 +693,9 @@ object Dedup {
     * under half of each doc, frequency-ranked from the rare end. */
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
                        shingleLen: Int = 5,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8,
+                       broadcastVerify: Option[Boolean] = None,
+                       broadcastVerifyMaxRows: Long = 1000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val sh = df.select(col(idCol).as("id"),
@@ -708,31 +710,70 @@ object Dedup {
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ft"))
       .withColumn("len", size(col("ft")))
+    // Two prefix depths (PPJoin's asymmetric trick for self-joins): a
+    // qualifying pair needs overlap α = ⌈τ/(1+τ)(|S|+|L|)⌉, which for
+    // the SMALLER set S (|L| ≥ |S|) is ≥ ⌈2τ/(1+τ)·|S|⌉ — so S only
+    // probes with the tighter "mid" prefix |S| − ⌈2τ/(1+τ)|S|⌉ + 1,
+    // while the larger side indexes the standard ⌈τ|L|⌉-derived prefix.
+    // The shared-token lemma (overlap ≥ α ⇒ a common token inside both
+    // |X|−α+1 prefixes) then still guarantees every qualifying pair one
+    // joined row. pMid ≤ pLong, so one explode serves both roles and
+    // the smaller side is the `pos < p_mid` subset.
     val prefix = ordered
       .withColumn("p",
         (col("len") - ceil(lit(threshold) * col("len")) + 1).cast("int"))
-      .select(col("id"), col("len"),
+      .withColumn("p_mid",
+        (col("len") - ceil(lit(2 * threshold / (1 + threshold)) * col("len")) + 1)
+          .cast("int"))
+      .select(col("id"), col("len"), col("p_mid"),
         posexplode(slice(col("ft"), lit(1), col("p"))).as(Seq("pos", "e")))
-      .select(col("e.tok").as("tok"), col("id"), col("len"), col("pos"))
+      .select(col("e.tok").as("tok"), col("id"), col("len"), col("pos"),
+        col("p_mid"))
       .localCheckpoint(true) // the self-join reads it twice
-    def side(n: String) = prefix.select(col("tok"), col("id").as(s"id_$n"),
-      col("len").as(s"len_$n"), col("pos").as(s"pos_$n"))
+    val sideSmall = prefix.filter(col("pos") < col("p_mid"))
+      .select(col("tok"), col("id").as("id_a"), col("len").as("len_a"),
+        col("pos").as("pos_a"))
+    val sideLarge = prefix.select(col("tok"), col("id").as("id_b"),
+      col("len").as("len_b"), col("pos").as("pos_b"))
     val alpha = ceil(lit(threshold) / (1 + threshold) *
       (col("len_a") + col("len_b")))
-    val cand = side("a").join(side("b"), "tok")
-      .filter(col("id_a") < col("id_b"))
+    // role order: smaller (len, id) probes larger — every unordered pair
+    // is considered exactly once
+    val cand = sideSmall.join(sideLarge, "tok")
+      .filter(col("len_a") < col("len_b") ||
+        (col("len_a") === col("len_b") && col("id_a") < col("id_b")))
       .filter(col("len_b") >= ceil(lit(threshold) * col("len_a")) &&
         col("len_a") >= ceil(lit(threshold) * col("len_b")))
       .filter(least(col("len_a") - col("pos_a"),
         col("len_b") - col("pos_b")) >= alpha)
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // verify side tables: same broadcast policy as minhashNearDups —
+    // on a dense corpus the candidate set is orders of magnitude larger
+    // than the doc table, so shipping (id → shingles) to every task
+    // beats attaching 2×|doc| arrays to millions of candidate rows
+    val doBroadcast = broadcastVerify.getOrElse {
+      // sh is pinned — counting it is a scan of the checkpointed blocks
+      autoBroadcastVerify("jaccardJoinExact", sh.count(),
+        broadcastVerifyMaxRows, estBytesPerRow = 2560L)
+    }
+    def vside(n: String) = {
+      val s0 = sh.select(col("id").as(s"id_$n"), col("sh").as(s"sh_$n"))
+      if (doBroadcast) broadcast(s0) else s0
+    }
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(vside("a"), "id_a")
+      .join(vside("b"), "id_b")
+      // J(A,B) ≤ min/max set size: size-incompatible candidates skip the
+      // merge walk entirely
+      .filter(least(size(col("sh_a")), size(col("sh_b"))) >=
+        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))))
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // the (len, id) role order is not id order — normalize the output
+      // contract id_a < id_b here
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }
 
   /** N-gram Jaccard similarity for an explicit pair set (verification-style

@@ -134,6 +134,44 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Compact (or split) a parquet layout to approximately
+    * `targetBytes`-sized files: the small-files repair job every
+    * long-lived 100 TB table needs after streaming ingest or
+    * fine-grained partition writes. The output file count is computed
+    * from the INPUT's actual on-disk bytes (same format + codec in and
+    * out, so size carries over) — no row-size guessing.
+    *
+    * `preserveOrder = true` uses `coalesce` — NO shuffle; each input
+    * file's rows stay contiguous and in order inside one output file
+    * (the mode for compacting a sorted/z-ordered layout: every output
+    * file is a concatenation of whole input files, so per-file min/max
+    * spans grow only by the number of inputs merged; note Spark orders
+    * the inputs by size, not name, so GLOBAL order across files is not
+    * preserved). When the target implies MORE files than the input has
+    * partitions, or order doesn't matter, `preserveOrder = false` uses a
+    * round-robin `repartition` for exactly balanced output (pays one
+    * full shuffle — unavoidable for a rebalance).
+    *
+    * Returns the output file count. */
+  def compactTo(spark: SparkSession, inPath: String, outPath: String,
+                targetBytes: Long, preserveOrder: Boolean = false): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    require(n <= Int.MaxValue, s"computed $n output files — raise targetBytes")
+    val df = spark.read.parquet(inPath)
+    val out = if (preserveOrder) df.coalesce(n.toInt) else df.repartition(n.toInt)
+    out.write.mode("overwrite").parquet(outPath)
+    n.toInt
+  }
+
   /** Per-file locality audit of a written layout: for each parquet file
     * and each column, the normalized span `(file_max - file_min) /
     * (global_max - global_min)` — the fraction of the column's range a

@@ -207,6 +207,46 @@ class GraftCliSpec extends SparkSpec {
     spark.read.json(Seq(stJson).toDS).count() shouldBe 2L
   }
 
+  it should "gate the pipeline on data-quality checks" in {
+    val base = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").write.parquet(s"$base/in")
+    def recipe(path: String, out: String, lo: Long, onFail: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        s"""{
+           | "input": "$base/in", "output": "$out",
+           | "id_col": "doc_id", "text_col": "text",
+           | "stages": [
+           |   {"op": "check", "on_fail": "$onFail", "constraints": [
+           |     {"kind": "not_null", "col": "doc_id"},
+           |     {"kind": "unique", "cols": ["doc_id"]},
+           |     {"kind": "in_range", "col": "doc_id", "lo": $lo, "hi": 1000000}
+           |   ]},
+           |   {"op": "dedup_exact"}
+           | ]
+           |}""".stripMargin.getBytes("UTF-8"))
+
+    // passing checks: pipeline completes, check stage is identity on rows
+    recipe(s"$base/ok.json", s"$base/out_ok", lo = 0L, onFail = "fail")
+    val stats = Pipeline.run(s"$base/ok.json", Map.empty, spark)
+    stats.head.op shouldBe "check"
+    stats.head.rowsIn shouldBe stats.head.rowsOut
+    spark.read.parquet(s"$base/out_ok").count() shouldBe stats.last.rowsOut
+
+    // failing check aborts before any output is written, naming the rule
+    recipe(s"$base/bad.json", s"$base/out_bad", lo = 500L, onFail = "fail")
+    val e = the[IllegalStateException] thrownBy
+      Pipeline.run(s"$base/bad.json", Map.empty, spark)
+    e.getMessage should include("in_range(doc_id)")
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/out_bad")) shouldBe false
+
+    // on_fail=warn logs and proceeds
+    recipe(s"$base/warn.json", s"$base/out_warn", lo = 500L, onFail = "warn")
+    Pipeline.run(s"$base/warn.json", Map.empty, spark)
+    spark.read.parquet(s"$base/out_warn").count() should be > 0L
+  }
+
   it should "z-order the pipeline output when the recipe asks for a layout" in {
     val base = tmp()
     // two numeric columns with independent variation so locality is

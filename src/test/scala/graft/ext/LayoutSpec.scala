@@ -114,4 +114,65 @@ class LayoutSpec extends SparkSpec {
     // integrity: nothing lost or duplicated
     spark.read.parquet(s"$dir/z").count() shouldBe (n * n).toLong
   }
+
+  behavior of "compactTo"
+
+  private def fileCount(dir: String): Int =
+    new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+
+  it should "merge a many-small-files layout down to the computed count" in {
+    val dir = java.nio.file.Files.createTempDirectory("layout_compact").toString
+    val df = spark.range(20000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(s"$dir/small") // 64 tiny files
+    val inBytes = new java.io.File(s"$dir/small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = inBytes / 4 + 1 // ask for ~4 files
+    val n = Layout.compactTo(spark, s"$dir/small", s"$dir/big", target)
+    n should (be >= 4 and be <= 5)
+    fileCount(s"$dir/big") shouldBe n
+    // content preserved exactly
+    val out = spark.read.parquet(s"$dir/big")
+    out.count() shouldBe 20000L
+    out.exceptAll(df).count() shouldBe 0L
+  }
+
+  it should "keep each input file's rows contiguous and ordered with preserveOrder (no shuffle)" in {
+    val dir = java.nio.file.Files.createTempDirectory("layout_compact2").toString
+    // 4 files, each internally sorted
+    spark.range(10000).selectExpr("id")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+      .write.parquet(s"$dir/sorted")
+    val inBytes = new java.io.File(s"$dir/sorted").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    Layout.compactTo(spark, s"$dir/sorted", s"$dir/out",
+      inBytes + 1, preserveOrder = true) shouldBe 1
+    // the single output file is a concatenation of the 4 sorted inputs:
+    // at most 4 monotone runs (global order across files NOT promised —
+    // Spark orders inputs by size)
+    val got = spark.read.parquet(s"$dir/out").collect().map(_.getLong(0))
+    got.length shouldBe 10000
+    val descents = got.sliding(2).count(w => w(1) < w(0))
+    descents should be <= 3
+    // and the plan is shuffle-free
+    val plan = spark.read.parquet(s"$dir/sorted").coalesce(1)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  it should "split an oversized layout into more files when asked" in {
+    val dir = java.nio.file.Files.createTempDirectory("layout_split").toString
+    spark.range(50000).selectExpr("id", "id * 3 AS v")
+      .coalesce(1).write.parquet(s"$dir/one")
+    val inBytes = new java.io.File(s"$dir/one").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = Layout.compactTo(spark, s"$dir/one", s"$dir/many", inBytes / 8 + 1)
+    n should be >= 8
+    fileCount(s"$dir/many") shouldBe n
+    spark.read.parquet(s"$dir/many").count() shouldBe 50000L
+  }
+
+  it should "reject a non-positive target" in {
+    an[IllegalArgumentException] should be thrownBy
+      Layout.compactTo(spark, "/tmp/x", "/tmp/y", 0L)
+  }
 }
