@@ -1552,6 +1552,27 @@ object SparkEntry {
               lit(8.0))).as("union_ok"))
     }),
 
+    // Small-files compaction (Layout.compactTo): 64 tiny files of
+    // lineitem → ~4 target-sized files, output count computed from the
+    // input's real on-disk bytes. Verdicts: the file count lands in the
+    // computed band and every row survives; content sums pin to DuckDB.
+    "compact_files" -> ((s, d) => {
+      val tmp = sessionTempDir("graft_compact")
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+      li.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+      val inBytes = new java.io.File(s"$tmp/small").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val n = graft.ext.Layout.compactTo(s, s"$tmp/small", s"$tmp/big",
+        targetBytes = inBytes / 4 + 1)
+      val outFiles = new java.io.File(s"$tmp/big").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      s.read.parquet(s"$tmp/big")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).cast("long").as("sum_ok"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .withColumn("files_in_band", lit(n >= 4 && n <= 5 && outFiles == n))
+    }),
+
     // ---- data-quality profiling (ext/Profile.scala) ----
     // One-pass per-column profile of `documents`; every exact metric
     // (counts, completeness, min/max/mean/stddev, string lengths) pins
@@ -2673,6 +2694,12 @@ object SparkEntry {
           |  true AS colocated, true AS bucket_pruned
           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "compact_files" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+          |  ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_price,
+          |  true AS files_in_band
+          |FROM lineitem""".stripMargin,
       "data_profile" -> {
         def block(c: String, numeric: Boolean): String = {
           val (minV, maxV, meanV, sdV) =

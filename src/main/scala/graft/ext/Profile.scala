@@ -101,6 +101,18 @@ object Profile {
     * per constraint — `constraint`, `col`, `observed` (6dp), `passed`. */
   def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "check needs at least one constraint")
+    df.agg(checkArray(constraints).as("__c"))
+      .select(inline(col("__c")))
+  }
+
+  /** The constraint verdicts as ONE aggregate array-of-structs column —
+    * the building block [[check]] applies globally and the streaming
+    * telemetry applies per window ([[graft.streaming.StreamOps
+    * .constraintTelemetry]]). [[Unique]] needs an exact distinct, which
+    * streaming state cannot hold — callers grouping a stream must
+    * exclude it (constraintTelemetry rejects it with a clear error). */
+  def checkArray(constraints: Seq[Constraint]): Column = {
+    require(constraints.nonEmpty, "check needs at least one constraint")
     val rows: Seq[(String, String, Column, Column)] = constraints.map {
       case NotNull(c) =>
         val nulls = count(lit(1)) - count(col(c))
@@ -138,7 +150,6 @@ object Profile {
       struct(lit(label).as("constraint"), lit(c).as("col"),
         round(observed, 6).as("observed"), passed.as("passed"))
     }
-    df.agg(array(structs: _*).as("__c"))
-      .select(inline(col("__c")))
+    array(structs: _*)
   }
 }

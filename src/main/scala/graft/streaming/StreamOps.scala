@@ -83,6 +83,33 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("n_docs"), col("mean_quality"), col("mean_tokens"))
 
+  /** Per-window data-quality constraint telemetry: the streaming arm of
+    * [[graft.ext.Profile.check]] — each tumbling window emits one row
+    * per constraint (window_start, window_end, constraint, col,
+    * observed, passed), so a curation ingest alarms on the WINDOW where
+    * ids went null or cardinality collapsed, not at end of day.
+    * State is one fixed-size aggregate per open window ([[graft.ext
+    * .Profile.ApproxDistinctBetween]] keeps an HLL, everything else
+    * counters). [[graft.ext.Profile.Unique]] needs an exact distinct no
+    * bounded stream state can hold — rejected here; run it in the batch
+    * compaction pass instead. */
+  def constraintTelemetry(stream: DataFrame, tsCol: String,
+                          constraints: Seq[graft.ext.Profile.Constraint],
+                          windowLen: String, watermark: String): DataFrame = {
+    val unique = constraints.collect {
+      case u: graft.ext.Profile.Unique => u.column
+    }
+    require(unique.isEmpty,
+      s"Unique(${unique.mkString("; ")}) needs an exact distinct — not " +
+        "streamable with bounded state; check it in the batch pass")
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.ext.Profile.checkArray(constraints).as("__c"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), inline(col("__c")))
+  }
+
   /** Per-event scoring for stream routing: quality + language + token
     * count columns usable in a `foreachBatch` router. Stateless. */
   def scoreEvents(stream: DataFrame, textCol: String): DataFrame =

@@ -88,6 +88,54 @@ class StreamOpsSpec extends SparkSpec {
     all(rows.map(_.getAs[Double]("mean_quality")).toSeq) should (be >= 0.0 and be <= 1.0)
   }
 
+  behavior of "constraint telemetry"
+
+  it should "emit per-window verdicts equal to the batch check on each window slice" in {
+    import graft.ext.Profile
+    implicit val sc = spark.sqlContext
+    val cs = Seq(
+      Profile.NotNull("name"),
+      Profile.CompletenessAtLeast("name", 0.9),
+      Profile.InRange("v", 0.0, 100.0),
+      Profile.ApproxDistinctBetween("name", 1L, 10L))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val tele = StreamOps.constraintTelemetry(
+      input.toDF().toDF("ts", "name", "v"), "ts", cs, "10 seconds", "0 seconds")
+    val q = tele.writeStream.format("memory").queryName("s_constraints")
+      .outputMode("complete").start()
+    val w1 = Seq((ts(1), "alpha", 5.0), (ts(3), null, 50.0), (ts(8), "beta", 99.0))
+    val w2 = Seq((ts(12), "gamma", 150.0), (ts(15), "gamma", -3.0))
+    input.addData(w1 ++ w2: _*)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("s_constraints")
+      .select("window_start", "constraint", "col", "observed", "passed")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+
+    // batch oracle: Profile.check per window slice
+    import spark.implicits._
+    def batchOf(rows: Seq[(Timestamp, String, Double)], start: Timestamp) =
+      Profile.check(rows.toDF("ts", "name", "v"), cs).collect()
+        .map(r => (start, r.getString(0), r.getString(1),
+          r.getDouble(2), r.getBoolean(3))).toSet
+    got shouldBe (batchOf(w1, ts(0)) ++ batchOf(w2, ts(10)))
+
+    // sanity on the interesting verdicts: window 1 fails not_null,
+    // window 2 fails in_range
+    got should contain((ts(0), "not_null", "name", 1.0, false))
+    got should contain((ts(10), "in_range", "v", 2.0, false))
+  }
+
+  it should "reject Unique constraints (unbounded state)" in {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.constraintTelemetry(input.toDF().toDF("ts", "name"), "ts",
+        Seq(graft.ext.Profile.Unique(Seq("name"))), "10 seconds", "0 seconds")
+  }
+
   behavior of "gap sessions"
 
   it should "close the same sessions the batch sessionize finds on real events" in {
