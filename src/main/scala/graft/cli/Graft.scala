@@ -69,6 +69,8 @@ object Graft {
     case Some("bpeTokenize")   => bpeTokenize(parseFlags(args.tail), spark)
     case Some("clean")         => clean(parseFlags(args.tail), spark)
     case Some("convert")       => convert(parseFlags(args.tail), spark)
+    case Some("profile")       => profileCmd(parseFlags(args.tail), spark)
+    case Some("compact")       => compactCmd(parseFlags(args.tail), spark)
     case Some("pipeline")      =>
       val f = parseFlags(args.tail)
       Pipeline.run(required(f, "recipe"), f, spark)
@@ -76,7 +78,45 @@ object Graft {
       throw new IllegalArgumentException(
         "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
           "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-          s"bpeTokenize|clean|convert|pipeline> [flags]; got $other")
+          s"bpeTokenize|clean|convert|profile|compact|pipeline> [flags]; got $other")
+  }
+
+  /** Engine extension: one-pass per-column dataset profile
+    * ([[graft.ext.Profile.profile]]) written as a small table — the
+    * pre-flight (and post-stage) data-quality snapshot.
+    *
+    * {{{
+    * graft profile --input=<path> --output=<dir>
+    *               [--input-mode=parquet|avro|json|csv] [--columns=c1,c2]
+    *               [--row-restriction=<sql predicate>]
+    * }}} */
+  private def profileCmd(f: Map[String, String], spark: SparkSession): Unit = {
+    val output = required(f, "output")
+    if (GraftIO.outputExists(output)) {
+      System.err.println(s"[graft] output $output exists; skipping"); return
+    }
+    val df = restrict(read(spark, required(f, "input"),
+      f.getOrElse("input-mode", "parquet")), f)
+    val prof = graft.ext.Profile.profile(df, csv(f.get("columns")))
+    write(prof.coalesce(1), output, f.getOrElse("output-mode", "parquet"))
+  }
+
+  /** Engine extension: compact (or split) a parquet layout to
+    * target-sized files ([[graft.ext.Layout.compactTo]]).
+    *
+    * {{{
+    * graft compact --input=<dir> --output=<dir> --target-bytes=<n>
+    *               [--preserve-order]
+    * }}} */
+  private def compactCmd(f: Map[String, String], spark: SparkSession): Unit = {
+    val output = required(f, "output")
+    if (GraftIO.outputExists(output)) {
+      System.err.println(s"[graft] output $output exists; skipping"); return
+    }
+    val n = graft.ext.Layout.compactTo(spark, required(f, "input"), output,
+      targetBytes = required(f, "target-bytes").toLong,
+      preserveOrder = f.get("preserve-order").contains("true"))
+    System.err.println(s"[graft] compacted to $n files")
   }
 
   /** Format conversion — the reference CLI's core errand (ratatool's

@@ -207,6 +207,25 @@ class GraftCliSpec extends SparkSpec {
     spark.read.json(Seq(stJson).toDS).count() shouldBe 2L
   }
 
+  it should "profile and compact from the CLI" in {
+    val base = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .repartition(8).write.parquet(s"$base/in")
+    Graft.run(Seq("profile", s"--input=$base/in",
+      s"--output=$base/prof", "--columns=doc_id,lang"), spark)
+    val prof = spark.read.parquet(s"$base/prof")
+    prof.count() shouldBe 2L
+    prof.columns should contain("completeness")
+    val inBytes = new java.io.File(s"$base/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    Graft.run(Seq("compact", s"--input=$base/in", s"--output=$base/out",
+      s"--target-bytes=${inBytes / 2 + 1}"), spark)
+    new java.io.File(s"$base/out").listFiles()
+      .count(_.getName.endsWith(".parquet")) shouldBe 2
+    spark.read.parquet(s"$base/out").count() shouldBe
+      spark.read.parquet(s"$base/in").count()
+  }
+
   it should "gate the pipeline on data-quality checks" in {
     val base = tmp()
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -342,7 +361,7 @@ class GraftCliSpec extends SparkSpec {
       Graft.run(Seq("frobnicate"), spark) should have message
       "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
         "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-        "bpeTokenize|clean|convert|pipeline> [flags]; got Some(frobnicate)"
+        "bpeTokenize|clean|convert|profile|compact|pipeline> [flags]; got Some(frobnicate)"
     an[IllegalArgumentException] should be thrownBy
       Graft.run(Seq("bigSampler", "--input=/x"), spark)
   }
