@@ -44,6 +44,14 @@ object SparkEntry {
     5L -> "Hello你好world",
     6L -> "short")
 
+  /** Query batch for the bm25_topk gate — fixed phrases over the driver
+    * corpus' vocabulary, shared verbatim with the DuckDB VALUES oracle. */
+  private[graft] val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark join filter",
+    2L -> "customer order data",
+    3L -> "window merge sort scan",
+    4L -> "slow batch value stream")
+
   /** `events` with its parquet timestamp — whatever unit the file was
     * written with (NANOS, MICROS, MILLIS) — surfaced as canonical integer
     * micros (`ts_us`); the temporal gates compare timestamps as integers
@@ -1622,6 +1630,28 @@ object SparkEntry {
         .orderBy("constraint", "col")
     }),
 
+    // ---- keyword retrieval (BM25 / TF-IDF) ----
+    // BM25 top-10 per query over the corpus, value-exact vs a DuckDB CTE
+    // replica of the identical formula. Scores rank quantized to 5
+    // decimals (roundScoresTo) so FP summation order can't flip
+    // mathematically tied ranks between engines; ties break on doc_id in
+    // both. The query batch is the shared bm25Queries fixture.
+    "bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val q = bm25Queries.toDF("qid", "qtext")
+      ext.Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+          q, "qid", "qtext", k = 10, roundScoresTo = Some(5))
+        .orderBy("query_id", "rank")
+    }),
+    // per-document TF-IDF features over the corpus vocabulary (df >= 3):
+    // per-row arithmetic only (no FP sums), value-exact at 6 decimals
+    "tfidf_terms" -> ((s, d) =>
+      ext.Retrieval.tfIdf(t(s, d, "documents"), "doc_id", "text",
+          minDocFreq = 3)
+        .select(col("doc_id"), col("term"),
+          round(col("tf_idf"), 6).as("tf_idf_r"))
+        .orderBy("doc_id", "term")),
+
     // ---- mergeable sketches (the 100 TB COUNT DISTINCT / quantile path) ----
     // HLL++ distinct counts per group next to the exact answer: the gate
     // pins the exact counts to DuckDB AND asserts the sketch landed
@@ -2761,6 +2791,49 @@ object SparkEntry {
           |    AND l_orderkey % 2 <> 0 THEN l_orderkey END) AS BIGINT) AS n_ab,
           |  true AS a_ok, true AS b_ok, true AS inter_ok, true AS union_ok
           |FROM lineitem""".stripMargin,
+      "bm25_topk" -> {
+        val qv = bm25Queries.map { case (i, s) => s"($i, '$s')" }.mkString(", ")
+        s"""WITH d AS (SELECT doc_id, $lowToks AS toks FROM documents),
+           |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
+           |q(qid, qtext) AS (VALUES $qv),
+           |qt AS (SELECT DISTINCT qid, unnest(regexp_extract_all(lower(qtext), '$cjkRe2')) AS term FROM q),
+           |v AS (SELECT DISTINCT term FROM qt),
+           |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+           |tf AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+           |  FROM p JOIN v USING (term) GROUP BY 1, 2, 3),
+           |idf AS (SELECT term,
+           |  ln(1.0 + ((SELECT n FROM st) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+           |  FROM tf GROUP BY term),
+           |sc AS (SELECT qt.qid, tf.doc_id,
+           |  ROUND(sum(idf.idf * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+           |    / (CAST(tf.tf AS DOUBLE)
+           |      + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE)
+           |        / (SELECT avgdl FROM st)))), 5) AS score
+           |  FROM tf JOIN idf USING (term) JOIN qt USING (term)
+           |  GROUP BY 1, 2),
+           |rk AS (SELECT qid, doc_id, score,
+           |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+           |  FROM sc)
+           |SELECT CAST(qid AS BIGINT) AS query_id, doc_id, score,
+           |  CAST(rnk AS INTEGER) AS rank
+           |FROM rk WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+      "tfidf_terms" ->
+        s"""WITH d AS (SELECT doc_id, $lowToks AS toks FROM documents),
+           |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+           |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+           |tf AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+           |  FROM p GROUP BY 1, 2, 3),
+           |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           |  FROM tf GROUP BY 1 HAVING count(*) >= 3),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dd)
+           |SELECT tf.doc_id, tf.term,
+           |  ROUND(CAST(tf.tf AS DOUBLE) / CAST(tf.dl AS DOUBLE)
+           |    * ln((SELECT n FROM n) / CAST(df.df AS DOUBLE)), 6) AS tf_idf_r
+           |FROM tf JOIN df USING (term)
+           |ORDER BY doc_id, term""".stripMargin,
       "approx_distinct_tol" ->
         """SELECT l_returnflag,
           |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,

@@ -1,0 +1,157 @@
+package graft.ext
+
+import graft.GraftFunctions._
+import graft.functions.TopK
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** BM25 full-text retrieval over a document corpus.
+  *
+  * Okapi BM25 (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond") with Lucene's non-negative idf form:
+  *
+  * {{{
+  *   idf(t)     = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+  *   score(q,d) = sum over distinct t in q of
+  *                idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  * }}}
+  *
+  * The keyword-retrieval counterpart of [[Similarity]]'s embedding ANN —
+  * the other half of a hybrid training-data search stack (mining docs for
+  * a topic, sourcing benchmark-adjacent text for decontamination review,
+  * labeling seed sets for quality classifiers).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - The query side is declared SMALL (a query batch, not a corpus) and
+  *     broadcasts; its distinct vocabulary semi-filters the corpus token
+  *     stream BEFORE the only token-keyed shuffle, so tokens for terms no
+  *     query mentions die in their scan task — the (doc, term) tf
+  *     aggregation shuffles matched postings only.
+  *   - Document length and corpus stats (N, avgdl) come from a narrow
+  *     `size(tokens)` projection — integer sum, exact, no token shuffle.
+  *   - df(t) aggregates the per-(doc, term) postings down to at most the
+  *     query vocabulary size and broadcasts back as the idf table.
+  *   - Per-query ranking ends in the k-bounded [[TopK.ByScore]] hash
+  *     aggregate — map-side partial buffers of at most k hits, never a
+  *     `row_number()` window funneling a query's whole candidate set
+  *     through one task.
+  *
+  * Tokenization is the engine-wide script-aware tokenizer
+  * ([[graft.GraftFunctions.scriptTokens]]) over lowercased text, so CJK
+  * corpora retrieve without a space-splitting assumption.
+  */
+object Retrieval {
+
+  /** Top-k BM25 hits per query: (query_id, doc_id, score, rank), rank
+    * 1-based by (score desc, doc_id asc).
+    *
+    * @param docs    corpus; scanned twice (stats pass + postings pass),
+    *                both scans prune to (`idCol`, `textCol`)
+    * @param queries SMALL query batch (broadcast); `qidCol` must be unique
+    * @param k1      term-frequency saturation (Robertson's default 1.2)
+    * @param b       length normalization strength (default 0.75)
+    * @param roundScoresTo when set, scores are rounded to this many
+    *                decimals BEFORE ranking. Floating-point summation
+    *                order varies with partitioning, so two runs (or two
+    *                engines) can disagree by ulps on mathematically tied
+    *                scores and flip tie ranks; quantizing makes the
+    *                ranking rerun-stable — the right setting for
+    *                reproducible pipeline output. None keeps raw scores.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               roundScoresTo: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"bm25TopK needs k >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"BM25 parameters out of range: k1=$k1 (>=0), b=$b ([0,1])")
+    val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      scriptTokens(lower(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast(LongType))
+
+    // corpus stats: exact integer sums over a narrow projection (the
+    // tokenizer runs in the scan stage; nothing shuffles but one row)
+    val stats = d.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .head()
+    val nDocs = stats.getAs[Long]("n")
+    val avgdl = stats.getAs[Long]("sum_dl").toDouble / math.max(nDocs, 1L)
+    if (nDocs == 0L)
+      return d.select(col("doc_id").as("query_id"), col("doc_id"),
+        lit(0.0).as("score"), lit(0).as("rank")).limit(0)
+
+    // (query, distinct term) pairs — the broadcast side throughout
+    val qTerms = queries.select(col(qidCol).cast(LongType).as("query_id"),
+      explode(array_distinct(scriptTokens(lower(col(qtextCol))))).as("term"))
+    val vocab = qTerms.select("term").distinct()
+
+    // postings restricted to the query vocabulary: the broadcast semi-join
+    // runs token-side in the scan stage, so the tf groupBy shuffles only
+    // matched (doc_id, term) traffic
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(vocab), "term")
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+    // df over the postings collapses to <= |vocab| rows; idf broadcasts back
+    val idf = tf.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+
+    val contrib = tf
+      .join(broadcast(idf.select("term", "idf")), "term")
+      .join(broadcast(qTerms), "term")
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b)
+              + lit(b) * col("dl").cast("double") / lit(avgdl))))
+
+    val rawScore = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+    val scored = roundScoresTo match {
+      case Some(p) => rawScore.withColumn("score", round(col("score"), p))
+      case None    => rawScore
+    }
+
+    val byScore = udaf(new TopK.ByScore[Long](k),
+      ExpressionEncoder[(Long, Double)]())
+    scored.groupBy("query_id")
+      .agg(byScore(col("doc_id"), col("score")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("doc_id"),
+        col("h.cosine_sim").as("score"), col("h.rank").as("rank"))
+  }
+
+  /** Per-document TF-IDF vectors over the corpus' own vocabulary, pruned
+    * to terms in at least `minDocFreq` docs: (doc_id, term, tf_idf) with
+    * `tf_idf = (tf / dl) * ln(N / df)`. The feature-extraction sibling of
+    * [[bm25TopK]] (which ranks against ad-hoc queries): use it to build
+    * sparse lexical features for clustering or classifier seeds.
+    *
+    * Unlike the query-filtered retrieval path this IS a full token-keyed
+    * aggregation — the postings shuffle is the job. The df table is
+    * corpus-vocabulary-sized (bounded, zipf-distributed) and the join back
+    * keys on term, so no row ever carries text wider than one token. */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String,
+            minDocFreq: Int = 2): DataFrame = {
+    require(minDocFreq >= 1, s"minDocFreq must be >= 1, got $minDocFreq")
+    val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      scriptTokens(lower(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast(LongType))
+    val nDocs = d.count()
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") / col("dl").cast("double")
+          * log(lit(nDocs.toDouble) / col("df").cast("double"))).as("tf_idf"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  behavior of "Retrieval.bm25TopK"
+
+  // hand-checkable corpus: term frequencies and lengths chosen so the
+  // expected ranking is derivable from the BM25 formula by hand
+  private def corpus() = Seq(
+    (1L, "apple apple apple banana"),
+    (2L, "apple banana cherry date"),
+    (3L, "banana banana banana banana"),
+    (4L, "cherry date elderberry fig"),
+    (5L, "apple")
+  ).toDF("doc_id", "text")
+
+  private def bruteBm25(docs: Seq[(Long, Seq[String])], query: Seq[String],
+                        k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val n = docs.size.toDouble
+    val avgdl = docs.map(_._2.size).sum.toDouble / docs.size
+    val qTerms = query.distinct
+    val df = qTerms.map(t => t -> docs.count(_._2.contains(t))).toMap
+    docs.flatMap { case (id, toks) =>
+      val s = qTerms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0 || df(t) == 0) 0.0
+        else {
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          idf * tf * (k1 + 1.0) /
+            (tf + k1 * (1.0 - b + b * toks.size / avgdl))
+        }
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }.toMap
+  }
+
+  it should "match a brute-force in-memory BM25 on every score" in {
+    val q = Seq((10L, "apple banana"), (11L, "cherry")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(corpus(), "doc_id", "text", q, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val docs = Seq(
+      1L -> Seq("apple", "apple", "apple", "banana"),
+      2L -> Seq("apple", "banana", "cherry", "date"),
+      3L -> Seq("banana", "banana", "banana", "banana"),
+      4L -> Seq("cherry", "date", "elderberry", "fig"),
+      5L -> Seq("apple"))
+    val exp10 = bruteBm25(docs, Seq("apple", "banana"))
+    val exp11 = bruteBm25(docs, Seq("cherry"))
+    got.keySet shouldBe (exp10.keys.map((10L, _)) ++ exp11.keys.map((11L, _))).toSet
+    got.foreach { case ((qid, did), s) =>
+      val e = if (qid == 10L) exp10(did) else exp11(did)
+      s shouldBe e +- 1e-12
+    }
+  }
+
+  it should "rank by score desc with doc_id breaking exact ties" in {
+    // two docs with identical token multisets => mathematically tied
+    val docs = Seq((7L, "tie tie other"), (3L, "tie tie other"),
+      (9L, "tie")).toDF("doc_id", "text")
+    val q = Seq((1L, "tie")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 3)
+      .orderBy("rank").collect()
+    // doc 9 wins on length normalization; the mathematically tied pair
+    // (3, 7) then orders by doc_id asc
+    got.map(_.getLong(1)) shouldBe Array(9L, 3L, 7L)
+    got.map(_.getInt(3)) shouldBe Array(1, 2, 3)
+  }
+
+  it should "respect k and drop docs with no query term" in {
+    val q = Seq((1L, "apple")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(corpus(), "doc_id", "text", q, "qid", "qtext", k = 2)
+      .collect()
+    got.length shouldBe 2
+    // docs 3 and 4 contain no 'apple' and must never appear at any k
+    val all = Retrieval.bm25TopK(corpus(), "doc_id", "text", q, "qid", "qtext", k = 100)
+      .collect().map(_.getLong(1)).toSet
+    all shouldBe Set(1L, 2L, 5L)
+  }
+
+  it should "return empty for queries whose terms miss the corpus and on empty corpora" in {
+    val qMiss = Seq((1L, "zzz qqq")).toDF("qid", "qtext")
+    Retrieval.bm25TopK(corpus(), "doc_id", "text", qMiss, "qid", "qtext", k = 5)
+      .count() shouldBe 0L
+    val empty = corpus().limit(0)
+    val q = Seq((1L, "apple")).toDF("qid", "qtext")
+    Retrieval.bm25TopK(empty, "doc_id", "text", q, "qid", "qtext", k = 5)
+      .count() shouldBe 0L
+  }
+
+  it should "retrieve CJK text without whitespace" in {
+    // script-aware tokenization: each Han char is a token, so a Chinese
+    // query matches an unspaced Chinese document
+    val docs = Seq((1L, "你好世界"), (2L, "plain english")).toDF("doc_id", "text")
+    val q = Seq((1L, "世界")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 5)
+      .collect()
+    got.map(_.getLong(1)).toSet shouldBe Set(1L)
+  }
+
+  it should "quantize ranking when roundScoresTo is set" in {
+    val q = Seq((1L, "apple banana")).toDF("qid", "qtext")
+    val r = Retrieval.bm25TopK(corpus(), "doc_id", "text", q, "qid", "qtext",
+      k = 10, roundScoresTo = Some(2))
+    r.collect().foreach { row =>
+      val s = row.getDouble(2)
+      (s * 100).round / 100.0 shouldBe s
+    }
+  }
+
+  it should "plan broadcast joins against the query side and no Window" in {
+    val q = Seq((1L, "apple banana")).toDF("qid", "qtext")
+    val plan = Retrieval.bm25TopK(corpus(), "doc_id", "text", q, "qid", "qtext", k = 5)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
+  behavior of "Retrieval.tfIdf"
+
+  it should "match the closed-form tf-idf on a tiny corpus" in {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b c c")).toDF("doc_id", "text")
+    val got = Retrieval.tfIdf(docs, "doc_id", "text", minDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // df: a->2, b->2, c->2 (all kept at minDocFreq=2); n=3
+    val ln32 = math.log(3.0 / 2.0)
+    got((1L, "a")) shouldBe (2.0 / 3.0 * ln32) +- 1e-12
+    got((1L, "b")) shouldBe (1.0 / 3.0 * ln32) +- 1e-12
+    got((2L, "a")) shouldBe (1.0 / 2.0 * ln32) +- 1e-12
+    got((3L, "c")) shouldBe (2.0 / 3.0 * ln32) +- 1e-12
+    got.keySet.map(_._2) shouldBe Set("a", "b", "c")
+  }
+
+  it should "prune terms below minDocFreq" in {
+    val docs = Seq((1L, "common rare1"), (2L, "common rare2")).toDF("doc_id", "text")
+    val got = Retrieval.tfIdf(docs, "doc_id", "text", minDocFreq = 2)
+      .select("term").distinct().as[String].collect()
+    got shouldBe Array("common")
+  }
+}
