@@ -639,6 +639,40 @@ object SparkEntry {
         .select(col("n_bf"),
           (col("n_matched") >= col("n_bf") * 0.55).as("recall_ok"))
     }),
+    // persisted IVF index (build once, search many): buildIvfIndex trains
+    // the coarse quantizer ONCE and rewrites the corpus hive-partitioned
+    // by cell; searchIvfIndex probes with a LITERAL cell filter so the
+    // postings scan opens only the probed directories. The gate verifies
+    // the artifact end-to-end: postings row count pins to DuckDB, every
+    // posting sits in the argmin cell of the centroids LOADED BACK from
+    // disk, and the from-disk search holds the in-memory path's 55%
+    // recall floor on the same query batch.
+    "ivf_index_search" -> ((s, d) => {
+      val tmp = sessionTempDir("graft_ivfidx")
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val nCells = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        tmp, nlist = 16)
+      val centroids = Similarity.loadIvfCentroids(s, tmp)
+      val postings = s.read.parquet(s"$tmp/postings")
+      val misassigned = postings
+        .withColumn("best", nearestCells(col("v"), centroids, 1)(0))
+        .filter(col("cell") =!= col("best")).count()
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val idx = Similarity.searchIvfIndex(s, tmp, q, "vec_id", "embedding",
+          k = 5, nprobe = 6)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      val matched = bf.join(idx,
+        bf("query_id") === col("qid") && bf("neighbor_id") === col("nid"))
+      postings.agg(count(lit(1)).as("n_postings")).crossJoin(
+          bf.agg(count(lit(1)).as("n_bf")).crossJoin(
+            matched.agg(count(lit(1)).as("n_matched"))))
+        .select(col("n_postings"),
+          lit(nCells == 16).as("cells_ok"),
+          lit(misassigned == 0L).as("assigned_ok"),
+          (col("n_matched") >= col("n_bf") * 0.55).as("recall_ok"))
+    }),
     // oracle-gated PQ-ADC quality: product-quantized search (m=16 × 32
     // codes, exact re-rank of the approximate top 10k) must recover ≥70%
     // of the exact brute-force top-k (measured 92-98% across
@@ -1994,6 +2028,10 @@ object SparkEntry {
       "dedup_clusters" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_same_cluster FROM documents",
       "lsh_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "ivf_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
+      "ivf_index_search" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_postings, true AS cells_ok,
+          |  true AS assigned_ok, true AS recall_ok
+          |FROM embeddings""".stripMargin,
       "pq_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "ivfpq_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "sample_bernoulli_tol" -> "SELECT true AS within_tol",

@@ -155,39 +155,47 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
               trainCap: Long = 100000L, maxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    trainCoarseCentroids(corpusV, nlist, seed, trainCap, maxIter) match {
+      // empty/degenerate corpus (nothing finite to train on): return an
+      // empty result ROUTED THROUGH topKPerQuery so the schema (incl. the
+      // integral-id widening / string rendering of neighbor_id) is
+      // identical to the normal path's
+      case None =>
+        topKPerQuery(
+          corpusV.crossJoin(queryV)
+            .withColumn("cosine_sim", lit(null).cast("double"))
+            .limit(0), k)
+      case Some(centroids) => ivfSearch(corpusV, queryV, centroids, k, nprobe)
+    }
+  }
 
+  /** The coarse-quantizer fit shared by [[ivfTopK]] and [[buildIvfIndex]]:
+    * distributed MLlib k-means over a bounded pinned sample. None on an
+    * empty/degenerate corpus (no finite vector to train on). */
+  private[ext] def trainCoarseCentroids(corpusV: DataFrame, nlist: Int,
+      seed: Long, trainCap: Long, maxIter: Int): Option[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
     val sample = sampleTrainVecs(corpusV, trainCap)
     val trainDf = sample.select(array_to_vector(col("v")).as("features"))
     try {
       // bounded cost: counts the pinned ≤ trainCap-row sample, not the corpus
       val trainCount = trainDf.count()
-      // empty/degenerate corpus (nothing finite to train on): KMeans.fit
-      // would throw; return an empty result ROUTED THROUGH topKPerQuery so
-      // the schema (incl. the integral-id widening / string rendering of
-      // neighbor_id) is identical to the normal path's
-      if (trainCount == 0)
-        return topKPerQuery(
-          corpusV.crossJoin(queryV)
-            .withColumn("cosine_sim", lit(null).cast("double"))
-            .limit(0), k)
+      if (trainCount == 0) return None
       // Spark 4.1 MLlib crashes (block-mode aggregator AIOOBE) when k
       // exceeds the training point count — clamp; and KMeans rejects
       // k < 2 outright, so a 1-row sample (tiny corpus after striding)
       // skips the fit: one centroid = one cell = probe everything
       val k_ = math.min(nlist.toLong, trainCount).toInt
-      val centroids =
+      Some(
         if (k_ < 2)
           Array(trainDf.head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
         else
           new KMeans().setK(k_).setSeed(seed).setMaxIter(maxIter)
             .setFeaturesCol("features")
-            .fit(trainDf).clusterCenters.map(_.toArray)
-      ivfSearch(corpusV, queryV, centroids, k, nprobe)
+            .fit(trainDf).clusterCenters.map(_.toArray))
     } finally sample.unpersist()
   }
 
@@ -318,9 +326,9 @@ object Similarity {
 
   /** Assignment + probe + re-rank stage of [[ivfTopK]], split out so the
     * training sample can be unpersisted as soon as the centroids exist. */
-  private def ivfSearch(corpusV: DataFrame, queryV: DataFrame,
-                        centroids: Array[Array[Double]], k: Int,
-                        nprobe: Int): DataFrame = {
+  private[ext] def ivfSearch(corpusV: DataFrame, queryV: DataFrame,
+                             centroids: Array[Array[Double]], k: Int,
+                             nprobe: Int): DataFrame = {
     // KMeans may return fewer than k centers on small/degenerate corpora;
     // probing more cells than exist is just "probe everything"
     val effNprobe = math.min(nprobe, centroids.length)
@@ -332,6 +340,92 @@ object Similarity {
         explode(nearestCells(col("qv"), centroids, effNprobe)).as("cell"))
 
     val cand = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(queryV), Seq("query_id"))
+      .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("v"), col("qv")))
+    topKPerQuery(cand, k)
+  }
+
+  // ---- persisted IVF index ------------------------------------------------
+  // At corpus scale the coarse quantizer is trained ONCE and amortized over
+  // every query batch that follows — retraining (and re-scanning the corpus
+  // to assign cells) per search is the thing a 100 TB serving path cannot
+  // afford. The index is plain parquet: `path/centroids` (nlist rows) and
+  // `path/postings`, the corpus REWRITTEN partitionBy(cell) so a search
+  // probing nprobe cells prunes to those directories at the SCAN — the
+  // files for unprobed cells are never opened.
+
+  /** Train a coarse quantizer on `corpus` and persist the index at `path`:
+    * `path/centroids` = (cell INT, centroid ARRAY<DOUBLE>), `path/postings`
+    * = (id, v) hive-partitioned by `cell`. Returns the number of cells.
+    * One corpus scan beyond the bounded training sample; the write
+    * shuffles on `cell` so each cell's postings land in O(1) files rather
+    * than one file per (input task × cell). Incremental growth: append new
+    * rows assigned with [[loadIvfCentroids]] + `partitionBy("cell")` append
+    * mode — cells stay valid, only recall-per-probe drifts as the data
+    * distribution moves. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nlist: Int = 16, seed: Long = 42L,
+                    trainCap: Long = 100000L, maxIter: Int = 10): Int = {
+    val spark = corpus.sparkSession
+    val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = trainCoarseCentroids(corpusV, nlist, seed, trainCap, maxIter)
+      .getOrElse(Array.empty[Array[Double]])
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    if (centroids.isEmpty) {
+      // empty index: zero-row postings written UNPARTITIONED (a
+      // partitionBy write with no rows emits no schema-bearing file and
+      // the read-back would fail inference) — search doesn't prune an
+      // empty index anyway
+      corpusV.withColumn("cell", lit(0)).limit(0)
+        .write.mode("overwrite").parquet(s"$path/postings")
+      return 0
+    }
+    corpusV.withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+    centroids.length
+  }
+
+  /** The persisted quantizer: cell-indexed centroid array (driver-side —
+    * nlist rows by construction). */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+
+  /** Search a persisted index without retraining or re-assigning: queries
+    * assign to their `nprobe` nearest cells against the loaded centroids,
+    * and the postings scan carries `cell IN (probed…)` as a LITERAL
+    * partition filter — only the probed cells' directories are read
+    * (queries are a small broadcast batch, so collecting their distinct
+    * probe set is bounded by nlist). Result schema and ranking semantics
+    * are identical to [[ivfTopK]] run with the same centroids. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int = 4): DataFrame = {
+    val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val centroids = loadIvfCentroids(spark, path)
+    val postings = spark.read.parquet(s"$path/postings")
+    if (centroids.isEmpty)
+      return topKPerQuery(
+        postings.select(col("id"), col("v")).crossJoin(queryV)
+          .withColumn("cosine_sim", lit(null).cast("double"))
+          .limit(0), k)
+    val effNprobe = math.min(nprobe, centroids.length)
+    val probed = queryV
+      .select(col("query_id"),
+        explode(nearestCells(col("qv"), centroids, effNprobe)).as("cell"))
+    // literal probe-cell set => partition pruning at the postings scan
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val cand = postings
+      .where(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .join(broadcast(queryV), Seq("query_id"))
       .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("v"), col("qv")))

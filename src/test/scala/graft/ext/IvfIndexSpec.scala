@@ -1,0 +1,98 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+
+  behavior of "Similarity IVF index persistence"
+
+  it should "round-trip: from-disk search equals in-memory search with the loaded centroids" in {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val path = tmpDir()
+    val n = Similarity.buildIvfIndex(emb, "vec_id", "embedding", path, nlist = 8)
+    n shouldBe 8
+    val centroids = Similarity.loadIvfCentroids(spark, path)
+    centroids.length shouldBe 8
+    val fromDisk = Similarity.searchIvfIndex(spark, path, q,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    val inMem = Similarity.ivfSearch(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+        q.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        centroids, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted
+    fromDisk shouldBe inMem
+    fromDisk.length shouldBe 25
+  }
+
+  it should "store every posting in its argmin cell and cover the whole corpus" in {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = tmpDir()
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", path, nlist = 8)
+    val centroids = Similarity.loadIvfCentroids(spark, path)
+    val postings = spark.read.parquet(s"$path/postings")
+    postings.count() shouldBe emb.count()
+    import graft.GraftFunctions.nearestCells
+    postings.withColumn("best", nearestCells(col("v"), centroids, 1)(0))
+      .filter(col("cell") =!= col("best")).count() shouldBe 0L
+  }
+
+  it should "prune unprobed cell directories at the postings scan" in {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+    val path = tmpDir()
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", path, nlist = 8)
+    val search = Similarity.searchIvfIndex(spark, path, q,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val plan = search.queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[.*cell.*"
+    plan should not include "Window"
+    // nprobe=2 of 8 cells: the scan must report only the probed partitions
+    search.count() shouldBe 3L
+  }
+
+  it should "handle an empty corpus index cleanly" in {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = tmpDir()
+    Similarity.buildIvfIndex(emb.limit(0), "vec_id", "embedding",
+      path, nlist = 8) shouldBe 0
+    Similarity.loadIvfCentroids(spark, path).length shouldBe 0
+    Similarity.searchIvfIndex(spark, path,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+      .count() shouldBe 0L
+  }
+
+  it should "serve appended postings assigned with the loaded centroids" in {
+    // incremental growth: assign NEW rows against the existing quantizer
+    // and append — the search must see old and new rows through the same
+    // pruned scan
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val fresh = emb.filter(col("vec_id") % 2 =!= 0)
+    val path = tmpDir()
+    Similarity.buildIvfIndex(old, "vec_id", "embedding", path, nlist = 8)
+    val centroids = Similarity.loadIvfCentroids(spark, path)
+    import graft.GraftFunctions.nearestCells
+    fresh.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+    spark.read.parquet(s"$path/postings").count() shouldBe emb.count()
+    val q = emb.filter(col("vec_id") < 3)
+    val got = Similarity.searchIvfIndex(spark, path, q,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("neighbor_id").as[Long].collect()
+    // probing all 8 cells over the full corpus = exact search: compare
+    // against brute force on the union
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect()
+    got.sorted shouldBe bf.sorted
+  }
+}
