@@ -4,7 +4,7 @@ import graft.GraftFunctions._
 import graft.diffy.BigDiffy
 import graft.ext.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.sampling.{BigSampler, DirectSampler}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -638,6 +638,35 @@ object SparkEntry {
           matched.agg(count(lit(1)).as("n_matched")))
         .select(col("n_bf"),
           (col("n_matched") >= col("n_bf") * 0.55).as("recall_ok"))
+    }),
+    // first-class k-means topic clustering (trainCentroids +
+    // assignClusters): row count pins to DuckDB; the argmax-cosine
+    // assignment is re-verified through an INDEPENDENT implementation
+    // path (SQL higher-order functions over the centroid literals, not
+    // the NearestCells expression) — every row's assigned centroid must
+    // achieve the maximum cosine similarity within 1e-9.
+    "cluster_assign" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cs = Similarity.trainCentroids(emb, "embedding", k = 8)
+      val assigned = Similarity.assignClusters(emb, "vec_id", "embedding", cs)
+      val centLit = array(cs.map(c => array(c.map(lit): _*)): _*)
+      val dot = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, e) => acc + e)
+      val checked = emb
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+        .join(assigned, "id")
+        .withColumn("sims", transform(centLit, c =>
+          dot(col("v"), c) / (sqrt(dot(col("v"), col("v"))) * sqrt(dot(c, c)))))
+        .withColumn("ok", col("cluster").isNotNull &&
+          element_at(col("sims"), col("cluster") + 1) >=
+            array_max(col("sims")) - lit(1e-9))
+      checked.agg(count(lit(1)).as("n_rows"),
+          min(when(col("ok"), 1L).otherwise(0L)).as("__allok"),
+          countDistinct(col("cluster")).as("__nc"))
+        .select(col("n_rows"),
+          lit(cs.length == 8).as("cells_ok"),
+          (col("__allok") === 1L).as("argmin_ok"),
+          (col("__nc") >= 2L && col("__nc") <= 8L).as("spread_ok"))
     }),
     // persisted IVF index (build once, search many): buildIvfIndex trains
     // the coarse quantizer ONCE and rewrites the corpus hive-partitioned
@@ -2031,6 +2060,10 @@ object SparkEntry {
       "ivf_index_search" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_postings, true AS cells_ok,
           |  true AS assigned_ok, true AS recall_ok
+          |FROM embeddings""".stripMargin,
+      "cluster_assign" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS cells_ok,
+          |  true AS argmin_ok, true AS spread_ok
           |FROM embeddings""".stripMargin,
       "pq_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "ivfpq_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",

@@ -71,6 +71,7 @@ object Graft {
     case Some("convert")       => convert(parseFlags(args.tail), spark)
     case Some("profile")       => profileCmd(parseFlags(args.tail), spark)
     case Some("compact")       => compactCmd(parseFlags(args.tail), spark)
+    case Some("cluster")       => clusterCmd(parseFlags(args.tail), spark)
     case Some("pipeline")      =>
       val f = parseFlags(args.tail)
       Pipeline.run(required(f, "recipe"), f, spark)
@@ -78,7 +79,7 @@ object Graft {
       throw new IllegalArgumentException(
         "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
           "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-          s"bpeTokenize|clean|convert|profile|compact|pipeline> [flags]; got $other")
+          s"bpeTokenize|clean|convert|profile|compact|cluster|pipeline> [flags]; got $other")
   }
 
   /** Engine extension: one-pass per-column dataset profile
@@ -117,6 +118,30 @@ object Graft {
       targetBytes = required(f, "target-bytes").toLong,
       preserveOrder = f.get("preserve-order").contains("true"))
     System.err.println(s"[graft] compacted to $n files")
+  }
+
+  /** Engine extension: k-means topic clustering over an embedding column
+    * ([[graft.ext.Similarity.clusterAssign]]) — writes (id, cluster)
+    * hive-partitioned by cluster so downstream per-topic jobs prune at
+    * the scan.
+    *
+    * {{{
+    * graft cluster --input=<path> --output=<dir> --k=<n>
+    *               [--id-col=vec_id] [--vec-col=embedding] [--seed=<long>]
+    *               [--input-mode=parquet|avro|json] [--row-restriction=<pred>]
+    * }}} */
+  private def clusterCmd(f: Map[String, String], spark: SparkSession): Unit = {
+    val output = required(f, "output")
+    if (GraftIO.outputExists(output)) {
+      System.err.println(s"[graft] output $output exists; skipping"); return
+    }
+    val df = restrict(read(spark, required(f, "input"),
+      f.getOrElse("input-mode", "parquet")), f)
+    val assigned = graft.ext.Similarity.clusterAssign(df,
+      f.getOrElse("id-col", "vec_id"), f.getOrElse("vec-col", "embedding"),
+      k = required(f, "k").toInt,
+      seed = f.get("seed").map(_.toLong).getOrElse(42L))
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(output)
   }
 
   /** Format conversion — the reference CLI's core errand (ratatool's

@@ -175,10 +175,11 @@ object Similarity {
     * distributed MLlib k-means over a bounded pinned sample. None on an
     * empty/degenerate corpus (no finite vector to train on). */
   private[ext] def trainCoarseCentroids(corpusV: DataFrame, nlist: Int,
-      seed: Long, trainCap: Long, maxIter: Int): Option[Array[Array[Double]]] = {
+      seed: Long, trainCap: Long, maxIter: Int,
+      trainStride: Int = 16): Option[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val sample = sampleTrainVecs(corpusV, trainCap)
+    val sample = sampleTrainVecs(corpusV, trainCap, trainStride)
     val trainDf = sample.select(array_to_vector(col("v")).as("features"))
     try {
       // bounded cost: counts the pinned ≤ trainCap-row sample, not the corpus
@@ -306,7 +307,12 @@ object Similarity {
     * single-column ("v", array<double>) frame coalesced to a few
     * partitions (each k-means iteration schedules a handful of tasks
     * instead of one per corpus partition); caller must unpersist. */
-  private[ext] def sampleTrainVecs(corpusV: DataFrame, trainCap: Long): DataFrame = {
+  /** `trainStride` keeps every `stride`-th row per partition before the
+    * per-partition cap: 16 (the ANN coarse-quantizer default) decorrelates
+    * the sample cheaply but shrinks tiny corpora 16×; pass 1 when the fit
+    * quality matters more than sampling cost (first-class clustering). */
+  private[ext] def sampleTrainVecs(corpusV: DataFrame, trainCap: Long,
+                                   trainStride: Int = 16): DataFrame = {
     val finiteVecs = corpusV
       .filter(!exists(col("v"),
         x => isnan(x) || abs(x) >= lit(Double.PositiveInfinity)))
@@ -315,7 +321,6 @@ object Similarity {
     // clamp to Int range: trainCap / parts overflows .toInt for caps past
     // ~2^31 × partitions, which would silently sample NOTHING
     val perPart = math.min(math.max(1L, trainCap / parts), Int.MaxValue.toLong).toInt
-    val trainStride = 16
     import corpusV.sparkSession.implicits._
     finiteVecs.as[Seq[Double]]
       .mapPartitions(_.grouped(trainStride).map(_.head).take(perPart))
@@ -344,6 +349,44 @@ object Similarity {
       .join(broadcast(queryV), Seq("query_id"))
       .withColumn("cosine_sim", lit(1.0) - cosineDistance(col("v"), col("qv")))
     topKPerQuery(cand, k)
+  }
+
+  // ---- first-class clustering (topic bucketing) ---------------------------
+
+  /** Train `k` data-adaptive centroids over an embedding column — the IVF
+    * coarse quantizer exposed as a first-class operator. Distributed
+    * MLlib k-means over a bounded pinned sample (cost independent of
+    * corpus size past `trainCap`); deterministic for a fixed seed and
+    * input partitioning. Empty/degenerate corpora yield an empty array. */
+  def trainCentroids(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+                     trainCap: Long = 100000L, maxIter: Int = 20): Array[Array[Double]] =
+    trainCoarseCentroids(df.select(col(vecCol).as("v")).withColumn("id", lit(0L))
+        .select(col("id"), col("v")),
+      k, seed, trainCap, maxIter, trainStride = 1).getOrElse(Array.empty)
+
+  /** Assign every row to its argmin-distance centroid: (id, cluster).
+    * One narrow scan — the centroids ride as expression literals inside
+    * the codegen'd [[graft.functions.NearestCells]], so assignment never
+    * shuffles and composes with any downstream groupBy (topic-balanced
+    * sampling, per-cluster stats, mixture reweighting). */
+  def assignClusters(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assignClusters needs at least one centroid")
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), nearestCells(col("v"), centroids, 1)(0).as("cluster"))
+  }
+
+  /** Train + assign in one call: (id, cluster). The common path for topic
+    * bucketing a corpus before mixture balancing. */
+  def clusterAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    seed: Long = 42L, trainCap: Long = 100000L,
+                    maxIter: Int = 20): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    trainCoarseCentroids(v, k, seed, trainCap, maxIter, trainStride = 1) match {
+      case None => v.select(col("id"), lit(0).as("cluster")).limit(0)
+      case Some(cs) =>
+        v.select(col("id"), nearestCells(col("v"), cs, 1)(0).as("cluster"))
+    }
   }
 
   // ---- persisted IVF index ------------------------------------------------

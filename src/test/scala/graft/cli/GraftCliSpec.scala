@@ -226,6 +226,21 @@ class GraftCliSpec extends SparkSpec {
       spark.read.parquet(s"$base/in").count()
   }
 
+  it should "cluster embeddings from the CLI into a cluster-partitioned layout" in {
+    val base = tmp()
+    Graft.run(Seq("cluster",
+      "--input=/root/testdata/sf0.001/embeddings.parquet",
+      s"--output=$base/out", "--k=4"), spark)
+    val out = spark.read.parquet(s"$base/out")
+    out.columns.sorted shouldBe Array("cluster", "id")
+    out.count() shouldBe
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    out.select("cluster").distinct().count() shouldBe 4L
+    // hive layout: one directory per cluster
+    new java.io.File(s"$base/out").listFiles()
+      .count(_.getName.startsWith("cluster=")) shouldBe 4
+  }
+
   it should "gate the pipeline on data-quality checks" in {
     val base = tmp()
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -361,7 +376,7 @@ class GraftCliSpec extends SparkSpec {
       Graft.run(Seq("frobnicate"), spark) should have message
       "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
         "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-        "bpeTokenize|clean|convert|profile|compact|pipeline> [flags]; got Some(frobnicate)"
+        "bpeTokenize|clean|convert|profile|compact|cluster|pipeline> [flags]; got Some(frobnicate)"
     an[IllegalArgumentException] should be thrownBy
       Graft.run(Seq("bigSampler", "--input=/x"), spark)
   }

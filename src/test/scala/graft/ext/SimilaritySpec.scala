@@ -104,6 +104,42 @@ class SimilaritySpec extends SparkSpec {
       .collect().toSet shouldBe long
   }
 
+  behavior of "clusterAssign"
+
+  it should "recover the 5 planted clusters as pure label groups" in {
+    // every point was drawn around one of 5 well-separated directions;
+    // k=5 cosine k-means must put same-plant points under one label
+    val got = Similarity.clusterAssign(vecs, "vec_id", "embedding", k = 5)
+      .as[(Long, Int)].collect()
+    got.length shouldBe 200
+    val byPlant = got.groupBy { case (id, _) => id % 5 }
+    // each planted group maps to exactly one dominant label, ≥ 95% pure
+    val labels = byPlant.map { case (_, members) =>
+      val counts = members.groupBy(_._2).view.mapValues(_.size)
+      val (top, n) = counts.maxBy(_._2)
+      n.toDouble / members.size should be >= 0.95
+      top
+    }
+    labels.toSet.size shouldBe 5 // distinct dominant labels: no merged plants
+  }
+
+  it should "assign deterministically and equal assignClusters on trained centroids" in {
+    val a = Similarity.clusterAssign(vecs, "vec_id", "embedding", k = 5)
+      .as[(Long, Int)].collect().sorted
+    val cs = Similarity.trainCentroids(vecs, "embedding", k = 5)
+    cs.length shouldBe 5
+    val b = Similarity.assignClusters(vecs, "vec_id", "embedding", cs)
+      .as[(Long, Int)].collect().sorted
+    a shouldBe b
+  }
+
+  it should "return empty on an empty corpus and reject empty centroids" in {
+    Similarity.clusterAssign(vecs.limit(0), "vec_id", "embedding", k = 3)
+      .count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.assignClusters(vecs, "vec_id", "embedding", Array.empty)
+  }
+
   behavior of "pqTopK"
 
   it should "recall most brute-force neighbors after exact re-rank" in {
