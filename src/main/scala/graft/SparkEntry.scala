@@ -423,6 +423,29 @@ object SparkEntry {
         .filter(col("id_b") === col("id_a") + off)
         .agg(count(lit(1)).as("n_found"))
     }),
+    // incremental near-dup (the append-a-crawl step): incoming = truncated
+    // near-copies of every doc_id % 3 == 0 doc (shingle-Jaccard ≈ 0.9)
+    // plus REVERSED copies of doc_id % 3 == 1 docs (reversed 5-gram
+    // shingles share ~nothing with the original). At threshold 0.7 with
+    // 32 bands of 2 rows, every planted near-copy must match its source
+    // (miss probability ~ (1-J²)³² ≈ 1e-10 per doc) and no reversed doc
+    // may match its own source
+    "minhash_new_against" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val off = idOffset(docs, "doc_id")
+      val planted = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 10, 20))").as("text"))
+      val novel = docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + off).as("doc_id"), reverse(col("text")).as("text"))
+      val pairs = Dedup.minhashNewAgainst(docs, planted.unionByName(novel),
+        "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.7)
+      pairs.agg(
+          sum(when(col("id_old") === col("id_new") - off &&
+            col("id_old") % 3 === 0, 1L).otherwise(0L)).as("n_planted_found"),
+          (sum(when(col("id_old") === col("id_new") - off &&
+            col("id_old") % 3 === 1, 1L).otherwise(0L)) === 0L).as("novel_clean"))
+    }),
     // simhash pair list: the pair set is not SQL-reproducible (no simhash
     // in DuckDB), so the gate asserts the operator's structural contract
     // in-query — ordered distinct pairs within the Hamming radius, and a
@@ -2065,6 +2088,9 @@ object SparkEntry {
         """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS cells_ok,
           |  true AS argmin_ok, true AS spread_ok
           |FROM embeddings""".stripMargin,
+      "minhash_new_against" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_planted_found, true AS novel_clean
+          |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
       "pq_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "ivfpq_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "sample_bernoulli_tol" -> "SELECT true AS within_tol",

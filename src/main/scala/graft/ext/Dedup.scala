@@ -283,6 +283,46 @@ object Dedup {
       .drop("__id", "__spans")
   }
 
+  /** The MinHash-LSH family's shared front half: (hashed-shingle table,
+    * banded-signature relation), both localCheckpoint-pinned.
+    *
+    * The whole pipeline runs on hashed shingles (sorted distinct longs) —
+    * no string arrays anywhere: shingling is one custom-expression pass,
+    * minhash remixes the longs, verification is a sorted-merge walk. The
+    * compact (id, hashes) table is pinned because it feeds the signature
+    * path AND the verification sides, which would otherwise re-scan and
+    * re-shingle the corpus per consumer.
+    *
+    * Band signature = farm fingerprint of the band's slice, so the bucket
+    * key is a single long (cheap shuffle key). Band indices are a
+    * driver-side Int range, so each slice start is a literal — cheaper
+    * than a per-row sequence+transform and keeps slice() overloads happy.
+    * The banded relation carries ONLY (id, band, bsig): the shingle
+    * arrays are re-joined by id after pair dedup, so the ×bands explode
+    * shuffle moves 3 scalars per row, never the document shingles; it is
+    * pinned because every consumer reads it through several plan branches
+    * (bucket counts + pair sides), each of which would re-shingle and
+    * re-minhash the corpus otherwise — ~24 bytes/row × bands, negligible
+    * next to the corpus it replaces. */
+  private def shingleBanded(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleLen: Int,
+      seed: Int): (DataFrame, DataFrame) = {
+    val rPerB = numHashes / bands
+    val sh = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
+    val sig = sh.withColumn("sig", minhash(col("sh"), numHashes, seed))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        farmHash64(slice(col("sig"), b * rPerB + 1, rPerB)).as("bsig"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .localCheckpoint(true)
+    (sh, banded)
+  }
+
   /** MinHash-LSH near-duplicate pairs over a text column.
     *
     * shingle(n chars) → minhash(numHashes) → split into `bands` bands →
@@ -306,39 +346,8 @@ object Dedup {
                       broadcastVerify: Option[Boolean] = None,
                       broadcastVerifyMaxRows: Long = 1000000L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rPerB = numHashes / bands
-
-    // whole pipeline runs on hashed shingles (sorted distinct longs) — no
-    // string arrays anywhere: shingling is one custom-expression pass,
-    // minhash remixes the longs, verification is a sorted-merge walk.
-    // The compact (id, hashes) table is persisted: it feeds the signature
-    // path AND both verification sides, which would otherwise re-scan and
-    // re-shingle the corpus three times.
-    val sh = df.select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(true)
-    val sig = sh.withColumn("sig", minhash(col("sh"), numHashes, seed))
-
-    // band signature = farm fingerprint of the band's slice, so the bucket
-    // key is a single long (cheap shuffle key). Band indices are a
-    // driver-side Int range, so each slice start is a literal — cheaper
-    // than a per-row sequence+transform and keeps slice() overloads happy.
-    // The banded relation carries ONLY (id, band, bsig): the shingle arrays
-    // are re-joined by id after pair dedup, so the ×bands explode shuffle
-    // moves 3 scalars per row, never the document shingles.
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        farmHash64(slice(col("sig"), b * rPerB + 1, rPerB)).as("bsig"))
-    }
-    // The banded relation feeds THREE plan branches (bucket counts, pair
-    // side a, pair side b); without pinning it, each branch re-shingles and
-    // re-minhashes the whole corpus. Persisting the 3-scalar relation keeps
-    // the signature pass single-execution — it's ~24 bytes/row × bands,
-    // negligible next to the corpus it replaces.
-    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-      .localCheckpoint(true)
+    val (sh, banded) = shingleBanded(df, idCol, textCol, numHashes, bands,
+      shingleLen, seed)
 
     // candidate pairs within a bucket; cap pathological buckets
     val bucketSizes = banded.groupBy("band", "bsig").count()
@@ -375,6 +384,80 @@ object Dedup {
       .withColumn("jaccard", jaccardSorted(col("shh_id_a"), col("shh_id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental NEAR-duplicate detection: (id_new, id_old, jaccard) pairs
+    * where an `incoming` document's exact shingle-Jaccard against some
+    * `existing` document reaches `threshold` — the near-dup analog of
+    * [[newAgainst]], the append-a-new-crawl step when byte-identity is
+    * too strict. Anti-join `incoming` on `id_new` to keep the novel rows.
+    *
+    * Scale shape: both sides reduce to the shared hashed-shingle +
+    * banded-signature relations ([[shingleBanded]]); a Bloom filter over
+    * the EXISTING side's band signatures (8-byte keys, `bloomFpp`, no
+    * false negatives) broadcasts into the incoming side's scan, so an
+    * incoming document none of whose bands hits the filter — the typical
+    * novel document — never shuffles at all. Surviving bands equi-join
+    * existing buckets (capped at `maxBucketSize` like
+    * [[minhashNearDups]]; singleton buckets are legitimate match targets
+    * here), pairs dedup on 2 longs, and verification is the identical
+    * exact sorted-shingle merge — so the exactness contract matches
+    * [[minhashNearDups]] restricted to cross-side pairs. The existing
+    * corpus is never self-joined.
+    */
+  def minhashNewAgainst(existing: DataFrame, incoming: DataFrame,
+                        idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 5,
+                        threshold: Double = 0.8, seed: Int = 0,
+                        maxBucketSize: Int = 1000, bloomFpp: Double = 0.01,
+                        broadcastVerify: Option[Boolean] = None,
+                        broadcastVerifyMaxRows: Long = 1000000L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(bloomFpp > 0 && bloomFpp <= 0.5,
+      s"bloomFpp must be in (0, 0.5], got $bloomFpp")
+    val empty = incoming.select(col(idCol).as("id_new"),
+      col(idCol).as("id_old"), lit(0.0).as("jaccard")).limit(0)
+    val (shEx, bandedEx) = shingleBanded(existing, idCol, textCol,
+      numHashes, bands, shingleLen, seed)
+    val nExBands = bandedEx.count() // sizes the bloom; materializes the pin
+    if (nExBands == 0) return empty
+    val (shIn, bandedIn) = shingleBanded(incoming, idCol, textCol,
+      numHashes, bands, shingleLen, seed)
+
+    // (band, bsig) funneled to one long; the bloom broadcast prunes the
+    // incoming bands BEFORE any shuffle (false positives only add
+    // candidates — the exact verify restores precision)
+    val bandKey = fieldHash(Seq(col("band"), col("bsig")))
+    val bloom = bandedEx.select(bandKey.as("__bk"))
+      .stat.bloomFilter("__bk", nExBands, bloomFpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { (k: Long) => bc.value.mightContainLong(k) }
+
+    val buckets = bandedEx.groupBy("band", "bsig").count()
+      .filter(col("count") <= maxBucketSize)
+    val pairs = bandedIn.filter(mightContain(bandKey))
+      .select(col("band"), col("bsig"), col("id").as("id_new"))
+      .join(buckets, Seq("band", "bsig"))
+      .join(bandedEx.select(col("band"), col("bsig"), col("id").as("id_old")),
+        Seq("band", "bsig"))
+      .select(col("id_new"), col("id_old"))
+      .dropDuplicates("id_new", "id_old")
+
+    val doBroadcast = broadcastVerify.getOrElse(
+      autoBroadcastVerify("minhashNewAgainst", nExBands / bands,
+        broadcastVerifyMaxRows, estBytesPerRow = 2560L))
+    def side(sh: DataFrame, n: String) = {
+      val s = sh.select(col("id").as(n), col("sh").as(s"shh_$n"))
+      if (doBroadcast) broadcast(s) else s
+    }
+    pairs
+      .join(side(shIn, "id_new"), "id_new")
+      .join(side(shEx, "id_old"), "id_old")
+      .filter(least(size(col("shh_id_new")), size(col("shh_id_old"))) >=
+        lit(threshold) * greatest(size(col("shh_id_new")), size(col("shh_id_old"))))
+      .withColumn("jaccard", jaccardSorted(col("shh_id_new"), col("shh_id_old")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit fingerprint; candidates share at

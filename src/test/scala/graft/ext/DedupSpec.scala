@@ -109,6 +109,50 @@ class DedupSpec extends SparkSpec {
       .count() should be > 0L
   }
 
+  behavior of "minhashNewAgainst"
+
+  it should "equal the self-join operator restricted to cross-side pairs" in {
+    // split the corpus: originals = existing, near-copies (+1000) = incoming.
+    // The incremental operator must find exactly the cross-side pairs the
+    // self-join family finds (same bands/threshold, buckets under cap)
+    val existing = corpus.filter(col("doc_id") < 1000)
+    val incoming = corpus.filter(col("doc_id") >= 1000)
+    val inc = Dedup.minhashNewAgainst(existing, incoming, "doc_id", "text",
+        numHashes = 64, bands = 32, shingleLen = 5, threshold = 0.5)
+      .select("id_new", "id_old", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val self = Dedup.minhashNearDups(corpus, "doc_id", "text",
+        numHashes = 64, bands = 32, shingleLen = 5, threshold = 0.5)
+      .filter(col("id_b") >= 1000 && col("id_a") < 1000)
+      .select(col("id_b"), col("id_a"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    inc shouldBe self
+    inc.size should be >= 10 // the 10 constructed near-copies
+  }
+
+  it should "pass novel documents through with no pairs and survive an empty existing side" in {
+    val existing = corpus.filter(col("doc_id") < 1000)
+    val novel = Seq((5000L, "completely different content nothing shared qqq zzz")
+      ).toDF("doc_id", "text")
+    Dedup.minhashNewAgainst(existing, novel, "doc_id", "text",
+      threshold = 0.5).count() shouldBe 0L
+    val empty = existing.limit(0)
+    val got = Dedup.minhashNewAgainst(empty, novel, "doc_id", "text")
+    got.count() shouldBe 0L
+    got.columns.toSeq shouldBe Seq("id_new", "id_old", "jaccard")
+  }
+
+  it should "match against singleton existing buckets (no >1 bucket filter)" in {
+    // ONE existing doc, one incoming near-copy: the pair must be found
+    // even though every existing bucket has size 1
+    val one = corpus.filter(col("doc_id") === 0L)
+    val copy = one.select((col("doc_id") + 7000L).as("doc_id"), col("text"))
+    val got = Dedup.minhashNewAgainst(one, copy, "doc_id", "text",
+      threshold = 0.9)
+    got.count() shouldBe 1L
+    got.select("jaccard").as[Double].head() shouldBe 1.0
+  }
+
   behavior of "simhashNearDups"
 
   it should "find heavily-overlapping docs within the Hamming budget" in {
