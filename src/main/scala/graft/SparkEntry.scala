@@ -52,6 +52,43 @@ object SparkEntry {
     3L -> "window merge sort scan",
     4L -> "slow batch value stream")
 
+  /** DuckDB replica of [[graft.ext.Retrieval.bm25TopK]] over `documents`
+    * with the [[bm25Queries]] batch (top-10, scores rank-quantized to 5
+    * decimals). BM25 constants arrive as SQL EXPRESSIONS (e.g.
+    * "(1.2 + 1.0)") so both engines execute the identical IEEE double
+    * operations the Scala side's `lit(k1 + 1.0)` builds. */
+  private def bm25OracleSql(k1: String, k1p1: String, oneMinusB: String,
+                            b: String): String = {
+    val re2 = graft.functions.ScriptTokens.Re2Pattern
+    val qv = bm25Queries.map { case (i, s) => s"($i, '$s')" }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '$re2') AS toks FROM documents),
+       |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
+       |q(qid, qtext) AS (VALUES $qv),
+       |qt AS (SELECT DISTINCT qid, unnest(regexp_extract_all(lower(qtext), '$re2')) AS term FROM q),
+       |v AS (SELECT DISTINCT term FROM qt),
+       |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+       |tf AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+       |  FROM p JOIN v USING (term) GROUP BY 1, 2, 3),
+       |idf AS (SELECT term,
+       |  ln(1.0 + ((SELECT n FROM st) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+       |  FROM tf GROUP BY term),
+       |sc AS (SELECT qt.qid, tf.doc_id,
+       |  ROUND(sum(idf.idf * (CAST(tf.tf AS DOUBLE) * $k1p1)
+       |    / (CAST(tf.tf AS DOUBLE)
+       |      + $k1 * ($oneMinusB + $b * CAST(tf.dl AS DOUBLE)
+       |        / (SELECT avgdl FROM st)))), 5) AS score
+       |  FROM tf JOIN idf USING (term) JOIN qt USING (term)
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+       |  FROM sc)
+       |SELECT CAST(qid AS BIGINT) AS query_id, doc_id, score,
+       |  CAST(rnk AS INTEGER) AS rank
+       |FROM rk WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** `events` with its parquet timestamp — whatever unit the file was
     * written with (NANOS, MICROS, MILLIS) — surfaced as canonical integer
     * micros (`ts_us`); the temporal gates compare timestamps as integers
@@ -1729,6 +1766,20 @@ object SparkEntry {
           q, "qid", "qtext", k = 10, roundScoresTo = Some(5))
         .orderBy("query_id", "rank")
     }),
+    // hybrid-retrieval rank fusion: RRF over two classic BM25
+    // parameterizations, value-exact vs DuckDB composing the same two
+    // ranked lists (fused score = one commutative IEEE addition per doc,
+    // so even the unrounded doubles are engine-exact)
+    "rrf_fusion" -> ((s, d) => {
+      import s.implicits._
+      val q = bm25Queries.toDF("qid", "qtext")
+      val docs = t(s, d, "documents")
+      val a = ext.Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext",
+        k = 10, roundScoresTo = Some(5))
+      val b = ext.Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext",
+        k = 10, k1 = 0.9, b = 0.4, roundScoresTo = Some(5))
+      ext.Retrieval.rrfFuse(Seq(a, b), k = 10).orderBy("query_id", "rank")
+    }),
     // per-document TF-IDF features over the corpus vocabulary (df >= 3):
     // per-row arithmetic only (no FP sums), value-exact at 6 decimals
     "tfidf_terms" -> ((s, d) =>
@@ -2888,33 +2939,24 @@ object SparkEntry {
           |    AND l_orderkey % 2 <> 0 THEN l_orderkey END) AS BIGINT) AS n_ab,
           |  true AS a_ok, true AS b_ok, true AS inter_ok, true AS union_ok
           |FROM lineitem""".stripMargin,
-      "bm25_topk" -> {
-        val qv = bm25Queries.map { case (i, s) => s"($i, '$s')" }.mkString(", ")
-        s"""WITH d AS (SELECT doc_id, $lowToks AS toks FROM documents),
-           |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
-           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-           |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dd),
-           |q(qid, qtext) AS (VALUES $qv),
-           |qt AS (SELECT DISTINCT qid, unnest(regexp_extract_all(lower(qtext), '$cjkRe2')) AS term FROM q),
-           |v AS (SELECT DISTINCT term FROM qt),
-           |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
-           |tf AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
-           |  FROM p JOIN v USING (term) GROUP BY 1, 2, 3),
-           |idf AS (SELECT term,
-           |  ln(1.0 + ((SELECT n FROM st) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
-           |  FROM tf GROUP BY term),
-           |sc AS (SELECT qt.qid, tf.doc_id,
-           |  ROUND(sum(idf.idf * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-           |    / (CAST(tf.tf AS DOUBLE)
-           |      + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE)
-           |        / (SELECT avgdl FROM st)))), 5) AS score
-           |  FROM tf JOIN idf USING (term) JOIN qt USING (term)
-           |  GROUP BY 1, 2),
-           |rk AS (SELECT qid, doc_id, score,
-           |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
-           |  FROM sc)
-           |SELECT CAST(qid AS BIGINT) AS query_id, doc_id, score,
-           |  CAST(rnk AS INTEGER) AS rank
+      "bm25_topk" -> bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75"),
+      "rrf_fusion" -> {
+        // reciprocal-rank fusion of the two classic BM25 parameterizations;
+        // per-doc fused score is one commutative IEEE addition, so the
+        // unrounded doubles are engine-exact
+        val bmA = bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75")
+        val bmB = bm25OracleSql("0.9", "(0.9 + 1.0)", "(1 - 0.4)", "0.4")
+        s"""WITH r1 AS (SELECT * FROM ($bmA)),
+           |r2 AS (SELECT * FROM ($bmB)),
+           |u AS (SELECT query_id, doc_id,
+           |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS s FROM r1
+           |  UNION ALL SELECT query_id, doc_id,
+           |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS s FROM r2),
+           |f AS (SELECT query_id, doc_id, sum(s) AS score FROM u GROUP BY 1, 2),
+           |rk AS (SELECT query_id, doc_id, score,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+           |  FROM f)
+           |SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rank
            |FROM rk WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
       },
       "tfidf_terms" ->

@@ -126,6 +126,42 @@ object Retrieval {
         col("h.cosine_sim").as("score"), col("h.rank").as("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR '09) of
+    * ranked retrieval lists: each input relation carries (query_id,
+    * doc_id, rank); a document's fused score is the sum over lists of
+    * `1 / (kRrf + rank)` (absent-from-list contributes nothing), and the
+    * result is the top-`k` per query by fused score (ties on doc_id),
+    * with a fresh 1-based rank. The standard way to hybridize [[bm25TopK]]
+    * with embedding ANN ([[Similarity]]) — rank-space fusion needs no
+    * score calibration between systems.
+    *
+    * Scale shape: inputs are ranked TOP-LISTS (k-bounded per query by
+    * construction), so this whole operator works on tiny relations —
+    * one union + one sum aggregation + the k-bounded TopK aggregator.
+    *
+    * Determinism note: with two lists the fused sum is a single IEEE
+    * addition (exactly commutative); with three or more, summation order
+    * can differ by ulps between runs for documents appearing in 3+ lists
+    * — quantize downstream if bit-stability matters there. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1 && kRrf >= 0, s"need k >= 1 (got $k), kRrf >= 0 (got $kRrf)")
+    val scored = rankings.map { r =>
+      r.select(col("query_id").cast(LongType).as("query_id"),
+        col("doc_id").cast(LongType).as("doc_id"),
+        (lit(1.0) / (lit(kRrf.toDouble) + col("rank").cast("double"))).as("s"))
+    }.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s")).as("score"))
+    val byScore = udaf(new TopK.ByScore[Long](k),
+      ExpressionEncoder[(Long, Double)]())
+    scored.groupBy("query_id")
+      .agg(byScore(col("doc_id"), col("score")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("doc_id"),
+        col("h.cosine_sim").as("score"), col("h.rank").as("rank"))
+  }
+
   /** Per-document TF-IDF vectors over the corpus' own vocabulary, pruned
     * to terms in at least `minDocFreq` docs: (doc_id, term, tf_idf) with
     * `tf_idf = (tf / dl) * ln(N / df)`. The feature-extraction sibling of

@@ -120,6 +120,33 @@ class RetrievalSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  behavior of "Retrieval.rrfFuse"
+
+  it should "match hand-computed reciprocal-rank fusion of two lists" in {
+    // list A ranks docs 1,2,3; list B ranks 3,1 — doc 3: 1/63 + 1/61,
+    // doc 1: 1/61 + 1/62, doc 2: 1/62
+    val a = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 3L, 1), (1L, 1L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val s1 = 1.0 / 61 + 1.0 / 62
+    val s3 = 1.0 / 63 + 1.0 / 61
+    val s2 = 1.0 / 62
+    s1 should be > s3 // doc 1 wins
+    got shouldBe Array((1L, s1, 1), (3L, s3, 2), (2L, s2, 3))
+  }
+
+  it should "respect k, break exact ties by doc_id, and handle disjoint queries" in {
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 30L, 1)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 10L, 2)).toDF("query_id", "doc_id", "rank")
+    // docs 10 and 20 have identical fused scores {1/61 + 1/62}: id asc
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 1)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    got shouldBe Array((1L, 10L, 1), (2L, 30L, 1))
+  }
+
   behavior of "Retrieval.tfIdf"
 
   it should "match the closed-form tf-idf on a tiny corpus" in {
