@@ -460,6 +460,60 @@ object Dedup {
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
+  /** Build the accumulated-corpus band-signature Bloom filter that
+    * [[maybeNearDuplicateFlag]] probes — the NEAR-dup analog of
+    * [[corpusBloom]]. One distributed aggregation over the existing
+    * side's (band, bsig) keys; parameters must match the flag's exactly
+    * (a mismatch silently probes garbage — both ends funnel the same
+    * `(band, bsig)` through [[graft.GraftFunctions.fieldHash]]). An empty
+    * corpus yields an empty filter that flags nothing. */
+  def nearDupBloom(existing: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 5,
+                   seed: Int = 0, bloomFpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(bloomFpp > 0 && bloomFpp <= 0.5,
+      s"bloomFpp must be in (0, 0.5], got $bloomFpp")
+    val (_, banded) = shingleBanded(existing, idCol, textCol, numHashes,
+      bands, shingleLen, seed)
+    val n = banded.count()
+    if (n == 0) return org.apache.spark.util.sketch.BloomFilter.create(1, bloomFpp)
+    banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
+      .stat.bloomFilter("__bk", n, bloomFpp)
+  }
+
+  /** Streaming-liftable "might be a near-duplicate of the corpus" flag
+    * from a pre-built [[nearDupBloom]]: shingle → minhash → band
+    * signatures, true iff ANY band signature hits the filter. `false` is
+    * definitive for documents at or above the LSH recall envelope of the
+    * (bands, rows) choice — a Jaccard-`s` duplicate misses every band
+    * only with probability (1-s^r)^bands, on TOP of which the Bloom side
+    * has no false negatives; `true` means candidate (near-dup OR bucket
+    * coincidence OR ~fpp Bloom noise) — route flagged rows through the
+    * exact [[minhashNewAgainst]] verify when precision matters. Pure
+    * column expression (no join, no state): runs unchanged on a
+    * Structured-Streaming batch, filter ships in the closure once. */
+  def maybeNearDuplicateFlag(text: Column,
+                             bloom: org.apache.spark.util.sketch.BloomFilter,
+                             numHashes: Int = 64, bands: Int = 16,
+                             shingleLen: Int = 5, seed: Int = 0): Column = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rPerB = numHashes / bands
+    // ONE tokenize+minhash evaluation: the band keys are built inside a
+    // single transform over a literal band range (the signature is one
+    // shared child, not re-shingled per band); empty/null text minhashes
+    // to null, the null rides through to a null key array, and the probe
+    // maps that to a definitive false
+    val sig = minhash(shingleHashes(text, shingleLen), numHashes, seed)
+    val keys = transform(sequence(lit(0), lit(bands - 1)), b =>
+      fieldHash(Seq(b,
+        farmHash64(slice(sig, b * lit(rPerB) + lit(1), lit(rPerB))))))
+    val probeAny = udf { (ks: scala.collection.Seq[Long]) =>
+      ks != null && ks.exists(bloom.mightContainLong)
+    }
+    probeAny(keys)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit fingerprint; candidates share at
     * least one of `chunks` equal bit-chunks (pigeonhole guarantees recall
     * for Hamming distance < chunks); verified by exact Hamming ≤ maxHamming. */

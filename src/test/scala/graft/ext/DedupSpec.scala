@@ -142,6 +142,34 @@ class DedupSpec extends SparkSpec {
     got.columns.toSeq shouldBe Seq("id_new", "id_old", "jaccard")
   }
 
+  it should "never flag-miss a document the exact operator pairs (streaming flag parity)" in {
+    val existing = corpus.filter(col("doc_id") < 1000)
+    val incoming = corpus.filter(col("doc_id") >= 1000)
+    val bloom = Dedup.nearDupBloom(existing, "doc_id", "text",
+      numHashes = 64, bands = 32, bloomFpp = 0.0001)
+    val flagged = incoming.withColumn("f",
+        Dedup.maybeNearDuplicateFlag(col("text"), bloom, numHashes = 64, bands = 32))
+      .filter(col("f")).select("doc_id").as[Long].collect().toSet
+    val paired = Dedup.minhashNewAgainst(existing, incoming, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_new").as[Long].collect().toSet
+    // Bloom filters have no false negatives: every exact-operator match
+    // must have been flagged (the flag may add candidates, never lose one)
+    paired.subsetOf(flagged) shouldBe true
+    paired.size should be >= 10
+    // a genuinely novel doc stays unflagged (deterministic for fixed data)
+    val novel = Seq((9999L, "entirely foreign content zzz qqq jjj xxx vvv"))
+      .toDF("doc_id", "text")
+    novel.withColumn("f", Dedup.maybeNearDuplicateFlag(col("text"), bloom,
+        numHashes = 64, bands = 32))
+      .filter(col("f")).count() shouldBe 0L
+    // null/empty text is definitively false, not null
+    Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+      .withColumn("f", Dedup.maybeNearDuplicateFlag(col("text"), bloom,
+        numHashes = 64, bands = 32))
+      .select("f").as[Boolean].collect() shouldBe Array(false, false)
+  }
+
   it should "match against singleton existing buckets (no >1 bucket filter)" in {
     // ONE existing doc, one incoming near-copy: the pair must be found
     // even though every existing bucket has size 1

@@ -394,6 +394,43 @@ class StreamOpsSpec extends SparkSpec {
     dropped should not be empty
   }
 
+  it should "flag near-duplicate candidates on a stream with no false negatives" in {
+    import graft.ext.Dedup
+    implicit val sc = spark.sqlContext
+    val existing = (0L until 30L).map { i =>
+      (i, (0 until 40).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" "))
+    }.toDF("doc_id", "text")
+    // near-copies (drop last 2 words) interleaved with novel rows
+    val incoming = (0L until 30L).map { i =>
+      if (i % 2 == 0)
+        (i + 500L, (0 until 38).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" "))
+      else (i + 500L, s"novel ${i} content ${i * 13} unseen ${i * 29}")
+    }
+    val bloom = Dedup.nearDupBloom(existing, "doc_id", "text",
+      numHashes = 64, bands = 32, bloomFpp = 0.0001)
+    val input = MemoryStream[(Long, String)]
+    val flagged = input.toDF().toDF("doc_id", "text")
+      .withColumn("maybe_near", Dedup.maybeNearDuplicateFlag(col("text"), bloom,
+        numHashes = 64, bands = 32))
+    val q = flagged.writeStream.format("memory").queryName("s_neardup").start()
+    input.addData(incoming.take(15))
+    q.processAllAvailable()
+    input.addData(incoming.drop(15))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_neardup")
+      .select("doc_id", "maybe_near").as[(Long, Boolean)].collect().toMap
+    streamed.size shouldBe 30
+    val paired = Dedup.minhashNewAgainst(existing, incoming.toDF("doc_id", "text"),
+        "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_new").as[Long].collect().toSet
+    // every exact-operator near-dup was flagged on the stream
+    paired.foreach(id => streamed(id) shouldBe true)
+    paired.size should be >= 14
+    // and the definitive-false contract holds on the novel side
+    streamed.collect { case (id, false) => id }.toSet
+      .intersect(paired) shouldBe Set.empty
+  }
+
   behavior of "streaming chunking and splitting"
 
   it should "emit the same chunks as the batch chunker over the same docs" in {
