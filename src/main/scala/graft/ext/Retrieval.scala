@@ -88,11 +88,15 @@ object Retrieval {
 
     // postings restricted to the query vocabulary: the broadcast semi-join
     // runs token-side in the scan stage, so the tf groupBy shuffles only
-    // matched (doc_id, term) traffic
+    // matched (doc_id, term) traffic. Pinned eagerly — it feeds BOTH the
+    // df/idf branch and the scoring branch, which would otherwise each
+    // re-scan and re-tokenize the corpus; the pinned relation is the
+    // matched postings only (bounded by query-vocab selectivity)
     val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .join(broadcast(vocab), "term")
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
 
     // df over the postings collapses to <= |vocab| rows; idf broadcasts back
     val idf = tf.groupBy("term")
@@ -179,9 +183,14 @@ object Retrieval {
       scriptTokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast(LongType))
     val nDocs = d.count()
+    // pinned: feeds the df aggregation AND the final join — one
+    // tokenize+aggregate pass instead of two; the pin holds one thin row
+    // per distinct (doc, term), the same order of magnitude the shuffle
+    // already spills
     val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocFreq)
