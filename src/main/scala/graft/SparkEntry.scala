@@ -1766,6 +1766,20 @@ object SparkEntry {
           q, "qid", "qtext", k = 10, roundScoresTo = Some(5))
         .orderBy("query_id", "rank")
     }),
+    // persisted text index: buildTextIndex tokenizes the corpus ONCE into
+    // term-hash-bucketed postings + stats; searchTextIndex prunes the
+    // postings scan to the query terms' buckets and recovers exact df
+    // from them. Same DuckDB oracle as bm25_topk — the indexed path must
+    // reproduce direct BM25 value-for-value without touching the corpus.
+    "text_index_search" -> ((s, d) => {
+      import s.implicits._
+      val tmp = sessionTempDir("graft_txtidx")
+      val q = bm25Queries.toDF("qid", "qtext")
+      ext.Retrieval.buildTextIndex(t(s, d, "documents"), "doc_id", "text", tmp)
+      ext.Retrieval.searchTextIndex(s, tmp, q, "qid", "qtext",
+          k = 10, roundScoresTo = Some(5))
+        .orderBy("query_id", "rank")
+    }),
     // hybrid-retrieval rank fusion: RRF over two classic BM25
     // parameterizations, value-exact vs DuckDB composing the same two
     // ranked lists (fused score = one commutative IEEE addition per doc,
@@ -2940,6 +2954,7 @@ object SparkEntry {
           |  true AS a_ok, true AS b_ok, true AS inter_ok, true AS union_ok
           |FROM lineitem""".stripMargin,
       "bm25_topk" -> bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75"),
+      "text_index_search" -> bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75"),
       "rrf_fusion" -> {
         // reciprocal-rank fusion of the two classic BM25 parameterizations;
         // per-doc fused score is one commutative IEEE addition, so the

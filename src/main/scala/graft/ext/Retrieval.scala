@@ -130,6 +130,105 @@ object Retrieval {
         col("h.cosine_sim").as("score"), col("h.rank").as("rank"))
   }
 
+  // ---- persisted text index -----------------------------------------------
+  // At corpus scale the tokenize+postings pass is the expensive part of
+  // BM25 and is query-independent: build it ONCE, partition the postings
+  // by a term-hash bucket, and every later query batch reads only the
+  // buckets its terms hash into (hive partition pruning) — the corpus
+  // text is never re-scanned.
+
+  /** Tokenize `docs` once and persist a BM25-servable index at `path`:
+    * `path/postings` = (term, doc_id, dl, tf) hive-partitioned by
+    * `bucket = pmod(hash64(term), buckets)`, and `path/stats` = one row
+    * (n_docs, sum_dl). Returns the number of documents indexed. The
+    * postings write shuffles on bucket so each bucket lands in O(1)
+    * files; document frequencies are NOT materialized — a search
+    * recovers exact df for its query terms from the pruned postings
+    * (one row per (term, doc) by construction). */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, buckets: Int = 64): Long = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      scriptTokens(lower(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast(LongType))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    stats.repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    val postings = d
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(farmHash64(col("term")), lit(buckets.toLong)))
+    if (postings.isEmpty) {
+      // zero-row partitionBy writes emit no schema-bearing file (same
+      // guard as the empty IVF index): write unpartitioned
+      postings.limit(0).write.mode("overwrite").parquet(s"$path/postings")
+      return 0L
+    }
+    postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    spark.read.parquet(s"$path/stats").head().getAs[Long]("n_docs")
+  }
+
+  /** BM25 search against a [[buildTextIndex]] artifact without touching
+    * the corpus: query terms hash to their buckets (a driver-side
+    * literal set — queries are a small broadcast batch), the postings
+    * scan prunes to those directories, a broadcast semi-join keeps only
+    * the query terms' rows, and df/idf/scores/top-k proceed exactly as
+    * [[bm25TopK]] — same formula, same tie rules. Raw scores can differ
+    * from the direct path in the final ulp (contributions sum under a
+    * different partitioning); pass `roundScoresTo` when reproducible
+    * ranking across paths/runs matters. */
+  def searchTextIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, qidCol: String, qtextCol: String,
+                      k: Int, k1: Double = 1.2, b: Double = 0.75,
+                      buckets: Int = 64,
+                      roundScoresTo: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"searchTextIndex needs k >= 1, got $k")
+    val stats = spark.read.parquet(s"$path/stats").head()
+    val nDocs = stats.getAs[Long]("n_docs")
+    val qTerms = queries.select(col(qidCol).cast(LongType).as("query_id"),
+      explode(array_distinct(scriptTokens(lower(col(qtextCol))))).as("term"))
+    if (nDocs == 0L)
+      return qTerms.select(col("query_id"), col("query_id").as("doc_id"),
+        lit(0.0).as("score"), lit(0).as("rank")).limit(0)
+    val avgdl = stats.getAs[Long]("sum_dl").toDouble / nDocs
+    val vocab = qTerms.select("term").distinct()
+    // literal bucket set => hive partition pruning at the postings scan
+    val qBuckets = vocab
+      .select(pmod(farmHash64(col("term")), lit(buckets.toLong)).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    val tf = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(qBuckets.map(java.lang.Long.valueOf).toSeq: _*))
+      .join(broadcast(vocab), "term")
+    val idf = tf.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+    val contrib = tf
+      .join(broadcast(idf.select("term", "idf")), "term")
+      .join(broadcast(qTerms), "term")
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b)
+              + lit(b) * col("dl").cast("double") / lit(avgdl))))
+    val rawScore = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib")).as("score"))
+    val scored = roundScoresTo match {
+      case Some(p) => rawScore.withColumn("score", round(col("score"), p))
+      case None    => rawScore
+    }
+    val byScore = udaf(new TopK.ByScore[Long](k),
+      ExpressionEncoder[(Long, Double)]())
+    scored.groupBy("query_id")
+      .agg(byScore(col("doc_id"), col("score")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("doc_id"),
+        col("h.cosine_sim").as("score"), col("h.rank").as("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR '09) of
     * ranked retrieval lists: each input relation carries (query_id,
     * doc_id, rank); a document's fused score is the sum over lists of

@@ -120,6 +120,53 @@ class RetrievalSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  behavior of "Retrieval text index"
+
+  private def idxDir(): String =
+    java.nio.file.Files.createTempDirectory("txtidx").toString + "/idx"
+
+  it should "serve identical results to direct bm25TopK from the persisted index" in {
+    // the two paths sum contributions under different partitionings, so
+    // raw doubles can differ in the last ulp — rank-quantization (the
+    // operator's own reproducibility knob) makes the comparison exact
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = Seq((1L, "spark join filter"), (2L, "customer order data"))
+      .toDF("qid", "qtext")
+    val path = idxDir()
+    val n = Retrieval.buildTextIndex(docs, "doc_id", "text", path, buckets = 16)
+    n shouldBe docs.count()
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext",
+        k = 8, roundScoresTo = Some(9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val indexed = Retrieval.searchTextIndex(spark, path, q, "qid", "qtext", k = 8,
+        buckets = 16, roundScoresTo = Some(9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    indexed shouldBe direct
+  }
+
+  it should "prune unqueried buckets at the postings scan" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = Seq((1L, "spark")).toDF("qid", "qtext")
+    val path = idxDir()
+    Retrieval.buildTextIndex(docs, "doc_id", "text", path, buckets = 16)
+    val search = Retrieval.searchTextIndex(spark, path, q, "qid", "qtext",
+      k = 5, buckets = 16)
+    val plan = search.queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[.*bucket.*"
+    search.count() shouldBe 5L
+  }
+
+  it should "handle an empty corpus index" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = idxDir()
+    Retrieval.buildTextIndex(docs.limit(0), "doc_id", "text", path) shouldBe 0L
+    val q = Seq((1L, "spark")).toDF("qid", "qtext")
+    Retrieval.searchTextIndex(spark, path, q, "qid", "qtext", k = 5)
+      .count() shouldBe 0L
+  }
+
   behavior of "Retrieval.rrfFuse"
 
   it should "match hand-computed reciprocal-rank fusion of two lists" in {
