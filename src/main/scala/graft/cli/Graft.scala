@@ -151,8 +151,8 @@ object Graft {
     *
     * {{{
     * graft convert --input=<path> --output=<dir>
-    *               [--input-mode=parquet|avro|json|csv]
-    *               [--output-mode=parquet|avro|json|csv]
+    *               [--input-mode=parquet|orc|avro|json|csv]
+    *               [--output-mode=parquet|orc|avro|json|csv]
     *               [--columns=c1,c2] [--partition-by=c1,c2]
     *               [--row-restriction=<sql predicate>]
     * }}} */
@@ -457,6 +457,7 @@ object Graft {
   private[cli] def read(spark: SparkSession, path: String, mode: String): DataFrame =
     mode match {
       case "parquet" => spark.read.parquet(path)
+      case "orc"     => spark.read.orc(path)
       case "avro"    => AvroIO.read(spark, path)
       case "json"    => GraftIO.readJsonLines(spark, path)
       // header+inferSchema mirrors the reference's CSV convenience readers;
@@ -478,6 +479,9 @@ object Graft {
     case "parquet" =>
       val w = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    case "orc" =>
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
     case "avro" =>
       require(partitionBy.isEmpty, "--partition-by is not supported for avro output")
       AvroIO.write(df, path)

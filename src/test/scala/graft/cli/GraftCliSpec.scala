@@ -369,6 +369,16 @@ class GraftCliSpec extends SparkSpec {
     Graft.run(Seq("convert", s"--input=$base/out", "--input-mode=json",
       s"--output=$base/back", "--output-mode=avro"), spark)
     graft.sources.AvroIO.read(spark, s"$base/back").count() shouldBe 2L
+    // orc roundtrip with partitioning: values and schema survive
+    Graft.run(Seq("convert", s"--input=$base/in", s"--output=$base/orc",
+      "--output-mode=orc", "--partition-by=name"), spark)
+    val orc = spark.read.orc(s"$base/orc")
+    orc.count() shouldBe 3L
+    orc.columns.sorted.toSeq shouldBe Seq("id", "name", "score")
+    Graft.run(Seq("convert", s"--input=$base/orc", "--input-mode=orc",
+      s"--output=$base/orcback"), spark)
+    spark.read.parquet(s"$base/orcback")
+      .agg(org.apache.spark.sql.functions.sum("score")).head().getDouble(0) shouldBe 60.0
   }
 
   it should "reject unknown commands and missing flags with clear errors" in {
