@@ -72,6 +72,8 @@ object Graft {
     case Some("profile")       => profileCmd(parseFlags(args.tail), spark)
     case Some("compact")       => compactCmd(parseFlags(args.tail), spark)
     case Some("cluster")       => clusterCmd(parseFlags(args.tail), spark)
+    case Some("index")         => indexCmd(parseFlags(args.tail), spark)
+    case Some("search")        => searchCmd(parseFlags(args.tail), spark)
     case Some("pipeline")      =>
       val f = parseFlags(args.tail)
       Pipeline.run(required(f, "recipe"), f, spark)
@@ -79,7 +81,8 @@ object Graft {
       throw new IllegalArgumentException(
         "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
           "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-          s"bpeTokenize|clean|convert|profile|compact|cluster|pipeline> [flags]; got $other")
+          "bpeTokenize|clean|convert|profile|compact|cluster|index|" +
+          s"search|pipeline> [flags]; got $other")
   }
 
   /** Engine extension: one-pass per-column dataset profile
@@ -142,6 +145,80 @@ object Graft {
       k = required(f, "k").toInt,
       seed = f.get("seed").map(_.toLong).getOrElse(42L))
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(output)
+  }
+
+  /** Engine extension: build a persisted retrieval index — BM25
+    * term-bucketed postings ([[graft.ext.Retrieval.buildTextIndex]]) or
+    * an IVF embedding index ([[graft.ext.Similarity.buildIvfIndex]]).
+    * Build once, serve many query batches with `graft search`.
+    *
+    * {{{
+    * graft index --input=<path> --output=<dir> --type=text|ivf
+    *             [--id-col=doc_id] [--text-col=text] [--buckets=64]    (text)
+    *             [--id-col=vec_id] [--vec-col=embedding] [--nlist=16]  (ivf)
+    *             [--input-mode=...] [--row-restriction=<pred>]
+    * }}} */
+  private def indexCmd(f: Map[String, String], spark: SparkSession): Unit = {
+    val output = required(f, "output")
+    if (GraftIO.outputExists(output)) {
+      System.err.println(s"[graft] output $output exists; skipping"); return
+    }
+    val df = restrict(read(spark, required(f, "input"),
+      f.getOrElse("input-mode", "parquet")), f)
+    required(f, "type") match {
+      case "text" =>
+        val n = graft.ext.Retrieval.buildTextIndex(df,
+          f.getOrElse("id-col", "doc_id"), f.getOrElse("text-col", "text"),
+          output, buckets = f.get("buckets").map(_.toInt).getOrElse(64))
+        System.err.println(s"[graft] text index over $n docs at $output")
+      case "ivf" =>
+        val n = graft.ext.Similarity.buildIvfIndex(df,
+          f.getOrElse("id-col", "vec_id"), f.getOrElse("vec-col", "embedding"),
+          output, nlist = f.get("nlist").map(_.toInt).getOrElse(16))
+        System.err.println(s"[graft] ivf index with $n cells at $output")
+      case t => throw new IllegalArgumentException(
+        s"--type must be text or ivf, got $t")
+    }
+  }
+
+  /** Engine extension: query a `graft index` artifact. Text mode takes
+    * literal queries (`--query=...`, repeatable via `;;` separator) and
+    * returns BM25 top-k; ivf mode reads query vectors from `--queries`
+    * and returns cosine top-k.
+    *
+    * {{{
+    * graft search --index=<dir> --output=<dir> --type=text --query="a b;;c d"
+    *              [--k=10] [--buckets=64]
+    * graft search --index=<dir> --output=<dir> --type=ivf --queries=<path>
+    *              [--id-col=vec_id] [--vec-col=embedding] [--k=10] [--nprobe=4]
+    * }}} */
+  private def searchCmd(f: Map[String, String], spark: SparkSession): Unit = {
+    import spark.implicits._
+    val output = required(f, "output")
+    if (GraftIO.outputExists(output)) {
+      System.err.println(s"[graft] output $output exists; skipping"); return
+    }
+    val index = required(f, "index")
+    val result = required(f, "type") match {
+      case "text" =>
+        val qs = required(f, "query").split(";;").toSeq
+          .map(_.trim).filter(_.nonEmpty).zipWithIndex
+          .map { case (q, i) => (i.toLong, q) }
+        graft.ext.Retrieval.searchTextIndex(spark, index,
+          qs.toDF("qid", "qtext"), "qid", "qtext",
+          k = f.get("k").map(_.toInt).getOrElse(10),
+          buckets = f.get("buckets").map(_.toInt).getOrElse(64))
+      case "ivf" =>
+        val q = read(spark, required(f, "queries"),
+          f.getOrElse("input-mode", "parquet"))
+        graft.ext.Similarity.searchIvfIndex(spark, index, q,
+          f.getOrElse("id-col", "vec_id"), f.getOrElse("vec-col", "embedding"),
+          k = f.get("k").map(_.toInt).getOrElse(10),
+          nprobe = f.get("nprobe").map(_.toInt).getOrElse(4))
+      case t => throw new IllegalArgumentException(
+        s"--type must be text or ivf, got $t")
+    }
+    write(result.coalesce(1), output, f.getOrElse("output-mode", "parquet"))
   }
 
   /** Format conversion — the reference CLI's core errand (ratatool's

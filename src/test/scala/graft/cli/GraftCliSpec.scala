@@ -241,6 +241,28 @@ class GraftCliSpec extends SparkSpec {
       .count(_.getName.startsWith("cluster=")) shouldBe 4
   }
 
+  it should "build and query text and ivf indexes from the CLI" in {
+    val base = tmp()
+    Graft.run(Seq("index", "--input=/root/testdata/sf0.001/documents.parquet",
+      s"--output=$base/tidx", "--type=text", "--buckets=16"), spark)
+    Graft.run(Seq("search", s"--index=$base/tidx", s"--output=$base/hits",
+      "--type=text", "--query=spark join filter;;customer order data",
+      "--k=5", "--buckets=16"), spark)
+    val hits = spark.read.parquet(s"$base/hits")
+    hits.count() shouldBe 10L
+    hits.columns.sorted.toSeq shouldBe Seq("doc_id", "query_id", "rank", "score")
+    Graft.run(Seq("index", "--input=/root/testdata/sf0.001/embeddings.parquet",
+      s"--output=$base/vidx", "--type=ivf", "--nlist=8"), spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(3).write.parquet(s"$base/q")
+    Graft.run(Seq("search", s"--index=$base/vidx", s"--output=$base/nn",
+      "--type=ivf", s"--queries=$base/q", "--k=4", "--nprobe=3"), spark)
+    val nn = spark.read.parquet(s"$base/nn")
+    nn.count() shouldBe 12L
+    nn.columns.sorted.toSeq shouldBe
+      Seq("cosine_sim", "neighbor_id", "query_id", "rank")
+  }
+
   it should "gate the pipeline on data-quality checks" in {
     val base = tmp()
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -386,7 +408,8 @@ class GraftCliSpec extends SparkSpec {
       Graft.run(Seq("frobnicate"), spark) should have message
       "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
         "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-        "bpeTokenize|clean|convert|profile|compact|cluster|pipeline> [flags]; got Some(frobnicate)"
+        "bpeTokenize|clean|convert|profile|compact|cluster|index|" +
+        "search|pipeline> [flags]; got Some(frobnicate)"
     an[IllegalArgumentException] should be thrownBy
       Graft.run(Seq("bigSampler", "--input=/x"), spark)
   }
