@@ -169,6 +169,34 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("n_docs"), col("mean_score"), col("min_score"), col("max_score"))
 
+  /** Per-window frequent-term telemetry: the streaming arm of
+    * [[graft.ext.Frequent]] — each tumbling window emits its Misra–Gries
+    * top terms as (window_start, window_end, item, est, max_undercount).
+    * The sketch is a mergeable `Aggregator`, so Structured Streaming's
+    * partial/merge state machine carries at most k counters per open
+    * window regardless of stream rate — the trending-terms /
+    * boilerplate-burst alarm a curation ingest watches. Estimates carry
+    * the sketch's one-sided guarantee (`est` never exceeds the true
+    * in-window count, undercounts by ≤ ⌈n/(k+1)⌉); run the exact
+    * two-pass [[graft.ext.Frequent.heavyHitters]] over the compacted
+    * window in batch when exact counts matter. */
+  def windowedFrequentTerms(stream: DataFrame, tsCol: String,
+                            textCol: String, windowLen: String,
+                            watermark: String, k: Int = 64): DataFrame = {
+    val mg = udaf(new graft.ext.Frequent.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(scriptTokens(col(textCol))).as("item"))
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(mg(col("item")).as("sketch"), count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        explode(col("sketch")).as(Seq("item", "est")),
+        ceil(col("n").cast("double") / (k + 1)).cast("long")
+          .as("max_undercount"))
+  }
+
   /** Gap sessions on a stream: per-key session windows via Spark's
     * built-in `session_window`, emitting one row per closed session with
     * its bounds and event count — the streaming analog of

@@ -88,6 +88,41 @@ class StreamOpsSpec extends SparkSpec {
     all(rows.map(_.getAs[Double]("mean_quality")).toSeq) should (be >= 0.0 and be <= 1.0)
   }
 
+  behavior of "windowed frequent terms"
+
+  it should "surface planted heavy terms per window with the undercount bound honored" in {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val tele = StreamOps.windowedFrequentTerms(
+      input.toDF().toDF("ts", "text"), "ts", "text",
+      "10 seconds", "0 seconds", k = 8)
+    val q = tele.writeStream.format("memory").queryName("s_freq")
+      .outputMode("complete").start()
+    // window 1: "spam" dominates (24 of 44 tokens); window 2: "ham"
+    val w1 = (0 until 8).map(i =>
+      (ts(i % 9 + 1), "spam spam spam filler" + i % 4 + " other" + i))
+    val w2 = (0 until 6).map(i => (ts(11 + i % 8), "ham ham unique" + i))
+    input.addData(w1: _*)
+    q.processAllAvailable()
+    input.addData(w2: _*) // second trigger: state crosses batches
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("s_freq")
+      .select("window_start", "item", "est", "max_undercount")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byWindow = rows.groupBy(_._1).toSeq.sortBy(_._1.getTime)
+    byWindow.length shouldBe 2
+    // planted majority terms survive any merge order (count > n/(k+1))
+    byWindow.head._2.map(_._2) should contain("spam")
+    byWindow.last._2.map(_._2) should contain("ham")
+    // one-sided guarantee: est <= true count, undercount within bound
+    val spam = byWindow.head._2.find(_._2 == "spam").get
+    spam._3 should be <= 24L
+    spam._3 should be >= 24L - spam._4
+    val ham = byWindow.last._2.find(_._2 == "ham").get
+    ham._3 should be <= 12L
+    ham._3 should be >= 12L - ham._4
+  }
+
   behavior of "constraint telemetry"
 
   it should "emit per-window verdicts equal to the batch check on each window slice" in {
