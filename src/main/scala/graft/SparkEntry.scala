@@ -1929,6 +1929,57 @@ object SparkEntry {
     // time order. Counting event_type content makes the fingerprint
     // cardinality DuckDB-checkable (distinct types) while still forcing
     // real cross-batch state growth (every type recurs in every batch).
+    // Misra-Gries frequent-term telemetry through REAL incremental
+    // execution (4 triggers, two interleaved windows so sketch state
+    // merges across batches): the per-window token totals pin to DuckDB,
+    // and the MG contract is checked against in-gate exact counts —
+    // every GUARANTEED item (cnt·(k+1) > n) must appear in the sketch
+    // regardless of merge order, and every emitted estimate must sit in
+    // [true − ⌈n/(k+1)⌉, true].
+    "stream_frequent_terms" -> ((s, d) => {
+      val k = 64
+      val base = 1699999200000000L
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          timestamp_micros(lit(base) + (col("doc_id") % 2) * lit(3600000000L))
+            .as("ts"))
+      val (stream, _) = stagedStream(s, docs.select("ts", "text"), nFiles = 4)
+      val wft = graft.streaming.StreamOps.windowedFrequentTerms(
+        stream, "ts", "text", windowLen = "1 hour", watermark = "0 seconds",
+        k = k)
+      val sk = runStream(s, wft, mode = "complete")
+        .select(((unix_micros(col("window_start")) - base) / 3600000000L)
+            .cast("long").as("win"),
+          col("item"), col("est"), col("max_undercount"))
+      val exact = docs
+        .select((col("doc_id") % 2).as("win"),
+          explode(scriptTokens(col("text"))).as("item"))
+        .groupBy("win", "item").agg(count(lit(1)).as("cnt"))
+      val totals = exact.groupBy("win").agg(sum("cnt").as("n_tokens"))
+      val boundsOk = sk.join(exact, Seq("win", "item"), "left")
+        .groupBy("win")
+        .agg(every(col("cnt").isNotNull && col("est") <= col("cnt") &&
+          col("est") >= col("cnt") - col("max_undercount")).as("bounds_ok"))
+      val guaranteed = exact.join(totals, "win")
+        .filter(col("cnt") * (k + 1) > col("n_tokens"))
+      val gFound = guaranteed
+        .join(sk.select("win", "item").distinct(), Seq("win", "item"),
+          "left_semi")
+        .groupBy("win").agg(count(lit(1)).as("n_found"))
+      val gAll = guaranteed.groupBy("win").agg(count(lit(1)).as("n_guaranteed"))
+      totals
+        .join(boundsOk, "win")
+        .join(gAll, Seq("win"), "left")
+        .join(gFound, Seq("win"), "left")
+        .select((lit(base) + col("win") * lit(3600000000L)).cast("long")
+            .as("win_start_us"),
+          col("n_tokens"),
+          (coalesce(col("n_guaranteed"), lit(0L)) > 0L &&
+            coalesce(col("n_found"), lit(0L)) ===
+              coalesce(col("n_guaranteed"), lit(0L))).as("guaranteed_found"),
+          col("bounds_ok"))
+        .orderBy("win_start_us")
+    }),
     "stream_dup_counts" -> ((s, d) => {
       val ev = eventsUs(s, d)
         .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
@@ -3003,6 +3054,12 @@ object SparkEntry {
       "stream_score_parity" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
           |  true AS stream_equals_batch FROM documents""".stripMargin,
+      "stream_frequent_terms" ->
+        s"""WITH tk AS (SELECT doc_id % 2 AS win, unnest($toks) AS item FROM documents)
+           |SELECT CAST(1699999200000000 + win * 3600000000 AS BIGINT) AS win_start_us,
+           |  CAST(count(*) AS BIGINT) AS n_tokens,
+           |  true AS guaranteed_found, true AS bounds_ok
+           |FROM tk GROUP BY win ORDER BY win_start_us""".stripMargin,
       "stream_window_parity" ->
         s"""WITH e AS (SELECT epoch_us(ts) AS tu, COALESCE(props, '') AS text
            |  FROM events)
