@@ -367,6 +367,26 @@ object SparkEntry {
           Seq("l_returnflag"),
           Seq("l_quantity", "l_orderkey", "l_linenumber"), 3)
         .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")),
+    // deterministic k-shot-per-class sampling: per-key kept counts pin
+    // exactly to DuckDB LEAST(k, n_k); determinism (re-run identical) and
+    // seed sensitivity (different seed, different draw) are in-query
+    // verdicts. The selection itself is a seeded murmur rank through the
+    // same k-bounded SmallestRows aggregate as topByKey — no window.
+    "sample_k_per_key" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "lang", "text")
+      def ids(seed: Int) = DirectSampler
+        .kPerKey(docs, Seq("lang"), k = 20, seed = seed)
+        .select(col("lang"), col("doc_id"))
+      val run1 = ids(0).localCheckpoint(true)
+      val sameAgain = run1.exceptAll(ids(0)).isEmpty &&
+        ids(0).exceptAll(run1).isEmpty
+      val differentSeed = ids(7).exceptAll(run1).count() > 0
+      run1.groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .select(col("lang"), col("n_kept"),
+          lit(sameAgain).as("deterministic"),
+          lit(differentSeed).as("seed_varies"))
+        .orderBy("lang")
+    }),
     // skew-salted join result-equivalence against an independent engine:
     // the salted plan must aggregate to exactly the plain join's answer
     "skew_salted_join" -> ((s, d) => {
@@ -2123,6 +2143,10 @@ object SparkEntry {
       "head_sorted" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
           |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin,
+      "sample_k_per_key" ->
+        """SELECT lang, CAST(LEAST(20, count(*)) AS BIGINT) AS n_kept,
+          |  true AS deterministic, true AS seed_varies
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
       "topbykey_quantity" ->
         """WITH r AS (SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
           |  ROW_NUMBER() OVER (PARTITION BY l_returnflag

@@ -50,6 +50,29 @@ object DirectSampler {
     * external Comparable values, and binary/array/struct/map ordering
     * columns are rejected with a require (a contract narrowing vs the old
     * window form, which accepted any orderable type). */
+  /** Deterministic k rows PER KEY — the k-shot-per-class sampler (eval
+    * few-shot sets, per-domain spot-check samples, class-balanced seed
+    * data). Each row ranks by a seeded murmur hash of `hashCols`
+    * (default: all non-key columns), so the selection is uniform-ish,
+    * stable across runs/engines for the same data, and re-dealt by
+    * changing `seed`; the per-key winners come from the same k-bounded
+    * [[graft.functions.TopK.SmallestRows]] hash aggregate as
+    * [[topByKey]] — map-side partial buffers of ≤ k rows, no window, no
+    * per-key sort of the whole group. Keys with fewer than k rows keep
+    * them all. Ties (hash-equal duplicate rows) resolve arbitrarily but
+    * deterministically within a run; distinct content never ties (64-bit
+    * birthday bound). */
+  def kPerKey(df: DataFrame, keyCols: Seq[String], k: Int, seed: Int = 0,
+              hashCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"kPerKey needs k >= 1, got $k")
+    val hc = if (hashCols.nonEmpty) hashCols
+      else df.columns.toSeq.filterNot(keyCols.contains)
+    require(hc.nonEmpty, "kPerKey needs at least one non-key column to hash")
+    val hashed = df.withColumn("__draw",
+      graft.GraftFunctions.fieldHash(hc.map(col), "murmur", Some(seed)))
+    topByKey(hashed, keyCols, Seq("__draw"), k).drop("__draw")
+  }
+
   def topByKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[String],
                k: Int): DataFrame = {
     val schema = df.schema

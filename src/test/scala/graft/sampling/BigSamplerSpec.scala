@@ -211,6 +211,23 @@ class TopByKeySpec extends graft.SparkSpec {
       DirectSampler.topByKey(df2, Seq("g"), Seq("arr"), 1)
   }
 
+  it should "sample exactly k deterministic rows per key with kPerKey" in {
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}", s"payload $i"))
+      .toDF("id", "g", "p")
+    val got = DirectSampler.kPerKey(df, Seq("g"), k = 10)
+    got.groupBy("g").count().orderBy("g").as[(String, Long)].collect() shouldBe
+      Array(("g0", 10L), ("g1", 10L), ("g2", 10L))
+    got.columns.toSeq shouldBe Seq("id", "g", "p") // draw column dropped
+    // deterministic re-run, seed re-deal, and under-k keys keep all rows
+    val again = DirectSampler.kPerKey(df, Seq("g"), k = 10)
+      .select("id").as[Long].collect().sorted
+    again shouldBe got.select("id").as[Long].collect().sorted
+    DirectSampler.kPerKey(df, Seq("g"), k = 10, seed = 9)
+      .select("id").as[Long].collect().sorted should not be again
+    DirectSampler.kPerKey(df.filter(col("id") <= 5), Seq("g"), k = 10)
+      .count() shouldBe 5L
+  }
+
   it should "reject non-power-of-two bucket counts in exact sampling" in {
     // digit extraction is only rounding-exact when coin*scale shifts the
     // exponent alone (pow-2 scale); other bucket counts could wrap a
