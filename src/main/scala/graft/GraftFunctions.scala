@@ -81,6 +81,11 @@ object GraftFunctions {
   def lshSignBits(vec: Column, planes: Array[Array[Double]]): Column =
     expr2col(LshSignBits(col2expr(vec), planes.map(_.toSeq).toSeq))
 
+  /** Dot products of a numeric array against a driver-embedded plane
+    * table (`array<double>` out) — the JL random-projection kernel. */
+  def projectPlanes(vec: Column, planes: Array[Array[Double]]): Column =
+    expr2col(ProjectPlanes(col2expr(vec), planes.map(_.toSeq).toSeq))
+
   /** Exact Jaccard of two sorted distinct long arrays (one-pass merge). */
   def jaccardSorted(l: Column, r: Column): Column =
     expr2col(JaccardSorted(col2expr(l), col2expr(r)))

@@ -719,6 +719,38 @@ object SparkEntry {
         .select(col("n_bf"),
           (col("n_matched") >= col("n_bf") * 0.55).as("recall_ok"))
     }),
+    // JL random projection: corpus row count and the distinct-pair count
+    // pin to DuckDB (array equality is exact in both engines); the JL
+    // property is an in-query verdict — mean squared-distance ratio over
+    // the 780 probe pairs within ±15% of 1, and 99%+ of individual pairs
+    // inside a loose band. Deterministic (seeded planes), so the verdict
+    // can't flake.
+    "random_project" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dim = emb.head().getAs[scala.collection.Seq[Float]]("embedding").size
+      val proj = emb.filter(col("vec_id") < 40)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          ext.Embeddings.randomProject(col("embedding"), dim, 32).as("p"))
+      val d2 = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e)
+      val pairs = proj.select(col("vec_id").as("ia"), col("v").as("va"),
+          col("p").as("pa"))
+        .crossJoin(broadcast(proj.select(col("vec_id").as("ib"),
+          col("v").as("vb"), col("p").as("pb"))))
+        .filter(col("ia") < col("ib"))
+        .select(d2(col("va"), col("vb")).as("o"), d2(col("pa"), col("pb")).as("q"))
+        .filter(col("o") > 0.0)
+        .select((col("q") / col("o")).as("r"))
+      emb.agg(count(lit(1)).as("n_rows")).crossJoin(
+          pairs.agg(count(lit(1)).as("n_pairs"),
+            avg(col("r")).as("__mean"),
+            (sum(when(col("r") > 0.3 && col("r") < 2.5, 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("__band")))
+        .select(col("n_rows"), col("n_pairs"),
+          (abs(col("__mean") - 1.0) <= 0.15).as("mean_ok"),
+          (col("__band") >= 0.99).as("band_ok"))
+    }),
     // first-class k-means topic clustering (trainCentroids +
     // assignClusters): row count pins to DuckDB; the argmax-cosine
     // assignment is re-verified through an INDEPENDENT implementation
@@ -2228,6 +2260,13 @@ object SparkEntry {
         """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS cells_ok,
           |  true AS argmin_ok, true AS spread_ok
           |FROM embeddings""".stripMargin,
+      "random_project" ->
+        """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+          |p AS (SELECT a.vec_id FROM q a JOIN q b ON a.vec_id < b.vec_id
+          |  WHERE a.embedding <> b.embedding)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows,
+          |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pairs,
+          |  true AS mean_ok, true AS band_ok""".stripMargin,
       "minhash_new_against" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_planted_found, true AS novel_clean
           |FROM documents WHERE doc_id % 3 = 0""".stripMargin,

@@ -77,6 +77,28 @@ object Embeddings {
     * in-memory k-means++/Lloyd as [[Similarity.pqTopK]]'s ADC search —
     * train once, reuse for both storage and search. Returns m codebooks
     * of up to `codebookSize` sub-centroids; empty corpus -> empty array. */
+  /** Johnson–Lindenstrauss random projection: `outDim` seeded Gaussian
+    * planes scaled by 1/sqrt(outDim), applied as ONE codegen'd matvec
+    * pass ([[graft.functions.ProjectPlanes]]). For n points, outDim =
+    * O(log n / eps²) preserves pairwise Euclidean distances within
+    * (1 ± eps) with high probability (JL lemma; Gaussian case
+    * Dasgupta & Gupta '03) — the cheap dimensionality squeeze BEFORE
+    * clustering or ANN when the source dim is large: a 768-dim corpus
+    * projected to 64 dims cuts every downstream shuffle, broadcast, and
+    * distance kernel 12x while approximately preserving the geometry
+    * every operator here consumes. Deterministic for a fixed seed.
+    * Stateless column expression: zero shuffle, stream-liftable. */
+  def randomProject(vec: Column, inDim: Int, outDim: Int,
+                    seed: Long = 42L): Column = {
+    require(inDim >= 1 && outDim >= 1,
+      s"dims must be >= 1, got inDim=$inDim outDim=$outDim")
+    val rnd = new java.util.Random(seed)
+    val scale = 1.0 / math.sqrt(outDim)
+    val planes = Array.fill(outDim)(
+      Array.fill(inDim)(rnd.nextGaussian() * scale))
+    graft.GraftFunctions.projectPlanes(vec, planes)
+  }
+
   def pqCodebooks(df: DataFrame, vecCol: String, m: Int = 8,
                   codebookSize: Int = 256, seed: Long = 42L,
                   trainCap: Long = 100000L, maxIter: Int = 10): Array[Array[Array[Double]]] = {

@@ -211,6 +211,78 @@ case class LshSignBits(child: Expression, planes: Seq[Seq[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Dense plane projection: `array<numeric> -> array<double>` of dot
+  * products against a driver-embedded plane table — the matvec kernel
+  * behind Johnson–Lindenstrauss random projection
+  * ([[graft.ext.Embeddings.randomProject]]). Same construction as
+  * [[LshSignBits]] (which keeps only the signs): not CodegenFallback,
+  * one reference-object call per row, plane table lives once per task.
+  * Null/empty input and non-finite elements follow the vector-expression
+  * contract: null in → null out; shorter vectors project over the
+  * overlapping dims.
+  */
+case class ProjectPlanes(child: Expression, planes: Seq[Seq[Double]])
+  extends UnaryExpression {
+
+  require(planes.nonEmpty, "need at least one plane")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et.isInstanceOf[NumericType] => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"project_planes expects a numeric array, got ${other.catalogString}")
+  }
+
+  @transient private lazy val et =
+    child.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    evalFromArray(v.asInstanceOf[ArrayData])
+
+  /** Public entry shared by the interpreted path and the generated code. */
+  def evalFromArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Double](planeArr.length)
+    var b = 0
+    while (b < planeArr.length) {
+      val plane = planeArr(b)
+      val m = math.min(n, plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) {
+        if (!arr.isNullAt(i)) dot += toD(arr, i) * plane(i)
+        i += 1
+      }
+      out(b) = dot
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  private def toD(a: ArrayData, i: Int): Double = et match {
+    case DoubleType  => a.getDouble(i)
+    case FloatType   => a.getFloat(i).toDouble
+    case LongType    => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType   => a.getShort(i).toDouble
+    case ByteType    => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new UnsupportedOperationException(s"project_planes: $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("projectPlanes", this, classOf[ProjectPlanes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.evalFromArray($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** IVF/PQ quantizer assignment: the `nprobe` nearest centroid indices of
   * a vector, most-similar first — `array<numeric> -> array<int>`. One
   * pass over the vector per centroid, centroids embedded driver-side

@@ -31,6 +31,39 @@ class EmbeddingsSpec extends SparkSpec {
       .foreach(_.isNullAt(0) shouldBe true)
   }
 
+  behavior of "Embeddings.randomProject"
+
+  it should "approximately preserve pairwise squared distances (JL) and be deterministic" in {
+    val dim = emb.head().getAs[scala.collection.Seq[Float]]("embedding").size
+    val pts = emb.filter(col("vec_id") < 40)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        Embeddings.randomProject(col("embedding"), dim, 32).as("p"))
+      .collect()
+      .map(r => (r.getAs[scala.collection.Seq[Double]]("v").toArray,
+        r.getAs[scala.collection.Seq[Double]]("p").toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- pts.indices; j <- pts.indices if i < j
+      orig = d2(pts(i)._1, pts(j)._1) if orig > 1e-9
+    } yield d2(pts(i)._2, pts(j)._2) / orig
+    // E[ratio] = 1, per-pair var = 2/outDim: the mean over ~780 pairs
+    // concentrates hard, and individual pairs stay within a loose band
+    val mean = ratios.sum / ratios.size
+    mean shouldBe 1.0 +- 0.15
+    ratios.count(r => r > 0.3 && r < 2.5).toDouble / ratios.size should be >= 0.99
+    // deterministic: same seed, same projection; different seed differs
+    val a = emb.select(Embeddings.randomProject(col("embedding"), dim, 16).as("p"))
+      .agg(sum(expr("aggregate(p, 0D, (acc, x) -> acc + x)"))).head().getDouble(0)
+    val b = emb.select(Embeddings.randomProject(col("embedding"), dim, 16).as("p"))
+      .agg(sum(expr("aggregate(p, 0D, (acc, x) -> acc + x)"))).head().getDouble(0)
+    a shouldBe b
+    val c = emb.select(Embeddings.randomProject(col("embedding"), dim, 16, seed = 9).as("p"))
+      .agg(sum(expr("aggregate(p, 0D, (acc, x) -> acc + x)"))).head().getDouble(0)
+    c should not be a
+  }
+
   behavior of "Embeddings.quantizeInt8"
 
   it should "roundtrip within one quantization step per dimension" in {

@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
-import graft.GraftFunctions.{cosineDistance, lshSignBits, nearestCells}
+import graft.GraftFunctions.{cosineDistance, lshSignBits, nearestCells, projectPlanes}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,27 @@ class VectorExpressionsSpec extends SparkSpec {
     def run = df.select(col("vec_id"), lshSignBits(col("embedding"), planes))
       .orderBy("vec_id").collect().toSeq
     withFactoryMode("CODEGEN_ONLY")(run) shouldBe withFactoryMode("NO_CODEGEN")(run)
+  }
+
+  it should "project identically on both paths and match the hand matvec" in {
+    val rnd = new scala.util.Random(13)
+    val planes = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+    val degenerate = Seq((-1L, null: Seq[Float]), (-2L, Seq.empty[Float]))
+      .toDF("vec_id", "embedding")
+    val df = realVecs.unionByName(degenerate)
+    def run = df.select(col("vec_id"), projectPlanes(col("embedding"), planes))
+      .orderBy("vec_id").collect().toSeq
+    val gen = withFactoryMode("CODEGEN_ONLY")(run)
+    gen shouldBe withFactoryMode("NO_CODEGEN")(run)
+    // hand matvec on one real row
+    val row = realVecs.orderBy("vec_id").head()
+    val v = row.getAs[scala.collection.Seq[Float]]("embedding")
+    val expected = planes.map(p => v.zip(p).map { case (x, y) => x * y }.sum)
+    val got = gen.find(_.getLong(0) == row.getLong(0)).get
+      .getAs[scala.collection.Seq[Double]](1)
+    got.zip(expected).foreach { case (a, b) => a shouldBe b +- 1e-6 }
+    // null and empty degrade to null
+    gen.find(_.getLong(0) == -1L).get.isNullAt(1) shouldBe true
   }
 
   it should "produce identical cell assignments on both paths (cosine and l2, incl. degenerate rows)" in {
