@@ -674,6 +674,10 @@ object Graft {
       case "head"      => DirectSampler.head(df, n, csv(f.get("order-by")))
       case "reservoir" => DirectSampler.reservoir(df, n,
         f.get("seed").map(_.toLong).getOrElse(42L))
+      // deterministic k rows per key (k-shot-per-class): -n is k,
+      // --per-key names the class columns
+      case "perKey"    => DirectSampler.kPerKey(df, csv(f.get("per-key")), n,
+        f.get("seed").map(_.toInt).getOrElse(0))
       case m => throw new IllegalArgumentException(s"unknown sampler mode $m")
     }
     if (!GraftIO.unlessDone(out) {

@@ -91,6 +91,17 @@ class GraftCliSpec extends SparkSpec {
       .collect().map(_._1) shouldBe Array(1L, 2L, 3L, 4L, 5L)
   }
 
+  it should "run directSampler perKey keeping k rows per class" in {
+    val base = tmp()
+    (1L to 90L).map(i => (i, s"c${i % 3}")).toDF("k", "cls")
+      .write.parquet(s"$base/in")
+    Graft.run(Seq("directSampler", s"--input=$base/in", s"--output=$base/out",
+      "-n=4", "--mode=perKey", "--per-key=cls"), spark)
+    spark.read.parquet(s"$base/out").groupBy("cls").count()
+      .orderBy("cls").as[(String, Long)].collect() shouldBe
+      Array(("c0", 4L), ("c1", 4L), ("c2", 4L))
+  }
+
   it should "run corpusReport grouped with a restriction and honor the guard" in {
     val base = tmp()
     Seq(("en", "one two", 1L), ("en", "one two", 2L), ("de", "drei", 3L))
