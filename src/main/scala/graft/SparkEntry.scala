@@ -89,6 +89,48 @@ object SparkEntry {
        |FROM rk WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replica of [[graft.ext.Retrieval.tfIdfTopK]] over `documents`
+    * with the [[bm25Queries]] batch (top-10, scores rank-quantized to 5
+    * decimals, minDocFreq=1) — the vector-space cosine twin of
+    * [[bm25OracleSql]]. */
+  private def tfIdfOracleSql: String = {
+    val re2 = graft.functions.ScriptTokens.Re2Pattern
+    val qv = bm25Queries.map { case (i, s) => s"($i, '$s')" }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '$re2') AS toks FROM documents),
+       |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dd),
+       |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM dd),
+       |tf AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+       |  FROM p GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |wd AS (SELECT doc_id, term,
+       |  CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)
+       |    * ln((SELECT n FROM nn) / CAST(df AS DOUBLE)) AS wd
+       |  FROM tf JOIN dfx USING (term)),
+       |nd AS (SELECT doc_id, sqrt(sum(wd*wd)) AS nd FROM wd GROUP BY 1),
+       |q(qid, qtext) AS (VALUES $qv),
+       |qd AS (SELECT qid, regexp_extract_all(lower(qtext), '$re2') AS toks FROM q),
+       |qq AS (SELECT qid, CAST(len(toks) AS BIGINT) AS ql, unnest(toks) AS term FROM qd),
+       |qtf AS (SELECT qid, term, ql, CAST(count(*) AS BIGINT) AS qtf
+       |  FROM qq GROUP BY 1, 2, 3),
+       |wq AS (SELECT qid, term,
+       |  CAST(qtf AS DOUBLE) / CAST(ql AS DOUBLE)
+       |    * ln((SELECT n FROM nn) / CAST(df AS DOUBLE)) AS wq
+       |  FROM qtf JOIN dfx USING (term)),
+       |nq AS (SELECT qid, sqrt(sum(wq*wq)) AS nq FROM wq GROUP BY 1),
+       |dt AS (SELECT wq.qid, wd.doc_id, sum(wd.wd * wq.wq) AS dot
+       |  FROM wd JOIN wq USING (term) GROUP BY 1, 2),
+       |sc AS (SELECT dt.qid, dt.doc_id,
+       |  ROUND(dt.dot / (nd.nd * nq.nq), 5) AS score
+       |  FROM dt JOIN nd USING (doc_id) JOIN nq USING (qid)),
+       |rk AS (SELECT qid, doc_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+       |  FROM sc)
+       |SELECT CAST(qid AS BIGINT) AS query_id, doc_id, score,
+       |  CAST(rnk AS INTEGER) AS rank
+       |FROM rk WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** `events` with its parquet timestamp — whatever unit the file was
     * written with (NANOS, MICROS, MILLIS) — surfaced as canonical integer
     * micros (`ts_us`); the temporal gates compare timestamps as integers
@@ -1832,6 +1874,29 @@ object SparkEntry {
           k = 10, roundScoresTo = Some(5))
         .orderBy("query_id", "rank")
     }),
+    // vector-space retrieval (TF-IDF cosine): the classic second ranking
+    // model over the same corpus, value-exact vs a DuckDB CTE replica
+    "tfidf_topk" -> ((s, d) => {
+      import s.implicits._
+      val q = bm25Queries.toDF("qid", "qtext")
+      ext.Retrieval.tfIdfTopK(t(s, d, "documents"), "doc_id", "text",
+          q, "qid", "qtext", k = 10, roundScoresTo = Some(5))
+        .orderBy("query_id", "rank")
+    }),
+    // the full hybrid stack: RRF-fuse the probabilistic (BM25) and
+    // vector-space (TF-IDF cosine) rankings of the SAME corpus — DuckDB
+    // composes both oracles plus the fusion, so the end-to-end hybrid
+    // search result is value-exact against an independent engine
+    "hybrid_search" -> ((s, d) => {
+      import s.implicits._
+      val q = bm25Queries.toDF("qid", "qtext")
+      val docs = t(s, d, "documents")
+      val bm = ext.Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext",
+        k = 10, roundScoresTo = Some(5))
+      val vs = ext.Retrieval.tfIdfTopK(docs, "doc_id", "text", q, "qid", "qtext",
+        k = 10, roundScoresTo = Some(5))
+      ext.Retrieval.rrfFuse(Seq(bm, vs), k = 10).orderBy("query_id", "rank")
+    }),
     // hybrid-retrieval rank fusion: RRF over two classic BM25
     // parameterizations, value-exact vs DuckDB composing the same two
     // ranked lists (fused score = one commutative IEEE addition per doc,
@@ -3069,6 +3134,22 @@ object SparkEntry {
           |FROM lineitem""".stripMargin,
       "bm25_topk" -> bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75"),
       "text_index_search" -> bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75"),
+      "tfidf_topk" -> tfIdfOracleSql,
+      "hybrid_search" -> {
+        val bmA = bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75")
+        s"""WITH r1 AS (SELECT * FROM ($bmA)),
+           |r2 AS (SELECT * FROM ($tfIdfOracleSql)),
+           |u AS (SELECT query_id, doc_id,
+           |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS s FROM r1
+           |  UNION ALL SELECT query_id, doc_id,
+           |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS s FROM r2),
+           |f AS (SELECT query_id, doc_id, sum(s) AS score FROM u GROUP BY 1, 2),
+           |rk AS (SELECT query_id, doc_id, score,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+           |  FROM f)
+           |SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rank
+           |FROM rk WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+      },
       "rrf_fusion" -> {
         // reciprocal-rank fusion of the two classic BM25 parameterizations;
         // per-doc fused score is one commutative IEEE addition, so the

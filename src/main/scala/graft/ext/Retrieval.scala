@@ -265,6 +265,88 @@ object Retrieval {
         col("h.cosine_sim").as("score"), col("h.rank").as("rank"))
   }
 
+  /** Vector-space retrieval (Salton's classic TF-IDF cosine model): rank
+    * documents by the cosine between the query's and each document's
+    * TF-IDF vectors over the corpus vocabulary — the length-normalized
+    * complement to [[bm25TopK]]'s probabilistic ranking, and the second
+    * leg of a [[rrfFuse]] hybrid. Weights are `(tf/len) · ln(N/df)` with
+    * corpus document frequencies on both sides; query terms absent from
+    * the corpus contribute nothing.
+    *
+    * Scale shape: one tokenize+aggregate pass builds the postings (pinned
+    * — it feeds df, the document norms, and the dot products); document
+    * norms are a map-side-combined aggregation over the full postings
+    * (each document's norm needs ALL its terms, so this pass is
+    * irreducible); dot products only touch the query terms' postings
+    * (broadcast query side), and the norm join keys on doc_id against the
+    * candidate set. Ranking ends in the k-bounded TopK aggregate.
+    *
+    * @param roundScoresTo same reproducibility knob as [[bm25TopK]]:
+    *        norms and dots are FP sums whose order varies with
+    *        partitioning — quantize before ranking for rerun-stable output
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qidCol: String, qtextCol: String,
+                k: Int, minDocFreq: Int = 1,
+                roundScoresTo: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"tfIdfTopK needs k >= 1, got $k")
+    require(minDocFreq >= 1, s"minDocFreq must be >= 1, got $minDocFreq")
+    val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      scriptTokens(lower(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast(LongType))
+    val nDocs = d.count()
+    if (nDocs == 0L)
+      return queries.select(col(qidCol).cast(LongType).as("query_id"),
+        col(qidCol).cast(LongType).as("doc_id"),
+        lit(0.0).as("score"), lit(0).as("rank")).limit(0)
+    // pinned: feeds df, the norms, and the dot products
+    val tfd = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfT = tfd.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+    val wD = tfd.join(dfT, "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") / col("dl").cast("double")
+          * log(lit(nDocs.toDouble) / col("df").cast("double"))).as("wd"))
+    val normD = wD.groupBy("doc_id")
+      .agg(sqrt(sum(col("wd") * col("wd"))).as("nd"))
+    // query vectors: same weighting, corpus df; tiny relation throughout
+    val qt = queries.select(col(qidCol).cast(LongType).as("query_id"),
+        scriptTokens(lower(col(qtextCol))).as("qtoks"))
+      .withColumn("ql", size(col("qtoks")).cast(LongType))
+      .select(col("query_id"), col("ql"), explode(col("qtoks")).as("term"))
+      .groupBy(col("query_id"), col("term"), col("ql"))
+      .agg(count(lit(1)).as("qtf"))
+    val wQ = broadcast(qt).join(dfT, "term")
+      .select(col("query_id"), col("term"),
+        (col("qtf").cast("double") / col("ql").cast("double")
+          * log(lit(nDocs.toDouble) / col("df").cast("double"))).as("wq"))
+      .localCheckpoint(true) // tiny; feeds the query norms and the dots
+    val normQ = wQ.groupBy("query_id").agg(sqrt(sum(col("wq") * col("wq"))).as("nq"))
+    val dots = wD.join(broadcast(wQ), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("wd") * col("wq")).as("dot"))
+    val rawScore = dots
+      .join(normD, "doc_id")
+      .join(broadcast(normQ), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("dot") / (col("nd") * col("nq"))).as("score"))
+    val scored = roundScoresTo match {
+      case Some(p) => rawScore.withColumn("score", round(col("score"), p))
+      case None    => rawScore
+    }
+    val byScore = udaf(new TopK.ByScore[Long](k),
+      ExpressionEncoder[(Long, Double)]())
+    scored.groupBy("query_id")
+      .agg(byScore(col("doc_id"), col("score")).as("hits"))
+      .select(col("query_id"), explode(col("hits")).as("h"))
+      .select(col("query_id"), col("h.neighbor_id").as("doc_id"),
+        col("h.cosine_sim").as("score"), col("h.rank").as("rank"))
+  }
+
   /** Per-document TF-IDF vectors over the corpus' own vocabulary, pruned
     * to terms in at least `minDocFreq` docs: (doc_id, term, tf_idf) with
     * `tf_idf = (tf / dl) * ln(N / df)`. The feature-extraction sibling of

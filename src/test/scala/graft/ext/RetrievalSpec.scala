@@ -120,6 +120,51 @@ class RetrievalSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  behavior of "Retrieval.tfIdfTopK"
+
+  it should "match a brute-force in-memory tf-idf cosine on every score" in {
+    val q = Seq((10L, "apple banana"), (11L, "cherry")).toDF("qid", "qtext")
+    val got = Retrieval.tfIdfTopK(corpus(), "doc_id", "text", q, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val docs = Seq(
+      1L -> Seq("apple", "apple", "apple", "banana"),
+      2L -> Seq("apple", "banana", "cherry", "date"),
+      3L -> Seq("banana", "banana", "banana", "banana"),
+      4L -> Seq("cherry", "date", "elderberry", "fig"),
+      5L -> Seq("apple"))
+    val n = docs.size.toDouble
+    val df = docs.flatMap(_._2.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    def weights(toks: Seq[String]): Map[String, Double] =
+      toks.groupBy(identity).map { case (t, xs) =>
+        t -> xs.size.toDouble / toks.size * math.log(n / df(t))
+      }
+    def cos(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val dot = a.keySet.intersect(b.keySet).toSeq.map(t => a(t) * b(t)).sum
+      val na = math.sqrt(a.values.map(x => x * x).sum)
+      val nb = math.sqrt(b.values.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    for ((qid, qtoks) <- Seq(10L -> Seq("apple", "banana"), 11L -> Seq("cherry"))) {
+      val qw = weights(qtoks)
+      docs.foreach { case (did, dtoks) =>
+        val expected = cos(qw, weights(dtoks))
+        if (expected > 0) got((qid, did)) shouldBe expected +- 1e-12
+        else got.get((qid, did)) shouldBe None
+      }
+    }
+  }
+
+  it should "agree with bm25TopK on the candidate doc set but rank by cosine" in {
+    val q = Seq((1L, "apple")).toDF("qid", "qtext")
+    val vs = Retrieval.tfIdfTopK(corpus(), "doc_id", "text", q, "qid", "qtext", k = 10)
+      .collect()
+    // same matching docs as bm25 (docs containing 'apple')
+    vs.map(_.getLong(1)).toSet shouldBe Set(1L, 2L, 5L)
+    // doc 5 = pure 'apple' vector: cosine 1 with the query, rank 1
+    vs.minBy(_.getInt(3)).getLong(1) shouldBe 5L
+    vs.find(_.getLong(1) == 5L).get.getDouble(2) shouldBe 1.0 +- 1e-12
+  }
+
   behavior of "Retrieval text index"
 
   private def idxDir(): String =
