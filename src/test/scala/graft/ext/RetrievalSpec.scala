@@ -113,11 +113,14 @@ class RetrievalSpec extends SparkSpec {
 
   it should "plan broadcast joins against the query side and no Window" in {
     val q = Seq((1L, "apple banana")).toDF("qid", "qtext")
-    val plan = Retrieval.bm25TopK(corpus(), "doc_id", "text", q, "qid", "qtext", k = 5)
-      .queryExecution.executedPlan.toString
-    plan should include("BroadcastHashJoin")
-    plan should not include "Window"
-    plan should not include "CartesianProduct"
+    for (df <- Seq(
+      Retrieval.bm25TopK(corpus(), "doc_id", "text", q, "qid", "qtext", k = 5),
+      Retrieval.tfIdfTopK(corpus(), "doc_id", "text", q, "qid", "qtext", k = 5))) {
+      val plan = df.queryExecution.executedPlan.toString
+      plan should include("BroadcastHashJoin")
+      plan should not include "Window"
+      plan should not include "CartesianProduct"
+    }
   }
 
   behavior of "Retrieval.tfIdfTopK"
