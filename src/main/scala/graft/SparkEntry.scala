@@ -741,6 +741,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_same_cluster"))
     }),
 
+    // quality-aware keep-one: from each duplicate cluster keep the
+    // HIGHEST-scoring member (tie: lowest id), not the lowest id. Exact
+    // clusters (fingerprint groups == text groups on this corpus, as
+    // hash_distinct pins) make the kept-id set fully SQL-reproducible —
+    // DuckDB ranks the same score inside text groups. Value-exact.
+    "dedup_keep_best" -> ((s, d) => {
+      val (corpus, _) = exactCopyCorpus(s, d)
+      val rep = corpus.select(col("doc_id").as("id"),
+        farmHash64(col("text")).as("f"))
+      val comp = rep.join(rep.groupBy("f").agg(min("id").as("component")), "f")
+        .select("id", "component")
+      Dedup.keepBest(
+          corpus.withColumn("score", (col("doc_id") % 7).cast("double")),
+          "doc_id", comp, "score")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // oracle-gated IVF ANN quality: k-means-quantized inverted-file search
     // must recover ≥55% of the exact brute-force top-k (measured 68–82%
     // across sfs at nlist=16/nprobe=6; stable across local parallelism —
@@ -2335,6 +2352,13 @@ object SparkEntry {
       "minhash_new_against" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_planted_found, true AS novel_clean
           |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+      "dedup_keep_best" ->
+        """WITH c AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+          |  FROM documents),
+          |r AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text
+          |  ORDER BY CAST(doc_id % 7 AS DOUBLE) DESC, doc_id) AS rn FROM c)
+          |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "pq_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "ivfpq_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "sample_bernoulli_tol" -> "SELECT true AS within_tol",

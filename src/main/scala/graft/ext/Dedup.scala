@@ -798,6 +798,37 @@ object Dedup {
     df.join(losers, df(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Quality-aware keep-one: from each duplicate cluster keep the row
+    * with the HIGHEST `scoreCol` (ties on lowest id) instead of
+    * [[dropNearDups]]'s lowest-id representative — the curation-practice
+    * variant: when ten near-copies of a page exist, keep the
+    * best-scoring extraction, not the numerically first crawl.
+    *
+    * `components` is the (id, component) labeling from
+    * [[connectedComponents]] (or any clustering). Rows absent from
+    * `components` are singletons and always kept. Scale shape: the
+    * winner per cluster comes from the k-bounded
+    * [[graft.functions.TopK.SmallestRows]] aggregate (k=1 — one buffered
+    * row per cluster per task), and only (id, component, score) ride
+    * the cluster shuffle; the corpus re-joins by id at the end. */
+  def keepBest(df: DataFrame, idCol: String, components: DataFrame,
+               scoreCol: String): DataFrame = {
+    val scored = df.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("__s"))
+      .join(components.select(col("id").cast("long").as("id"), col("component")),
+        Seq("id"), "left")
+      // singletons keep their own id as a private cluster label
+      .withColumn("component", coalesce(col("component"), col("id")))
+      // null scores lose to any scored member (not SmallestRows'
+      // nulls-first default, which would make them WIN)
+      .withColumn("__neg", -coalesce(col("__s"), lit(Double.NegativeInfinity)))
+    val winners = graft.sampling.DirectSampler
+      .topByKey(scored.select(col("component"), col("__neg"), col("id")),
+        Seq("component"), Seq("__neg", "id"), 1)
+      .select(col("id").as("__keep_id"))
+    df.join(winners, df(idCol) === col("__keep_id"), "left_semi")
+  }
+
   /** EXACT set-similarity self-join by prefix filtering (PPJoin,
     * Xiao et al. '08): every pair with shingle-Jaccard ≥ `threshold`,
     * with NO false negatives — the guarantee [[minhashNearDups]] trades

@@ -109,6 +109,34 @@ class DedupSpec extends SparkSpec {
       .count() should be > 0L
   }
 
+  behavior of "keepBest"
+
+  it should "keep the highest-scoring member per cluster with id tie-break, singletons always" in {
+    val df = Seq(
+      (1L, "a", 0.5), (2L, "a", 0.9), (3L, "a", 0.9), // cluster a: 2 wins (tie w/ 3)
+      (4L, "b", 0.1),                                 // singleton in components
+      (5L, "c", 0.7)                                  // absent from components
+    ).toDF("id", "grp", "score")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("id", "component")
+    val kept = Dedup.keepBest(df, "id", comp, "score")
+      .select("id").as[Long].collect().sorted
+    kept shouldBe Array(2L, 4L, 5L)
+  }
+
+  it should "rank null scores below any scored member" in {
+    val df = Seq((1L, Some(0.1)), (2L, None: Option[Double]))
+      .toDF("id", "score")
+    val comp = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    Dedup.keepBest(df, "id", comp, "score")
+      .select("id").as[Long].collect() shouldBe Array(1L)
+    // all-null cluster still keeps exactly one (lowest id)
+    val dfn = Seq((7L, None: Option[Double]), (6L, None: Option[Double]))
+      .toDF("id", "score")
+    val compn = Seq((6L, 6L), (7L, 6L)).toDF("id", "component")
+    Dedup.keepBest(dfn, "id", compn, "score")
+      .select("id").as[Long].collect() shouldBe Array(6L)
+  }
+
   behavior of "minhashNewAgainst"
 
   it should "equal the self-join operator restricted to cross-side pairs" in {
