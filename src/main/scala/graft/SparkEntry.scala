@@ -1090,6 +1090,14 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"),
           round(col("imp_logratio"), 5).as("imp_logratio"))
         .orderBy("doc_id")),
+    // smoothed bigram perplexity, self-trained on the corpus (the
+    // CCNet-style typicality signal): value-exact vs a DuckDB replica of
+    // the identical add-1 model at 4 decimals
+    "bigram_ppl" -> ((s, d) =>
+      ext.Importance.bigramPerplexity(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("ppl"), 4).as("ppl_r"))
+        .orderBy("doc_id")),
     // multinomial NB posteriors (the CCNet-style domain/language router),
     // self-trained on the lang labels: the full (doc × class) smoothed
     // log-probability table, value-exact vs a DuckDB replica
@@ -3159,6 +3167,27 @@ object SparkEntry {
       "bm25_topk" -> bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75"),
       "text_index_search" -> bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75"),
       "tfidf_topk" -> tfIdfOracleSql,
+      "bigram_ppl" -> {
+        val re2 = graft.functions.ScriptTokens.Re2Pattern
+        s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '$re2') AS toks FROM documents),
+           |vv AS (SELECT CAST(count(DISTINCT t.t) AS DOUBLE) AS v
+           |  FROM d, unnest(toks) AS t(t)),
+           |bg AS (SELECT doc_id, toks[i+1] AS u, toks[i+2] AS v2
+           |  FROM d, unnest(range(len(toks) - 1)) AS r(i)
+           |  WHERE len(toks) >= 2),
+           |c2 AS (SELECT u, v2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+           |c1 AS (SELECT u, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+           |m AS (SELECT doc_id, u, v2, CAST(count(*) AS BIGINT) AS m
+           |  FROM bg GROUP BY 1, 2, 3),
+           |sc AS (SELECT m.doc_id,
+           |  sum(CAST(m.m AS DOUBLE)
+           |    * ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * (SELECT v FROM vv)))) AS s,
+           |  sum(m.m) AS n
+           |  FROM m JOIN c2 USING (u, v2) JOIN c1 USING (u) GROUP BY 1)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+           |  ROUND(exp(-s / CAST(n AS DOUBLE)), 4) AS ppl_r
+           |FROM sc ORDER BY doc_id""".stripMargin
+      },
       "hybrid_search" -> {
         val bmA = bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75")
         s"""WITH r1 AS (SELECT * FROM ($bmA)),

@@ -331,6 +331,69 @@ object Importance {
         coalesce(col("js"), lit(0.0d)).as("js"))
   }
 
+  /** Consecutive-token bigram pairs of a token array: `(u, v)` structs,
+    * empty for arrays shorter than 2. */
+  private def bigramPairs(tk: Column): Column =
+    when(size(tk) >= 2,
+      transform(sequence(lit(0), size(tk) - 2),
+        i => struct(element_at(tk, i + 1).as("u"), element_at(tk, i + 2).as("v"))))
+      .otherwise(array().cast("array<struct<u:string,v:string>>"))
+
+  /** Per-document BIGRAM perplexity under an add-k-smoothed LM estimated
+    * on `train` (default: the scoring corpus itself — the CCNet-style
+    * "how typical of the corpus is this document" signal; pass a
+    * high-quality reference slice for quality-model scoring):
+    *
+    * {{{
+    *   p(v|u) = (C2(u,v) + k) / (C1(u) + k·V)
+    *   ppl(d) = exp( -(1/m) Σ_bigrams ln p(v|u) )
+    * }}}
+    *
+    * with C2/C1 bigram/prefix counts over `train`, V the unigram
+    * vocabulary size, and m the doc's bigram count. Returns
+    * (id, n_bigrams, ppl); documents with fewer than 2 tokens are
+    * omitted (no bigram to score). Unknown bigrams/prefixes score with
+    * zero counts — the smoothing keeps them finite.
+    *
+    * Scale shape: the LM is two word-pair-keyed aggregations with
+    * map-side combine (the shuffle carries distinct (u,v) counts, not
+    * occurrences) and scoring is one bigram-keyed join of the doc's
+    * DISTINCT bigram multiset against the LM — the same exact-vocabulary
+    * contract (and scale envelope) as [[importanceScores]]; at corpora
+    * where the distinct-bigram relation itself is the bottleneck, the
+    * hashed-bucket route ([[trainHashedLm]] with bigram features) is the
+    * broadcastable analog, trading collisions for a bounded table. */
+  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                       train: Option[DataFrame] = None,
+                       addK: Double = 1.0): DataFrame = {
+    require(addK > 0.0, s"addK must be > 0 for finite smoothing, got $addK")
+    val toks = (rel: DataFrame) =>
+      rel.select(scriptTokens(lower(col(textCol))).as("tk"))
+    val trainTk = toks(train.getOrElse(df))
+      .localCheckpoint(true) // feeds bigram counts AND the vocab count
+    val vCount = trainTk.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    val c2 = trainTk.select(explode(bigramPairs(col("tk"))).as("b"))
+      .select(col("b.u").as("u"), col("b.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true) // feeds the prefix counts AND the score join
+    val c1 = c2.groupBy("u").agg(sum(col("c2")).as("c1"))
+    val docBg = df.select(col(idCol).as("id"),
+        scriptTokens(lower(col(textCol))).as("tk"))
+      .select(col("id"), explode(bigramPairs(col("tk"))).as("b"))
+      .select(col("id"), col("b.u").as("u"), col("b.v").as("v"))
+      .groupBy("id", "u", "v").agg(count(lit(1)).as("m"))
+    docBg
+      .join(c2, Seq("u", "v"), "left")
+      .join(c1, Seq("u"), "left")
+      .withColumn("contrib", col("m").cast("double") *
+        log((coalesce(col("c2"), lit(0L)) + lit(addK))
+          / (coalesce(col("c1"), lit(0L)) + lit(addK) * lit(vCount.toDouble))))
+      .groupBy("id")
+      .agg(sum(col("m")).as("n_bigrams"),
+        exp(-sum(col("contrib")) / sum(col("m")).cast("double")).as("ppl"))
+  }
+
   /** DSIR's Gumbel top-k resampling, made deterministic: keep the top
     * `fraction` of rows by `score/temperature + Gumbel(hash(salt, id))` —
     * equivalent to sampling without replacement with probability

@@ -261,4 +261,44 @@ class ImportanceSpec extends SparkSpec {
     r.getAs[Long]("vocab_b") shouldBe 2L
     r.getAs[Long]("vocab_shared") shouldBe 1L
   }
+
+  behavior of "bigramPerplexity"
+
+  it should "match the hand-computed smoothed bigram model" in {
+    // corpus: "a b a b" and "a b c"; V = 3
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1 => C1: a->3, b->2
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "text")
+    val got = Importance.bigramPerplexity(df, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pAB = (3.0 + 1) / (3.0 + 3) // p(b|a)
+    val pBA = (1.0 + 1) / (2.0 + 3) // p(a|b)
+    val pBC = (1.0 + 1) / (2.0 + 3) // p(c|b)
+    val ppl1 = math.exp(-(2 * math.log(pAB) + math.log(pBA)) / 3.0)
+    val ppl2 = math.exp(-(math.log(pAB) + math.log(pBC)) / 2.0)
+    got.length shouldBe 2
+    got(0)._2 shouldBe 3L
+    got(0)._3 shouldBe ppl1 +- 1e-9
+    got(1)._2 shouldBe 2L
+    got(1)._3 shouldBe ppl2 +- 1e-9
+  }
+
+  it should "score a held-out corpus against a reference LM with unknowns smoothed" in {
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("id", "text")
+    val score = Seq((9L, "z q"), (10L, "a b")).toDF("id", "text")
+    val got = Importance.bigramPerplexity(score, "id", "text", train = Some(train))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    // unknown bigram (z,q): p = 1/(0 + 3) with add-1 over V=3
+    got(0)._2 shouldBe math.exp(-math.log(1.0 / 3.0)) +- 1e-9
+    // known (a,b): p = 4/6 -> typical text has LOW perplexity
+    got(1)._2 shouldBe 6.0 / 4.0 +- 1e-9
+    got(1)._2 should be < got(0)._2
+  }
+
+  it should "omit docs with fewer than 2 tokens" in {
+    val df = Seq((1L, "solo"), (2L, ""), (3L, "two tokens")).toDF("id", "text")
+    Importance.bigramPerplexity(df, "id", "text")
+      .select("id").as[Long].collect() shouldBe Array(3L)
+  }
 }
