@@ -144,7 +144,13 @@ object Graft {
       f.getOrElse("id-col", "vec_id"), f.getOrElse("vec-col", "embedding"),
       k = required(f, "k").toInt,
       seed = f.get("seed").map(_.toLong).getOrElse(42L))
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(output)
+    // a zero-row partitionBy write emits no schema-bearing file and the
+    // output would fail later schema inference (same guard as the
+    // persisted indexes): degrade to an unpartitioned empty write
+    if (assigned.isEmpty)
+      assigned.write.mode("overwrite").parquet(output)
+    else
+      assigned.write.mode("overwrite").partitionBy("cluster").parquet(output)
   }
 
   /** Engine extension: build a persisted retrieval index — BM25
@@ -188,7 +194,7 @@ object Graft {
     *
     * {{{
     * graft search --index=<dir> --output=<dir> --type=text --query="a b;;c d"
-    *              [--k=10] [--buckets=64]
+    *              [--k=10]          (bucket count comes from the index)
     * graft search --index=<dir> --output=<dir> --type=ivf --queries=<path>
     *              [--id-col=vec_id] [--vec-col=embedding] [--k=10] [--nprobe=4]
     * }}} */
@@ -206,8 +212,7 @@ object Graft {
           .map { case (q, i) => (i.toLong, q) }
         graft.ext.Retrieval.searchTextIndex(spark, index,
           qs.toDF("qid", "qtext"), "qid", "qtext",
-          k = f.get("k").map(_.toInt).getOrElse(10),
-          buckets = f.get("buckets").map(_.toInt).getOrElse(64))
+          k = f.get("k").map(_.toInt).getOrElse(10))
       case "ivf" =>
         val q = read(spark, required(f, "queries"),
           f.getOrElse("input-mode", "parquet"))

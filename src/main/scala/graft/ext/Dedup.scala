@@ -443,8 +443,13 @@ object Dedup {
       .select(col("id_new"), col("id_old"))
       .dropDuplicates("id_new", "id_old")
 
+    // BOTH side tables broadcast under the hint, so the decision must
+    // size on the LARGER side — a 50M-doc incoming crawl against a small
+    // accumulated corpus must not get broadcast just because the existing
+    // side is tiny (bandedIn is pinned; counting it is cheap)
     val doBroadcast = broadcastVerify.getOrElse(
-      autoBroadcastVerify("minhashNewAgainst", nExBands / bands,
+      autoBroadcastVerify("minhashNewAgainst",
+        math.max(nExBands, bandedIn.count()) / bands,
         broadcastVerifyMaxRows, estBytesPerRow = 2560L))
     def side(sh: DataFrame, n: String) = {
       val s = sh.select(col("id").as(n), col("sh").as(s"shh_$n"))
@@ -813,20 +818,25 @@ object Dedup {
     * the cluster shuffle; the corpus re-joins by id at the end. */
   def keepBest(df: DataFrame, idCol: String, components: DataFrame,
                scoreCol: String): DataFrame = {
-    val scored = df.select(col(idCol).cast("long").as("id"),
-        col(scoreCol).cast("double").as("__s"))
-      .join(components.select(col("id").cast("long").as("id"), col("component")),
-        Seq("id"), "left")
-      // singletons keep their own id as a private cluster label
-      .withColumn("component", coalesce(col("component"), col("id")))
-      // null scores lose to any scored member (not SmallestRows'
-      // nulls-first default, which would make them WIN)
-      .withColumn("__neg", -coalesce(col("__s"), lit(Double.NegativeInfinity)))
+    // rows absent from `components` are singletons and kept OUTSIDE the
+    // competition entirely — no synthetic cluster label, so an arbitrary
+    // labeling can never collide a singleton's id with a real cluster,
+    // and ids stay their native type (string ids work like dropNearDups')
+    val scored = df.select(col(idCol).as("id"),
+        // null scores lose to any scored member (not SmallestRows'
+        // nulls-first default, which would make them WIN)
+        (-coalesce(col(scoreCol).cast("double"),
+          lit(Double.NegativeInfinity))).as("__neg"))
+      .join(components.select(col("id"), col("component")), Seq("id"))
     val winners = graft.sampling.DirectSampler
       .topByKey(scored.select(col("component"), col("__neg"), col("id")),
         Seq("component"), Seq("__neg", "id"), 1)
       .select(col("id").as("__keep_id"))
-    df.join(winners, df(idCol) === col("__keep_id"), "left_semi")
+    val singletons = df.join(
+      components.select(col("id").as("__cid")),
+      df(idCol) === col("__cid"), "left_anti")
+    singletons.unionByName(
+      df.join(winners, df(idCol) === col("__keep_id"), "left_semi"))
   }
 
   /** EXACT set-similarity self-join by prefix filtering (PPJoin,

@@ -71,12 +71,6 @@ object Embeddings {
       dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
   }
 
-  /** Train product-quantization codebooks for STORAGE compression
-    * (int8 quantization's 4x, pushed to dim/m×: a 64-dim float vector
-    * becomes m small codes). Same bounded strided sample and seeded
-    * in-memory k-means++/Lloyd as [[Similarity.pqTopK]]'s ADC search —
-    * train once, reuse for both storage and search. Returns m codebooks
-    * of up to `codebookSize` sub-centroids; empty corpus -> empty array. */
   /** Johnson–Lindenstrauss random projection: `outDim` seeded Gaussian
     * planes scaled by 1/sqrt(outDim), applied as ONE codegen'd matvec
     * pass ([[graft.functions.ProjectPlanes]]). For n points, outDim =
@@ -99,6 +93,12 @@ object Embeddings {
     graft.GraftFunctions.projectPlanes(vec, planes)
   }
 
+  /** Train product-quantization codebooks for STORAGE compression
+    * (int8 quantization's 4x, pushed to dim/m×: a 64-dim float vector
+    * becomes m small codes). Same bounded strided sample and seeded
+    * in-memory k-means++/Lloyd as [[Similarity.pqTopK]]'s ADC search —
+    * train once, reuse for both storage and search. Returns m codebooks
+    * of up to `codebookSize` sub-centroids; empty corpus -> empty array. */
   def pqCodebooks(df: DataFrame, vecCol: String, m: Int = 8,
                   codebookSize: Int = 256, seed: Long = 42L,
                   trainCap: Long = 100000L, maxIter: Int = 10): Array[Array[Array[Double]]] = {

@@ -100,7 +100,7 @@ object Retrieval {
 
     // df over the postings collapses to <= |vocab| rows; idf broadcasts back
     val idf = tf.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
           / (col("df") + lit(0.5))))
@@ -140,26 +140,32 @@ object Retrieval {
   /** Tokenize `docs` once and persist a BM25-servable index at `path`:
     * `path/postings` = (term, doc_id, dl, tf) hive-partitioned by
     * `bucket = pmod(hash64(term), buckets)`, and `path/stats` = one row
-    * (n_docs, sum_dl). Returns the number of documents indexed. The
-    * postings write shuffles on bucket so each bucket lands in O(1)
-    * files; document frequencies are NOT materialized — a search
-    * recovers exact df for its query terms from the pruned postings
-    * (one row per (term, doc) by construction). */
+    * (n_docs, sum_dl, buckets — the bucket count is part of the artifact,
+    * so a search can never hash terms with a mismatched modulus). Returns
+    * the number of documents indexed. The postings write shuffles on
+    * bucket so each bucket lands in O(1) files; document frequencies are
+    * NOT materialized — a search recovers exact df for its query terms
+    * from the pruned postings (one row per (term, doc) by construction). */
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
                      path: String, buckets: Int = 64): Long = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = docs.sparkSession
+    import spark.implicits._
     val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
       scriptTokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast(LongType))
-    val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    stats.repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    val st = d.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
+    val nDocs = st.getAs[Long]("n_docs")
+    Seq((nDocs, st.getAs[Long]("sum_dl"), buckets))
+      .toDF("n_docs", "sum_dl", "buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
     val postings = d
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(farmHash64(col("term")), lit(buckets.toLong)))
-    if (postings.isEmpty) {
+    if (nDocs == 0L) {
       // zero-row partitionBy writes emit no schema-bearing file (same
       // guard as the empty IVF index): write unpartitioned
       postings.limit(0).write.mode("overwrite").parquet(s"$path/postings")
@@ -167,7 +173,7 @@ object Retrieval {
     }
     postings.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    spark.read.parquet(s"$path/stats").head().getAs[Long]("n_docs")
+    nDocs
   }
 
   /** BM25 search against a [[buildTextIndex]] artifact without touching
@@ -182,11 +188,13 @@ object Retrieval {
   def searchTextIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       queries: DataFrame, qidCol: String, qtextCol: String,
                       k: Int, k1: Double = 1.2, b: Double = 0.75,
-                      buckets: Int = 64,
                       roundScoresTo: Option[Int] = None): DataFrame = {
     require(k >= 1, s"searchTextIndex needs k >= 1, got $k")
     val stats = spark.read.parquet(s"$path/stats").head()
     val nDocs = stats.getAs[Long]("n_docs")
+    // the modulus is the INDEX's, not a caller guess — a mismatch would
+    // silently prune the wrong directories and drop most postings
+    val buckets = stats.getAs[Int]("buckets")
     val qTerms = queries.select(col(qidCol).cast(LongType).as("query_id"),
       explode(array_distinct(scriptTokens(lower(col(qtextCol))))).as("term"))
     if (nDocs == 0L)
@@ -202,7 +210,7 @@ object Retrieval {
       .where(col("bucket").isin(qBuckets.map(java.lang.Long.valueOf).toSeq: _*))
       .join(broadcast(vocab), "term")
     val idf = tf.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5))
           / (col("df") + lit(0.5))))
@@ -305,7 +313,7 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val dfT = tfd.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
     val wD = tfd.join(dfT, "term")
       .select(col("doc_id"), col("term"),
@@ -373,7 +381,7 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val df = tf.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
     tf.join(df, "term")
       .select(col("doc_id"), col("term"),

@@ -50,6 +50,19 @@ object DirectSampler {
     * external Comparable values, and binary/array/struct/map ordering
     * columns are rejected with a require (a contract narrowing vs the old
     * window form, which accepted any orderable type). */
+  def topByKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[String],
+               k: Int): DataFrame = {
+    val schema = df.schema
+    val ordIdx = orderBy.map(schema.fieldIndex)
+    val topk = udaf(new graft.functions.TopK.SmallestRows(k, schema, ordIdx),
+      org.apache.spark.sql.Encoders.row(schema))
+    // a Row-encoded udaf takes one argument per schema field
+    df.groupBy(keyCols.map(col): _*)
+      .agg(topk(df.columns.toIndexedSeq.map(col): _*).as("__topk"))
+      .select(explode(col("__topk.rows")).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** Deterministic k rows PER KEY — the k-shot-per-class sampler (eval
     * few-shot sets, per-domain spot-check samples, class-balanced seed
     * data). Each row ranks by a seeded murmur hash of `hashCols`
@@ -65,24 +78,14 @@ object DirectSampler {
   def kPerKey(df: DataFrame, keyCols: Seq[String], k: Int, seed: Int = 0,
               hashCols: Seq[String] = Nil): DataFrame = {
     require(k >= 1, s"kPerKey needs k >= 1, got $k")
+    // an empty key list would silently degrade to ONE global k-row
+    // sample (groupBy nothing) — the forgotten --per-key flag case
+    require(keyCols.nonEmpty, "kPerKey needs at least one key column")
     val hc = if (hashCols.nonEmpty) hashCols
       else df.columns.toSeq.filterNot(keyCols.contains)
     require(hc.nonEmpty, "kPerKey needs at least one non-key column to hash")
     val hashed = df.withColumn("__draw",
       graft.GraftFunctions.fieldHash(hc.map(col), "murmur", Some(seed)))
     topByKey(hashed, keyCols, Seq("__draw"), k).drop("__draw")
-  }
-
-  def topByKey(df: DataFrame, keyCols: Seq[String], orderBy: Seq[String],
-               k: Int): DataFrame = {
-    val schema = df.schema
-    val ordIdx = orderBy.map(schema.fieldIndex)
-    val topk = udaf(new graft.functions.TopK.SmallestRows(k, schema, ordIdx),
-      org.apache.spark.sql.Encoders.row(schema))
-    // a Row-encoded udaf takes one argument per schema field
-    df.groupBy(keyCols.map(col): _*)
-      .agg(topk(df.columns.toIndexedSeq.map(col): _*).as("__topk"))
-      .select(explode(col("__topk.rows")).as("__row"))
-      .select(col("__row.*"))
   }
 }

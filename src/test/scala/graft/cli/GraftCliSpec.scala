@@ -258,7 +258,7 @@ class GraftCliSpec extends SparkSpec {
       s"--output=$base/tidx", "--type=text", "--buckets=16"), spark)
     Graft.run(Seq("search", s"--index=$base/tidx", s"--output=$base/hits",
       "--type=text", "--query=spark join filter;;customer order data",
-      "--k=5", "--buckets=16"), spark)
+      "--k=5"), spark)
     val hits = spark.read.parquet(s"$base/hits")
     hits.count() shouldBe 10L
     hits.columns.sorted.toSeq shouldBe Seq("doc_id", "query_id", "rank", "score")

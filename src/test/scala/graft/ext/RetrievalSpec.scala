@@ -188,7 +188,7 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .sortBy(t => (t._1, t._4))
     val indexed = Retrieval.searchTextIndex(spark, path, q, "qid", "qtext", k = 8,
-        buckets = 16, roundScoresTo = Some(9))
+        roundScoresTo = Some(9))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .sortBy(t => (t._1, t._4))
     indexed shouldBe direct
@@ -199,8 +199,7 @@ class RetrievalSpec extends SparkSpec {
     val q = Seq((1L, "spark")).toDF("qid", "qtext")
     val path = idxDir()
     Retrieval.buildTextIndex(docs, "doc_id", "text", path, buckets = 16)
-    val search = Retrieval.searchTextIndex(spark, path, q, "qid", "qtext",
-      k = 5, buckets = 16)
+    val search = Retrieval.searchTextIndex(spark, path, q, "qid", "qtext", k = 5)
     val plan = search.queryExecution.executedPlan.toString
     plan should include regex "PartitionFilters: \\[.*bucket.*"
     search.count() shouldBe 5L
