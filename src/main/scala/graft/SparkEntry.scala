@@ -1742,15 +1742,18 @@ object SparkEntry {
         .contains("Exchange hashpartitioning")
       // scoped planning-only flip: autoBucketedScan turns bucketed
       // reading off for a bare filter scan (no join/agg interest), which
-      // also suppresses bucket pruning; executedPlan is forced INSIDE
-      // the block, then the session conf is restored
-      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      val pruned =
-        try ob.filter(col("o_orderkey") === 7L)
-          .queryExecution.executedPlan.toString
-          .contains("SelectedBucketsCount: 1 out of 8")
-        finally s.conf
-          .unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      // also suppresses bucket pruning. The flip happens in a DEDICATED
+      // child session (the external catalog is shared, so the bucketed
+      // table resolves there too): flipping the shared session's conf —
+      // even restored in a finally — would race any concurrently-planned
+      // gate on the same SparkSession and flip unrelated plans mid-flight
+      val probeSession = s.newSession()
+      probeSession.conf
+        .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = probeSession.table("graft_orders_b")
+        .filter(col("o_orderkey") === 7L)
+        .queryExecution.executedPlan.toString
+        .contains("SelectedBucketsCount: 1 out of 8")
       joined.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)

@@ -415,8 +415,12 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(bloomFpp > 0 && bloomFpp <= 0.5,
       s"bloomFpp must be in (0, 0.5], got $bloomFpp")
-    val empty = incoming.select(col(idCol).as("id_new"),
-      col(idCol).as("id_old"), lit(0.0).as("jaccard")).limit(0)
+    // id_old's type comes from the EXISTING side (as on the normal path,
+    // whose id_old is existing's id) — a zero-row cross join keeps both
+    // paths' schemas identical even when the two id columns differ
+    val empty = incoming.select(col(idCol).as("id_new")).limit(0)
+      .crossJoin(existing.select(col(idCol).as("id_old")).limit(0))
+      .withColumn("jaccard", lit(0.0))
     val (shEx, bandedEx) = shingleBanded(existing, idCol, textCol,
       numHashes, bands, shingleLen, seed)
     val nExBands = bandedEx.count() // sizes the bloom; materializes the pin
@@ -506,9 +510,14 @@ object Dedup {
     val rPerB = numHashes / bands
     // ONE tokenize+minhash evaluation: the band keys are built inside a
     // single transform over a literal band range (the signature is one
-    // shared child, not re-shingled per band); empty/null text minhashes
-    // to null, the null rides through to a null key array, and the probe
-    // maps that to a definitive false
+    // shared child, not re-shingled per band). Empty/null text minhashes
+    // to a NULL signature, but the hash funnel (FieldHash/farmHash64) is
+    // non-nullable and SKIPS null inputs — an unguarded probe would turn
+    // every null signature into the same constant per-band key array,
+    // and all empty/null documents would then flag true together
+    // whenever any one of those constants is a Bloom false positive
+    // (~1-(1-fpp)^bands, correlated across the whole stream). Guard the
+    // signature explicitly: null signature => definitive false.
     val sig = minhash(shingleHashes(text, shingleLen), numHashes, seed)
     val keys = transform(sequence(lit(0), lit(bands - 1)), b =>
       fieldHash(Seq(b,
@@ -516,7 +525,7 @@ object Dedup {
     val probeAny = udf { (ks: scala.collection.Seq[Long]) =>
       ks != null && ks.exists(bloom.mightContainLong)
     }
-    probeAny(keys)
+    when(sig.isNull, lit(false)).otherwise(probeAny(keys))
   }
 
   /** SimHash near-duplicate pairs: 64-bit fingerprint; candidates share at

@@ -44,6 +44,21 @@ import org.apache.spark.sql.types.LongType
   */
 object Retrieval {
 
+  /** Retrieval ids ride as longs throughout (`doc_id` / `query_id`). An
+    * unguarded cast would turn a non-numeric string id into null and
+    * silently collapse every such document into one `doc_id = null`
+    * group — fail loudly at plan time instead (the ANN operators widen
+    * natively; here the long id is part of the persisted-index layout). */
+  private def requireIntegralId(df: DataFrame, c: String, role: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(c).dataType
+    require(
+      Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"Retrieval requires an integral $role column (widened to long); " +
+        s"'$c' is ${dt.catalogString} — map non-numeric ids to longs first " +
+        s"(e.g. monotonically_increasing_id plus a lookup table)")
+  }
+
   /** Top-k BM25 hits per query: (query_id, doc_id, score, rank), rank
     * 1-based by (score desc, doc_id asc).
     *
@@ -67,6 +82,8 @@ object Retrieval {
     require(k >= 1, s"bm25TopK needs k >= 1, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1,
       s"BM25 parameters out of range: k1=$k1 (>=0), b=$b ([0,1])")
+    requireIntegralId(docs, idCol, "doc id")
+    requireIntegralId(queries, qidCol, "query id")
     val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
       scriptTokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast(LongType))
@@ -149,6 +166,7 @@ object Retrieval {
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
                      path: String, buckets: Int = 64): Long = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    requireIntegralId(docs, idCol, "doc id")
     val spark = docs.sparkSession
     import spark.implicits._
     val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
@@ -190,6 +208,7 @@ object Retrieval {
                       k: Int, k1: Double = 1.2, b: Double = 0.75,
                       roundScoresTo: Option[Int] = None): DataFrame = {
     require(k >= 1, s"searchTextIndex needs k >= 1, got $k")
+    requireIntegralId(queries, qidCol, "query id")
     val stats = spark.read.parquet(s"$path/stats").head()
     val nDocs = stats.getAs[Long]("n_docs")
     // the modulus is the INDEX's, not a caller guess — a mismatch would
@@ -299,6 +318,8 @@ object Retrieval {
                 roundScoresTo: Option[Int] = None): DataFrame = {
     require(k >= 1, s"tfIdfTopK needs k >= 1, got $k")
     require(minDocFreq >= 1, s"minDocFreq must be >= 1, got $minDocFreq")
+    requireIntegralId(docs, idCol, "doc id")
+    requireIntegralId(queries, qidCol, "query id")
     val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
       scriptTokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast(LongType))
@@ -368,6 +389,7 @@ object Retrieval {
   def tfIdf(docs: DataFrame, idCol: String, textCol: String,
             minDocFreq: Int = 2): DataFrame = {
     require(minDocFreq >= 1, s"minDocFreq must be >= 1, got $minDocFreq")
+    requireIntegralId(docs, idCol, "doc id")
     val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
       scriptTokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast(LongType))

@@ -168,6 +168,15 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.minhashNewAgainst(empty, novel, "doc_id", "text")
     got.count() shouldBe 0L
     got.columns.toSeq shouldBe Seq("id_new", "id_old", "jaccard")
+    // the empty-corpus fast path must type id_old from the EXISTING side
+    // (the normal path's source) even when the two id types differ
+    val emptyInt = existing
+      .select(col("doc_id").cast("int").as("doc_id"), col("text")).limit(0)
+    val got2 = Dedup.minhashNewAgainst(emptyInt, novel, "doc_id", "text")
+    got2.schema("id_new").dataType shouldBe
+      org.apache.spark.sql.types.LongType
+    got2.schema("id_old").dataType shouldBe
+      org.apache.spark.sql.types.IntegerType
   }
 
   it should "never flag-miss a document the exact operator pairs (streaming flag parity)" in {
@@ -196,6 +205,22 @@ class DedupSpec extends SparkSpec {
       .withColumn("f", Dedup.maybeNearDuplicateFlag(col("text"), bloom,
         numHashes = 64, bands = 32))
       .select("f").as[Boolean].collect() shouldBe Array(false, false)
+  }
+
+  it should "flag null/empty text false even under a high-fpp bloom" in {
+    // regression for the null-signature hole: an UNGUARDED probe hashes a
+    // null minhash signature to a CONSTANT per-band key array, and at
+    // fpp=0.3 × 32 bands the probability that at least one of those
+    // constants false-positives is ~1-(1-.3)^32 ≈ 1 — every null/empty
+    // doc in the stream would flag true together. The guarded flag must
+    // stay definitively false regardless of the bloom's noise level.
+    val bloom = Dedup.nearDupBloom(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32, bloomFpp = 0.3)
+    Seq((1L, null: String), (2L, ""), (3L, "   "), (4L, null: String))
+      .toDF("doc_id", "text")
+      .withColumn("f", Dedup.maybeNearDuplicateFlag(col("text"), bloom,
+        numHashes = 64, bands = 32))
+      .select("f").as[Boolean].collect() shouldBe Array.fill(4)(false)
   }
 
   it should "match against singleton existing buckets (no >1 bucket filter)" in {
