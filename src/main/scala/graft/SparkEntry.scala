@@ -2,7 +2,7 @@ package graft
 
 import graft.GraftFunctions._
 import graft.diffy.BigDiffy
-import graft.ext.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ext.{Dedup, DedupIndex, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.sampling.{BigSampler, DirectSampler}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -544,6 +544,46 @@ object SparkEntry {
             col("id_old") % 3 === 0, 1L).otherwise(0L)).as("n_planted_found"),
           (sum(when(col("id_old") === col("id_new") - off &&
             col("id_old") % 3 === 1, 1L).otherwise(0L)) === 0L).as("novel_clean"))
+    }),
+    // persisted dedup index (build once, append-a-crawl many): the same
+    // planted/novel construction as minhash_new_against, but the corpus
+    // is indexed to disk FIRST and both incremental paths run against
+    // the artifact — the accumulated corpus text is never re-shingled.
+    // The gate asserts planted recall + novel cleanliness like the
+    // direct gate AND pair-for-pair / row-for-row parity between the
+    // index-served and direct operators (the same oracle trick as
+    // text_index_search: index-served == direct, value-exact).
+    "dedup_index_search" -> ((s, d) => {
+      val tmp = sessionTempDir("graft_dedupidx")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val off = idOffset(docs, "doc_id")
+      val planted = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + off).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 10, 20))").as("text"))
+      val novel = docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + off).as("doc_id"), reverse(col("text")).as("text"))
+      val incoming = planted.unionByName(novel)
+      DedupIndex.build(docs, "doc_id", "text", tmp, numHashes = 64, bands = 32)
+      val served = DedupIndex.minhashNewAgainst(s, tmp, incoming,
+        "doc_id", "text", threshold = 0.7)
+      val direct = Dedup.minhashNewAgainst(docs, incoming, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.7)
+      def pairs(df: DataFrame) = df.select(col("id_new"), col("id_old"),
+        round(col("jaccard"), 9).as("j"))
+      val nearDiff = pairs(served).exceptAll(pairs(direct)).count() +
+        pairs(direct).exceptAll(pairs(served)).count()
+      val exServed = DedupIndex.newAgainst(s, tmp, incoming, "text")
+        .select("doc_id")
+      val exDirect = Dedup.newAgainst(docs, incoming, "text").select("doc_id")
+      val exactDiff = exServed.exceptAll(exDirect).count() +
+        exDirect.exceptAll(exServed).count()
+      served.agg(
+          sum(when(col("id_old") === col("id_new") - off &&
+            col("id_old") % 3 === 0, 1L).otherwise(0L)).as("n_planted_found"),
+          (sum(when(col("id_old") === col("id_new") - off &&
+            col("id_old") % 3 === 1, 1L).otherwise(0L)) === 0L).as("novel_clean"))
+        .withColumn("near_parity_ok", lit(nearDiff == 0L))
+        .withColumn("exact_parity_ok", lit(exactDiff == 0L))
     }),
     // simhash pair list: the pair set is not SQL-reproducible (no simhash
     // in DuckDB), so the gate asserts the operator's structural contract
@@ -2362,6 +2402,13 @@ object SparkEntry {
           |  true AS mean_ok, true AS band_ok""".stripMargin,
       "minhash_new_against" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_planted_found, true AS novel_clean
+          |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+      // index-served must find every planted near-copy (same recall
+      // contract as minhash_new_against) AND agree with the direct
+      // operators pair-for-pair (parity booleans computed in-gate)
+      "dedup_index_search" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_planted_found,
+          |  true AS novel_clean, true AS near_parity_ok, true AS exact_parity_ok
           |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
       "dedup_keep_best" ->
         """WITH c AS (SELECT doc_id, text FROM documents

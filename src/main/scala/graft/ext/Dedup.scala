@@ -42,7 +42,7 @@ object Dedup {
     * behind the default. */
   private val MaxBroadcastVerifyBytes = 1L << 31 // ~2 GB
 
-  private def autoBroadcastVerify(op: String, docCount: Long, maxRows: Long,
+  private[ext] def autoBroadcastVerify(op: String, docCount: Long, maxRows: Long,
                                   estBytesPerRow: Long): Boolean = {
     val estBytes = docCount * estBytesPerRow
     val bc = docCount <= maxRows && estBytes <= MaxBroadcastVerifyBytes
@@ -304,7 +304,7 @@ object Dedup {
     * (bucket counts + pair sides), each of which would re-shingle and
     * re-minhash the corpus otherwise — ~24 bytes/row × bands, negligible
     * next to the corpus it replaces. */
-  private def shingleBanded(df: DataFrame, idCol: String, textCol: String,
+  private[ext] def shingleBanded(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, shingleLen: Int,
       seed: Int): (DataFrame, DataFrame) = {
     val rPerB = numHashes / bands

@@ -1,0 +1,259 @@
+package graft.ext
+
+import graft.GraftFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Persisted dedup index — the build-once/append-many artifact for the
+  * append-a-crawl loop.
+  *
+  * [[Dedup.newAgainst]] and [[Dedup.minhashNewAgainst]] are correct but
+  * re-fingerprint / re-shingle the ENTIRE accumulated corpus on every
+  * call: at a 100×-appended corpus that recomputation dominates every
+  * batch (measured 10.8× wall for 10× data at sf1). This module persists
+  * the derived relations ONCE and appends per batch, so an incremental
+  * dedup pass costs ~the incoming side only:
+  *
+  * {{{
+  *   path/params        one row (num_hashes, bands, shingle_len, seed,
+  *                      bloom_fpp) — the artifact owns its parameters; a
+  *                      search can never band incoming text with a
+  *                      mismatched scheme
+  *   path/fingerprints  (id, fp)            8-byte farm fingerprints
+  *   path/shingles      (id, sh)            sorted distinct shingle hashes
+  *   path/bands         (id, band, bsig)    banded minhash signatures
+  *   path/bloom_fp/     seg-*.bin           one Bloom segment per batch
+  *   path/bloom_band/   seg-*.bin           over fp / (band,bsig) keys
+  * }}}
+  *
+  * Blooms are SEGMENTED, not merged: each build/append writes one
+  * segment sized to its own batch, and a probe checks "any segment
+  * contains" — no false negatives, and appends never rewrite or resize
+  * an existing filter. When the summed segment bytes exceed
+  * [[MaxBloomBytes]] the search paths skip Bloom pruning entirely (the
+  * equi-joins alone are still exact) rather than ship a corpus-sized
+  * filter to every task — logged, never silent.
+  *
+  * Search-time knobs (`threshold`, `maxBucketSize`) are deliberately NOT
+  * artifact parameters: the banding scheme fixes the recall envelope,
+  * while the verification threshold is a per-query choice over the same
+  * candidates — one index serves any threshold at or above its envelope.
+  *
+  * Scale shape: the per-batch build cost is the same shingle+band pass
+  * the direct operators pay for that batch; the serve cost reads the
+  * stored relations columnar (24 B/row bands, ~2.5 KB/doc shingles — and
+  * only candidate ids' shingles survive the semi-structure of the pair
+  * join) instead of re-deriving them from corpus text. Rebuild-vs-append
+  * equivalence is exact: the stored relations are unions of per-batch
+  * relations, and every downstream operator is defined per-row on them
+  * (spec-locked in DedupIndexSpec).
+  */
+object DedupIndex {
+
+  /** The artifact's banding parameters (read back by every search). */
+  final case class Params(numHashes: Int, bands: Int, shingleLen: Int,
+                          seed: Int, bloomFpp: Double)
+
+  /** Skip Bloom pruning once the summed segment bytes pass this: a
+    * corpus-scale filter set would be broadcast to every task and
+    * resident per executor; past ~0.5 GB the exact equi-join (whose
+    * existing side is the stored 8-byte key relation, not text) is the
+    * better trade. */
+  val MaxBloomBytes: Long = 512L << 20
+
+  private val FpBloomDir = "bloom_fp"
+  private val BandBloomDir = "bloom_band"
+
+  /** Create (or replace) the index at `path` from `df`. Returns the
+    * number of documents indexed. Parameters are persisted in the
+    * artifact; [[append]] and the searches read them back from there. */
+  def build(df: DataFrame, idCol: String, textCol: String, path: String,
+            numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 5,
+            seed: Int = 0, bloomFpp: Double = 0.01): Long = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(bloomFpp > 0 && bloomFpp <= 0.5,
+      s"bloomFpp must be in (0, 0.5], got $bloomFpp")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((numHashes, bands, shingleLen, seed, bloomFpp))
+      .toDF("num_hashes", "bands", "shingle_len", "seed", "bloom_fpp")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    // a rebuild must not inherit stale bloom segments from a prior life
+    deleteDir(spark, s"$path/$FpBloomDir")
+    deleteDir(spark, s"$path/$BandBloomDir")
+    writeBatch(df, idCol, textCol, path,
+      Params(numHashes, bands, shingleLen, seed, bloomFpp), overwrite = true)
+  }
+
+  /** Append a new batch to an existing index (parameters come from the
+    * artifact). Returns the number of documents appended. The caller owns
+    * cross-batch id uniqueness and schema stability (same id type per
+    * append — parquet unions the files as written). */
+  def append(df: DataFrame, idCol: String, textCol: String,
+             path: String): Long =
+    writeBatch(df, idCol, textCol, path, readParams(df.sparkSession, path),
+      overwrite = false)
+
+  /** The persisted parameter row. */
+  def readParams(spark: SparkSession, path: String): Params = {
+    val r = spark.read.parquet(s"$path/params").head()
+    Params(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
+      r.getAs[Int]("shingle_len"), r.getAs[Int]("seed"),
+      r.getAs[Double]("bloom_fpp"))
+  }
+
+  private def writeBatch(df: DataFrame, idCol: String, textCol: String,
+                         path: String, p: Params, overwrite: Boolean): Long = {
+    val spark = df.sparkSession
+    val mode = if (overwrite) "overwrite" else "append"
+    // pinned: the fingerprint relation feeds the write, the count, and
+    // the bloom build (same eager-localCheckpoint lifecycle as Dedup)
+    val fps = df.select(col(idCol).as("id"), farmHash64(col(textCol)).as("fp"))
+      .localCheckpoint(true)
+    val nDocs = fps.count()
+    fps.write.mode(mode).parquet(s"$path/fingerprints")
+    val (sh, banded) = Dedup.shingleBanded(df, idCol, textCol,
+      p.numHashes, p.bands, p.shingleLen, p.seed)
+    sh.write.mode(mode).parquet(s"$path/shingles")
+    banded.write.mode(mode).parquet(s"$path/bands")
+    if (nDocs > 0)
+      writeBloomSegment(spark, s"$path/$FpBloomDir",
+        fps.stat.bloomFilter("fp", nDocs, p.bloomFpp))
+    val nBands = banded.count()
+    if (nBands > 0)
+      writeBloomSegment(spark, s"$path/$BandBloomDir",
+        banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
+          .stat.bloomFilter("__bk", nBands, p.bloomFpp))
+    nDocs
+  }
+
+  /** Incremental EXACT dedup against the index: the rows of `incoming`
+    * whose `textCol` fingerprint is not already indexed — semantics
+    * identical to [[Dedup.newAgainst]] (same fingerprint-equality
+    * contract, nulls included), but the existing side is the stored
+    * (id, fp) relation: the accumulated corpus text is never re-read.
+    * Bloom-miss rows (the typical novel majority) exit at the scan with
+    * no shuffle; only flagged rows pay the exact anti join. */
+  def newAgainst(spark: SparkSession, path: String, incoming: DataFrame,
+                 textCol: String): DataFrame = {
+    val exFp = spark.read.parquet(s"$path/fingerprints")
+      .select(col("fp").as("__fp"))
+    val blooms = loadBloomSegments(spark, s"$path/$FpBloomDir")
+    val flagged0 = incoming.withColumn("__fp", farmHash64(col(textCol)))
+    if (blooms.isEmpty)
+      // empty index, or pruning declined past MaxBloomBytes: the plain
+      // anti join alone is exact
+      flagged0.join(exFp, Seq("__fp"), "left_anti").drop("__fp")
+    else {
+      val bc = spark.sparkContext.broadcast(blooms)
+      val might = udf { (fp: Long) => bc.value.exists(_.mightContainLong(fp)) }
+      val flagged = flagged0.withColumn("__might", might(col("__fp")))
+      flagged.filter(!col("__might"))
+        .unionByName(flagged.filter(col("__might"))
+          .join(exFp, Seq("__fp"), "left_anti"))
+        .drop("__fp", "__might")
+    }
+  }
+
+  /** Incremental NEAR-dup detection against the index: (id_new, id_old,
+    * jaccard) pairs exactly as [[Dedup.minhashNewAgainst]] would produce
+    * with the artifact's banding parameters — pair-for-pair equal by
+    * construction (spec-locked), but the existing side's shingle and
+    * band relations are READ, not re-derived: the indexed corpus text is
+    * never touched. Incoming is shingled+banded with the artifact's own
+    * parameters; `threshold` must sit at or above the recall envelope of
+    * the artifact's (bands, rows-per-band) choice. */
+  def minhashNewAgainst(spark: SparkSession, path: String,
+                        incoming: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.8, maxBucketSize: Int = 1000,
+                        broadcastVerify: Option[Boolean] = None,
+                        broadcastVerifyMaxRows: Long = 1000000L): DataFrame = {
+    val p = readParams(spark, path)
+    val bandedEx = spark.read.parquet(s"$path/bands")
+    val shEx = spark.read.parquet(s"$path/shingles")
+    val (shIn, bandedIn) = Dedup.shingleBanded(incoming, idCol, textCol,
+      p.numHashes, p.bands, p.shingleLen, p.seed)
+
+    val blooms = loadBloomSegments(spark, s"$path/$BandBloomDir")
+    val bandKey = fieldHash(Seq(col("band"), col("bsig")))
+    val prunedIn =
+      if (blooms.isEmpty) bandedIn
+      else {
+        val bc = spark.sparkContext.broadcast(blooms)
+        val might = udf { (k: Long) => bc.value.exists(_.mightContainLong(k)) }
+        bandedIn.filter(might(bandKey))
+      }
+
+    val buckets = bandedEx.groupBy("band", "bsig").count()
+      .filter(col("count") <= maxBucketSize)
+    val pairs = prunedIn
+      .select(col("band"), col("bsig"), col("id").as("id_new"))
+      .join(buckets, Seq("band", "bsig"))
+      .join(bandedEx.select(col("band"), col("bsig"), col("id").as("id_old")),
+        Seq("band", "bsig"))
+      .select(col("id_new"), col("id_old"))
+      .dropDuplicates("id_new", "id_old")
+
+    // size on the LARGER side, as the direct operator does (both side
+    // tables ride the same broadcast hint); counting parquet bands is a
+    // narrow columnar scan, the pinned incoming bands a block scan
+    val doBroadcast = broadcastVerify.getOrElse(
+      Dedup.autoBroadcastVerify("DedupIndex.minhashNewAgainst",
+        math.max(bandedEx.count(), bandedIn.count()) / p.bands,
+        broadcastVerifyMaxRows, estBytesPerRow = 2560L))
+    def side(sh: DataFrame, n: String) = {
+      val s0 = sh.select(col("id").as(n), col("sh").as(s"shh_$n"))
+      if (doBroadcast) broadcast(s0) else s0
+    }
+    pairs
+      .join(side(shIn, "id_new"), "id_new")
+      .join(side(shEx, "id_old"), "id_old")
+      .filter(least(size(col("shh_id_new")), size(col("shh_id_old"))) >=
+        lit(threshold) * greatest(size(col("shh_id_new")), size(col("shh_id_old"))))
+      .withColumn("jaccard", jaccardSorted(col("shh_id_new"), col("shh_id_old")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+  }
+
+  // ---- artifact IO --------------------------------------------------------
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    fs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+    ()
+  }
+
+  private def writeBloomSegment(spark: SparkSession, dir: String,
+                                bloom: BloomFilter): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir,
+      s"seg-${java.util.UUID.randomUUID}.bin")
+    val out = fs(spark, dir).create(p, false)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  /** All Bloom segments under `dir`; empty when none exist OR when the
+    * summed bytes pass [[MaxBloomBytes]] (pruning declined — logged). */
+  private def loadBloomSegments(spark: SparkSession,
+                                dir: String): Array[BloomFilter] = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(p)) return Array.empty
+    val files = f.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".bin"))
+    val totalBytes = files.map(_.getLen).sum
+    if (totalBytes > MaxBloomBytes) {
+      System.err.println(s"[graft] DedupIndex: ${totalBytes >> 20} MiB of " +
+        s"bloom segments at $dir exceeds the ${MaxBloomBytes >> 20} MiB " +
+        "broadcast budget — skipping Bloom pruning (exact joins only)")
+      return Array.empty
+    }
+    files.map { st =>
+      val in = f.open(st.getPath)
+      try BloomFilter.readFrom(in) finally in.close()
+    }
+  }
+}

@@ -1,0 +1,149 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted dedup index: index-served results must equal the direct
+  * operators pair-for-pair, appends must equal rebuilds, and the bloom
+  * segments may only prune — never lose — a match. */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_dedupidx")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** 50 base docs + 10 near-copies (last two words dropped) — the
+    * DedupSpec corpus shape. */
+  private lazy val corpus = {
+    val base = (0L until 50L).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 31 + j * 7) % 97}")
+      (i, words.mkString(" "))
+    }
+    base.toDF("doc_id", "text").cache()
+  }
+
+  private lazy val incoming = {
+    // 10 near-copies of docs 0..9, 5 exact copies of docs 20..24, and
+    // 5 novel docs
+    val near = (0L until 10L).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 31 + j * 7) % 97}")
+      (i + 1000L, words.dropRight(2).mkString(" "))
+    }
+    val exact = (20L until 25L).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 31 + j * 7) % 97}")
+      (i + 2000L, words.mkString(" "))
+    }
+    val novel = (0L until 5L).map { i =>
+      (i + 3000L, (0 until 40).map(j => s"z${(i * 13 + j * 5) % 89}").mkString(" "))
+    }
+    (near ++ exact ++ novel).toDF("doc_id", "text").cache()
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("id_new"), col("id_old"), round(col("jaccard"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+
+  behavior of "DedupIndex near-dup search"
+
+  it should "serve minhashNewAgainst results pair-for-pair from the artifact" in {
+    val path = tmpDir()
+    DedupIndex.build(corpus, "doc_id", "text", path,
+      numHashes = 64, bands = 32) shouldBe 50L
+    val served = DedupIndex.minhashNewAgainst(spark, path, incoming,
+      "doc_id", "text", threshold = 0.5)
+    val direct = Dedup.minhashNewAgainst(corpus, incoming, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.5)
+    val sp = pairSet(served)
+    sp shouldBe pairSet(direct)
+    // the 10 planted near-copies and 5 exact copies all pair with their
+    // sources; novel docs pair with nothing
+    (0L until 10L).foreach { i => sp.exists(p => p._1 == i + 1000L && p._2 == i) shouldBe true }
+    (20L until 25L).foreach { i => sp.exists(p => p._1 == i + 2000L && p._2 == i && p._3 == 1.0) shouldBe true }
+    sp.exists(_._1 >= 3000L) shouldBe false
+  }
+
+  it should "produce identical searches from append and from rebuild" in {
+    val a = corpus.filter(col("doc_id") < 30)
+    val b = corpus.filter(col("doc_id") >= 30)
+    val pAppend = tmpDir(); val pRebuild = tmpDir()
+    DedupIndex.build(a, "doc_id", "text", pAppend, numHashes = 64, bands = 32)
+    DedupIndex.append(b, "doc_id", "text", pAppend) shouldBe 20L
+    DedupIndex.build(corpus, "doc_id", "text", pRebuild,
+      numHashes = 64, bands = 32)
+    pairSet(DedupIndex.minhashNewAgainst(spark, pAppend, incoming,
+      "doc_id", "text", threshold = 0.5)) shouldBe
+      pairSet(DedupIndex.minhashNewAgainst(spark, pRebuild, incoming,
+        "doc_id", "text", threshold = 0.5))
+    DedupIndex.newAgainst(spark, pAppend, incoming, "text")
+      .select("doc_id").as[Long].collect().sorted shouldBe
+      DedupIndex.newAgainst(spark, pRebuild, incoming, "text")
+        .select("doc_id").as[Long].collect().sorted
+    // append reads its banding parameters from the artifact: the stored
+    // band relation must be one scheme throughout
+    DedupIndex.readParams(spark, pAppend).bands shouldBe 32
+    spark.read.parquet(s"$pAppend/bands")
+      .agg(countDistinct(col("band"))).as[Long].head() shouldBe 32L
+  }
+
+  behavior of "DedupIndex exact search"
+
+  it should "match Dedup.newAgainst row-for-row, null fingerprints included" in {
+    val existing = Seq((1L, "alpha text"), (2L, "beta text"),
+      (3L, (null: String))).toDF("doc_id", "text")
+    val inc = Seq((10L, "alpha text"), (11L, "gamma text"),
+      (12L, (null: String)), (13L, "beta text"), (14L, "delta"))
+      .toDF("doc_id", "text")
+    val path = tmpDir()
+    DedupIndex.build(existing, "doc_id", "text", path) shouldBe 3L
+    DedupIndex.newAgainst(spark, path, inc, "text")
+      .select("doc_id").as[Long].collect().sorted shouldBe
+      Dedup.newAgainst(existing, inc, "text")
+        .select("doc_id").as[Long].collect().sorted
+  }
+
+  it should "pass everything through an empty index and keep finding appended dups" in {
+    val path = tmpDir()
+    DedupIndex.build(corpus.limit(0), "doc_id", "text", path) shouldBe 0L
+    DedupIndex.newAgainst(spark, path, incoming, "text").count() shouldBe
+      incoming.count()
+    DedupIndex.minhashNewAgainst(spark, path, incoming, "doc_id", "text",
+      threshold = 0.5).count() shouldBe 0L
+    // the append-a-crawl loop: append batch 1, then batch 2 must dedup
+    // against it without any rebuild
+    DedupIndex.append(corpus, "doc_id", "text", path)
+    val batch2 = corpus.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 500L).as("doc_id"), col("text"))
+    DedupIndex.newAgainst(spark, path, batch2, "text").count() shouldBe 0L
+    // the corpus word formula makes docs i and i±19 genuine near-dups
+    // (39/40 shared words), so assert parity with the direct operator
+    // plus the planted self-copies — not an exact hand list
+    val got = pairSet(DedupIndex.minhashNewAgainst(spark, path, batch2,
+      "doc_id", "text", threshold = 0.9))
+    got shouldBe pairSet(Dedup.minhashNewAgainst(corpus, batch2,
+      "doc_id", "text", threshold = 0.9))
+    (0L until 5L).map(i => (i + 500L, i)).toSet
+      .subsetOf(got.map(p => (p._1, p._2))) shouldBe true
+  }
+
+  it should "stay exact when bloom segments are absent (pruning declined)" in {
+    // deleting the segment files models the MaxBloomBytes decline path:
+    // searches must fall back to the exact joins with identical answers
+    val path = tmpDir()
+    DedupIndex.build(corpus, "doc_id", "text", path, numHashes = 64, bands = 32)
+    val withBloom = pairSet(DedupIndex.minhashNewAgainst(spark, path,
+      incoming, "doc_id", "text", threshold = 0.5))
+    val exactWith = DedupIndex.newAgainst(spark, path, incoming, "text")
+      .select("doc_id").as[Long].collect().sorted
+    for (d <- Seq("bloom_fp", "bloom_band"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$path/$d"))
+    pairSet(DedupIndex.minhashNewAgainst(spark, path, incoming,
+      "doc_id", "text", threshold = 0.5)) shouldBe withBloom
+    DedupIndex.newAgainst(spark, path, incoming, "text")
+      .select("doc_id").as[Long].collect().sorted shouldBe exactWith
+  }
+}
