@@ -848,43 +848,18 @@ object Dedup {
       df.join(winners, df(idCol) === col("__keep_id"), "left_semi"))
   }
 
-  /** EXACT set-similarity self-join by prefix filtering (PPJoin,
-    * Xiao et al. '08): every pair with shingle-Jaccard ≥ `threshold`,
-    * with NO false negatives — the guarantee [[minhashNearDups]] trades
-    * away for fewer candidates. Same output contract: (id_a, id_b,
-    * jaccard), id_a < id_b.
-    *
-    * Candidate generation is exact-complete without all-pairs:
-    * each doc's distinct shingle hashes are re-ranked by ASCENDING
-    * global document frequency (rarest first — the order that keeps
-    * corpus-frequent shingles out of prefixes), and only the first
-    * `|A| − ⌈τ·|A|⌉ + 1` tokens explode as join keys: two sets with
-    * J ≥ τ must share ≥ ⌈τ·max(|A|,|B|)⌉ tokens, so their prefixes
-    * under ANY common total order overlap in ≥ 1 token. Candidates are
-    * then pruned by the symmetric length filter (τ·|A| ≤ |B| ≤ |A|/τ)
-    * and PPJoin's positional upper bound
-    * (`min(|A|−i, |B|−j) ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉` for 0-based prefix
-    * positions i, j — the FIRST shared prefix token of a qualifying
-    * pair always survives it), and verified with the exact sorted-merge
-    * Jaccard. Both prunes are proven lossless in JaccardJoinSpec by
-    * pair-set equality with brute force.
-    *
-    * Scale shape: two token-keyed shuffles (frequency count + the
-    * re-rank join) and the prefix self-join — O(docs × prefix) join
-    * keys, never O(docs²). Hot shingles skew the re-rank join's token
-    * key; AQE's skew split handles it (values per token are (id) pairs
-    * only, 16 bytes). Unlike the banded operators there is NO bucket
-    * cap: a cap would silently break the exactness contract. A corpus
-    * whose prefixes still contain mega-frequent tokens (τ close to 0)
-    * is the operator's honest worst case — at τ ≥ 0.5 prefixes are
-    * under half of each doc, frequency-ranked from the rare end. */
-  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
-                       shingleLen: Int = 5,
-                       threshold: Double = 0.8,
-                       broadcastVerify: Option[Boolean] = None,
-                       broadcastVerifyMaxRows: Long = 1000000L): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
+  /** Log-warn threshold for [[jaccardJoinExact]]'s pre-flight candidate
+    * estimate (the hard stop is the caller's opt-in `maxCandidates`). */
+  val WarnCandidateVolume: Long = 10000000L
+
+  /** Shared front half of [[jaccardJoinExact]] and
+    * [[estimateJaccardJoinCandidates]]: the pinned (id, sorted shingle
+    * hashes) table and the pinned df-ranked prefix relation
+    * (tok, id, len, pos, p_mid). Splitting it out guarantees the
+    * estimator prices EXACTLY the relation the join will consume. */
+  private def jaccardPrefix(df: DataFrame, idCol: String, textCol: String,
+                            shingleLen: Int, threshold: Double)
+      : (DataFrame, DataFrame) = {
     val sh = df.select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -917,6 +892,102 @@ object Dedup {
       .select(col("e.tok").as("tok"), col("id"), col("len"), col("pos"),
         col("p_mid"))
       .localCheckpoint(true) // the self-join reads it twice
+    (sh, prefix)
+  }
+
+  /** Per-token Σ |small-prefix occurrences| × |prefix occurrences| — by
+    * the join's construction EXACTLY its pre-filter output row count
+    * (the equality is spec-locked), hence an upper bound on the deduped
+    * candidate pair set the verification stage pays for. One
+    * aggregation over the pinned prefix relation. */
+  private def candidateVolume(prefix: DataFrame): Long =
+    prefix.groupBy("tok")
+      .agg(sum(when(col("pos") < col("p_mid"), 1L).otherwise(0L)).as("ns"),
+        count(lit(1)).as("na"))
+      .agg(coalesce(sum(col("ns") * col("na")), lit(0L)))
+      .head().getLong(0)
+
+  /** Pre-flight cost estimate for [[jaccardJoinExact]] WITHOUT running
+    * the join: the exact number of rows its prefix self-join will emit
+    * before filtering (two token-keyed aggregation passes — the same
+    * cheap front half the join itself pays; none of the quadratic part).
+    * Rule of thumb from the sf1 probe corpus: ~70M candidate rows ≈
+    * 140 s of verification on 32 local cores — price a corpus BEFORE
+    * launching, and prefer [[minhashNearDups]] when the estimate is
+    * quadratic-shaped. */
+  def estimateJaccardJoinCandidates(df: DataFrame, idCol: String,
+                                    textCol: String, shingleLen: Int = 5,
+                                    threshold: Double = 0.8): Long = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    candidateVolume(jaccardPrefix(df, idCol, textCol, shingleLen, threshold)._2)
+  }
+
+  /** EXACT set-similarity self-join by prefix filtering (PPJoin,
+    * Xiao et al. '08): every pair with shingle-Jaccard ≥ `threshold`,
+    * with NO false negatives — the guarantee [[minhashNearDups]] trades
+    * away for fewer candidates. Same output contract: (id_a, id_b,
+    * jaccard), id_a < id_b.
+    *
+    * Candidate generation is exact-complete without all-pairs:
+    * each doc's distinct shingle hashes are re-ranked by ASCENDING
+    * global document frequency (rarest first — the order that keeps
+    * corpus-frequent shingles out of prefixes), and only the first
+    * `|A| − ⌈τ·|A|⌉ + 1` tokens explode as join keys: two sets with
+    * J ≥ τ must share ≥ ⌈τ·max(|A|,|B|)⌉ tokens, so their prefixes
+    * under ANY common total order overlap in ≥ 1 token. Candidates are
+    * then pruned by the symmetric length filter (τ·|A| ≤ |B| ≤ |A|/τ)
+    * and PPJoin's positional upper bound
+    * (`min(|A|−i, |B|−j) ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉` for 0-based prefix
+    * positions i, j — the FIRST shared prefix token of a qualifying
+    * pair always survives it), and verified with the exact sorted-merge
+    * Jaccard. Both prunes are proven lossless in JaccardJoinSpec by
+    * pair-set equality with brute force.
+    *
+    * Scale shape: two token-keyed shuffles (frequency count + the
+    * re-rank join) and the prefix self-join — O(docs × prefix) join
+    * keys, never O(docs²). Hot shingles skew the re-rank join's token
+    * key; AQE's skew split handles it (values per token are (id) pairs
+    * only, 16 bytes). Unlike the banded operators there is NO bucket
+    * cap: a cap would silently break the exactness contract. A corpus
+    * whose prefixes still contain mega-frequent tokens (τ close to 0)
+    * is the operator's honest worst case — at τ ≥ 0.5 prefixes are
+    * under half of each doc, frequency-ranked from the rare end.
+    *
+    * Pre-flight guard: the estimated candidate volume (see
+    * [[estimateJaccardJoinCandidates]]) is computed and logged before
+    * the join runs; past `maxCandidates` (opt-in — default unlimited)
+    * the call fails with the estimate and the minhash recommendation
+    * instead of launching a quadratic job. */
+  def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int = 5,
+                       threshold: Double = 0.8,
+                       broadcastVerify: Option[Boolean] = None,
+                       broadcastVerifyMaxRows: Long = 1000000L,
+                       maxCandidates: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxCandidates > 0, s"maxCandidates must be > 0, got $maxCandidates")
+    val (sh, prefix) = jaccardPrefix(df, idCol, textCol, shingleLen, threshold)
+    // pre-flight guard: the prefix relation is already pinned, so the
+    // volume estimate is one cheap aggregation over checkpointed blocks
+    // — a fraction of the join it predicts. Quadratic candidate growth
+    // is this operator's honest worst case (exactness forbids bucket
+    // caps); surface it BEFORE a 100 TB job commits to it.
+    val volume = candidateVolume(prefix)
+    if (volume > maxCandidates)
+      throw new IllegalStateException(
+        s"jaccardJoinExact pre-flight: estimated candidate volume $volume " +
+          s"exceeds maxCandidates=$maxCandidates. On bounded-vocabulary " +
+          "corpora the exact prefix join grows quadratically; use " +
+          "minhashNearDups (banded, capped, near-identical recall at " +
+          "threshold >= 0.8) or raise maxCandidates deliberately.")
+    if (volume > WarnCandidateVolume)
+      System.err.println(s"[graft] jaccardJoinExact: estimated candidate " +
+        s"volume $volume (warn threshold $WarnCandidateVolume) — expect a " +
+        "quadratic-shaped join; minhashNearDups is the bucketed scale route")
+    else
+      System.err.println(s"[graft] jaccardJoinExact: estimated candidate volume $volume")
     val sideSmall = prefix.filter(col("pos") < col("p_mid"))
       .select(col("tok"), col("id").as("id_a"), col("len").as("len_a"),
         col("pos").as("pos_a"))

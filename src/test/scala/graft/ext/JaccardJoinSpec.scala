@@ -102,4 +102,62 @@ class JaccardJoinSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "Window"
   }
+
+  behavior of "jaccardJoinExact pre-flight estimator"
+
+  it should "predict the prefix join's pre-filter row count exactly" in {
+    // the estimator is Σ_tok |small-prefix| × |prefix| over the SAME
+    // df-ranked prefix relation the join consumes — by the inner join's
+    // construction that equals its output row count before any filter.
+    // Recompute the joined volume independently here and assert equality
+    // (stronger than the ±2× accuracy ask).
+    for ((n, seed, t) <- Seq((60, 11, 0.8), (40, 12, 0.5), (80, 13, 0.9))) {
+      val df = corpus(n, seed)
+      val est = Dedup.estimateJaccardJoinCandidates(df, "doc_id", "text", 5, t)
+      val sh = df.select(col("doc_id").as("id"),
+          shingleHashes(col("text"), 5).as("sh"))
+        .filter(org.apache.spark.sql.functions.size(col("sh")) > 0)
+      val toks = sh.select(col("id"), explode(col("sh")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ordered = toks.join(freq, "tok").groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ft"))
+        .withColumn("len", org.apache.spark.sql.functions.size(col("ft")))
+      val prefix = ordered
+        .withColumn("p", (col("len") - ceil(lit(t) * col("len")) + 1).cast("int"))
+        .withColumn("p_mid",
+          (col("len") - ceil(lit(2 * t / (1 + t)) * col("len")) + 1).cast("int"))
+        .select(col("id"), col("p_mid"),
+          posexplode(slice(col("ft"), lit(1), col("p"))).as(Seq("pos", "e")))
+        .select(col("e.tok").as("tok"), col("id"), col("pos"), col("p_mid"))
+      val joined = prefix.filter(col("pos") < col("p_mid"))
+        .select(col("tok"), col("id").as("id_a"))
+        .join(prefix.select(col("tok"), col("id").as("id_b")), "tok")
+        .count()
+      withClue(s"corpus($n, $seed) t=$t: ") { est shouldBe joined }
+    }
+  }
+
+  it should "fail fast past maxCandidates with the minhash recommendation" in {
+    val df = corpus(60, seed = 14)
+    val est = Dedup.estimateJaccardJoinCandidates(df, "doc_id", "text", 5, 0.8)
+    est should be > 0L
+    // at the cap: runs (and still equals brute force)
+    Dedup.jaccardJoinExact(df, "doc_id", "text", 5, 0.8,
+      maxCandidates = est).count() should be > 0L
+    // below the estimate: pre-flight refuses before any join work
+    val ex = the[IllegalStateException] thrownBy
+      Dedup.jaccardJoinExact(df, "doc_id", "text", 5, 0.8,
+        maxCandidates = est - 1)
+    ex.getMessage should include("minhashNearDups")
+    ex.getMessage should include(est.toString)
+  }
+
+  it should "estimate zero for an empty or degenerate corpus" in {
+    Dedup.estimateJaccardJoinCandidates(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", 5, 0.8) shouldBe 0L
+    Dedup.estimateJaccardJoinCandidates(
+      Seq((1L, ""), (2L, (null: String))).toDF("doc_id", "text"),
+      "doc_id", "text", 5, 0.8) shouldBe 0L
+  }
 }
