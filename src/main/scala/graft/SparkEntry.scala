@@ -913,6 +913,39 @@ object SparkEntry {
           lit(misassigned == 0L).as("assigned_ok"),
           (col("n_matched") >= col("n_bf") * 0.55).as("recall_ok"))
     }),
+    // persisted IVF-PQ index (the 100 TB form: postings are m codes + a
+    // norm, never vectors, hive-partitioned by coarse cell): build
+    // trains both quantizers once and compresses the corpus to disk;
+    // search loads them back, prunes the postings scan to the probed
+    // cells, ADC-scores, and exact-reranks the top k×20 (the rf dial
+    // that holds recall as the corpus grows). The gate verifies the
+    // artifact end-to-end: postings count pins to DuckDB, the loaded
+    // model round-trips its shape, and from-disk search holds the
+    // direct ivfpq gate's 55% brute-force recall floor.
+    "ivfpq_index_search" -> ((s, d) => {
+      val tmp = sessionTempDir("graft_ivfpqidx")
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val nCells = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        tmp, nlist = 16, m = 16, codebookSize = 32, maxIter = 5)
+      val model = Similarity.loadIvfPqModel(s, tmp)
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val idx = Similarity.searchIvfPqIndex(s, tmp, q, "vec_id", "embedding",
+          k = 5, nprobe = 10, rerankFactor = 20, rerank = Some(emb))
+        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      val matched = bf.join(idx,
+        bf("query_id") === col("qid") && bf("neighbor_id") === col("nid"))
+      s.read.parquet(s"$tmp/postings")
+        .agg(count(lit(1)).as("n_postings")).crossJoin(
+          bf.agg(count(lit(1)).as("n_bf")).crossJoin(
+            matched.agg(count(lit(1)).as("n_matched"))))
+        .select(col("n_postings"),
+          lit(nCells == 16).as("cells_ok"),
+          lit(model.exists(mm => mm.m == 16 && mm.coarse.length == 16 &&
+            mm.books.forall(_.length <= 32))).as("model_ok"),
+          (col("n_matched") >= col("n_bf") * 0.55).as("recall_ok"))
+    }),
     // oracle-gated PQ-ADC quality: product-quantized search (m=16 × 32
     // codes, exact re-rank of the approximate top 10k) must recover ≥70%
     // of the exact brute-force top-k (measured 92-98% across
@@ -2388,6 +2421,10 @@ object SparkEntry {
       "ivf_index_search" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_postings, true AS cells_ok,
           |  true AS assigned_ok, true AS recall_ok
+          |FROM embeddings""".stripMargin,
+      "ivfpq_index_search" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_postings, true AS cells_ok,
+          |  true AS model_ok, true AS recall_ok
           |FROM embeddings""".stripMargin,
       "cluster_assign" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS cells_ok,

@@ -616,44 +616,43 @@ object Similarity {
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
 
-    val sample = sampleTrainVecs(corpusV, trainCap)
-    val (coarse, pqBooks) =
-      try {
-        val pts = sample.collect().map(_.getSeq[Double](0).toArray)
-        if (pts.isEmpty)
-          return topKPerQuery(
-            corpusV.crossJoin(queryV)
-              .withColumn("cosine_sim", lit(null).cast("double"))
-              .limit(0), k)
-        val dim = pts(0).length
-        require(m <= dim, s"m=$m subspaces need dim >= m, got dim=$dim")
-        val coarse = localKMeansPP(pts, math.min(nlist, pts.length), maxIter, seed - 1)
-        def nearestIdx(p: Array[Double]): Int = {
-          var best = 0; var bd = Double.PositiveInfinity; var c = 0
-          while (c < coarse.length) {
-            var d2 = 0.0; var j = 0
-            while (j < dim) { val t = p(j) - coarse(c)(j); d2 += t * t; j += 1 }
-            if (d2 < bd) { bd = d2; best = c }
-            c += 1
-          }
-          best
-        }
-        val resid = pts.map { p =>
-          val cc = coarse(nearestIdx(p))
-          Array.tabulate(dim)(j => p(j) - cc(j))
-        }
-        (coarse, trainSubCodebooks(resid, m, codebookSize, maxIter, seed))
-      } finally sample.unpersist()
+    trainIvfPq(corpusV, nlist, m, codebookSize, seed, trainCap, maxIter) match {
+      case None =>
+        topKPerQuery(
+          corpusV.crossJoin(queryV)
+            .withColumn("cosine_sim", lit(null).cast("double"))
+            .limit(0), k)
+      case Some(model) =>
+        val encoded = ivfpqEncode(corpusV, model)
+        val queryState = ivfpqQueryState(queryV, model)
+        val effNprobe = math.min(nprobe, model.coarse.length)
+        // the probed relation stays (query_id, cell) — broadcasting the
+        // m×k lut and qcent arrays through the ×nprobe explode would ship
+        // nprobe copies of every query's tables; they join once per query
+        val probed = queryState.select(col("query_id"),
+          explode(nearestCells(col("qv"), model.coarse, effNprobe)).as("cell"))
+        val approx = ivfpqApprox(encoded, queryState, probed)
+        if (rerankFactor == 1) topKPerQuery(approx, k)
+        else exactRerank(approx, corpusV, queryV, k, rerankFactor)
+    }
+  }
 
-    val dim = coarse.head.length
-    val lens = pqBooks.map(_.head.length)
-    val offs = lens.scanLeft(0)(_ + _)
-
-    // |x̃|² by (cell, subspace, code): |coarse_c[sub] + pqcent|² summed over
-    // the subspace — nlist × m × codebookSize doubles as one plan literal
-    val norm2 = coarse.map { cc =>
+  /** The trained IVF-PQ state shared by [[ivfpqTopK]] and the persisted
+    * index: coarse centroids + per-subspace residual codebooks, with the
+    * derived subspace layout and the (cell × subspace × code)
+    * reconstruction-norm table. */
+  private[ext] final case class IvfPqModel(coarse: Array[Array[Double]],
+                                           books: Array[Array[Array[Double]]]) {
+    val dim: Int = coarse.head.length
+    val m: Int = books.length
+    val lens: Array[Int] = books.map(_.head.length)
+    val offs: Array[Int] = lens.scanLeft(0)(_ + _)
+    /** |x̃|² by (cell, subspace, code): |coarse_c[sub] + pqcent|² summed
+      * over the subspace — nlist × m × codebookSize doubles, recomputed
+      * from the persisted tables at load (never stored). */
+    lazy val norm2: Seq[Seq[Seq[Double]]] = coarse.map { cc =>
       Array.tabulate(m) { sp =>
-        pqBooks(sp).map { cent =>
+        books(sp).map { cent =>
           var s2 = 0.0; var j = 0
           while (j < cent.length) {
             val x = cc(offs(sp) + j) + cent(j); s2 += x * x; j += 1
@@ -662,32 +661,70 @@ object Similarity {
         }.toSeq
       }.toSeq
     }.toSeq
-    val norm2Lit = typedLit(norm2)
+  }
 
-    // ---- encode: cell + m residual codes + reconstruction norm ----
-    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
-    val cellCol = nearestCells(col("v"), coarse, 1)(0)
+  /** One bounded driver-side sample trains BOTH quantizers (pqTopK's
+    * contract); residuals are assigned in memory. None on an
+    * empty/degenerate corpus. */
+  private def trainIvfPq(corpusV: DataFrame, nlist: Int, m: Int,
+                         codebookSize: Int, seed: Long, trainCap: Long,
+                         maxIter: Int): Option[IvfPqModel] = {
+    val sample = sampleTrainVecs(corpusV, trainCap)
+    try {
+      val pts = sample.collect().map(_.getSeq[Double](0).toArray)
+      if (pts.isEmpty) return None
+      val dim = pts(0).length
+      require(m <= dim, s"m=$m subspaces need dim >= m, got dim=$dim")
+      val coarse = localKMeansPP(pts, math.min(nlist, pts.length), maxIter, seed - 1)
+      def nearestIdx(p: Array[Double]): Int = {
+        var best = 0; var bd = Double.PositiveInfinity; var c = 0
+        while (c < coarse.length) {
+          var d2 = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - coarse(c)(j); d2 += t * t; j += 1 }
+          if (d2 < bd) { bd = d2; best = c }
+          c += 1
+        }
+        best
+      }
+      val resid = pts.map { p =>
+        val cc = coarse(nearestIdx(p))
+        Array.tabulate(dim)(j => p(j) - cc(j))
+      }
+      Some(IvfPqModel(coarse,
+        trainSubCodebooks(resid, m, codebookSize, maxIter, seed)))
+    } finally sample.unpersist()
+  }
+
+  /** Encode (id, v) to (id, cell, codes, xnorm) — cell + m residual codes
+    * + reconstruction norm, one scan pass. l2 assignment like
+    * Embeddings.pqEncode: residuals cluster near the origin, where cosine
+    * is mostly noise and zero-norm slices (a vector AT its centroid)
+    * would null out of the index entirely. */
+  private def ivfpqEncode(corpusV: DataFrame, model: IvfPqModel): DataFrame = {
+    val coarseLit = typedLit(model.coarse.map(_.toSeq).toSeq)
+    val cellCol = nearestCells(col("v"), model.coarse, 1)(0)
     val residCol = zip_with(col("v").cast("array<double>"),
       element_at(coarseLit, col("cell") + 1), (x, c) => x - c)
-    // l2 assignment like Embeddings.pqEncode: residuals cluster near the
-    // origin, where cosine is mostly noise and zero-norm slices (a vector
-    // AT its centroid) would null out of the index entirely
-    val codeCols = Array.tabulate(m) { sp =>
-      nearestCells(slice(col("__resid"), offs(sp) + 1, lens(sp)), pqBooks(sp), 1,
-        metric = "l2")(0)
+    val codeCols = Array.tabulate(model.m) { sp =>
+      nearestCells(slice(col("__resid"), model.offs(sp) + 1, model.lens(sp)),
+        model.books(sp), 1, metric = "l2")(0)
     }
-    val encoded = corpusV
+    corpusV
       .withColumn("cell", cellCol)
       .withColumn("__resid", residCol)
       .withColumn("codes", array(codeCols.toIndexedSeq: _*))
       .withColumn("xnorm", sqrt(adcLookupSum(col("codes"),
-        element_at(norm2Lit, col("cell") + 1))))
+        element_at(typedLit(model.norm2), col("cell") + 1))))
       .select("id", "cell", "codes", "xnorm")
+  }
 
-    // ---- per-query state: residual ADC luts + per-cell centroid dots ----
-    val bcBooks = corpus.sparkSession.sparkContext.broadcast(pqBooks)
-    val bcCoarse = corpus.sparkSession.sparkContext.broadcast(coarse)
-    val bcOffs = corpus.sparkSession.sparkContext.broadcast(offs)
+  /** Per-query ADC state: residual lookup tables, per-cell centroid dots,
+    * and the query norm (one UDF call per QUERY row, never per pair). */
+  private def ivfpqQueryState(queryV: DataFrame, model: IvfPqModel): DataFrame = {
+    val sc = queryV.sparkSession.sparkContext
+    val bcBooks = sc.broadcast(model.books)
+    val bcCoarse = sc.broadcast(model.coarse)
+    val bcOffs = sc.broadcast(model.offs)
     val lutUdf = udf { (qv: scala.collection.Seq[Float]) =>
       val books = bcBooks.value; val off = bcOffs.value
       if (qv == null || off(books.length) != qv.length) null
@@ -708,33 +745,161 @@ object Similarity {
         dd
       }.toSeq
     }
-    val queryState = queryV
+    queryV
       .withColumn("lut", lutUdf(col("qv")))
       .withColumn("qcent", qcentUdf(col("qv")))
       .withColumn("qnorm", sqrt(aggregate(
         transform(col("qv"), x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, x) => acc + x)))
+  }
 
-    val effNprobe = math.min(nprobe, coarse.length)
-    // the probed relation stays (query_id, cell) — broadcasting the m×k
-    // lut and qcent arrays through the ×nprobe explode would ship nprobe
-    // copies of every query's tables; they join once per query instead
-    val probed = queryState.select(col("query_id"),
-      explode(nearestCells(col("qv"), coarse, effNprobe)).as("cell"))
-
-    // ---- probe + ADC score only the candidates sharing a probed cell ----
+  /** Probe + ADC score only the candidates sharing a probed cell:
+    * dot(q, x̃) = dot(q, centroid_cell) + Σ_s lut lookups, normalized by
+    * the precomputed norms. */
+  private def ivfpqApprox(encoded: DataFrame, queryState: DataFrame,
+                          probed: DataFrame): DataFrame = {
     val dotSum = element_at(col("qcent"), col("cell") + 1) +
       adcLookupSum(col("codes"), col("lut"))
-    val approx = encoded.join(broadcast(probed), Seq("cell"))
+    encoded.join(broadcast(probed), Seq("cell"))
       .join(broadcast(queryState.select(col("query_id"), col("lut"),
         col("qcent"), col("qnorm"))), Seq("query_id"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("cosine_sim",
         when(col("qnorm") > 0 && col("xnorm") > 0,
           dotSum / (col("qnorm") * col("xnorm"))))
+  }
 
-    if (rerankFactor == 1) topKPerQuery(approx, k)
-    else exactRerank(approx, corpusV, queryV, k, rerankFactor)
+  // ---- persisted IVF-PQ index ---------------------------------------------
+  // The PQ-compressed completion of buildIvfIndex: postings store m small
+  // codes + one norm (~m bytes + 8 honest payload per vector) instead of
+  // dim floats — the form a 100 TB vector corpus can actually hold — and
+  // the coarse cells still hive-partition the postings so a search prunes
+  // to its probed directories at the scan.
+
+  /** Train both quantizers and persist a PQ-compressed IVF index at
+    * `path`: `path/centroids` = (cell INT, centroid ARRAY<DOUBLE>),
+    * `path/codebooks` = (subspace INT, code INT, centroid ARRAY<DOUBLE>),
+    * `path/postings` = (id, codes ARRAY<INT>, xnorm) hive-partitioned by
+    * `cell`. The reconstruction-norm table is derived from the persisted
+    * quantizers at load, never stored. Returns the number of cells. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, nlist: Int = 16, m: Int = 8,
+                      codebookSize: Int = 256, seed: Long = 42L,
+                      trainCap: Long = 100000L, maxIter: Int = 10): Int = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val modelOpt = trainIvfPq(corpusV, nlist, m, codebookSize, seed,
+      trainCap, maxIter)
+    val coarse = modelOpt.map(_.coarse).getOrElse(Array.empty[Array[Double]])
+    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val books = modelOpt.map(_.books).getOrElse(Array.empty[Array[Array[Double]]])
+    books.zipWithIndex.flatMap { case (book, sp) =>
+      book.zipWithIndex.map { case (cent, code) => (sp, code, cent.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    modelOpt match {
+      case None =>
+        // empty index: zero-row postings written UNPARTITIONED (same
+        // schema-bearing-file guard as buildIvfIndex)
+        corpusV.select(col("id"), lit(null).cast("array<int>").as("codes"),
+            lit(null).cast("double").as("xnorm"), lit(0).as("cell"))
+          .limit(0).write.mode("overwrite").parquet(s"$path/postings")
+        0
+      case Some(model) =>
+        ivfpqEncode(corpusV, model)
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+        model.coarse.length
+    }
+  }
+
+  /** Load the persisted quantizers back (both driver-sized by
+    * construction: nlist + m × codebookSize rows). */
+  def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Option[IvfPqModel] = {
+    val coarse = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    if (coarse.isEmpty) return None
+    val books = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "code").collect()
+      .map(r => (r.getAs[Int]("subspace"),
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2)).toArray
+    Some(IvfPqModel(coarse, books))
+  }
+
+  /** Append new vectors to a [[buildIvfPqIndex]] artifact: rows are
+    * assigned and encoded with the LOADED quantizers (train-once
+    * contract — cells and codebooks stay fixed; only recall-per-probe
+    * drifts as the data distribution moves) and appended under their
+    * cell partitions. Returns the number of rows appended; appending to
+    * an empty index is rejected (nothing was trained to encode with). */
+  def appendIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                       path: String): Long = {
+    val spark = corpus.sparkSession
+    val model = loadIvfPqModel(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"appendIvfPqIndex: no trained quantizers at $path (empty index)"))
+    val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true) // the count and the write share one scan
+    ivfpqEncode(corpusV, model)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+    corpusV.count()
+  }
+
+  /** Search a persisted IVF-PQ index: queries assign to their `nprobe`
+    * nearest cells against the loaded centroids, the postings scan
+    * carries `cell IN (probed…)` as a LITERAL partition filter (only the
+    * probed directories are read — and each row read is m codes + a
+    * norm, not dim floats), and ADC scoring/ranking proceed exactly as
+    * [[ivfpqTopK]] with the same quantizers. `rerank` re-scores the
+    * approximate top k·rerankFactor by exact cosine against the given
+    * (idCol, vecCol) relation — the only stage that touches full
+    * vectors; pass the source corpus (or None to return ADC-scored
+    * output directly, rerankFactor ignored). SCALE: rerankFactor is the
+    * recall dial and must grow with corpus size (pqTopK's contract —
+    * rf=20 holds the 0.7 floor through sf1). */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int = 4, rerankFactor: Int = 4,
+                       rerank: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"searchIvfPqIndex needs k >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val queryV = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val postings = spark.read.parquet(s"$path/postings")
+    loadIvfPqModel(spark, path) match {
+      case None =>
+        topKPerQuery(
+          postings.select(col("id")).crossJoin(queryV)
+            .withColumn("cosine_sim", lit(null).cast("double"))
+            .limit(0), k)
+      case Some(model) =>
+        val queryState = ivfpqQueryState(queryV, model)
+        val effNprobe = math.min(nprobe, model.coarse.length)
+        val probed = queryState.select(col("query_id"),
+          explode(nearestCells(col("qv"), model.coarse, effNprobe)).as("cell"))
+        // literal probe-cell set => partition pruning at the postings scan
+        val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+        val approx = ivfpqApprox(
+          postings.where(col("cell").isin(cells.map(Integer.valueOf).toSeq: _*)),
+          queryState, probed)
+        rerank match {
+          case None => topKPerQuery(approx, k)
+          case Some(corpus) =>
+            val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+            exactRerank(approx, corpusV, queryV, k, rerankFactor)
+        }
+    }
   }
 
   /** Σ_s table(s)(codes(s)) — the ADC inner loop as a pure Catalyst HOF
