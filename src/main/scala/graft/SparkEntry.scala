@@ -1964,13 +1964,21 @@ object SparkEntry {
     // persisted text index: buildTextIndex tokenizes the corpus ONCE into
     // term-hash-bucketed postings + stats; searchTextIndex prunes the
     // postings scan to the query terms' buckets and recovers exact df
-    // from them. Same DuckDB oracle as bm25_topk — the indexed path must
-    // reproduce direct BM25 value-for-value without touching the corpus.
+    // from them. The gate drives the FULL artifact lifecycle — build on
+    // the even docs, APPEND the odd docs, COMPACT the accumulated file
+    // sets — and still compares against the same DuckDB oracle as
+    // bm25_topk: the appended+compacted index must reproduce direct BM25
+    // over the whole corpus value-for-value without touching the corpus.
     "text_index_search" -> ((s, d) => {
       import s.implicits._
       val tmp = sessionTempDir("graft_txtidx")
       val q = bm25Queries.toDF("qid", "qtext")
-      ext.Retrieval.buildTextIndex(t(s, d, "documents"), "doc_id", "text", tmp)
+      val docs = t(s, d, "documents")
+      ext.Retrieval.buildTextIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", tmp)
+      ext.Retrieval.appendTextIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", tmp)
+      ext.Retrieval.compactTextIndex(s, tmp)
       ext.Retrieval.searchTextIndex(s, tmp, q, "qid", "qtext",
           k = 10, roundScoresTo = Some(5))
         .orderBy("query_id", "rank")

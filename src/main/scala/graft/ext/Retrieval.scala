@@ -194,6 +194,69 @@ object Retrieval {
     nDocs
   }
 
+  /** Append a document batch to a [[buildTextIndex]] artifact: the batch
+    * is tokenized once, its postings land under the INDEX's bucket
+    * modulus (read back from the artifact — appends can never fork the
+    * hashing scheme), and the stats row is replaced with the summed
+    * corpus stats. Appending to an empty-built index upgrades it to the
+    * partitioned layout in place. Single-writer contract (like every
+    * artifact here): concurrent appends race the stats row. The caller
+    * owns cross-batch doc_id uniqueness. Returns documents appended. */
+  def appendTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                      path: String): Long = {
+    requireIntegralId(docs, idCol, "doc id")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prev = spark.read.parquet(s"$path/stats").head()
+    val buckets = prev.getAs[Int]("buckets")
+    val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      scriptTokens(lower(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast(LongType))
+    val st = d.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
+    val nDocs = st.getAs[Long]("n_docs")
+    if (nDocs == 0L) return 0L
+    val postings = d
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(farmHash64(col("term")), lit(buckets.toLong)))
+      .repartition(col("bucket"))
+    // an empty-built index stored zero partitioned rows (schema-only,
+    // unpartitioned — see buildTextIndex); the first real append swaps
+    // it to the partitioned layout wholesale
+    val mode = if (prev.getAs[Long]("n_docs") == 0L) "overwrite" else "append"
+    postings.write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+    Seq((prev.getAs[Long]("n_docs") + nDocs,
+        prev.getAs[Long]("sum_dl") + st.getAs[Long]("sum_dl"), buckets))
+      .toDF("n_docs", "sum_dl", "buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    nDocs
+  }
+
+  /** Compact a text index's postings in place: repeated [[appendTextIndex]]
+    * calls accumulate one file set per append under every bucket — this
+    * rewrites the postings ONE shuffle to O(1) files per bucket, staged
+    * to a sibling directory and swapped in with a filesystem rename (the
+    * write never reads-and-overwrites the live directory). No-op on an
+    * empty unpartitioned index. Single-writer, like append. */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val postings = spark.read.parquet(s"$path/postings")
+    if (!postings.columns.contains("bucket")) return // empty-built layout
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/postings_compact_tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/postings")
+    hfs.delete(tmp, true)
+    postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    hfs.delete(dst, true)
+    require(hfs.rename(tmp, dst),
+      s"compactTextIndex: rename $tmp -> $dst failed")
+    ()
+  }
+
   /** BM25 search against a [[buildTextIndex]] artifact without touching
     * the corpus: query terms hash to their buckets (a driver-side
     * literal set — queries are a small broadcast batch), the postings

@@ -214,6 +214,65 @@ class RetrievalSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  it should "append == rebuild: same postings multiset, same stats, same search" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val pAppend = idxDir(); val pRebuild = idxDir()
+    Retrieval.buildTextIndex(a, "doc_id", "text", pAppend, buckets = 16)
+    Retrieval.appendTextIndex(b, "doc_id", "text", pAppend) shouldBe b.count()
+    Retrieval.buildTextIndex(docs, "doc_id", "text", pRebuild, buckets = 16)
+    def stats(p: String) = spark.read.parquet(s"$p/stats")
+      .select("n_docs", "sum_dl", "buckets").as[(Long, Long, Int)].head()
+    stats(pAppend) shouldBe stats(pRebuild)
+    def postings(p: String) = spark.read.parquet(s"$p/postings")
+      .select("term", "doc_id", "dl", "tf", "bucket")
+      .as[(String, Long, Long, Long, Long)].collect().sorted
+    postings(pAppend) shouldBe postings(pRebuild)
+    val q = Seq((1L, "spark join filter")).toDF("qid", "qtext")
+    def search(p: String) = Retrieval.searchTextIndex(spark, p, q,
+        "qid", "qtext", k = 8, roundScoresTo = Some(9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    search(pAppend) shouldBe search(pRebuild)
+    // appending onto an empty-built index upgrades the layout in place
+    val pEmpty = idxDir()
+    Retrieval.buildTextIndex(docs.limit(0), "doc_id", "text", pEmpty,
+      buckets = 16)
+    Retrieval.appendTextIndex(docs, "doc_id", "text", pEmpty) shouldBe docs.count()
+    search(pEmpty) shouldBe search(pRebuild)
+  }
+
+  it should "compact accumulated append file sets down to O(1) files per bucket" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = idxDir()
+    Retrieval.buildTextIndex(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", path, buckets = 8)
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", path)
+    Retrieval.appendTextIndex(docs.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", path)
+    def bucketFiles(): Map[String, Int] = {
+      val root = new java.io.File(s"$path/postings")
+      root.listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = spark.read.parquet(s"$path/postings")
+      .select("term", "doc_id", "tf").as[(String, Long, Long)].collect().sorted
+    bucketFiles().values.max should be > 1 // three write rounds accumulated
+    Retrieval.compactTextIndex(spark, path)
+    bucketFiles().values.max shouldBe 1
+    // compaction must not change a single posting
+    spark.read.parquet(s"$path/postings")
+      .select("term", "doc_id", "tf").as[(String, Long, Long)]
+      .collect().sorted shouldBe before
+    // and the compacted index still serves
+    val q = Seq((1L, "spark join filter")).toDF("qid", "qtext")
+    Retrieval.searchTextIndex(spark, path, q, "qid", "qtext", k = 5)
+      .count() shouldBe 5L
+  }
+
   behavior of "Retrieval.rrfFuse"
 
   it should "match hand-computed reciprocal-rank fusion of two lists" in {
