@@ -2006,6 +2006,27 @@ object SparkEntry {
         k = 10, roundScoresTo = Some(5))
       ext.Retrieval.rrfFuse(Seq(bm, vs), k = 10).orderBy("query_id", "rank")
     }),
+    // the hybrid stack over PERSISTED artifacts: text index (BM25) +
+    // IVF index (cosine, nprobe=nlist => exact) built to disk, searched,
+    // and RRF-fused — the full serve path with the corpus never
+    // re-scanned at query time. DuckDB composes the bm25 oracle, an
+    // exact-cosine ranking, and the fusion, so the artifact-served
+    // hybrid result is value-exact against an independent engine.
+    "hybrid_index_search" -> ((s, d) => {
+      import s.implicits._
+      val tmpT = sessionTempDir("graft_hyb_txt")
+      val tmpV = sessionTempDir("graft_hyb_ivf")
+      ext.Retrieval.buildTextIndex(t(s, d, "documents"), "doc_id", "text", tmpT)
+      Similarity.buildIvfIndex(t(s, d, "embeddings"), "vec_id", "embedding",
+        tmpV, nlist = 16)
+      val q = bm25Queries.toDF("qid", "qtext")
+        .join(t(s, d, "embeddings")
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
+      ext.Retrieval.hybridSearchIndexes(s, tmpT, tmpV, q,
+          "qid", "qtext", "qvec", k = 10, nprobe = 16,
+          roundScoresTo = Some(5))
+        .orderBy("query_id", "rank")
+    }),
     // hybrid-retrieval rank fusion: RRF over two classic BM25
     // parameterizations, value-exact vs DuckDB composing the same two
     // ranked lists (fused score = one commutative IEEE addition per doc,
@@ -3282,6 +3303,30 @@ object SparkEntry {
            |SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
            |  ROUND(exp(-s / CAST(n AS DOUBLE)), 4) AS ppl_r
            |FROM sc ORDER BY doc_id""".stripMargin
+      },
+      "hybrid_index_search" -> {
+        val bmA = bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75")
+        val qids = bm25Queries.map(_._1).mkString(", ")
+        s"""WITH r1 AS (SELECT * FROM ($bmA)),
+           |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+           |  WHERE vec_id IN ($qids)),
+           |sim AS (SELECT q.qid AS query_id, e.vec_id AS doc_id,
+           |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |      CAST(q.qvec AS DOUBLE[])) AS s
+           |  FROM embeddings e, qv q WHERE e.vec_id <> q.qid),
+           |r2 AS (SELECT query_id, doc_id,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+           |  FROM sim),
+           |u AS (SELECT query_id, doc_id,
+           |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS s FROM r1
+           |  UNION ALL SELECT query_id, doc_id,
+           |    1.0 / (60.0 + CAST(rank AS DOUBLE)) AS s FROM r2 WHERE rank <= 10),
+           |f AS (SELECT query_id, doc_id, sum(s) AS score FROM u GROUP BY 1, 2),
+           |rk AS (SELECT query_id, doc_id, score,
+           |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+           |  FROM f)
+           |SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rank
+           |FROM rk WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
       },
       "hybrid_search" -> {
         val bmA = bm25OracleSql("1.2", "(1.2 + 1.0)", "0.25", "0.75")

@@ -197,6 +197,10 @@ object Graft {
     *              [--k=10]          (bucket count comes from the index)
     * graft search --index=<dir> --output=<dir> --type=ivf --queries=<path>
     *              [--id-col=vec_id] [--vec-col=embedding] [--k=10] [--nprobe=4]
+    * graft search --index=<textIdxDir> --vec-index=<ivfIdxDir> --type=hybrid
+    *              --output=<dir> --queries=<path with id+text+vector cols>
+    *              [--id-col=qid] [--text-col=qtext] [--vec-col=qvec]
+    *              [--k=10] [--nprobe=4] [--rrf-k=60]
     * }}} */
   private def searchCmd(f: Map[String, String], spark: SparkSession): Unit = {
     import spark.implicits._
@@ -220,8 +224,19 @@ object Graft {
           f.getOrElse("id-col", "vec_id"), f.getOrElse("vec-col", "embedding"),
           k = f.get("k").map(_.toInt).getOrElse(10),
           nprobe = f.get("nprobe").map(_.toInt).getOrElse(4))
+      case "hybrid" =>
+        // both legs served from persisted artifacts; rank-space fusion
+        val q = read(spark, required(f, "queries"),
+          f.getOrElse("input-mode", "parquet"))
+        graft.ext.Retrieval.hybridSearchIndexes(spark, index,
+          required(f, "vec-index"), q,
+          f.getOrElse("id-col", "qid"), f.getOrElse("text-col", "qtext"),
+          f.getOrElse("vec-col", "qvec"),
+          k = f.get("k").map(_.toInt).getOrElse(10),
+          kRrf = f.get("rrf-k").map(_.toInt).getOrElse(60),
+          nprobe = f.get("nprobe").map(_.toInt).getOrElse(4))
       case t => throw new IllegalArgumentException(
-        s"--type must be text or ivf, got $t")
+        s"--type must be text, ivf or hybrid, got $t")
     }
     write(result.coalesce(1), output, f.getOrElse("output-mode", "parquet"))
   }

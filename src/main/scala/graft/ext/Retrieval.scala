@@ -319,6 +319,33 @@ object Retrieval {
         col("h.cosine_sim").as("score"), col("h.rank").as("rank"))
   }
 
+  /** Hybrid retrieval served ENTIRELY from persisted artifacts: BM25
+    * top-k from a [[buildTextIndex]] artifact + cosine top-k from a
+    * [[Similarity.buildIvfIndex]] artifact, fused by [[rrfFuse]] —
+    * the serve-side stack for a corpus that is never re-scanned at
+    * query time. `queries` carries one row per query with an id, query
+    * text, and query embedding; both index scans prune to the query's
+    * buckets/cells, and rank-space fusion needs no score calibration
+    * between the two systems. `nprobe` at or above the IVF index's
+    * nlist makes the vector leg exact. */
+  def hybridSearchIndexes(spark: org.apache.spark.sql.SparkSession,
+                          textIndexPath: String, ivfIndexPath: String,
+                          queries: DataFrame, qidCol: String,
+                          qtextCol: String, qvecCol: String,
+                          k: Int, kRrf: Int = 60, nprobe: Int = 4,
+                          roundScoresTo: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"hybridSearchIndexes needs k >= 1, got $k")
+    requireIntegralId(queries, qidCol, "query id")
+    val textHits = searchTextIndex(spark, textIndexPath,
+      queries.select(col(qidCol), col(qtextCol)), qidCol, qtextCol,
+      k, roundScoresTo = roundScoresTo)
+      .select("query_id", "doc_id", "rank")
+    val vecHits = Similarity.searchIvfIndex(spark, ivfIndexPath,
+      queries.select(col(qidCol), col(qvecCol)), qidCol, qvecCol, k, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(textHits, vecHits), k, kRrf)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR '09) of
     * ranked retrieval lists: each input relation carries (query_id,
     * doc_id, rank); a document's fused score is the sum over lists of

@@ -272,6 +272,21 @@ class GraftCliSpec extends SparkSpec {
     nn.count() shouldBe 12L
     nn.columns.sorted.toSeq shouldBe
       Seq("cosine_sim", "neighbor_id", "query_id", "rank")
+    // hybrid: fuse the two artifacts just built over a joint query batch
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs.select(col("doc_id").as("qid"), col("text").as("qtext"))
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid")
+      .filter(col("qid") < 3).write.parquet(s"$base/hq")
+    Graft.run(Seq("search", s"--index=$base/tidx", s"--vec-index=$base/vidx",
+      s"--output=$base/fused", "--type=hybrid", s"--queries=$base/hq",
+      "--k=5", "--nprobe=8"), spark)
+    val fused = spark.read.parquet(s"$base/fused")
+    fused.columns.sorted.toSeq shouldBe Seq("doc_id", "query_id", "rank", "score")
+    fused.groupBy("query_id").count().filter(col("count") =!= 5).count() shouldBe 0L
+    fused.select("query_id").distinct().count() shouldBe 3L
   }
 
   it should "gate the pipeline on data-quality checks" in {
