@@ -449,6 +449,43 @@ object SparkEntry {
         .select(fieldHash(Seq(col("l_orderkey"), col("l_linenumber"))).as("h"))
         .agg(count(lit(1)).as("n_rows"), countDistinct(col("h")).as("n_distinct"))),
 
+    // cross-format hash equality (the reference's cohort contract,
+    // BigSamplerTest.scala:249-379): the same logical lineitem rows are
+    // written out as avro and as JSON lines, read back through the
+    // engine's own readers, and must fingerprint identically to the
+    // parquet originals — row-multiset hash signatures equal across all
+    // three formats, and a deterministic hash sample drawn from the
+    // avro-read relation selects the IDENTICAL cohort (exceptAll both
+    // ways empty). Timestamp columns exercise the micro-precision JSON
+    // path; parity booleans computed in-gate, row count pins to DuckDB.
+    "hash_cross_format" -> ((s, d) => {
+      val tmp = sessionTempDir("graft_xfmt")
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_shipdate")
+      val li = t(s, d, "lineitem").select(cols.map(col): _*)
+      graft.sources.AvroIO.write(li, s"$tmp/avro")
+      graft.sources.GraftIO.writeJsonLines(li, s"$tmp/json")
+      val avro = graft.sources.AvroIO.read(s, s"$tmp/avro")
+      val json = graft.sources.GraftIO.readJsonLines(s, s"$tmp/json",
+        Some(li.schema))
+      def sig(df: DataFrame): (Long, Long, Long) = {
+        val r = df.select(fieldHash(cols.map(col)).as("h"))
+          .agg(count(lit(1)), count_distinct(col("h")),
+            expr("bit_xor(h)")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val sigP = sig(li)
+      def cohort(df: DataFrame) = BigSampler.sample(df, 0.05,
+          BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
+        .select("l_orderkey", "l_linenumber")
+      val cp = cohort(li); val ca = cohort(avro)
+      val orphans = cp.exceptAll(ca).count() + ca.exceptAll(cp).count()
+      li.agg(count(lit(1)).as("n_rows"))
+        .withColumn("avro_hash_ok", lit(sig(avro) == sigP))
+        .withColumn("json_hash_ok", lit(sig(json) == sigP))
+        .withColumn("cohort_ok", lit(orphans == 0L))
+    }),
+
     // ---- dedup (training-data extension) ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", Seq("lang", "source"))
@@ -2366,6 +2403,10 @@ object SparkEntry {
           |  CAST(LEAST(CEIL(pop), CAST(nk AS DOUBLE)) AS BIGINT) AS n
           |FROM c, p ORDER BY stratum""".stripMargin,
       "sample_cohort_consistency" -> "SELECT CAST(0 AS BIGINT) AS n_orphans",
+      "hash_cross_format" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS avro_hash_ok,
+          |  true AS json_hash_ok, true AS cohort_ok
+          |FROM lineitem""".stripMargin,
       "sample_reservoir_n" -> "SELECT CAST(100 AS BIGINT) AS n",
       "head_sorted" ->
         """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

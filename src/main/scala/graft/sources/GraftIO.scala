@@ -37,16 +37,28 @@ object GraftIO {
   def unlessDone(output: String)(job: => Unit): Boolean =
     if (outputExists(output)) false else { job; true }
 
-  /** Newline-delimited JSON read with optional explicit schema (S8). */
+  /** Newline-delimited JSON read with optional explicit schema (S8).
+    * Timestamps parse with full microsecond fidelity, accepting both
+    * this engine's micro-precision output and the 3-digit fraction
+    * Spark's default format used to write (optional-section pattern). */
   def readJsonLines(spark: SparkSession, path: String,
                     schema: Option[StructType] = None): DataFrame = {
     val r = spark.read
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS][XXX]")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]")
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
-  /** Newline-delimited JSON write (S8). */
+  /** Newline-delimited JSON write (S8). Timestamps are written with all
+    * six fraction digits: Spark's default `[.SSS]` formats silently
+    * TRUNCATE micros, which breaks the cross-format hash/cohort contract
+    * (the same logical row must fingerprint identically from parquet,
+    * avro, and JSON — spec-locked in HashSpec). */
   def writeJsonLines(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+    df.write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .json(path)
 
   /** Parquet schema sniff without reading data (footer-only, S15). */
   def parquetSchema(spark: SparkSession, path: String): StructType =

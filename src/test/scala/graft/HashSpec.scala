@@ -84,6 +84,56 @@ class HashSpec extends SparkSpec {
     asInt shouldBe asLong
   }
 
+  behavior of "cross-format hash equality"
+
+  // the reference's cohort contract (BigSamplerTest.scala:249-379): the
+  // same LOGICAL row must produce the same hash regardless of which
+  // storage format it was read from — otherwise deterministic sampling
+  // and dedup cohorts silently diverge between a parquet lake and an
+  // avro/json feed of the same data.
+  it should "hash one logical row identically from parquet, avro, and JSON" in {
+    val base = java.nio.file.Files.createTempDirectory("xfmt").toString
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(7 AS BIGINT), CAST(3 AS INT), 'héllo wörld', 1.5D, true,
+        |   CAST('12345.67' AS DECIMAL(10,2)), DATE'2024-03-05',
+        |   TIMESTAMP_NTZ'2024-03-05 06:07:08.123456',
+        |   array(CAST(1 AS BIGINT), 2, 3)),
+        |  (CAST(NULL AS BIGINT), CAST(-9 AS INT), NULL, -0.0D, false,
+        |   CAST('-0.01' AS DECIMAL(10,2)), NULL,
+        |   TIMESTAMP_NTZ'1969-12-31 23:59:59.999999',
+        |   array(CAST(NULL AS BIGINT), 5))
+        |AS t(l, i, s, d, b, dec, dt, tsn, arr)""".stripMargin)
+    val cols = df.columns.toSeq
+    df.write.mode("overwrite").parquet(s"$base/parquet")
+    graft.sources.AvroIO.write(df, s"$base/avro")
+    graft.sources.GraftIO.writeJsonLines(df, s"$base/json")
+    def hashes(in: org.apache.spark.sql.DataFrame): Seq[Long] =
+      in.select(fieldHash(cols.map(col)).as("h"), col("i"))
+        .orderBy("i").select("h").as[Long].collect().toSeq
+    val fromParquet = hashes(spark.read.parquet(s"$base/parquet"))
+    val fromAvro = hashes(graft.sources.AvroIO.read(spark, s"$base/avro"))
+    val fromJson = hashes(
+      graft.sources.GraftIO.readJsonLines(spark, s"$base/json", Some(df.schema)))
+    fromParquet.size shouldBe 2
+    fromAvro shouldBe fromParquet
+    fromJson shouldBe fromParquet
+    // and all three equal the in-memory (no storage round-trip) hash
+    hashes(df) shouldBe fromParquet
+  }
+
+  it should "hash TIMESTAMP and TIMESTAMP_NTZ of the same instant identically" in {
+    // both flavors store micros-as-long and the funnel hashes the long —
+    // the contract that keeps cohorts stable when a parquet lake (NTZ in
+    // this engine's inputs) meets a session-zoned feed of the same data
+    val got = spark.sql(
+      """SELECT TIMESTAMP'2024-03-05 06:07:08.123456' AS ts,
+        |       TIMESTAMP_NTZ'2024-03-05 06:07:08.123456' AS tsn""".stripMargin)
+      .select(fieldHash(Seq(col("ts"))).as("a"), fieldHash(Seq(col("tsn"))).as("b"))
+      .as[(Long, Long)].head()
+    got._1 shouldBe got._2
+  }
+
   behavior of "boundLong"
 
   it should "map hashes into [0,1] and dice deterministically" in {
