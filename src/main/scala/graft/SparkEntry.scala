@@ -475,9 +475,10 @@ object SparkEntry {
         (r.getLong(0), r.getLong(1), r.getLong(2))
       }
       val sigP = sig(li)
+      // pinned: each cohort feeds both exceptAll sides
       def cohort(df: DataFrame) = BigSampler.sample(df, 0.05,
           BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
-        .select("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber").localCheckpoint(true)
       val cp = cohort(li); val ca = cohort(avro)
       val orphans = cp.exceptAll(ca).count() + ca.exceptAll(cp).count()
       li.agg(count(lit(1)).as("n_rows"))
@@ -599,19 +600,23 @@ object SparkEntry {
           expr("substring(text, 1, greatest(length(text) - 10, 20))").as("text"))
       val novel = docs.filter(col("doc_id") % 3 === 1)
         .select((col("doc_id") + off).as("doc_id"), reverse(col("text")).as("text"))
-      val incoming = planted.unionByName(novel)
+      // pinned: each relation below feeds BOTH exceptAll sides (and the
+      // final agg) — without the pin the whole shingle+band+verify
+      // pipeline would re-run per consumer, tripling the gate's wall
+      val incoming = planted.unionByName(novel).localCheckpoint(true)
       DedupIndex.build(docs, "doc_id", "text", tmp, numHashes = 64, bands = 32)
       val served = DedupIndex.minhashNewAgainst(s, tmp, incoming,
-        "doc_id", "text", threshold = 0.7)
+        "doc_id", "text", threshold = 0.7).localCheckpoint(true)
       val direct = Dedup.minhashNewAgainst(docs, incoming, "doc_id", "text",
-        numHashes = 64, bands = 32, threshold = 0.7)
+        numHashes = 64, bands = 32, threshold = 0.7).localCheckpoint(true)
       def pairs(df: DataFrame) = df.select(col("id_new"), col("id_old"),
         round(col("jaccard"), 9).as("j"))
       val nearDiff = pairs(served).exceptAll(pairs(direct)).count() +
         pairs(direct).exceptAll(pairs(served)).count()
       val exServed = DedupIndex.newAgainst(s, tmp, incoming, "text")
-        .select("doc_id")
+        .select("doc_id").localCheckpoint(true)
       val exDirect = Dedup.newAgainst(docs, incoming, "text").select("doc_id")
+        .localCheckpoint(true)
       val exactDiff = exServed.exceptAll(exDirect).count() +
         exDirect.exceptAll(exServed).count()
       served.agg(

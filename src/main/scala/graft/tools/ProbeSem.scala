@@ -12,9 +12,11 @@ object ProbeSem {
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = sys.env.getOrElse("PROBE_QUERIES", "semdedup").split(",")
-    for (sf <- Seq("sf0.001", "sf0.01"); n <- names) {
+    val sfs = sys.env.getOrElse("PROBE_SFS", "sf0.001,sf0.01").split(",").toSeq
+    for (sf <- sfs; n <- names) {
       val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(n)(spark, s"/root/testdata/$sf")
+      val dir = if (sf.startsWith("/")) sf else s"/root/testdata/$sf"
+      val df = graft.SparkEntry.queries(n)(spark, dir)
       df.show(20, truncate = false)
       println(f"== $sf $n rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.catalog.clearCache()
