@@ -153,37 +153,77 @@ object Graft {
       assigned.write.mode("overwrite").partitionBy("cluster").parquet(output)
   }
 
-  /** Engine extension: build a persisted retrieval index — BM25
-    * term-bucketed postings ([[graft.ext.Retrieval.buildTextIndex]]) or
-    * an IVF embedding index ([[graft.ext.Similarity.buildIvfIndex]]).
-    * Build once, serve many query batches with `graft search`.
+  /** Engine extension: build or grow a persisted index artifact — BM25
+    * term-bucketed postings ([[graft.ext.Retrieval.buildTextIndex]]), an
+    * IVF embedding index ([[graft.ext.Similarity.buildIvfIndex]]), its
+    * PQ-compressed form ([[graft.ext.Similarity.buildIvfPqIndex]]), or
+    * the incremental-dedup index ([[graft.ext.DedupIndex.build]]).
+    * Build once, serve many query batches with `graft search`; `--append`
+    * grows an existing artifact with the batch (parameters/quantizers
+    * come from the artifact, never from flags).
     *
     * {{{
-    * graft index --input=<path> --output=<dir> --type=text|ivf
+    * graft index --input=<path> --output=<dir> --type=text|ivf|ivfpq|dedup
+    *             [--append]
     *             [--id-col=doc_id] [--text-col=text] [--buckets=64]    (text)
-    *             [--id-col=vec_id] [--vec-col=embedding] [--nlist=16]  (ivf)
+    *             [--id-col=vec_id] [--vec-col=embedding] [--nlist=16]  (ivf*)
+    *             [--m=8] [--codebook-size=256]                        (ivfpq)
+    *             [--num-hashes=64] [--bands=16] [--shingle-len=5]     (dedup)
     *             [--input-mode=...] [--row-restriction=<pred>]
     * }}} */
   private def indexCmd(f: Map[String, String], spark: SparkSession): Unit = {
     val output = required(f, "output")
-    if (GraftIO.outputExists(output)) {
+    val append = f.get("append").contains("true")
+    // the exists-guard protects BUILDS from clobbering; an append's whole
+    // point is that the target exists
+    if (!append && GraftIO.outputExists(output)) {
       System.err.println(s"[graft] output $output exists; skipping"); return
     }
     val df = restrict(read(spark, required(f, "input"),
       f.getOrElse("input-mode", "parquet")), f)
+    val idCol = f.getOrElse("id-col",
+      if (Set("ivf", "ivfpq")(f.getOrElse("type", ""))) "vec_id" else "doc_id")
     required(f, "type") match {
       case "text" =>
-        val n = graft.ext.Retrieval.buildTextIndex(df,
-          f.getOrElse("id-col", "doc_id"), f.getOrElse("text-col", "text"),
-          output, buckets = f.get("buckets").map(_.toInt).getOrElse(64))
-        System.err.println(s"[graft] text index over $n docs at $output")
+        val textCol = f.getOrElse("text-col", "text")
+        val n =
+          if (append) graft.ext.Retrieval.appendTextIndex(df, idCol, textCol, output)
+          else graft.ext.Retrieval.buildTextIndex(df, idCol, textCol, output,
+            buckets = f.get("buckets").map(_.toInt).getOrElse(64))
+        System.err.println(s"[graft] text index ${if (append) "+" else ""}$n docs at $output")
       case "ivf" =>
-        val n = graft.ext.Similarity.buildIvfIndex(df,
-          f.getOrElse("id-col", "vec_id"), f.getOrElse("vec-col", "embedding"),
-          output, nlist = f.get("nlist").map(_.toInt).getOrElse(16))
-        System.err.println(s"[graft] ivf index with $n cells at $output")
+        val vecCol = f.getOrElse("vec-col", "embedding")
+        if (append) {
+          val n = graft.ext.Similarity.appendIvfIndex(df, idCol, vecCol, output)
+          System.err.println(s"[graft] ivf index +$n vectors at $output")
+        } else {
+          val n = graft.ext.Similarity.buildIvfIndex(df, idCol, vecCol, output,
+            nlist = f.get("nlist").map(_.toInt).getOrElse(16))
+          System.err.println(s"[graft] ivf index with $n cells at $output")
+        }
+      case "ivfpq" =>
+        val vecCol = f.getOrElse("vec-col", "embedding")
+        if (append) {
+          val n = graft.ext.Similarity.appendIvfPqIndex(df, idCol, vecCol, output)
+          System.err.println(s"[graft] ivfpq index +$n vectors at $output")
+        } else {
+          val n = graft.ext.Similarity.buildIvfPqIndex(df, idCol, vecCol, output,
+            nlist = f.get("nlist").map(_.toInt).getOrElse(16),
+            m = f.get("m").map(_.toInt).getOrElse(8),
+            codebookSize = f.get("codebook-size").map(_.toInt).getOrElse(256))
+          System.err.println(s"[graft] ivfpq index with $n cells at $output")
+        }
+      case "dedup" =>
+        val textCol = f.getOrElse("text-col", "text")
+        val n =
+          if (append) graft.ext.DedupIndex.append(df, idCol, textCol, output)
+          else graft.ext.DedupIndex.build(df, idCol, textCol, output,
+            numHashes = f.get("num-hashes").map(_.toInt).getOrElse(64),
+            bands = f.get("bands").map(_.toInt).getOrElse(16),
+            shingleLen = f.get("shingle-len").map(_.toInt).getOrElse(5))
+        System.err.println(s"[graft] dedup index ${if (append) "+" else ""}$n docs at $output")
       case t => throw new IllegalArgumentException(
-        s"--type must be text or ivf, got $t")
+        s"--type must be text, ivf, ivfpq or dedup, got $t")
     }
   }
 
@@ -197,6 +237,14 @@ object Graft {
     *              [--k=10]          (bucket count comes from the index)
     * graft search --index=<dir> --output=<dir> --type=ivf --queries=<path>
     *              [--id-col=vec_id] [--vec-col=embedding] [--k=10] [--nprobe=4]
+    * graft search --index=<dir> --output=<dir> --type=ivfpq --queries=<path>
+    *              [--id-col] [--vec-col] [--k] [--nprobe] [--rerank-factor=4]
+    *              [--rerank-input=<vector corpus path>]  (exact re-rank)
+    * graft search --index=<dedupIdxDir> --output=<dir> --type=dedup
+    *              --queries=<incoming batch path> [--mode=near|exact]
+    *              [--id-col=doc_id] [--text-col=text] [--threshold=0.8]
+    *              (near: (id_new, id_old, jaccard) pairs; exact: the
+    *               batch's novel rows)
     * graft search --index=<textIdxDir> --vec-index=<ivfIdxDir> --type=hybrid
     *              --output=<dir> --queries=<path with id+text+vector cols>
     *              [--id-col=qid] [--text-col=qtext] [--vec-col=qvec]
@@ -224,6 +272,30 @@ object Graft {
           f.getOrElse("id-col", "vec_id"), f.getOrElse("vec-col", "embedding"),
           k = f.get("k").map(_.toInt).getOrElse(10),
           nprobe = f.get("nprobe").map(_.toInt).getOrElse(4))
+      case "ivfpq" =>
+        val q = read(spark, required(f, "queries"),
+          f.getOrElse("input-mode", "parquet"))
+        graft.ext.Similarity.searchIvfPqIndex(spark, index, q,
+          f.getOrElse("id-col", "vec_id"), f.getOrElse("vec-col", "embedding"),
+          k = f.get("k").map(_.toInt).getOrElse(10),
+          nprobe = f.get("nprobe").map(_.toInt).getOrElse(4),
+          rerankFactor = f.get("rerank-factor").map(_.toInt).getOrElse(4),
+          rerank = f.get("rerank-input").map(p =>
+            read(spark, p, f.getOrElse("input-mode", "parquet"))))
+      case "dedup" =>
+        val incoming = read(spark, required(f, "queries"),
+          f.getOrElse("input-mode", "parquet"))
+        val textCol = f.getOrElse("text-col", "text")
+        f.getOrElse("mode", "near") match {
+          case "near" =>
+            graft.ext.DedupIndex.minhashNewAgainst(spark, index, incoming,
+              f.getOrElse("id-col", "doc_id"), textCol,
+              threshold = f.get("threshold").map(_.toDouble).getOrElse(0.8))
+          case "exact" =>
+            graft.ext.DedupIndex.newAgainst(spark, index, incoming, textCol)
+          case m => throw new IllegalArgumentException(
+            s"--mode must be near or exact, got $m")
+        }
       case "hybrid" =>
         // both legs served from persisted artifacts; rank-space fusion
         val q = read(spark, required(f, "queries"),
@@ -236,7 +308,7 @@ object Graft {
           kRrf = f.get("rrf-k").map(_.toInt).getOrElse(60),
           nprobe = f.get("nprobe").map(_.toInt).getOrElse(4))
       case t => throw new IllegalArgumentException(
-        s"--type must be text, ivf or hybrid, got $t")
+        s"--type must be text, ivf, ivfpq, dedup or hybrid, got $t")
     }
     write(result.coalesce(1), output, f.getOrElse("output-mode", "parquet"))
   }

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.GraftFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -216,6 +216,45 @@ object DedupIndex {
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
+  /** The streaming-liftable EXACT-duplicate flag served from the
+    * artifact: a pure column expression probing the index's fingerprint
+    * Bloom segments — [[Dedup.maybeDuplicateFlag]] with the filter
+    * loaded from disk instead of rebuilt from the corpus per query
+    * start. `false` is definitive (no false negatives across segments);
+    * `true` means duplicate or ~fpp noise — route flagged rows through
+    * [[newAgainst]] when exactness matters. Segments load ONCE at call
+    * time and ship in the closure; re-call after appends to pick up new
+    * segments. Throws past [[MaxBloomBytes]] (a streaming probe cannot
+    * fall back to a join — use the batch path there). */
+  def duplicateFlag(spark: SparkSession, path: String): Column => Column = {
+    val blooms = loadBloomSegmentsStrict(spark, s"$path/$FpBloomDir")
+    val probe = udf { (fp: Long) => blooms.exists(_.mightContainLong(fp)) }
+    text => probe(farmHash64(text))
+  }
+
+  /** The streaming-liftable NEAR-duplicate flag served from the
+    * artifact: [[Dedup.maybeNearDuplicateFlag]] with the band-signature
+    * Bloom segments AND the banding parameters loaded from the index —
+    * the probe can never band incoming text with a mismatched scheme.
+    * Null/empty text is definitively false; `true` means candidate —
+    * verify through [[minhashNewAgainst]] when precision matters.
+    * Throws past [[MaxBloomBytes]] like [[duplicateFlag]]. */
+  def nearDuplicateFlag(spark: SparkSession, path: String): Column => Column = {
+    val p = readParams(spark, path)
+    val blooms = loadBloomSegmentsStrict(spark, s"$path/$BandBloomDir")
+    val rPerB = p.numHashes / p.bands
+    val probeAny = udf { (ks: scala.collection.Seq[Long]) =>
+      ks != null && ks.exists(k => blooms.exists(_.mightContainLong(k)))
+    }
+    text => {
+      val sig = minhash(shingleHashes(text, p.shingleLen), p.numHashes, p.seed)
+      val keys = transform(sequence(lit(0), lit(p.bands - 1)), b =>
+        fieldHash(Seq(b,
+          farmHash64(slice(sig, b * lit(rPerB) + lit(1), lit(rPerB))))))
+      when(sig.isNull, lit(false)).otherwise(probeAny(keys))
+    }
+  }
+
   // ---- artifact IO --------------------------------------------------------
 
   private def fs(spark: SparkSession, dir: String) =
@@ -233,6 +272,28 @@ object DedupIndex {
       s"seg-${java.util.UUID.randomUUID}.bin")
     val out = fs(spark, dir).create(p, false)
     try bloom.writeTo(out) finally out.close()
+  }
+
+  /** [[loadBloomSegments]] for the streaming flags: an over-budget
+    * segment set THROWS (a per-row probe has no join to fall back to);
+    * an absent/empty dir is an empty index and flags nothing. */
+  private def loadBloomSegmentsStrict(spark: SparkSession,
+                                      dir: String): Array[BloomFilter] = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(p)) return Array.empty
+    val files = f.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".bin"))
+    val totalBytes = files.map(_.getLen).sum
+    if (totalBytes > MaxBloomBytes)
+      throw new IllegalStateException(
+        s"DedupIndex flag: ${totalBytes >> 20} MiB of bloom segments at " +
+          s"$dir exceeds the ${MaxBloomBytes >> 20} MiB closure budget — " +
+          "use the batch newAgainst/minhashNewAgainst paths instead")
+    files.map { st =>
+      val in = f.open(st.getPath)
+      try BloomFilter.readFrom(in) finally in.close()
+    }
   }
 
   /** All Bloom segments under `dir`; empty when none exist OR when the

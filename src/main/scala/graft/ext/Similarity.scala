@@ -442,6 +442,26 @@ object Similarity {
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
 
+  /** Append new vectors to a [[buildIvfIndex]] artifact: rows are
+    * assigned against the LOADED centroids (cells stay fixed — only
+    * recall-per-probe drifts as the data distribution moves) and appended
+    * under their cell partitions. Returns rows appended; appending to an
+    * empty index is rejected (no quantizer was trained). */
+  def appendIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     path: String): Long = {
+    val spark = corpus.sparkSession
+    val centroids = loadIvfCentroids(spark, path)
+    if (centroids.isEmpty)
+      throw new IllegalStateException(
+        s"appendIvfIndex: no trained centroids at $path (empty index)")
+    val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true) // the count and the write share one scan
+    corpusV.withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+    corpusV.count()
+  }
+
   /** Search a persisted index without retraining or re-assigning: queries
     * assign to their `nprobe` nearest cells against the loaded centroids,
     * and the postings scan carries `cell IN (probed…)` as a LITERAL

@@ -289,6 +289,51 @@ class GraftCliSpec extends SparkSpec {
     fused.select("query_id").distinct().count() shouldBe 3L
   }
 
+  it should "build, append and search dedup and ivfpq indexes" in {
+    import org.apache.spark.sql.functions.col
+    val base = tmp()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$base/d0")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$base/d1")
+    // dedup index: build on evens, append odds, then search with copies
+    Graft.run(Seq("index", s"--input=$base/d0", s"--output=$base/didx",
+      "--type=dedup", "--bands=32"), spark)
+    Graft.run(Seq("index", s"--input=$base/d1", s"--output=$base/didx",
+      "--type=dedup", "--append"), spark)
+    docs.filter(col("doc_id") < 6)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .write.parquet(s"$base/incoming")
+    Graft.run(Seq("search", s"--index=$base/didx", s"--output=$base/pairs",
+      "--type=dedup", s"--queries=$base/incoming", "--threshold=0.9"), spark)
+    val pairs = spark.read.parquet(s"$base/pairs")
+    pairs.columns.toSeq shouldBe Seq("id_new", "id_old", "jaccard")
+    // every planted copy matches its source (both halves reachable only
+    // because the append landed)
+    pairs.filter(col("id_old") === col("id_new") - 100000L)
+      .count() shouldBe 6L
+    Graft.run(Seq("search", s"--index=$base/didx", s"--output=$base/novel",
+      "--type=dedup", "--mode=exact", s"--queries=$base/incoming"), spark)
+    spark.read.parquet(s"$base/novel").count() shouldBe 0L // all exact copies
+    // ivfpq index: build, append, search with exact re-rank
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$base/e0")
+    emb.filter(col("vec_id") % 2 === 1).write.parquet(s"$base/e1")
+    Graft.run(Seq("index", s"--input=$base/e0", s"--output=$base/pqidx",
+      "--type=ivfpq", "--nlist=8", "--m=16", "--codebook-size=32"), spark)
+    Graft.run(Seq("index", s"--input=$base/e1", s"--output=$base/pqidx",
+      "--type=ivfpq", "--append"), spark)
+    spark.read.parquet(s"$base/pqidx/postings").count() shouldBe emb.count()
+    emb.limit(3).write.parquet(s"$base/qv")
+    Graft.run(Seq("search", s"--index=$base/pqidx", s"--output=$base/pqnn",
+      "--type=ivfpq", s"--queries=$base/qv", "--k=4", "--nprobe=8",
+      "--rerank-factor=10",
+      s"--rerank-input=/root/testdata/sf0.001/embeddings.parquet"), spark)
+    val nn = spark.read.parquet(s"$base/pqnn")
+    nn.count() shouldBe 12L
+    nn.columns.sorted.toSeq shouldBe
+      Seq("cosine_sim", "neighbor_id", "query_id", "rank")
+  }
+
   it should "gate the pipeline on data-quality checks" in {
     val base = tmp()
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

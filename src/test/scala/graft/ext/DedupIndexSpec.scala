@@ -129,6 +129,46 @@ class DedupIndexSpec extends SparkSpec {
       .subsetOf(got.map(p => (p._1, p._2))) shouldBe true
   }
 
+  behavior of "DedupIndex streaming flags"
+
+  it should "serve the duplicate/near-dup flags from the artifact with no misses" in {
+    val path = tmpDir()
+    DedupIndex.build(corpus, "doc_id", "text", path, numHashes = 64, bands = 32)
+    // exact flag: every indexed text must flag true (no false negatives),
+    // a clearly-novel text false (deterministic for fixed data)
+    val dupFlag = DedupIndex.duplicateFlag(spark, path)
+    corpus.withColumn("f", dupFlag(col("text")))
+      .filter(!col("f")).count() shouldBe 0L
+    Seq((1L, "entirely foreign content zzz qqq jjj xxx vvv"))
+      .toDF("doc_id", "text").withColumn("f", dupFlag(col("text")))
+      .filter(col("f")).count() shouldBe 0L
+    // near flag: every incoming doc the exact operator pairs must flag
+    val nearFlag = DedupIndex.nearDuplicateFlag(spark, path)
+    val paired = DedupIndex.minhashNewAgainst(spark, path, incoming,
+        "doc_id", "text", threshold = 0.5)
+      .select("id_new").distinct().as[Long].collect().toSet
+    val flagged = incoming.withColumn("f", nearFlag(col("text")))
+      .filter(col("f")).select("doc_id").as[Long].collect().toSet
+    paired.subsetOf(flagged) shouldBe true
+    paired.size should be >= 15 // 10 near + 5 exact copies
+  }
+
+  it should "flag null/empty text false from a high-fpp artifact and nothing from an empty one" in {
+    val path = tmpDir()
+    DedupIndex.build(corpus, "doc_id", "text", path,
+      numHashes = 64, bands = 32, bloomFpp = 0.3)
+    val nearFlag = DedupIndex.nearDuplicateFlag(spark, path)
+    Seq((1L, null: String), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text").withColumn("f", nearFlag(col("text")))
+      .select("f").as[Boolean].collect() shouldBe Array(false, false, false)
+    val empty = tmpDir()
+    DedupIndex.build(corpus.limit(0), "doc_id", "text", empty)
+    val ef = DedupIndex.duplicateFlag(spark, empty)
+    val enf = DedupIndex.nearDuplicateFlag(spark, empty)
+    corpus.withColumn("a", ef(col("text"))).withColumn("b", enf(col("text")))
+      .filter(col("a") || col("b")).count() shouldBe 0L
+  }
+
   it should "stay exact when bloom segments are absent (pruning declined)" in {
     // deleting the segment files models the MaxBloomBytes decline path:
     // searches must fall back to the exact joins with identical answers

@@ -68,6 +68,8 @@ class IvfIndexSpec extends SparkSpec {
     Similarity.searchIvfIndex(spark, path,
       emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
       .count() shouldBe 0L
+    an[IllegalStateException] should be thrownBy
+      Similarity.appendIvfIndex(emb, "vec_id", "embedding", path)
   }
 
   it should "serve appended postings assigned with the loaded centroids" in {
@@ -79,12 +81,15 @@ class IvfIndexSpec extends SparkSpec {
     val fresh = emb.filter(col("vec_id") % 2 =!= 0)
     val path = tmpDir()
     Similarity.buildIvfIndex(old, "vec_id", "embedding", path, nlist = 8)
+    Similarity.appendIvfIndex(fresh, "vec_id", "embedding", path) shouldBe
+      fresh.count()
+    spark.read.parquet(s"$path/postings").count() shouldBe emb.count()
+    // appended rows sit in their argmin cell like built ones
     val centroids = Similarity.loadIvfCentroids(spark, path)
     import graft.GraftFunctions.nearestCells
-    fresh.select(col("vec_id").as("id"), col("embedding").as("v"))
-      .withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
-    spark.read.parquet(s"$path/postings").count() shouldBe emb.count()
+    spark.read.parquet(s"$path/postings")
+      .withColumn("best", nearestCells(col("v"), centroids, 1)(0))
+      .filter(col("cell") =!= col("best")).count() shouldBe 0L
     val q = emb.filter(col("vec_id") < 3)
     val got = Similarity.searchIvfIndex(spark, path, q,
         "vec_id", "embedding", k = 5, nprobe = 8)
