@@ -506,24 +506,35 @@ object Dedup {
                              bloom: org.apache.spark.util.sketch.BloomFilter,
                              numHashes: Int = 64, bands: Int = 16,
                              shingleLen: Int = 5, seed: Int = 0): Column = {
+    bandKeyFlag(text, numHashes, bands, shingleLen, seed,
+      bloom.mightContainLong)
+  }
+
+  /** The band-key flag construction shared by [[maybeNearDuplicateFlag]]
+    * and [[DedupIndex.nearDuplicateFlag]] (`contains` is the caller's
+    * membership test — one Bloom or a segment set; the closure ships
+    * with the udf). ONE tokenize+minhash evaluation: the band keys are
+    * built inside a single transform over a literal band range (the
+    * signature is one shared child, not re-shingled per band).
+    * Empty/null text minhashes to a NULL signature, but the hash funnel
+    * (FieldHash/farmHash64) is non-nullable and SKIPS null inputs — an
+    * unguarded probe would turn every null signature into the same
+    * constant per-band key array, and all empty/null documents would
+    * then flag true together whenever any one of those constants is a
+    * Bloom false positive (~1-(1-fpp)^bands, correlated across the
+    * whole stream). The signature is guarded explicitly: null signature
+    * => definitive false. */
+  private[ext] def bandKeyFlag(text: Column, numHashes: Int, bands: Int,
+                               shingleLen: Int, seed: Int,
+                               contains: Long => Boolean): Column = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rPerB = numHashes / bands
-    // ONE tokenize+minhash evaluation: the band keys are built inside a
-    // single transform over a literal band range (the signature is one
-    // shared child, not re-shingled per band). Empty/null text minhashes
-    // to a NULL signature, but the hash funnel (FieldHash/farmHash64) is
-    // non-nullable and SKIPS null inputs — an unguarded probe would turn
-    // every null signature into the same constant per-band key array,
-    // and all empty/null documents would then flag true together
-    // whenever any one of those constants is a Bloom false positive
-    // (~1-(1-fpp)^bands, correlated across the whole stream). Guard the
-    // signature explicitly: null signature => definitive false.
     val sig = minhash(shingleHashes(text, shingleLen), numHashes, seed)
     val keys = transform(sequence(lit(0), lit(bands - 1)), b =>
       fieldHash(Seq(b,
         farmHash64(slice(sig, b * lit(rPerB) + lit(1), lit(rPerB))))))
     val probeAny = udf { (ks: scala.collection.Seq[Long]) =>
-      ks != null && ks.exists(bloom.mightContainLong)
+      ks != null && ks.exists(contains)
     }
     when(sig.isNull, lit(false)).otherwise(probeAny(keys))
   }
@@ -914,7 +925,12 @@ object Dedup {
     * Rule of thumb from the sf1 probe corpus: ~70M candidate rows ≈
     * 140 s of verification on 32 local cores — price a corpus BEFORE
     * launching, and prefer [[minhashNearDups]] when the estimate is
-    * quadratic-shaped. */
+    * quadratic-shaped. For an estimate-then-run flow in ONE job, pass
+    * `maxCandidates` to [[jaccardJoinExact]] instead: the join prices
+    * itself against the same estimate off its own pinned prefix
+    * relation, so the linear front half is derived once — this
+    * standalone form re-derives it and is meant for planning runs
+    * (often on a sample) decoupled from the launch. */
   def estimateJaccardJoinCandidates(df: DataFrame, idCol: String,
                                     textCol: String, shingleLen: Int = 5,
                                     threshold: Double = 0.8): Long = {

@@ -103,28 +103,43 @@ object DedupIndex {
       r.getAs[Double]("bloom_fpp"))
   }
 
+  /** Write order is a crash-safety contract, not incidental: the Bloom
+    * SEGMENTS land first (a torn batch then leaves blooms covering keys
+    * whose data never arrived — FALSE POSITIVES only, which the exact
+    * joins absorb; data-before-bloom would instead leave uncovered keys
+    * whose duplicates sail through the "bloom miss = definitely new"
+    * fast path — silent false negatives). Shingles land before bands
+    * for the same reason: a band row whose shingles are missing would
+    * drop its candidate pair at the verify join, while shingles with no
+    * band rows are merely unreachable. An APPEND that tears is therefore
+    * safe to search (extra bloom coverage, missing tail data) but
+    * half-written — recover by REBUILDING, not by re-appending (a blind
+    * retry double-writes the batch's relations; duplicated shingle rows
+    * then duplicate verified pairs). A torn BUILD is not safe to search
+    * (its first step deletes the prior blooms) — re-run the build, which
+    * is a full overwrite and idempotent. */
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
                          path: String, p: Params, overwrite: Boolean): Long = {
     val spark = df.sparkSession
     val mode = if (overwrite) "overwrite" else "append"
-    // pinned: the fingerprint relation feeds the write, the count, and
-    // the bloom build (same eager-localCheckpoint lifecycle as Dedup)
+    // pinned: the fingerprint relation feeds the bloom build, the count,
+    // and the write (same eager-localCheckpoint lifecycle as Dedup)
     val fps = df.select(col(idCol).as("id"), farmHash64(col(textCol)).as("fp"))
       .localCheckpoint(true)
     val nDocs = fps.count()
-    fps.write.mode(mode).parquet(s"$path/fingerprints")
     val (sh, banded) = Dedup.shingleBanded(df, idCol, textCol,
       p.numHashes, p.bands, p.shingleLen, p.seed)
-    sh.write.mode(mode).parquet(s"$path/shingles")
-    banded.write.mode(mode).parquet(s"$path/bands")
+    val nBands = banded.count()
     if (nDocs > 0)
       writeBloomSegment(spark, s"$path/$FpBloomDir",
         fps.stat.bloomFilter("fp", nDocs, p.bloomFpp))
-    val nBands = banded.count()
     if (nBands > 0)
       writeBloomSegment(spark, s"$path/$BandBloomDir",
         banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
           .stat.bloomFilter("__bk", nBands, p.bloomFpp))
+    sh.write.mode(mode).parquet(s"$path/shingles")
+    fps.write.mode(mode).parquet(s"$path/fingerprints")
+    banded.write.mode(mode).parquet(s"$path/bands")
     nDocs
   }
 
@@ -227,7 +242,7 @@ object DedupIndex {
     * segments. Throws past [[MaxBloomBytes]] (a streaming probe cannot
     * fall back to a join — use the batch path there). */
   def duplicateFlag(spark: SparkSession, path: String): Column => Column = {
-    val blooms = loadBloomSegmentsStrict(spark, s"$path/$FpBloomDir")
+    val blooms = loadBloomSegments(spark, s"$path/$FpBloomDir", strict = true)
     val probe = udf { (fp: Long) => blooms.exists(_.mightContainLong(fp)) }
     text => probe(farmHash64(text))
   }
@@ -241,18 +256,9 @@ object DedupIndex {
     * Throws past [[MaxBloomBytes]] like [[duplicateFlag]]. */
   def nearDuplicateFlag(spark: SparkSession, path: String): Column => Column = {
     val p = readParams(spark, path)
-    val blooms = loadBloomSegmentsStrict(spark, s"$path/$BandBloomDir")
-    val rPerB = p.numHashes / p.bands
-    val probeAny = udf { (ks: scala.collection.Seq[Long]) =>
-      ks != null && ks.exists(k => blooms.exists(_.mightContainLong(k)))
-    }
-    text => {
-      val sig = minhash(shingleHashes(text, p.shingleLen), p.numHashes, p.seed)
-      val keys = transform(sequence(lit(0), lit(p.bands - 1)), b =>
-        fieldHash(Seq(b,
-          farmHash64(slice(sig, b * lit(rPerB) + lit(1), lit(rPerB))))))
-      when(sig.isNull, lit(false)).otherwise(probeAny(keys))
-    }
+    val blooms = loadBloomSegments(spark, s"$path/$BandBloomDir", strict = true)
+    text => Dedup.bandKeyFlag(text, p.numHashes, p.bands, p.shingleLen,
+      p.seed, k => blooms.exists(_.mightContainLong(k)))
   }
 
   // ---- artifact IO --------------------------------------------------------
@@ -274,32 +280,14 @@ object DedupIndex {
     try bloom.writeTo(out) finally out.close()
   }
 
-  /** [[loadBloomSegments]] for the streaming flags: an over-budget
-    * segment set THROWS (a per-row probe has no join to fall back to);
-    * an absent/empty dir is an empty index and flags nothing. */
-  private def loadBloomSegmentsStrict(spark: SparkSession,
-                                      dir: String): Array[BloomFilter] = {
-    val f = fs(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (!f.exists(p)) return Array.empty
-    val files = f.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".bin"))
-    val totalBytes = files.map(_.getLen).sum
-    if (totalBytes > MaxBloomBytes)
-      throw new IllegalStateException(
-        s"DedupIndex flag: ${totalBytes >> 20} MiB of bloom segments at " +
-          s"$dir exceeds the ${MaxBloomBytes >> 20} MiB closure budget — " +
-          "use the batch newAgainst/minhashNewAgainst paths instead")
-    files.map { st =>
-      val in = f.open(st.getPath)
-      try BloomFilter.readFrom(in) finally in.close()
-    }
-  }
-
-  /** All Bloom segments under `dir`; empty when none exist OR when the
-    * summed bytes pass [[MaxBloomBytes]] (pruning declined — logged). */
-  private def loadBloomSegments(spark: SparkSession,
-                                dir: String): Array[BloomFilter] = {
+  /** All Bloom segments under `dir`; an absent/empty dir is an empty
+    * index (flags/prunes nothing). Past [[MaxBloomBytes]] the batch
+    * paths (`strict = false`) DECLINE pruning with a log line — their
+    * exact joins stand alone — while the streaming flags
+    * (`strict = true`) THROW: a per-row probe has no join to fall back
+    * to. */
+  private def loadBloomSegments(spark: SparkSession, dir: String,
+                                strict: Boolean = false): Array[BloomFilter] = {
     val f = fs(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir)
     if (!f.exists(p)) return Array.empty
@@ -307,6 +295,11 @@ object DedupIndex {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".bin"))
     val totalBytes = files.map(_.getLen).sum
     if (totalBytes > MaxBloomBytes) {
+      if (strict)
+        throw new IllegalStateException(
+          s"DedupIndex flag: ${totalBytes >> 20} MiB of bloom segments at " +
+            s"$dir exceeds the ${MaxBloomBytes >> 20} MiB closure budget — " +
+            "use the batch newAgainst/minhashNewAgainst paths instead")
       System.err.println(s"[graft] DedupIndex: ${totalBytes >> 20} MiB of " +
         s"bloom segments at $dir exceeds the ${MaxBloomBytes >> 20} MiB " +
         "broadcast budget — skipping Bloom pruning (exact joins only)")

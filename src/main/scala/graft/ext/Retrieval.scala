@@ -51,12 +51,19 @@ object Retrieval {
     * natively; here the long id is part of the persisted-index layout). */
   private def requireIntegralId(df: DataFrame, c: String, role: String): Unit = {
     import org.apache.spark.sql.types._
-    val dt = df.schema(c).dataType
-    require(
-      Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt),
+    val ok = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      // warehouse exports routinely carry integral ids as DECIMAL(p, 0)
+      // (BigQuery/Oracle NUMBER); the long cast is lossless at p <= 18
+      // and overflows LOUDLY past it under ANSI — never a silent null
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
+      case _ => false
+    }
+    require(ok,
       s"Retrieval requires an integral $role column (widened to long); " +
-        s"'$c' is ${dt.catalogString} — map non-numeric ids to longs first " +
-        s"(e.g. monotonically_increasing_id plus a lookup table)")
+        s"'$c' is ${df.schema(c).dataType.catalogString} — map non-numeric " +
+        "ids to longs first (e.g. monotonically_increasing_id plus a " +
+        "lookup table)")
   }
 
   /** Top-k BM25 hits per query: (query_id, doc_id, score, rank), rank
@@ -209,9 +216,13 @@ object Retrieval {
     import spark.implicits._
     val prev = spark.read.parquet(s"$path/stats").head()
     val buckets = prev.getAs[Int]("buckets")
+    // pinned: the stats pass and the postings write would otherwise each
+    // re-tokenize the batch (batches are bounded — the pin holds one
+    // batch's token arrays, not a corpus)
     val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
       scriptTokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast(LongType))
+      .localCheckpoint(true)
     val st = d.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
     val nDocs = st.getAs[Long]("n_docs")
@@ -247,13 +258,27 @@ object Retrieval {
     val hfs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(s"$path/postings_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/postings_compact_old")
     val dst = new org.apache.hadoop.fs.Path(s"$path/postings")
     hfs.delete(tmp, true)
+    hfs.delete(old, true)
     postings.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-    hfs.delete(dst, true)
-    require(hfs.rename(tmp, dst),
-      s"compactTextIndex: rename $tmp -> $dst failed")
+    // swap via rename-ASIDE, never delete-then-rename: the live postings
+    // must exist (as dst or as _old) at every instant, so a crash or a
+    // failed rename in the window can lose the compaction, never the
+    // data. Recovery from a tear: if dst is missing, rename _old (or
+    // tmp) back into place.
+    require(hfs.rename(dst, old),
+      s"compactTextIndex: rename $dst -> $old failed (compaction aborted; " +
+        "live postings untouched)")
+    if (!hfs.rename(tmp, dst)) {
+      // restore the original before failing — dst never stays absent
+      hfs.rename(old, dst)
+      throw new IllegalStateException(
+        s"compactTextIndex: rename $tmp -> $dst failed; original postings restored")
+    }
+    hfs.delete(old, true)
     ()
   }
 

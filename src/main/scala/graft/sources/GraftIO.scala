@@ -38,14 +38,16 @@ object GraftIO {
     if (outputExists(output)) false else { job; true }
 
   /** Newline-delimited JSON read with optional explicit schema (S8).
-    * Timestamps parse with full microsecond fidelity, accepting both
-    * this engine's micro-precision output and the 3-digit fraction
-    * Spark's default format used to write (optional-section pattern). */
+    * Deliberately NO custom timestamp formats here: Spark's DEFAULT
+    * parser is both lenient (space or 'T' separator, 1-9 fraction
+    * digits, numeric offsets — external feeds keep parsing) and
+    * micro-capable, so it round-trips [[writeJsonLines]]'s 6-digit
+    * output exactly; a custom pattern would DISABLE that lenient
+    * fallback and silently null every shape it doesn't match
+    * (spec-locked in AvroIOSpec). The fidelity bug was write-side only. */
   def readJsonLines(spark: SparkSession, path: String,
                     schema: Option[StructType] = None): DataFrame = {
     val r = spark.read
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS][XXX]")
-      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS]")
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 

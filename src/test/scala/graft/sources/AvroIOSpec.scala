@@ -75,6 +75,35 @@ class AvroIOSpec extends SparkSpec {
       df.schema.fields.map(f => (f.name, f.dataType))
   }
 
+  it should "read external timestamp shapes leniently while keeping micro fidelity" in {
+    // the reader deliberately pins NO custom timestamp format: Spark's
+    // default parser is lenient (space separator, 1-9 fraction digits)
+    // AND micro-capable — an externally-produced feed with odd shapes
+    // must keep parsing, and this engine's own 6-digit output must
+    // round-trip micros exactly. A custom pattern would break one or
+    // the other; this spec locks both.
+    val dir = Files.createTempDirectory("json_ts").toString + "/in"
+    val lines = Seq(
+      """{"id":1,"ts":"2024-03-05T06:07:08.123456"}""", // own output shape
+      """{"id":2,"ts":"2024-03-05 06:07:08"}""",        // space separator
+      """{"id":3,"ts":"2024-03-05T06:07:08.1"}""",      // 1 fraction digit
+      """{"id":4,"ts":"2024-03-05T06:07:08.123"}""")    // legacy 3-digit
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampNTZType)))
+    val got = GraftIO.readJsonLines(spark, dir, Some(schema))
+      .orderBy("id").select("ts").collect().map(_.get(0))
+    all(got.map(_ != null)) shouldBe true
+    got(0).toString should include("06:07:08.123456")
+    got(1).toString should include("06:07:08")
+    got(2).toString should include("06:07:08.1")
+  }
+
   /** parquet-mr fixture: a single-file parquet with an INT64 `ts` column
     * carrying the given timestamp logical-type unit — Spark itself cannot
     * write NANOS/MILLIS, so the fixture goes through the example writer. */
