@@ -583,13 +583,19 @@ object SparkEntry {
           (sum(when(col("id_old") === col("id_new") - off &&
             col("id_old") % 3 === 1, 1L).otherwise(0L)) === 0L).as("novel_clean"))
     }),
-    // persisted dedup index (build once, append-a-crawl many): the same
-    // planted/novel construction as minhash_new_against, but the corpus
-    // is indexed to disk FIRST and both incremental paths run against
-    // the artifact — the accumulated corpus text is never re-shingled.
-    // The gate asserts planted recall + novel cleanliness like the
-    // direct gate AND pair-for-pair / row-for-row parity between the
-    // index-served and direct operators (the same oracle trick as
+    // persisted dedup index (the FULL artifact lifecycle in one gate):
+    // the same planted/novel construction as minhash_new_against, but
+    // the corpus is indexed to disk FIRST — built on the even half,
+    // appended the odd half, a slice blind-RE-appended (the torn-append
+    // retry, which double-writes its relations), then compacted (the
+    // recovery step: full-row dedupe + bloom consolidation) — and both
+    // incremental paths run against the artifact; the accumulated
+    // corpus text is never re-shingled. The gate asserts planted recall
+    // + novel cleanliness like the direct gate AND pair-for-pair /
+    // row-for-row MULTISET parity (exceptAll both ways) between the
+    // index-served and direct operators — which fails both if
+    // compaction dropped a row it shouldn't have and if it left a
+    // double-written duplicate behind (the same oracle trick as
     // text_index_search: index-served == direct, value-exact).
     "dedup_index_search" -> ((s, d) => {
       val tmp = sessionTempDir("graft_dedupidx")
@@ -604,7 +610,13 @@ object SparkEntry {
       // final agg) — without the pin the whole shingle+band+verify
       // pipeline would re-run per consumer, tripling the gate's wall
       val incoming = planted.unionByName(novel).localCheckpoint(true)
-      DedupIndex.build(docs, "doc_id", "text", tmp, numHashes = 64, bands = 32)
+      DedupIndex.build(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", tmp, numHashes = 64, bands = 32)
+      DedupIndex.append(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", tmp)
+      DedupIndex.append(docs.filter(col("doc_id") % 10 === 1),
+        "doc_id", "text", tmp) // blind retry: double-writes the slice
+      DedupIndex.compact(s, tmp)
       val served = DedupIndex.minhashNewAgainst(s, tmp, incoming,
         "doc_id", "text", threshold = 0.7).localCheckpoint(true)
       val direct = Dedup.minhashNewAgainst(docs, incoming, "doc_id", "text",
@@ -961,15 +973,23 @@ object SparkEntry {
     // search loads them back, prunes the postings scan to the probed
     // cells, ADC-scores, and exact-reranks the top k×20 (the rf dial
     // that holds recall as the corpus grows). The gate verifies the
-    // artifact end-to-end: postings count pins to DuckDB, the loaded
-    // model round-trips its shape, and from-disk search holds the
-    // direct ivfpq gate's 55% brute-force recall floor.
+    // artifact end-to-end — including a blind RE-append of a slice (the
+    // torn-append retry) healed by compactIvfPqIndex, whose full-row
+    // dedupe the postings-count pin then proves: n_postings equals the
+    // corpus count in DuckDB only if compaction dropped exactly the
+    // double-written rows. Model round-trips its shape, and from-disk
+    // search holds the direct ivfpq gate's 55% brute-force recall floor.
     "ivfpq_index_search" -> ((s, d) => {
       val tmp = sessionTempDir("graft_ivfpqidx")
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       val nCells = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
         tmp, nlist = 16, m = 16, codebookSize = 32, maxIter = 5)
+      // encode-with-loaded-model is deterministic, so the retried rows
+      // are byte-identical duplicates — exactly what compaction drops
+      Similarity.appendIvfPqIndex(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", tmp)
+      Similarity.compactIvfPqIndex(s, tmp)
       val model = Similarity.loadIvfPqModel(s, tmp)
       val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")

@@ -160,11 +160,14 @@ object Graft {
     * the incremental-dedup index ([[graft.ext.DedupIndex.build]]).
     * Build once, serve many query batches with `graft search`; `--append`
     * grows an existing artifact with the batch (parameters/quantizers
-    * come from the artifact, never from flags).
+    * come from the artifact, never from flags); `--compact` rewrites an
+    * artifact's accumulated per-append file sets in place (no `--input`)
+    * — and for a dedup index also drops double-appended rows and
+    * consolidates the per-batch Bloom segments.
     *
     * {{{
     * graft index --input=<path> --output=<dir> --type=text|ivf|ivfpq|dedup
-    *             [--append]
+    *             [--append | --compact]
     *             [--id-col=doc_id] [--text-col=text] [--buckets=64]    (text)
     *             [--id-col=vec_id] [--vec-col=embedding] [--nlist=16]  (ivf*)
     *             [--m=8] [--codebook-size=256]                        (ivfpq)
@@ -173,6 +176,18 @@ object Graft {
     * }}} */
   private def indexCmd(f: Map[String, String], spark: SparkSession): Unit = {
     val output = required(f, "output")
+    if (f.get("compact").contains("true")) {
+      required(f, "type") match {
+        case "text"  => graft.ext.Retrieval.compactTextIndex(spark, output)
+        case "ivf"   => graft.ext.Similarity.compactIvfIndex(spark, output)
+        case "ivfpq" => graft.ext.Similarity.compactIvfPqIndex(spark, output)
+        case "dedup" => graft.ext.DedupIndex.compact(spark, output); ()
+        case t => throw new IllegalArgumentException(
+          s"--type must be text, ivf, ivfpq or dedup, got $t")
+      }
+      System.err.println(s"[graft] compacted ${f("type")} index at $output")
+      return
+    }
     val append = f.get("append").contains("true")
     // the exists-guard protects BUILDS from clobbering; an append's whole
     // point is that the target exists

@@ -95,6 +95,58 @@ object DedupIndex {
     writeBatch(df, idCol, textCol, path, readParams(df.sparkSession, path),
       overwrite = false)
 
+  /** Compact the index in place. Three effects, one pass per relation:
+    *
+    *  1. every relation drops FULL-ROW duplicates — exactly the rows a
+    *     blind retry of a torn append double-writes (duplicated shingle
+    *     rows would otherwise duplicate verified pairs), so compaction
+    *     is the RECOVERY step after a re-appended tear;
+    *  2. each relation is rewritten to ~`targetBytes`-sized files
+    *     (repeated appends accumulate one file set per batch);
+    *  3. the per-batch Bloom segments are REBUILT from the compacted
+    *     relations into ONE segment each — consolidating N per-append
+    *     segments (whose summed bytes would eventually pass
+    *     [[MaxBloomBytes]] and turn pruning off) and restoring exact
+    *     bloom==data coverage after a tear (keys whose data never
+    *     arrived stop flagging).
+    *
+    * Crash-safe by the same rename-aside contract as every compactor
+    * here ([[ArtifactIO.rewriteInPlace]]), and ordered so the
+    * no-false-negatives invariant holds at every instant: relations swap
+    * first (dedupe never drops a KEY, so the old Bloom segments still
+    * cover everything), blooms swap last. Does NOT fix a torn BUILD
+    * (mixed-generation relations) — re-run the build. Single-writer.
+    * Returns the number of documents retained. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 256L << 20): Long = {
+    val p = readParams(spark, path)
+    Seq("shingles", "fingerprints", "bands").foreach { name =>
+      val dir = s"$path/$name"
+      val n = ArtifactIO.targetFileCount(spark, dir, targetBytes)
+      val df = spark.read.parquet(dir).dropDuplicates()
+      ArtifactIO.rewriteInPlace(spark, dir)(tmp =>
+        df.repartition(n).write.mode("overwrite").parquet(tmp))
+    }
+    val fps = spark.read.parquet(s"$path/fingerprints")
+    val nDocs = fps.count()
+    ArtifactIO.rewriteInPlace(spark, s"$path/$FpBloomDir") { tmp =>
+      fs(spark, tmp).mkdirs(new org.apache.hadoop.fs.Path(tmp))
+      if (nDocs > 0)
+        writeBloomSegment(spark, tmp,
+          fps.stat.bloomFilter("fp", nDocs, p.bloomFpp))
+    }
+    val banded = spark.read.parquet(s"$path/bands")
+    val nBands = banded.count()
+    ArtifactIO.rewriteInPlace(spark, s"$path/$BandBloomDir") { tmp =>
+      fs(spark, tmp).mkdirs(new org.apache.hadoop.fs.Path(tmp))
+      if (nBands > 0)
+        writeBloomSegment(spark, tmp,
+          banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
+            .stat.bloomFilter("__bk", nBands, p.bloomFpp))
+    }
+    nDocs
+  }
+
   /** The persisted parameter row. */
   def readParams(spark: SparkSession, path: String): Params = {
     val r = spark.read.parquet(s"$path/params").head()
@@ -113,11 +165,13 @@ object DedupIndex {
     * drop its candidate pair at the verify join, while shingles with no
     * band rows are merely unreachable. An APPEND that tears is therefore
     * safe to search (extra bloom coverage, missing tail data) but
-    * half-written — recover by REBUILDING, not by re-appending (a blind
-    * retry double-writes the batch's relations; duplicated shingle rows
-    * then duplicate verified pairs). A torn BUILD is not safe to search
-    * (its first step deletes the prior blooms) — re-run the build, which
-    * is a full overwrite and idempotent. */
+    * half-written — recover by re-appending the batch and then running
+    * [[compact]], which de-duplicates the double-written rows (a blind
+    * retry WITHOUT compacting leaves duplicated shingle rows that
+    * duplicate verified pairs), or by rebuilding. A torn BUILD is not
+    * safe to search (its first step deletes the prior blooms) and mixes
+    * generations compact cannot separate — re-run the build, which is a
+    * full overwrite and idempotent. */
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
                          path: String, p: Params, overwrite: Boolean): Long = {
     val spark = df.sparkSession

@@ -253,32 +253,12 @@ object Retrieval {
     * empty unpartitioned index. Single-writer, like append. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
-    val postings = spark.read.parquet(s"$path/postings")
-    if (!postings.columns.contains("bucket")) return // empty-built layout
-    val hfs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/postings_compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(s"$path/postings_compact_old")
-    val dst = new org.apache.hadoop.fs.Path(s"$path/postings")
-    hfs.delete(tmp, true)
-    hfs.delete(old, true)
-    postings.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-    // swap via rename-ASIDE, never delete-then-rename: the live postings
-    // must exist (as dst or as _old) at every instant, so a crash or a
-    // failed rename in the window can lose the compaction, never the
-    // data. Recovery from a tear: if dst is missing, rename _old (or
-    // tmp) back into place.
-    require(hfs.rename(dst, old),
-      s"compactTextIndex: rename $dst -> $old failed (compaction aborted; " +
-        "live postings untouched)")
-    if (!hfs.rename(tmp, dst)) {
-      // restore the original before failing — dst never stays absent
-      hfs.rename(old, dst)
-      throw new IllegalStateException(
-        s"compactTextIndex: rename $tmp -> $dst failed; original postings restored")
-    }
-    hfs.delete(old, true)
+    // NO row dedupe here: the stats row has already summed every
+    // appended batch, so dropping a double-written batch's postings
+    // would desynchronize avgdl/n_docs — a torn text-index append is
+    // rebuild-territory, not compact-territory (unlike DedupIndex,
+    // whose relations carry no separate aggregate)
+    ArtifactIO.compactPartitioned(spark, s"$path/postings", "bucket")
     ()
   }
 

@@ -462,6 +462,22 @@ object Similarity {
     corpusV.count()
   }
 
+  /** Compact a [[buildIvfIndex]] artifact's postings in place: repeated
+    * appends accumulate one file set per append under every cell — this
+    * rewrites them in ONE shuffle to O(1) files per cell, dropping
+    * full-row duplicates on the way (the rows a blind retry of a torn
+    * append double-writes; the index carries no aggregate over postings,
+    * so the dedupe is always safe — it only removes duplicate search
+    * hits). Staged and swapped rename-aside (crash loses the compaction,
+    * never the postings). No-op on an empty-built index. Single-writer,
+    * like append. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    ArtifactIO.compactPartitioned(spark, s"$path/postings", "cell",
+      dedupe = true)
+    ()
+  }
+
   /** Search a persisted index without retraining or re-assigning: queries
     * assign to their `nprobe` nearest cells against the loaded centroids,
     * and the postings scan carries `cell IN (probed…)` as a LITERAL
@@ -874,6 +890,16 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
     corpusV.count()
+  }
+
+  /** [[compactIvfIndex]] for an IVF-PQ artifact: same one-shuffle
+    * per-cell rewrite + full-row dedupe + rename-aside swap over the
+    * (id, codes, xnorm, cell) postings. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    ArtifactIO.compactPartitioned(spark, s"$path/postings", "cell",
+      dedupe = true)
+    ()
   }
 
   /** Search a persisted IVF-PQ index: queries assign to their `nprobe`

@@ -314,6 +314,16 @@ class GraftCliSpec extends SparkSpec {
     Graft.run(Seq("search", s"--index=$base/didx", s"--output=$base/novel",
       "--type=dedup", "--mode=exact", s"--queries=$base/incoming"), spark)
     spark.read.parquet(s"$base/novel").count() shouldBe 0L // all exact copies
+    // in-place compaction: searches unchanged, bloom segments consolidate
+    Graft.run(Seq("index", s"--output=$base/didx", "--type=dedup",
+      "--compact"), spark)
+    Graft.run(Seq("search", s"--index=$base/didx", s"--output=$base/pairs2",
+      "--type=dedup", s"--queries=$base/incoming", "--threshold=0.9"), spark)
+    spark.read.parquet(s"$base/pairs2")
+      .filter(col("id_old") === col("id_new") - 100000L)
+      .count() shouldBe 6L
+    new java.io.File(s"$base/didx/bloom_fp")
+      .listFiles().count(_.getName.endsWith(".bin")) shouldBe 1
     // ivfpq index: build, append, search with exact re-rank
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     emb.filter(col("vec_id") % 2 === 0).write.parquet(s"$base/e0")

@@ -169,6 +169,50 @@ class DedupIndexSpec extends SparkSpec {
       .filter(col("a") || col("b")).count() shouldBe 0L
   }
 
+  behavior of "DedupIndex compaction"
+
+  it should "recover a double-appended batch and consolidate files and bloom segments" in {
+    val a = corpus.filter(col("doc_id") < 30)
+    val b = corpus.filter(col("doc_id") >= 30)
+    val path = tmpDir(); val clean = tmpDir()
+    DedupIndex.build(a, "doc_id", "text", path, numHashes = 64, bands = 32)
+    DedupIndex.append(b, "doc_id", "text", path)
+    DedupIndex.append(b, "doc_id", "text", path) // blind retry after a "tear"
+    DedupIndex.build(corpus, "doc_id", "text", clean, numHashes = 64, bands = 32)
+    // exact copies of the double-written docs: every (new, old>=30) pair
+    // rides duplicated shingle rows, so the verified output duplicates
+    val probes = b.select((col("doc_id") + 700L).as("doc_id"), col("text"))
+    def pairs(p: String) = DedupIndex.minhashNewAgainst(spark, p, probes,
+      "doc_id", "text", threshold = 0.9)
+    val torn = pairs(path)
+    torn.count() should be > pairSet(torn).size.toLong // observed damage
+    DedupIndex.compact(spark, path) shouldBe 50L
+    // compacted == clean rebuild, row-for-row (no duplicates left) on
+    // BOTH search paths
+    val compacted = pairs(path)
+    compacted.count() shouldBe pairSet(compacted).size.toLong
+    pairSet(compacted) shouldBe pairSet(pairs(clean))
+    DedupIndex.newAgainst(spark, path, incoming, "text")
+      .select("doc_id").as[Long].collect().sorted shouldBe
+      DedupIndex.newAgainst(spark, clean, incoming, "text")
+        .select("doc_id").as[Long].collect().sorted
+    // three per-batch bloom segments consolidated to ONE per dir, and
+    // the flags still serve with no false negatives
+    def segs(d: String) = new java.io.File(s"$path/$d")
+      .listFiles().count(_.getName.endsWith(".bin"))
+    segs("bloom_fp") shouldBe 1
+    segs("bloom_band") shouldBe 1
+    val dupFlag = DedupIndex.duplicateFlag(spark, path)
+    corpus.withColumn("f", dupFlag(col("text")))
+      .filter(!col("f")).count() shouldBe 0L
+    // per-append file sets collapsed (tiny relations -> one file each)
+    def parquets(d: String) = new java.io.File(s"$path/$d")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    parquets("fingerprints") shouldBe 1
+    parquets("shingles") shouldBe 1
+    parquets("bands") shouldBe 1
+  }
+
   it should "stay exact when bloom segments are absent (pruning declined)" in {
     // deleting the segment files models the MaxBloomBytes decline path:
     // searches must fall back to the exact joins with identical answers

@@ -100,4 +100,30 @@ class IvfIndexSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect()
     got.sorted shouldBe bf.sorted
   }
+
+  it should "compact per-append file sets and drop double-appended rows" in {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val fresh = emb.filter(col("vec_id") % 2 =!= 0)
+    val path = tmpDir()
+    Similarity.buildIvfIndex(old, "vec_id", "embedding", path, nlist = 8)
+    Similarity.appendIvfIndex(fresh, "vec_id", "embedding", path)
+    Similarity.appendIvfIndex(fresh, "vec_id", "embedding", path) // blind retry
+    spark.read.parquet(s"$path/postings").count() shouldBe
+      old.count() + 2 * fresh.count()
+    Similarity.compactIvfIndex(spark, path)
+    // dedupe restored the corpus, and search equals brute force again
+    spark.read.parquet(s"$path/postings").count() shouldBe emb.count()
+    val q = emb.filter(col("vec_id") < 3)
+    Similarity.searchIvfIndex(spark, path, q, "vec_id", "embedding",
+        k = 5, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().sorted shouldBe
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("neighbor_id").as[Long].collect().sorted
+    // one file set per cell after compaction (three appends collapsed)
+    val cellDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    cellDirs.length should be > 0
+    all(cellDirs.map(_.listFiles().count(_.getName.endsWith(".parquet")))) shouldBe 1
+  }
 }

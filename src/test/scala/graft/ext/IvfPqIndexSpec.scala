@@ -112,6 +112,32 @@ class IvfPqIndexSpec extends SparkSpec {
     got shouldBe bf
   }
 
+  it should "compact per-append file sets and drop double-appended rows" in {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val fresh = emb.filter(col("vec_id") % 2 =!= 0)
+    val path = tmpDir()
+    Similarity.buildIvfPqIndex(old, "vec_id", "embedding", path,
+      nlist = 8, m = 16, codebookSize = 32, maxIter = 5)
+    Similarity.appendIvfPqIndex(fresh, "vec_id", "embedding", path)
+    Similarity.appendIvfPqIndex(fresh, "vec_id", "embedding", path) // retry
+    spark.read.parquet(s"$path/postings").count() shouldBe
+      old.count() + 2 * fresh.count()
+    Similarity.compactIvfPqIndex(spark, path)
+    spark.read.parquet(s"$path/postings").count() shouldBe emb.count()
+    // all-cell deep-rerank search equals brute force again
+    val q = emb.filter(col("vec_id") < 3)
+    Similarity.searchIvfPqIndex(spark, path, q, "vec_id", "embedding",
+        k = 5, nprobe = 8, rerankFactor = 100, rerank = Some(emb))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet shouldBe
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cellDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    cellDirs.length should be > 0
+    all(cellDirs.map(_.listFiles().count(_.getName.endsWith(".parquet")))) shouldBe 1
+  }
+
   it should "handle an empty index and reject appending to one" in {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val path = tmpDir()
