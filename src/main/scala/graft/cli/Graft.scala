@@ -172,6 +172,7 @@ object Graft {
     *             [--id-col=vec_id] [--vec-col=embedding] [--nlist=16]  (ivf*)
     *             [--m=8] [--codebook-size=256]                        (ivfpq)
     *             [--num-hashes=64] [--bands=16] [--shingle-len=5]     (dedup)
+    *             [--batch-id=<stable id>]   (appends: idempotent retry key)
     *             [--input-mode=...] [--row-restriction=<pred>]
     * }}} */
   private def indexCmd(f: Map[String, String], spark: SparkSession): Unit = {
@@ -202,14 +203,16 @@ object Graft {
       case "text" =>
         val textCol = f.getOrElse("text-col", "text")
         val n =
-          if (append) graft.ext.Retrieval.appendTextIndex(df, idCol, textCol, output)
+          if (append) graft.ext.Retrieval.appendTextIndex(df, idCol, textCol,
+            output, batchId = f.get("batch-id"))
           else graft.ext.Retrieval.buildTextIndex(df, idCol, textCol, output,
             buckets = f.get("buckets").map(_.toInt).getOrElse(64))
         System.err.println(s"[graft] text index ${if (append) "+" else ""}$n docs at $output")
       case "ivf" =>
         val vecCol = f.getOrElse("vec-col", "embedding")
         if (append) {
-          val n = graft.ext.Similarity.appendIvfIndex(df, idCol, vecCol, output)
+          val n = graft.ext.Similarity.appendIvfIndex(df, idCol, vecCol,
+            output, batchId = f.get("batch-id"))
           System.err.println(s"[graft] ivf index +$n vectors at $output")
         } else {
           val n = graft.ext.Similarity.buildIvfIndex(df, idCol, vecCol, output,
@@ -219,7 +222,8 @@ object Graft {
       case "ivfpq" =>
         val vecCol = f.getOrElse("vec-col", "embedding")
         if (append) {
-          val n = graft.ext.Similarity.appendIvfPqIndex(df, idCol, vecCol, output)
+          val n = graft.ext.Similarity.appendIvfPqIndex(df, idCol, vecCol,
+            output, batchId = f.get("batch-id"))
           System.err.println(s"[graft] ivfpq index +$n vectors at $output")
         } else {
           val n = graft.ext.Similarity.buildIvfPqIndex(df, idCol, vecCol, output,
@@ -231,7 +235,10 @@ object Graft {
       case "dedup" =>
         val textCol = f.getOrElse("text-col", "text")
         val n =
-          if (append) graft.ext.DedupIndex.append(df, idCol, textCol, output)
+          // --batch-id makes the append idempotent (a retry overwrites
+          // its own batch partition instead of double-writing)
+          if (append) graft.ext.DedupIndex.append(df, idCol, textCol, output,
+            batchId = f.get("batch-id"))
           else graft.ext.DedupIndex.build(df, idCol, textCol, output,
             numHashes = f.get("num-hashes").map(_.toInt).getOrElse(64),
             bands = f.get("bands").map(_.toInt).getOrElse(16),

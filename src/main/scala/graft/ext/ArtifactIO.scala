@@ -16,6 +16,18 @@ private[ext] object ArtifactIO {
   def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Resolve an optional caller-supplied batch id: validated (it becomes
+    * a `batch=<id>` partition directory name) when given — the STABLE
+    * id that makes a retried append overwrite itself — or a fresh
+    * unique id otherwise (plain at-least-once appends). */
+  def validBatchId(batchId: Option[String]): String = batchId match {
+    case Some(id) =>
+      require(id.matches("[A-Za-z0-9._-]+"),
+        s"batch id must match [A-Za-z0-9._-]+, got '$id'")
+      id
+    case None => s"auto-${java.util.UUID.randomUUID.toString.take(13)}"
+  }
+
   /** Rewrite the directory `dst` in place: `stage(tmp)` materializes the
     * replacement contents under `<dst>_compact_tmp`, then the swap
     * renames dst aside to `<dst>_compact_old`, promotes tmp, and deletes
@@ -51,22 +63,28 @@ private[ext] object ArtifactIO {
     ()
   }
 
-  /** Compact a hive-partitioned postings directory in place: repeated
-    * appends accumulate one file set per append under every partition —
-    * this rewrites them in ONE shuffle to O(1) files per partition.
-    * `dedupe = true` additionally drops full-row duplicates, the rows a
-    * blind retry of a torn append double-writes (safe only when the
-    * artifact carries no separate aggregate that double-counted them —
-    * the caller knows). Returns false (untouched) when `partCol` is
-    * absent, the empty-built unpartitioned layout. */
+  /** Compact a batch-partitioned postings directory in place: repeated
+    * appends accumulate one `batch=<id>` partition per append — this
+    * collapses them in ONE shuffle into a single `batch=<compact-id>`
+    * partition with O(1) files per `partCol` directory (both the
+    * small-file count and the partition-discovery listing stop growing
+    * with append count). `dedupe = true` additionally drops duplicates
+    * on the DATA columns (`batch` excluded) — the rows an un-keyed blind
+    * retry of a torn append double-writes (safe only when the artifact
+    * carries no separate aggregate that double-counted them — the
+    * caller knows). Returns false (untouched) when `partCol` is absent,
+    * the empty-built unpartitioned layout. */
   def compactPartitioned(spark: SparkSession, dst: String, partCol: String,
                          dedupe: Boolean = false): Boolean = {
     val df0 = spark.read.parquet(dst)
     if (!df0.columns.contains(partCol)) return false
-    val df = if (dedupe) df0.dropDuplicates() else df0
+    val data = df0.drop("batch")
+    val df = if (dedupe) data.dropDuplicates() else data
+    val cid = s"compact-${java.util.UUID.randomUUID.toString.take(13)}"
     rewriteInPlace(spark, dst) { tmp =>
       df.repartition(col(partCol))
-        .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(s"$tmp/batch=$cid")
     }
     true
   }

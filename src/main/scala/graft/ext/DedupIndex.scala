@@ -20,12 +20,24 @@ import org.apache.spark.util.sketch.BloomFilter
   *                      bloom_fpp) — the artifact owns its parameters; a
   *                      search can never band incoming text with a
   *                      mismatched scheme
-  *   path/fingerprints  (id, fp)            8-byte farm fingerprints
-  *   path/shingles      (id, sh)            sorted distinct shingle hashes
-  *   path/bands         (id, band, bsig)    banded minhash signatures
-  *   path/bloom_fp/     seg-*.bin           one Bloom segment per batch
-  *   path/bloom_band/   seg-*.bin           over fp / (band,bsig) keys
+  *   path/fingerprints/batch=<id>/  (id, fp)         8-byte farm prints
+  *   path/shingles/batch=<id>/      (id, sh)         sorted distinct
+  *                                                   shingle hashes
+  *   path/bands/batch=<id>/         (id, band, bsig) banded signatures
+  *   path/bloom_fp/     seg-<id>.bin   one Bloom segment per batch
+  *   path/bloom_band/   seg-<id>.bin   over fp / (band,bsig) keys
   * }}}
+  *
+  * Every batch — the build's and each append's — lands in its OWN hive
+  * partition (`batch=<id>`) and a deterministically-named Bloom
+  * segment, written as a direct per-partition overwrite. That makes an
+  * append with a caller-supplied `batchId` IDEMPOTENT: a blind retry of
+  * a torn or doubted append overwrites its own partition and segment
+  * instead of double-writing (the exactly-once pattern Structured
+  * Streaming's foreachBatch expects — pass the stream's batchId).
+  * Auto-generated ids (the default) keep plain at-least-once appends,
+  * where a blind retry duplicates rows until [[compact]] heals them.
+  * Reads discover `batch` as a partition column and ignore it.
   *
   * Blooms are SEGMENTED, not merged: each build/append writes one
   * segment sized to its own batch, and a probe checks "any segment
@@ -79,30 +91,58 @@ object DedupIndex {
     Seq((numHashes, bands, shingleLen, seed, bloomFpp))
       .toDF("num_hashes", "bands", "shingle_len", "seed", "bloom_fpp")
       .repartition(1).write.mode("overwrite").parquet(s"$path/params")
-    // a rebuild must not inherit stale bloom segments from a prior life
-    deleteDir(spark, s"$path/$FpBloomDir")
-    deleteDir(spark, s"$path/$BandBloomDir")
+    // a rebuild must not inherit stale batches or bloom segments from a
+    // prior life
+    Seq("fingerprints", "shingles", "bands", FpBloomDir, BandBloomDir)
+      .foreach(d => deleteDir(spark, s"$path/$d"))
     writeBatch(df, idCol, textCol, path,
-      Params(numHashes, bands, shingleLen, seed, bloomFpp), overwrite = true)
+      Params(numHashes, bands, shingleLen, seed, bloomFpp), batch = "init")
   }
 
   /** Append a new batch to an existing index (parameters come from the
     * artifact). Returns the number of documents appended. The caller owns
     * cross-batch id uniqueness and schema stability (same id type per
-    * append — parquet unions the files as written). */
-  def append(df: DataFrame, idCol: String, textCol: String,
-             path: String): Long =
+    * append — parquet unions the partitions as written).
+    *
+    * `batchId` is the idempotence key: a stable caller-supplied id (a
+    * Structured Streaming batchId, an ingest date, a crawl segment name)
+    * makes retries safe — the batch overwrites ITS OWN `batch=<id>`
+    * partitions and `seg-<id>.bin` Bloom segment, so running the same
+    * append twice leaves the index exactly as running it once (and
+    * re-running it with corrected data REPLACES the batch). The `None`
+    * default generates a unique id per call: plain at-least-once
+    * appends, where a blind retry duplicates rows until [[compact]]
+    * heals them. */
+  def append(df: DataFrame, idCol: String, textCol: String, path: String,
+             batchId: Option[String] = None): Long =
     writeBatch(df, idCol, textCol, path, readParams(df.sparkSession, path),
-      overwrite = false)
+      batch = ArtifactIO.validBatchId(batchId))
+
+  /** Remove one batch from the index: its three relation partitions,
+    * then its Bloom segments (data FIRST — a tear between the deletes
+    * leaves orphaned bloom coverage, false positives the exact joins
+    * absorb; segments-first would leave uncovered keys, silent false
+    * negatives). The surgical heal for an un-keyed append that
+    * double-wrote, and the retention knob for time-keyed batches.
+    * Dropping an id that is not present is a no-op. Single-writer. */
+  def dropBatch(spark: SparkSession, path: String, batchId: String): Unit = {
+    Seq("shingles", "fingerprints", "bands")
+      .foreach(r => deleteDir(spark, s"$path/$r/batch=$batchId"))
+    Seq(FpBloomDir, BandBloomDir)
+      .foreach(d => deleteDir(spark, s"$path/$d/seg-$batchId.bin"))
+  }
 
   /** Compact the index in place. Three effects, one pass per relation:
     *
-    *  1. every relation drops FULL-ROW duplicates — exactly the rows a
-    *     blind retry of a torn append double-writes (duplicated shingle
-    *     rows would otherwise duplicate verified pairs), so compaction
-    *     is the RECOVERY step after a re-appended tear;
-    *  2. each relation is rewritten to ~`targetBytes`-sized files
-    *     (repeated appends accumulate one file set per batch);
+    *  1. every relation drops duplicates on its DATA columns (the
+    *     `batch` partition key excluded) — exactly the rows a blind
+    *     auto-id retry of a torn append double-writes (duplicated
+    *     shingle rows would otherwise duplicate verified pairs), so
+    *     compaction is the RECOVERY step after an un-keyed re-append;
+    *  2. the accumulated per-batch partitions collapse into ONE
+    *     `batch=<compact-id>` partition of ~`targetBytes`-sized files
+    *     (both the small-file count and the partition-discovery listing
+    *     stop growing with append count);
     *  3. the per-batch Bloom segments are REBUILT from the compacted
     *     relations into ONE segment each — consolidating N per-append
     *     segments (whose summed bytes would eventually pass
@@ -120,12 +160,15 @@ object DedupIndex {
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 256L << 20): Long = {
     val p = readParams(spark, path)
+    val cid = s"compact-${java.util.UUID.randomUUID.toString.take(13)}"
     Seq("shingles", "fingerprints", "bands").foreach { name =>
       val dir = s"$path/$name"
       val n = ArtifactIO.targetFileCount(spark, dir, targetBytes)
-      val df = spark.read.parquet(dir).dropDuplicates()
+      val df0 = spark.read.parquet(dir)
+      val df = df0.dropDuplicates(df0.columns.filterNot(_ == "batch").toSeq)
+        .drop("batch")
       ArtifactIO.rewriteInPlace(spark, dir)(tmp =>
-        df.repartition(n).write.mode("overwrite").parquet(tmp))
+        df.repartition(n).write.mode("overwrite").parquet(s"$tmp/batch=$cid"))
     }
     val fps = spark.read.parquet(s"$path/fingerprints")
     val nDocs = fps.count()
@@ -133,7 +176,7 @@ object DedupIndex {
       fs(spark, tmp).mkdirs(new org.apache.hadoop.fs.Path(tmp))
       if (nDocs > 0)
         writeBloomSegment(spark, tmp,
-          fps.stat.bloomFilter("fp", nDocs, p.bloomFpp))
+          fps.stat.bloomFilter("fp", nDocs, p.bloomFpp), cid)
     }
     val banded = spark.read.parquet(s"$path/bands")
     val nBands = banded.count()
@@ -142,7 +185,7 @@ object DedupIndex {
       if (nBands > 0)
         writeBloomSegment(spark, tmp,
           banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
-            .stat.bloomFilter("__bk", nBands, p.bloomFpp))
+            .stat.bloomFilter("__bk", nBands, p.bloomFpp), cid)
     }
     nDocs
   }
@@ -165,17 +208,23 @@ object DedupIndex {
     * drop its candidate pair at the verify join, while shingles with no
     * band rows are merely unreachable. An APPEND that tears is therefore
     * safe to search (extra bloom coverage, missing tail data) but
-    * half-written — recover by re-appending the batch and then running
-    * [[compact]], which de-duplicates the double-written rows (a blind
-    * retry WITHOUT compacting leaves duplicated shingle rows that
-    * duplicate verified pairs), or by rebuilding. A torn BUILD is not
-    * safe to search (its first step deletes the prior blooms) and mixes
-    * generations compact cannot separate — re-run the build, which is a
-    * full overwrite and idempotent. */
+    * half-written — recover by RE-APPENDING: under a stable batch id the
+    * retry is a clean per-partition overwrite (exactly-once), under an
+    * auto id it double-writes and [[compact]] heals the duplicates. A
+    * torn BUILD is not safe to search (its first step deletes the prior
+    * batches and blooms) — re-run the build, which is a full overwrite
+    * and idempotent.
+    *
+    * Every relation write targets the batch's OWN partition directory
+    * (`dir/batch=<id>`) with a static overwrite — never the relation
+    * root — so batches can only ever replace themselves, and a zero-row
+    * batch still leaves a schema-bearing file (the empty-index layout
+    * stays readable and consistently partitioned). */
   private def writeBatch(df: DataFrame, idCol: String, textCol: String,
-                         path: String, p: Params, overwrite: Boolean): Long = {
+                         path: String, p: Params, batch: String): Long = {
+    require(batch.matches("[A-Za-z0-9._-]+"),
+      s"batch id must match [A-Za-z0-9._-]+, got '$batch'")
     val spark = df.sparkSession
-    val mode = if (overwrite) "overwrite" else "append"
     // pinned: the fingerprint relation feeds the bloom build, the count,
     // and the write (same eager-localCheckpoint lifecycle as Dedup)
     val fps = df.select(col(idCol).as("id"), farmHash64(col(textCol)).as("fp"))
@@ -186,14 +235,14 @@ object DedupIndex {
     val nBands = banded.count()
     if (nDocs > 0)
       writeBloomSegment(spark, s"$path/$FpBloomDir",
-        fps.stat.bloomFilter("fp", nDocs, p.bloomFpp))
+        fps.stat.bloomFilter("fp", nDocs, p.bloomFpp), batch)
     if (nBands > 0)
       writeBloomSegment(spark, s"$path/$BandBloomDir",
         banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
-          .stat.bloomFilter("__bk", nBands, p.bloomFpp))
-    sh.write.mode(mode).parquet(s"$path/shingles")
-    fps.write.mode(mode).parquet(s"$path/fingerprints")
-    banded.write.mode(mode).parquet(s"$path/bands")
+          .stat.bloomFilter("__bk", nBands, p.bloomFpp), batch)
+    sh.write.mode("overwrite").parquet(s"$path/shingles/batch=$batch")
+    fps.write.mode("overwrite").parquet(s"$path/fingerprints/batch=$batch")
+    banded.write.mode("overwrite").parquet(s"$path/bands/batch=$batch")
     nDocs
   }
 
@@ -326,11 +375,12 @@ object DedupIndex {
     ()
   }
 
+  /** One segment per batch, named by the batch id so an idempotent
+    * retry OVERWRITES its own segment instead of stacking another. */
   private def writeBloomSegment(spark: SparkSession, dir: String,
-                                bloom: BloomFilter): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir,
-      s"seg-${java.util.UUID.randomUUID}.bin")
-    val out = fs(spark, dir).create(p, false)
+                                bloom: BloomFilter, batch: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, s"seg-$batch.bin")
+    val out = fs(spark, dir).create(p, true)
     try bloom.writeTo(out) finally out.close()
   }
 

@@ -162,60 +162,47 @@ object Retrieval {
   // text is never re-scanned.
 
   /** Tokenize `docs` once and persist a BM25-servable index at `path`:
-    * `path/postings` = (term, doc_id, dl, tf) hive-partitioned by
-    * `bucket = pmod(hash64(term), buckets)`, and `path/stats` = one row
-    * (n_docs, sum_dl, buckets — the bucket count is part of the artifact,
-    * so a search can never hash terms with a mismatched modulus). Returns
-    * the number of documents indexed. The postings write shuffles on
-    * bucket so each bucket lands in O(1) files; document frequencies are
-    * NOT materialized — a search recovers exact df for its query terms
-    * from the pruned postings (one row per (term, doc) by construction). */
+    * `path/postings/batch=<id>` = (term, doc_id, dl, tf) hive-partitioned
+    * by `bucket = pmod(hash64(term), buckets)` within each batch, and
+    * `path/stats/batch=<id>` = one row per batch (n_docs, sum_dl,
+    * buckets — the bucket count is part of the artifact, so a search can
+    * never hash terms with a mismatched modulus; corpus stats are the SUM
+    * over batch rows). Returns the number of documents indexed. Every
+    * batch — the build's `init` and each append's — owns its partitions,
+    * which is what makes a keyed re-append idempotent (see
+    * [[appendTextIndex]]). The postings write shuffles on bucket so each
+    * bucket lands in O(1) files per batch; document frequencies are NOT
+    * materialized — a search recovers exact df for its query terms from
+    * the pruned postings (one row per (term, doc) by construction). */
   def buildTextIndex(docs: DataFrame, idCol: String, textCol: String,
                      path: String, buckets: Int = 64): Long = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     requireIntegralId(docs, idCol, "doc id")
     val spark = docs.sparkSession
-    import spark.implicits._
-    val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
-      scriptTokens(lower(col(textCol))).as("toks"))
-      .withColumn("dl", size(col("toks")).cast(LongType))
-    val st = d.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
-    val nDocs = st.getAs[Long]("n_docs")
-    Seq((nDocs, st.getAs[Long]("sum_dl"), buckets))
-      .toDF("n_docs", "sum_dl", "buckets")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
-    val postings = d
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(farmHash64(col("term")), lit(buckets.toLong)))
-    if (nDocs == 0L) {
-      // zero-row partitionBy writes emit no schema-bearing file (same
-      // guard as the empty IVF index): write unpartitioned
-      postings.limit(0).write.mode("overwrite").parquet(s"$path/postings")
-      return 0L
+    // a rebuild must not inherit batches from a prior life
+    Seq("postings", "stats").foreach { d =>
+      val hfs = ArtifactIO.fs(spark, s"$path/$d")
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
     }
-    postings.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    nDocs
+    writeTextBatch(docs, idCol, textCol, path, buckets, "init")
   }
 
-  /** Append a document batch to a [[buildTextIndex]] artifact: the batch
-    * is tokenized once, its postings land under the INDEX's bucket
-    * modulus (read back from the artifact — appends can never fork the
-    * hashing scheme), and the stats row is replaced with the summed
-    * corpus stats. Appending to an empty-built index upgrades it to the
-    * partitioned layout in place. Single-writer contract (like every
-    * artifact here): concurrent appends race the stats row. The caller
-    * owns cross-batch doc_id uniqueness. Returns documents appended. */
-  def appendTextIndex(docs: DataFrame, idCol: String, textCol: String,
-                      path: String): Long = {
-    requireIntegralId(docs, idCol, "doc id")
+  /** One batch's postings + stats row into their own `batch=<id>`
+    * partitions (postings FIRST: a torn batch then under-counts the
+    * corpus stats — avgdl/idf shift marginally — rather than claiming
+    * documents whose postings never arrived). A batch with zero posting
+    * rows still writes its stats row, so empty-ish batches keep n_docs
+    * exact; a fully empty BATCH writes only stats (zero-row partitioned
+    * writes emit no files), and an index whose every batch is empty has
+    * no postings directory at all — searches short-circuit on the
+    * summed stats instead. */
+  private def writeTextBatch(docs: DataFrame, idCol: String, textCol: String,
+                             path: String, buckets: Int,
+                             batch: String): Long = {
+    require(batch.matches("[A-Za-z0-9._-]+"),
+      s"batch id must match [A-Za-z0-9._-]+, got '$batch'")
     val spark = docs.sparkSession
     import spark.implicits._
-    val prev = spark.read.parquet(s"$path/stats").head()
-    val buckets = prev.getAs[Int]("buckets")
     // pinned: the stats pass and the postings write would otherwise each
     // re-tokenize the batch (batches are bounded — the pin holds one
     // batch's token arrays, not a corpus)
@@ -226,39 +213,106 @@ object Retrieval {
     val st = d.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
     val nDocs = st.getAs[Long]("n_docs")
-    if (nDocs == 0L) return 0L
     val postings = d
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(farmHash64(col("term")), lit(buckets.toLong)))
-      .repartition(col("bucket"))
-    // an empty-built index stored zero partitioned rows (schema-only,
-    // unpartitioned — see buildTextIndex); the first real append swaps
-    // it to the partitioned layout wholesale
-    val mode = if (prev.getAs[Long]("n_docs") == 0L) "overwrite" else "append"
-    postings.write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
-    Seq((prev.getAs[Long]("n_docs") + nDocs,
-        prev.getAs[Long]("sum_dl") + st.getAs[Long]("sum_dl"), buckets))
+    if (nDocs > 0L)
+      postings.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings/batch=$batch")
+    Seq((nDocs, st.getAs[Long]("sum_dl"), buckets))
       .toDF("n_docs", "sum_dl", "buckets")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$path/stats/batch=$batch")
     nDocs
   }
 
-  /** Compact a text index's postings in place: repeated [[appendTextIndex]]
-    * calls accumulate one file set per append under every bucket — this
-    * rewrites the postings ONE shuffle to O(1) files per bucket, staged
-    * to a sibling directory and swapped in with a filesystem rename (the
-    * write never reads-and-overwrites the live directory). No-op on an
-    * empty unpartitioned index. Single-writer, like append. */
+  /** Corpus-level stats summed over the artifact's batch rows: (n_docs,
+    * sum_dl, buckets). */
+  private def readTextStats(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (Long, Long, Int) = {
+    val r = spark.read.parquet(s"$path/stats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("sum_dl")), lit(0L)),
+        max(col("buckets"))).head()
+    (r.getLong(0), r.getLong(1), r.getInt(2))
+  }
+
+  /** Append a document batch to a [[buildTextIndex]] artifact: the batch
+    * is tokenized once, its postings land under the INDEX's bucket
+    * modulus (read back from the artifact — appends can never fork the
+    * hashing scheme) in the batch's OWN `batch=<id>` partitions, with
+    * its own stats row (corpus stats are summed at read — the append
+    * never read-modify-writes a global row).
+    *
+    * `batchId` is the idempotence key: a stable caller-supplied id (a
+    * Structured Streaming batchId, an ingest date) makes retries safe —
+    * the batch overwrites ITS OWN postings partitions and stats row, so
+    * running the same append twice leaves the index (postings AND
+    * summed stats) exactly as running it once. The `None` default
+    * generates a unique id per call: at-least-once appends, where a
+    * blind retry double-counts — heal by [[dropTextBatch]] on one of the
+    * duplicate batches, or rebuild (compaction cannot split summed
+    * stats). Single-writer contract; the caller owns cross-batch doc_id
+    * uniqueness. Returns documents appended. */
+  def appendTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                      path: String, batchId: Option[String] = None): Long = {
+    requireIntegralId(docs, idCol, "doc id")
+    val spark = docs.sparkSession
+    val (_, _, buckets) = readTextStats(spark, path)
+    writeTextBatch(docs, idCol, textCol, path, buckets,
+      ArtifactIO.validBatchId(batchId))
+  }
+
+  /** Compact a text index in place: repeated [[appendTextIndex]] calls
+    * accumulate one `batch=<id>` partition per append — this collapses
+    * the postings in ONE shuffle into a single compact batch with O(1)
+    * files per bucket, and the per-batch stats rows into one summed row
+    * (both the small-file count and the partition-discovery listing stop
+    * growing with append count). Each directory is staged to a sibling
+    * and swapped in by rename ([[ArtifactIO.rewriteInPlace]] — a crash
+    * loses the compaction, never the data). NO row dedupe: the stats
+    * rows sum every appended batch, so dropping a double-written
+    * batch's postings would desynchronize avgdl/n_docs — heal an
+    * un-keyed double append with [[dropTextBatch]] (which removes its
+    * stats row too), then compact. No-op on an index with no postings.
+    * Single-writer, like append. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
-    // NO row dedupe here: the stats row has already summed every
-    // appended batch, so dropping a double-written batch's postings
-    // would desynchronize avgdl/n_docs — a torn text-index append is
-    // rebuild-territory, not compact-territory (unlike DedupIndex,
-    // whose relations carry no separate aggregate)
-    ArtifactIO.compactPartitioned(spark, s"$path/postings", "bucket")
+    val hfs = ArtifactIO.fs(spark, path)
+    if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$path/postings"))) return
+    val cid = s"compact-${java.util.UUID.randomUUID.toString.take(13)}"
+    val postings = spark.read.parquet(s"$path/postings").drop("batch")
+    ArtifactIO.rewriteInPlace(spark, s"$path/postings") { tmp =>
+      postings.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$tmp/batch=$cid")
+    }
+    val (nDocs, sumDl, buckets) = readTextStats(spark, path)
+    import spark.implicits._
+    ArtifactIO.rewriteInPlace(spark, s"$path/stats") { tmp =>
+      Seq((nDocs, sumDl, buckets)).toDF("n_docs", "sum_dl", "buckets")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/batch=$cid")
+    }
+  }
+
+  /** Remove one batch from a text index: its postings partition and its
+    * stats row (the summed corpus stats shrink with it) — the surgical
+    * heal for an un-keyed append that double-wrote, and the retention
+    * knob for time-keyed batches. Deleting an id that is not present is
+    * a no-op. Single-writer, like append. */
+  def dropTextBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                    batchId: String): Unit = {
+    val hfs = ArtifactIO.fs(spark, path)
+    // postings first: a tear between the deletes leaves orphaned stats
+    // claiming slightly too many docs (idf marginally off), never
+    // postings that the stats no longer count
+    hfs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/postings/batch=$batchId"), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/stats/batch=$batchId"), true)
     ()
   }
 
@@ -277,17 +331,20 @@ object Retrieval {
                       roundScoresTo: Option[Int] = None): DataFrame = {
     require(k >= 1, s"searchTextIndex needs k >= 1, got $k")
     requireIntegralId(queries, qidCol, "query id")
-    val stats = spark.read.parquet(s"$path/stats").head()
-    val nDocs = stats.getAs[Long]("n_docs")
-    // the modulus is the INDEX's, not a caller guess — a mismatch would
-    // silently prune the wrong directories and drop most postings
-    val buckets = stats.getAs[Int]("buckets")
+    // summed over batch rows; the modulus is the INDEX's, not a caller
+    // guess — a mismatch would silently prune the wrong directories and
+    // drop most postings
+    val (nDocs, sumDl, buckets) = readTextStats(spark, path)
     val qTerms = queries.select(col(qidCol).cast(LongType).as("query_id"),
       explode(array_distinct(scriptTokens(lower(col(qtextCol))))).as("term"))
-    if (nDocs == 0L)
+    val noPostings = !ArtifactIO.fs(spark, s"$path/postings")
+      .exists(new org.apache.hadoop.fs.Path(s"$path/postings"))
+    if (nDocs == 0L || noPostings)
+      // empty index, or every batch tokenless (postings never written):
+      // nothing can match
       return qTerms.select(col("query_id"), col("query_id").as("doc_id"),
         lit(0.0).as("score"), lit(0).as("rank")).limit(0)
-    val avgdl = stats.getAs[Long]("sum_dl").toDouble / nDocs
+    val avgdl = sumDl.toDouble / nDocs
     val vocab = qTerms.select("term").distinct()
     // literal bucket set => hive partition pruning at the postings scan
     val qBuckets = vocab

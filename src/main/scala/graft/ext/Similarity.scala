@@ -394,19 +394,23 @@ object Similarity {
   // every query batch that follows — retraining (and re-scanning the corpus
   // to assign cells) per search is the thing a 100 TB serving path cannot
   // afford. The index is plain parquet: `path/centroids` (nlist rows) and
-  // `path/postings`, the corpus REWRITTEN partitionBy(cell) so a search
-  // probing nprobe cells prunes to those directories at the SCAN — the
-  // files for unprobed cells are never opened.
+  // `path/postings`, the corpus REWRITTEN under batch=<id>/cell=<c>
+  // partitions so a search probing nprobe cells prunes to those
+  // directories at the SCAN — the files for unprobed cells are never
+  // opened — and a keyed re-append overwrites its own batch partition
+  // instead of double-writing.
 
   /** Train a coarse quantizer on `corpus` and persist the index at `path`:
-    * `path/centroids` = (cell INT, centroid ARRAY<DOUBLE>), `path/postings`
-    * = (id, v) hive-partitioned by `cell`. Returns the number of cells.
-    * One corpus scan beyond the bounded training sample; the write
-    * shuffles on `cell` so each cell's postings land in O(1) files rather
-    * than one file per (input task × cell). Incremental growth: append new
-    * rows assigned with [[loadIvfCentroids]] + `partitionBy("cell")` append
-    * mode — cells stay valid, only recall-per-probe drifts as the data
-    * distribution moves. */
+    * `path/centroids` = (cell INT, centroid ARRAY<DOUBLE>),
+    * `path/postings/batch=<id>` = (id, v) hive-partitioned by `cell`
+    * within each batch (the build's `init` plus one per append — the
+    * per-batch partition is what makes keyed re-appends idempotent, see
+    * [[appendIvfIndex]]). Returns the number of cells. One corpus scan
+    * beyond the bounded training sample; the write shuffles on `cell` so
+    * each cell's postings land in O(1) files rather than one file per
+    * (input task × cell). Incremental growth: [[appendIvfIndex]] assigns
+    * new rows with the loaded centroids — cells stay valid, only
+    * recall-per-probe drifts as the data distribution moves. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, nlist: Int = 16, seed: Long = 42L,
                     trainCap: Long = 100000L, maxIter: Int = 10): Int = {
@@ -418,18 +422,23 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // a rebuild must not inherit appended batches from a prior life
+    ArtifactIO.fs(spark, s"$path/postings")
+      .delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
     if (centroids.isEmpty) {
       // empty index: zero-row postings written UNPARTITIONED (a
       // partitionBy write with no rows emits no schema-bearing file and
       // the read-back would fail inference) — search doesn't prune an
-      // empty index anyway
+      // empty index anyway, and appends to one are rejected, so the
+      // unpartitioned layout can never mix with batch partitions
       corpusV.withColumn("cell", lit(0)).limit(0)
         .write.mode("overwrite").parquet(s"$path/postings")
       return 0
     }
     corpusV.withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/postings/batch=init")
     centroids.length
   }
 
@@ -444,21 +453,28 @@ object Similarity {
 
   /** Append new vectors to a [[buildIvfIndex]] artifact: rows are
     * assigned against the LOADED centroids (cells stay fixed — only
-    * recall-per-probe drifts as the data distribution moves) and appended
-    * under their cell partitions. Returns rows appended; appending to an
+    * recall-per-probe drifts as the data distribution moves) and land in
+    * the batch's OWN `batch=<id>` partition under their cell
+    * subpartitions. A stable caller-supplied `batchId` (a Structured
+    * Streaming batchId, an ingest date) makes retries IDEMPOTENT — the
+    * batch overwrites itself instead of double-writing; the `None`
+    * default generates a unique id (at-least-once; [[compactIvfIndex]]
+    * heals un-keyed duplicates). Returns rows appended; appending to an
     * empty index is rejected (no quantizer was trained). */
   def appendIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                     path: String): Long = {
+                     path: String, batchId: Option[String] = None): Long = {
     val spark = corpus.sparkSession
     val centroids = loadIvfCentroids(spark, path)
     if (centroids.isEmpty)
       throw new IllegalStateException(
         s"appendIvfIndex: no trained centroids at $path (empty index)")
+    val batch = ArtifactIO.validBatchId(batchId)
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint(true) // the count and the write share one scan
     corpusV.withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/postings/batch=$batch")
     corpusV.count()
   }
 
@@ -839,10 +855,14 @@ object Similarity {
       book.zipWithIndex.map { case (cent, code) => (sp, code, cent.toSeq) }
     }.toSeq.toDF("subspace", "code", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // a rebuild must not inherit appended batches from a prior life
+    ArtifactIO.fs(spark, s"$path/postings")
+      .delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
     modelOpt match {
       case None =>
         // empty index: zero-row postings written UNPARTITIONED (same
-        // schema-bearing-file guard as buildIvfIndex)
+        // schema-bearing-file guard as buildIvfIndex; appends to an
+        // empty index are rejected, so layouts can never mix)
         corpusV.select(col("id"), lit(null).cast("array<int>").as("codes"),
             lit(null).cast("double").as("xnorm"), lit(0).as("cell"))
           .limit(0).write.mode("overwrite").parquet(s"$path/postings")
@@ -850,7 +870,8 @@ object Similarity {
       case Some(model) =>
         ivfpqEncode(corpusV, model)
           .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/postings/batch=init")
         model.coarse.length
     }
   }
@@ -875,20 +896,26 @@ object Similarity {
   /** Append new vectors to a [[buildIvfPqIndex]] artifact: rows are
     * assigned and encoded with the LOADED quantizers (train-once
     * contract — cells and codebooks stay fixed; only recall-per-probe
-    * drifts as the data distribution moves) and appended under their
-    * cell partitions. Returns the number of rows appended; appending to
-    * an empty index is rejected (nothing was trained to encode with). */
+    * drifts as the data distribution moves) and land in the batch's OWN
+    * `batch=<id>` partition under their cell subpartitions. A stable
+    * `batchId` makes retries IDEMPOTENT (the batch overwrites itself);
+    * the `None` default is at-least-once, healed by
+    * [[compactIvfPqIndex]]. Returns the number of rows appended;
+    * appending to an empty index is rejected (nothing was trained to
+    * encode with). */
   def appendIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                       path: String): Long = {
+                       path: String, batchId: Option[String] = None): Long = {
     val spark = corpus.sparkSession
     val model = loadIvfPqModel(spark, path).getOrElse(
       throw new IllegalStateException(
         s"appendIvfPqIndex: no trained quantizers at $path (empty index)"))
+    val batch = ArtifactIO.validBatchId(batchId)
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint(true) // the count and the write share one scan
     ivfpqEncode(corpusV, model)
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/postings/batch=$batch")
     corpusV.count()
   }
 
@@ -899,6 +926,16 @@ object Similarity {
                         path: String): Unit = {
     ArtifactIO.compactPartitioned(spark, s"$path/postings", "cell",
       dedupe = true)
+    ()
+  }
+
+  /** Remove one appended batch from an IVF or IVF-PQ artifact (both
+    * share the postings layout): the batch's whole partition disappears
+    * in one directory delete. Dropping an absent id is a no-op. */
+  def dropIndexBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batchId: String): Unit = {
+    ArtifactIO.fs(spark, path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/postings/batch=$batchId"), true)
     ()
   }
 

@@ -340,4 +340,65 @@ object StreamOps {
           }
       }
   }
+
+  // ---- persisted-index sinks ----------------------------------------------
+  // The append-a-crawl loop as a LIVE stream: each micro-batch appends to
+  // a build-once artifact through foreachBatch, with the stream's batchId
+  // as the artifact's idempotence key. Spark re-runs a failed trigger
+  // under the SAME batchId after recovery (replayable sources, e.g. the
+  // file source), and the keyed append overwrites its own batch=<id>
+  // partitions instead of double-writing — checkpoint replay + idempotent
+  // append = end-to-end exactly-once, the standard foreachBatch pattern.
+
+  /** foreachBatch sink appending each micro-batch of (idCol, textCol)
+    * documents to a [[graft.ext.DedupIndex]] artifact (which must exist
+    * — [[graft.ext.DedupIndex.build]] it first, an empty frame is fine):
+    * {{{
+    * docs.writeStream.option("checkpointLocation", cp)
+    *   .foreachBatch(StreamOps.dedupIndexSink(path, "doc_id", "text"))
+    *   .start()
+    * }}}
+    * Pair with [[graft.ext.DedupIndex.duplicateFlag]] /
+    * `nearDuplicateFlag` on the query side, or the batch
+    * `newAgainst` searches. */
+  def dedupIndexSink(path: String, idCol: String,
+                     textCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      graft.ext.DedupIndex.append(batch, idCol, textCol, path,
+        batchId = Some(s"stream-$batchId"))
+      ()
+    }
+
+  /** [[dedupIndexSink]] for a BM25 text index
+    * ([[graft.ext.Retrieval.buildTextIndex]] artifact): per-batch
+    * postings and stats rows land idempotently; searches see every
+    * committed trigger. */
+  def textIndexSink(path: String, idCol: String,
+                    textCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      graft.ext.Retrieval.appendTextIndex(batch, idCol, textCol, path,
+        batchId = Some(s"stream-$batchId"))
+      ()
+    }
+
+  /** [[dedupIndexSink]] for an IVF vector index
+    * ([[graft.ext.Similarity.buildIvfIndex]] artifact, which must be
+    * non-empty — appends need the trained quantizer). */
+  def ivfIndexSink(path: String, idCol: String,
+                   vecCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      graft.ext.Similarity.appendIvfIndex(batch, idCol, vecCol, path,
+        batchId = Some(s"stream-$batchId"))
+      ()
+    }
+
+  /** [[ivfIndexSink]] for the PQ-compressed artifact
+    * ([[graft.ext.Similarity.buildIvfPqIndex]]). */
+  def ivfPqIndexSink(path: String, idCol: String,
+                     vecCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      graft.ext.Similarity.appendIvfPqIndex(batch, idCol, vecCol, path,
+        batchId = Some(s"stream-$batchId"))
+      ()
+    }
 }

@@ -205,12 +205,43 @@ class DedupIndexSpec extends SparkSpec {
     val dupFlag = DedupIndex.duplicateFlag(spark, path)
     corpus.withColumn("f", dupFlag(col("text")))
       .filter(!col("f")).count() shouldBe 0L
-    // per-append file sets collapsed (tiny relations -> one file each)
-    def parquets(d: String) = new java.io.File(s"$path/$d")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    parquets("fingerprints") shouldBe 1
-    parquets("shingles") shouldBe 1
-    parquets("bands") shouldBe 1
+    // per-append partitions collapsed into one batch dir of one file
+    def parquets(d: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$path/$d"))
+    }
+    for (d <- Seq("fingerprints", "shingles", "bands")) {
+      parquets(d).size shouldBe 1
+      parquets(d).head.getParentFile.getName should startWith("batch=compact-")
+    }
+  }
+
+  it should "make keyed re-appends idempotent (exactly-once without compaction)" in {
+    val a = corpus.filter(col("doc_id") < 30)
+    val b = corpus.filter(col("doc_id") >= 30)
+    val path = tmpDir(); val clean = tmpDir()
+    DedupIndex.build(a, "doc_id", "text", path, numHashes = 64, bands = 32)
+    DedupIndex.append(b, "doc_id", "text", path, batchId = Some("crawl-42"))
+    // the torn-append retry: same stable id overwrites its own partition
+    // and bloom segment — NO duplicates, no compact needed
+    DedupIndex.append(b, "doc_id", "text", path, batchId = Some("crawl-42"))
+    DedupIndex.build(corpus, "doc_id", "text", clean, numHashes = 64, bands = 32)
+    val probes = b.select((col("doc_id") + 700L).as("doc_id"), col("text"))
+    def pairs(p: String) = DedupIndex.minhashNewAgainst(spark, p, probes,
+      "doc_id", "text", threshold = 0.9)
+    val got = pairs(path)
+    got.count() shouldBe pairSet(got).size.toLong // row-for-row, no dups
+    pairSet(got) shouldBe pairSet(pairs(clean))
+    spark.read.parquet(s"$path/fingerprints").count() shouldBe 50L
+    // one segment per batch id: init + crawl-42, retry stacked nothing
+    new java.io.File(s"$path/bloom_fp").listFiles()
+      .map(_.getName).filter(_.endsWith(".bin")).sorted shouldBe
+      Array("seg-crawl-42.bin", "seg-init.bin")
+    // a malformed id is rejected before anything is written
+    an[IllegalArgumentException] should be thrownBy
+      DedupIndex.append(b, "doc_id", "text", path, batchId = Some("bad id/x"))
   }
 
   it should "stay exact when bloom segments are absent (pruning declined)" in {

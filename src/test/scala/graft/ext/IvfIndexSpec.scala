@@ -120,10 +120,32 @@ class IvfIndexSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().sorted shouldBe
       Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
         .select("neighbor_id").as[Long].collect().sorted
-    // one file set per cell after compaction (three appends collapsed)
-    val cellDirs = new java.io.File(s"$path/postings").listFiles()
+    // batches collapsed to one compact batch, one file set per cell
+    val batchDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    batchDirs.map(_.getName).toSeq match {
+      case Seq(one) => one should startWith("batch=compact-")
+      case other    => fail(s"expected one compact batch dir, got $other")
+    }
+    val cellDirs = batchDirs.head.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     cellDirs.length should be > 0
     all(cellDirs.map(_.listFiles().count(_.getName.endsWith(".parquet")))) shouldBe 1
+  }
+
+  it should "make keyed re-appends idempotent" in {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val fresh = emb.filter(col("vec_id") % 2 =!= 0)
+    val path = tmpDir()
+    Similarity.buildIvfIndex(old, "vec_id", "embedding", path, nlist = 8)
+    Similarity.appendIvfIndex(fresh, "vec_id", "embedding", path,
+      batchId = Some("b7"))
+    Similarity.appendIvfIndex(fresh, "vec_id", "embedding", path,
+      batchId = Some("b7")) // retry overwrites its own batch partition
+    spark.read.parquet(s"$path/postings").count() shouldBe emb.count()
+    // and the batch is surgically removable
+    Similarity.dropIndexBatch(spark, path, "b7")
+    spark.read.parquet(s"$path/postings").count() shouldBe old.count()
   }
 }

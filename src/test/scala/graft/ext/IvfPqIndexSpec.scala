@@ -43,7 +43,8 @@ class IvfPqIndexSpec extends SparkSpec {
       nlist = 8, m = 16, codebookSize = 32, maxIter = 5)
     val postings = spark.read.parquet(s"$path/postings")
     postings.count() shouldBe emb.count()
-    postings.columns.sorted shouldBe Array("cell", "codes", "id", "xnorm")
+    // batch + cell are partition-directory keys, not stored data
+    postings.columns.sorted shouldBe Array("batch", "cell", "codes", "id", "xnorm")
     // m int codes per row, all within the codebook range
     postings.filter(org.apache.spark.sql.functions.size(col("codes")) =!= 16).count() shouldBe 0L
     postings.filter(exists(col("codes"),
@@ -132,7 +133,10 @@ class IvfPqIndexSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet shouldBe
       Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val cellDirs = new java.io.File(s"$path/postings").listFiles()
+    val batchDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    batchDirs.length shouldBe 1
+    val cellDirs = batchDirs.head.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     cellDirs.length should be > 0
     all(cellDirs.map(_.listFiles().count(_.getName.endsWith(".parquet")))) shouldBe 1

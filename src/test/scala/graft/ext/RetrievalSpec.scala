@@ -222,8 +222,10 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.buildTextIndex(a, "doc_id", "text", pAppend, buckets = 16)
     Retrieval.appendTextIndex(b, "doc_id", "text", pAppend) shouldBe b.count()
     Retrieval.buildTextIndex(docs, "doc_id", "text", pRebuild, buckets = 16)
+    // corpus stats are the SUM over per-batch rows
     def stats(p: String) = spark.read.parquet(s"$p/stats")
-      .select("n_docs", "sum_dl", "buckets").as[(Long, Long, Int)].head()
+      .groupBy().agg(sum("n_docs"), sum("sum_dl"), max("buckets"))
+      .as[(Long, Long, Int)].head()
     stats(pAppend) shouldBe stats(pRebuild)
     def postings(p: String) = spark.read.parquet(s"$p/postings")
       .select("term", "doc_id", "dl", "tf", "bucket")
@@ -235,12 +237,43 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .sortBy(t => (t._1, t._4))
     search(pAppend) shouldBe search(pRebuild)
-    // appending onto an empty-built index upgrades the layout in place
+    // appending onto an empty-built index just lands the first batch
     val pEmpty = idxDir()
     Retrieval.buildTextIndex(docs.limit(0), "doc_id", "text", pEmpty,
       buckets = 16)
     Retrieval.appendTextIndex(docs, "doc_id", "text", pEmpty) shouldBe docs.count()
     search(pEmpty) shouldBe search(pRebuild)
+  }
+
+  it should "make keyed re-appends idempotent and batches droppable" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val path = idxDir(); val pRebuild = idxDir()
+    Retrieval.buildTextIndex(a, "doc_id", "text", path, buckets = 16)
+    Retrieval.appendTextIndex(b, "doc_id", "text", path,
+      batchId = Some("day-2026-08-14"))
+    // the torn-append retry: postings AND the stats row overwrite
+    // themselves — summed corpus stats stay exact
+    Retrieval.appendTextIndex(b, "doc_id", "text", path,
+      batchId = Some("day-2026-08-14"))
+    Retrieval.buildTextIndex(docs, "doc_id", "text", pRebuild, buckets = 16)
+    def stats(p: String) = spark.read.parquet(s"$p/stats")
+      .groupBy().agg(sum("n_docs"), sum("sum_dl"), max("buckets"))
+      .as[(Long, Long, Int)].head()
+    stats(path) shouldBe stats(pRebuild)
+    val q = Seq((1L, "spark join filter")).toDF("qid", "qtext")
+    def search(p: String) = Retrieval.searchTextIndex(spark, p, q,
+        "qid", "qtext", k = 8, roundScoresTo = Some(9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    search(path) shouldBe search(pRebuild)
+    // dropping the batch removes its postings and its stats row
+    Retrieval.dropTextBatch(spark, path, "day-2026-08-14")
+    stats(path)._1 shouldBe a.count()
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.appendTextIndex(b, "doc_id", "text", path,
+        batchId = Some("bad id"))
   }
 
   it should "compact accumulated append file sets down to O(1) files per bucket" in {
@@ -252,17 +285,24 @@ class RetrievalSpec extends SparkSpec {
       "doc_id", "text", path)
     Retrieval.appendTextIndex(docs.filter(col("doc_id") % 3 === 2),
       "doc_id", "text", path)
+    // files per bucket ACROSS batch partitions (batch=<id>/bucket=<b>)
     def bucketFiles(): Map[String, Int] = {
       val root = new java.io.File(s"$path/postings")
-      root.listFiles().filter(_.getName.startsWith("bucket="))
-        .map(d => d.getName ->
-          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      root.listFiles().filter(_.getName.startsWith("batch="))
+        .flatMap(_.listFiles().filter(_.getName.startsWith("bucket=")))
+        .groupBy(_.getName)
+        .map { case (b, ds) =>
+          b -> ds.map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum }
     }
     val before = spark.read.parquet(s"$path/postings")
       .select("term", "doc_id", "tf").as[(String, Long, Long)].collect().sorted
     bucketFiles().values.max should be > 1 // three write rounds accumulated
     Retrieval.compactTextIndex(spark, path)
     bucketFiles().values.max shouldBe 1
+    // batches collapsed to one, stats to one summed row
+    new java.io.File(s"$path/postings").listFiles()
+      .count(_.getName.startsWith("batch=")) shouldBe 1
+    spark.read.parquet(s"$path/stats").count() shouldBe 1L
     // compaction must not change a single posting
     spark.read.parquet(s"$path/postings")
       .select("term", "doc_id", "tf").as[(String, Long, Long)]

@@ -619,4 +619,57 @@ class StreamOpsSpec extends SparkSpec {
     streamed(10L) should be > 0.0 // target-speak
     streamed(11L) should be < 0.0 // raw-speak
   }
+
+  behavior of "streaming index sinks"
+
+  it should "append micro-batches to persisted indexes exactly-once under batchId keys" in {
+    implicit val sc = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1).take(200)
+    val base = java.nio.file.Files.createTempDirectory("graft_idx_sink").toString
+    val dpath = s"$base/didx"; val tpath = s"$base/tidx"
+    graft.ext.DedupIndex.build(docs.take(0).toDF("doc_id", "text"),
+      "doc_id", "text", dpath, numHashes = 64, bands = 32)
+    graft.ext.Retrieval.buildTextIndex(docs.take(0).toDF("doc_id", "text"),
+      "doc_id", "text", tpath, buckets = 16)
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val sinkD = StreamOps.dedupIndexSink(dpath, "doc_id", "text")
+    val sinkT = StreamOps.textIndexSink(tpath, "doc_id", "text")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/cp")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => {
+        sinkD(df, id); sinkT(df, id)
+      })
+      .start()
+    input.addData(docs.take(100)); q.processAllAvailable()
+    input.addData(docs.drop(100)); q.processAllAvailable(); q.stop()
+    // the retry a recovered stream performs: SAME batchId, same data —
+    // both artifacts must absorb it without double-writing
+    sinkD(docs.drop(100).toDF("doc_id", "text"), 1L)
+    sinkT(docs.drop(100).toDF("doc_id", "text"), 1L)
+    spark.read.parquet(s"$dpath/fingerprints").count() shouldBe 200L
+    // dedup artifact == clean batch build, search-for-search
+    val clean = s"$base/didx_clean"
+    graft.ext.DedupIndex.build(docs.toDF("doc_id", "text"),
+      "doc_id", "text", clean, numHashes = 64, bands = 32)
+    val probes = docs.take(20)
+      .map { case (i, t) => (i + 900000L, t) }.toDF("doc_id", "text")
+    def pairs(p: String) = graft.ext.DedupIndex
+      .minhashNewAgainst(spark, p, probes, "doc_id", "text", threshold = 0.9)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    pairs(dpath) shouldBe pairs(clean)
+    // text artifact: summed stats exact, search equals the direct BM25
+    spark.read.parquet(s"$tpath/stats")
+      .agg(sum("n_docs")).as[Long].head() shouldBe 200L
+    val q2 = Seq((1L, "spark join filter")).toDF("qid", "qtext")
+    val served = graft.ext.Retrieval.searchTextIndex(spark, tpath, q2,
+        "qid", "qtext", k = 5, roundScoresTo = Some(9))
+      .select("doc_id", "rank").as[(Long, Int)].collect().sorted
+    val direct = graft.ext.Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
+        "doc_id", "text", q2, "qid", "qtext", k = 5, roundScoresTo = Some(9))
+      .select("doc_id", "rank").as[(Long, Int)].collect().sorted
+    served shouldBe direct
+  }
 }
