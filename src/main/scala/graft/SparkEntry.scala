@@ -2,7 +2,7 @@ package graft
 
 import graft.GraftFunctions._
 import graft.diffy.BigDiffy
-import graft.ext.{Dedup, DedupIndex, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ext.{Dedup, DedupIndex, IndexAdmin, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.sampling.{BigSampler, DirectSampler}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1007,6 +1007,30 @@ object SparkEntry {
           lit(model.exists(mm => mm.m == 16 && mm.coarse.length == 16 &&
             mm.books.forall(_.length <= 32))).as("model_ok"),
           (col("n_matched") >= col("n_bf") * 0.55).as("recall_ok"))
+    }),
+    // index operations tooling: the per-(relation, batch) census must
+    // account for every posting exactly (rows summed over batches pins
+    // to the DuckDB corpus count — a census that loses or double-counts
+    // a batch fails the hash compare), and the quantizer-drift probe
+    // must cover the full batch with finite non-negative assignment
+    // distances (its per-cell masses sum to the corpus)
+    "index_admin" -> ((s, d) => {
+      val tmp = sessionTempDir("graft_idxadmin")
+      val emb = t(s, d, "embeddings")
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", tmp, nlist = 8)
+      Similarity.appendIvfIndex(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", tmp, batchId = Some("b1"))
+      val census = IndexAdmin.describeIndex(s, tmp).localCheckpoint(true)
+      val drift = IndexAdmin.ivfDriftCheck(s, tmp, emb, "vec_id", "embedding")
+        .localCheckpoint(true)
+      census.filter(col("relation") === "postings")
+        .agg(sum("rows").as("n_postings"),
+          (countDistinct("batch") === 2).as("batches_ok"))
+        .crossJoin(drift.filter(col("cell") >= 0)
+          .agg((sum("n") === lit(emb.count())).as("drift_covered"),
+            every(col("mean_dist") >= 0.0 && !isnan(col("mean_dist")))
+              .as("dist_ok")))
     }),
     // oracle-gated PQ-ADC quality: product-quantized search (m=16 × 32
     // codes, exact re-rank of the approximate top 10k) must recover ≥70%
@@ -2520,6 +2544,12 @@ object SparkEntry {
       "ivfpq_index_search" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_postings, true AS cells_ok,
           |  true AS model_ok, true AS recall_ok
+          |FROM embeddings""".stripMargin,
+      // the census must account for every posting exactly across the
+      // build + append batches
+      "index_admin" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_postings, true AS batches_ok,
+          |  true AS drift_covered, true AS dist_ok
           |FROM embeddings""".stripMargin,
       "cluster_assign" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS cells_ok,

@@ -167,7 +167,7 @@ object Graft {
     *
     * {{{
     * graft index --input=<path> --output=<dir> --type=text|ivf|ivfpq|dedup
-    *             [--append | --compact]
+    *             [--append | --compact | --drop-batch=<id> | --describe]
     *             [--id-col=doc_id] [--text-col=text] [--buckets=64]    (text)
     *             [--id-col=vec_id] [--vec-col=embedding] [--nlist=16]  (ivf*)
     *             [--m=8] [--codebook-size=256]                        (ivfpq)
@@ -177,6 +177,22 @@ object Graft {
     * }}} */
   private def indexCmd(f: Map[String, String], spark: SparkSession): Unit = {
     val output = required(f, "output")
+    if (f.get("describe").contains("true")) {
+      // per-(relation, batch) census: files, bytes, exact rows
+      graft.ext.IndexAdmin.describeIndex(spark, output).show(1000, false)
+      return
+    }
+    f.get("drop-batch").foreach { id =>
+      required(f, "type") match {
+        case "text"          => graft.ext.Retrieval.dropTextBatch(spark, output, id)
+        case "ivf" | "ivfpq" => graft.ext.Similarity.dropIndexBatch(spark, output, id)
+        case "dedup"         => graft.ext.DedupIndex.dropBatch(spark, output, id)
+        case t => throw new IllegalArgumentException(
+          s"--type must be text, ivf, ivfpq or dedup, got $t")
+      }
+      System.err.println(s"[graft] dropped batch $id from ${f("type")} index at $output")
+      return
+    }
     if (f.get("compact").contains("true")) {
       required(f, "type") match {
         case "text"  => graft.ext.Retrieval.compactTextIndex(spark, output)

@@ -101,6 +101,18 @@ object ProbeIndexes {
     time("exact newAgainst (direct)") {
       Dedup.newAgainst(existing, incoming, "text").count()
     }
+    // the r14-10 append regime: keyed append wall, the idempotent retry
+    // (same id — must cost ~the same and change nothing), and the
+    // compaction that collapses accumulated batches
+    time("dedup keyed append (incoming batch)") {
+      DedupIndex.append(incoming, "doc_id", "text", s"$base/didx",
+        batchId = Some("probe"))
+    }
+    time("dedup keyed re-append (idempotent retry, same id)") {
+      DedupIndex.append(incoming, "doc_id", "text", s"$base/didx",
+        batchId = Some("probe"))
+    }
+    time("dedup compact") { DedupIndex.compact(spark, s"$base/didx") }
 
     // ---- IVF-PQ index ----
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
