@@ -335,7 +335,9 @@ object Graft {
             s"--mode must be near or exact, got $m")
         }
       case "hybrid" =>
-        // both legs served from persisted artifacts; rank-space fusion
+        // both legs served from persisted artifacts; rank-space fusion.
+        // --vec-index-type=ivfpq serves the vector leg from compressed
+        // postings (ADC ranks; add --rerank-input for exact re-scoring)
         val q = read(spark, required(f, "queries"),
           f.getOrElse("input-mode", "parquet"))
         graft.ext.Retrieval.hybridSearchIndexes(spark, index,
@@ -344,7 +346,13 @@ object Graft {
           f.getOrElse("vec-col", "qvec"),
           k = f.get("k").map(_.toInt).getOrElse(10),
           kRrf = f.get("rrf-k").map(_.toInt).getOrElse(60),
-          nprobe = f.get("nprobe").map(_.toInt).getOrElse(4))
+          nprobe = f.get("nprobe").map(_.toInt).getOrElse(4),
+          vecIndexType = f.getOrElse("vec-index-type", "ivf"),
+          rerank = f.get("rerank-input").map(p =>
+            read(spark, p, f.getOrElse("input-mode", "parquet"))),
+          rerankFactor = f.get("rerank-factor").map(_.toInt).getOrElse(20),
+          rerankIdCol = f.get("rerank-id-col"),
+          rerankVecCol = f.get("rerank-vec-col"))
       case t => throw new IllegalArgumentException(
         s"--type must be text, ivf, ivfpq, dedup or hybrid, got $t")
     }

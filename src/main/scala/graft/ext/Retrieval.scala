@@ -383,28 +383,55 @@ object Retrieval {
 
   /** Hybrid retrieval served ENTIRELY from persisted artifacts: BM25
     * top-k from a [[buildTextIndex]] artifact + cosine top-k from a
-    * [[Similarity.buildIvfIndex]] artifact, fused by [[rrfFuse]] —
-    * the serve-side stack for a corpus that is never re-scanned at
-    * query time. `queries` carries one row per query with an id, query
-    * text, and query embedding; both index scans prune to the query's
-    * buckets/cells, and rank-space fusion needs no score calibration
-    * between the two systems. `nprobe` at or above the IVF index's
-    * nlist makes the vector leg exact. */
+    * [[Similarity.buildIvfIndex]] (or, with `vecIndexType = "ivfpq"`, a
+    * PQ-compressed [[Similarity.buildIvfPqIndex]]) artifact, fused by
+    * [[rrfFuse]] — the serve-side stack for a corpus that is never
+    * re-scanned at query time. `queries` carries one row per query with
+    * an id, query text, and query embedding; both index scans prune to
+    * the query's buckets/cells, and rank-space fusion needs no score
+    * calibration between the two systems — which is exactly what lets
+    * the PQ leg's ADC scores fuse untouched (ranks, not magnitudes,
+    * enter the sum). `nprobe` at or above the index's nlist makes the
+    * vector leg exact (for ivfpq, together with a deep `rerank`).
+    * `rerank`/`rerankFactor` apply to the ivfpq leg only: pass the
+    * full-vector source (its id/vector columns named by `rerankIdCol`/
+    * `rerankVecCol`, defaulting to the query column names) for exact
+    * re-scoring, or None to rank by ADC straight from the compressed
+    * postings — the zero-full-vector serving mode a 100 TB corpus
+    * wants. */
   def hybridSearchIndexes(spark: org.apache.spark.sql.SparkSession,
                           textIndexPath: String, ivfIndexPath: String,
                           queries: DataFrame, qidCol: String,
                           qtextCol: String, qvecCol: String,
                           k: Int, kRrf: Int = 60, nprobe: Int = 4,
-                          roundScoresTo: Option[Int] = None): DataFrame = {
+                          roundScoresTo: Option[Int] = None,
+                          vecIndexType: String = "ivf",
+                          rerank: Option[DataFrame] = None,
+                          rerankFactor: Int = 20,
+                          rerankIdCol: Option[String] = None,
+                          rerankVecCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"hybridSearchIndexes needs k >= 1, got $k")
     requireIntegralId(queries, qidCol, "query id")
     val textHits = searchTextIndex(spark, textIndexPath,
       queries.select(col(qidCol), col(qtextCol)), qidCol, qtextCol,
       k, roundScoresTo = roundScoresTo)
       .select("query_id", "doc_id", "rank")
-    val vecHits = Similarity.searchIvfIndex(spark, ivfIndexPath,
-      queries.select(col(qidCol), col(qvecCol)), qidCol, qvecCol, k, nprobe)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val qv = queries.select(col(qidCol), col(qvecCol))
+    val vecHits = (vecIndexType match {
+      case "ivf" =>
+        Similarity.searchIvfIndex(spark, ivfIndexPath, qv,
+          qidCol, qvecCol, k, nprobe)
+      case "ivfpq" =>
+        // searchIvfPqIndex selects the rerank source with the QUERY's
+        // column names — align the caller's corpus columns to them
+        val rr = rerank.map(r => r.select(
+          col(rerankIdCol.getOrElse(qidCol)).as(qidCol),
+          col(rerankVecCol.getOrElse(qvecCol)).as(qvecCol)))
+        Similarity.searchIvfPqIndex(spark, ivfIndexPath, qv,
+          qidCol, qvecCol, k, nprobe, rerankFactor, rr)
+      case t => throw new IllegalArgumentException(
+        s"vecIndexType must be ivf or ivfpq, got $t")
+    }).select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(textHits, vecHits), k, kRrf)
   }
 

@@ -313,6 +313,44 @@ class RetrievalSpec extends SparkSpec {
       .count() shouldBe 5L
   }
 
+  behavior of "Retrieval.hybridSearchIndexes"
+
+  it should "serve the vector leg from a PQ artifact, exactly under deep rerank" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tT = idxDir(); val tV = idxDir(); val tPQ = idxDir()
+    Retrieval.buildTextIndex(docs, "doc_id", "text", tT, buckets = 16)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", tV, nlist = 8)
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", tPQ,
+      nlist = 8, m = 16, codebookSize = 32, maxIter = 5)
+    val q = Seq((1L, "spark join filter"), (2L, "customer order data"))
+      .toDF("qid", "qtext")
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid")
+    def run(vt: String, path: String,
+            rr: Option[org.apache.spark.sql.DataFrame]) =
+      Retrieval.hybridSearchIndexes(spark, tT, path, q,
+          "qid", "qtext", "qvec", k = 8, nprobe = 8,
+          roundScoresTo = Some(9), vecIndexType = vt, rerank = rr,
+          rerankFactor = 100, rerankIdCol = Some("vec_id"),
+          rerankVecCol = Some("embedding"))
+        .select("query_id", "doc_id", "rank")
+        .as[(Long, Long, Int)].collect().sorted
+    // nprobe = nlist makes the ivf leg exact; the PQ leg with an
+    // all-candidate exact rerank reaches the same exact ranking, so the
+    // two artifact stacks must fuse IDENTICALLY
+    run("ivfpq", tPQ, Some(emb)).toSeq shouldBe run("ivf", tV, None).toSeq
+    // pure-ADC mode: the vector leg ranks from compressed postings
+    // alone (no full vector anywhere) and still fills k per query
+    val adc = Retrieval.hybridSearchIndexes(spark, tT, tPQ, q,
+      "qid", "qtext", "qvec", k = 8, nprobe = 8, vecIndexType = "ivfpq")
+    adc.groupBy("query_id").count().select("count")
+      .as[Long].collect() shouldBe Array(8L, 8L)
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.hybridSearchIndexes(spark, tT, tV, q, "qid", "qtext",
+        "qvec", k = 8, vecIndexType = "flat")
+  }
+
   behavior of "Retrieval.rrfFuse"
 
   it should "match hand-computed reciprocal-rank fusion of two lists" in {
