@@ -1008,6 +1008,34 @@ object SparkEntry {
             mm.books.forall(_.length <= 32))).as("model_ok"),
           (col("n_matched") >= col("n_bf") * 0.55).as("recall_ok"))
     }),
+    // the append-a-crawl OPERATIONAL LOOP end-to-end through the
+    // persisted dedup index: day 1 builds the artifact; day 2 (half
+    // novel docs, half byte-identical re-crawls of day 1) exact-dedups
+    // AGAINST THE ARTIFACT (the corpus text is never re-read) and only
+    // the novel remainder is appended under a stable batch id (the
+    // idempotent-retry key a production loop would use). The final
+    // artifact census is value-exact in DuckDB via fingerprint==text
+    // equality: |day1| + |day2 docs whose text day 1 never saw|
+    "crawl_loop_e2e" -> ((s, d) => {
+      val tmp = sessionTempDir("graft_crawl")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val off = idOffset(docs, "doc_id")
+      val day1 = docs.filter(col("doc_id") % 2 === 0)
+      // day 2: the odd half (novel) + re-crawled byte-identical copies
+      // of every fourth day-1 doc under fresh ids
+      val day2 = docs.filter(col("doc_id") % 2 === 1).unionByName(
+        day1.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
+      DedupIndex.build(day1, "doc_id", "text", tmp,
+        numHashes = 16, bands = 8)
+      val novel = DedupIndex.newAgainst(s, tmp, day2, "text")
+        .localCheckpoint(true)
+      DedupIndex.append(novel, "doc_id", "text", tmp,
+        batchId = Some("day2"))
+      s.read.parquet(s"$tmp/fingerprints")
+        .agg(count(lit(1)).as("n_indexed"))
+        .crossJoin(novel.agg(count(lit(1)).as("n_novel")))
+    }),
     // index operations tooling: the per-(relation, batch) census must
     // account for every posting exactly (rows summed over batches pins
     // to the DuckDB corpus count — a census that loses or double-counts
@@ -2545,6 +2573,21 @@ object SparkEntry {
         """SELECT CAST(count(*) AS BIGINT) AS n_postings, true AS cells_ok,
           |  true AS model_ok, true AS recall_ok
           |FROM embeddings""".stripMargin,
+      // the crawl loop's final census via fingerprint==text equality:
+      // |day1| + |day2 rows whose text day 1 never saw| (NOT EXISTS with
+      // IS NOT DISTINCT FROM so the semantics survive null text)
+      "crawl_loop_e2e" ->
+        """WITH day1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+          |day2 AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          |  UNION ALL
+          |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+          |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 4 = 0),
+          |novel AS (SELECT * FROM day2 d2 WHERE NOT EXISTS
+          |  (SELECT 1 FROM day1 d1 WHERE d1.text IS NOT DISTINCT FROM d2.text))
+          |SELECT CAST((SELECT count(*) FROM day1)
+          |         + (SELECT count(*) FROM novel) AS BIGINT) AS n_indexed,
+          |       CAST((SELECT count(*) FROM novel) AS BIGINT) AS n_novel""".stripMargin,
       // the census must account for every posting exactly across the
       // build + append batches
       "index_admin" ->
