@@ -19,13 +19,39 @@ private[ext] object ArtifactIO {
   /** Resolve an optional caller-supplied batch id: validated (it becomes
     * a `batch=<id>` partition directory name) when given — the STABLE
     * id that makes a retried append overwrite itself — or a fresh
-    * unique id otherwise (plain at-least-once appends). */
+    * unique id otherwise (plain at-least-once appends). The ids the
+    * artifacts use internally are RESERVED: `init` names the build's
+    * base corpus (an append under it would silently replace the whole
+    * build) and `compact-*` names a compactor's folded output. */
   def validBatchId(batchId: Option[String]): String = batchId match {
     case Some(id) =>
       require(id.matches("[A-Za-z0-9._-]+"),
         s"batch id must match [A-Za-z0-9._-]+, got '$id'")
+      require(id != "init" && !id.startsWith("compact-"),
+        s"batch id '$id' is reserved ('init' is the build's base corpus, " +
+          "'compact-*' a compaction's output) — choose another id")
       id
     case None => s"auto-${java.util.UUID.randomUUID.toString.take(13)}"
+  }
+
+  /** Whether `dir` holds at least one parquet DATA file (recursively).
+    * Distinct from directory existence: a zero-row partitioned write
+    * still creates the directory and a `_SUCCESS` marker with no
+    * schema-bearing file, and a batch drop can empty a directory — a
+    * `spark.read.parquet` of either throws at schema inference, so
+    * readers must probe for files, not dirs. */
+  def hasParquetData(spark: SparkSession, dir: String): Boolean = {
+    val hfs = fs(spark, dir)
+    val p = new Path(dir)
+    if (!hfs.exists(p)) return false
+    val it = hfs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        return true
+    }
+    false
   }
 
   /** Rewrite the directory `dst` in place: `stage(tmp)` materializes the
@@ -77,7 +103,13 @@ private[ext] object ArtifactIO {
   def compactPartitioned(spark: SparkSession, dst: String, partCol: String,
                          dedupe: Boolean = false): Boolean = {
     val df0 = spark.read.parquet(dst)
-    if (!df0.columns.contains(partCol)) return false
+    // the empty-built layout carries the part column as a DATA column
+    // (zero rows, unpartitioned) and no batch partitions — compacting it
+    // would stage a zero-row partitioned write that emits no
+    // schema-bearing file and corrupt the directory, so the guard must
+    // key on `batch` (present exactly when real batches exist)
+    if (!df0.columns.contains("batch") || !df0.columns.contains(partCol))
+      return false
     val data = df0.drop("batch")
     val df = if (dedupe) data.dropDuplicates() else data
     val cid = s"compact-${java.util.UUID.randomUUID.toString.take(13)}"
@@ -88,6 +120,66 @@ private[ext] object ArtifactIO {
     }
     true
   }
+
+  // ---- folded-batches ledger ----------------------------------------------
+  // Compaction folds batch partitions into one compact batch, DESTROYING
+  // the per-batch idempotence keys — a stream replaying a pre-compaction
+  // trigger after a compact would find its batch=<id> partition gone and
+  // re-append data the compact batch already holds (double-counting, in
+  // the text index, permanently). The ledger closes that hole: every
+  // compactor records the REPLAYABLE ids it folds (caller-keyed ids only
+  // — `auto-*` can never be replayed, `init`/`compact-*` never re-appended)
+  // BEFORE any swap, and a keyed append consults it, turning a replay of
+  // a folded id into a no-op. Record-before-swap is the safe tear order:
+  // ids marked folded while their partitions still exist merely skip a
+  // redundant retry (the data is present either way); the reverse order
+  // would double-write. Folded ids are permanently CONSUMED — appending
+  // corrected data needs a fresh id.
+
+  private val FoldedDir = "folded_batches"
+
+  private def replayable(id: String): Boolean =
+    id != "init" && !id.startsWith("compact-") && !id.startsWith("auto-")
+
+  /** Batch ids currently present under a relation directory (from the
+    * `batch=<id>` partition names — a listing, no data read). */
+  def listBatchIds(spark: SparkSession, relDir: String): Seq[String] = {
+    val hfs = fs(spark, relDir)
+    val p = new Path(relDir)
+    if (!hfs.exists(p)) Nil
+    else hfs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+  }
+
+  /** Add every replayable id in `ids` to the artifact's folded ledger
+    * (call BEFORE the compaction's swaps). */
+  def recordFolded(spark: SparkSession, artifactRoot: String,
+                   ids: Seq[String]): Unit = {
+    val keyed = ids.filter(replayable).distinct
+    if (keyed.isEmpty) return
+    import spark.implicits._
+    val all = (readFolded(spark, artifactRoot) ++ keyed).distinct
+    rewriteInPlace(spark, s"$artifactRoot/$FoldedDir") { tmp =>
+      all.toDF("batch_id").repartition(1).write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** The artifact's folded ids (empty when no compact has run). */
+  def readFolded(spark: SparkSession, artifactRoot: String): Seq[String] = {
+    val dir = s"$artifactRoot/$FoldedDir"
+    if (!hasParquetData(spark, dir)) Nil
+    else spark.read.parquet(dir).select("batch_id")
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** True when a keyed append should no-op: its id was already folded
+    * into a compact batch (the data is in the artifact; this is a
+    * post-compaction replay). Auto ids are never folded. */
+  def isFolded(spark: SparkSession, artifactRoot: String,
+               batchId: Option[String]): Boolean =
+    batchId.exists(id => replayable(id) &&
+      readFolded(spark, artifactRoot).contains(id))
 
   /** Output file count for an in-place rewrite of `dir`, from its actual
     * on-disk parquet bytes (same format + codec in and out, so size
@@ -102,6 +194,8 @@ private[ext] object ArtifactIO {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
-    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    require(n <= Int.MaxValue, s"computed $n output files — raise targetBytes")
+    n.toInt
   }
 }

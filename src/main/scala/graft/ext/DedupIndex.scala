@@ -109,14 +109,26 @@ object DedupIndex {
     * makes retries safe — the batch overwrites ITS OWN `batch=<id>`
     * partitions and `seg-<id>.bin` Bloom segment, so running the same
     * append twice leaves the index exactly as running it once (and
-    * re-running it with corrected data REPLACES the batch). The `None`
-    * default generates a unique id per call: plain at-least-once
+    * re-running it with corrected data REPLACES the batch). Once a
+    * [[compact]] folds the batch away its id is CONSUMED: a later
+    * append under it no-ops (the folded ledger treats it as a
+    * post-compaction replay) — corrected data needs a fresh id. The
+    * `None` default generates a unique id per call: plain at-least-once
     * appends, where a blind retry duplicates rows until [[compact]]
     * heals them. */
   def append(df: DataFrame, idCol: String, textCol: String, path: String,
-             batchId: Option[String] = None): Long =
-    writeBatch(df, idCol, textCol, path, readParams(df.sparkSession, path),
+             batchId: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    if (ArtifactIO.isFolded(spark, path, batchId)) {
+      // a post-compaction replay: the batch's rows already live in the
+      // compact batch — re-appending would duplicate them
+      System.err.println(s"[graft] DedupIndex.append: batch " +
+        s"'${batchId.get}' was folded by a compaction — skipping replay")
+      return 0L
+    }
+    writeBatch(df, idCol, textCol, path, readParams(spark, path),
       batch = ArtifactIO.validBatchId(batchId))
+  }
 
   /** Remove one batch from the index: its three relation partitions,
     * then its Bloom segments (data FIRST — a tear between the deletes
@@ -161,6 +173,12 @@ object DedupIndex {
               targetBytes: Long = 256L << 20): Long = {
     val p = readParams(spark, path)
     val cid = s"compact-${java.util.UUID.randomUUID.toString.take(13)}"
+    // ledger FIRST (see ArtifactIO): a replayed keyed append must no-op
+    // after its partition is folded away, and recording before the swaps
+    // makes a torn compact skip-safe rather than double-write-prone
+    ArtifactIO.recordFolded(spark, path,
+      Seq("shingles", "fingerprints", "bands")
+        .flatMap(r => ArtifactIO.listBatchIds(spark, s"$path/$r")).distinct)
     Seq("shingles", "fingerprints", "bands").foreach { name =>
       val dir = s"$path/$name"
       val n = ArtifactIO.targetFileCount(spark, dir, targetBytes)
@@ -233,6 +251,15 @@ object DedupIndex {
     val (sh, banded) = Dedup.shingleBanded(df, idCol, textCol,
       p.numHashes, p.bands, p.shingleLen, p.seed)
     val nBands = banded.count()
+    // a keyed RE-append may replace a previous generation of this batch
+    // with DIFFERENT data: the old relation partitions must go before
+    // the new blooms land, or a tear between bloom-overwrite and
+    // relation-overwrite would leave live OLD rows that no segment
+    // covers — silent false negatives. Deleting first keeps every crash
+    // window false-positive-only: old rows gone + old blooms stale is
+    // just extra coverage. (No-op for a fresh id.)
+    Seq("shingles", "fingerprints", "bands")
+      .foreach(r => deleteDir(spark, s"$path/$r/batch=$batch"))
     if (nDocs > 0)
       writeBloomSegment(spark, s"$path/$FpBloomDir",
         fps.stat.bloomFilter("fp", nDocs, p.bloomFpp), batch)

@@ -155,21 +155,11 @@ object Layout {
     * Returns the output file count. */
   def compactTo(spark: SparkSession, inPath: String, outPath: String,
                 targetBytes: Long, preserveOrder: Boolean = false): Int = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val hPath = new org.apache.hadoop.fs.Path(inPath)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(hPath, true)
-    var bytes = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
-    }
-    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    require(n <= Int.MaxValue, s"computed $n output files — raise targetBytes")
+    val n = ArtifactIO.targetFileCount(spark, inPath, targetBytes)
     val df = spark.read.parquet(inPath)
-    val out = if (preserveOrder) df.coalesce(n.toInt) else df.repartition(n.toInt)
+    val out = if (preserveOrder) df.coalesce(n) else df.repartition(n)
     out.write.mode("overwrite").parquet(outPath)
-    n.toInt
+    n
   }
 
   /** Per-file locality audit of a written layout: for each parquet file

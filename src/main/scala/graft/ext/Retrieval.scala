@@ -218,7 +218,11 @@ object Retrieval {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(farmHash64(col("term")), lit(buckets.toLong)))
-    if (nDocs > 0L)
+    // write postings only when the batch HAS posting rows (sum_dl > 0 ⟺
+    // at least one token somewhere): a zero-row partitioned write still
+    // creates the directory with no schema-bearing file, which would
+    // poison schema inference for every later read
+    if (st.getAs[Long]("sum_dl") > 0L)
       postings.repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/postings/batch=$batch")
@@ -230,13 +234,18 @@ object Retrieval {
   }
 
   /** Corpus-level stats summed over the artifact's batch rows: (n_docs,
-    * sum_dl, buckets). */
+    * sum_dl, buckets). An index whose every stats batch was dropped
+    * reads as (0, 0, -1) — empty, with the bucket modulus unknowable
+    * (searches return nothing; appends reject, see
+    * [[appendTextIndex]]). */
   private def readTextStats(spark: org.apache.spark.sql.SparkSession,
                             path: String): (Long, Long, Int) = {
+    if (!ArtifactIO.hasParquetData(spark, s"$path/stats"))
+      return (0L, 0L, -1)
     val r = spark.read.parquet(s"$path/stats")
       .agg(coalesce(sum(col("n_docs")), lit(0L)),
         coalesce(sum(col("sum_dl")), lit(0L)),
-        max(col("buckets"))).head()
+        coalesce(max(col("buckets")), lit(-1))).head()
     (r.getLong(0), r.getLong(1), r.getInt(2))
   }
 
@@ -261,7 +270,17 @@ object Retrieval {
                       path: String, batchId: Option[String] = None): Long = {
     requireIntegralId(docs, idCol, "doc id")
     val spark = docs.sparkSession
+    if (ArtifactIO.isFolded(spark, path, batchId)) {
+      // a post-compaction replay: the batch's postings AND stats are in
+      // the compact batch — re-appending would double-count both
+      System.err.println(s"[graft] appendTextIndex: batch " +
+        s"'${batchId.get}' was folded by a compaction — skipping replay")
+      return 0L
+    }
     val (_, _, buckets) = readTextStats(spark, path)
+    require(buckets > 0,
+      s"appendTextIndex: no stats batches at $path (never built, or all " +
+        "batches dropped) — the bucket modulus is unknowable; rebuild")
     writeTextBatch(docs, idCol, textCol, path, buckets,
       ArtifactIO.validBatchId(batchId))
   }
@@ -281,9 +300,13 @@ object Retrieval {
     * Single-writer, like append. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
-    val hfs = ArtifactIO.fs(spark, path)
-    if (!hfs.exists(new org.apache.hadoop.fs.Path(s"$path/postings"))) return
+    if (!ArtifactIO.hasParquetData(spark, s"$path/postings")) return
     val cid = s"compact-${java.util.UUID.randomUUID.toString.take(13)}"
+    // ledger first: a keyed batch replayed after its partition is folded
+    // away must no-op, not double-count (see ArtifactIO)
+    ArtifactIO.recordFolded(spark, path,
+      (ArtifactIO.listBatchIds(spark, s"$path/postings") ++
+        ArtifactIO.listBatchIds(spark, s"$path/stats")).distinct)
     val postings = spark.read.parquet(s"$path/postings").drop("batch")
     ArtifactIO.rewriteInPlace(spark, s"$path/postings") { tmp =>
       postings.repartition(col("bucket"))
@@ -337,11 +360,11 @@ object Retrieval {
     val (nDocs, sumDl, buckets) = readTextStats(spark, path)
     val qTerms = queries.select(col(qidCol).cast(LongType).as("query_id"),
       explode(array_distinct(scriptTokens(lower(col(qtextCol))))).as("term"))
-    val noPostings = !ArtifactIO.fs(spark, s"$path/postings")
-      .exists(new org.apache.hadoop.fs.Path(s"$path/postings"))
-    if (nDocs == 0L || noPostings)
-      // empty index, or every batch tokenless (postings never written):
-      // nothing can match
+    // DATA-file probe, not a directory-exists check: an all-tokenless
+    // corpus leaves a postings dir with no schema-bearing file, and a
+    // full batch-drop leaves an empty dir — both must read as "nothing
+    // can match", not a schema-inference crash
+    if (nDocs == 0L || !ArtifactIO.hasParquetData(spark, s"$path/postings"))
       return qTerms.select(col("query_id"), col("query_id").as("doc_id"),
         lit(0.0).as("score"), lit(0).as("rank")).limit(0)
     val avgdl = sumDl.toDouble / nDocs

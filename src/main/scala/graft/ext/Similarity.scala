@@ -468,6 +468,11 @@ object Similarity {
     if (centroids.isEmpty)
       throw new IllegalStateException(
         s"appendIvfIndex: no trained centroids at $path (empty index)")
+    if (ArtifactIO.isFolded(spark, path, batchId)) {
+      System.err.println(s"[graft] appendIvfIndex: batch '${batchId.get}' " +
+        "was folded by a compaction — skipping replay")
+      return 0L
+    }
     val batch = ArtifactIO.validBatchId(batchId)
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint(true) // the count and the write share one scan
@@ -489,6 +494,10 @@ object Similarity {
     * like append. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit = {
+    // ledger first: a keyed batch replayed after its partition is folded
+    // away must no-op, not re-append (see ArtifactIO)
+    ArtifactIO.recordFolded(spark, path,
+      ArtifactIO.listBatchIds(spark, s"$path/postings"))
     ArtifactIO.compactPartitioned(spark, s"$path/postings", "cell",
       dedupe = true)
     ()
@@ -909,6 +918,11 @@ object Similarity {
     val model = loadIvfPqModel(spark, path).getOrElse(
       throw new IllegalStateException(
         s"appendIvfPqIndex: no trained quantizers at $path (empty index)"))
+    if (ArtifactIO.isFolded(spark, path, batchId)) {
+      System.err.println(s"[graft] appendIvfPqIndex: batch '${batchId.get}' " +
+        "was folded by a compaction — skipping replay")
+      return 0L
+    }
     val batch = ArtifactIO.validBatchId(batchId)
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint(true) // the count and the write share one scan
@@ -924,6 +938,8 @@ object Similarity {
     * (id, codes, xnorm, cell) postings. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit = {
+    ArtifactIO.recordFolded(spark, path,
+      ArtifactIO.listBatchIds(spark, s"$path/postings"))
     ArtifactIO.compactPartitioned(spark, s"$path/postings", "cell",
       dedupe = true)
     ()

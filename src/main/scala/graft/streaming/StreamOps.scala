@@ -349,6 +349,10 @@ object StreamOps {
   // file source), and the keyed append overwrites its own batch=<id>
   // partitions instead of double-writing — checkpoint replay + idempotent
   // append = end-to-end exactly-once, the standard foreachBatch pattern.
+  // Compacting the artifact mid-stream is ALSO safe: the compactor
+  // records every folded batch id in the artifact's ledger, so a trigger
+  // replayed after its partition was folded away no-ops instead of
+  // re-appending data the compact batch already holds.
 
   /** foreachBatch sink appending each micro-batch of (idCol, textCol)
     * documents to a [[graft.ext.DedupIndex]] artifact (which must exist

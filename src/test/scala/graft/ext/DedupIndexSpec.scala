@@ -239,9 +239,26 @@ class DedupIndexSpec extends SparkSpec {
     new java.io.File(s"$path/bloom_fp").listFiles()
       .map(_.getName).filter(_.endsWith(".bin")).sorted shouldBe
       Array("seg-crawl-42.bin", "seg-init.bin")
-    // a malformed id is rejected before anything is written
+    // a malformed id is rejected before anything is written, and so are
+    // the artifact's own reserved ids (an append under 'init' would
+    // silently replace the build's whole base corpus)
     an[IllegalArgumentException] should be thrownBy
       DedupIndex.append(b, "doc_id", "text", path, batchId = Some("bad id/x"))
+    an[IllegalArgumentException] should be thrownBy
+      DedupIndex.append(b, "doc_id", "text", path, batchId = Some("init"))
+    an[IllegalArgumentException] should be thrownBy
+      DedupIndex.append(b, "doc_id", "text", path, batchId = Some("compact-x"))
+    // corrected-data replace under the same id: the batch swaps
+    // wholesale (old rows gone, not merged)
+    val b2 = b.filter(col("doc_id") < 40)
+    DedupIndex.append(b2, "doc_id", "text", path, batchId = Some("crawl-42"))
+    spark.read.parquet(s"$path/fingerprints").count() shouldBe 40L
+    // once a compaction folds the batch, its id is CONSUMED: a stream
+    // replaying the trigger after the compact must no-op, not re-append
+    DedupIndex.compact(spark, path) shouldBe 40L
+    DedupIndex.append(b, "doc_id", "text", path,
+      batchId = Some("crawl-42")) shouldBe 0L
+    spark.read.parquet(s"$path/fingerprints").count() shouldBe 40L
   }
 
   it should "stay exact when bloom segments are absent (pruning declined)" in {

@@ -70,6 +70,13 @@ class IvfIndexSpec extends SparkSpec {
       .count() shouldBe 0L
     an[IllegalStateException] should be thrownBy
       Similarity.appendIvfIndex(emb, "vec_id", "embedding", path)
+    // compacting the empty-built layout is a no-op — the zero-row
+    // unpartitioned postings must survive untouched (a staged zero-row
+    // partitioned rewrite would leave no schema-bearing file)
+    Similarity.compactIvfIndex(spark, path)
+    Similarity.searchIvfIndex(spark, path,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+      .count() shouldBe 0L
   }
 
   it should "serve appended postings assigned with the loaded centroids" in {
@@ -144,8 +151,16 @@ class IvfIndexSpec extends SparkSpec {
     Similarity.appendIvfIndex(fresh, "vec_id", "embedding", path,
       batchId = Some("b7")) // retry overwrites its own batch partition
     spark.read.parquet(s"$path/postings").count() shouldBe emb.count()
-    // and the batch is surgically removable
-    Similarity.dropIndexBatch(spark, path, "b7")
-    spark.read.parquet(s"$path/postings").count() shouldBe old.count()
+    // a compaction consumes the id: replaying the append afterwards
+    // must no-op instead of re-adding the folded rows
+    Similarity.compactIvfIndex(spark, path)
+    Similarity.appendIvfIndex(fresh, "vec_id", "embedding", path,
+      batchId = Some("b7")) shouldBe 0L
+    spark.read.parquet(s"$path/postings").count() shouldBe emb.count()
+    // and a fresh-keyed batch is surgically removable
+    Similarity.appendIvfIndex(fresh, "vec_id", "embedding", path,
+      batchId = Some("b8"))
+    Similarity.dropIndexBatch(spark, path, "b8")
+    spark.read.parquet(s"$path/postings").count() shouldBe emb.count()
   }
 }

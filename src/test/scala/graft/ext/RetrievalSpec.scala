@@ -274,6 +274,37 @@ class RetrievalSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Retrieval.appendTextIndex(b, "doc_id", "text", path,
         batchId = Some("bad id"))
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.appendTextIndex(b, "doc_id", "text", path,
+        batchId = Some("init"))
+    // a compaction consumes keyed ids: replaying the trigger afterwards
+    // must no-op — the stats sum (the double-count hazard) stays exact
+    Retrieval.appendTextIndex(b, "doc_id", "text", path,
+      batchId = Some("day-2"))
+    Retrieval.compactTextIndex(spark, path)
+    Retrieval.appendTextIndex(b, "doc_id", "text", path,
+      batchId = Some("day-2")) shouldBe 0L
+    stats(path) shouldBe stats(pRebuild)
+    search(path) shouldBe search(pRebuild)
+  }
+
+  it should "treat a tokenless corpus and an all-batches-dropped index as empty, not crash" in {
+    // punctuation-only docs: n_docs > 0 but zero posting rows anywhere —
+    // the postings relation must not poison schema inference
+    val docs = Seq((1L, "!!! ???"), (2L, "... --- !!!")).toDF("doc_id", "text")
+    val p = idxDir()
+    Retrieval.buildTextIndex(docs, "doc_id", "text", p, buckets = 4) shouldBe 2L
+    val q = Seq((1L, "spark")).toDF("qid", "qtext")
+    Retrieval.searchTextIndex(spark, p, q, "qid", "qtext", k = 3)
+      .count() shouldBe 0L
+    // dropping the last batch leaves empty relation dirs: searches read
+    // as empty, appends reject with a clear contract error (the bucket
+    // modulus is unknowable), neither crashes at schema inference
+    Retrieval.dropTextBatch(spark, p, "init")
+    Retrieval.searchTextIndex(spark, p, q, "qid", "qtext", k = 3)
+      .count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Retrieval.appendTextIndex(docs, "doc_id", "text", p)
   }
 
   it should "compact accumulated append file sets down to O(1) files per bucket" in {
