@@ -60,14 +60,18 @@ private[ext] object ArtifactIO {
     * the aside copy. Never delete-then-rename. A missing `dst` (legal
     * for an optional artifact dir that was never written, e.g. the Bloom
     * dir of an empty index) skips the aside step. Recovery from a torn
-    * swap: if dst is absent, rename `_compact_old` (or `_compact_tmp`,
-    * whichever exists) back into place — both hold a complete copy. */
+    * swap (dst absent but an aside copy present) is AUTOMATIC: the next
+    * call restores `_compact_old` (the pre-compaction original) — or
+    * `_compact_tmp` (the fully staged replacement) when no aside exists
+    * — back into place before staging, so the sibling copies are never
+    * the ones deleted while they are the only copy. */
   def rewriteInPlace(spark: SparkSession, dst: String)
                     (stage: String => Unit): Unit = {
     val hfs = fs(spark, dst)
     val dstP = new Path(dst)
     val tmp = new Path(dst + "_compact_tmp")
     val old = new Path(dst + "_compact_old")
+    recoverTornSwap(spark, dst)
     hfs.delete(tmp, true)
     hfs.delete(old, true)
     stage(tmp.toString)
@@ -87,6 +91,31 @@ private[ext] object ArtifactIO {
         s"rewriteInPlace: rename $tmp -> $dstP failed")
     }
     ()
+  }
+
+  /** Torn-swap recovery for a [[rewriteInPlace]] directory: when `dst`
+    * is absent but a sibling copy exists, a prior call renamed dst aside
+    * (`_compact_old`) and/or fully staged a replacement (`_compact_tmp`)
+    * but died before promoting. Either sibling is a complete copy;
+    * restore the original in preference. Called on entry by
+    * [[rewriteInPlace]] (so the siblings are never deleted while they
+    * are the only copy) and by [[readFolded]] (a torn ledger swap read
+    * as "empty ledger" would silently re-arm double-appends of replayed
+    * folded batches). */
+  private def recoverTornSwap(spark: SparkSession, dst: String): Unit = {
+    val hfs = fs(spark, dst)
+    val dstP = new Path(dst)
+    if (hfs.exists(dstP)) return
+    val old = new Path(dst + "_compact_old")
+    val tmp = new Path(dst + "_compact_tmp")
+    val src = if (hfs.exists(old)) Some(old)
+              else if (hfs.exists(tmp)) Some(tmp) else None
+    src.foreach { s =>
+      require(hfs.rename(s, dstP),
+        s"recoverTornSwap: rename $s -> $dstP failed")
+      System.err.println(s"[graft] recovered $dst from ${s.getName} " +
+        "left by a torn swap")
+    }
   }
 
   /** Compact a batch-partitioned postings directory in place: repeated
@@ -168,6 +197,7 @@ private[ext] object ArtifactIO {
   /** The artifact's folded ids (empty when no compact has run). */
   def readFolded(spark: SparkSession, artifactRoot: String): Seq[String] = {
     val dir = s"$artifactRoot/$FoldedDir"
+    recoverTornSwap(spark, dir)
     if (!hasParquetData(spark, dir)) Nil
     else spark.read.parquet(dir).select("batch_id")
       .collect().map(_.getString(0)).toSeq

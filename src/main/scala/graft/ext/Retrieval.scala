@@ -218,6 +218,14 @@ object Retrieval {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(farmHash64(col("term")), lit(buckets.toLong)))
+    // delete the batch's prior postings generation FIRST (mirrors
+    // DedupIndex.writeBatch): a keyed re-append that replaces a batch
+    // with empty/tokenless data takes the skip branch below — without
+    // the delete, the old generation's postings would stay live while
+    // the stats row is overwritten, serving ghost documents the summed
+    // stats no longer count
+    ArtifactIO.fs(spark, path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/postings/batch=$batch"), true)
     // write postings only when the batch HAS posting rows (sum_dl > 0 ⟺
     // at least one token somewhere): a zero-row partitioned write still
     // creates the directory with no schema-bearing file, which would

@@ -474,6 +474,12 @@ object Similarity {
       return 0L
     }
     val batch = ArtifactIO.validBatchId(batchId)
+    // delete the batch's prior generation first: mode("overwrite") only
+    // replaces it fully under STATIC partitionOverwriteMode — under a
+    // session that set it to dynamic, old-generation cell partitions
+    // absent from the corrected data would survive as stale rows
+    ArtifactIO.fs(spark, path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/postings/batch=$batch"), true)
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint(true) // the count and the write share one scan
     corpusV.withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
@@ -924,6 +930,10 @@ object Similarity {
       return 0L
     }
     val batch = ArtifactIO.validBatchId(batchId)
+    // delete-first, as in appendIvfIndex: immune to a session-level
+    // partitionOverwriteMode=dynamic leaving stale old-generation cells
+    ArtifactIO.fs(spark, path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/postings/batch=$batch"), true)
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint(true) // the count and the write share one scan
     ivfpqEncode(corpusV, model)

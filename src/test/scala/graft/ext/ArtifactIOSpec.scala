@@ -1,0 +1,130 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The artifact family's crash/replace contracts: torn-swap recovery
+  * never destroys the only surviving copy (including the folded-batch
+  * ledger), and a keyed re-append fully replaces its batch's prior
+  * generation — empty replacement data, and sessions running with
+  * partitionOverwriteMode=dynamic, included. */
+class ArtifactIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/a"
+
+  private def hfs(dir: String) = ArtifactIO.fs(spark, dir)
+
+  behavior of "ArtifactIO torn-swap recovery"
+
+  it should "restore _compact_old instead of deleting it when dst is absent" in {
+    val root = tmpDir("artio")
+    val dst = s"$root/data"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(dst)
+    // simulate the torn swap: dst renamed aside, promotion never happened
+    hfs(dst).rename(new Path(dst), new Path(dst + "_compact_old"))
+    hfs(dst).exists(new Path(dst)) shouldBe false
+    // the next rewrite must first restore the aside copy, then stage over it
+    ArtifactIO.rewriteInPlace(spark, dst) { tmp =>
+      spark.read.parquet(dst) // readable mid-stage: recovery already ran
+        .withColumn("v", upper(col("v")))
+        .write.parquet(tmp)
+    }
+    spark.read.parquet(dst).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "A"), (2L, "B"))
+    hfs(dst).exists(new Path(dst + "_compact_old")) shouldBe false
+    hfs(dst).exists(new Path(dst + "_compact_tmp")) shouldBe false
+  }
+
+  it should "promote a fully staged _compact_tmp when it is the only copy" in {
+    val root = tmpDir("artio")
+    val dst = s"$root/data"
+    Seq((7L, "x")).toDF("id", "v").write.parquet(dst)
+    // simulate a tear between `rename(dst, old); delete(old)` completing
+    // and tmp promotion: only tmp survives
+    hfs(dst).rename(new Path(dst), new Path(dst + "_compact_tmp"))
+    ArtifactIO.rewriteInPlace(spark, dst) { tmp =>
+      spark.read.parquet(dst).write.parquet(tmp)
+    }
+    spark.read.parquet(dst).as[(Long, String)].collect().toSet shouldBe
+      Set((7L, "x"))
+  }
+
+  it should "not lose folded ledger ids across a torn ledger swap" in {
+    val root = tmpDir("artio")
+    ArtifactIO.recordFolded(spark, root, Seq("day-1", "day-2"))
+    ArtifactIO.readFolded(spark, root).toSet shouldBe Set("day-1", "day-2")
+    // tear the ledger's own rewriteInPlace mid-swap
+    val ledger = s"$root/folded_batches"
+    hfs(ledger).rename(new Path(ledger), new Path(ledger + "_compact_old"))
+    // pre-fix this read returned Nil and the subsequent record rebuilt the
+    // ledger from the new ids alone, re-arming a day-1 replay double-append
+    ArtifactIO.readFolded(spark, root).toSet shouldBe Set("day-1", "day-2")
+    ArtifactIO.recordFolded(spark, root, Seq("day-3"))
+    ArtifactIO.readFolded(spark, root).toSet shouldBe
+      Set("day-1", "day-2", "day-3")
+    ArtifactIO.isFolded(spark, root, Some("day-1")) shouldBe true
+  }
+
+  behavior of "keyed re-append replacement"
+
+  it should "drop a text batch's old postings when the replacement has no tokens" in {
+    val root = tmpDir("artio")
+    val idx = s"$root/tidx"
+    val base = Seq((1L, "alpha beta gamma"), (2L, "delta beta"))
+      .toDF("doc_id", "text")
+    Retrieval.buildTextIndex(base, "doc_id", "text", idx, buckets = 4)
+    val batch = Seq((10L, "zeta eta theta"), (11L, "zeta iota"))
+      .toDF("doc_id", "text")
+    Retrieval.appendTextIndex(batch, "doc_id", "text", idx,
+      batchId = Some("day-1")) shouldBe 2L
+    Retrieval.searchTextIndex(spark, idx,
+        Seq((100L, "zeta")).toDF("qid", "q"), "qid", "q", k = 5)
+      .count() shouldBe 2L
+    // the corrected day-1 data: both docs now tokenless (sum_dl == 0)
+    val empty = Seq((10L, ""), (11L, "")).toDF("doc_id", "text")
+    Retrieval.appendTextIndex(empty, "doc_id", "text", idx,
+      batchId = Some("day-1")) shouldBe 2L
+    // pre-fix the old generation's postings survived the stats overwrite:
+    // ghost documents the summed stats no longer counted
+    Retrieval.searchTextIndex(spark, idx,
+        Seq((100L, "zeta")).toDF("qid", "q"), "qid", "q", k = 5)
+      .count() shouldBe 0L
+  }
+
+  it should "fully replace an IVF batch under partitionOverwriteMode=dynamic" in {
+    val root = tmpDir("artio")
+    val idx = s"$root/ividx"
+    // two tight clusters far apart => stable 2-cell quantizer
+    def vec(c: Double, j: Int): Array[Double] =
+      Array(c + j * 0.01, c - j * 0.01, c)
+    val base = (0 until 8).map(j => (j.toLong, vec(if (j < 4) 0.0 else 10.0, j)))
+      .toDF("id", "v")
+    Similarity.buildIvfIndex(base, "id", "v", idx, nlist = 2)
+    // keyed batch whose rows land in BOTH cells
+    val b1 = Seq((100L, vec(0.0, 1)), (101L, vec(10.0, 1))).toDF("id", "v")
+    Similarity.appendIvfIndex(b1, "id", "v", idx, batchId = Some("day-1"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // the corrected day-1 data lands in only ONE cell — the other
+      // cell's old generation must not survive as a stale row
+      val b2 = Seq((100L, vec(0.0, 2))).toDF("id", "v")
+      Similarity.appendIvfIndex(b2, "id", "v", idx, batchId = Some("day-1"))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    val ids = spark.read.parquet(s"$idx/postings")
+      .select("id").as[Long].collect().toSet
+    ids should contain(100L)
+    ids should not contain 101L
+  }
+}
