@@ -1125,6 +1125,47 @@ object SparkEntry {
           date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("min_ship"))
     }),
 
+    // ---- protobuf wire scan/sink (S5/G3 — pure-Scala wire format, no
+    // protobuf runtime): a lineitem slice mapped onto a descriptor
+    // exercising varint int64/int32, zigzag sint32 (negative), fixed64
+    // double, length-delimited strings, a repeated field, and a nested
+    // message — written as length-delimited wire files, scanned back
+    // distributed, aggregated; the oracle computes the same aggregate
+    // straight from parquet, so any codec bug breaks the hash ----
+    "proto_wire" -> ((s, d) => {
+      import graft.sources.ProtoWire
+      import graft.sources.ProtoWire._
+      val out = "/tmp/graft_proto_wire"
+      val meta = PMessage("Meta", Seq(
+        PField(1, "flag", PRequired, PString),
+        PField(2, "status", POptional, PString)))
+      val desc = PMessage("DocP", Seq(
+        PField(1, "doc_id", PRequired, PInt64),
+        PField(2, "n_chars", PRequired, PInt32),
+        PField(3, "neg_chars", PRequired, PSInt32),
+        PField(4, "half_chars", PRequired, PDouble),
+        PField(5, "words", PRepeated, PString),
+        PField(6, "meta", PRequired, PMsg(meta))))
+      val slice = t(s, d, "documents")
+        .filter(col("doc_id") % 10 < 4)
+        .select(col("doc_id"),
+          col("n_chars").cast("int").as("n_chars"),
+          (-col("n_chars")).cast("int").as("neg_chars"),
+          (col("n_chars") / 2.0).as("half_chars"),
+          split(col("text"), " ").as("words"),
+          struct(col("lang").as("flag"),
+            col("source").as("status")).as("meta"))
+      ProtoWire.writeDelimited(slice, desc, out)
+      ProtoWire.readDelimited(s, out, desc)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(col("neg_chars")).as("sum_neg"),
+          round(sum("half_chars"), 2).as("sum_half"),
+          sum(size(col("words"))).as("n_words"),
+          countDistinct(col("meta.flag")).as("n_langs"),
+          countDistinct(col("meta.status")).as("n_sources"))
+    }),
+
     // ---- event-time windowed aggregation over the events table (the
     // batch shape of the streaming windowedQuality pass) ----
     "events_window_agg" -> ((s, d) => {
@@ -2750,6 +2791,15 @@ object SparkEntry {
            |    AND alpha >= 0.0 AND stop_hits >= 0, false) AS keep
            |FROM s ORDER BY doc_id""".stripMargin
       },
+      "proto_wire" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+          |  CAST(SUM(-n_chars) AS BIGINT) AS sum_neg,
+          |  ROUND(CAST(SUM(n_chars / 2.0) AS DOUBLE), 2) AS sum_half,
+          |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+          |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+          |FROM documents WHERE doc_id % 10 < 4""".stripMargin,
       "avro_roundtrip" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
           |  ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
