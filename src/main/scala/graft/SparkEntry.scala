@@ -1008,6 +1008,39 @@ object SparkEntry {
             mm.books.forall(_.length <= 32))).as("model_ok"),
           (col("n_matched") >= col("n_bf") * 0.55).as("recall_ok"))
     }),
+    // ---- retrain remediation for a drifted IVF quantizer: build on 70%
+    // of the corpus, append a SHIFTED 30% (a distribution the trained
+    // quantizer has never seen) under a keyed batch, measure the drift
+    // probe, retrain FROM THE ARTIFACT'S OWN POSTINGS, and verify: the
+    // postings count is conserved across the rename-aside swap (the
+    // DuckDB-pinned invariant), the cell count is the requested nlist,
+    // the folded ledger no-ops a replay of the keyed batch, and the
+    // drift metric improved ----
+    "index_retrain" -> ((s, d) => {
+      val tmp = sessionTempDir("graft_retrain")
+      val emb = t(s, d, "embeddings")
+      val off = idOffset(emb, "vec_id")
+      val base = emb.filter(col("vec_id") % 10 < 7)
+      val shifted = emb.filter(col("vec_id") % 10 >= 7)
+        .select((col("vec_id") + off).as("vec_id"),
+          transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+      Similarity.buildIvfIndex(base, "vec_id", "embedding", tmp,
+        nlist = 8, maxIter = 5)
+      Similarity.appendIvfIndex(shifted, "vec_id", "embedding", tmp,
+        batchId = Some("drift-1"))
+      def drift(): Double = IndexAdmin.ivfDriftCheck(s, tmp, shifted,
+          "vec_id", "embedding")
+        .filter(col("cell") === -1).head().getAs[Double]("mean_dist")
+      val driftBefore = drift()
+      val nBefore = s.read.parquet(s"$tmp/postings").count()
+      val cells = Similarity.retrainIvfIndex(s, tmp, nlist = 8, maxIter = 5)
+      val nAfter = s.read.parquet(s"$tmp/postings").count()
+      val replay = Similarity.appendIvfIndex(shifted, "vec_id", "embedding",
+        tmp, batchId = Some("drift-1"))
+      import s.implicits._
+      Seq((nBefore, nAfter, cells, replay, drift() < driftBefore))
+        .toDF("n_before", "n_after", "cells", "replay_rows", "drift_improved")
+    }),
     // the append-a-crawl OPERATIONAL LOOP end-to-end through the
     // persisted dedup index: day 1 builds the artifact; day 2 (half
     // novel docs, half byte-identical re-crawls of day 1) exact-dedups
@@ -2613,6 +2646,14 @@ object SparkEntry {
       "ivfpq_index_search" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_postings, true AS cells_ok,
           |  true AS model_ok, true AS recall_ok
+          |FROM embeddings""".stripMargin,
+      // postings-count conservation across the retrain swap: base (70%)
+      // + shifted batch (30%) = the full embeddings count, before AND
+      // after; replay of the folded keyed batch appends zero rows
+      "index_retrain" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_before,
+          |  CAST(count(*) AS BIGINT) AS n_after, 8 AS cells,
+          |  CAST(0 AS BIGINT) AS replay_rows, true AS drift_improved
           |FROM embeddings""".stripMargin,
       // the crawl loop's final census via fingerprint==text equality:
       // |day1| + |day2 rows whose text day 1 never saw| (NOT EXISTS with

@@ -509,6 +509,52 @@ object Similarity {
     ()
   }
 
+  /** Retrain a [[buildIvfIndex]] artifact's coarse quantizer from its OWN
+    * stored full-vector postings and re-cell everything — the remediation
+    * [[IndexAdmin.ivfDriftCheck]]'s decay signal calls for, without a
+    * from-scratch rebuild or re-reading the source corpus. One bounded
+    * training sample + one re-cell shuffle; all current batches fold into
+    * a single compact partition (their replayable ids are recorded in the
+    * folded ledger FIRST, so a keyed append replayed afterwards no-ops).
+    * Both directories swap rename-aside. Crash contract: a tear between
+    * the postings swap and the centroids swap leaves searches probing
+    * with the old quantizer over the new cell layout — DEGRADED recall,
+    * never corrupt results (scoring always uses true vectors) — and
+    * re-running retrain restores consistency. Readers concurrent with
+    * the swap window see the same degraded-not-corrupt behavior.
+    * Single-writer, like append/compact. Returns the new cell count. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      nlist: Int = 16, seed: Long = 42L,
+                      trainCap: Long = 100000L, maxIter: Int = 10): Int = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val postingsDir = s"$path/postings"
+    require(ArtifactIO.hasParquetData(spark, postingsDir),
+      s"retrainIvfIndex: no postings at $path (empty index) — " +
+        "nothing to train from; rebuild instead")
+    val corpusV = spark.read.parquet(postingsDir).select(col("id"), col("v"))
+    val centroids = trainCoarseCentroids(corpusV, nlist, seed, trainCap,
+        maxIter)
+      .getOrElse(throw new IllegalStateException(
+        s"retrainIvfIndex: postings at $path hold no finite vectors"))
+    // ledger first: the retrain folds every batch partition away
+    ArtifactIO.recordFolded(spark, path,
+      ArtifactIO.listBatchIds(spark, postingsDir))
+    val cid = s"compact-${java.util.UUID.randomUUID.toString.take(13)}"
+    ArtifactIO.rewriteInPlace(spark, postingsDir) { tmp =>
+      corpusV.withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/batch=$cid")
+    }
+    import spark.implicits._
+    ArtifactIO.rewriteInPlace(spark, s"$path/centroids") { tmp =>
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(tmp)
+    }
+    centroids.length
+  }
+
   /** Search a persisted index without retraining or re-assigning: queries
     * assign to their `nprobe` nearest cells against the loaded centroids,
     * and the postings scan carries `cell IN (probed…)` as a LITERAL
@@ -953,6 +999,61 @@ object Similarity {
     ArtifactIO.compactPartitioned(spark, s"$path/postings", "cell",
       dedupe = true)
     ()
+  }
+
+  /** Retrain a [[buildIvfPqIndex]] artifact from a CALLER-SUPPLIED
+    * full-vector corpus — PQ postings hold only codes (not invertible),
+    * so unlike [[retrainIvfIndex]] the artifact cannot retrain from
+    * itself: `vectors` must be the complete corpus the index should
+    * serve (base + every appended batch; rows absent from it fall out of
+    * the index, which doubles as re-ingest-time cleanup). Both
+    * quantizers retrain, the supplied corpus re-encodes into a single
+    * compact batch, and the three directories swap rename-aside
+    * (postings, then codebooks, then centroids — the two quantizer dirs
+    * are tiny, shrinking the mixed window). Replayable batch ids fold
+    * into the ledger FIRST so keyed replays no-op afterwards. Crash
+    * contract: a tear between swaps leaves ADC scoring against a
+    * mismatched quantizer — recall degrades (badly) until retrain
+    * re-runs, but nothing is lost or corrupted on disk; re-running
+    * restores consistency. Single-writer. Returns the new cell count. */
+  def retrainIvfPqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                        path: String, nlist: Int = 16, m: Int = 8,
+                        codebookSize: Int = 256, seed: Long = 42L,
+                        trainCap: Long = 100000L, maxIter: Int = 10): Int = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
+    val spark = vectors.sparkSession
+    require(ArtifactIO.hasParquetData(spark, s"$path/postings"),
+      s"retrainIvfPqIndex: no postings at $path (empty index) — " +
+        "build instead")
+    val corpusV = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val model = trainIvfPq(corpusV, nlist, m, codebookSize, seed,
+        trainCap, maxIter)
+      .getOrElse(throw new IllegalArgumentException(
+        "retrainIvfPqIndex: the supplied corpus holds no finite vectors"))
+    ArtifactIO.recordFolded(spark, path,
+      ArtifactIO.listBatchIds(spark, s"$path/postings"))
+    val cid = s"compact-${java.util.UUID.randomUUID.toString.take(13)}"
+    ArtifactIO.rewriteInPlace(spark, s"$path/postings") { tmp =>
+      ivfpqEncode(corpusV, model)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/batch=$cid")
+    }
+    import spark.implicits._
+    ArtifactIO.rewriteInPlace(spark, s"$path/codebooks") { tmp =>
+      model.books.zipWithIndex.flatMap { case (book, sp) =>
+        book.zipWithIndex.map { case (cent, code) => (sp, code, cent.toSeq) }
+      }.toSeq.toDF("subspace", "code", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(tmp)
+    }
+    ArtifactIO.rewriteInPlace(spark, s"$path/centroids") { tmp =>
+      model.coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(tmp)
+    }
+    model.coarse.length
   }
 
   /** Remove one appended batch from an IVF or IVF-PQ artifact (both
