@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
+import scala.collection.mutable
 
 /** Shared filesystem plumbing for the persisted-index family (text,
   * IVF, IVF-PQ, dedup): in-place directory rewrites staged to a sibling
@@ -210,6 +211,86 @@ private[ext] object ArtifactIO {
                batchId: Option[String]): Boolean =
     batchId.exists(id => replayable(id) &&
       readFolded(spark, artifactRoot).contains(id))
+
+  // ---- writer lease ---------------------------------------------------------
+  // The artifact family is single-writer BY CONTRACT; the lease makes a
+  // violated contract fail loudly instead of corrupting. Every mutating
+  // entry point (build/append/compact/retrain/drop) wraps itself in
+  // withWriterLease: acquire-or-fail on a `_writer_lock` file created
+  // with overwrite=false (atomic on HDFS; best-effort check-then-create
+  // on filesystems without atomic create — the lease is a guardrail for
+  // the documented contract, not a distributed-consensus primitive).
+  // A lock older than `staleAfterMs` is presumed abandoned by a crashed
+  // writer and taken over with a logged warning. Reentrant per thread,
+  // so a guarded operation may compose guarded helpers on the same
+  // artifact. READERS never take the lease — searches stay lock-free.
+
+  private val LockFile = "_writer_lock"
+
+  private val heldLeases: ThreadLocal[mutable.Set[String]] =
+    ThreadLocal.withInitial(() => mutable.Set.empty[String])
+
+  /** Run `body` holding the artifact's writer lease. Throws
+    * IllegalStateException naming the holder when another writer holds a
+    * fresh lease; takes over (with a warning) past `staleAfterMs`. */
+  def withWriterLease[T](spark: SparkSession, artifactRoot: String, op: String,
+                         staleAfterMs: Long = 15L * 60 * 1000)(body: => T): T = {
+    if (heldLeases.get.contains(artifactRoot)) return body // reentrant
+    val hfs = fs(spark, artifactRoot)
+    val rootP = new Path(artifactRoot)
+    if (!hfs.exists(rootP)) hfs.mkdirs(rootP)
+    val lock = new Path(artifactRoot, LockFile)
+    val token = java.util.UUID.randomUUID.toString
+    val payload =
+      s"$token $op ${java.net.InetAddress.getLocalHost.getHostName}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def tryCreate(): Boolean =
+      try {
+        val out = hfs.create(lock, false)
+        out.write(payload); out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      // somebody holds it — stale takeover or loud failure
+      val st = try Some(hfs.getFileStatus(lock)) catch {
+        case _: java.io.FileNotFoundException => None // released between checks
+      }
+      val age = st.map(s => System.currentTimeMillis - s.getModificationTime)
+      val holder = try {
+        val in = hfs.open(lock)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: java.io.IOException => "<unreadable>" }
+      if (age.forall(_ > staleAfterMs)) {
+        System.err.println(s"[graft] writer lease on $artifactRoot held by " +
+          s"'$holder' is ${age.map(_ / 1000).getOrElse(-1L)}s old — presuming " +
+          "a crashed writer and taking over")
+        hfs.delete(lock, true)
+        if (!tryCreate()) throw new IllegalStateException(
+          s"writer lease on $artifactRoot: lost the takeover race to " +
+            "another writer — retry")
+      } else throw new IllegalStateException(
+        s"writer lease on $artifactRoot is held by '$holder' " +
+          s"(${age.map(_ / 1000).getOrElse(-1L)}s old; op '$op' refused). " +
+          "The artifact family is single-writer: serialize maintenance, or " +
+          s"delete $artifactRoot/$LockFile if the holder is known dead")
+    }
+    heldLeases.get += artifactRoot
+    try body
+    finally {
+      heldLeases.get -= artifactRoot
+      // release only OUR lease: a stale takeover may have replaced it
+      try {
+        val in = hfs.open(lock)
+        val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        if (cur.startsWith(token)) hfs.delete(lock, true)
+        else System.err.println(s"[graft] writer lease on $artifactRoot was " +
+          "taken over mid-operation (this writer exceeded the staleness " +
+          "window) — not releasing the new holder's lock")
+      } catch { case _: java.io.IOException => () }
+    }
+  }
 
   /** Output file count for an in-place rewrite of `dir`, from its actual
     * on-disk parquet bytes (same format + codec in and out, so size

@@ -88,15 +88,17 @@ object DedupIndex {
       s"bloomFpp must be in (0, 0.5], got $bloomFpp")
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((numHashes, bands, shingleLen, seed, bloomFpp))
-      .toDF("num_hashes", "bands", "shingle_len", "seed", "bloom_fpp")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/params")
-    // a rebuild must not inherit stale batches or bloom segments from a
-    // prior life
-    Seq("fingerprints", "shingles", "bands", FpBloomDir, BandBloomDir)
-      .foreach(d => deleteDir(spark, s"$path/$d"))
-    writeBatch(df, idCol, textCol, path,
-      Params(numHashes, bands, shingleLen, seed, bloomFpp), batch = "init")
+    ArtifactIO.withWriterLease(spark, path, "DedupIndex.build") {
+      Seq((numHashes, bands, shingleLen, seed, bloomFpp))
+        .toDF("num_hashes", "bands", "shingle_len", "seed", "bloom_fpp")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+      // a rebuild must not inherit stale batches or bloom segments from a
+      // prior life
+      Seq("fingerprints", "shingles", "bands", FpBloomDir, BandBloomDir)
+        .foreach(d => deleteDir(spark, s"$path/$d"))
+      writeBatch(df, idCol, textCol, path,
+        Params(numHashes, bands, shingleLen, seed, bloomFpp), batch = "init")
+    }
   }
 
   /** Append a new batch to an existing index (parameters come from the
@@ -119,15 +121,16 @@ object DedupIndex {
   def append(df: DataFrame, idCol: String, textCol: String, path: String,
              batchId: Option[String] = None): Long = {
     val spark = df.sparkSession
-    if (ArtifactIO.isFolded(spark, path, batchId)) {
-      // a post-compaction replay: the batch's rows already live in the
-      // compact batch — re-appending would duplicate them
-      System.err.println(s"[graft] DedupIndex.append: batch " +
-        s"'${batchId.get}' was folded by a compaction — skipping replay")
-      return 0L
+    ArtifactIO.withWriterLease(spark, path, "DedupIndex.append") {
+      if (ArtifactIO.isFolded(spark, path, batchId)) {
+        // a post-compaction replay: the batch's rows already live in the
+        // compact batch — re-appending would duplicate them
+        System.err.println(s"[graft] DedupIndex.append: batch " +
+          s"'${batchId.get}' was folded by a compaction — skipping replay")
+        0L
+      } else writeBatch(df, idCol, textCol, path, readParams(spark, path),
+        batch = ArtifactIO.validBatchId(batchId))
     }
-    writeBatch(df, idCol, textCol, path, readParams(spark, path),
-      batch = ArtifactIO.validBatchId(batchId))
   }
 
   /** Remove one batch from the index: its three relation partitions,
@@ -137,12 +140,13 @@ object DedupIndex {
     * negatives). The surgical heal for an un-keyed append that
     * double-wrote, and the retention knob for time-keyed batches.
     * Dropping an id that is not present is a no-op. Single-writer. */
-  def dropBatch(spark: SparkSession, path: String, batchId: String): Unit = {
-    Seq("shingles", "fingerprints", "bands")
-      .foreach(r => deleteDir(spark, s"$path/$r/batch=$batchId"))
-    Seq(FpBloomDir, BandBloomDir)
-      .foreach(d => deleteDir(spark, s"$path/$d/seg-$batchId.bin"))
-  }
+  def dropBatch(spark: SparkSession, path: String, batchId: String): Unit =
+    ArtifactIO.withWriterLease(spark, path, "DedupIndex.dropBatch") {
+      Seq("shingles", "fingerprints", "bands")
+        .foreach(r => deleteDir(spark, s"$path/$r/batch=$batchId"))
+      Seq(FpBloomDir, BandBloomDir)
+        .foreach(d => deleteDir(spark, s"$path/$d/seg-$batchId.bin"))
+    }
 
   /** Compact the index in place. Three effects, one pass per relation:
     *
@@ -171,6 +175,7 @@ object DedupIndex {
     * Returns the number of documents retained. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 256L << 20): Long = {
+    ArtifactIO.withWriterLease(spark, path, "DedupIndex.compact") {
     val p = readParams(spark, path)
     val cid = s"compact-${java.util.UUID.randomUUID.toString.take(13)}"
     // ledger FIRST (see ArtifactIO): a replayed keyed append must no-op
@@ -206,6 +211,7 @@ object DedupIndex {
             .stat.bloomFilter("__bk", nBands, p.bloomFpp), cid)
     }
     nDocs
+    } // lease scope
   }
 
   /** The persisted parameter row. */

@@ -179,12 +179,14 @@ object Retrieval {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     requireIntegralId(docs, idCol, "doc id")
     val spark = docs.sparkSession
-    // a rebuild must not inherit batches from a prior life
-    Seq("postings", "stats").foreach { d =>
-      val hfs = ArtifactIO.fs(spark, s"$path/$d")
-      hfs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+    ArtifactIO.withWriterLease(spark, path, "buildTextIndex") {
+      // a rebuild must not inherit batches from a prior life
+      Seq("postings", "stats").foreach { d =>
+        val hfs = ArtifactIO.fs(spark, s"$path/$d")
+        hfs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+      }
+      writeTextBatch(docs, idCol, textCol, path, buckets, "init")
     }
-    writeTextBatch(docs, idCol, textCol, path, buckets, "init")
   }
 
   /** One batch's postings + stats row into their own `batch=<id>`
@@ -278,19 +280,22 @@ object Retrieval {
                       path: String, batchId: Option[String] = None): Long = {
     requireIntegralId(docs, idCol, "doc id")
     val spark = docs.sparkSession
-    if (ArtifactIO.isFolded(spark, path, batchId)) {
-      // a post-compaction replay: the batch's postings AND stats are in
-      // the compact batch — re-appending would double-count both
-      System.err.println(s"[graft] appendTextIndex: batch " +
-        s"'${batchId.get}' was folded by a compaction — skipping replay")
-      return 0L
+    ArtifactIO.withWriterLease(spark, path, "appendTextIndex") {
+      if (ArtifactIO.isFolded(spark, path, batchId)) {
+        // a post-compaction replay: the batch's postings AND stats are in
+        // the compact batch — re-appending would double-count both
+        System.err.println(s"[graft] appendTextIndex: batch " +
+          s"'${batchId.get}' was folded by a compaction — skipping replay")
+        0L
+      } else {
+        val (_, _, buckets) = readTextStats(spark, path)
+        require(buckets > 0,
+          s"appendTextIndex: no stats batches at $path (never built, or all " +
+            "batches dropped) — the bucket modulus is unknowable; rebuild")
+        writeTextBatch(docs, idCol, textCol, path, buckets,
+          ArtifactIO.validBatchId(batchId))
+      }
     }
-    val (_, _, buckets) = readTextStats(spark, path)
-    require(buckets > 0,
-      s"appendTextIndex: no stats batches at $path (never built, or all " +
-        "batches dropped) — the bucket modulus is unknowable; rebuild")
-    writeTextBatch(docs, idCol, textCol, path, buckets,
-      ArtifactIO.validBatchId(batchId))
   }
 
   /** Compact a text index in place: repeated [[appendTextIndex]] calls
@@ -307,7 +312,8 @@ object Retrieval {
     * stats row too), then compact. No-op on an index with no postings.
     * Single-writer, like append. */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Unit = {
+                       path: String): Unit =
+      ArtifactIO.withWriterLease(spark, path, "compactTextIndex") {
     if (!ArtifactIO.hasParquetData(spark, s"$path/postings")) return
     val cid = s"compact-${java.util.UUID.randomUUID.toString.take(13)}"
     // ledger first: a keyed batch replayed after its partition is folded
@@ -327,7 +333,7 @@ object Retrieval {
       Seq((nDocs, sumDl, buckets)).toDF("n_docs", "sum_dl", "buckets")
         .repartition(1).write.mode("overwrite").parquet(s"$tmp/batch=$cid")
     }
-  }
+  } // lease scope
 
   /** Remove one batch from a text index: its postings partition and its
     * stats row (the summed corpus stats shrink with it) — the surgical
@@ -335,17 +341,18 @@ object Retrieval {
     * knob for time-keyed batches. Deleting an id that is not present is
     * a no-op. Single-writer, like append. */
   def dropTextBatch(spark: org.apache.spark.sql.SparkSession, path: String,
-                    batchId: String): Unit = {
-    val hfs = ArtifactIO.fs(spark, path)
-    // postings first: a tear between the deletes leaves orphaned stats
-    // claiming slightly too many docs (idf marginally off), never
-    // postings that the stats no longer count
-    hfs.delete(new org.apache.hadoop.fs.Path(
-      s"$path/postings/batch=$batchId"), true)
-    hfs.delete(new org.apache.hadoop.fs.Path(
-      s"$path/stats/batch=$batchId"), true)
-    ()
-  }
+                    batchId: String): Unit =
+    ArtifactIO.withWriterLease(spark, path, "dropTextBatch") {
+      val hfs = ArtifactIO.fs(spark, path)
+      // postings first: a tear between the deletes leaves orphaned stats
+      // claiming slightly too many docs (idf marginally off), never
+      // postings that the stats no longer count
+      hfs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/postings/batch=$batchId"), true)
+      hfs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/stats/batch=$batchId"), true)
+      ()
+    }
 
   /** BM25 search against a [[buildTextIndex]] artifact without touching
     * the corpus: query terms hash to their buckets (a driver-side

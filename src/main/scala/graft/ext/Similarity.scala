@@ -415,6 +415,7 @@ object Similarity {
                     path: String, nlist: Int = 16, seed: Long = 42L,
                     trainCap: Long = 100000L, maxIter: Int = 10): Int = {
     val spark = corpus.sparkSession
+    ArtifactIO.withWriterLease(spark, path, "buildIvfIndex") {
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val centroids = trainCoarseCentroids(corpusV, nlist, seed, trainCap, maxIter)
       .getOrElse(Array.empty[Array[Double]])
@@ -440,6 +441,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/postings/batch=init")
     centroids.length
+    } // lease scope
   }
 
   /** The persisted quantizer: cell-indexed centroid array (driver-side —
@@ -464,6 +466,7 @@ object Similarity {
   def appendIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                      path: String, batchId: Option[String] = None): Long = {
     val spark = corpus.sparkSession
+    ArtifactIO.withWriterLease(spark, path, "appendIvfIndex") {
     val centroids = loadIvfCentroids(spark, path)
     if (centroids.isEmpty)
       throw new IllegalStateException(
@@ -487,6 +490,7 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/postings/batch=$batch")
     corpusV.count()
+    } // lease scope
   }
 
   /** Compact a [[buildIvfIndex]] artifact's postings in place: repeated
@@ -499,15 +503,16 @@ object Similarity {
     * never the postings). No-op on an empty-built index. Single-writer,
     * like append. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit = {
-    // ledger first: a keyed batch replayed after its partition is folded
-    // away must no-op, not re-append (see ArtifactIO)
-    ArtifactIO.recordFolded(spark, path,
-      ArtifactIO.listBatchIds(spark, s"$path/postings"))
-    ArtifactIO.compactPartitioned(spark, s"$path/postings", "cell",
-      dedupe = true)
-    ()
-  }
+                      path: String): Unit =
+    ArtifactIO.withWriterLease(spark, path, "compactIvfIndex") {
+      // ledger first: a keyed batch replayed after its partition is folded
+      // away must no-op, not re-append (see ArtifactIO)
+      ArtifactIO.recordFolded(spark, path,
+        ArtifactIO.listBatchIds(spark, s"$path/postings"))
+      ArtifactIO.compactPartitioned(spark, s"$path/postings", "cell",
+        dedupe = true)
+      ()
+    }
 
   /** Retrain a [[buildIvfIndex]] artifact's coarse quantizer from its OWN
     * stored full-vector postings and re-cell everything — the remediation
@@ -527,6 +532,7 @@ object Similarity {
                       nlist: Int = 16, seed: Long = 42L,
                       trainCap: Long = 100000L, maxIter: Int = 10): Int = {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    ArtifactIO.withWriterLease(spark, path, "retrainIvfIndex") {
     val postingsDir = s"$path/postings"
     require(ArtifactIO.hasParquetData(spark, postingsDir),
       s"retrainIvfIndex: no postings at $path (empty index) — " +
@@ -553,6 +559,7 @@ object Similarity {
         .repartition(1).write.mode("overwrite").parquet(tmp)
     }
     centroids.length
+    } // lease scope
   }
 
   /** Search a persisted index without retraining or re-assigning: queries
@@ -904,6 +911,7 @@ object Similarity {
     require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
     val spark = corpus.sparkSession
     import spark.implicits._
+    ArtifactIO.withWriterLease(spark, path, "buildIvfPqIndex") {
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val modelOpt = trainIvfPq(corpusV, nlist, m, codebookSize, seed,
       trainCap, maxIter)
@@ -935,6 +943,7 @@ object Similarity {
           .parquet(s"$path/postings/batch=init")
         model.coarse.length
     }
+    } // lease scope
   }
 
   /** Load the persisted quantizers back (both driver-sized by
@@ -967,6 +976,7 @@ object Similarity {
   def appendIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                        path: String, batchId: Option[String] = None): Long = {
     val spark = corpus.sparkSession
+    ArtifactIO.withWriterLease(spark, path, "appendIvfPqIndex") {
     val model = loadIvfPqModel(spark, path).getOrElse(
       throw new IllegalStateException(
         s"appendIvfPqIndex: no trained quantizers at $path (empty index)"))
@@ -987,19 +997,21 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/postings/batch=$batch")
     corpusV.count()
+    } // lease scope
   }
 
   /** [[compactIvfIndex]] for an IVF-PQ artifact: same one-shuffle
     * per-cell rewrite + full-row dedupe + rename-aside swap over the
     * (id, codes, xnorm, cell) postings. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Unit = {
-    ArtifactIO.recordFolded(spark, path,
-      ArtifactIO.listBatchIds(spark, s"$path/postings"))
-    ArtifactIO.compactPartitioned(spark, s"$path/postings", "cell",
-      dedupe = true)
-    ()
-  }
+                        path: String): Unit =
+    ArtifactIO.withWriterLease(spark, path, "compactIvfPqIndex") {
+      ArtifactIO.recordFolded(spark, path,
+        ArtifactIO.listBatchIds(spark, s"$path/postings"))
+      ArtifactIO.compactPartitioned(spark, s"$path/postings", "cell",
+        dedupe = true)
+      ()
+    }
 
   /** Retrain a [[buildIvfPqIndex]] artifact from a CALLER-SUPPLIED
     * full-vector corpus — PQ postings hold only codes (not invertible),
@@ -1024,6 +1036,7 @@ object Similarity {
     require(m >= 1, s"m must be >= 1, got $m")
     require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
     val spark = vectors.sparkSession
+    ArtifactIO.withWriterLease(spark, path, "retrainIvfPqIndex") {
     require(ArtifactIO.hasParquetData(spark, s"$path/postings"),
       s"retrainIvfPqIndex: no postings at $path (empty index) — " +
         "build instead")
@@ -1054,17 +1067,19 @@ object Similarity {
         .repartition(1).write.mode("overwrite").parquet(tmp)
     }
     model.coarse.length
+    } // lease scope
   }
 
   /** Remove one appended batch from an IVF or IVF-PQ artifact (both
     * share the postings layout): the batch's whole partition disappears
     * in one directory delete. Dropping an absent id is a no-op. */
   def dropIndexBatch(spark: org.apache.spark.sql.SparkSession, path: String,
-                     batchId: String): Unit = {
-    ArtifactIO.fs(spark, path).delete(
-      new org.apache.hadoop.fs.Path(s"$path/postings/batch=$batchId"), true)
-    ()
-  }
+                     batchId: String): Unit =
+    ArtifactIO.withWriterLease(spark, path, "dropIndexBatch") {
+      ArtifactIO.fs(spark, path).delete(
+        new org.apache.hadoop.fs.Path(s"$path/postings/batch=$batchId"), true)
+      ()
+    }
 
   /** Search a persisted IVF-PQ index: queries assign to their `nprobe`
     * nearest cells against the loaded centroids, the postings scan

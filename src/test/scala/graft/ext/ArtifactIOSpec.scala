@@ -95,6 +95,70 @@ class ArtifactIOSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  behavior of "writer lease"
+
+  private def plantLock(root: String, ageMs: Long = 0L): Unit = {
+    val f = hfs(root)
+    val p = new Path(root, "_writer_lock")
+    val out = f.create(p, true)
+    out.write("deadbeef-0000 someOp otherhost".getBytes("UTF-8"))
+    out.close()
+    if (ageMs > 0) {
+      val t = System.currentTimeMillis - ageMs
+      f.setTimes(p, t, t)
+    }
+  }
+
+  it should "fail a concurrent write loudly, naming the holder" in {
+    val root = tmpDir("artio")
+    val idx = s"$root/t"
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Retrieval.buildTextIndex(docs, "doc_id", "text", idx, buckets = 2)
+    plantLock(idx) // a live writer mid-operation
+    val ex = intercept[IllegalStateException] {
+      Retrieval.appendTextIndex(docs, "doc_id", "text", idx,
+        batchId = Some("day-2"))
+    }
+    ex.getMessage should include("someOp otherhost")
+    ex.getMessage should include("single-writer")
+    // compaction is guarded by the same lease
+    intercept[IllegalStateException](Retrieval.compactTextIndex(spark, idx))
+    hfs(idx).delete(new Path(idx, "_writer_lock"), false)
+    // released/removed lock: writes proceed and release cleanly again
+    Retrieval.appendTextIndex(docs.select((col("doc_id") + 10).as("doc_id"),
+      col("text")), "doc_id", "text", idx, batchId = Some("day-2")) shouldBe 1L
+    Retrieval.compactTextIndex(spark, idx)
+    hfs(idx).exists(new Path(idx, "_writer_lock")) shouldBe false
+  }
+
+  it should "take over a stale lock left by a crashed writer" in {
+    val root = tmpDir("artio")
+    val idx = s"$root/iv"
+    val base = (0 until 6).map(j => (j.toLong, Array(j * 1.0, 1.0)))
+      .toDF("id", "v")
+    Similarity.buildIvfIndex(base, "id", "v", idx, nlist = 2)
+    plantLock(idx, ageMs = 20L * 60 * 1000) // older than the 15 min window
+    Similarity.appendIvfIndex(
+      Seq((100L, Array(2.0, 1.0))).toDF("id", "v"),
+      "id", "v", idx, batchId = Some("d1")) shouldBe 1L
+    // the takeover's own lease was released on completion
+    hfs(idx).exists(new Path(idx, "_writer_lock")) shouldBe false
+  }
+
+  it should "compose guarded operations reentrantly on one thread" in {
+    val root = tmpDir("artio")
+    val idx = s"$root/dd"
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    // build → append → compact each take and release the lease; compact
+    // internally drives recordFolded/rewriteInPlace under the same lease
+    DedupIndex.build(docs, "doc_id", "text", idx, numHashes = 8, bands = 4)
+    DedupIndex.append(docs.select((col("doc_id") + 10).as("doc_id"),
+      col("text")), "doc_id", "text", idx, batchId = Some("d1"))
+    DedupIndex.compact(spark, idx) shouldBe 4L
+    hfs(idx).exists(new Path(idx, "_writer_lock")) shouldBe false
+  }
+
   it should "fully replace an IVF batch under partitionOverwriteMode=dynamic" in {
     val root = tmpDir("artio")
     val idx = s"$root/ividx"
