@@ -101,13 +101,36 @@ object Bench {
       spark.sparkContext.addSparkListener(l)
       l
     }
+    // Contamination stamps: a bench taken while other work shares the
+    // machine inflates the shuffle-heavy gates 2-4x (measured r13/r14) —
+    // the record must be SELF-identifying, not judge-identifying.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def siblingJvms(): Long =
+      try ProcessHandle.allProcesses()
+        .filter(p => p.info().command().map[Boolean](_.contains("java"))
+          .orElse(false))
+        .count() - 1 // minus this JVM
+      catch { case _: Throwable => -1L }
+    val loadStart = loadavg()
+    val siblingsStart = siblingJvms()
+    // canonical records are per-gate MEDIANS over N sequential runs
+    // (SPARK_GRAFT_RUNS, default 1 — the driver's per-round record stays
+    // a single pass); dispersion per gate is recorded alongside so a
+    // noisy gate can't hide inside a clean-looking median
+    val nRuns = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(1)
     // name-sorted: Map hash order would shuffle which query runs first
     // whenever a query is added, making per-query times incomparable
     // across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    def runSuite(): Seq[(String, Double, Boolean, Option[Double], Option[Double])] =
+      benched.map { case (name, fn) =>
         skewListener.foreach(_.reset())
+        SparkEntry.operatorSeconds.remove(name)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>
@@ -115,6 +138,9 @@ object Bench {
                    false
                  }
         val dt = (System.nanoTime() - t0) / 1e9
+        // gates that declare an operator-vs-audit split report the
+        // shipped-operator span through SparkEntry.operatorSeconds
+        val operatorS = SparkEntry.operatorSeconds.remove(name)
         // listener events are delivered async: drain the bus (private API,
         // via reflection — this is a bench tool) so the final stage's
         // tasks land in THIS query's window and not the next one's; fall
@@ -144,26 +170,69 @@ object Bench {
         // query after the warmup alone. An explicit collection here
         // (~0.1s, untimed) charges each query only for its own work.
         System.gc()
-        (name, dt, ok, skew)
+        (name, dt, ok, skew, operatorS)
       }
+    val runs = (1 to nRuns).map { i =>
+      if (nRuns > 1) System.err.println(s"[bench] suite pass $i/$nRuns")
+      runSuite()
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // per-gate median wall across runs; ok = every run succeeded; skew and
+    // operator-span are medians of the runs that reported them
+    val results = benched.map(_._1).map { name =>
+      val per = runs.map(_.find(_._1 == name).get)
+      val dts = per.map(_._2)
+      val skews = per.flatMap(_._4)
+      val ops = per.flatMap(_._5)
+      (name, median(dts), per.forall(_._3),
+        if (skews.nonEmpty) Some(median(skews)) else None,
+        if (ops.nonEmpty) Some(median(ops)) else None,
+        if (nRuns > 1) Some(dts.max - dts.min) else None)
+    }
     // 3-decimal seconds: full-precision doubles made the one-line JSON
     // long enough to fall out of a tail buffer and fail downstream parsing.
     // Locale.ROOT everywhere: a comma-decimal default locale would emit
     // "0,394" and invalidate the JSON — including the durable bench file
     def num(fmt: String, v: Double): String =
       fmt.formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _, _) => s""""$k":${num("%.3f", v)}""" }
+    val qs = results.map { case (k, v, _, _, _, _) => s""""$k":${num("%.3f", v)}""" }
       .mkString("{", ",", "}")
     // a query that threw must be distinguishable from a fast success:
     // failures are listed explicitly (their recorded time is time-to-crash)
-    val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val errs = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val skews =
       if (results.exists(_._4.isDefined))
-        "," + results.collect { case (k, _, _, Some(s)) =>
+        "," + results.collect { case (k, _, _, Some(s), _, _) =>
             s""""$k":${num("%.2f", s)}""" }
           .mkString("\"skews\":{", ",", "}")
       else ""
+    // operator-vs-audit split for gates that declared one: audit is the
+    // remainder of the gate's wall (clamped — the spans are measured
+    // independently of the total)
+    val splits =
+      if (results.exists(_._5.isDefined))
+        "," + results.collect { case (k, v, _, _, Some(op), _) =>
+            s""""$k":{"operator":${num("%.3f", math.min(op, v))},""" +
+              s""""audit":${num("%.3f", math.max(0.0, v - op))}}""" }
+          .mkString("\"splits\":{", ",", "}")
+      else ""
+    // per-gate max-min across the N runs: the dispersion column that
+    // makes an unexplained drift visible inside the canonical record
+    val spreads =
+      if (nRuns > 1)
+        "," + results.collect { case (k, _, _, _, _, Some(sp)) =>
+            s""""$k":${num("%.3f", sp)}""" }
+          .mkString("\"spread\":{", ",", "}")
+      else ""
+    val envStamp =
+      s""","runs":$nRuns,"loadavg_start":${num("%.2f", loadStart)}""" +
+        s""","loadavg_end":${num("%.2f", loadavg())}""" +
+        s""","sibling_jvms":$siblingsStart"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a subset run is NOT the suite: mark it in the JSON and keep it out
     // of the durable full-suite file, so a targeted local iteration can
@@ -171,7 +240,7 @@ object Bench {
     val partial = only.map(names =>
       s""","partial":${names.toSeq.sorted.mkString("[\"", "\",\"", "\"]")}""")
       .getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errs$skews$partial,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errs$skews$splits$spreads$envStamp$partial,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line to a file: the driver captures a bounded
     // stdout tail, and with 84 queries the one-line JSON has repeatedly

@@ -25,6 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Operator-vs-audit sub-timing channel for the heavyweight gates. A
+    * gate whose wall time is dominated by its own verification (index
+    * lifecycle fixtures, direct-path recomputes, exceptAll parity joins,
+    * IO-contract round trips) wraps the SHIPPED-OPERATOR span — the call
+    * the gate is named for, forced inside the wrap — in
+    * [[timedOperator]]; Bench drains this map after timing the gate and
+    * records `{"operator": x, "audit": total - x}`, so the benchmark
+    * can quote shipped-operator cost instead of prose explanations.
+    * Gates that don't declare a span are 100% operator. */
+  val operatorSeconds: scala.collection.concurrent.TrieMap[String, Double] =
+    scala.collection.concurrent.TrieMap.empty
+
+  private def timedOperator[T](gate: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body
+    finally {
+      val dt = (System.nanoTime() - t0) / 1e9
+      operatorSeconds.updateWith(gate)(p => Some(p.getOrElse(0.0) + dt))
+    }
+  }
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -474,7 +495,10 @@ object SparkEntry {
             expr("bit_xor(h)")).head()
         (r.getLong(0), r.getLong(1), r.getLong(2))
       }
-      val sigP = sig(li)
+      // the OPERATOR is the shipped hash funnel over the native parquet
+      // relation; the avro/json record-at-a-time round trips and the
+      // cross-format comparisons are the IO-contract audit
+      val sigP = timedOperator("hash_cross_format") { sig(li) }
       // pinned: each cohort feeds both exceptAll sides
       def cohort(df: DataFrame) = BigSampler.sample(df, 0.05,
           BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
@@ -617,16 +641,22 @@ object SparkEntry {
       DedupIndex.append(docs.filter(col("doc_id") % 10 === 1),
         "doc_id", "text", tmp) // blind retry: double-writes the slice
       DedupIndex.compact(s, tmp)
-      val served = DedupIndex.minhashNewAgainst(s, tmp, incoming,
-        "doc_id", "text", threshold = 0.7).localCheckpoint(true)
+      // the gate's OPERATOR is the artifact-served search; the lifecycle
+      // above and the direct/parity legs below are its audit harness
+      val served = timedOperator("dedup_index_search") {
+        DedupIndex.minhashNewAgainst(s, tmp, incoming,
+          "doc_id", "text", threshold = 0.7).localCheckpoint(true)
+      }
       val direct = Dedup.minhashNewAgainst(docs, incoming, "doc_id", "text",
         numHashes = 64, bands = 32, threshold = 0.7).localCheckpoint(true)
       def pairs(df: DataFrame) = df.select(col("id_new"), col("id_old"),
         round(col("jaccard"), 9).as("j"))
       val nearDiff = pairs(served).exceptAll(pairs(direct)).count() +
         pairs(direct).exceptAll(pairs(served)).count()
-      val exServed = DedupIndex.newAgainst(s, tmp, incoming, "text")
-        .select("doc_id").localCheckpoint(true)
+      val exServed = timedOperator("dedup_index_search") {
+        DedupIndex.newAgainst(s, tmp, incoming, "text")
+          .select("doc_id").localCheckpoint(true)
+      }
       val exDirect = Dedup.newAgainst(docs, incoming, "text").select("doc_id")
         .localCheckpoint(true)
       val exactDiff = exServed.exceptAll(exDirect).count() +
@@ -693,8 +723,12 @@ object SparkEntry {
       val dups = emb.select((col("vec_id") + off).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
       val corpus = emb.select("vec_id", "embedding").unionByName(dups)
-      val r = ext.SemDedup.semanticDedup(corpus, "vec_id", "embedding",
-        k = 32, tau = tau).localCheckpoint(true)
+      // the OPERATOR is semanticDedup itself (forced by the pin); the
+      // pairwise witness/maximality audit below dominates the gate's wall
+      val r = timedOperator("semdedup") {
+        ext.SemDedup.semanticDedup(corpus, "vec_id", "embedding",
+          k = 32, tau = tau).localCheckpoint(true)
+      }
       val withV = (n: String, vn: String) =>
         corpus.select(col("vec_id").as(n), col("embedding").as(vn))
       val kept = r.filter(col("keep")).select(col("id").as("ka"), col("cluster"))
@@ -1033,7 +1067,11 @@ object SparkEntry {
         .filter(col("cell") === -1).head().getAs[Double]("mean_dist")
       val driftBefore = drift()
       val nBefore = s.read.parquet(s"$tmp/postings").count()
-      val cells = Similarity.retrainIvfIndex(s, tmp, nlist = 8, maxIter = 5)
+      // the OPERATOR is the retrain itself (train + one re-cell shuffle +
+      // swaps); the build/append fixture and drift probes are its audit
+      val cells = timedOperator("index_retrain") {
+        Similarity.retrainIvfIndex(s, tmp, nlist = 8, maxIter = 5)
+      }
       val nAfter = s.read.parquet(s"$tmp/postings").count()
       val replay = Similarity.appendIvfIndex(shifted, "vec_id", "embedding",
         tmp, batchId = Some("drift-1"))
@@ -2167,9 +2205,13 @@ object SparkEntry {
       ext.Retrieval.appendTextIndex(docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", tmp)
       ext.Retrieval.compactTextIndex(s, tmp)
-      ext.Retrieval.searchTextIndex(s, tmp, q, "qid", "qtext",
-          k = 10, roundScoresTo = Some(5))
-        .orderBy("query_id", "rank")
+      // the OPERATOR is the artifact-served BM25 search (forced here);
+      // the build/append/compact lifecycle above is the gate's fixture
+      timedOperator("text_index_search") {
+        ext.Retrieval.searchTextIndex(s, tmp, q, "qid", "qtext",
+            k = 10, roundScoresTo = Some(5))
+          .localCheckpoint(true)
+      }.orderBy("query_id", "rank")
     }),
     // vector-space retrieval (TF-IDF cosine): the classic second ranking
     // model over the same corpus, value-exact vs a DuckDB CTE replica
