@@ -114,6 +114,41 @@ object ProbeIndexes {
     }
     time("dedup compact") { DedupIndex.compact(spark, s"$base/didx") }
 
+    // ---- streaming-sink scale (r15): per-trigger append latency as the
+    // artifact accumulates. Drives the StreamOps.dedupIndexSink and
+    // textIndexSink callbacks directly with equal-sized slices — the
+    // exact code a foreachBatch trigger runs, minus the fixed
+    // streaming-harness overhead (checkpoint IO, source listing), so the
+    // measured dimension is the one that matters: append cost MUST stay
+    // ~flat in trigger number because a batch writes only its own
+    // batch=<id> partitions + one Bloom segment, never rewriting the
+    // accumulated corpus. A rising trend here is the scale bug the
+    // artifact design exists to prevent. ----
+    val nTriggers = 8
+    val dSinkPath = s"$base/stream_didx"
+    val tSinkPath = s"$base/stream_tidx"
+    DedupIndex.build(docs.limit(0), "doc_id", "text", dSinkPath,
+      numHashes = 64, bands = 32)
+    Retrieval.buildTextIndex(docs.limit(0), "doc_id", "text", tSinkPath)
+    val dSink = graft.streaming.StreamOps.dedupIndexSink(
+      dSinkPath, "doc_id", "text")
+    val tSink = graft.streaming.StreamOps.textIndexSink(
+      tSinkPath, "doc_id", "text")
+    (0 until nTriggers).foreach { i =>
+      val slice = docs.filter(col("doc_id") % nTriggers === i)
+        .localCheckpoint(true) // slice cost out of the measured append
+      val n = slice.count()
+      val t0 = System.nanoTime()
+      dSink(slice, i.toLong)
+      val dDt = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      tSink(slice, i.toLong)
+      val tDt = (System.nanoTime() - t1) / 1e9
+      val acc = spark.read.parquet(s"$dSinkPath/fingerprints").count()
+      println(f"== stream-sink trigger $i: rows=$n accumulated=$acc " +
+        f"dedup_append=$dDt%.2f s text_append=$tDt%.2f s")
+    }
+
     // ---- IVF-PQ index ----
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val qv = emb.filter(col("vec_id") < 10)
