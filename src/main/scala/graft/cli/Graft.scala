@@ -682,6 +682,19 @@ object Graft {
         // text corpora embed newlines; default line-mode parsing would
         // split quoted multi-line fields into garbage rows
         .option("multiLine", "true").csv(path)
+      // length-delimited protobuf wire files, schema from the original
+      // .proto source (reference: sc.protobufFile with a protoc-compiled
+      // class — BigDiffy.scala:339): --input-mode=proto:<schema.proto>:<Message>
+      case m if m.startsWith("proto:") => m.split(":", 3) match {
+        case Array(_, protoFile, message) =>
+          val descs = graft.sources.ProtoWire.parseProtoFile(protoFile)
+          val desc = descs.getOrElse(message, throw new IllegalArgumentException(
+            s"message '$message' not found in $protoFile " +
+              s"(declared: ${descs.keys.toSeq.sorted.mkString(", ")})"))
+          graft.sources.ProtoWire.readDelimited(spark, path, desc)
+        case _ => throw new IllegalArgumentException(
+          "proto mode needs proto:<schema.proto>:<MessageName>")
+      }
       case m => throw new IllegalArgumentException(s"unknown input-mode $m")
     }
 
@@ -716,6 +729,18 @@ object Graft {
         s"--output-mode=csv needs atomic columns; non-atomic: ${bad.map(_.name).mkString(", ")}")
       val w = df.write.mode("overwrite").option("header", "true")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).csv(path)
+    case m if m.startsWith("proto:") => m.split(":", 3) match {
+      case Array(_, protoFile, message) =>
+        require(partitionBy.isEmpty,
+          "--partition-by is not supported for proto output")
+        val descs = graft.sources.ProtoWire.parseProtoFile(protoFile)
+        val desc = descs.getOrElse(message, throw new IllegalArgumentException(
+          s"message '$message' not found in $protoFile " +
+            s"(declared: ${descs.keys.toSeq.sorted.mkString(", ")})"))
+        graft.sources.ProtoWire.writeDelimited(df, desc, path)
+      case _ => throw new IllegalArgumentException(
+        "proto mode needs proto:<schema.proto>:<MessageName>")
+    }
     case m => throw new IllegalArgumentException(s"unknown output-mode $m")
   }
 

@@ -71,6 +71,18 @@ object ProtoWire {
   case object PString extends PType
   case object PBytes extends PType
   final case class PMsg(msg: PMessage) extends PType
+  /** proto2 enum: symbols carried as STRINGS in the Row (readable,
+    * join-able), numbers on the wire. A wire number outside the declared
+    * set decodes to null (proto2 treats unknown enum values as unknown
+    * fields; the presence-as-nullability model has no unknown-field
+    * buffer to preserve them in). */
+  final case class PEnum(name: String, symbols: Map[String, Int]) extends PType {
+    require(symbols.nonEmpty, s"enum $name needs at least one symbol")
+    require(symbols.values.toSeq.distinct.size == symbols.size,
+      s"enum $name: duplicate numbers")
+    private[ProtoWire] val byNumber: Map[Int, String] =
+      symbols.map { case (s, n) => n -> s }
+  }
 
   final case class PField(number: Int, name: String, label: PLabel, ptype: PType) {
     require(number >= 1 && number < (1 << 29) && !(number >= 19000 && number <= 19999),
@@ -103,6 +115,7 @@ object ProtoWire {
         case PBool                             => BooleanType
         case PString                           => StringType
         case PBytes                            => BinaryType
+        case _: PEnum                          => StringType
         case PMsg(m)                           => sparkSchema(m)
       }
       f.label match {
@@ -237,6 +250,12 @@ object ProtoWire {
           v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))
       case PBytes =>
         writeLenDelimited(out, f.number, v.asInstanceOf[Array[Byte]])
+      case e: PEnum =>
+        val sym = v.asInstanceOf[String]
+        val n = e.symbols.getOrElse(sym, throw new IllegalArgumentException(
+          s"${e.name}: unknown enum symbol '$sym' " +
+            s"(declared: ${e.symbols.keys.mkString(", ")})"))
+        writeTag(out, f.number, WireVarint); writeVarint(out, n.toLong)
       case PMsg(m) =>
         writeLenDelimited(out, f.number, toBytes(v.asInstanceOf[Row], m))
     }
@@ -338,6 +357,8 @@ object ProtoWire {
       case PString    => expect(WireLen)
         new String(r.slice(r.varint().toInt), StandardCharsets.UTF_8)
       case PBytes     => expect(WireLen); r.slice(r.varint().toInt)
+      case e: PEnum   => expect(WireVarint)
+        e.byNumber.getOrElse(r.varint().toInt, null)
       case PMsg(_)    => throw new IllegalStateException(
         s"$where: message fields are handled by the merge accumulator")
     }
@@ -381,15 +402,19 @@ object ProtoWire {
                 val sub = new Reader(r.buf, r.pos, r.pos + len)
                 r.skipBytes(len)
                 val ewt = scalarWire(f.ptype)
-                while (sub.hasMore)
-                  repeats(idx) += readScalar(sub, f.ptype, ewt, where)
+                while (sub.hasMore) {
+                  val sv = readScalar(sub, f.ptype, ewt, where)
+                  if (sv != null) repeats(idx) += sv // null = unknown enum
+                }
               } else f.ptype match {
                 case PMsg(m) =>
                   if (wt != WireLen) throw new IllegalArgumentException(
                     s"proto wire: $where expects wire type 2, got $wt")
                   val bytes = r.slice(r.varint().toInt)
                   repeats(idx) += fromBytes(bytes, m)
-                case t => repeats(idx) += readScalar(r, t, wt, where)
+                case t =>
+                  val sv = readScalar(r, t, wt, where)
+                  if (sv != null) repeats(idx) += sv // null = unknown enum
               }
             case _ => f.ptype match {
               case PMsg(_) =>
@@ -512,6 +537,194 @@ object ProtoWire {
     val rdd = files.rdd.flatMap(r => unframe(r.getAs[Array[Byte]](0), msgLocal))
     spark.createDataFrame(rdd, sparkSchema(msg))
   }
+
+  // ---- .proto text parser -----------------------------------------------------
+
+  /** Parse a proto2 `.proto` SOURCE TEXT into descriptor models — the
+    * schema-from-file entry the CLI's `proto:` mode uses, so wire files
+    * are readable with nothing but their original schema file (the
+    * reference needs a protoc-compiled class on the classpath instead).
+    *
+    * Supported subset (what the wire scan needs): `message` blocks with
+    * optional/required/repeated fields of every scalar type, `enum`
+    * blocks, nested `message`/`enum` declarations, references between
+    * top-level types in any order, line and block comments, and
+    * ignored `syntax`/`package`/`option`/`import`/`reserved`/field
+    * options. Not supported (loud failure): `oneof`, `map<,>`, `group`,
+    * `extend`/`extensions`, proto3 implicit labels, and cyclic message
+    * references (the descriptor model is a finite tree). */
+  def parseProto(text: String): Map[String, PMessage] = {
+    // strip comments, preserving structure
+    val noBlock = "/\\*[\\s\\S]*?\\*/".r.replaceAllIn(text, " ")
+    val noLine = "//[^\n]*".r.replaceAllIn(noBlock, " ")
+    val toks = noLine
+      .replace("{", " { ").replace("}", " } ").replace(";", " ; ")
+      .replace("=", " = ").replace("[", " [ ").replace("]", " ] ")
+      .split("\\s+").filter(_.nonEmpty).toList
+
+    // first pass: collect raw message/enum blocks (flattened names —
+    // nested types are hoisted like protoc's Outer.Inner, referable by
+    // either their simple or dotted name when unambiguous)
+    final case class RawField(label: String, tpe: String, name: String, number: Int)
+    final case class RawMsg(name: String, fields: List[RawField],
+                            nested: List[String])
+    val enums = mutable.Map[String, PEnum]()
+    val raws = mutable.Map[String, RawMsg]()
+
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"parseProto: $msg")
+
+    def skipStatement(ts: List[String]): List[String] = ts match {
+      case ";" :: rest => rest
+      case Nil => Nil
+      case _ :: rest => skipStatement(rest)
+    }
+    def skipBracketed(ts: List[String]): List[String] = ts match {
+      case "]" :: rest => rest
+      case Nil => fail("unterminated [ ... ] option")
+      case _ :: rest => skipBracketed(rest)
+    }
+
+    def parseEnum(scope: String, name: String,
+                  ts: List[String]): List[String] = {
+      val full = if (scope.isEmpty) name else s"$scope.$name"
+      val syms = mutable.LinkedHashMap[String, Int]()
+      var rest = ts
+      var done = false
+      while (!done) rest match {
+        case "}" :: tail => done = true; rest = tail
+        case "option" :: tail => rest = skipStatement(tail)
+        case "reserved" :: tail => rest = skipStatement(tail)
+        case sym :: "=" :: numTok :: tail =>
+          val n = numTok.toIntOption.getOrElse(fail(s"enum $name: bad number $numTok"))
+          syms(sym) = n
+          rest = tail match {
+            case "[" :: t2 => skipBracketed(t2) match {
+              case ";" :: t3 => t3
+              case t3 => t3
+            }
+            case ";" :: t2 => t2
+            case t2 => t2
+          }
+        case Nil => fail(s"enum $name: unterminated block")
+        case other :: _ => fail(s"enum $name: unexpected token '$other'")
+      }
+      enums(full) = PEnum(full, syms.toMap)
+      rest
+    }
+
+    def parseMessage(scope: String, name: String,
+                     ts: List[String]): List[String] = {
+      val full = if (scope.isEmpty) name else s"$scope.$name"
+      val fields = mutable.ListBuffer[RawField]()
+      val nested = mutable.ListBuffer[String]()
+      var rest = ts
+      var done = false
+      while (!done) rest match {
+        case "}" :: tail => done = true; rest = tail
+        case "message" :: n :: "{" :: tail =>
+          nested += s"$full.$n"; rest = parseMessage(full, n, tail)
+        case "enum" :: n :: "{" :: tail =>
+          nested += s"$full.$n"; rest = parseEnum(full, n, tail)
+        case ("option" | "reserved" | "extensions") :: tail =>
+          rest = skipStatement(tail)
+        case ("oneof" | "map" | "group" | "extend") :: _ =>
+          fail(s"message $name: '${rest.head}' is outside the supported subset")
+        case (label @ ("optional" | "required" | "repeated")) ::
+            tpe :: fname :: "=" :: numTok :: tail =>
+          val n = numTok.toIntOption.getOrElse(
+            fail(s"$name.$fname: bad field number $numTok"))
+          fields += RawField(label, tpe, fname, n)
+          rest = tail match {
+            case "[" :: t2 => skipBracketed(t2) match {
+              case ";" :: t3 => t3
+              case t3 => t3
+            }
+            case ";" :: t2 => t2
+            case t2 => t2
+          }
+        case Nil => fail(s"message $name: unterminated block")
+        case other :: _ => fail(s"message $name: unexpected token '$other' " +
+          "(proto3 implicit labels are outside the proto2 subset)")
+      }
+      raws(full) = RawMsg(full, fields.toList, nested.toList)
+      rest
+    }
+
+    var rest = toks
+    while (rest.nonEmpty) rest match {
+      case "message" :: n :: "{" :: tail => rest = parseMessage("", n, tail)
+      case "enum" :: n :: "{" :: tail => rest = parseEnum("", n, tail)
+      case ("syntax" | "package" | "option" | "import") :: tail =>
+        rest = skipStatement(tail)
+      case ";" :: tail => rest = tail
+      case other :: _ => fail(s"unexpected top-level token '$other'")
+      case Nil => ()
+    }
+
+    val Scalars: Map[String, PType] = Map(
+      "double" -> PDouble, "float" -> PFloat, "int32" -> PInt32,
+      "int64" -> PInt64, "uint32" -> PUInt32, "uint64" -> PUInt64,
+      "sint32" -> PSInt32, "sint64" -> PSInt64, "fixed32" -> PFixed32,
+      "fixed64" -> PFixed64, "sfixed32" -> PSFixed32,
+      "sfixed64" -> PSFixed64, "bool" -> PBool, "string" -> PString,
+      "bytes" -> PBytes)
+
+    // resolve a type name from a field's scope: exact dotted name, then
+    // innermost-scope-outward simple name (protoc's resolution order)
+    def resolveName(scope: String, tpe: String): Option[String] = {
+      val candidates =
+        if (tpe.contains(".")) Seq(tpe)
+        else {
+          val scopes = scope.split('.').inits.map(_.mkString(".")).toSeq
+          scopes.map(s => if (s.isEmpty) tpe else s"$s.$tpe")
+        }
+      candidates.find(c => raws.contains(c) || enums.contains(c))
+    }
+
+    // second pass: materialize PMessages, cycle-checked
+    val built = mutable.Map[String, PMessage]()
+    def build(full: String, inFlight: Set[String]): PMessage = {
+      if (inFlight.contains(full))
+        fail(s"cyclic message reference through $full " +
+          "(the descriptor model is a finite tree)")
+      built.getOrElseUpdate(full, {
+        val raw = raws(full)
+        val scope = full.split('.').dropRight(1).mkString(".")
+        val fs = raw.fields.map { rf =>
+          val ptype = Scalars.get(rf.tpe).orElse {
+            resolveName(full, rf.tpe).orElse(resolveName(scope, rf.tpe)).map { r =>
+              if (enums.contains(r)) enums(r)
+              else PMsg(build(r, inFlight + full))
+            }
+          }.getOrElse(fail(s"${raw.name}.${rf.name}: unknown type '${rf.tpe}'"))
+          val label = rf.label match {
+            case "optional" => POptional
+            case "required" => PRequired
+            case "repeated" => PRepeated
+          }
+          PField(rf.number, rf.name, label, ptype)
+        }
+        PMessage(full.split('.').last, fs)
+      })
+    }
+    raws.keys.toSeq.sorted.map { full =>
+      // expose by simple name when unambiguous, dotted always
+      build(full, Set.empty)
+    }
+    val byFull = raws.keys.map(k => k -> built(k)).toMap
+    val simpleCounts = raws.keys.groupBy(_.split('.').last)
+    val bySimple = simpleCounts.collect {
+      case (simple, fulls) if fulls.size == 1 => simple -> built(fulls.head)
+    }
+    byFull ++ bySimple
+  }
+
+  /** [[parseProto]] over a file readable by the driver. */
+  def parseProtoFile(path: String): Map[String, PMessage] =
+    parseProto(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      StandardCharsets.UTF_8))
 
   // ---- the reference's test descriptors --------------------------------------
 

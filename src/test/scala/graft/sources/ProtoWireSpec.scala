@@ -156,6 +156,149 @@ class ProtoWireSpec extends SparkSpec {
       fromBytes(good.take(good.length - 3), m))
   }
 
+  behavior of "enums"
+
+  it should "carry symbols in rows and numbers on the wire" in {
+    val e = PEnum("Color", Map("RED" -> 0, "GREEN" -> 5, "BLUE" -> 9))
+    val m = PMessage("M", Seq(
+      PField(1, "c", POptional, e),
+      PField(2, "cs", PRepeated, e)))
+    val bytes = toBytes(Row("GREEN", Seq("RED", "BLUE")), m)
+    hex(bytes) shouldBe "08 05 10 00 10 09" // numbers, not strings
+    norm(fromBytes(bytes, m)) shouldBe norm(Row("GREEN", Seq("RED", "BLUE")))
+    intercept[IllegalArgumentException](toBytes(Row("MAUVE", Seq()), m))
+  }
+
+  it should "decode unknown enum numbers to null/absent" in {
+    val small = PEnum("C", Map("A" -> 0))
+    val m = PMessage("M", Seq(
+      PField(1, "c", POptional, small),
+      PField(2, "cs", PRepeated, small)))
+    // field 1 = 7 (unknown), field 2 = [0, 7]
+    val wire = Array(0x08, 0x07, 0x10, 0x00, 0x10, 0x07).map(_.toByte)
+    val back = fromBytes(wire, m)
+    back.isNullAt(0) shouldBe true
+    norm(back.getSeq[String](1)) shouldBe Seq("A")
+  }
+
+  behavior of "proto text parser"
+
+  // the reference test schema's shapes, as proto2 source — parsing it
+  // must reproduce the hand-built descriptors EXACTLY
+  private val schemaText = """
+    |syntax = "proto2";
+    |option java_package = "example.protos";
+    |
+    |message TestRecord {
+    |    required OptionalNestedRecord optional_fields = 1;
+    |    required RequiredNestedRecord required_fields = 2;
+    |    required RepeatedNestedRecord repeated_fields = 3;
+    |    optional OptionalNestedRecord optional_nested_field = 4;
+    |    repeated OptionalNestedRecord repeated_nested_field = 5; // comment
+    |}
+    |
+    |message OptionalNestedRecord {
+    |    optional double double_field = 1;
+    |    optional float float_field = 2;
+    |    optional int32 int32_field = 3;
+    |    optional int64 int64_field = 4;
+    |    optional uint32 uint32_field = 5;
+    |    optional uint64 uint64_field = 6;
+    |    optional sint32 sint32_field = 7;
+    |    optional sint64 sint64_field = 8;
+    |    optional fixed32 fixed32_field = 9;
+    |    optional fixed64 fixed64_field = 10;
+    |    optional sfixed32 sfixed32_field = 11;
+    |    optional sfixed64 sfixed64_field = 12;
+    |    optional bool bool_field = 13;
+    |    optional string string_field = 14;
+    |    optional bytes bytes_field = 15;
+    |    optional string upper_string_field = 16;
+    |}
+    |
+    |message RequiredNestedRecord {
+    |    required double double_field = 1;
+    |    required float float_field = 2;
+    |    required int32 int32_field = 3;
+    |    required int64 int64_field = 4;
+    |    required uint32 uint32_field = 5;
+    |    required uint64 uint64_field = 6;
+    |    required sint32 sint32_field = 7;
+    |    required sint64 sint64_field = 8;
+    |    required fixed32 fixed32_field = 9;
+    |    required fixed64 fixed64_field = 10;
+    |    required sfixed32 sfixed32_field = 11;
+    |    required sfixed64 sfixed64_field = 12;
+    |    required bool bool_field = 13;
+    |    required string string_field = 14;
+    |    required bytes bytes_field = 15;
+    |}
+    |
+    |message RepeatedNestedRecord {
+    |    repeated double double_field = 1;
+    |    repeated float float_field = 2;
+    |    repeated int32 int32_field = 3;
+    |    repeated int64 int64_field = 4;
+    |    repeated uint32 uint32_field = 5;
+    |    repeated uint64 uint64_field = 6;
+    |    repeated sint32 sint32_field = 7;
+    |    repeated sint64 sint64_field = 8;
+    |    repeated fixed32 fixed32_field = 9;
+    |    repeated fixed64 fixed64_field = 10;
+    |    repeated sfixed32 sfixed32_field = 11;
+    |    repeated sfixed64 sfixed64_field = 12;
+    |    repeated bool bool_field = 13;
+    |    repeated string string_field = 14;
+    |    repeated bytes bytes_field = 15;
+    |}
+    |""".stripMargin
+
+  it should "reproduce the hand-built reference descriptors from source text" in {
+    val parsed = parseProto(schemaText)
+    parsed("TestRecord") shouldBe Schemas.TestRecord
+    parsed("OptionalNestedRecord") shouldBe Schemas.OptionalNestedRecord
+    parsed("RequiredNestedRecord") shouldBe Schemas.RequiredNestedRecord
+    parsed("RepeatedNestedRecord") shouldBe Schemas.RepeatedNestedRecord
+  }
+
+  it should "handle nested messages, enums, options and block comments" in {
+    val parsed = parseProto("""
+      |/* block
+      |   comment */
+      |message Outer {
+      |  enum Mode { OFF = 0; ON = 1; }
+      |  message Inner { required int32 x = 1 [deprecated = true]; }
+      |  optional Mode mode = 1;
+      |  repeated Inner inners = 2;
+      |  option deprecated = true;
+      |}
+      |""".stripMargin)
+    val outer = parsed("Outer")
+    outer.fields.map(_.name) shouldBe Seq("mode", "inners")
+    outer.fields.head.ptype shouldBe
+      PEnum("Outer.Mode", Map("OFF" -> 0, "ON" -> 1))
+    val inner = outer.fields(1).ptype.asInstanceOf[PMsg].msg
+    inner.fields.head.name shouldBe "x"
+    // round-trip through the parsed descriptor
+    val row = Row("ON", Seq(Row(7), Row(-1)))
+    norm(fromBytes(toBytes(row, outer), outer)) shouldBe norm(row)
+  }
+
+  it should "fail loudly outside the supported subset" in {
+    intercept[IllegalArgumentException](
+      parseProto("message M { oneof k { int32 a = 1; } }"))
+      .getMessage should include("subset")
+    intercept[IllegalArgumentException](
+      parseProto("message A { required B b = 1; }\nmessage B { required A a = 1; }"))
+      .getMessage should include("cyclic")
+    intercept[IllegalArgumentException](
+      parseProto("message M { int32 a = 1; }")) // proto3 implicit label
+      .getMessage should include("proto2")
+    intercept[IllegalArgumentException](
+      parseProto("message M { required Missing x = 1; }"))
+      .getMessage should include("unknown type")
+  }
+
   behavior of "delimited Spark IO"
 
   it should "round-trip a distributed dataframe through wire files" in {
