@@ -353,6 +353,20 @@ object StreamOps {
   // records every folded batch id in the artifact's ledger, so a trigger
   // replayed after its partition was folded away no-ops instead of
   // re-appending data the compact batch already holds.
+  //
+  // `compactEvery = n` (default 0 = never) runs the artifact's compactor
+  // after every n-th trigger, bounding the batch-partition count a
+  // long-running stream accumulates (file count AND partition-discovery
+  // listing otherwise grow one batch per trigger, forever). Safe under
+  // replay by the ledger argument above, and cheap to place here: the
+  // foreachBatch callback runs serially on the driver between triggers,
+  // so the compaction can never race its own stream's appends (the
+  // writer lease would catch a SECOND stream on the same artifact).
+
+  private def maybeCompact(batchId: Long, compactEvery: Int)
+                          (compact: => Unit): Unit =
+    if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+      compact
 
   /** foreachBatch sink appending each micro-batch of (idCol, textCol)
     * documents to a [[graft.ext.DedupIndex]] artifact (which must exist
@@ -365,44 +379,52 @@ object StreamOps {
     * Pair with [[graft.ext.DedupIndex.duplicateFlag]] /
     * `nearDuplicateFlag` on the query side, or the batch
     * `newAgainst` searches. */
-  def dedupIndexSink(path: String, idCol: String,
-                     textCol: String): (DataFrame, Long) => Unit =
+  def dedupIndexSink(path: String, idCol: String, textCol: String,
+                     compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       graft.ext.DedupIndex.append(batch, idCol, textCol, path,
         batchId = Some(s"stream-$batchId"))
-      ()
+      maybeCompact(batchId, compactEvery) {
+        graft.ext.DedupIndex.compact(batch.sparkSession, path); ()
+      }
     }
 
   /** [[dedupIndexSink]] for a BM25 text index
     * ([[graft.ext.Retrieval.buildTextIndex]] artifact): per-batch
     * postings and stats rows land idempotently; searches see every
     * committed trigger. */
-  def textIndexSink(path: String, idCol: String,
-                    textCol: String): (DataFrame, Long) => Unit =
+  def textIndexSink(path: String, idCol: String, textCol: String,
+                    compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       graft.ext.Retrieval.appendTextIndex(batch, idCol, textCol, path,
         batchId = Some(s"stream-$batchId"))
-      ()
+      maybeCompact(batchId, compactEvery) {
+        graft.ext.Retrieval.compactTextIndex(batch.sparkSession, path)
+      }
     }
 
   /** [[dedupIndexSink]] for an IVF vector index
     * ([[graft.ext.Similarity.buildIvfIndex]] artifact, which must be
     * non-empty — appends need the trained quantizer). */
-  def ivfIndexSink(path: String, idCol: String,
-                   vecCol: String): (DataFrame, Long) => Unit =
+  def ivfIndexSink(path: String, idCol: String, vecCol: String,
+                   compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       graft.ext.Similarity.appendIvfIndex(batch, idCol, vecCol, path,
         batchId = Some(s"stream-$batchId"))
-      ()
+      maybeCompact(batchId, compactEvery) {
+        graft.ext.Similarity.compactIvfIndex(batch.sparkSession, path)
+      }
     }
 
   /** [[ivfIndexSink]] for the PQ-compressed artifact
     * ([[graft.ext.Similarity.buildIvfPqIndex]]). */
-  def ivfPqIndexSink(path: String, idCol: String,
-                     vecCol: String): (DataFrame, Long) => Unit =
+  def ivfPqIndexSink(path: String, idCol: String, vecCol: String,
+                     compactEvery: Int = 0): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       graft.ext.Similarity.appendIvfPqIndex(batch, idCol, vecCol, path,
         batchId = Some(s"stream-$batchId"))
-      ()
+      maybeCompact(batchId, compactEvery) {
+        graft.ext.Similarity.compactIvfPqIndex(batch.sparkSession, path)
+      }
     }
 }

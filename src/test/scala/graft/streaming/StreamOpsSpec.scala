@@ -672,4 +672,42 @@ class StreamOpsSpec extends SparkSpec {
       .select("doc_id", "rank").as[(Long, Int)].collect().sorted
     served shouldBe direct
   }
+
+  it should "auto-compact every N triggers and absorb post-compact replays" in {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1).take(120)
+    val base = java.nio.file.Files.createTempDirectory("graft_idx_ce").toString
+    val tpath = s"$base/tidx"
+    graft.ext.Retrieval.buildTextIndex(docs.take(0).toDF("doc_id", "text"),
+      "doc_id", "text", tpath, buckets = 8)
+    val sink = StreamOps.textIndexSink(tpath, "doc_id", "text",
+      compactEvery = 2)
+    // four triggers of 30 docs; compaction fires after triggers 1 and 3
+    (0 until 4).foreach { i =>
+      sink(docs.slice(i * 30, (i + 1) * 30).toDF("doc_id", "text"), i.toLong)
+    }
+    // triggers 0-3 all folded into ONE compact batch (+ the empty init's
+    // stats): partition count stays bounded however long the stream runs
+    val batches = new java.io.File(s"$tpath/postings").listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch="))
+    batches.count(_.startsWith("compact-")) shouldBe 1
+    batches.count(_.startsWith("stream-")) shouldBe 0
+    // a recovered stream replaying trigger 3 AFTER its batch was folded:
+    // the ledger makes it a no-op, stats stay exact
+    sink(docs.slice(90, 120).toDF("doc_id", "text"), 3L)
+    spark.read.parquet(s"$tpath/stats")
+      .agg(sum("n_docs")).as[Long].head() shouldBe 120L
+    // and the compacted artifact still serves exactly the direct BM25
+    val q2 = Seq((1L, "spark join filter")).toDF("qid", "qtext")
+    val served = graft.ext.Retrieval.searchTextIndex(spark, tpath, q2,
+        "qid", "qtext", k = 5, roundScoresTo = Some(9))
+      .select("doc_id", "rank").as[(Long, Int)].collect().sorted
+    val direct = graft.ext.Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
+        "doc_id", "text", q2, "qid", "qtext", k = 5, roundScoresTo = Some(9))
+      .select("doc_id", "rank").as[(Long, Int)].collect().sorted
+    served shouldBe direct
+  }
 }
