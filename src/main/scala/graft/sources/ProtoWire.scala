@@ -38,6 +38,14 @@ import scala.collection.mutable
   *     decodes to null, never to the type's default — exactly the
   *     information [[graft.diffy.BigDiffy]]'s messagePresence consumes.
   *
+  * proto3 (via [[PImplicit]], open [[PEnum]]s, packed emission, and
+  * `syntax = "proto3"` in [[parseProto]]): no-presence scalar fields
+  * decode absent-as-default into non-nullable columns and omit defaults
+  * on the wire; repeated primitives emit PACKED; enums are open (unknown
+  * numbers survive as decimal strings and encode back). [[PMap]] fields
+  * and `oneof` groups (last-member-seen-wins on decode, at-most-one-set
+  * enforced on encode) are supported under both syntaxes.
+  *
   * Scale: files are non-splittable (the length-delimited stream has no
   * sync markers — same contract as the reference's Beam ProtoIO), so
   * read parallelism is per FILE and the writer emits one file per input
@@ -53,6 +61,12 @@ object ProtoWire {
   case object POptional extends PLabel
   case object PRequired extends PLabel
   case object PRepeated extends PLabel
+  /** proto3 implicit presence (a singular scalar/enum field with no
+    * `optional` keyword): absent on the wire IS the default value — the
+    * decoder materializes the default instead of null, and the encoder
+    * omits default values, so the column is non-nullable and the round
+    * trip is lossless over the no-presence semantics. */
+  case object PImplicit extends PLabel
 
   sealed trait PType
   case object PDouble extends PType
@@ -71,22 +85,56 @@ object ProtoWire {
   case object PString extends PType
   case object PBytes extends PType
   final case class PMsg(msg: PMessage) extends PType
-  /** proto2 enum: symbols carried as STRINGS in the Row (readable,
-    * join-able), numbers on the wire. A wire number outside the declared
-    * set decodes to null (proto2 treats unknown enum values as unknown
-    * fields; the presence-as-nullability model has no unknown-field
-    * buffer to preserve them in). */
-  final case class PEnum(name: String, symbols: Map[String, Int]) extends PType {
+  /** Enum: symbols carried as STRINGS in the Row (readable, join-able),
+    * numbers on the wire. A wire number outside the declared set decodes
+    * to null for a CLOSED (proto2) enum — proto2 treats unknown enum
+    * values as unknown fields, and the presence-as-nullability model has
+    * no unknown-field buffer to preserve them in — and to the number's
+    * DECIMAL STRING for an OPEN (proto3) enum, which preserves the value
+    * like proto3 requires; the encoder accepts a decimal-string symbol
+    * back for an open enum, so the round trip is lossless. */
+  final case class PEnum(name: String, symbols: Map[String, Int],
+                         open: Boolean = false) extends PType {
     require(symbols.nonEmpty, s"enum $name needs at least one symbol")
     require(symbols.values.toSeq.distinct.size == symbols.size,
       s"enum $name: duplicate numbers")
     private[ProtoWire] val byNumber: Map[Int, String] =
       symbols.map { case (s, n) => n -> s }
+    /** proto's default symbol: number 0 when declared, else the least
+      * number (proto2's first-declared default is approximated by the
+      * least number — the Map constructor carries no declaration order). */
+    private[ProtoWire] val defaultSymbol: String =
+      byNumber.getOrElse(0, symbols.minBy(_._2)._1)
   }
 
-  final case class PField(number: Int, name: String, label: PLabel, ptype: PType) {
+  /** `map<key, value>` field: a repeated synthetic entry message on the
+    * wire (field 1 = key, field 2 = value), a non-null `MapType` column
+    * in the Row. Duplicated keys: last one wins (spec). An entry with a
+    * missing key or value decodes to that side's default (for a message
+    * value: the empty message). */
+  final case class PMap(key: PType, value: PType) extends PType {
+    require(key match {
+      case PInt32 | PInt64 | PUInt32 | PUInt64 | PSInt32 | PSInt64 |
+           PFixed32 | PFixed64 | PSFixed32 | PSFixed64 | PBool | PString => true
+      case _ => false
+    }, "map key must be an integral, bool, or string type")
+    require(!value.isInstanceOf[PMap], "map value cannot be another map")
+    private[ProtoWire] def keyField: PField = PField(1, "key", POptional, key)
+    private[ProtoWire] def valueField: PField = PField(2, "value", POptional, value)
+  }
+
+  /** `oneof`: members carry their group's name; at most one member is
+    * non-null per row (the encoder enforces it loudly), and the decoder
+    * applies last-member-seen-wins across the group like `parseFrom`.
+    * `packed`: repeated primitives EMIT the packed run (proto3's default
+    * and proto2's `[packed = true]`); the decoder accepts both forms for
+    * every repeated primitive regardless. */
+  final case class PField(number: Int, name: String, label: PLabel, ptype: PType,
+                          oneof: Option[String] = None, packed: Boolean = false) {
     require(number >= 1 && number < (1 << 29) && !(number >= 19000 && number <= 19999),
       s"field number $number outside the valid proto range")
+    require(oneof.isEmpty || (label == POptional && !ptype.isInstanceOf[PMap]),
+      s"$name: a oneof member must be a singular optional field")
   }
 
   final case class PMessage(name: String, fields: Seq[PField]) {
@@ -96,35 +144,83 @@ object ProtoWire {
       s"$name: duplicate field names")
     private[ProtoWire] val byNumber: Map[Int, (PField, Int)] =
       fields.zipWithIndex.map { case (f, i) => f.number -> (f, i) }.toMap
+    private[ProtoWire] val oneofGroups: Map[String, Seq[Int]] =
+      fields.zipWithIndex.collect { case (f, i) if f.oneof.isDefined =>
+        (f.oneof.get, i) }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
+    private[ProtoWire] val oneofSiblings: Map[Int, Seq[Int]] =
+      oneofGroups.values.flatMap(idxs =>
+        idxs.map(i => i -> idxs.filterNot(_ == i))).toMap
+  }
+
+  private def baseType(t: PType): DataType = t match {
+    case PDouble                           => DoubleType
+    case PFloat                            => FloatType
+    case PInt32 | PSInt32 | PSFixed32      => IntegerType
+    // uint32/fixed32 follow proto-java: held in a 32-bit int,
+    // two's-complement for values past Int.MaxValue
+    case PUInt32 | PFixed32                => IntegerType
+    case PInt64 | PSInt64 | PSFixed64      => LongType
+    case PUInt64 | PFixed64                => LongType
+    case PBool                             => BooleanType
+    case PString                           => StringType
+    case PBytes                            => BinaryType
+    case _: PEnum                          => StringType
+    case PMsg(m)                           => sparkSchema(m)
+    // missing key/value decode to defaults, so values hold no nulls
+    case PMap(k, v)                        =>
+      MapType(baseType(k), baseType(v), valueContainsNull = false)
   }
 
   /** The descriptor's Spark schema: presence-tracked (optional) fields are
-    * nullable, required are not, repeated are non-null arrays of non-null
-    * elements (proto repeated fields hold no nulls, only emptiness). */
+    * nullable, required and proto3 no-presence (implicit) fields are not
+    * (absence decodes to the default), repeated are non-null arrays of
+    * non-null elements (proto repeated fields hold no nulls, only
+    * emptiness), maps are non-null `MapType` columns. */
   def sparkSchema(msg: PMessage): StructType =
     StructType(msg.fields.map { f =>
-      val base = f.ptype match {
-        case PDouble                           => DoubleType
-        case PFloat                            => FloatType
-        case PInt32 | PSInt32 | PSFixed32      => IntegerType
-        // uint32/fixed32 follow proto-java: held in a 32-bit int,
-        // two's-complement for values past Int.MaxValue
-        case PUInt32 | PFixed32                => IntegerType
-        case PInt64 | PSInt64 | PSFixed64      => LongType
-        case PUInt64 | PFixed64                => LongType
-        case PBool                             => BooleanType
-        case PString                           => StringType
-        case PBytes                            => BinaryType
-        case _: PEnum                          => StringType
-        case PMsg(m)                           => sparkSchema(m)
-      }
-      f.label match {
-        case PRepeated => StructField(f.name, ArrayType(base, containsNull = false),
-          nullable = false)
-        case POptional => StructField(f.name, base, nullable = true)
-        case PRequired => StructField(f.name, base, nullable = false)
+      val base = baseType(f.ptype)
+      f.ptype match {
+        case _: PMap => StructField(f.name, base, nullable = false)
+        case _ => f.label match {
+          case PRepeated => StructField(f.name, ArrayType(base, containsNull = false),
+            nullable = false)
+          case POptional => StructField(f.name, base, nullable = true)
+          // a message field always has presence, even under proto3
+          case PImplicit => StructField(f.name, base,
+            nullable = f.ptype.isInstanceOf[PMsg])
+          case PRequired => StructField(f.name, base, nullable = false)
+        }
       }
     })
+
+  /** proto's per-type default value — what a proto3 no-presence field
+    * reads as when absent, and what a map entry's missing side becomes. */
+  private[sources] def defaultValue(t: PType): Any = t match {
+    case PDouble => 0.0d
+    case PFloat => 0.0f
+    case PInt32 | PSInt32 | PSFixed32 | PUInt32 | PFixed32 => 0
+    case PInt64 | PSInt64 | PSFixed64 | PUInt64 | PFixed64 => 0L
+    case PBool => false
+    case PString => ""
+    case PBytes => Array.emptyByteArray
+    case e: PEnum => e.defaultSymbol
+    case _: PMsg | _: PMap => null
+  }
+
+  /** Whether `v` is `t`'s default (proto3 encoders omit defaults for
+    * no-presence fields). Floats compare by RAW BITS like protobuf-java:
+    * -0.0 is NOT the default and stays on the wire. */
+  private def isDefault(t: PType, v: Any): Boolean = t match {
+    case PDouble => java.lang.Double.doubleToRawLongBits(asDouble(v)) == 0L
+    case PFloat => java.lang.Float.floatToRawIntBits(asFloat(v)) == 0
+    case PInt32 | PSInt32 | PSFixed32 | PUInt32 | PFixed32 => asInt(v) == 0
+    case PInt64 | PSInt64 | PSFixed64 | PUInt64 | PFixed64 => asLong(v) == 0L
+    case PBool => !v.asInstanceOf[Boolean]
+    case PString => v.asInstanceOf[String].isEmpty
+    case PBytes => v.asInstanceOf[Array[Byte]].isEmpty
+    case e: PEnum => enumNumber(e, v) == 0
+    case _ => false
+  }
 
   // ---- varint / zigzag primitives ------------------------------------------
 
@@ -251,13 +347,70 @@ object ProtoWire {
       case PBytes =>
         writeLenDelimited(out, f.number, v.asInstanceOf[Array[Byte]])
       case e: PEnum =>
-        val sym = v.asInstanceOf[String]
-        val n = e.symbols.getOrElse(sym, throw new IllegalArgumentException(
-          s"${e.name}: unknown enum symbol '$sym' " +
-            s"(declared: ${e.symbols.keys.mkString(", ")})"))
-        writeTag(out, f.number, WireVarint); writeVarint(out, n.toLong)
+        writeTag(out, f.number, WireVarint)
+        writeVarint(out, enumNumber(e, v).toLong)
       case PMsg(m) =>
         writeLenDelimited(out, f.number, toBytes(v.asInstanceOf[Row], m))
+      case pm: PMap =>
+        writeLenDelimited(out, f.number, mapEntryBytes(pm, v))
+    }
+
+  /** Resolve an enum symbol to its wire number; an OPEN enum additionally
+    * accepts a decimal-string symbol (the decoder's preserved form of an
+    * unknown number), so open-enum round trips are lossless. */
+  private def enumNumber(e: PEnum, v: Any): Int = {
+    val sym = v.asInstanceOf[String]
+    e.symbols.get(sym) match {
+      case Some(n) => n
+      case None if e.open => sym.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"${e.name}: '$sym' is neither a declared symbol nor a number " +
+            s"(declared: ${e.symbols.keys.mkString(", ")})"))
+      case None => throw new IllegalArgumentException(
+        s"${e.name}: unknown enum symbol '$sym' " +
+          s"(declared: ${e.symbols.keys.mkString(", ")})")
+    }
+  }
+
+  /** One map entry's body: key then value, both always serialized (every
+    * parser accepts the omitted-default form too, but emitting both keeps
+    * the bytes canonical and the round trip trivially stable). A missing
+    * (null) value emits the type's default — the empty message for
+    * message values. */
+  private def mapEntryBytes(pm: PMap, kv: Any): Array[Byte] = {
+    val (k, v) = kv match {
+      case t: Tuple2[_, _] => (t._1: Any, t._2: Any)
+      case other => throw new IllegalArgumentException(
+        s"map entry expects a (key, value) pair, got $other")
+    }
+    val entry = new ByteArrayOutputStream(32)
+    writeScalar(entry, pm.keyField, if (k == null) defaultValue(pm.key) else k)
+    (v, pm.value) match {
+      case (null, PMsg(_)) => writeLenDelimited(entry, 2, Array.emptyByteArray)
+      case (null, t)       => writeScalar(entry, pm.valueField, defaultValue(t))
+      case (vv, _)         => writeScalar(entry, pm.valueField, vv)
+    }
+    entry.toByteArray
+  }
+
+  /** One packed element's payload (no tag) — primitives and enums only,
+    * matching [[packable]]. */
+  private def writePackedPayload(out: ByteArrayOutputStream, t: PType, v: Any): Unit =
+    t match {
+      case PDouble =>
+        writeFixed64(out, java.lang.Double.doubleToLongBits(asDouble(v)))
+      case PFloat =>
+        writeFixed32(out, java.lang.Float.floatToIntBits(asFloat(v)))
+      case PInt32 => writeVarint(out, asInt(v).toLong)
+      case PInt64 | PUInt64 => writeVarint(out, asLong(v))
+      case PUInt32 => writeVarint(out, asInt(v).toLong & 0xFFFFFFFFL)
+      case PSInt32 => writeVarint(out, zigzag32(asInt(v)).toLong & 0xFFFFFFFFL)
+      case PSInt64 => writeVarint(out, zigzag64(asLong(v)))
+      case PFixed32 | PSFixed32 => writeFixed32(out, asInt(v))
+      case PFixed64 | PSFixed64 => writeFixed64(out, asLong(v))
+      case PBool => writeVarint(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
+      case e: PEnum => writeVarint(out, enumNumber(e, v).toLong)
+      case other => throw new IllegalStateException(s"$other cannot be packed")
     }
 
   private def asInt(v: Any): Int = v match {
@@ -283,31 +436,61 @@ object ProtoWire {
 
   /** Serialize a Row (shaped by [[sparkSchema]] — positional) as one wire
     * message. Null optional fields are absent on the wire (proto2
-    * presence); a null in a required field fails loudly. Repeated fields
-    * emit one unpacked occurrence per element, like the reference's
-    * RepeatedWriter (ProtoBufGenerator.scala:118-121). */
+    * presence); a null in a required field fails loudly; a proto3
+    * no-presence (implicit) field is omitted when it holds its default.
+    * Repeated fields emit one unpacked occurrence per element, like the
+    * reference's RepeatedWriter (ProtoBufGenerator.scala:118-121), unless
+    * the field is `packed` (proto3 default / proto2 `[packed = true]`),
+    * which emits the single length-delimited run. Map fields emit one
+    * entry message per pair; a row with two members of the same oneof set
+    * fails loudly (the wire would silently drop one on re-parse). */
   def toBytes(row: Row, msg: PMessage): Array[Byte] = {
+    msg.oneofGroups.foreach { case (g, idxs) =>
+      val set = idxs.filter(j => row.get(j) != null)
+      if (set.size > 1) throw new IllegalArgumentException(
+        s"${msg.name}: oneof '$g' has ${set.size} members set " +
+          s"(${set.map(msg.fields(_).name).mkString(", ")}); at most one")
+    }
     val out = new ByteArrayOutputStream(64)
     var i = 0
     val n = msg.fields.length
     while (i < n) {
       val f = msg.fields(i)
       val v = row.get(i)
-      f.label match {
-        case PRepeated =>
+      f.ptype match {
+        case _: PMap =>
           v match {
-            case null => // tolerated: an absent array encodes as empty
-            case s: scala.collection.Seq[_] => s.foreach(e => writeScalar(out, f, e))
-            case a: Array[_] => a.foreach(e => writeScalar(out, f, e))
+            case null => // tolerated: an absent map encodes as empty
+            case m: scala.collection.Map[_, _] =>
+              m.foreach(kv => writeScalar(out, f, kv))
             case other => throw new IllegalArgumentException(
-              s"${msg.name}.${f.name}: repeated field expects a Seq, got $other")
+              s"${msg.name}.${f.name}: map field expects a Map, got $other")
           }
-        case POptional =>
-          if (v != null) writeScalar(out, f, v)
-        case PRequired =>
-          if (v == null) throw new IllegalArgumentException(
-            s"${msg.name}.${f.name}: required field is null")
-          writeScalar(out, f, v)
+        case _ => f.label match {
+          case PRepeated =>
+            val elems: Iterator[Any] = v match {
+              case null => Iterator.empty // absent array encodes as empty
+              case s: scala.collection.Seq[_] => s.iterator
+              case a: Array[_] => a.iterator
+              case other => throw new IllegalArgumentException(
+                s"${msg.name}.${f.name}: repeated field expects a Seq, got $other")
+            }
+            if (f.packed && packable(f.ptype)) {
+              if (elems.hasNext) { // an empty packed field is absent (spec)
+                val body = new ByteArrayOutputStream(32)
+                elems.foreach(e => writePackedPayload(body, f.ptype, e))
+                writeLenDelimited(out, f.number, body.toByteArray)
+              }
+            } else elems.foreach(e => writeScalar(out, f, e))
+          case POptional =>
+            if (v != null) writeScalar(out, f, v)
+          case PImplicit =>
+            if (v != null && !isDefault(f.ptype, v)) writeScalar(out, f, v)
+          case PRequired =>
+            if (v == null) throw new IllegalArgumentException(
+              s"${msg.name}.${f.name}: required field is null")
+            writeScalar(out, f, v)
+        }
       }
       i += 1
     }
@@ -358,17 +541,55 @@ object ProtoWire {
         new String(r.slice(r.varint().toInt), StandardCharsets.UTF_8)
       case PBytes     => expect(WireLen); r.slice(r.varint().toInt)
       case e: PEnum   => expect(WireVarint)
-        e.byNumber.getOrElse(r.varint().toInt, null)
+        val n = r.varint().toInt
+        // closed (proto2): unknown number -> null (unknown field);
+        // open (proto3): the number survives as its decimal string
+        e.byNumber.getOrElse(n, if (e.open) n.toString else null)
       case PMsg(_)    => throw new IllegalStateException(
         s"$where: message fields are handled by the merge accumulator")
+      case _: PMap    => throw new IllegalStateException(
+        s"$where: map fields are handled by the entry accumulator")
     }
+  }
+
+  /** One map entry parsed from its length-delimited body: (key, value)
+    * with missing sides defaulted (empty message for a missing message
+    * value), unknown entry fields skipped. */
+  private def decodeMapEntry(bytes: Array[Byte], pm: PMap, where: String): (Any, Any) = {
+    val r = new Reader(bytes, 0, bytes.length)
+    var k: Any = null
+    var v: Any = null
+    while (r.hasMore) {
+      val tag = r.varint()
+      val num = (tag >>> 3).toInt
+      val wt = (tag & 7L).toInt
+      num match {
+        case 1 => k = readScalar(r, pm.key, wt, s"$where.key")
+        case 2 => pm.value match {
+          case PMsg(m) =>
+            if (wt != WireLen) throw new IllegalArgumentException(
+              s"proto wire: $where.value expects wire type 2, got $wt")
+            v = fromBytes(r.slice(r.varint().toInt), m)
+          case t => v = readScalar(r, t, wt, s"$where.value")
+        }
+        case _ => skipUnknown(r, wt)
+      }
+    }
+    val kk = if (k == null) defaultValue(pm.key) else k
+    val vv =
+      if (v != null) v
+      else pm.value match {
+        case PMsg(m) => fromBytes(Array.emptyByteArray, m)
+        case t => defaultValue(t)
+      }
+    (kk, vv)
   }
 
   /** Whether a repeated `t` may legally arrive PACKED (primitive numeric
     * and bool — never strings, bytes, messages). */
   private def packable(t: PType): Boolean = t match {
-    case PString | PBytes | PMsg(_) => false
-    case _                          => true
+    case PString | PBytes | _: PMsg | _: PMap => false
+    case _                                    => true
   }
 
   /** The non-packed wire type `t`'s scalar form uses (for packed-element
@@ -376,7 +597,7 @@ object ProtoWire {
   private def scalarWire(t: PType): Int = t match {
     case PDouble | PFixed64 | PSFixed64          => WireFixed64
     case PFloat | PFixed32 | PSFixed32           => WireFixed32
-    case PString | PBytes | PMsg(_)              => WireLen
+    case PString | PBytes | _: PMsg | _: PMap    => WireLen
     case _                                       => WireVarint
   }
 
@@ -392,6 +613,12 @@ object ProtoWire {
         "proto wire: zero field number (corrupt tag)")
       msg.byNumber.get(number) match {
         case None => skipUnknown(r, wt)
+        case Some((f, idx)) if f.ptype.isInstanceOf[PMap] =>
+          val where = s"${msg.name}.${f.name}"
+          if (wt != WireLen) throw new IllegalArgumentException(
+            s"proto wire: $where expects wire type 2, got $wt")
+          val bytes = r.slice(r.varint().toInt)
+          repeats(idx) += decodeMapEntry(bytes, f.ptype.asInstanceOf[PMap], where)
         case Some((f, idx)) =>
           val where = s"${msg.name}.${f.name}"
           f.label match {
@@ -416,18 +643,27 @@ object ProtoWire {
                   val sv = readScalar(r, t, wt, where)
                   if (sv != null) repeats(idx) += sv // null = unknown enum
               }
-            case _ => f.ptype match {
-              case PMsg(_) =>
-                if (wt != WireLen) throw new IllegalArgumentException(
-                  s"proto wire: $where expects wire type 2, got $wt")
-                val bytes = r.slice(r.varint().toInt)
-                // merge semantics: concatenated serializations == merged
-                // message, so accumulate chunks and parse once at the end
-                if (msgChunks(idx) == null)
-                  msgChunks(idx) = new ByteArrayOutputStream(bytes.length)
-                msgChunks(idx).write(bytes, 0, bytes.length)
-              case t => scalars(idx) = readScalar(r, t, wt, where) // last wins
-            }
+            case _ =>
+              // last-member-seen-wins across a oneof: seeing this member
+              // clears every sibling's accumulated value (a switch also
+              // resets message-merge accumulation, like parseFrom)
+              if (f.oneof.isDefined)
+                msg.oneofSiblings(idx).foreach { j =>
+                  scalars(j) = null
+                  msgChunks(j) = null
+                }
+              f.ptype match {
+                case PMsg(_) =>
+                  if (wt != WireLen) throw new IllegalArgumentException(
+                    s"proto wire: $where expects wire type 2, got $wt")
+                  val bytes = r.slice(r.varint().toInt)
+                  // merge semantics: concatenated serializations == merged
+                  // message, so accumulate chunks and parse once at the end
+                  if (msgChunks(idx) == null)
+                    msgChunks(idx) = new ByteArrayOutputStream(bytes.length)
+                  msgChunks(idx).write(bytes, 0, bytes.length)
+                case t => scalars(idx) = readScalar(r, t, wt, where) // last wins
+              }
           }
       }
     }
@@ -443,20 +679,33 @@ object ProtoWire {
     val repeats = Array.fill(n)(mutable.ArrayBuffer.empty[Any])
     parseInto(new Reader(bytes, 0, bytes.length), msg, scalars, msgChunks, repeats)
     val values = msg.fields.zipWithIndex.map { case (f, i) =>
-      f.label match {
-        case PRepeated => repeats(i).toSeq
-        case _ =>
-          val v = f.ptype match {
-            case PMsg(m) =>
-              if (msgChunks(i) == null) null
-              else fromBytes(msgChunks(i).toByteArray, m)
-            case _ => scalars(i)
+      f.ptype match {
+        case _: PMap =>
+          // duplicated keys: last one wins (spec)
+          val m = mutable.LinkedHashMap.empty[Any, Any]
+          repeats(i).foreach { e =>
+            val (k, v) = e.asInstanceOf[(Any, Any)]
+            m(k) = v
           }
-          if (v == null && f.label == PRequired)
-            throw new IllegalArgumentException(
-              s"${msg.name}.${f.name}: required field missing from the wire " +
-                "(uninitialized message)")
-          v
+          m.toMap
+        case _ => f.label match {
+          case PRepeated => repeats(i).toSeq
+          case _ =>
+            val v = f.ptype match {
+              case PMsg(m) =>
+                if (msgChunks(i) == null) null
+                else fromBytes(msgChunks(i).toByteArray, m)
+              case _ => scalars(i)
+            }
+            if (v == null && f.label == PRequired)
+              throw new IllegalArgumentException(
+                s"${msg.name}.${f.name}: required field missing from the wire " +
+                  "(uninitialized message)")
+            // proto3 no-presence: absent IS the default value
+            if (v == null && f.label == PImplicit && !f.ptype.isInstanceOf[PMsg])
+              defaultValue(f.ptype)
+            else v
+        }
       }
     }
     Row.fromSeq(values)
@@ -540,19 +789,26 @@ object ProtoWire {
 
   // ---- .proto text parser -----------------------------------------------------
 
-  /** Parse a proto2 `.proto` SOURCE TEXT into descriptor models — the
-    * schema-from-file entry the CLI's `proto:` mode uses, so wire files
-    * are readable with nothing but their original schema file (the
-    * reference needs a protoc-compiled class on the classpath instead).
+  /** Parse a `.proto` SOURCE TEXT (proto2 OR proto3) into descriptor
+    * models — the schema-from-file entry the CLI's `proto:` mode uses, so
+    * wire files are readable with nothing but their original schema file
+    * (the reference needs a protoc-compiled class on the classpath
+    * instead).
     *
     * Supported subset (what the wire scan needs): `message` blocks with
-    * optional/required/repeated fields of every scalar type, `enum`
-    * blocks, nested `message`/`enum` declarations, references between
-    * top-level types in any order, line and block comments, and
-    * ignored `syntax`/`package`/`option`/`import`/`reserved`/field
-    * options. Not supported (loud failure): `oneof`, `map<,>`, `group`,
-    * `extend`/`extensions`, proto3 implicit labels, and cyclic message
-    * references (the descriptor model is a finite tree). */
+    * optional/required/repeated fields of every scalar type, proto3
+    * implicit (no-label) fields with no-presence default semantics,
+    * `oneof` groups (last-member-seen-wins), `map<,>` fields, `enum`
+    * blocks (closed under proto2, OPEN under proto3 — unknown numbers
+    * survive as decimal strings), nested `message`/`enum` declarations,
+    * references between top-level types in any order, line and block
+    * comments, packedness (`[packed = true]`, and proto3's
+    * packed-by-default repeated primitives), and ignored
+    * `syntax`/`package`/`option`/`import`/`reserved`/field options.
+    * proto3 rules enforced loudly: no `required`, enums need a
+    * zero-numbered symbol. Not supported (loud failure): `group`,
+    * `extend`/`extensions`, and cyclic message references (the
+    * descriptor model is a finite tree). */
   def parseProto(text: String): Map[String, PMessage] = {
     // strip comments, preserving structure
     val noBlock = "/\\*[\\s\\S]*?\\*/".r.replaceAllIn(text, " ")
@@ -560,12 +816,19 @@ object ProtoWire {
     val toks = noLine
       .replace("{", " { ").replace("}", " } ").replace(";", " ; ")
       .replace("=", " = ").replace("[", " [ ").replace("]", " ] ")
+      .replace("<", " < ").replace(">", " > ").replace(",", " , ")
       .split("\\s+").filter(_.nonEmpty).toList
+    // the syntax statement is the file's first non-comment statement
+    // (spec), so the flag is settled before any message parses; absent
+    // means proto2 (spec)
+    var proto3 = false
 
     // first pass: collect raw message/enum blocks (flattened names —
     // nested types are hoisted like protoc's Outer.Inner, referable by
     // either their simple or dotted name when unambiguous)
-    final case class RawField(label: String, tpe: String, name: String, number: Int)
+    final case class RawField(label: String, tpe: String, name: String, number: Int,
+                              oneof: Option[String] = None, packed: Boolean = false,
+                              mapKey: Option[String] = None)
     final case class RawMsg(name: String, fields: List[RawField],
                             nested: List[String])
     val enums = mutable.Map[String, PEnum]()
@@ -584,6 +847,27 @@ object ProtoWire {
       case Nil => fail("unterminated [ ... ] option")
       case _ :: rest => skipBracketed(rest)
     }
+    // consume a field statement's tail — optional `[ options ]` then the
+    // `;` — returning (option tokens, rest); options are otherwise
+    // ignored but `packed = true` is honored
+    def fieldTail(ts: List[String]): (List[String], List[String]) = ts match {
+      case "[" :: t2 =>
+        def collect(acc: List[String], l: List[String]): (List[String], List[String]) =
+          l match {
+            case "]" :: r => (acc.reverse, r)
+            case Nil => fail("unterminated [ ... ] option")
+            case x :: r => collect(x :: acc, r)
+          }
+        val (opts, after) = collect(Nil, t2)
+        (opts, after match { case ";" :: t3 => t3; case t3 => t3 })
+      case ";" :: t2 => (Nil, t2)
+      case t2 => (Nil, t2)
+    }
+    def hasPackedTrue(opts: List[String]): Boolean =
+      opts.sliding(3).exists {
+        case List("packed", "=", "true") => true
+        case _ => false
+      }
 
     def parseEnum(scope: String, name: String,
                   ts: List[String]): List[String] = {
@@ -609,7 +893,10 @@ object ProtoWire {
         case Nil => fail(s"enum $name: unterminated block")
         case other :: _ => fail(s"enum $name: unexpected token '$other'")
       }
-      enums(full) = PEnum(full, syms.toMap)
+      if (proto3 && !syms.values.exists(_ == 0))
+        fail(s"enum $name: proto3 requires a zero-numbered first symbol")
+      // proto3 enums are OPEN: unknown numbers survive the decode
+      enums(full) = PEnum(full, syms.toMap, open = proto3)
       rest
     }
 
@@ -628,24 +915,54 @@ object ProtoWire {
           nested += s"$full.$n"; rest = parseEnum(full, n, tail)
         case ("option" | "reserved" | "extensions") :: tail =>
           rest = skipStatement(tail)
-        case ("oneof" | "map" | "group" | "extend") :: _ =>
+        case ("group" | "extend") :: _ =>
           fail(s"message $name: '${rest.head}' is outside the supported subset")
-        case (label @ ("optional" | "required" | "repeated")) ::
-            tpe :: fname :: "=" :: numTok :: tail =>
+        case "oneof" :: gname :: "{" :: tail =>
+          // members are singular, label-free fields sharing presence
+          var r2 = tail
+          var od = false
+          while (!od) r2 match {
+            case "}" :: t2 => od = true; r2 = t2
+            case ("option" | "reserved") :: t2 => r2 = skipStatement(t2)
+            case ("optional" | "required" | "repeated" | "map" | "oneof" |
+                  "group") :: _ =>
+              fail(s"$name.$gname: '${r2.head}' is not allowed inside a oneof")
+            case tpe :: fname :: "=" :: numTok :: t2 =>
+              val n = numTok.toIntOption.getOrElse(
+                fail(s"$name.$fname: bad field number $numTok"))
+              fields += RawField("oneof", tpe, fname, n, oneof = Some(gname))
+              r2 = fieldTail(t2)._2
+            case Nil => fail(s"$name.$gname: unterminated oneof block")
+            case other :: _ => fail(s"$name.$gname: unexpected token '$other'")
+          }
+          rest = r2
+        case "map" :: "<" :: ktype :: "," :: vtype :: ">" ::
+            fname :: "=" :: numTok :: tail =>
           val n = numTok.toIntOption.getOrElse(
             fail(s"$name.$fname: bad field number $numTok"))
-          fields += RawField(label, tpe, fname, n)
-          rest = tail match {
-            case "[" :: t2 => skipBracketed(t2) match {
-              case ";" :: t3 => t3
-              case t3 => t3
-            }
-            case ";" :: t2 => t2
-            case t2 => t2
-          }
+          fields += RawField("map", vtype, fname, n, mapKey = Some(ktype))
+          rest = fieldTail(tail)._2
+        case (label @ ("optional" | "required" | "repeated")) ::
+            tpe :: fname :: "=" :: numTok :: tail =>
+          if (proto3 && label == "required")
+            fail(s"$name.$fname: 'required' is a proto2-only label")
+          val n = numTok.toIntOption.getOrElse(
+            fail(s"$name.$fname: bad field number $numTok"))
+          val (opts, t2) = fieldTail(tail)
+          // proto3 packs repeated primitives by default; proto2 needs the
+          // explicit option (packability itself is settled at build time)
+          val packed = label == "repeated" && (proto3 || hasPackedTrue(opts))
+          fields += RawField(label, tpe, fname, n, packed = packed)
+          rest = t2
+        // proto3 implicit (no-label) singular field
+        case tpe :: fname :: "=" :: numTok :: tail if proto3 =>
+          val n = numTok.toIntOption.getOrElse(
+            fail(s"$name.$fname: bad field number $numTok"))
+          fields += RawField("implicit", tpe, fname, n)
+          rest = fieldTail(tail)._2
         case Nil => fail(s"message $name: unterminated block")
         case other :: _ => fail(s"message $name: unexpected token '$other' " +
-          "(proto3 implicit labels are outside the proto2 subset)")
+          "(under proto2, every field needs an optional/required/repeated label)")
       }
       raws(full) = RawMsg(full, fields.toList, nested.toList)
       rest
@@ -655,7 +972,14 @@ object ProtoWire {
     while (rest.nonEmpty) rest match {
       case "message" :: n :: "{" :: tail => rest = parseMessage("", n, tail)
       case "enum" :: n :: "{" :: tail => rest = parseEnum("", n, tail)
-      case ("syntax" | "package" | "option" | "import") :: tail =>
+      case "syntax" :: "=" :: s :: tail =>
+        s.replace("\"", "").replace("'", "") match {
+          case "proto2" => proto3 = false
+          case "proto3" => proto3 = true
+          case other => fail(s"unknown syntax '$other' (proto2 or proto3)")
+        }
+        rest = skipStatement(tail)
+      case ("package" | "option" | "import") :: tail =>
         rest = skipStatement(tail)
       case ";" :: tail => rest = tail
       case other :: _ => fail(s"unexpected top-level token '$other'")
@@ -692,18 +1016,34 @@ object ProtoWire {
         val raw = raws(full)
         val scope = full.split('.').dropRight(1).mkString(".")
         val fs = raw.fields.map { rf =>
-          val ptype = Scalars.get(rf.tpe).orElse {
-            resolveName(full, rf.tpe).orElse(resolveName(scope, rf.tpe)).map { r =>
-              if (enums.contains(r)) enums(r)
-              else PMsg(build(r, inFlight + full))
-            }
-          }.getOrElse(fail(s"${raw.name}.${rf.name}: unknown type '${rf.tpe}'"))
+          def resolve(tpe: String, what: String): PType =
+            Scalars.get(tpe).orElse {
+              resolveName(full, tpe).orElse(resolveName(scope, tpe)).map { r =>
+                if (enums.contains(r)) enums(r)
+                else PMsg(build(r, inFlight + full))
+              }
+            }.getOrElse(fail(s"${raw.name}.${rf.name}: unknown $what '$tpe'"))
+          val ptype = rf.mapKey match {
+            case Some(kt) =>
+              val key = Scalars.getOrElse(kt,
+                fail(s"${raw.name}.${rf.name}: map key type '$kt' " +
+                  "must be an integral, bool, or string scalar"))
+              PMap(key, resolve(rf.tpe, "map value type"))
+            case None => resolve(rf.tpe, "type")
+          }
           val label = rf.label match {
             case "optional" => POptional
             case "required" => PRequired
             case "repeated" => PRepeated
+            case "map" => PRepeated // wire truth; the schema keys off PMap
+            case "oneof" => POptional
+            // proto3 no-label: scalars/enums have no presence; message
+            // fields keep explicit presence (spec)
+            case "implicit" =>
+              if (ptype.isInstanceOf[PMsg]) POptional else PImplicit
           }
-          PField(rf.number, rf.name, label, ptype)
+          PField(rf.number, rf.name, label, ptype,
+            oneof = rf.oneof, packed = rf.packed)
         }
         PMessage(full.split('.').last, fs)
       })

@@ -286,7 +286,7 @@ class ProtoWireSpec extends SparkSpec {
 
   it should "fail loudly outside the supported subset" in {
     intercept[IllegalArgumentException](
-      parseProto("message M { oneof k { int32 a = 1; } }"))
+      parseProto("message M { group G = 1 { optional int32 a = 2; } }"))
       .getMessage should include("subset")
     intercept[IllegalArgumentException](
       parseProto("message A { required B b = 1; }\nmessage B { required A a = 1; }"))
