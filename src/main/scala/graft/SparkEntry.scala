@@ -988,9 +988,14 @@ object SparkEntry {
         .filter(col("cell") =!= col("best")).count()
       val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
-      val idx = Similarity.searchIvfIndex(s, tmp, q, "vec_id", "embedding",
-          k = 5, nprobe = 6)
-        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      // the OPERATOR is the from-disk serve; build fixture, assignment
+      // audit, brute-force oracle, and the parity join are its audit
+      val idx = timedOperator("ivf_index_search") {
+        Similarity.searchIvfIndex(s, tmp, q, "vec_id", "embedding",
+            k = 5, nprobe = 6)
+          .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+          .localCheckpoint(true)
+      }
       val matched = bf.join(idx,
         bf("query_id") === col("qid") && bf("neighbor_id") === col("nid"))
       postings.agg(count(lit(1)).as("n_postings")).crossJoin(
@@ -1027,9 +1032,15 @@ object SparkEntry {
       val model = Similarity.loadIvfPqModel(s, tmp)
       val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
-      val idx = Similarity.searchIvfPqIndex(s, tmp, q, "vec_id", "embedding",
-          k = 5, nprobe = 10, rerankFactor = 20, rerank = Some(emb))
-        .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+      // the OPERATOR is the from-disk ADC serve + exact rerank; the
+      // build/append/compact lifecycle fixture, brute-force oracle, and
+      // parity join are its audit
+      val idx = timedOperator("ivfpq_index_search") {
+        Similarity.searchIvfPqIndex(s, tmp, q, "vec_id", "embedding",
+            k = 5, nprobe = 10, rerankFactor = 20, rerank = Some(emb))
+          .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+          .localCheckpoint(true)
+      }
       val matched = bf.join(idx,
         bf("query_id") === col("qid") && bf("neighbor_id") === col("nid"))
       s.read.parquet(s"$tmp/postings")
@@ -1099,10 +1110,17 @@ object SparkEntry {
           .select((col("doc_id") + off).as("doc_id"), col("text")))
       DedupIndex.build(day1, "doc_id", "text", tmp,
         numHashes = 16, bands = 8)
-      val novel = DedupIndex.newAgainst(s, tmp, day2, "text")
-        .localCheckpoint(true)
-      DedupIndex.append(novel, "doc_id", "text", tmp,
-        batchId = Some("day2"))
+      // the OPERATOR is the day-2 loop itself (dedup against the
+      // artifact + keyed append of the remainder); the day-1 build is
+      // the fixture
+      val novel = timedOperator("crawl_loop_e2e") {
+        DedupIndex.newAgainst(s, tmp, day2, "text")
+          .localCheckpoint(true)
+      }
+      timedOperator("crawl_loop_e2e") {
+        DedupIndex.append(novel, "doc_id", "text", tmp,
+          batchId = Some("day2"))
+      }
       s.read.parquet(s"$tmp/fingerprints")
         .agg(count(lit(1)).as("n_indexed"))
         .crossJoin(novel.agg(count(lit(1)).as("n_novel")))
@@ -1120,9 +1138,15 @@ object SparkEntry {
         "vec_id", "embedding", tmp, nlist = 8)
       Similarity.appendIvfIndex(emb.filter(col("vec_id") % 2 =!= 0),
         "vec_id", "embedding", tmp, batchId = Some("b1"))
-      val census = IndexAdmin.describeIndex(s, tmp).localCheckpoint(true)
-      val drift = IndexAdmin.ivfDriftCheck(s, tmp, emb, "vec_id", "embedding")
-        .localCheckpoint(true)
+      // the OPERATORS are the census + drift probe; the index build/
+      // append fixture they inspect is the audit
+      val census = timedOperator("index_admin") {
+        IndexAdmin.describeIndex(s, tmp).localCheckpoint(true)
+      }
+      val drift = timedOperator("index_admin") {
+        IndexAdmin.ivfDriftCheck(s, tmp, emb, "vec_id", "embedding")
+          .localCheckpoint(true)
+      }
       census.filter(col("relation") === "postings")
         .agg(sum("rows").as("n_postings"),
           (countDistinct("batch") === 2).as("batches_ok"))
@@ -1227,7 +1251,7 @@ object SparkEntry {
           struct(col("lang").as("flag"),
             col("source").as("status")).as("meta"))
       ProtoWire.writeDelimited(slice, desc, out)
-      ProtoWire.readDelimited(s, out, desc)
+      val proto2Agg = ProtoWire.readDelimited(s, out, desc)
         .agg(count(lit(1)).as("cnt"),
           sum(col("doc_id")).as("sum_id"),
           sum(col("neg_chars")).as("sum_neg"),
@@ -1235,6 +1259,43 @@ object SparkEntry {
           sum(size(col("words"))).as("n_words"),
           countDistinct(col("meta.flag")).as("n_langs"),
           countDistinct(col("meta.status")).as("n_sources"))
+      // proto3 leg, descriptor parsed from SOURCE TEXT (the same entry
+      // the CLI's proto: mode uses): implicit no-presence int64/int32
+      // (zeros vanish from the wire and decode back as zeros), a
+      // packed-by-default repeated int32, a map<string,int64>, and a
+      // oneof split on doc parity — all through real wire files
+      val p3 = parseProto("""
+        syntax = "proto3";
+        message DocQ {
+          int64 doc_id = 1;
+          int32 n_chars = 2;
+          repeated int32 codes = 3;
+          map<string, int64> counts = 4;
+          oneof origin {
+            string src = 5;
+            int64 alt_id = 6;
+          }
+        }""")("DocQ")
+      val out3 = "/tmp/graft_proto_wire3"
+      val slice3 = t(s, d, "documents")
+        .filter(col("doc_id") % 10 < 4)
+        .select(col("doc_id"),
+          col("n_chars").cast("int").as("n_chars"),
+          array(col("n_chars").cast("int"),
+            (col("n_chars") * 2).cast("int")).as("codes"),
+          map(lit("chars"), col("n_chars").cast("long"),
+            lit("words"), size(split(col("text"), " ")).cast("long"))
+            .as("counts"),
+          when(col("doc_id") % 2 === 0, col("source")).as("src"),
+          when(col("doc_id") % 2 =!= 0, col("doc_id")).as("alt_id"))
+      ProtoWire.writeDelimited(slice3, p3, out3)
+      val proto3Agg = ProtoWire.readDelimited(s, out3, p3)
+        .agg(sum(col("n_chars")).as("p3_sum_chars"),
+          sum(expr("aggregate(codes, 0L, (a, x) -> a + x)")).as("p3_sum_codes"),
+          sum(expr("counts['words']")).as("p3_map_words"),
+          count(col("src")).as("p3_n_src"),
+          sum(col("alt_id")).as("p3_sum_alt"))
+      proto2Agg.crossJoin(proto3Agg)
     }),
 
     // ---- event-time windowed aggregation over the events table (the
@@ -2252,10 +2313,14 @@ object SparkEntry {
       val q = bm25Queries.toDF("qid", "qtext")
         .join(t(s, d, "embeddings")
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")
-      ext.Retrieval.hybridSearchIndexes(s, tmpT, tmpV, q,
-          "qid", "qtext", "qvec", k = 10, nprobe = 16,
-          roundScoresTo = Some(5))
-        .orderBy("query_id", "rank")
+      // the OPERATOR is the artifact-served hybrid query; the two index
+      // builds are its fixture
+      timedOperator("hybrid_index_search") {
+        ext.Retrieval.hybridSearchIndexes(s, tmpT, tmpV, q,
+            "qid", "qtext", "qvec", k = 10, nprobe = 16,
+            roundScoresTo = Some(5))
+          .localCheckpoint(true)
+      }.orderBy("query_id", "rank")
     }),
     // hybrid-retrieval rank fusion: RRF over two classic BM25
     // parameterizations, value-exact vs DuckDB composing the same two
@@ -2881,7 +2946,14 @@ object SparkEntry {
           |  ROUND(CAST(SUM(n_chars / 2.0) AS DOUBLE), 2) AS sum_half,
           |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
           |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-          |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+          |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+          |  CAST(SUM(n_chars) AS BIGINT) AS p3_sum_chars,
+          |  CAST(SUM(n_chars + n_chars * 2) AS BIGINT) AS p3_sum_codes,
+          |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS p3_map_words,
+          |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS p3_n_src,
+          |  CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN doc_id END) AS BIGINT)
+          |    AS p3_sum_alt
           |FROM documents WHERE doc_id % 10 < 4""".stripMargin,
       "avro_roundtrip" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
