@@ -167,7 +167,7 @@ object Graft {
     *
     * {{{
     * graft index --input=<path> --output=<dir> --type=text|ivf|ivfpq|dedup
-    *             [--append | --compact | --drop-batch=<id> | --describe]
+    *             [--append | --compact | --retrain | --drop-batch=<id> | --describe]
     *             [--id-col=doc_id] [--text-col=text] [--buckets=64]    (text)
     *             [--id-col=vec_id] [--vec-col=embedding] [--nlist=16]  (ivf*)
     *             [--m=8] [--codebook-size=256]                        (ivfpq)
@@ -203,6 +203,32 @@ object Graft {
           s"--type must be text, ivf, ivfpq or dedup, got $t")
       }
       System.err.println(s"[graft] compacted ${f("type")} index at $output")
+      return
+    }
+    // the drift remediation IndexAdmin's probe points at: ivf retrains
+    // from the artifact's own postings (no --input), ivfpq needs the
+    // caller-named vector source (PQ codes are not invertible)
+    if (f.get("retrain").contains("true")) {
+      val cells = required(f, "type") match {
+        case "ivf" =>
+          graft.ext.Similarity.retrainIvfIndex(spark, output,
+            nlist = f.get("nlist").map(_.toInt).getOrElse(16),
+            maxIter = f.get("max-iter").map(_.toInt).getOrElse(10))
+        case "ivfpq" =>
+          val vecs = restrict(read(spark, required(f, "input"),
+            f.getOrElse("input-mode", "parquet")), f)
+          graft.ext.Similarity.retrainIvfPqIndex(vecs,
+            f.getOrElse("id-col", "vec_id"),
+            f.getOrElse("vec-col", "embedding"), output,
+            nlist = f.get("nlist").map(_.toInt).getOrElse(16),
+            m = f.get("m").map(_.toInt).getOrElse(8),
+            codebookSize = f.get("codebook-size").map(_.toInt).getOrElse(256),
+            maxIter = f.get("max-iter").map(_.toInt).getOrElse(10))
+        case t => throw new IllegalArgumentException(
+          s"--retrain applies to ivf or ivfpq indexes, got type $t")
+      }
+      System.err.println(s"[graft] retrained ${f("type")} index at $output " +
+        s"($cells cells)")
       return
     }
     val append = f.get("append").contains("true")

@@ -52,6 +52,15 @@ import org.apache.spark.util.sketch.BloomFilter
   * while the verification threshold is a per-query choice over the same
   * candidates — one index serves any threshold at or above its envelope.
   *
+  * Writer concurrency: SINGLE-WRITER, enforced. Every mutating entry
+  * point (build/append/compact/dropBatch) holds the artifact's
+  * `_writer_lock` lease via [[ArtifactIO.withWriterLease]] — a second
+  * concurrent writer fails loudly naming the holder's op/host/age, and a
+  * lock older than the staleness window is presumed crashed and taken
+  * over with a logged warning. Readers (newAgainst, minhashNewAgainst,
+  * nearDuplicateFlag) never take the lease; searches stay lock-free.
+  * Contract spec-locked in ArtifactIOSpec.
+  *
   * Scale shape: the per-batch build cost is the same shingle+band pass
   * the direct operators pay for that batch; the serve cost reads the
   * stored relations columnar (24 B/row bands, ~2.5 KB/doc shingles — and

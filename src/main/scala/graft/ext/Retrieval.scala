@@ -160,6 +160,14 @@ object Retrieval {
   // by a term-hash bucket, and every later query batch reads only the
   // buckets its terms hash into (hive partition pruning) — the corpus
   // text is never re-scanned.
+  //
+  // Writer concurrency: SINGLE-WRITER, enforced. Every mutating entry
+  // point (buildTextIndex/appendTextIndex/compactTextIndex/dropTextBatch)
+  // holds the artifact's `_writer_lock` lease via
+  // ArtifactIO.withWriterLease — a second concurrent writer fails loudly
+  // naming the holder, stale locks are taken over after the staleness
+  // window. searchTextIndex never takes the lease; reads stay lock-free.
+  // Contract spec-locked in ArtifactIOSpec.
 
   /** Tokenize `docs` once and persist a BM25-servable index at `path`:
     * `path/postings/batch=<id>` = (term, doc_id, dl, tf) hive-partitioned

@@ -24,6 +24,15 @@ import org.apache.spark.sql.types._
   *     scanned relation. Prunes MEMORY (bytes per candidate).
   *   - `ivfpqTopK`: faiss-style residual IVF-PQ — both at once.
   *
+  * Writer concurrency for the persisted IVF / IVF-PQ artifacts:
+  * SINGLE-WRITER, enforced. Every mutating entry point
+  * (build/append/compact/retrain/dropIndexBatch, both families) holds
+  * the artifact's `_writer_lock` lease via
+  * [[ArtifactIO.withWriterLease]] — a second concurrent writer fails
+  * loudly naming the holder, stale locks are taken over after the
+  * staleness window. searchIvfIndex/searchIvfPqIndex never take the
+  * lease; reads stay lock-free. Contract spec-locked in ArtifactIOSpec.
+  *
   * Uniform contract across all paths: the final per-query top-k is the
   * k-bounded [[graft.functions.TopK.ByScore]] aggregation (never a window
   * over `query_id`), and degenerate pairs — null/NaN similarity from

@@ -272,6 +272,15 @@ class GraftCliSpec extends SparkSpec {
     nn.count() shouldBe 12L
     nn.columns.sorted.toSeq shouldBe
       Seq("cosine_sim", "neighbor_id", "query_id", "rank")
+    // drift remediation from the CLI: ivf retrains from the artifact's
+    // OWN postings (no --input); count conserved, search still serves
+    val nPostings = spark.read.parquet(s"$base/vidx/postings").count()
+    Graft.run(Seq("index", s"--output=$base/vidx", "--type=ivf",
+      "--retrain", "--nlist=8", "--max-iter=5"), spark)
+    spark.read.parquet(s"$base/vidx/postings").count() shouldBe nPostings
+    Graft.run(Seq("search", s"--index=$base/vidx", s"--output=$base/nn2",
+      "--type=ivf", s"--queries=$base/q", "--k=4", "--nprobe=3"), spark)
+    spark.read.parquet(s"$base/nn2").count() shouldBe 12L
     // hybrid: fuse the two artifacts just built over a joint query batch
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -342,6 +351,13 @@ class GraftCliSpec extends SparkSpec {
     nn.count() shouldBe 12L
     nn.columns.sorted.toSeq shouldBe
       Seq("cosine_sim", "neighbor_id", "query_id", "rank")
+    // ivfpq retrain needs the caller-named vector source (--input): the
+    // supplied relation IS the new index content
+    Graft.run(Seq("index",
+      "--input=/root/testdata/sf0.001/embeddings.parquet",
+      s"--output=$base/pqidx", "--type=ivfpq", "--retrain",
+      "--nlist=8", "--m=16", "--codebook-size=32", "--max-iter=5"), spark)
+    spark.read.parquet(s"$base/pqidx/postings").count() shouldBe emb.count()
   }
 
   it should "gate the pipeline on data-quality checks" in {
