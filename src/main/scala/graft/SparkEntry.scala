@@ -2,7 +2,7 @@ package graft
 
 import graft.GraftFunctions._
 import graft.diffy.BigDiffy
-import graft.ext.{Dedup, DedupIndex, IndexAdmin, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.ext.{Dedup, DedupIndex, IndexAdmin, Multimodal, Similarity, Skew, Split, TextAnalysis}
 import graft.sampling.{BigSampler, DirectSampler}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -885,6 +885,41 @@ object SparkEntry {
           "doc_id", comp, "score")
         .select("doc_id").orderBy("doc_id")
     }),
+    // near-dup-aware train/val/test split: the corpus is every document
+    // plus a byte-identical copy (jaccard 1.0 — minhash detection is
+    // DETERMINISTIC: identical text means identical band signatures),
+    // split leakage-safely at 80/10/10. Verdicts: every planted
+    // (original, copy) pair shares BOTH cluster and split — near-dup
+    // leakage across the boundary is structurally impossible; clusters
+    // are split-atomic; all three splits materialize; the train share of
+    // clusters lands within ±5% (hash-deterministic per corpus, no
+    // flake). Row and planted-pair counts pin to DuckDB.
+    "leakage_safe_split" -> ((s, d) => {
+      val (corpus, off) = exactCopyCorpus(s, d)
+      val split = Split.leakageSafeSplit(corpus, "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          threshold = 0.5, bands = 32)
+        .localCheckpoint(true) // feeds four aggregates below
+      val a = split.select(col("doc_id").as("ida"), col("split").as("sa"),
+        col("cluster").as("ca"))
+      val b = split.select(col("doc_id").as("idb"), col("split").as("sb"),
+        col("cluster").as("cb"))
+      val planted = a.join(b, col("idb") === col("ida") + off)
+      val atomic = split.groupBy("cluster")
+        .agg(countDistinct(col("split")).as("nsp"))
+      val fracs = split.select(col("cluster"), col("split")).distinct()
+      split.agg(count(lit(1)).as("n_rows")).crossJoin(
+          planted.agg(sum(when(col("sa") === col("sb") &&
+            col("ca") === col("cb"), 1L).otherwise(0L))
+            .as("n_planted_same_split")))
+        .crossJoin(atomic.agg((max(col("nsp")) === 1L).as("clusters_atomic")))
+        .crossJoin(fracs.agg(
+          (countDistinct(col("split")) === 3L).as("splits_cover"),
+          (abs(avg(when(col("split") === "train", 1.0).otherwise(0.0)) - 0.8)
+            <= 0.05).as("train_frac_ok")))
+        .select("n_rows", "n_planted_same_split", "clusters_atomic",
+          "splits_cover", "train_frac_ok")
+    }),
 
     // oracle-gated IVF ANN quality: k-means-quantized inverted-file search
     // must recover ≥55% of the exact brute-force top-k (measured 68–82%
@@ -1688,6 +1723,43 @@ object SparkEntry {
       TextAnalysis.contaminationReport(corpus, "doc_id", "text",
           bench, "doc_id", "text", n = 40)
         .orderBy("doc_id")
+    }),
+    // FUZZY decontamination (the near-duplicate complement of the exact
+    // n-gram probe): benchmark = every doc_id % 97 == 0 document; the
+    // corpus is all documents plus a LIGHTLY-EDITED copy of each
+    // benchmark text ('@' inserted every 40 chars — every 50-char exact
+    // gram is broken, yet 5-char shingle-Jaccard stays ≈ 0.8). Verdicts:
+    // every planted edited copy is fuzzy-flagged at threshold 0.6 (32
+    // bands of 2 rows: deterministic under the fixed seed, miss odds
+    // ~1e-14 even in expectation); the EXACT 50-gram probe flags NONE of
+    // them (the leak class this operator exists for); and the filtering
+    // form drops exactly the flagged rows. Corpus/planted counts pin to
+    // DuckDB.
+    "decontaminate_fuzzy" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val off = idOffset(docs, "doc_id")
+      val planted = bench.select((col("doc_id") + off).as("doc_id"),
+        regexp_replace(col("text"), "(.{40})", "$1@").as("text"))
+      val corpus = docs.unionByName(planted)
+      val flagged = TextAnalysis.flagContaminatedFuzzy(corpus, "doc_id",
+          "text", bench, "text", threshold = 0.6, numHashes = 64, bands = 32)
+        .localCheckpoint(true) // feeds three aggregates below
+      val exactOnPlanted = TextAnalysis.flagContaminated(planted, "doc_id",
+        "text", bench, "text", n = 50)
+      val kept = TextAnalysis.decontaminateFuzzy(corpus, "doc_id", "text",
+        bench, "text", threshold = 0.6, numHashes = 64, bands = 32)
+      flagged.agg(
+          count(lit(1)).as("n_corpus"),
+          sum(when(col("doc_id") >= off && col("contaminated_fuzzy"), 1L)
+            .otherwise(0L)).as("n_planted_flagged"),
+          sum(when(col("contaminated_fuzzy"), 1L).otherwise(0L)).as("__nf"))
+        .crossJoin(exactOnPlanted.agg(
+          (sum(when(col("contaminated"), 1L).otherwise(0L)) === 0L)
+            .as("exact_missed")))
+        .crossJoin(kept.agg(count(lit(1)).as("__nk")))
+        .select(col("n_corpus"), col("n_planted_flagged"), col("exact_missed"),
+          (col("__nf") + col("__nk") === col("n_corpus")).as("drop_consistent"))
     }),
     // exact top-fraction quality selection: keep exactly ceil(n × 0.2)
     // docs by mean token length, ties broken by doc_id — value-exact id
@@ -2744,6 +2816,13 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "simhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
       "dedup_clusters" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_same_cluster FROM documents",
+      // every planted (original, exact copy) pair must share cluster AND
+      // split — the leakage guarantee is a count equality, no slack
+      "leakage_safe_split" ->
+        """SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(*) AS BIGINT) AS n_planted_same_split,
+          |  true AS clusters_atomic, true AS splits_cover, true AS train_frac_ok
+          |FROM documents""".stripMargin,
       "lsh_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "ivf_topk_recall" -> "SELECT CAST(50 AS BIGINT) AS n_bf, true AS recall_ok",
       "ivf_index_search" ->
@@ -3260,6 +3339,15 @@ object SparkEntry {
           |bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
           |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad)
           |ORDER BY doc_id""".stripMargin,
+      // fuzzy decontamination: every planted lightly-edited benchmark
+      // copy must be flagged (count equality) while the exact 50-gram
+      // probe flags none of them; counts pin to the parquet tables
+      "decontaminate_fuzzy" ->
+        """SELECT CAST((SELECT COUNT(*) FROM documents) + COUNT(*) AS BIGINT)
+          |    AS n_corpus,
+          |  CAST(COUNT(*) AS BIGINT) AS n_planted_flagged,
+          |  true AS exact_missed, true AS drop_consistent
+          |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
       // global top-20% by mean token length, ties by doc_id — the rank
       // replica of ScoreFilter's bucket-and-boundary selection
       "quality_top_frac" ->

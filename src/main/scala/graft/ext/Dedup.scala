@@ -859,6 +859,38 @@ object Dedup {
       df.join(winners, df(idCol) === col("__keep_id"), "left_semi"))
   }
 
+  /** One-call near-duplicate clustering: every row labeled with its
+    * near-dup cluster id in `clusterCol` — [[minhashNearDups]] (banded
+    * LSH candidates, exact shingle-Jaccard verify) fed through
+    * [[connectedComponents]], with rows that matched nothing labeled as
+    * their own singleton cluster. The label is each cluster's MINIMUM
+    * member id, so it is stable under row order and repartitioning.
+    *
+    * This is the grouping column [[Split.leakageSafeSplit]] keys its
+    * dice on (group-atomic split assignment — near-dups can never
+    * straddle train/test), and the general-purpose cluster handle for
+    * [[dropNearDups]]/[[keepBest]]-style policies expressed over the
+    * corpus itself. Scale shape inherits its parts: banded buckets with
+    * caps (never all-pairs), byte-aware broadcast-or-shuffle verify, and
+    * the bounded dual-path component labeling. */
+  def clusterNearDups(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 5,
+                      threshold: Double = 0.8, seed: Int = 0,
+                      maxBucketSize: Int = 1000,
+                      clusterCol: String = "cluster"): DataFrame = {
+    require(!df.columns.contains(clusterCol),
+      s"clusterCol '$clusterCol' already exists on the input")
+    val pairs = minhashNearDups(df, idCol, textCol, numHashes, bands,
+      shingleLen, threshold, seed, maxBucketSize)
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    // left join: rows with no near-dup pair are absent from the labeling
+    // and become their own singleton cluster (their id)
+    df.join(comp, df(idCol) === col("__cc_id"), "left")
+      .withColumn(clusterCol, coalesce(col("__cc_comp"), df(idCol)))
+      .drop("__cc_id", "__cc_comp")
+  }
+
   /** Log-warn threshold for [[jaccardJoinExact]]'s pre-flight candidate
     * estimate (the hard stop is the caller's opt-in `maxCandidates`). */
   val WarnCandidateVolume: Long = 10000000L

@@ -65,6 +65,64 @@ object Split {
       }
   }
 
+  /** Near-dup-aware train/val/test split: label every row so that NO
+    * near-duplicate pair straddles a split boundary — the split is keyed
+    * on the document's near-dup cluster ([[Dedup.clusterNearDups]]: banded
+    * minhash candidates, exact shingle-Jaccard verify, connected
+    * components), so an eval document's near-copies are structurally
+    * locked into the same split rather than probabilistically unlikely to
+    * leak. Returns the input plus `clusterCol` (the cluster handle, kept
+    * for auditing — drop it if unwanted) and `splitCol`.
+    *
+    * Fractions apply to CLUSTERS, not rows: a 10-member cluster moves
+    * atomically, so realized row fractions drift by the dup mass (the
+    * usual curation stance — near-dup mass belongs to one side; dedup it
+    * there or keep it, but never let it vote twice across the boundary).
+    * Assignment is the same zero-shuffle [[splitLabel]] dice once the
+    * cluster column exists; the near-dup detection is the only shuffling
+    * stage, with [[Dedup.minhashNearDups]]'s banded/capped scale shape.
+    *
+    * Already have components (from simhash, embeddings, or a persisted
+    * run)? Use [[leakageSafeSplitByComponents]] and skip the detection. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       fractions: Seq[(String, Double)],
+                       splitCol: String = "split",
+                       clusterCol: String = "cluster",
+                       seed: Option[Int] = None,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shingleLen: Int = 5, threshold: Double = 0.8,
+                       minhashSeed: Int = 0,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    val clustered = Dedup.clusterNearDups(df, idCol, textCol, numHashes,
+      bands, shingleLen, threshold, minhashSeed, maxBucketSize, clusterCol)
+    clustered.withColumn(splitCol,
+      splitLabel(Seq(col(clusterCol)), fractions, seed))
+  }
+
+  /** [[leakageSafeSplit]] from a PRE-COMPUTED (id, component) labeling —
+    * the composition primitive: any pair source ([[Dedup.minhashNearDups]],
+    * [[Dedup.simhashNearDups]], [[Dedup.embeddingNearDups]], a persisted
+    * [[DedupIndex]] search) fed through [[Dedup.connectedComponents]]
+    * plugs in here. Rows absent from `components` are singletons keyed on
+    * their own id. Pure column logic after one left join against the
+    * (typically tiny) labeling — broadcast-sized in the usual case where
+    * only the duplicated minority appears in `components`. */
+  def leakageSafeSplitByComponents(df: DataFrame, idCol: String,
+                                   components: DataFrame,
+                                   fractions: Seq[(String, Double)],
+                                   splitCol: String = "split",
+                                   clusterCol: String = "cluster",
+                                   seed: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains(clusterCol),
+      s"clusterCol '$clusterCol' already exists on the input")
+    val comp = components
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    df.join(comp, df(idCol) === col("__cc_id"), "left")
+      .withColumn(clusterCol, coalesce(col("__cc_comp"), df(idCol)))
+      .drop("__cc_id", "__cc_comp")
+      .withColumn(splitCol, splitLabel(Seq(col(clusterCol)), fractions, seed))
+  }
+
   /** Deterministic global training-order shuffle: every row gets a
     * pseudo-random but reproducible `orderCol` (md5 of salt + keys) and a
     * `shardCol` derived from it; rows come back clustered by shard and

@@ -756,6 +756,77 @@ object TextAnalysis {
         coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"))
   }
 
+  /** FUZZY contamination flag: marks corpus documents whose whole-text
+    * shingle-Jaccard against SOME benchmark/eval row reaches `threshold`
+    * — the near-duplicate complement of [[flagContaminated]]'s exact
+    * `n`-gram probe. Exact probes need one unbroken 50-gram; an eval item
+    * that leaked with light edits (tokens swapped, words inserted every
+    * couple of lines — common in scraped re-posts) shares NO long exact
+    * gram yet keeps Jaccard ≈ 1 − edits/shingles, and this catches it.
+    * Returns the corpus plus `contaminated_fuzzy: boolean`.
+    *
+    * Semantics are DOCUMENT-level (whole-text similarity, the right
+    * contract when eval items are documents). For containment-style
+    * leakage — a benchmark item embedded inside a much larger page, where
+    * doc-level Jaccard is diluted toward 0 — use the exact substring
+    * probes ([[flagContaminated]] / [[contaminationReport]]); the two are
+    * complements, and curation practice runs both.
+    *
+    * Scale shape is [[Dedup.minhashNewAgainst]] with the (small) benchmark
+    * as the existing side: the benchmark's band signatures reduce to a
+    * broadcast Bloom filter probed inside the corpus scan, so a corpus
+    * document sharing no band — the typical clean document — never
+    * shuffles at all; survivors verify with the exact sorted-shingle
+    * merge (false positives from banding cannot flag a clean doc). The
+    * corpus is never self-joined and never re-scanned. */
+  def flagContaminatedFuzzy(corpus: DataFrame, idCol: String, textCol: String,
+                            benchmark: DataFrame, benchTextCol: String,
+                            threshold: Double = 0.8,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleLen: Int = 5, seed: Int = 0,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val hits = fuzzyHits(corpus, idCol, textCol, benchmark, benchTextCol,
+        threshold, numHashes, bands, shingleLen, seed, maxBucketSize)
+      .withColumn("contaminated_fuzzy", lit(true))
+    val rest = corpus.columns.filterNot(_ == idCol).map(col)
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated_fuzzy",
+        coalesce(col("contaminated_fuzzy"), lit(false)))
+      .select(col(idCol) +: rest :+ col("contaminated_fuzzy"): _*)
+  }
+
+  /** Keep only corpus documents that are NOT fuzzy-contaminated (the
+    * filtering form of [[flagContaminatedFuzzy]], mirroring
+    * [[decontaminate]] for the exact probe): one anti-join against the
+    * matched-id set, which is bounded by the contaminated volume. */
+  def decontaminateFuzzy(corpus: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         threshold: Double = 0.8,
+                         numHashes: Int = 64, bands: Int = 16,
+                         shingleLen: Int = 5, seed: Int = 0,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    val hits = fuzzyHits(corpus, idCol, textCol, benchmark, benchTextCol,
+      threshold, numHashes, bands, shingleLen, seed, maxBucketSize)
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Shared matched-id relation of the fuzzy pair: distinct corpus ids
+    * whose Jaccard vs some benchmark row reaches the threshold. The
+    * benchmark side gets synthetic ids (only distinctness matters — the
+    * caller never sees them). */
+  private def fuzzyHits(corpus: DataFrame, idCol: String, textCol: String,
+                        benchmark: DataFrame, benchTextCol: String,
+                        threshold: Double, numHashes: Int, bands: Int,
+                        shingleLen: Int, seed: Int,
+                        maxBucketSize: Int): DataFrame = {
+    val bench = benchmark.select(
+      monotonically_increasing_id().as(idCol),
+      col(benchTextCol).as(textCol))
+    Dedup.minhashNewAgainst(bench, corpus, idCol, textCol,
+        numHashes, bands, shingleLen, threshold, seed, maxBucketSize)
+      .select(col("id_new").as(idCol)).distinct()
+  }
+
   /** Overlapping fixed-size chunking (the RAG / long-context prep step):
     * split each document's text into character windows of `size` whose
     * starts step by `size - overlap`, so consecutive chunks share

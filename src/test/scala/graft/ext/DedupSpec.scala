@@ -137,6 +137,38 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect() shouldBe Array(6L)
   }
 
+  behavior of "clusterNearDups"
+
+  it should "label near-dups with their cluster's min id and singletons with their own" in {
+    val doc = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, doc),                                        // cluster of 3: 1,2,3
+      (2L, doc),                                        // exact copy
+      (3L, doc.split(" ").dropRight(1).mkString(" ")),  // near copy
+      (7L, "completely different content about maritime navigation charts"),
+      (9L, "a third unrelated passage concerning volcanic rock formations"))
+      .toDF("doc_id", "text")
+    val labeled = Dedup.clusterNearDups(df, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.5)
+    labeled.count() shouldBe 5L
+    labeled.columns.toSeq shouldBe Seq("doc_id", "text", "cluster")
+    val m = labeled.select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    m shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 9L)
+    // on the shared synthetic corpus: every constructed (i, i+1000) pair
+    // shares a cluster, and the label is never larger than the member id
+    val big = Dedup.clusterNearDups(corpus, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach { i => big(i + 1000L) shouldBe big(i) }
+    big.foreach { case (id, c) => c should be <= id }
+  }
+
+  it should "reject a cluster column that already exists" in {
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.clusterNearDups(corpus.withColumn("cluster", lit(1)),
+        "doc_id", "text")
+  }
+
   behavior of "minhashNewAgainst"
 
   it should "equal the self-join operator restricted to cross-side pairs" in {

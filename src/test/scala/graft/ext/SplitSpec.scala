@@ -84,6 +84,60 @@ class SplitSpec extends SparkSpec {
       .filter(col("n") =!= 1).count() shouldBe 0L
   }
 
+  behavior of "Split.leakageSafeSplit"
+
+  private def dupCorpus = {
+    val base = (0L until 300L).map { i =>
+      val words = (0 until 30).map(j => s"tok${(i * 37 + j * 11) % 211}")
+      (i, words.mkString(" "))
+    }
+    // 400+i is a near-copy of i for the first 100 docs (drop 2 words)
+    val near = base.take(100).map { case (i, t) =>
+      (i + 400L, t.split(" ").dropRight(2).mkString(" "))
+    }
+    (base ++ near).toDF("doc_id", "text")
+  }
+
+  it should "never let a near-dup pair straddle a split and keep the cluster handle" in {
+    val split = Split.leakageSafeSplit(dupCorpus, "doc_id", "text", fracs,
+      numHashes = 64, bands = 32, threshold = 0.5)
+    split.columns.toSeq shouldBe Seq("doc_id", "text", "cluster", "split")
+    split.count() shouldBe 400L
+    val m = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val c = split.select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+    (0L until 100L).foreach { i =>
+      c(i + 400L) shouldBe c(i) // planted pair clustered together...
+      m(i + 400L) shouldBe m(i) // ...hence split together
+    }
+    // clusters are split-atomic globally
+    split.groupBy("cluster").agg(countDistinct("split").as("n"))
+      .filter(col("n") =!= 1).count() shouldBe 0L
+  }
+
+  it should "split by precomputed components with singletons on their own id" in {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "d"))
+      .toDF("doc_id", "text")
+    val comps = Seq((1L, 1L), (2L, 1L)).toDF("id", "component")
+    val split = Split.leakageSafeSplitByComponents(df, "doc_id", comps, fracs)
+    val got = split.select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    got.map(_._2) shouldBe Array(1L, 1L, 3L, 9L)
+    got(0)._3 shouldBe got(1)._3 // same cluster, same split
+    // cluster keyed like hashSplit on the same column: identical labels
+    val base = Split.hashSplit(
+        df.withColumn("cluster", when(col("doc_id") <= 2, 1L).otherwise(col("doc_id"))),
+        Seq("cluster"), fracs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    got.foreach { case (id, _, s) => s shouldBe base(id) }
+  }
+
+  it should "reject a pre-existing cluster column" in {
+    val df = Seq((1L, "a")).toDF("doc_id", "cluster")
+    an[IllegalArgumentException] should be thrownBy
+      Split.leakageSafeSplitByComponents(df, "doc_id",
+        Seq((1L, 1L)).toDF("id", "component"), fracs)
+  }
+
   behavior of "trainOrder"
 
   private lazy val corpus = (0L until 1000L).map(i => (i, s"doc $i"))

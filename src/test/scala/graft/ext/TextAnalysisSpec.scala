@@ -281,6 +281,67 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  behavior of "fuzzy decontamination"
+
+  private def editedCopy(t: String): String =
+    // break every long exact gram while keeping shingle-Jaccard high: an
+    // inserted '@' every 20 chars caps unbroken runs at 20 chars (no
+    // 30-gram survives) but perturbs only ~9 of every ~20 5-char shingles
+    t.grouped(20).mkString("@")
+
+  it should "flag lightly-edited benchmark copies the exact probe misses" in {
+    val benchText = "the canonical benchmark answer passage with plenty of " +
+      "running words to shingle across forty tokens or so in total length here"
+    val bench = Seq(benchText).toDF("btext")
+    val corpus = Seq(
+      (1L, editedCopy(benchText)), // fuzzy leak: no long exact gram survives
+      (2L, benchText),             // verbatim leak
+      (3L, "a fully unrelated document about glacier formation dynamics"),
+      (4L, (null: String)))
+      .toDF("doc_id", "text")
+    val flagged = TextAnalysis.flagContaminatedFuzzy(corpus, "doc_id", "text",
+        bench, "btext", threshold = 0.5, numHashes = 64, bands = 32)
+      .select("doc_id", "contaminated_fuzzy").as[(Long, Boolean)].collect().toMap
+    flagged shouldBe Map(1L -> true, 2L -> true, 3L -> false, 4L -> false)
+    // the exact 30-gram probe cannot see the edited copy — the contrast
+    // this operator exists for
+    TextAnalysis.flagContaminated(corpus.filter($"doc_id" === 1L), "doc_id",
+        "text", bench, "btext", n = 30)
+      .select("contaminated").as[Boolean].collect() shouldBe Array(false)
+    // filtering form keeps exactly the unflagged rows, columns intact
+    val kept = TextAnalysis.decontaminateFuzzy(corpus, "doc_id", "text",
+      bench, "btext", threshold = 0.5, numHashes = 64, bands = 32)
+    kept.columns.toSeq shouldBe Seq("doc_id", "text")
+    kept.select("doc_id").as[Long].collect().sorted shouldBe Array(3L, 4L)
+  }
+
+  it should "flag nothing against an empty benchmark and keep column order" in {
+    val corpus = Seq((1L, "some document text here okay"))
+      .toDF("doc_id", "text").withColumn("extra", lit(7))
+    val bench = Seq.empty[String].toDF("btext")
+    val out = TextAnalysis.flagContaminatedFuzzy(corpus, "doc_id", "text",
+      bench, "btext")
+    out.columns.toSeq shouldBe Seq("doc_id", "text", "extra", "contaminated_fuzzy")
+    out.select("contaminated_fuzzy").as[Boolean].collect() shouldBe Array(false)
+    TextAnalysis.decontaminateFuzzy(corpus, "doc_id", "text", bench, "btext")
+      .count() shouldBe 1L
+  }
+
+  it should "respect the threshold: a mild edit passes a strict threshold" in {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    val bench = Seq(benchText).toDF("btext")
+    // heavy edit: keep only the first half — Jaccard ≈ 0.5, far under 0.9
+    val corpus = Seq((1L, benchText.take(benchText.length / 2)))
+      .toDF("doc_id", "text")
+    TextAnalysis.flagContaminatedFuzzy(corpus, "doc_id", "text",
+        bench, "btext", threshold = 0.9, numHashes = 64, bands = 32)
+      .select("contaminated_fuzzy").as[Boolean].collect() shouldBe Array(false)
+    TextAnalysis.flagContaminatedFuzzy(corpus, "doc_id", "text",
+        bench, "btext", threshold = 0.3, numHashes = 64, bands = 32)
+      .select("contaminated_fuzzy").as[Boolean].collect() shouldBe Array(true)
+  }
+
   it should "roll the window hash bit-exactly like the ShingleHashes expression" in {
     import graft.functions.{ShingleHashes => SH}
     val texts = Seq("abcdefghij", "aaaaaaa", "xy", "", "unicode ✓ fläck テスト padding",
