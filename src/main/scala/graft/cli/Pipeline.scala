@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   *      "bands": 16, "shingle_len": 5},
   *     {"op": "decontaminate", "benchmark": "<path>",
   *      "benchmark_text_col": "text", "n": 50},
+  *     {"op": "decontaminate_fuzzy", "benchmark": "<path>",
+  *      "benchmark_text_col": "text", "threshold": 0.8},
+  *     {"op": "leakage_safe_split", "fractions": [
+  *       {"label": "train", "fraction": 0.9},
+  *       {"label": "val", "fraction": 0.05},
+  *       {"label": "test", "fraction": 0.05}]},
   *     {"op": "quality_top_fraction", "fraction": 0.6},
   *     {"op": "token_budget", "budget": 1000000},
   *     {"op": "dsir_select", "target": "<sql predicate>", "fraction": 0.3,
@@ -221,6 +227,43 @@ object Pipeline {
         s.get("benchmark_text_col").map(_.toString).getOrElse(textCol),
         n = long(s, "n", 50L).toInt)
 
+    // the near-duplicate complement of "decontaminate": drops docs whose
+    // whole-text shingle-Jaccard vs some benchmark row reaches the
+    // threshold — catches lightly-edited eval leaks no exact n-gram sees
+    case "decontaminate_fuzzy" =>
+      val bench = Graft.read(spark, str(s, "benchmark"),
+        s.get("benchmark_mode").map(_.toString).getOrElse("parquet"))
+      TextAnalysis.decontaminateFuzzy(df, idCol, textCol, bench,
+        s.get("benchmark_text_col").map(_.toString).getOrElse(textCol),
+        threshold = dbl(s, "threshold", 0.8),
+        numHashes = long(s, "num_hashes", 64L).toInt,
+        bands = long(s, "bands", 16L).toInt,
+        shingleLen = long(s, "shingle_len", 5L).toInt)
+
+    // near-dup-aware train/val/test assignment: adds `cluster` + `split`
+    // columns; a near-duplicate pair can never straddle the boundary.
+    // "fractions" is an ORDERED list (label boundaries are cumulative):
+    //   [{"label": "train", "fraction": 0.8}, {"label": "val", ...}, ...]
+    case "leakage_safe_split" =>
+      val fractions = s.get("fractions") match {
+        case Some(l: Seq[_]) if l.nonEmpty => l.map {
+          case m: Map[_, _] =>
+            val f = m.asInstanceOf[Map[String, Any]]
+            str(f, "label") -> dbl(f, "fraction", -1.0)
+          case other => throw new IllegalArgumentException(
+            s"fractions entries must be objects, got $other")
+        }
+        case _ => Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+      }
+      Split.leakageSafeSplit(df, idCol, textCol, fractions,
+        splitCol = s.get("split_col").map(_.toString).getOrElse("split"),
+        clusterCol = s.get("cluster_col").map(_.toString).getOrElse("cluster"),
+        seed = s.get("seed").map(asLong(_).toInt),
+        numHashes = long(s, "num_hashes", 64L).toInt,
+        bands = long(s, "bands", 16L).toInt,
+        shingleLen = long(s, "shingle_len", 5L).toInt,
+        threshold = dbl(s, "threshold", 0.8))
+
     case "quality_top_fraction" =>
       // score with the composite quality signal, keep the top fraction,
       // then shed the signal columns: the stage contract is corpus-in,
@@ -292,8 +335,8 @@ object Pipeline {
     case other => throw new IllegalArgumentException(
       s"unknown pipeline op '$other' (known: normalize, filter, gopher, " +
         "repetition, dedup_exact, dedup_near, decontaminate, " +
-        "quality_top_fraction, token_budget, dsir_select, train_order, " +
-        "check)")
+        "decontaminate_fuzzy, leakage_safe_split, quality_top_fraction, " +
+        "token_budget, dsir_select, train_order, check)")
   }
 
   /** JSON → [[graft.ext.Profile.Constraint]]:

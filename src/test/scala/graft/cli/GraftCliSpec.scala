@@ -218,6 +218,45 @@ class GraftCliSpec extends SparkSpec {
     spark.read.json(Seq(stJson).toDS).count() shouldBe 2L
   }
 
+  it should "fuzzy-decontaminate and leakage-safe-split through a pipeline recipe" in {
+    import org.apache.spark.sql.functions.{countDistinct, regexp_replace}
+    val base = tmp()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    bench.write.parquet(s"$base/bench")
+    // corpus: all docs + a lightly-edited copy of each benchmark text
+    // ('@' every 40 chars — shares no long exact gram, Jaccard ≈ 0.8)
+    docs.unionByName(bench.select(($"doc_id" + 100000).as("doc_id"),
+        regexp_replace($"text", "(.{40})", "$1@").as("text")))
+      .write.parquet(s"$base/in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/recipe.json"),
+      s"""{
+         | "input": "$base/in", "output": "$base/out",
+         | "id_col": "doc_id", "text_col": "text",
+         | "stages": [
+         |   {"op": "decontaminate_fuzzy", "benchmark": "$base/bench",
+         |    "threshold": 0.6, "bands": 32},
+         |   {"op": "leakage_safe_split", "threshold": 0.5, "bands": 32,
+         |    "fractions": [{"label": "train", "fraction": 0.8},
+         |                  {"label": "holdout", "fraction": 0.2}]}
+         | ]
+         |}""".stripMargin.getBytes("UTF-8"))
+    val stats = Pipeline.run(s"$base/recipe.json", Map.empty, spark)
+    // the fuzzy stage drops every planted edited copy (Jaccard ≈ 0.8 vs
+    // its benchmark source) and the benchmark originals themselves
+    // (Jaccard 1.0 — they are in the corpus too)
+    val out = spark.read.parquet(s"$base/out")
+    out.columns.toSeq shouldBe Seq("doc_id", "text", "cluster", "split")
+    out.filter($"doc_id" >= 100000).count() shouldBe 0L // planted gone
+    out.join(bench, Seq("doc_id"), "left_semi").count() shouldBe 0L
+    stats.map(_.op) shouldBe Seq("decontaminate_fuzzy", "leakage_safe_split")
+    // split stage is row-preserving and cluster-atomic
+    stats(1).rowsIn shouldBe stats(1).rowsOut
+    out.groupBy("cluster").agg(countDistinct("split").as("n"))
+      .filter($"n" =!= 1).count() shouldBe 0L
+  }
+
   it should "profile and compact from the CLI" in {
     val base = tmp()
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
