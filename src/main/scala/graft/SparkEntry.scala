@@ -1749,6 +1749,11 @@ object SparkEntry {
         "text", bench, "text", n = 50)
       val kept = TextAnalysis.decontaminateFuzzy(corpus, "doc_id", "text",
         bench, "text", threshold = 0.6, numHashes = 64, bands = 32)
+      // the audit direction: every benchmark row leaks at least twice
+      // (its verbatim original and its planted edited copy)
+      val report = TextAnalysis.contaminationReportFuzzy(corpus, "doc_id",
+        "text", bench, "doc_id", "text", threshold = 0.6,
+        numHashes = 64, bands = 32)
       flagged.agg(
           count(lit(1)).as("n_corpus"),
           sum(when(col("doc_id") >= off && col("contaminated_fuzzy"), 1L)
@@ -1758,8 +1763,11 @@ object SparkEntry {
           (sum(when(col("contaminated"), 1L).otherwise(0L)) === 0L)
             .as("exact_missed")))
         .crossJoin(kept.agg(count(lit(1)).as("__nk")))
+        .crossJoin(report.agg(
+          (min(col("n_contaminated_docs")) >= 2L).as("report_min_two")))
         .select(col("n_corpus"), col("n_planted_flagged"), col("exact_missed"),
-          (col("__nf") + col("__nk") === col("n_corpus")).as("drop_consistent"))
+          (col("__nf") + col("__nk") === col("n_corpus")).as("drop_consistent"),
+          col("report_min_two"))
     }),
     // exact top-fraction quality selection: keep exactly ceil(n × 0.2)
     // docs by mean token length, ties broken by doc_id — value-exact id
@@ -3346,7 +3354,8 @@ object SparkEntry {
         """SELECT CAST((SELECT COUNT(*) FROM documents) + COUNT(*) AS BIGINT)
           |    AS n_corpus,
           |  CAST(COUNT(*) AS BIGINT) AS n_planted_flagged,
-          |  true AS exact_missed, true AS drop_consistent
+          |  true AS exact_missed, true AS drop_consistent,
+          |  true AS report_min_two
           |FROM documents WHERE doc_id % 97 = 0""".stripMargin,
       // global top-20% by mean token length, ties by doc_id — the rank
       // replica of ScoreFilter's bucket-and-boundary selection

@@ -810,6 +810,35 @@ object TextAnalysis {
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Per-BENCHMARK-row FUZZY contamination audit (the near-dup analog of
+    * [[contaminationReport]]): for every benchmark/eval row, how many
+    * corpus documents reach `threshold` whole-text shingle-Jaccard
+    * against it — which eval items leak through light edits, and how
+    * badly, before anything is dropped. Benchmark rows with no match
+    * report 0. Same scale shape as [[flagContaminatedFuzzy]]; only the
+    * matched (bench-id, doc-id) pairs reach the counting exchange. */
+  def contaminationReportFuzzy(corpus: DataFrame, idCol: String,
+                               textCol: String, benchmark: DataFrame,
+                               benchIdCol: String, benchTextCol: String,
+                               threshold: Double = 0.8,
+                               numHashes: Int = 64, bands: Int = 16,
+                               shingleLen: Int = 5, seed: Int = 0,
+                               maxBucketSize: Int = 1000): DataFrame = {
+    val bench = benchmark.select(col(benchIdCol).as("__graft_bid"),
+      col(benchTextCol).as("__graft_btext"))
+    val hits = Dedup.minhashNewAgainst(bench, corpus
+          .select(col(idCol).as("__graft_bid"),
+            col(textCol).as("__graft_btext")),
+        "__graft_bid", "__graft_btext",
+        numHashes, bands, shingleLen, threshold, seed, maxBucketSize)
+      .select(col("id_old").as("__bid"), col("id_new").as("__did")).distinct()
+      .groupBy("__bid").agg(count(lit(1)).as("n_contaminated_docs"))
+    benchmark.select(col(benchIdCol).as("__bid"))
+      .join(hits, Seq("__bid"), "left")
+      .select(col("__bid").as(benchIdCol),
+        coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"))
+  }
+
   /** Shared matched-id relation of the fuzzy pair: distinct corpus ids
     * whose Jaccard vs some benchmark row reaches the threshold. The
     * benchmark side gets synthetic ids (only distinctness matters — the

@@ -327,6 +327,23 @@ class TextAnalysisSpec extends SparkSpec {
       .count() shouldBe 1L
   }
 
+  it should "report per-benchmark fuzzy leak counts, zero for clean rows" in {
+    val leakText = "the canonical benchmark answer passage with plenty of " +
+      "running words to shingle across forty tokens or so in total length here"
+    val bench = Seq((100L, leakText),
+      (101L, "an unleaked benchmark item that nothing in the corpus echoes"))
+      .toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, editedCopy(leakText)),   // fuzzy leak of 100
+      (2L, leakText),               // verbatim leak of 100
+      (3L, "a fully unrelated document about glacier formation dynamics"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationReportFuzzy(corpus, "doc_id", "text",
+        bench, "bid", "btext", threshold = 0.5, numHashes = 64, bands = 32)
+      .orderBy("bid").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq(100L -> 2L, 101L -> 0L)
+  }
+
   it should "respect the threshold: a mild edit passes a strict threshold" in {
     val benchText = "alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
