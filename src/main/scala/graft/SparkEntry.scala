@@ -2262,7 +2262,13 @@ object SparkEntry {
       s.read.parquet(s"$tmp/big")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_orderkey")).cast("long").as("sum_ok"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          // decimal summation: a 6M-row DOUBLE sum is order-dependent in
+          // its 14th significant digit, so ROUND(..., 2) flaps vs the
+          // oracle at sf1; per-element cast to 2-decimal DECIMAL (prices
+          // carry 2 decimals exactly) makes both engines' sums exact,
+          // and the single exact result converts to one canonical double
+          sum(col("l_extendedprice").cast("decimal(38,2)"))
+            .cast("double").as("sum_price"))
         .withColumn("files_in_band", lit(n >= 4 && n <= 5 && outFiles == n))
     }),
 
@@ -3657,7 +3663,8 @@ object SparkEntry {
       "compact_files" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
           |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
-          |  ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_price,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+          |    AS sum_price,
           |  true AS files_in_band
           |FROM lineitem""".stripMargin,
       "data_profile" -> {
