@@ -896,9 +896,13 @@ object SparkEntry {
     // flake). Row and planted-pair counts pin to DuckDB.
     "leakage_safe_split" -> ((s, d) => {
       val (corpus, off) = exactCopyCorpus(s, d)
+      // bands=16 over 64 hashes (r=4): identical copies match in EVERY
+      // band regardless of banding, and 4-hash signatures keep random
+      // bucket collisions (and so candidate volume) linear — r=2 banding
+      // measured 15.5M candidates on this corpus at sf0.1, r=4 ~100k
       val split = Split.leakageSafeSplit(corpus, "doc_id", "text",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-          threshold = 0.5, bands = 32)
+          threshold = 0.5, bands = 16)
         .localCheckpoint(true) // feeds four aggregates below
       val a = split.select(col("doc_id").as("ida"), col("split").as("sa"),
         col("cluster").as("ca"))

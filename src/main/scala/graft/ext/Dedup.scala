@@ -344,7 +344,8 @@ object Dedup {
                       threshold: Double = 0.8, seed: Int = 0,
                       maxBucketSize: Int = 1000,
                       broadcastVerify: Option[Boolean] = None,
-                      broadcastVerifyMaxRows: Long = 1000000L): DataFrame = {
+                      broadcastVerifyMaxRows: Long = 1000000L,
+                      maxCandidates: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val (sh, banded) = shingleBanded(df, idCol, textCol, numHashes, bands,
       shingleLen, seed)
@@ -352,6 +353,29 @@ object Dedup {
     // candidate pairs within a bucket; cap pathological buckets
     val bucketSizes = banded.groupBy("band", "bsig").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
+
+    // self-pricing (the jaccardJoinExact discipline, because the same
+    // quadratic lives here): Σ c·(c−1)/2 over surviving buckets equals
+    // the bucket join's pre-dedup candidate output EXACTLY. Few rows per
+    // band (e.g. numHashes=64, bands=32 → r=2) is high-recall banding,
+    // but on corpora with shared vocabulary a 2-hash signature collides
+    // broadly and candidates go quadratic in bucket sizes — measured
+    // 15.5M candidates from a 10k-doc corpus at r=2 where r=4 yields
+    // ~100k. One tiny aggregation over the already-pinned banded
+    // relation prices the run before it happens.
+    val estimate = bucketCandidateVolume(bucketSizes)
+    maxCandidates.foreach { cap =>
+      if (estimate > cap) throw new IllegalStateException(
+        s"minhashNearDups: estimated candidate volume $estimate exceeds " +
+          s"maxCandidates=$cap. Use more rows per band (fewer bands for " +
+          s"the same numHashes — r=${numHashes / bands} here), a smaller " +
+          "maxBucketSize, or simhashNearDups.")
+    }
+    if (estimate > WarnCandidateVolume)
+      System.err.println(s"[graft] minhashNearDups: ~$estimate candidate " +
+        s"pairs from banding (numHashes=$numHashes, bands=$bands => r=" +
+        s"${numHashes / bands}, maxBucketSize=$maxBucketSize) — " +
+        "verification pays this volume; consider more rows per band")
     val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"))
     val pairs = a.join(bucketSizes, Seq("band", "bsig"))
@@ -891,9 +915,35 @@ object Dedup {
       .drop("__cc_id", "__cc_comp")
   }
 
-  /** Log-warn threshold for [[jaccardJoinExact]]'s pre-flight candidate
-    * estimate (the hard stop is the caller's opt-in `maxCandidates`). */
+  /** Log-warn threshold for [[jaccardJoinExact]]'s and
+    * [[minhashNearDups]]'s pre-flight candidate estimates (the hard stop
+    * is the caller's opt-in `maxCandidates`). */
   val WarnCandidateVolume: Long = 10000000L
+
+  /** Σ c·(c−1)/2 over a (band, bsig, count) bucket-size relation — the
+    * EXACT pre-dedup candidate-pair output of the banded bucket join. */
+  private def bucketCandidateVolume(bucketSizes: DataFrame): Long =
+    bucketSizes.agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
+      .first().get(0) match { case null => 0L; case l: Long => l }
+
+  /** Pre-flight price of a [[minhashNearDups]] run with these parameters:
+    * the exact number of candidate pairs the banded bucket join will emit
+    * (pre-dedup) and verification will pay for. Spec-locked equal to the
+    * join's own pre-dedup row count. Cost: the shingle+minhash pass plus
+    * one small aggregation — run it when choosing banding for a new
+    * corpus: high-recall banding (few rows per band) on a
+    * shared-vocabulary corpus can go quadratic, and this is the number
+    * that says so before the run does. */
+  def estimateMinhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int = 64, bands: Int = 16,
+                                shingleLen: Int = 5, seed: Int = 0,
+                                maxBucketSize: Int = 1000): Long = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val (_, banded) = shingleBanded(df, idCol, textCol, numHashes, bands,
+      shingleLen, seed)
+    bucketCandidateVolume(banded.groupBy("band", "bsig").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1))
+  }
 
   /** Shared front half of [[jaccardJoinExact]] and
     * [[estimateJaccardJoinCandidates]]: the pinned (id, sorted shingle

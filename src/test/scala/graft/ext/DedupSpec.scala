@@ -100,6 +100,41 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
   }
 
+  it should "price its candidate volume exactly and fail fast past maxCandidates" in {
+    // the estimator must equal the banded bucket join's pre-dedup output
+    val est = Dedup.estimateMinhashCandidates(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32)
+    val joined = {
+      import graft.GraftFunctions._
+      val sh = corpus.select(col("doc_id").as("id"),
+          shingleHashes(col("text"), 5).as("sh"))
+        .filter(org.apache.spark.sql.functions.size(col("sh")) > 0)
+      val sig = sh.withColumn("sig", minhash(col("sh"), 64, 0))
+      val bandStructs = (0 until 32).map { b =>
+        struct(lit(b).as("band"),
+          farmHash64(slice(col("sig"), b * 2 + 1, 2)).as("bsig"))
+      }
+      val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      val sizes = banded.groupBy("band", "bsig").count()
+        .filter(col("count") <= 1000 && col("count") > 1)
+      val a = banded.select(col("band"), col("bsig"), col("id").as("id_a"))
+      val b = banded.select(col("band"), col("bsig"), col("id").as("id_b"))
+      a.join(sizes, Seq("band", "bsig")).join(b, Seq("band", "bsig"))
+        .filter(col("id_a") < col("id_b")).count()
+    }
+    est shouldBe joined
+    // the opt-in hard stop names the estimate
+    val e = the[IllegalStateException] thrownBy
+      Dedup.minhashNearDups(corpus, "doc_id", "text", numHashes = 64,
+        bands = 32, threshold = 0.5, maxCandidates = Some(est - 1))
+    e.getMessage should include(est.toString)
+    // at or above the estimate the join runs and still finds the planted pairs
+    Dedup.minhashNearDups(corpus, "doc_id", "text", numHashes = 64,
+        bands = 32, threshold = 0.5, maxCandidates = Some(est))
+      .filter(col("id_b") === col("id_a") + 1000).count() shouldBe 10L
+  }
+
   it should "respect the bucket-size cap (oversized buckets drop pairs)" in {
     // 30 identical docs -> every band bucket has size 30 > cap 10
     val same = (0L until 30L).map(i => (i, "all documents share this exact text body"))
