@@ -435,7 +435,8 @@ object Dedup {
                         threshold: Double = 0.8, seed: Int = 0,
                         maxBucketSize: Int = 1000, bloomFpp: Double = 0.01,
                         broadcastVerify: Option[Boolean] = None,
-                        broadcastVerifyMaxRows: Long = 1000000L): DataFrame = {
+                        broadcastVerifyMaxRows: Long = 1000000L,
+                        maxCandidates: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(bloomFpp > 0 && bloomFpp <= 0.5,
       s"bloomFpp must be in (0, 0.5], got $bloomFpp")
@@ -463,8 +464,34 @@ object Dedup {
 
     val buckets = bandedEx.groupBy("band", "bsig").count()
       .filter(col("count") <= maxBucketSize)
-    val pairs = bandedIn.filter(mightContain(bandKey))
+    val survivors = bandedIn.filter(mightContain(bandKey))
       .select(col("band"), col("bsig"), col("id").as("id_new"))
+
+    // self-pricing, like [[minhashNearDups]]: Σ n_in(b)·n_ex(b) over the
+    // post-Bloom surviving buckets equals the cross join's pre-dedup
+    // output exactly — the number that explodes when an incoming crawl
+    // shares vocabulary with a large accumulated corpus under
+    // high-recall (few-rows-per-band) banding. One aggregation over the
+    // pinned band relations.
+    val estimate = survivors.groupBy("band", "bsig")
+      .agg(count(lit(1)).as("__nin"))
+      .join(buckets, Seq("band", "bsig"))
+      .agg(sum(col("__nin") * col("count")).cast("long"))
+      .first().get(0) match { case null => 0L; case l: Long => l }
+    maxCandidates.foreach { cap =>
+      if (estimate > cap) throw new IllegalStateException(
+        s"minhashNewAgainst: estimated candidate volume $estimate exceeds " +
+          s"maxCandidates=$cap. Use more rows per band (fewer bands for " +
+          s"the same numHashes — r=${numHashes / bands} here) or a " +
+          "smaller maxBucketSize.")
+    }
+    if (estimate > WarnCandidateVolume)
+      System.err.println(s"[graft] minhashNewAgainst: ~$estimate candidate " +
+        s"pairs from banding (numHashes=$numHashes, bands=$bands => r=" +
+        s"${numHashes / bands}, maxBucketSize=$maxBucketSize) — " +
+        "verification pays this volume; consider more rows per band")
+
+    val pairs = survivors
       .join(buckets, Seq("band", "bsig"))
       .join(bandedEx.select(col("band"), col("bsig"), col("id").as("id_old")),
         Seq("band", "bsig"))

@@ -206,6 +206,26 @@ class DedupSpec extends SparkSpec {
 
   behavior of "minhashNewAgainst"
 
+  it should "price candidates and fail fast past maxCandidates, results unchanged below it" in {
+    val existing = corpus.filter(col("doc_id") < 1000)
+    val incoming = corpus.filter(col("doc_id") >= 1000)
+    val free = Dedup.minhashNewAgainst(existing, incoming, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    free should not be empty
+    // a generous cap changes nothing
+    Dedup.minhashNewAgainst(existing, incoming, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5,
+        maxCandidates = Some(Long.MaxValue))
+      .select("id_new", "id_old").as[(Long, Long)]
+      .collect().toSet shouldBe free
+    // matches exist, so the estimate is positive and a zero cap trips
+    val e = the[IllegalStateException] thrownBy
+      Dedup.minhashNewAgainst(existing, incoming, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5, maxCandidates = Some(0L))
+    e.getMessage should include("maxCandidates")
+  }
+
   it should "equal the self-join operator restricted to cross-side pairs" in {
     // split the corpus: originals = existing, near-copies (+1000) = incoming.
     // The incremental operator must find exactly the cross-side pairs the
