@@ -885,6 +885,29 @@ object SparkEntry {
           "doc_id", comp, "score")
         .select("doc_id").orderBy("doc_id")
     }),
+    // dedup accounting: exact-copy corpus → fingerprint components →
+    // cluster-size histogram UNION per-source redundancy attribution,
+    // both value-exact vs DuckDB replicas (text-group sizes; dropped =
+    // every non-minimal id within its text group, charged to the
+    // dropped row's own source)
+    "dedup_report" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text", "source")
+      val off = idOffset(docs, "doc_id")
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + off).as("doc_id"), col("text"),
+        concat(lit("copy-"), col("source")).as("source")))
+      val rep = corpus.select(col("doc_id").as("id"),
+        farmHash64(col("text")).as("f"))
+      val comp = rep.join(rep.groupBy("f").agg(min("id").as("component")), "f")
+        .select("id", "component")
+      val hist = Dedup.dedupReport(corpus, "doc_id", comp)
+        .select(lit("size").as("kind"), col("cluster_size").cast("string").as("key"),
+          col("n_docs"), col("n_redundant"))
+      val by = Dedup.dedupReportBy(corpus, "doc_id", comp, "source")
+        .select(lit("source").as("kind"), col("source").as("key"),
+          col("n_docs"), col("n_redundant"))
+      hist.unionByName(by).orderBy("kind", "key")
+    }),
     // near-dup-aware train/val/test split: the corpus is every document
     // plus a byte-identical copy (jaccard 1.0 — minhash detection is
     // DETERMINISTIC: identical text means identical band signatures),
@@ -2834,6 +2857,30 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "simhash_recall" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM documents",
       "dedup_clusters" -> "SELECT CAST(COUNT(*) AS BIGINT) AS n_same_cluster FROM documents",
+      // dedup accounting: cluster-size histogram + per-source redundancy,
+      // both fully SQL-expressible on exact text groups
+      "dedup_report" ->
+        """WITH c AS (
+          |  SELECT doc_id, text, source FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text,
+          |    'copy-' || source FROM documents),
+          |g AS (SELECT text, COUNT(*) AS cs FROM c GROUP BY text),
+          |hist AS (
+          |  SELECT 'size' AS kind, CAST(cs AS VARCHAR) AS key,
+          |    CAST(cs * COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST((cs - 1) * COUNT(*) AS BIGINT) AS n_redundant
+          |  FROM g GROUP BY cs),
+          |r AS (SELECT doc_id, source,
+          |    MIN(doc_id) OVER (PARTITION BY text) AS rep FROM c),
+          |bys AS (
+          |  SELECT 'source' AS kind, source AS key,
+          |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(CASE WHEN doc_id = rep THEN 0 ELSE 1 END) AS BIGINT)
+          |      AS n_redundant
+          |  FROM r GROUP BY source)
+          |SELECT * FROM hist UNION ALL SELECT * FROM bys
+          |ORDER BY kind, key""".stripMargin,
       // every planted (original, exact copy) pair must share cluster AND
       // split — the leakage guarantee is a count equality, no slack
       "leakage_safe_split" ->

@@ -942,6 +942,63 @@ object Dedup {
       .drop("__cc_id", "__cc_comp")
   }
 
+  /** Duplication accounting from a components labeling: one row per
+    * cluster SIZE — `(cluster_size, n_clusters, n_docs, n_redundant)`,
+    * ordered by size — the "what would dedup actually remove" report
+    * curation practice reads before dropping anything. `n_redundant` is
+    * the rows a keep-one policy sheds from clusters of that size
+    * (`(size−1)·n_clusters`); singletons (rows absent from `components`)
+    * appear as `cluster_size = 1` with zero redundancy, so the `n_docs`
+    * column sums to the corpus row count exactly.
+    *
+    * Works with ANY (id, component) labeling — exact fingerprint groups,
+    * [[connectedComponents]] over minhash/simhash/embedding pairs, a
+    * persisted [[DedupIndex]] search. Scale shape: the corpus reduces to
+    * its id column immediately; two aggregations over 8-byte keys, no
+    * row wider than (id, component) ever shuffles. */
+  def dedupReport(df: DataFrame, idCol: String,
+                  components: DataFrame): DataFrame = {
+    val sizes = labelIds(df, idCol, components)
+      .groupBy("__rcomp").agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_redundant"))
+      .orderBy("cluster_size")
+  }
+
+  /** Duplication accounting grouped by a corpus attribute (`byCol` — a
+    * domain, source, language): per value, the row count and how many of
+    * its rows a min-id keep-one dedup would drop (`n_redundant` = rows
+    * whose id is not their cluster's label, attributed to the DROPPED
+    * row's own `byCol`) — WHERE the duplicate mass comes from. A cluster
+    * spanning two sources charges the redundancy to the source of each
+    * dropped copy, which is the actionable attribution (the kept
+    * representative's source keeps its row). */
+  def dedupReportBy(df: DataFrame, idCol: String, components: DataFrame,
+                    byCol: String): DataFrame = {
+    val labeled = df.select(col(idCol).as("__rid"), col(byCol))
+      .join(components.select(col("id").as("__rid"),
+        col("component").as("__rcomp")), Seq("__rid"), "left")
+      .withColumn("__rcomp", coalesce(col("__rcomp"), col("__rid")))
+    labeled.groupBy(byCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rid") === col("__rcomp"), 0L).otherwise(1L))
+          .as("n_redundant"))
+      .orderBy(byCol)
+  }
+
+  /** (id → cluster label) for every corpus row: the `components` label
+    * where present, the row's own id for singletons. */
+  private def labelIds(df: DataFrame, idCol: String,
+                       components: DataFrame): DataFrame =
+    df.select(col(idCol).as("__rid"))
+      .join(components.select(col("id").as("__rid"),
+        col("component").as("__rcomp")), Seq("__rid"), "left")
+      .withColumn("__rcomp", coalesce(col("__rcomp"), col("__rid")))
+
   /** Log-warn threshold for [[jaccardJoinExact]]'s and
     * [[minhashNearDups]]'s pre-flight candidate estimates (the hard stop
     * is the caller's opt-in `maxCandidates`). */

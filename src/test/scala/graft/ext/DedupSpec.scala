@@ -172,6 +172,25 @@ class DedupSpec extends SparkSpec {
       .select("id").as[Long].collect() shouldBe Array(6L)
   }
 
+  behavior of "dedupReport"
+
+  it should "histogram cluster sizes with exact redundancy accounting" in {
+    val df = Seq((1L, "s1"), (2L, "s1"), (3L, "s2"), (4L, "s2"), (5L, "s1"),
+      (9L, "s2")).toDF("id", "src")
+    // clusters: {1,2,5} labeled 1, {3,4} labeled 3; 9 absent = singleton
+    val comp = Seq((1L, 1L), (2L, 1L), (5L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("id", "component")
+    val rep = Dedup.dedupReport(df, "id", comp)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    rep shouldBe Seq((1L, 1L, 1L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L))
+    rep.map(_._3).sum shouldBe 6L // n_docs conservation
+    // by-attribute: dropped rows charged to their OWN source
+    val by = Dedup.dedupReportBy(df, "id", comp, "src")
+      .as[(String, Long, Long)].collect().toSeq
+    // dropped: 2 (s1), 5 (s1), 4 (s2); kept reps 1 (s1), 3 (s2), 9 (s2)
+    by shouldBe Seq(("s1", 3L, 2L), ("s2", 3L, 1L))
+  }
+
   behavior of "clusterNearDups"
 
   it should "label near-dups with their cluster's min id and singletons with their own" in {
