@@ -61,6 +61,7 @@ object Graft {
     case Some("bigSampler")    => bigSampler(parseFlags(args.tail), spark)
     case Some("directSampler") => directSampler(parseFlags(args.tail), spark)
     case Some("corpusReport")  => corpusReport(parseFlags(args.tail), spark)
+    case Some("dedupReport")   => dedupReportCmd(parseFlags(args.tail), spark)
     case Some("gopherFilter")  => gopherFilter(parseFlags(args.tail), spark)
     case Some("semDedup")      => semDedup(parseFlags(args.tail), spark)
     case Some("dsirScore")     => dsirScore(parseFlags(args.tail), spark)
@@ -80,9 +81,9 @@ object Graft {
     case other =>
       throw new IllegalArgumentException(
         "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
-          "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-          "bpeTokenize|clean|convert|profile|compact|cluster|index|" +
-          s"search|pipeline> [flags]; got $other")
+          "dedupReport|gopherFilter|semDedup|dsirScore|trainOrder|" +
+          "heavyWords|bpeTokenize|clean|convert|profile|compact|cluster|" +
+          s"index|search|pipeline> [flags]; got $other")
   }
 
   /** Engine extension: one-pass per-column dataset profile
@@ -693,6 +694,57 @@ object Graft {
     val rep = graft.ext.TextAnalysis.corpusReport(df,
       f.getOrElse("text-col", "text"), csv(f.get("group-by")))
     write(rep.coalesce(1), output, f.getOrElse("output-mode", "parquet"))
+  }
+
+  /** Engine extension: pre-drop duplication audit ([[graft.ext.Dedup
+    * .dedupReport]]) — cluster-size histogram, optionally with per-
+    * attribute redundancy attribution:
+    * {{{
+    * graft dedupReport --input=<path> --output=<dir>
+    *   [--id-col=doc_id] [--text-col=text] [--mode=exact|near] [--by=source]
+    *   [--threshold=0.8] [--num-hashes=64] [--bands=16] [--shingle-len=5]
+    * }}}
+    * `exact` groups byte-identical text (fingerprint components); `near`
+    * clusters banded-minhash near-duplicates first. */
+  private def dedupReportCmd(f: Map[String, String], spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, min}
+    val input = f.getOrElse("input", sys.error("--input is required"))
+    val output = f.getOrElse("output", sys.error("--output is required"))
+    if (GraftIO.outputExists(output)) {
+      System.err.println(s"[graft] output $output exists; skipping"); return
+    }
+    val df = restrict(read(spark, input, f.getOrElse("input-mode", "parquet")), f)
+    val id = f.getOrElse("id-col", "doc_id")
+    val text = f.getOrElse("text-col", "text")
+    val comp = f.getOrElse("mode", "exact") match {
+      case "exact" =>
+        val rep = df.select(col(id).as("id"),
+          graft.GraftFunctions.farmHash64(col(text)).as("__f"))
+        rep.join(rep.groupBy("__f").agg(min(col("id")).as("component")), "__f")
+          .select("id", "component")
+      case "near" =>
+        graft.ext.Dedup.connectedComponents(
+          graft.ext.Dedup.minhashNearDups(df, id, text,
+            numHashes = f.getOrElse("num-hashes", "64").toInt,
+            bands = f.getOrElse("bands", "16").toInt,
+            shingleLen = f.getOrElse("shingle-len", "5").toInt,
+            threshold = f.getOrElse("threshold", "0.8").toDouble))
+      case other => sys.error(s"--mode must be exact|near, got $other")
+    }
+    val hist = graft.ext.Dedup.dedupReport(df, id, comp)
+      .select(lit("size").as("kind"),
+        col("cluster_size").cast("string").as("key"),
+        col("n_clusters"), col("n_docs"), col("n_redundant"))
+    val rep = f.get("by") match {
+      case Some(by) => hist.unionByName(
+        graft.ext.Dedup.dedupReportBy(df, id, comp, by)
+          .select(lit(by).as("kind"), col(by).cast("string").as("key"),
+            lit(null).cast("long").as("n_clusters"),
+            col("n_docs"), col("n_redundant")))
+      case None => hist
+    }
+    write(rep.coalesce(1).orderBy("kind", "key"), output,
+      f.getOrElse("output-mode", "parquet"))
   }
 
   private[cli] def read(spark: SparkSession, path: String, mode: String): DataFrame =

@@ -257,6 +257,37 @@ class GraftCliSpec extends SparkSpec {
       .filter($"n" =!= 1).count() shouldBe 0L
   }
 
+  it should "report duplication from the CLI with per-source attribution" in {
+    import org.apache.spark.sql.functions.lit
+    val base = tmp()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+    // plant two extra copies of doc 1 and one of doc 2, all from "crawl2"
+    docs.unionByName(
+        docs.filter($"doc_id" isin (1L, 1L, 2L)).limit(3)
+          .select(($"doc_id" + 9000).as("doc_id"), $"text", lit("crawl2").as("source")))
+      .unionByName(docs.filter($"doc_id" === 1L)
+        .select(($"doc_id" + 9500).as("doc_id"), $"text", lit("crawl2").as("source")))
+      .write.parquet(s"$base/in")
+    Graft.run(Seq("dedupReport", s"--input=$base/in", s"--output=$base/rep",
+      "--mode=exact", "--by=source"), spark)
+    val rep = spark.read.parquet(s"$base/rep")
+    rep.columns.toSeq shouldBe Seq("kind", "key", "n_clusters", "n_docs", "n_redundant")
+    // doc 1 now exists 3x, doc 2 2x: sizes {1: n-2 clusters, 2: one, 3: one}
+    val sizes = rep.filter($"kind" === "size")
+      .select("key", "n_clusters").as[(String, Long)].collect().toMap
+    sizes("3") shouldBe 1L
+    sizes("2") shouldBe 1L
+    // all redundancy charged to crawl2 (the planted copies)
+    val bySrc = rep.filter($"kind" === "source")
+      .select("key", "n_redundant").as[(String, Long)].collect().toMap
+    bySrc("crawl2") shouldBe 3L
+    (bySrc - "crawl2").values.sum shouldBe 0L
+    // n_docs conservation on the size histogram
+    rep.filter($"kind" === "size").agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .as[Long].head() shouldBe spark.read.parquet(s"$base/in").count()
+  }
+
   it should "profile and compact from the CLI" in {
     val base = tmp()
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
