@@ -574,9 +574,9 @@ class GraftCliSpec extends SparkSpec {
     the[IllegalArgumentException] thrownBy
       Graft.run(Seq("frobnicate"), spark) should have message
       "usage: graft <bigDiffy|bigSampler|directSampler|corpusReport|" +
-        "gopherFilter|semDedup|dsirScore|trainOrder|heavyWords|" +
-        "bpeTokenize|clean|convert|profile|compact|cluster|index|" +
-        "search|pipeline> [flags]; got Some(frobnicate)"
+        "dedupReport|gopherFilter|semDedup|dsirScore|trainOrder|" +
+        "heavyWords|bpeTokenize|clean|convert|profile|compact|cluster|" +
+        "index|search|pipeline> [flags]; got Some(frobnicate)"
     an[IllegalArgumentException] should be thrownBy
       Graft.run(Seq("bigSampler", "--input=/x"), spark)
   }
