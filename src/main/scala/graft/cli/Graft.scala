@@ -168,7 +168,8 @@ object Graft {
     *
     * {{{
     * graft index --input=<path> --output=<dir> --type=text|ivf|ivfpq|dedup
-    *             [--append | --compact | --retrain | --drop-batch=<id> | --describe]
+    *             [--append | --compact | --retrain | --drop-batch=<id>
+    *              | --describe | --unlock]
     *             [--id-col=doc_id] [--text-col=text] [--buckets=64]    (text)
     *             [--id-col=vec_id] [--vec-col=embedding] [--nlist=16]  (ivf*)
     *             [--m=8] [--codebook-size=256]                        (ivfpq)
@@ -181,6 +182,16 @@ object Graft {
     if (f.get("describe").contains("true")) {
       // per-(relation, batch) census: files, bytes, exact rows
       graft.ext.IndexAdmin.describeIndex(spark, output).show(1000, false)
+      graft.ext.IndexAdmin.describeLease(spark, output).foreach {
+        case (payload, age) => System.err.println(
+          s"[graft] writer lease: '$payload' (${age / 1000}s old)")
+      }
+      return
+    }
+    // operator override for a KNOWN-dead writer's lease (the automatic
+    // path is the 15-min staleness takeover; --describe names the holder)
+    if (f.get("unlock").contains("true")) {
+      graft.ext.IndexAdmin.forceUnlock(spark, output)
       return
     }
     f.get("drop-batch").foreach { id =>

@@ -292,6 +292,42 @@ private[ext] object ArtifactIO {
     }
   }
 
+  /** The current writer lease on an artifact, if any: `(payload, ageMs)`
+    * where payload is "token op hostname". Read-only — never touches the
+    * lock. The ops-side "who is writing this index and since when". */
+  def describeLease(spark: SparkSession, artifactRoot: String)
+      : Option[(String, Long)] = {
+    val hfs = fs(spark, artifactRoot)
+    val lock = new Path(artifactRoot, LockFile)
+    try {
+      val st = hfs.getFileStatus(lock)
+      val in = hfs.open(lock)
+      val payload = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                    finally in.close()
+      Some((payload, System.currentTimeMillis - st.getModificationTime))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Delete an artifact's writer lock unconditionally — the manual
+    * remediation for a KNOWN-dead holder when waiting out the staleness
+    * window is not acceptable. Logs what was evicted. This is an
+    * operator override of the single-writer guardrail: forcing the lock
+    * out from under a LIVE writer re-creates exactly the double-writer
+    * hazard the lease exists to stop — confirm the holder is dead first
+    * ([[describeLease]] names its op and host). Returns true if a lock
+    * was present and removed. */
+  def forceUnlock(spark: SparkSession, artifactRoot: String): Boolean = {
+    describeLease(spark, artifactRoot) match {
+      case Some((payload, age)) =>
+        System.err.println(s"[graft] force-unlocking $artifactRoot: evicting " +
+          s"lease '$payload' (${age / 1000}s old)")
+        fs(spark, artifactRoot).delete(new Path(artifactRoot, LockFile), true)
+      case None =>
+        System.err.println(s"[graft] force-unlock: no writer lease at $artifactRoot")
+        false
+    }
+  }
+
   /** Output file count for an in-place rewrite of `dir`, from its actual
     * on-disk parquet bytes (same format + codec in and out, so size
     * carries over — the [[Layout.compactTo]] rule). */

@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   * so a describe is cheap even on a corpus-scale artifact. */
 object IndexAdmin {
 
+  /** The artifact's current writer lease, if any: `(payload, ageMs)` with
+    * payload "token op hostname". Read-only ([[ArtifactIO.describeLease]]). */
+  def describeLease(spark: SparkSession, path: String): Option[(String, Long)] =
+    ArtifactIO.describeLease(spark, path)
+
+  /** Evict the artifact's writer lock unconditionally — the operator
+    * override for a KNOWN-dead holder ([[ArtifactIO.forceUnlock]]; the
+    * automatic path is the lease's staleness takeover). Returns true if
+    * a lock was present and removed. */
+  def forceUnlock(spark: SparkSession, path: String): Boolean =
+    ArtifactIO.forceUnlock(spark, path)
+
   /** (relation, batch, files, bytes, rows) for every relation directory
     * under `path`. Batch-less relations (params, centroids, codebooks,
     * an empty-built postings layout) report batch = null. */

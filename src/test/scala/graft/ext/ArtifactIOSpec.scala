@@ -145,6 +145,25 @@ class ArtifactIOSpec extends SparkSpec {
     hfs(idx).exists(new Path(idx, "_writer_lock")) shouldBe false
   }
 
+  it should "describe and force-unlock a lease without waiting out staleness" in {
+    val root = tmpDir("artio")
+    val idx = s"$root/t"
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Retrieval.buildTextIndex(docs, "doc_id", "text", idx, buckets = 2)
+    ArtifactIO.describeLease(spark, idx) shouldBe None
+    plantLock(idx) // fresh — inside the staleness window
+    val Some((payload, age)) = ArtifactIO.describeLease(spark, idx)
+    payload should include("someOp otherhost")
+    age should be >= 0L
+    // blocked while held...
+    intercept[IllegalStateException](Retrieval.compactTextIndex(spark, idx))
+    // ...the operator override evicts it, and writes proceed
+    ArtifactIO.forceUnlock(spark, idx) shouldBe true
+    ArtifactIO.forceUnlock(spark, idx) shouldBe false // idempotent
+    Retrieval.compactTextIndex(spark, idx)
+    ArtifactIO.describeLease(spark, idx) shouldBe None
+  }
+
   it should "compose guarded operations reentrantly on one thread" in {
     val root = tmpDir("artio")
     val idx = s"$root/dd"

@@ -54,6 +54,39 @@ class StreamOpsSpec extends SparkSpec {
     streamed.length should be > 0
   }
 
+  behavior of "streaming leakage-safe split"
+
+  it should "assign stream rows the batch assignment via a static components join" in {
+    // the serving-time pattern: near-dup components are computed offline
+    // (batch clusterNearDups / a persisted DedupIndex) and the STREAM
+    // gets the same group-atomic split through a stream-static left join
+    // + the pure splitLabel expression — a doc and its near-dup arriving
+    // in different micro-batches still land in the same split
+    implicit val sc = spark.sqlContext
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val comps = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "component") // 2 clusters; 3/4 singletons
+    val input = MemoryStream[Long]
+    val labeled = graft.ext.Split.leakageSafeSplitByComponents(
+      input.toDF().toDF("doc_id"), "doc_id", comps, fracs)
+    val q = labeled.writeStream.format("memory").queryName("s_split").start()
+    input.addData(1L, 3L, 5L)   // first batch
+    q.processAllAvailable()
+    input.addData(2L, 4L, 6L)   // near-dups arrive a batch later
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("s_split")
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val batch = graft.ext.Split.leakageSafeSplitByComponents(
+        Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id"), "doc_id", comps, fracs)
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    streamed shouldBe batch // stream == batch, row for row
+    val m = streamed.map(t => t._1 -> t._3).toMap
+    m(2L) shouldBe m(1L) // cross-batch pair, same split
+    m(6L) shouldBe m(5L)
+  }
+
   behavior of "streaming content dedup"
 
   it should "keep first arrivals per fingerprint within the watermark" in {
