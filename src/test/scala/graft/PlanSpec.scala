@@ -45,6 +45,26 @@ class PlanSpec extends SparkSpec {
     plan(df) should include("BroadcastHashJoin")
   }
 
+  "the leakage-safe split from components" should "add zero exchanges beyond the label join" in {
+    import spark.implicits._
+    // the assignment itself is a pure expression: with the (typically
+    // tiny) components relation broadcast, the whole operator is ONE
+    // broadcast hash join and no exchange anywhere — the property that
+    // lets the split run at scan speed over a 100 TB corpus (and
+    // unchanged on a stream)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val comps = broadcast(Seq((1L, 1L), (2L, 1L)).toDF("id", "component"))
+    val split = graft.ext.Split.leakageSafeSplitByComponents(
+      docs, "doc_id", comps, Seq("train" -> 0.9, "holdout" -> 0.1))
+    val p = plan(split)
+    p should include("BroadcastHashJoin")
+    // the only Exchange is the broadcast itself — no shuffle of the corpus
+    p should not include "Exchange hashpartitioning"
+    p should not include "Exchange rangepartitioning"
+    p should not include "Exchange SinglePartition"
+  }
+
   "the exact sampler" should "never plan a single-partition exchange" in {
     val df = BigSampler.sample(
       spark.read.parquet(s"$sf/lineitem.parquet"), 0.1,
