@@ -34,6 +34,26 @@ object ProbeSplit {
     val corpus = docs.unionByName(
       docs.select((col("doc_id") + off).as("doc_id"), col("text")))
 
+    // light mode (SPARK_GRAFT_PROBE_LIGHT=1): estimates + the r=4
+    // operator only — the r=2 join is priced, not paid (at 100k docs the
+    // estimate alone says billions of candidates)
+    if (sys.env.get("SPARK_GRAFT_PROBE_LIGHT").contains("1")) {
+      println(s"[probe-split] corpus rows = ${corpus.count()}")
+      println(s"[probe-split] est candidates r=2: " +
+        Dedup.estimateMinhashCandidates(corpus, "doc_id", "text",
+          numHashes = 64, bands = 32))
+      println(s"[probe-split] est candidates r=4: " +
+        Dedup.estimateMinhashCandidates(corpus, "doc_id", "text",
+          numHashes = 64, bands = 16))
+      time("whole operator, bands=16 (r=4)") {
+        Split.leakageSafeSplit(corpus, "doc_id", "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          threshold = 0.5, bands = 16).count()
+      }
+      spark.stop()
+      return
+    }
+
     time("raw shingle+minhash pass") {
       import graft.GraftFunctions._
       corpus.select(col("doc_id"),
