@@ -29,6 +29,44 @@ private class SkewListener extends org.apache.spark.scheduler.SparkListener {
 }
 
 object Bench {
+
+  /** Contamination thresholds for the canonical durable record: a bench
+    * that is not a ≥3-run median, or that started on a loaded machine
+    * (1-min loadavg past 1.5 on this 32-core box ≈ something else
+    * running), or that shares the machine with another JVM (an sbt
+    * server, a racing bench, a judge process — measured 2-4× inflation
+    * on shuffle-heavy gates in r13/r14), must NOT overwrite the
+    * committed idle record. */
+  private[graft] val MinCanonicalRuns = 3
+  private[graft] val MaxCanonicalLoadavg = 1.5
+
+  /** Where this bench's durable JSON line goes. A subset run is diverted
+    * to a `_partial` sibling (it is not the suite); a full run whose
+    * environment stamps fail the canonical bar is diverted to a
+    * `_loaded` sibling — the canonical path is only ever written by an
+    * idle median-of-≥3 full-suite run, so a driver single-pass or a
+    * locally-contaminated run can never clobber the committed record
+    * (the r14/r15 failure mode). Unreadable probes (negative loadavg or
+    * sibling count) divert too: a record that cannot PROVE it was idle
+    * is not canonical. */
+  private[graft] def benchOutputFile(requested: String, partial: Boolean,
+                                     runs: Int, loadavgStart: Double,
+                                     siblingJvms: Long): String = {
+    val suffix =
+      if (partial) Some("_partial")
+      else if (runs < MinCanonicalRuns || loadavgStart < 0.0 ||
+        loadavgStart > MaxCanonicalLoadavg || siblingJvms != 0L)
+        Some("_loaded")
+      else None
+    suffix match {
+      case None => requested
+      case Some(sfx) =>
+        if (requested.endsWith(".json"))
+          requested.stripSuffix(".json") + sfx + ".json"
+        else requested + sfx
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -248,15 +286,18 @@ object Bench {
     // is the durable copy; stdout stays for interactive runs.
     // a subset run NEVER writes the caller's (or default) full-suite
     // path — even an explicit SPARK_GRAFT_BENCH_FILE is diverted to a
-    // .partial sibling, so a targeted iteration with leftover env vars
-    // cannot overwrite a round's durable record
+    // _partial sibling; a full run that fails the canonical bar (runs,
+    // loadavg, sibling JVMs — see benchOutputFile) is diverted to a
+    // _loaded sibling. Either way the committed idle record survives.
     val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
       "/root/repo/BENCH_queries.json")
-    val benchFile =
-      if (only.isEmpty) requested
-      else if (requested.endsWith(".json"))
-        requested.stripSuffix(".json") + "_partial.json"
-      else requested + "_partial"
+    val benchFile = benchOutputFile(requested, partial = only.nonEmpty,
+      runs = nRuns, loadavgStart = loadStart, siblingJvms = siblingsStart)
+    if (benchFile != requested)
+      System.err.println(s"[bench] record diverted to $benchFile " +
+        s"(runs=$nRuns, loadavg_start=$loadStart, " +
+        s"sibling_jvms=$siblingsStart${if (only.nonEmpty) ", subset run" else ""})" +
+        " — the canonical file is written only by idle median-of-3 full runs")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchFile), line + "\n")
     catch { case e: Throwable =>
