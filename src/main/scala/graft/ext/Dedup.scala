@@ -590,17 +590,17 @@ object Dedup {
     when(sig.isNull, lit(false)).otherwise(probeAny(keys))
   }
 
-  /** SimHash near-duplicate pairs: 64-bit fingerprint; candidates share at
-    * least one of `chunks` equal bit-chunks (pigeonhole guarantees recall
-    * for Hamming distance < chunks); verified by exact Hamming ≤ maxHamming. */
-  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, chunks: Int = 4, seed: Int = 0,
-                      maxBucketSize: Int = 1000): DataFrame = {
-    require(chunks > maxHamming, "need chunks > maxHamming for full recall (pigeonhole)")
+  /** Shared front half of [[simhashNearDups]] and
+    * [[estimateSimhashCandidates]]: the pinned (id, fp, chunk, csig)
+    * relation — pinned because three plan branches (bucket counts + both
+    * pair sides) would otherwise each re-tokenize and re-vote the simhash
+    * over the full corpus. Splitting it out guarantees the estimator
+    * prices EXACTLY the relation the bucket join consumes. */
+  private[ext] def simhashChunked(df: DataFrame, idCol: String,
+      textCol: String, chunks: Int, seed: Int): DataFrame = {
     val bitsPer = 64 / chunks
     // string fast path: tokenize+hash+vote in one pass inside SimHash64
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol), seed).as("fp"))
-
     // chunk indices are a driver-side Int range: shift amounts become
     // literal Ints (shiftrightunsigned requires them) and the per-row
     // sequence+transform disappears
@@ -609,18 +609,51 @@ object Dedup {
         shiftrightunsigned(col("fp"), c * bitsPer)
           .bitwiseAND(lit((1L << bitsPer) - 1)).as("csig"))
     }
-    // pinned for the same reason as minhash's banded relation: three plan
-    // branches (bucket counts + both pair sides) would otherwise each
-    // re-tokenize and re-vote the simhash over the full corpus
-    val chunked = fp.select(col("id"), col("fp"),
-        explode(array(chunkStructs: _*)).as("cc"))
-      .select(col("id"), col("fp"), col("cc.chunk").as("chunk"), col("cc.csig").as("csig"))
+    fp.select(col("id"), col("fp"), explode(array(chunkStructs: _*)).as("cc"))
+      .select(col("id"), col("fp"), col("cc.chunk").as("chunk"),
+        col("cc.csig").as("csig"))
       .localCheckpoint(true)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit fingerprint; candidates share at
+    * least one of `chunks` equal bit-chunks (pigeonhole guarantees recall
+    * for Hamming distance < chunks); verified by exact Hamming ≤ maxHamming.
+    * Self-pricing like [[minhashNearDups]]: the chunk-bucket candidate
+    * volume is estimated pre-flight (it is the same bucket-mass-squared
+    * shape — narrow per-chunk signatures on a homogeneous corpus collide
+    * broadly), logged past [[WarnCandidateVolume]], and fail-fast past the
+    * opt-in `maxCandidates`. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, chunks: Int = 4, seed: Int = 0,
+                      maxBucketSize: Int = 1000,
+                      maxCandidates: Option[Long] = None): DataFrame = {
+    require(chunks > maxHamming, "need chunks > maxHamming for full recall (pigeonhole)")
+    val chunked = simhashChunked(df, idCol, textCol, chunks, seed)
 
     val a = chunked.select(col("chunk"), col("csig"), col("id").as("id_a"), col("fp").as("fp_a"))
     val b = chunked.select(col("chunk"), col("csig"), col("id").as("id_b"), col("fp").as("fp_b"))
     val buckets = chunked.groupBy("chunk", "csig").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
+    // self-pricing: Σ c·(c−1)/2 over surviving buckets equals the bucket
+    // join's pre-Hamming pre-dedup candidate output EXACTLY — one tiny
+    // aggregation over the already-pinned chunked relation. The Hamming
+    // filter is cheap per pair, but the JOIN still emits (and shuffles)
+    // this volume, so a recall-tuned chunking that collides broadly goes
+    // quadratic exactly like minhash's r=2 banding did.
+    val estimate = bucketCandidateVolume(buckets)
+    maxCandidates.foreach { cap =>
+      if (estimate > cap) throw new IllegalStateException(
+        s"simhashNearDups: estimated candidate volume $estimate exceeds " +
+          s"maxCandidates=$cap. Use fewer chunks (wider per-chunk " +
+          s"signatures collide less; keep chunks > maxHamming — " +
+          s"chunks=$chunks => ${64 / chunks} bits each here) or a smaller " +
+          "maxBucketSize.")
+    }
+    if (estimate > WarnCandidateVolume)
+      System.err.println(s"[graft] simhashNearDups: ~$estimate candidate " +
+        s"pairs from chunk buckets (chunks=$chunks => ${64 / chunks} bits " +
+        s"per signature, maxBucketSize=$maxBucketSize) — the pair join " +
+        "emits this volume; consider fewer, wider chunks")
     // Hamming-verify BEFORE the pair dedup: the fingerprints already ride
     // the chunked relation, so the cheap bit_count filter collapses the
     // candidate volume (e.g. 1.4M -> ~5k at sf0.1) before the distinct's
@@ -656,6 +689,28 @@ object Dedup {
       .filter(col("count") > maxBucketSize)
   }
 
+  /** Shared front half of [[embeddingNearDups]] and
+    * [[estimateEmbeddingCandidates]]: the pinned (id, table, bucket)
+    * sign-LSH relation — pinned because bucket counts and both pair sides
+    * would each re-project dim×bits×tables dot products per row
+    * otherwise. Splitting it out guarantees the estimator prices EXACTLY
+    * the relation the bucket join consumes. */
+  private[ext] def embeddingBanded(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, bits: Int, tables: Int,
+      seed: Long): DataFrame = {
+    val planeSets = Array.tabulate(tables) { t =>
+      val rnd = new java.util.Random(seed + t)
+      Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val buckets = planeSets.zipWithIndex.map { case (planes, t) =>
+      struct(lit(t).as("table"), lshSignBits(col("v"), planes).as("bucket"))
+    }
+    v.select(col("id"), explode(array(buckets.toIndexedSeq: _*)).as("tb"))
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .localCheckpoint(true)
+  }
+
   /** Embedding-cosine near-duplicate pairs: documents whose embedding
     * vectors have cosine similarity ≥ `simThreshold`. Candidates come from
     * sign-hyperplane LSH buckets (never all-pairs — same scale shape as
@@ -668,28 +723,40 @@ object Dedup {
     *        memory (~dim×4 B/doc + overhead); `None` (default) decides from
     *        the corpus row count like [[minhashNearDups]] — at 1e9 vectors
     *        the verifier shuffle-joins instead of OOMing every executor.
-    * @param broadcastVerifyMaxRows auto-mode cutoff for `broadcastVerify` */
+    * @param broadcastVerifyMaxRows auto-mode cutoff for `broadcastVerify`
+    * @param maxCandidates opt-in fail-fast ceiling on the pre-flight
+    *        bucket candidate estimate, like [[minhashNearDups]] — a
+    *        recall-tuned low-`bits` table set on a clustered embedding
+    *        space has the same bucket-mass-squared quadratic shape */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                         simThreshold: Double = 0.95, bits: Int = 8,
                         tables: Int = 8, seed: Long = 42L,
                         maxBucketSize: Int = 100000,
                         broadcastVerify: Option[Boolean] = None,
-                        broadcastVerifyMaxRows: Long = 1000000L): DataFrame = {
-    val planeSets = Array.tabulate(tables) { t =>
-      val rnd = new java.util.Random(seed + t)
-      Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
-    }
+                        broadcastVerifyMaxRows: Long = 1000000L,
+                        maxCandidates: Option[Long] = None): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val buckets = planeSets.zipWithIndex.map { case (planes, t) =>
-      struct(lit(t).as("table"), lshSignBits(col("v"), planes).as("bucket"))
-    }
-    // pinned: bucket counts + both pair sides re-project dim×bits×tables
-    // dot products per row otherwise
-    val banded = v.select(col("id"), explode(array(buckets.toIndexedSeq: _*)).as("tb"))
-      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      .localCheckpoint(true)
+    val banded = embeddingBanded(df, idCol, vecCol, dim, bits, tables, seed)
     val ok = banded.groupBy("table", "bucket").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
+    // self-pricing (the minhash/simhash discipline): Σ c·(c−1)/2 over
+    // surviving buckets equals the table-bucket join's pre-dedup
+    // candidate output exactly, from one aggregation over the pinned
+    // banded relation — the number that explodes when `bits` is too low
+    // for a clustered embedding space.
+    val estimate = bucketCandidateVolume(ok)
+    maxCandidates.foreach { cap =>
+      if (estimate > cap) throw new IllegalStateException(
+        s"embeddingNearDups: estimated candidate volume $estimate exceeds " +
+          s"maxCandidates=$cap. Use more bits per table (smaller sign " +
+          s"buckets — bits=$bits here), fewer tables, or a smaller " +
+          "maxBucketSize.")
+    }
+    if (estimate > WarnCandidateVolume)
+      System.err.println(s"[graft] embeddingNearDups: ~$estimate candidate " +
+        s"pairs from sign buckets (bits=$bits, tables=$tables, " +
+        s"maxBucketSize=$maxBucketSize) — exact-cosine verification pays " +
+        "this volume; consider more bits per table")
     val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(ok, Seq("table", "bucket"))
@@ -928,11 +995,13 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 5,
                       threshold: Double = 0.8, seed: Int = 0,
                       maxBucketSize: Int = 1000,
-                      clusterCol: String = "cluster"): DataFrame = {
+                      clusterCol: String = "cluster",
+                      maxCandidates: Option[Long] = None): DataFrame = {
     require(!df.columns.contains(clusterCol),
       s"clusterCol '$clusterCol' already exists on the input")
     val pairs = minhashNearDups(df, idCol, textCol, numHashes, bands,
-      shingleLen, threshold, seed, maxBucketSize)
+      shingleLen, threshold, seed, maxBucketSize,
+      maxCandidates = maxCandidates)
     val comp = connectedComponents(pairs)
       .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
     // left join: rows with no near-dup pair are absent from the labeling
@@ -1028,6 +1097,33 @@ object Dedup {
     bucketCandidateVolume(banded.groupBy("band", "bsig").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1))
   }
+
+  /** Pre-flight price of a [[simhashNearDups]] run with these parameters:
+    * the exact number of candidate pairs the chunk-bucket join will emit
+    * (pre-Hamming, pre-dedup). Spec-locked equal to the join's own
+    * pre-filter row count. Cost: the simhash pass plus one small
+    * aggregation. */
+  def estimateSimhashCandidates(df: DataFrame, idCol: String,
+                                textCol: String, chunks: Int = 4,
+                                seed: Int = 0,
+                                maxBucketSize: Int = 1000): Long =
+    bucketCandidateVolume(
+      simhashChunked(df, idCol, textCol, chunks, seed)
+        .groupBy("chunk", "csig").count()
+        .filter(col("count") <= maxBucketSize && col("count") > 1))
+
+  /** Pre-flight price of an [[embeddingNearDups]] run with these
+    * parameters: the exact number of candidate pairs the sign-bucket
+    * join will emit (pre-dedup) and exact-cosine verification will pay
+    * for. Spec-locked equal to the join's own pre-dedup row count. */
+  def estimateEmbeddingCandidates(df: DataFrame, idCol: String,
+                                  vecCol: String, dim: Int, bits: Int = 8,
+                                  tables: Int = 8, seed: Long = 42L,
+                                  maxBucketSize: Int = 100000): Long =
+    bucketCandidateVolume(
+      embeddingBanded(df, idCol, vecCol, dim, bits, tables, seed)
+        .groupBy("table", "bucket").count()
+        .filter(col("count") <= maxBucketSize && col("count") > 1))
 
   /** Shared front half of [[jaccardJoinExact]] and
     * [[estimateJaccardJoinCandidates]]: the pinned (id, sorted shingle

@@ -80,7 +80,10 @@ object Split {
     * there or keep it, but never let it vote twice across the boundary).
     * Assignment is the same zero-shuffle [[splitLabel]] dice once the
     * cluster column exists; the near-dup detection is the only shuffling
-    * stage, with [[Dedup.minhashNearDups]]'s banded/capped scale shape.
+    * stage, with [[Dedup.minhashNearDups]]'s banded/capped scale shape —
+    * including its pre-flight candidate pricing: pass `maxCandidates` to
+    * fail fast before a recall-tuned banding goes quadratic on a
+    * shared-vocabulary corpus.
     *
     * Already have components (from simhash, embeddings, or a persisted
     * run)? Use [[leakageSafeSplitByComponents]] and skip the detection. */
@@ -92,18 +95,21 @@ object Split {
                        numHashes: Int = 64, bands: Int = 16,
                        shingleLen: Int = 5, threshold: Double = 0.8,
                        minhashSeed: Int = 0,
-                       maxBucketSize: Int = 1000): DataFrame = {
+                       maxBucketSize: Int = 1000,
+                       maxCandidates: Option[Long] = None): DataFrame = {
     val clustered = Dedup.clusterNearDups(df, idCol, textCol, numHashes,
-      bands, shingleLen, threshold, minhashSeed, maxBucketSize, clusterCol)
+      bands, shingleLen, threshold, minhashSeed, maxBucketSize, clusterCol,
+      maxCandidates)
     clustered.withColumn(splitCol,
       splitLabel(Seq(col(clusterCol)), fractions, seed))
   }
 
   /** [[leakageSafeSplit]] from a PRE-COMPUTED (id, component) labeling —
     * the composition primitive: any pair source ([[Dedup.minhashNearDups]],
-    * [[Dedup.simhashNearDups]], [[Dedup.embeddingNearDups]], a persisted
-    * [[DedupIndex]] search) fed through [[Dedup.connectedComponents]]
-    * plugs in here. Rows absent from `components` are singletons keyed on
+    * [[Dedup.simhashNearDups]], [[Dedup.embeddingNearDups]] — all three
+    * candidate-priced with the same opt-in `maxCandidates` fail-fast — or
+    * a persisted [[DedupIndex]] search) fed through
+    * [[Dedup.connectedComponents]] plugs in here. Rows absent from `components` are singletons keyed on
     * their own id. Pure column logic after one left join against the
     * (typically tiny) labeling — broadcast-sized in the usual case where
     * only the duplicated minority appears in `components`. */

@@ -348,6 +348,34 @@ class DedupSpec extends SparkSpec {
     pairs.filter(col("id_b") === col("id_a") + 1000).count() should be >= 8L
   }
 
+  it should "price its candidate volume exactly and fail fast past maxCandidates" in {
+    // the estimator must equal the chunk-bucket join's pre-Hamming
+    // pre-dedup output — the same spec-lock minhashNearDups carries
+    val chunks = 16
+    val est = Dedup.estimateSimhashCandidates(corpus, "doc_id", "text",
+      chunks = chunks)
+    val joined = {
+      val chunked = Dedup.simhashChunked(corpus, "doc_id", "text", chunks, 0)
+      val sizes = chunked.groupBy("chunk", "csig").count()
+        .filter(col("count") <= 1000 && col("count") > 1)
+      val a = chunked.select(col("chunk"), col("csig"), col("id").as("id_a"))
+      val b = chunked.select(col("chunk"), col("csig"), col("id").as("id_b"))
+      a.join(sizes, Seq("chunk", "csig")).join(b, Seq("chunk", "csig"))
+        .filter(col("id_a") < col("id_b")).count()
+    }
+    est shouldBe joined
+    est should be > 0L // 16 4-bit chunks collide broadly on this corpus
+    // the opt-in hard stop names the estimate
+    val e = the[IllegalStateException] thrownBy
+      Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 8,
+        chunks = chunks, maxCandidates = Some(est - 1))
+    e.getMessage should include(est.toString)
+    // at or above the estimate the join runs and still finds the planted pairs
+    Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 8,
+        chunks = chunks, maxCandidates = Some(est))
+      .filter(col("id_b") === col("id_a") + 1000).count() should be >= 8L
+  }
+
   behavior of "ngramJaccard"
 
   it should "score an explicit pair list" in {
@@ -466,5 +494,39 @@ class EmbeddingDedupSpec extends graft.SparkSpec {
         broadcastVerify = Some(false))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     shuffled shouldBe pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+  }
+
+  it should "price its candidate volume exactly and fail fast past maxCandidates" in {
+    val dim = 16
+    val rnd = new scala.util.Random(12)
+    val base = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val near = base.take(10).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + rnd.nextGaussian().toFloat * 0.01f))
+    }
+    val df = (base ++ near).toDF("id", "emb")
+    // the estimator must equal the sign-bucket join's pre-dedup output
+    val est = Dedup.estimateEmbeddingCandidates(df, "id", "emb", dim,
+      bits = 4, tables = 12)
+    val joined = {
+      val banded = Dedup.embeddingBanded(df, "id", "emb", dim, 4, 12, 42L)
+      val sizes = banded.groupBy("table", "bucket").count()
+        .filter(col("count") <= 100000 && col("count") > 1)
+      val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
+      val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
+      a.join(sizes, Seq("table", "bucket")).join(b, Seq("table", "bucket"))
+        .filter(col("id_a") < col("id_b")).count()
+    }
+    est shouldBe joined
+    est should be > 0L // 4-bit sign buckets collide on 50 vectors
+    // the opt-in hard stop names the estimate
+    val e = the[IllegalStateException] thrownBy
+      Dedup.embeddingNearDups(df, "id", "emb", dim, simThreshold = 0.98,
+        bits = 4, tables = 12, maxCandidates = Some(est - 1))
+    e.getMessage should include(est.toString)
+    // at or above the estimate the join runs and still recovers the pairs
+    Dedup.embeddingNearDups(df, "id", "emb", dim, simThreshold = 0.98,
+        bits = 4, tables = 12, maxCandidates = Some(est))
+      .filter(col("id_b") === col("id_a") + 1000).count() shouldBe 10L
   }
 }
