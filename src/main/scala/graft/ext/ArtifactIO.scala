@@ -76,6 +76,14 @@ private[ext] object ArtifactIO {
     hfs.delete(tmp, true)
     hfs.delete(old, true)
     stage(tmp.toString)
+    // Commit-point fencing: a writer that overstayed the lease's
+    // staleness window may have been taken over mid-body — its entry
+    // check passed long ago, but the swap about to run would interleave
+    // with the NEW holder's writes. Re-verify the token immediately
+    // before the destructive rename; on mismatch abort loudly, leaving
+    // the staged `_compact_tmp` sibling for inspection and the live
+    // data (now the new holder's) untouched.
+    fenceOrAbort(spark, dst)
     if (hfs.exists(dstP)) {
       require(hfs.rename(dstP, old),
         s"rewriteInPlace: rename $dstP -> $old failed (compaction " +
@@ -224,11 +232,44 @@ private[ext] object ArtifactIO {
   // writer and taken over with a logged warning. Reentrant per thread,
   // so a guarded operation may compose guarded helpers on the same
   // artifact. READERS never take the lease — searches stay lock-free.
+  // The lease is also re-verified at every COMMIT POINT (fenceOrAbort,
+  // called by rewriteInPlace before its destructive rename): an
+  // overstaying writer that lost a staleness takeover aborts its swap
+  // instead of interleaving with the new holder's writes.
 
   private val LockFile = "_writer_lock"
 
-  private val heldLeases: ThreadLocal[mutable.Set[String]] =
-    ThreadLocal.withInitial(() => mutable.Set.empty[String])
+  /** artifact root → the lease token THIS thread wrote, for reentrancy
+    * and for commit-point fencing ([[fenceOrAbort]]). */
+  private val heldLeases: ThreadLocal[mutable.Map[String, String]] =
+    ThreadLocal.withInitial(() => mutable.Map.empty[String, String])
+
+  /** Commit-point fence: when `dst` sits under an artifact root this
+    * thread holds a lease on, re-read the lock file and abort unless it
+    * still carries OUR token — the cheap guard that stops an overstaying
+    * writer (taken over past the staleness window) from swapping
+    * directories out from under the new holder. A `dst` under no held
+    * lease (direct [[rewriteInPlace]] use outside the artifact family)
+    * is not fenced. */
+  private def fenceOrAbort(spark: SparkSession, dst: String): Unit =
+    heldLeases.get.find { case (root, _) =>
+      dst == root || dst.startsWith(root + "/")
+    }.foreach { case (root, token) =>
+      val hfs = fs(spark, root)
+      val lock = new Path(root, LockFile)
+      val cur =
+        try {
+          val in = hfs.open(lock)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case _: java.io.IOException => "<missing>" }
+      if (!cur.startsWith(token)) throw new IllegalStateException(
+        s"writer lease on $root was taken over mid-operation (now held " +
+          s"by '$cur') — this writer exceeded the staleness window. " +
+          s"Aborting the swap of $dst; the staged ${dst}_compact_tmp " +
+          "sibling is left for inspection and the live directory (the " +
+          "new holder's) is untouched.")
+    }
 
   /** Run `body` holding the artifact's writer lease. Throws
     * IllegalStateException naming the holder when another writer holds a
@@ -275,7 +316,7 @@ private[ext] object ArtifactIO {
           "The artifact family is single-writer: serialize maintenance, or " +
           s"delete $artifactRoot/$LockFile if the holder is known dead")
     }
-    heldLeases.get += artifactRoot
+    heldLeases.get(artifactRoot) = token
     try body
     finally {
       heldLeases.get -= artifactRoot

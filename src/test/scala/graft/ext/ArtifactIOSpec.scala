@@ -164,6 +164,36 @@ class ArtifactIOSpec extends SparkSpec {
     ArtifactIO.describeLease(spark, idx) shouldBe None
   }
 
+  it should "abort an overstaying writer's swap after a mid-body takeover" in {
+    // entry-time acquisition is not enough: a writer that exceeds the
+    // staleness window keeps executing its body after a takeover, and
+    // its rename-aside swaps would interleave with the new holder's.
+    // The commit-point fence re-checks the token immediately before the
+    // destructive rename and aborts loudly.
+    val root = tmpDir("artio")
+    val idx = s"$root/f"
+    val rel = s"$idx/rel"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(rel)
+    val ex = intercept[IllegalStateException] {
+      ArtifactIO.withWriterLease(spark, idx, "test-op") {
+        plantLock(idx) // another writer took the lease over mid-body
+        ArtifactIO.rewriteInPlace(spark, rel) { tmp =>
+          Seq((2L, "y")).toDF("id", "v").write.parquet(tmp)
+        }
+      }
+    }
+    ex.getMessage should include("taken over mid-operation")
+    // the live directory (now the new holder's) is untouched
+    spark.read.parquet(rel).as[(Long, String)].collect() shouldBe
+      Array((1L, "x"))
+    // the fully staged replacement is left aside for inspection
+    spark.read.parquet(rel + "_compact_tmp").as[(Long, String)]
+      .collect() shouldBe Array((2L, "y"))
+    // and the release path declined to delete the new holder's lock
+    ArtifactIO.describeLease(spark, idx).map(_._1) shouldBe
+      Some("deadbeef-0000 someOp otherhost")
+  }
+
   it should "compose guarded operations reentrantly on one thread" in {
     val root = tmpDir("artio")
     val idx = s"$root/dd"
