@@ -137,11 +137,21 @@ object ProtoWire {
       s"$name: a oneof member must be a singular optional field")
   }
 
-  final case class PMessage(name: String, fields: Seq[PField]) {
+  /** @param truncated field numbers that exist in the SOURCE schema but
+    *        were cut from this (unrolled) descriptor level because their
+    *        message type already occurs `maxRecursionDepth` times on the
+    *        ancestor chain ([[parseProto]]'s bounded unroll of recursive
+    *        schemas). Not silent: the decoder fails LOUDLY when wire data
+    *        carries one of these numbers — deeper data needs a deeper
+    *        re-parse, never a silent drop. Maps number → type name. */
+  final case class PMessage(name: String, fields: Seq[PField],
+                            truncated: Map[Int, String] = Map.empty) {
     require(fields.map(_.number).distinct.size == fields.size,
       s"$name: duplicate field numbers")
     require(fields.map(_.name).distinct.size == fields.size,
       s"$name: duplicate field names")
+    require(truncated.keySet.intersect(fields.map(_.number).toSet).isEmpty,
+      s"$name: truncated numbers overlap declared fields")
     private[ProtoWire] val byNumber: Map[Int, (PField, Int)] =
       fields.zipWithIndex.map { case (f, i) => f.number -> (f, i) }.toMap
     private[ProtoWire] val oneofGroups: Map[String, Seq[Int]] =
@@ -611,6 +621,14 @@ object ProtoWire {
       val wt = (tag & 7L).toInt
       if (number == 0) throw new IllegalArgumentException(
         "proto wire: zero field number (corrupt tag)")
+      // a truncated recursive field is NOT an unknown field: data deeper
+      // than the unroll bound must fail loudly, never be silently skipped
+      msg.truncated.get(number).foreach { tname =>
+        throw new IllegalArgumentException(
+          s"proto wire: ${msg.name} field #$number carries a '$tname' " +
+            "occurrence past the schema's unroll depth — re-parse with a " +
+            "larger maxRecursionDepth to read deeper data")
+      }
       msg.byNumber.get(number) match {
         case None => skipUnknown(r, wt)
         case Some((f, idx)) if f.ptype.isInstanceOf[PMap] =>
@@ -806,10 +824,24 @@ object ProtoWire {
     * packed-by-default repeated primitives), and ignored
     * `syntax`/`package`/`option`/`import`/`reserved`/field options.
     * proto3 rules enforced loudly: no `required`, enums need a
-    * zero-numbered symbol. Not supported (loud failure): `group`,
-    * `extend`/`extensions`, and cyclic message references (the
-    * descriptor model is a finite tree). */
-  def parseProto(text: String): Map[String, PMessage] = {
+    * zero-numbered symbol. Not supported (loud failure): `group` and
+    * `extend`/`extensions`.
+    *
+    * Recursive message references (self- or mutually-recursive —
+    * AST/tree-node protos) are UNROLLED to `maxRecursionDepth` nested
+    * occurrences of the same message type per path: the descriptor model
+    * (and Catalyst's StructType) is a finite tree, so the recursion is
+    * expanded into one. At the bound the recursive field is cut from
+    * that level's descriptor and recorded in [[PMessage.truncated]] —
+    * wire data deeper than the bound fails LOUDLY at decode (never a
+    * silent skip); re-parse with a larger bound to read it. The unrolled
+    * descriptor's width grows with branching^depth, so pathological
+    * bounds on wide recursive schemas cost schema size — pick the bound
+    * from the data's real depth. */
+  def parseProto(text: String,
+                 maxRecursionDepth: Int = 8): Map[String, PMessage] = {
+    require(maxRecursionDepth >= 1,
+      s"maxRecursionDepth must be >= 1, got $maxRecursionDepth")
     // strip comments, preserving structure
     val noBlock = "/\\*[\\s\\S]*?\\*/".r.replaceAllIn(text, " ")
     val noLine = "//[^\n]*".r.replaceAllIn(noBlock, " ")
@@ -1006,31 +1038,77 @@ object ProtoWire {
       candidates.find(c => raws.contains(c) || enums.contains(c))
     }
 
-    // second pass: materialize PMessages, cycle-checked
-    val built = mutable.Map[String, PMessage]()
-    def build(full: String, inFlight: Set[String]): PMessage = {
-      if (inFlight.contains(full))
-        fail(s"cyclic message reference through $full " +
-          "(the descriptor model is a finite tree)")
-      built.getOrElseUpdate(full, {
-        val raw = raws(full)
+    // name resolution shared by the reachability pass and the builder:
+    // a field's type resolved from its message's scope (or the enclosing
+    // scope), or None for scalars/unknowns
+    def resolveRef(full: String, tpe: String): Option[String] =
+      if (Scalars.contains(tpe)) None
+      else {
         val scope = full.split('.').dropRight(1).mkString(".")
-        val fs = raw.fields.map { rf =>
-          def resolve(tpe: String, what: String): PType =
-            Scalars.get(tpe).orElse {
-              resolveName(full, tpe).orElse(resolveName(scope, tpe)).map { r =>
-                if (enums.contains(r)) enums(r)
-                else PMsg(build(r, inFlight + full))
-              }
-            }.getOrElse(fail(s"${raw.name}.${rf.name}: unknown $what '$tpe'"))
-          val ptype = rf.mapKey match {
-            case Some(kt) =>
-              val key = Scalars.getOrElse(kt,
-                fail(s"${raw.name}.${rf.name}: map key type '$kt' " +
-                  "must be an integral, bool, or string scalar"))
-              PMap(key, resolve(rf.tpe, "map value type"))
-            case None => resolve(rf.tpe, "type")
-          }
+        resolveName(full, tpe).orElse(resolveName(scope, tpe))
+      }
+
+    // message → message names transitively reachable through its fields
+    // (map values included). Used to decide when a build result is
+    // path-independent (cacheable): an unrolled recursive build depends
+    // on how many times its OWN types already sit on the ancestor chain,
+    // so it may only be cached when nothing on the chain is reachable.
+    val reach: Map[String, Set[String]] = {
+      val direct = raws.map { case (full, raw) =>
+        full -> raw.fields.flatMap(rf => resolveRef(full, rf.tpe))
+          .filter(raws.contains).toSet
+      }
+      val m = mutable.Map(direct.toSeq: _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        m.keys.toSeq.foreach { k =>
+          val nxt = m(k) ++ m(k).flatMap(r => m.getOrElse(r, Set.empty))
+          if (nxt.size != m(k).size) { m(k) = nxt; changed = true }
+        }
+      }
+      m.toMap
+    }
+
+    // second pass: materialize PMessages, recursion unrolled to
+    // maxRecursionDepth occurrences of a message type per ancestor chain
+    val built = mutable.Map[String, PMessage]()
+    def build(full: String, chain: List[String]): PMessage = {
+      val cacheable = {
+        val relevant = reach.getOrElse(full, Set.empty) + full
+        !chain.exists(relevant.contains)
+      }
+      if (cacheable) built.getOrElseUpdate(full, buildUncached(full, chain))
+      else buildUncached(full, chain)
+    }
+    def buildUncached(full: String, chain: List[String]): PMessage = {
+      val raw = raws(full)
+      val chain2 = full :: chain
+      val truncated = mutable.Map[Int, String]()
+      // a message reference at the unroll bound truncates its FIELD (the
+      // whole map field, for a map whose value type recursed out)
+      def resolveMsg(rf: RawField, r: String): Option[PType] =
+        if (chain2.count(_ == r) >= maxRecursionDepth) {
+          truncated(rf.number) = r
+          None
+        } else Some(PMsg(build(r, chain2)))
+      val fs = raw.fields.flatMap { rf =>
+        def resolve(tpe: String, what: String): Option[PType] =
+          Scalars.get(tpe).map(Some(_)).orElse {
+            resolveRef(full, tpe).map { r =>
+              if (enums.contains(r)) Some(enums(r))
+              else resolveMsg(rf, r)
+            }
+          }.getOrElse(fail(s"${raw.name}.${rf.name}: unknown $what '$tpe'"))
+        val ptype: Option[PType] = rf.mapKey match {
+          case Some(kt) =>
+            val key = Scalars.getOrElse(kt,
+              fail(s"${raw.name}.${rf.name}: map key type '$kt' " +
+                "must be an integral, bool, or string scalar"))
+            resolve(rf.tpe, "map value type").map(PMap(key, _))
+          case None => resolve(rf.tpe, "type")
+        }
+        ptype.map { pt =>
           val label = rf.label match {
             case "optional" => POptional
             case "required" => PRequired
@@ -1040,31 +1118,28 @@ object ProtoWire {
             // proto3 no-label: scalars/enums have no presence; message
             // fields keep explicit presence (spec)
             case "implicit" =>
-              if (ptype.isInstanceOf[PMsg]) POptional else PImplicit
+              if (pt.isInstanceOf[PMsg]) POptional else PImplicit
           }
-          PField(rf.number, rf.name, label, ptype,
+          PField(rf.number, rf.name, label, pt,
             oneof = rf.oneof, packed = rf.packed)
         }
-        PMessage(full.split('.').last, fs)
-      })
+      }
+      PMessage(full.split('.').last, fs, truncated.toMap)
     }
-    raws.keys.toSeq.sorted.map { full =>
-      // expose by simple name when unambiguous, dotted always
-      build(full, Set.empty)
-    }
-    val byFull = raws.keys.map(k => k -> built(k)).toMap
+    val byFull = raws.keys.map(k => k -> build(k, Nil)).toMap
     val simpleCounts = raws.keys.groupBy(_.split('.').last)
     val bySimple = simpleCounts.collect {
-      case (simple, fulls) if fulls.size == 1 => simple -> built(fulls.head)
+      case (simple, fulls) if fulls.size == 1 => simple -> byFull(fulls.head)
     }
     byFull ++ bySimple
   }
 
   /** [[parseProto]] over a file readable by the driver. */
-  def parseProtoFile(path: String): Map[String, PMessage] =
+  def parseProtoFile(path: String,
+                     maxRecursionDepth: Int = 8): Map[String, PMessage] =
     parseProto(new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      StandardCharsets.UTF_8))
+      StandardCharsets.UTF_8), maxRecursionDepth)
 
   // ---- the reference's test descriptors --------------------------------------
 

@@ -289,14 +289,88 @@ class ProtoWireSpec extends SparkSpec {
       parseProto("message M { group G = 1 { optional int32 a = 2; } }"))
       .getMessage should include("subset")
     intercept[IllegalArgumentException](
-      parseProto("message A { required B b = 1; }\nmessage B { required A a = 1; }"))
-      .getMessage should include("cyclic")
+      parseProto("message M { extend N { optional int32 a = 100; } }"))
+      .getMessage should include("subset")
     intercept[IllegalArgumentException](
       parseProto("message M { int32 a = 1; }")) // proto3 implicit label
       .getMessage should include("proto2")
     intercept[IllegalArgumentException](
       parseProto("message M { required Missing x = 1; }"))
       .getMessage should include("unknown type")
+  }
+
+  behavior of "recursive messages (bounded unroll)"
+
+  private val treeText = """
+    |syntax = "proto3";
+    |message Tree {
+    |  int32 v = 1;
+    |  repeated Tree kids = 2;
+    |}
+    |""".stripMargin
+
+  it should "accept a self-recursive schema and round-trip data at the bound" in {
+    val tree = parseProto(treeText, maxRecursionDepth = 3)("Tree")
+    // three nested Tree levels exist; the third cuts the recursive field
+    val l3 = tree.fields(1).ptype.asInstanceOf[PMsg].msg
+      .fields(1).ptype.asInstanceOf[PMsg].msg
+    l3.fields.map(_.name) shouldBe Seq("v")
+    l3.truncated shouldBe Map(2 -> "Tree")
+    // depth-3 data round-trips through real wire bytes
+    // leaf rows at the cut level carry only `v` — their schema has no
+    // kids column at all
+    val row = Row(1, Seq(Row(2, Seq(Row(3), Row(4))), Row(5, Seq.empty)))
+    norm(fromBytes(toBytes(row, tree), tree)) shouldBe norm(row)
+    // the default bound accepts the source too
+    parseProto(treeText)("Tree").fields.map(_.name) shouldBe Seq("v", "kids")
+  }
+
+  it should "fail loudly on wire data deeper than the unroll bound" in {
+    val deep = parseProto(treeText, maxRecursionDepth = 4)("Tree")
+    val shallow = parseProto(treeText, maxRecursionDepth = 3)("Tree")
+    // a depth-4 document encoded under the deeper descriptor...
+    val d4 = Row(1, Seq(Row(2, Seq(Row(3, Seq(Row(4)))))))
+    val bytes = toBytes(d4, deep)
+    norm(fromBytes(bytes, deep)) shouldBe norm(d4)
+    // ...must NOT silently lose its deepest level under the shallow one
+    intercept[IllegalArgumentException](fromBytes(bytes, shallow))
+      .getMessage should include("unroll depth")
+    // depth-3 data decodes fine under the shallow descriptor
+    val d3 = Row(1, Seq(Row(2, Seq(Row(3))))) // level 3 is the cut level
+    norm(fromBytes(toBytes(d3, shallow), shallow)) shouldBe norm(d3)
+  }
+
+  it should "unroll mutual recursion and cap it per ancestor chain" in {
+    val parsed = parseProto("""
+      |message A { required int32 x = 1; optional B b = 2; }
+      |message B { required int32 y = 1; optional A a = 2; }
+      |""".stripMargin, maxRecursionDepth = 2)
+    val a = parsed("A")
+    // A → B → A → B, then the second B's back-reference to A is cut
+    // (two A and two B occurrences on the chain)
+    val a2 = a.fields(1).ptype.asInstanceOf[PMsg].msg
+      .fields(1).ptype.asInstanceOf[PMsg].msg
+    val b2 = a2.fields(1).ptype.asInstanceOf[PMsg].msg
+    b2.fields.map(_.name) shouldBe Seq("y")
+    b2.truncated shouldBe Map(2 -> "A")
+    val row = Row(1, Row(2, Row(3, Row(4)))) // the cut B has only `y`
+    norm(fromBytes(toBytes(row, a), a)) shouldBe norm(row)
+  }
+
+  it should "keep non-recursive sharing canonical (cache correctness)" in {
+    // a diamond: both references to Leaf (directly and through Mid) must
+    // resolve to the identical full descriptor regardless of build order
+    val parsed = parseProto("""
+      |message Root { required Mid m = 1; required Leaf l = 2; }
+      |message Mid { required Leaf l = 1; }
+      |message Leaf { required int32 x = 1; }
+      |""".stripMargin, maxRecursionDepth = 2)
+    val root = parsed("Root")
+    val viaMid = root.fields(0).ptype.asInstanceOf[PMsg].msg
+      .fields(0).ptype.asInstanceOf[PMsg].msg
+    val direct = root.fields(1).ptype.asInstanceOf[PMsg].msg
+    viaMid shouldBe direct
+    viaMid.truncated shouldBe empty
   }
 
   behavior of "delimited Spark IO"
