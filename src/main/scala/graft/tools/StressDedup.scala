@@ -55,7 +55,44 @@ object StressDedup {
     }
   }
 
+  /** The RETIRED minhash_new_against STRESS shape, kept as a probe: an
+    * incoming side of ⅔ of the corpus (truncated near-copies of
+    * doc_id%3==0 + reversed %3==1) against the full corpus — the shape
+    * the r15 gate measured, where verification dominates both arms
+    * because most of the corpus arrives as candidates. The gate now
+    * measures the shipped small-batch append regime (1/15 incoming);
+    * SURVEY §8 quotes this probe's constant for the stress envelope.
+    * Usage: runMain graft.tools.StressDedup newagainst [sfDir] */
+  private def stressNewAgainst(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val off = docs.agg(coalesce(max(col("doc_id")) + 1, lit(0L)))
+      .first().getLong(0)
+    val planted = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + off).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 10, 20))").as("text"))
+    val novel = docs.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + off).as("doc_id"),
+        reverse(col("text")).as("text"))
+    val incoming = planted.unionByName(novel).localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val n = graft.ext.Dedup.minhashNewAgainst(docs, incoming, "doc_id",
+      "text", numHashes = 64, bands = 32, threshold = 0.7).count()
+    println(f"[stress] new_against_2of3  ${(System.nanoTime - t0) / 1e9}%7.1f s" +
+      s" -> $n pairs (sf=$sfDir)")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("newagainst")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      stressNewAgainst(spark,
+        args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      spark.stop()
+      return
+    }
     val copies = args.headOption.map(_.toInt).getOrElse(30)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
