@@ -658,25 +658,27 @@ object SparkEntry {
         .withColumn("exact_parity_ok", lit(exactDiff == 0L))
         .select("n_indexed", "n_novel", "replay_rows", "exact_parity_ok")
     }),
-    // persisted dedup index, gate 2 of 2 — the SERVE path: one build of
-    // the full corpus, then the artifact-served near-dup search (the
-    // accumulated corpus text is never re-shingled — the stored shingle
-    // and band relations are read columnar). Verdicts: planted recall +
-    // novel cleanliness over the FULL incoming batch (same contract as
-    // minhash_new_against), plus pair-for-pair MULTISET parity between
-    // the served and direct operators on a deterministic 1-in-4 sample
-    // of the incoming side (the full-parity audit was 58% of the old
-    // monolithic gate's sf1 wall and half the suite's variance; the
-    // sample keeps the check value-exact on what it covers while the
+    // persisted dedup index, gate 2 of 2 — the SERVE path in the shipped
+    // append regime: one build of the FULL corpus (the accumulated-corpus
+    // cost is real and stays in the gate), then the artifact-served
+    // near-dup search of a small crawl batch (1/15 of the corpus —
+    // truncated near-copies of %30==0 + reversed %30==1, the
+    // minhash_new_against shape; the stored shingle and band relations
+    // are read columnar, the corpus text is never re-shingled).
+    // Verdicts: planted recall + novel cleanliness over the full
+    // incoming batch, plus pair-for-pair MULTISET parity between the
+    // served and direct operators on a deterministic 1-in-4 sample of
+    // the incoming side (the full ⅔-corpus parity audit was 58% of the
+    // old monolithic gate's sf1 wall and half the suite's variance; the
     // lifecycle invariants live in dedup_index_lifecycle).
     "dedup_index_search" -> ((s, d) => {
       val tmp = sessionTempDir("graft_dedupidx")
       val docs = t(s, d, "documents").select("doc_id", "text")
       val off = idOffset(docs, "doc_id")
-      val planted = docs.filter(col("doc_id") % 3 === 0)
+      val planted = docs.filter(col("doc_id") % 30 === 0)
         .select((col("doc_id") + off).as("doc_id"),
           expr("substring(text, 1, greatest(length(text) - 10, 20))").as("text"))
-      val novel = docs.filter(col("doc_id") % 3 === 1)
+      val novel = docs.filter(col("doc_id") % 30 === 1)
         .select((col("doc_id") + off).as("doc_id"), reverse(col("text")).as("text"))
       // pinned: feeds the agg and the parity filter
       val incoming = planted.unionByName(novel).localCheckpoint(true)
@@ -696,9 +698,9 @@ object SparkEntry {
         pairs(direct).exceptAll(servedSample).count()
       served.agg(
           sum(when(col("id_old") === col("id_new") - off &&
-            col("id_old") % 3 === 0, 1L).otherwise(0L)).as("n_planted_found"),
+            col("id_old") % 30 === 0, 1L).otherwise(0L)).as("n_planted_found"),
           (sum(when(col("id_old") === col("id_new") - off &&
-            col("id_old") % 3 === 1, 1L).otherwise(0L)) === 0L).as("novel_clean"))
+            col("id_old") % 30 === 1, 1L).otherwise(0L)) === 0L).as("novel_clean"))
         .withColumn("near_parity_ok", lit(nearDiff == 0L))
     }),
     // simhash pair list: the pair set is not SQL-reproducible (no simhash
@@ -3043,7 +3045,7 @@ object SparkEntry {
       "dedup_index_search" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_planted_found,
           |  true AS novel_clean, true AS near_parity_ok
-          |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+          |FROM documents WHERE doc_id % 30 = 0""".stripMargin,
       "dedup_keep_best" ->
         """WITH c AS (SELECT doc_id, text FROM documents
           |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
