@@ -76,6 +76,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Contamination stamps: a bench taken while other work shares the
+    // machine inflates the shuffle-heavy gates 2-4x (measured r13/r14) —
+    // the record must be SELF-identifying, not judge-identifying.
+    // Sampled HERE, before the warmup: the stamp must measure the machine
+    // AS FOUND — sampling after the warmup measured the bench's own
+    // 32-core warmup load and diverted genuinely idle sf1 runs (r16).
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def siblingJvms(): Long =
+      try ProcessHandle.allProcesses()
+        .filter(p => p.info().command().map[Boolean](_.contains("java"))
+          .orElse(false))
+        .count() - 1 // minus this JVM
+      catch { case _: Throwable => -1L }
+    val loadStart = loadavg()
+    val siblingsStart = siblingJvms()
     // Untimed warmup over SYNTHETIC data: pays the one-time JVM/JIT,
     // whole-stage-codegen and shuffle-machinery costs so the first timed
     // query isn't charged ~7s of session warmup. Deliberately touches no
@@ -139,21 +157,6 @@ object Bench {
       spark.sparkContext.addSparkListener(l)
       l
     }
-    // Contamination stamps: a bench taken while other work shares the
-    // machine inflates the shuffle-heavy gates 2-4x (measured r13/r14) —
-    // the record must be SELF-identifying, not judge-identifying.
-    def loadavg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    def siblingJvms(): Long =
-      try ProcessHandle.allProcesses()
-        .filter(p => p.info().command().map[Boolean](_.contains("java"))
-          .orElse(false))
-        .count() - 1 // minus this JVM
-      catch { case _: Throwable => -1L }
-    val loadStart = loadavg()
-    val siblingsStart = siblingJvms()
     // canonical records are per-gate MEDIANS over N sequential runs
     // (SPARK_GRAFT_RUNS, default 1 — the driver's per-round record stays
     // a single pass); dispersion per gate is recorded alongside so a
