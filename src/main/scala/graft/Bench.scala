@@ -270,10 +270,14 @@ object Bench {
             s""""$k":${num("%.3f", sp)}""" }
           .mkString("\"spread\":{", ",", "}")
       else ""
+    // heap is stamped too: a 48 GB -Xmx measured 1.7x slower medians and
+    // 8x the spread on the memory-heavy sf1 gates vs the 8 GB default
+    // (GC profile), so records across heap sizes are not comparable
+    val heapMb = Runtime.getRuntime.maxMemory() >> 20
     val envStamp =
       s""","runs":$nRuns,"loadavg_start":${num("%.2f", loadStart)}""" +
         s""","loadavg_end":${num("%.2f", loadavg())}""" +
-        s""","sibling_jvms":$siblingsStart"""
+        s""","sibling_jvms":$siblingsStart,"heap_mb":$heapMb"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a subset run is NOT the suite: mark it in the JSON and keep it out
     // of the durable full-suite file, so a targeted local iteration can
