@@ -158,9 +158,11 @@ object Bench {
       l
     }
     // canonical records are per-gate MEDIANS over N sequential runs
-    // (SPARK_GRAFT_RUNS, default 1 — the driver's per-round record stays
-    // a single pass); dispersion per gate is recorded alongside so a
-    // noisy gate can't hide inside a clean-looking median
+    // (SPARK_GRAFT_RUNS, default 1 — a single-pass run still prints its
+    // line and lands in the _loaded sibling; only runs>=3 can write the
+    // canonical file, see benchOutputFile); per-gate dispersion is
+    // recorded alongside so a noisy gate can't hide inside a
+    // clean-looking median
     val nRuns = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(1)
     // name-sorted: Map hash order would shuffle which query runs first
@@ -274,10 +276,20 @@ object Bench {
     // 8x the spread on the memory-heavy sf1 gates vs the 8 GB default
     // (GC profile), so records across heap sizes are not comparable
     val heapMb = Runtime.getRuntime.maxMemory() >> 20
+    // sibling JVMs re-sampled at suite END: a bench that started idle
+    // but gained a racing JVM mid-suite is contaminated from that point
+    // on. Unlike loadavg (which the bench's own work inflates), the
+    // sibling count is clean at both ends — routing uses the worst of
+    // the two samples (an unreadable probe stays unreadable).
+    val siblingsEnd = siblingJvms()
+    val siblingsWorst =
+      if (siblingsStart < 0 || siblingsEnd < 0) -1L
+      else math.max(siblingsStart, siblingsEnd)
     val envStamp =
       s""","runs":$nRuns,"loadavg_start":${num("%.2f", loadStart)}""" +
         s""","loadavg_end":${num("%.2f", loadavg())}""" +
-        s""","sibling_jvms":$siblingsStart,"heap_mb":$heapMb"""
+        s""","sibling_jvms":$siblingsStart""" +
+        s""","sibling_jvms_end":$siblingsEnd,"heap_mb":$heapMb"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a subset run is NOT the suite: mark it in the JSON and keep it out
     // of the durable full-suite file, so a targeted local iteration can
@@ -299,11 +311,12 @@ object Bench {
     val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
       "/root/repo/BENCH_queries.json")
     val benchFile = benchOutputFile(requested, partial = only.nonEmpty,
-      runs = nRuns, loadavgStart = loadStart, siblingJvms = siblingsStart)
+      runs = nRuns, loadavgStart = loadStart, siblingJvms = siblingsWorst)
     if (benchFile != requested)
       System.err.println(s"[bench] record diverted to $benchFile " +
-        s"(runs=$nRuns, loadavg_start=$loadStart, " +
-        s"sibling_jvms=$siblingsStart${if (only.nonEmpty) ", subset run" else ""})" +
+        s"(runs=$nRuns, loadavg_start=$loadStart, sibling_jvms=" +
+        s"$siblingsStart/$siblingsEnd start/end" +
+        s"${if (only.nonEmpty) ", subset run" else ""})" +
         " — the canonical file is written only by idle median-of-3 full runs")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchFile), line + "\n")

@@ -70,10 +70,19 @@ private[ext] object ArtifactIO {
                     (stage: String => Unit): Unit = {
     val hfs = fs(spark, dst)
     val dstP = new Path(dst)
-    val tmp = new Path(dst + "_compact_tmp")
+    // entry fence: a writer already taken over must not delete the new
+    // holder's siblings or waste a full stage it can never promote
+    fenceOrAbort(spark, dst)
+    // the staging path is TOKEN-UNIQUE under a held lease: a stale
+    // writer's zombie stage (executor tasks still running after a
+    // takeover) keeps writing into ITS tmp, never into the path the new
+    // holder stages and promotes — a shared tmp name would let the
+    // zombie's files be promoted as the new holder's compaction
+    val tmp = new Path(dst + "_compact_tmp" + leaseTokenSuffix(dst))
     val old = new Path(dst + "_compact_old")
     recoverTornSwap(spark, dst)
-    hfs.delete(tmp, true)
+    // clear every staging orphan (ours and any aborted writer's)
+    stagingSiblings(hfs, dst).foreach(p => hfs.delete(p, true))
     hfs.delete(old, true)
     stage(tmp.toString)
     // Commit-point fencing: a writer that overstayed the lease's
@@ -81,8 +90,8 @@ private[ext] object ArtifactIO {
     // check passed long ago, but the swap about to run would interleave
     // with the NEW holder's writes. Re-verify the token immediately
     // before the destructive rename; on mismatch abort loudly, leaving
-    // the staged `_compact_tmp` sibling for inspection and the live
-    // data (now the new holder's) untouched.
+    // the staged tmp sibling for inspection and the live data (now the
+    // new holder's) untouched.
     fenceOrAbort(spark, dst)
     if (hfs.exists(dstP)) {
       require(hfs.rename(dstP, old),
@@ -116,9 +125,17 @@ private[ext] object ArtifactIO {
     val dstP = new Path(dst)
     if (hfs.exists(dstP)) return
     val old = new Path(dst + "_compact_old")
-    val tmp = new Path(dst + "_compact_tmp")
-    val src = if (hfs.exists(old)) Some(old)
-              else if (hfs.exists(tmp)) Some(tmp) else None
+    val src =
+      if (hfs.exists(old)) Some(old)
+      else {
+        // staging names may be token-suffixed (see rewriteInPlace); with
+        // several orphans the most recently modified is the one whose
+        // writer got furthest — and only a FULLY staged tmp can coexist
+        // with an absent dst (the swap deletes dst only after staging)
+        val tmps = stagingSiblings(hfs, dst)
+        if (tmps.isEmpty) None
+        else Some(tmps.maxBy(p => hfs.getFileStatus(p).getModificationTime))
+      }
     src.foreach { s =>
       require(hfs.rename(s, dstP),
         s"recoverTornSwap: rename $s -> $dstP failed")
@@ -126,6 +143,26 @@ private[ext] object ArtifactIO {
         "left by a torn swap")
     }
   }
+
+  /** Every `<dst>_compact_tmp*` staging sibling currently on disk —
+    * the shared legacy name plus any token-suffixed ones left by
+    * fenced-out writers. */
+  private def stagingSiblings(hfs: FileSystem, dst: String): Seq[Path] = {
+    val p = new Path(dst)
+    val parent = p.getParent
+    if (parent == null || !hfs.exists(parent)) Nil
+    else hfs.listStatus(parent).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(p.getName + "_compact_tmp"))
+  }
+
+  /** The staging-name suffix for `dst` under this thread's lease (first
+    * 8 token chars), or empty outside any lease — kept stable per
+    * (writer, artifact) so a retry within one lease reuses its own
+    * staging path. */
+  private def leaseTokenSuffix(dst: String): String =
+    heldLeases.get.find { case (root, _) =>
+      dst == root || dst.startsWith(root + "/")
+    }.map { case (_, token) => "_" + token.take(8) }.getOrElse("")
 
   /** Compact a batch-partitioned postings directory in place: repeated
     * appends accumulate one `batch=<id>` partition per append — this
@@ -251,32 +288,42 @@ private[ext] object ArtifactIO {
     * directories out from under the new holder. A `dst` under no held
     * lease (direct [[rewriteInPlace]] use outside the artifact family)
     * is not fenced. */
-  private def fenceOrAbort(spark: SparkSession, dst: String): Unit =
+  private[ext] def fenceOrAbort(spark: SparkSession, dst: String): Unit =
     heldLeases.get.find { case (root, _) =>
       dst == root || dst.startsWith(root + "/")
     }.foreach { case (root, token) =>
       val hfs = fs(spark, root)
-      val lock = new Path(root, LockFile)
-      val cur =
-        try {
-          val in = hfs.open(lock)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        } catch { case _: java.io.IOException => "<missing>" }
+      val cur = readLock(hfs, new Path(root, LockFile)).getOrElse("<missing>")
       if (!cur.startsWith(token)) throw new IllegalStateException(
         s"writer lease on $root was taken over mid-operation (now held " +
           s"by '$cur') — this writer exceeded the staleness window. " +
-          s"Aborting the swap of $dst; the staged ${dst}_compact_tmp " +
-          "sibling is left for inspection and the live directory (the " +
-          "new holder's) is untouched.")
+          s"Aborting the destructive step on $dst; any staged " +
+          "_compact_tmp sibling is left for inspection and the live " +
+          "directory (the new holder's) is untouched.")
     }
+
+  /** The lock file's payload, or None when it is absent/unreadable —
+    * the one read used by acquisition, release, fencing, and
+    * [[describeLease]] (each chooses its own fallback meaning). */
+  private def readLock(hfs: FileSystem, lock: Path): Option[String] =
+    try {
+      val in = hfs.open(lock)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Run `body` holding the artifact's writer lease. Throws
     * IllegalStateException naming the holder when another writer holds a
     * fresh lease; takes over (with a warning) past `staleAfterMs`. */
   def withWriterLease[T](spark: SparkSession, artifactRoot: String, op: String,
                          staleAfterMs: Long = 15L * 60 * 1000)(body: => T): T = {
-    if (heldLeases.get.contains(artifactRoot)) return body // reentrant
+    if (heldLeases.get.contains(artifactRoot)) {
+      // reentrant — but re-verify the OUTER lease first: a destructive
+      // helper (dropBatch, a nested compact) composed under an
+      // overstayed-and-taken-over lease must abort like any commit point
+      fenceOrAbort(spark, artifactRoot)
+      return body
+    }
     val hfs = fs(spark, artifactRoot)
     val rootP = new Path(artifactRoot)
     if (!hfs.exists(rootP)) hfs.mkdirs(rootP)
@@ -297,11 +344,7 @@ private[ext] object ArtifactIO {
         case _: java.io.FileNotFoundException => None // released between checks
       }
       val age = st.map(s => System.currentTimeMillis - s.getModificationTime)
-      val holder = try {
-        val in = hfs.open(lock)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      } catch { case _: java.io.IOException => "<unreadable>" }
+      val holder = readLock(hfs, lock).getOrElse("<unreadable>")
       if (age.forall(_ > staleAfterMs)) {
         System.err.println(s"[graft] writer lease on $artifactRoot held by " +
           s"'$holder' is ${age.map(_ / 1000).getOrElse(-1L)}s old — presuming " +
@@ -321,15 +364,12 @@ private[ext] object ArtifactIO {
     finally {
       heldLeases.get -= artifactRoot
       // release only OUR lease: a stale takeover may have replaced it
-      try {
-        val in = hfs.open(lock)
-        val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                  finally in.close()
+      readLock(hfs, lock).foreach { cur =>
         if (cur.startsWith(token)) hfs.delete(lock, true)
         else System.err.println(s"[graft] writer lease on $artifactRoot was " +
           "taken over mid-operation (this writer exceeded the staleness " +
           "window) — not releasing the new holder's lock")
-      } catch { case _: java.io.IOException => () }
+      }
     }
   }
 
@@ -342,10 +382,9 @@ private[ext] object ArtifactIO {
     val lock = new Path(artifactRoot, LockFile)
     try {
       val st = hfs.getFileStatus(lock)
-      val in = hfs.open(lock)
-      val payload = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                    finally in.close()
-      Some((payload, System.currentTimeMillis - st.getModificationTime))
+      readLock(hfs, lock)
+        .map(payload =>
+          (payload, System.currentTimeMillis - st.getModificationTime))
     } catch { case _: java.io.IOException => None }
   }
 

@@ -598,6 +598,11 @@ object Dedup {
     * prices EXACTLY the relation the bucket join consumes. */
   private[ext] def simhashChunked(df: DataFrame, idCol: String,
       textCol: String, chunks: Int, seed: Int): DataFrame = {
+    // guards the public estimator too: chunks=0 would divide by zero and
+    // chunks>64 would give 0-bit signatures whose single corpus-sized
+    // bucket silently prices as "no candidates"
+    require(chunks >= 1 && chunks <= 64,
+      s"chunks must be in [1, 64], got $chunks")
     val bitsPer = 64 / chunks
     // string fast path: tokenize+hash+vote in one pass inside SimHash64
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol), seed).as("fp"))

@@ -413,6 +413,10 @@ object DedupIndex {
       .getFileSystem(spark.sessionState.newHadoopConf())
 
   private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    // destructive under the lease: fence like every commit point, so an
+    // overstayed writer's dropBatch/rebuild cannot delete the new
+    // holder's freshly written partitions or bloom segments
+    ArtifactIO.fenceOrAbort(spark, dir)
     fs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
     ()
   }

@@ -1071,7 +1071,13 @@ object ProtoWire {
     }
 
     // second pass: materialize PMessages, recursion unrolled to
-    // maxRecursionDepth occurrences of a message type per ancestor chain
+    // maxRecursionDepth occurrences of a message type per ancestor chain.
+    // The unroll is exponential in recursive-field BRANCHING (k recursive
+    // fields unroll to ~k^depth descriptor nodes), so a hard node cap
+    // keeps a wide recursive schema failing loudly in milliseconds
+    // instead of hanging or exhausting driver memory.
+    val maxUnrolledNodes = 100000
+    var unrolledNodes = 0
     val built = mutable.Map[String, PMessage]()
     def build(full: String, chain: List[String]): PMessage = {
       val cacheable = {
@@ -1082,6 +1088,12 @@ object ProtoWire {
       else buildUncached(full, chain)
     }
     def buildUncached(full: String, chain: List[String]): PMessage = {
+      unrolledNodes += 1
+      if (unrolledNodes > maxUnrolledNodes)
+        fail(s"unrolling recursive messages exceeded $maxUnrolledNodes " +
+          s"descriptor nodes at maxRecursionDepth=$maxRecursionDepth — " +
+          "a schema with several recursive fields grows exponentially " +
+          "with depth; lower maxRecursionDepth")
       val raw = raws(full)
       val chain2 = full :: chain
       val truncated = mutable.Map[Int, String]()

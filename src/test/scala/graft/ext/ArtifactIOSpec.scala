@@ -176,9 +176,9 @@ class ArtifactIOSpec extends SparkSpec {
     Seq((1L, "x")).toDF("id", "v").write.parquet(rel)
     val ex = intercept[IllegalStateException] {
       ArtifactIO.withWriterLease(spark, idx, "test-op") {
-        plantLock(idx) // another writer took the lease over mid-body
         ArtifactIO.rewriteInPlace(spark, rel) { tmp =>
           Seq((2L, "y")).toDF("id", "v").write.parquet(tmp)
+          plantLock(idx) // another writer takes over DURING the stage
         }
       }
     }
@@ -186,12 +186,39 @@ class ArtifactIOSpec extends SparkSpec {
     // the live directory (now the new holder's) is untouched
     spark.read.parquet(rel).as[(Long, String)].collect() shouldBe
       Array((1L, "x"))
-    // the fully staged replacement is left aside for inspection
-    spark.read.parquet(rel + "_compact_tmp").as[(Long, String)]
+    // the fully staged replacement is left aside for inspection —
+    // staging names are TOKEN-UNIQUE under a lease, so a zombie stage
+    // can never write into the path a new holder promotes
+    val staged = new java.io.File(idx).listFiles
+      .filter(_.getName.startsWith("rel_compact_tmp")).map(_.toString)
+    staged.length shouldBe 1
+    staged.head should not be (rel + "_compact_tmp") // token-suffixed
+    spark.read.parquet(staged.head).as[(Long, String)]
       .collect() shouldBe Array((2L, "y"))
     // and the release path declined to delete the new holder's lock
     ArtifactIO.describeLease(spark, idx).map(_._1) shouldBe
       Some("deadbeef-0000 someOp otherhost")
+  }
+
+  it should "fence reentrant destructive helpers after a takeover" in {
+    // an overstaying writer's COMPOSED helper (dropBatch under its
+    // long-held lease) must abort at the reentrant entry, not delete
+    // the new holder's freshly written partitions
+    val root = tmpDir("artio")
+    val idx = s"$root/dd"
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    DedupIndex.build(docs, "doc_id", "text", idx, numHashes = 8, bands = 4)
+    DedupIndex.append(docs.select((col("doc_id") + 10).as("doc_id"),
+      col("text")), "doc_id", "text", idx, batchId = Some("day-1"))
+    ArtifactIO.withWriterLease(spark, idx, "outer-maintenance") {
+      plantLock(idx) // takeover mid-body
+      intercept[IllegalStateException](
+        DedupIndex.dropBatch(spark, idx, "day-1"))
+        .getMessage should include("taken over mid-operation")
+    }
+    // the batch the stale writer tried to drop is intact
+    spark.read.parquet(s"$idx/fingerprints")
+      .filter(col("batch") === "day-1").count() shouldBe 1L
   }
 
   it should "compose guarded operations reentrantly on one thread" in {

@@ -135,6 +135,15 @@ class DedupSpec extends SparkSpec {
       .filter(col("id_b") === col("id_a") + 1000).count() shouldBe 10L
   }
 
+  it should "reject degenerate chunk counts in the simhash front half" in {
+    // chunks=0 used to divide by zero; chunks>64 gives 0-bit signatures
+    // whose single corpus-sized bucket silently prices as "no candidates"
+    intercept[IllegalArgumentException](
+      Dedup.estimateSimhashCandidates(corpus, "doc_id", "text", chunks = 0))
+    intercept[IllegalArgumentException](
+      Dedup.estimateSimhashCandidates(corpus, "doc_id", "text", chunks = 100))
+  }
+
   it should "respect the bucket-size cap (oversized buckets drop pairs)" in {
     // 30 identical docs -> every band bucket has size 30 > cap 10
     val same = (0L until 30L).map(i => (i, "all documents share this exact text body"))

@@ -357,6 +357,19 @@ class ProtoWireSpec extends SparkSpec {
     norm(fromBytes(toBytes(row, a), a)) shouldBe norm(row)
   }
 
+  it should "fail loudly instead of exploding on wide recursive schemas" in {
+    // k recursive fields unroll to ~k^depth descriptor nodes; the node
+    // cap keeps this a fast loud error, not a driver OOM
+    val wide = "message N { " +
+      (1 to 6).map(i => s"optional N f$i = $i;").mkString(" ") +
+      " required int32 v = 7; }"
+    intercept[IllegalArgumentException](parseProto(wide))
+      .getMessage should include("descriptor nodes")
+    // the same schema parses fine at a depth its branching can afford
+    parseProto(wide, maxRecursionDepth = 3)("N")
+      .fields.length shouldBe 7
+  }
+
   it should "keep non-recursive sharing canonical (cache correctness)" in {
     // a diamond: both references to Leaf (directly and through Mid) must
     // resolve to the identical full descriptor regardless of build order
