@@ -62,10 +62,13 @@ private[ext] object ArtifactIO {
     * for an optional artifact dir that was never written, e.g. the Bloom
     * dir of an empty index) skips the aside step. Recovery from a torn
     * swap (dst absent but an aside copy present) is AUTOMATIC: the next
-    * call restores `_compact_old` (the pre-compaction original) — or
-    * `_compact_tmp` (the fully staged replacement) when no aside exists
-    * — back into place before staging, so the sibling copies are never
-    * the ones deleted while they are the only copy. */
+    * call restores `_compact_old` (the pre-compaction original) — or a
+    * `_compact_tmp` whose stage provably COMPLETED (it carries the
+    * [[StagedMarker]] written as staging's last step) when no aside
+    * exists — back into place before staging, so the sibling copies are
+    * never the ones deleted while they are the only copy, and a writer
+    * killed mid-stage can never have its partial output promoted as
+    * live data. */
   def rewriteInPlace(spark: SparkSession, dst: String)
                     (stage: String => Unit): Unit = {
     val hfs = fs(spark, dst)
@@ -81,10 +84,32 @@ private[ext] object ArtifactIO {
     val tmp = new Path(dst + "_compact_tmp" + leaseTokenSuffix(dst))
     val old = new Path(dst + "_compact_old")
     recoverTornSwap(spark, dst)
-    // clear every staging orphan (ours and any aborted writer's)
-    stagingSiblings(hfs, dst).foreach(p => hfs.delete(p, true))
+    // clear the staging orphans that are provably not a live writer's
+    // work-in-progress: ours (we are about to restage), any marked
+    // sibling (its stage completed, its writer aborted at the fence),
+    // and unmarked siblings stale past the lease window. A YOUNG
+    // unmarked foreign tmp may be a fenced-out zombie's still-running
+    // executor tasks — deleting it under them would leave a fresh
+    // partial orphan; it is left for a later pass to age out (and the
+    // marker rule means it can never be promoted either way).
+    val now = System.currentTimeMillis
+    val ourSuffix = leaseTokenSuffix(dst)
+    stagingSiblings(hfs, dst).foreach { p =>
+      val ours = p.getName == new Path(dst).getName + "_compact_tmp" + ourSuffix
+      val legacyShared = p.getName == new Path(dst).getName + "_compact_tmp"
+      val staged = hfs.exists(new Path(p, StagedMarker))
+      val stale =
+        try now - hfs.getFileStatus(p).getModificationTime > StagingStaleMs
+        catch { case _: java.io.FileNotFoundException => false }
+      if (ours || legacyShared || staged || stale) hfs.delete(p, true)
+    }
     hfs.delete(old, true)
     stage(tmp.toString)
+    // completion marker: staging's LAST step, so recoverTornSwap can
+    // distinguish a fully staged replacement from a killed writer's
+    // partial output without guessing by mtime
+    val mk = hfs.create(new Path(tmp, StagedMarker), true)
+    mk.close()
     // Commit-point fencing: a writer that overstayed the lease's
     // staleness window may have been taken over mid-body — its entry
     // check passed long ago, but the swap about to run would interleave
@@ -108,8 +133,24 @@ private[ext] object ArtifactIO {
       require(hfs.rename(tmp, dstP),
         s"rewriteInPlace: rename $tmp -> $dstP failed")
     }
+    // the marker served its purpose; keep the live dir free of it
+    hfs.delete(new Path(dstP, StagedMarker), false)
     ()
   }
+
+  /** Zero-byte file written INSIDE a staging directory as the final step
+    * of [[rewriteInPlace]]'s stage phase. Its presence proves the stage
+    * ran to completion; its absence marks a partial stage (writer killed
+    * mid-write) that must never be promoted. Underscore-prefixed, so
+    * parquet readers and [[hasParquetData]] ignore it if it ever
+    * survives into a live directory. */
+  private val StagedMarker = "_STAGED"
+
+  /** How old an UNMARKED foreign staging sibling must be before entry
+    * cleanup may delete it — matched to the default lease staleness
+    * window, past which its writer is presumed dead rather than a live
+    * fenced-out zombie whose executor tasks are still writing. */
+  private val StagingStaleMs = 15L * 60 * 1000
 
   /** Torn-swap recovery for a [[rewriteInPlace]] directory: when `dst`
     * is absent but a sibling copy exists, a prior call renamed dst aside
@@ -128,17 +169,22 @@ private[ext] object ArtifactIO {
     val src =
       if (hfs.exists(old)) Some(old)
       else {
-        // staging names may be token-suffixed (see rewriteInPlace); with
-        // several orphans the most recently modified is the one whose
-        // writer got furthest — and only a FULLY staged tmp can coexist
-        // with an absent dst (the swap deletes dst only after staging)
+        // staging names may be token-suffixed (see rewriteInPlace). Only
+        // a sibling carrying the StagedMarker — written as staging's
+        // LAST step — is promotable: an unmarked tmp is a killed
+        // writer's partial output (or a live zombie's work in progress)
+        // and promoting it would surface incomplete data as live (a
+        // partial Bloom dir silently yields false negatives). With
+        // several marked orphans the most recently completed wins.
         val tmps = stagingSiblings(hfs, dst)
+          .filter(p => hfs.exists(new Path(p, StagedMarker)))
         if (tmps.isEmpty) None
         else Some(tmps.maxBy(p => hfs.getFileStatus(p).getModificationTime))
       }
     src.foreach { s =>
       require(hfs.rename(s, dstP),
         s"recoverTornSwap: rename $s -> $dstP failed")
+      hfs.delete(new Path(dstP, StagedMarker), false)
       System.err.println(s"[graft] recovered $dst from ${s.getName} " +
         "left by a torn swap")
     }
@@ -314,9 +360,25 @@ private[ext] object ArtifactIO {
 
   /** Run `body` holding the artifact's writer lease. Throws
     * IllegalStateException naming the holder when another writer holds a
-    * fresh lease; takes over (with a warning) past `staleAfterMs`. */
+    * fresh lease; takes over (with a warning) past `staleAfterMs`.
+    *
+    * The holder HEARTBEAT-renews the lock's mtime on a daemon timer
+    * (every `staleAfterMs / 3` unless `heartbeatMs` overrides it), so
+    * staleness means "no heartbeat for staleAfterMs" — a writer whose
+    * JVM died — not "operation ran long". Without renewal a legitimately
+    * slow compaction/retrain at 100 TB scale would exceed the window,
+    * get taken over, and abort at the commit fence EVERY attempt:
+    * maintenance on a big artifact could never complete while a second
+    * writer was waiting. The renewer re-reads the lock each beat and
+    * stops itself the moment the token is no longer ours (never
+    * refreshing a new holder's lock after a takeover); the commit-point
+    * fence still provides the safety half of the contract. Pass
+    * `heartbeatMs = Some(Long.MaxValue)` to disable renewal (a writer
+    * that stops heartbeating is taken over after the window, exactly as
+    * a crashed one is). */
   def withWriterLease[T](spark: SparkSession, artifactRoot: String, op: String,
-                         staleAfterMs: Long = 15L * 60 * 1000)(body: => T): T = {
+                         staleAfterMs: Long = 15L * 60 * 1000,
+                         heartbeatMs: Option[Long] = None)(body: => T): T = {
     if (heldLeases.get.contains(artifactRoot)) {
       // reentrant — but re-verify the OUTER lease first: a destructive
       // helper (dropBatch, a nested compact) composed under an
@@ -360,8 +422,32 @@ private[ext] object ArtifactIO {
           s"delete $artifactRoot/$LockFile if the holder is known dead")
     }
     heldLeases.get(artifactRoot) = token
+    val beat = heartbeatMs.getOrElse(math.max(1L, staleAfterMs / 3))
+    val renewer: Option[java.util.concurrent.ScheduledExecutorService] =
+      if (beat >= staleAfterMs) None // renewal disabled / pointless cadence
+      else {
+        val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+          (r: Runnable) => {
+            val t = new Thread(r, s"graft-lease-heartbeat-$op")
+            t.setDaemon(true)
+            t
+          })
+        ex.scheduleAtFixedRate(() => {
+          try {
+            // renew ONLY while the lock still carries our token — after a
+            // takeover (we somehow missed >= 3 beats: GC pause, FS hang)
+            // the new holder's lock must age on its own heartbeat, and
+            // our next commit point will abort us
+            if (readLock(hfs, lock).exists(_.startsWith(token)))
+              hfs.setTimes(lock, System.currentTimeMillis, -1)
+            else ex.shutdown()
+          } catch { case _: Throwable => () } // missed beat, not a crash
+        }, beat, beat, java.util.concurrent.TimeUnit.MILLISECONDS)
+        Some(ex)
+      }
     try body
     finally {
+      renewer.foreach(_.shutdownNow())
       heldLeases.get -= artifactRoot
       // release only OUR lease: a stale takeover may have replaced it
       readLock(hfs, lock).foreach { cur =>

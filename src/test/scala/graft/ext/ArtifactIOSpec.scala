@@ -44,13 +44,39 @@ class ArtifactIOSpec extends SparkSpec {
     val dst = s"$root/data"
     Seq((7L, "x")).toDF("id", "v").write.parquet(dst)
     // simulate a tear between `rename(dst, old); delete(old)` completing
-    // and tmp promotion: only tmp survives
+    // and tmp promotion: only tmp survives. A real completed stage
+    // carries the _STAGED completion marker (written as staging's last
+    // step) — plant it, as promotion is gated on it.
     hfs(dst).rename(new Path(dst), new Path(dst + "_compact_tmp"))
+    hfs(dst).create(new Path(dst + "_compact_tmp/_STAGED"), true).close()
     ArtifactIO.rewriteInPlace(spark, dst) { tmp =>
       spark.read.parquet(dst).write.parquet(tmp)
     }
     spark.read.parquet(dst).as[(Long, String)].collect().toSet shouldBe
       Set((7L, "x"))
+  }
+
+  it should "never promote an UNMARKED partial stage as live data" in {
+    // a writer killed mid-stage leaves a tmp without the _STAGED marker;
+    // pre-fix recovery promoted the newest tmp by mtime, surfacing a
+    // partial directory (e.g. a half-written Bloom dir => silent false
+    // negatives). Now only a marked tmp is promotable.
+    val root = tmpDir("artio")
+    val dst = s"$root/blooms"
+    val partial = new Path(dst + "_compact_tmp_deadbeef")
+    hfs(dst).mkdirs(partial)
+    val out = hfs(dst).create(new Path(partial, "part-00000.parquet"), true)
+    out.write(Array[Byte](1, 2, 3)) // torn parquet file
+    out.close()
+    // dst and _compact_old both absent, one unmarked tmp: recovery must
+    // NOT guess — dst stays absent (the never-written optional-dir case)
+    ArtifactIO.rewriteInPlace(spark, dst) { tmp =>
+      // readable state mid-stage: dst was not created from the partial
+      hfs(dst).exists(new Path(dst)) shouldBe false
+      Seq((1L, "ok")).toDF("id", "v").write.parquet(tmp)
+    }
+    spark.read.parquet(dst).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "ok"))
   }
 
   it should "not lose folded ledger ids across a torn ledger swap" in {
@@ -162,6 +188,74 @@ class ArtifactIOSpec extends SparkSpec {
     ArtifactIO.forceUnlock(spark, idx) shouldBe false // idempotent
     Retrieval.compactTextIndex(spark, idx)
     ArtifactIO.describeLease(spark, idx) shouldBe None
+  }
+
+  it should "heartbeat-renew so a slow writer is NOT taken over and its swap commits" in {
+    // staleness must mean "no heartbeat for staleAfterMs" (a dead JVM),
+    // not "operation ran long": a legitimately slow 100 TB compaction
+    // would otherwise be taken over and abort at the fence on EVERY
+    // attempt — maintenance livelock. The holder renews the lock mtime
+    // every staleAfterMs/3.
+    val root = tmpDir("artio")
+    val idx = s"$root/hb"
+    val rel = s"$idx/rel"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(rel)
+    val stale = 600L // ms — the body below runs ~4x longer than this
+    ArtifactIO.withWriterLease(spark, idx, "slow-op", staleAfterMs = stale) {
+      ArtifactIO.rewriteInPlace(spark, rel) { tmp =>
+        Thread.sleep(4 * stale) // overstay the window, with heartbeats
+        // a second writer arriving now (separate thread — reentrancy is
+        // per-thread) must see a FRESH lease (renewed mtime) and fail
+        // loudly instead of taking over
+        @volatile var intruder: Option[Throwable] = None
+        val t = new Thread(() =>
+          try ArtifactIO.withWriterLease(spark, idx, "intruder",
+            staleAfterMs = stale) { () }
+          catch { case e: Throwable => intruder = Some(e) })
+        t.start(); t.join()
+        intruder.map(_.getMessage).getOrElse("") should include("single-writer")
+        Seq((2L, "y")).toDF("id", "v").write.parquet(tmp)
+      }
+    }
+    // the slow writer's swap committed and its lease released
+    spark.read.parquet(rel).as[(Long, String)].collect() shouldBe
+      Array((2L, "y"))
+    hfs(idx).exists(new Path(idx, "_writer_lock")) shouldBe false
+  }
+
+  it should "take over a writer whose heartbeats STOPPED, which then aborts at the fence" in {
+    // heartbeatMs = Some(MaxValue) disables renewal — indistinguishable
+    // from a crashed writer once the window passes. The second writer
+    // takes over; the first aborts at its commit point, data intact.
+    val root = tmpDir("artio")
+    val idx = s"$root/hb2"
+    val rel = s"$idx/rel"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(rel)
+    val stale = 400L
+    @volatile var successorFailed: Option[Throwable] = None
+    val ex = intercept[IllegalStateException] {
+      ArtifactIO.withWriterLease(spark, idx, "flatlined", staleAfterMs = stale,
+        heartbeatMs = Some(Long.MaxValue)) {
+        ArtifactIO.rewriteInPlace(spark, rel) { tmp =>
+          Thread.sleep(2 * stale) // overstay with NO heartbeats
+          // a second writer (separate thread — the reentrancy map is
+          // per-thread) now legitimately takes over the stale lease,
+          // does its work, and holds while we reach our commit point
+          val t = new Thread(() =>
+            try ArtifactIO.withWriterLease(spark, idx, "successor",
+              staleAfterMs = stale) {
+                plantLock(idx) // leave a foreign holder for our fence
+              }
+            catch { case e: Throwable => successorFailed = Some(e) })
+          t.start(); t.join()
+          Seq((2L, "y")).toDF("id", "v").write.parquet(tmp)
+        }
+      }
+    }
+    successorFailed shouldBe None // the takeover itself succeeded
+    ex.getMessage should include("taken over mid-operation")
+    spark.read.parquet(rel).as[(Long, String)].collect() shouldBe
+      Array((1L, "x"))
   }
 
   it should "abort an overstaying writer's swap after a mid-body takeover" in {
