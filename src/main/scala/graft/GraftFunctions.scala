@@ -90,6 +90,15 @@ object GraftFunctions {
   def jaccardSorted(l: Column, r: Column): Column =
     expr2col(JaccardSorted(col2expr(l), col2expr(r)))
 
+  /** [[jaccardSorted]] with EARLY ABANDONMENT against a threshold: the
+    * exact Jaccard when ≥ `tau`, NULL otherwise — the walk stops the
+    * moment the pair can no longer reach `tau`. The verification kernel
+    * for high-volume exact SSJoin, where almost every candidate is a
+    * non-match that abandons within the first few steps. */
+  def jaccardSortedAtLeast(l: Column, r: Column, tau: Double): Column =
+    expr2col(JaccardSortedAtLeast(col2expr(l), col2expr(r),
+      org.apache.spark.sql.catalyst.expressions.Literal(tau)))
+
   /** The `nprobe` nearest centroid indices of a vector, most-similar
     * first. "cosine" (IVF coarse assignment) or "l2" (Euclidean argmin —
     * the PQ codebook metric; zero vectors assign instead of nulling). */

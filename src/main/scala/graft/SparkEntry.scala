@@ -829,8 +829,12 @@ object SparkEntry {
       val corpus = docs.unionByName(docs.select(
         (col("doc_id") + off).as("doc_id"),
         expr("substring(text, 1, greatest(length(text) - 4, 20))").as("text")))
+      // explicit opt-out of the default 1e9 candidate cap: this gate
+      // deliberately prices and pays the exact join's quadratic (sf1
+      // estimates 1.28e9 candidates) — the attended-run flow the cap's
+      // scaladoc prescribes
       Dedup.jaccardJoinExact(corpus, "doc_id", "text",
-          shingleLen = 5, threshold = 0.8)
+          shingleLen = 5, threshold = 0.8, maxCandidates = Long.MaxValue)
         .agg(
           sum(when(col("id_b") === col("id_a") + off, 1L).otherwise(0L))
             .as("n_planted_found"),

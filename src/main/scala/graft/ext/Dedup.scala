@@ -345,7 +345,7 @@ object Dedup {
                       maxBucketSize: Int = 1000,
                       broadcastVerify: Option[Boolean] = None,
                       broadcastVerifyMaxRows: Long = 1000000L,
-                      maxCandidates: Option[Long] = None): DataFrame = {
+                      maxCandidates: Option[Long] = DefaultMaxCandidates): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val (sh, banded) = shingleBanded(df, idCol, textCol, numHashes, bands,
       shingleLen, seed)
@@ -436,7 +436,7 @@ object Dedup {
                         maxBucketSize: Int = 1000, bloomFpp: Double = 0.01,
                         broadcastVerify: Option[Boolean] = None,
                         broadcastVerifyMaxRows: Long = 1000000L,
-                        maxCandidates: Option[Long] = None): DataFrame = {
+                        maxCandidates: Option[Long] = DefaultMaxCandidates): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(bloomFpp > 0 && bloomFpp <= 0.5,
       s"bloomFpp must be in (0, 0.5], got $bloomFpp")
@@ -626,12 +626,12 @@ object Dedup {
     * Self-pricing like [[minhashNearDups]]: the chunk-bucket candidate
     * volume is estimated pre-flight (it is the same bucket-mass-squared
     * shape — narrow per-chunk signatures on a homogeneous corpus collide
-    * broadly), logged past [[WarnCandidateVolume]], and fail-fast past the
-    * opt-in `maxCandidates`. */
+    * broadly), logged past [[WarnCandidateVolume]], and fail-fast past
+    * `maxCandidates` (default [[DefaultMaxCandidates]]). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, chunks: Int = 4, seed: Int = 0,
                       maxBucketSize: Int = 1000,
-                      maxCandidates: Option[Long] = None): DataFrame = {
+                      maxCandidates: Option[Long] = DefaultMaxCandidates): DataFrame = {
     require(chunks > maxHamming, "need chunks > maxHamming for full recall (pigeonhole)")
     val chunked = simhashChunked(df, idCol, textCol, chunks, seed)
 
@@ -729,7 +729,7 @@ object Dedup {
     *        the corpus row count like [[minhashNearDups]] — at 1e9 vectors
     *        the verifier shuffle-joins instead of OOMing every executor.
     * @param broadcastVerifyMaxRows auto-mode cutoff for `broadcastVerify`
-    * @param maxCandidates opt-in fail-fast ceiling on the pre-flight
+    * @param maxCandidates fail-fast ceiling (default [[DefaultMaxCandidates]]) on the pre-flight
     *        bucket candidate estimate, like [[minhashNearDups]] — a
     *        recall-tuned low-`bits` table set on a clustered embedding
     *        space has the same bucket-mass-squared quadratic shape */
@@ -739,7 +739,7 @@ object Dedup {
                         maxBucketSize: Int = 100000,
                         broadcastVerify: Option[Boolean] = None,
                         broadcastVerifyMaxRows: Long = 1000000L,
-                        maxCandidates: Option[Long] = None): DataFrame = {
+                        maxCandidates: Option[Long] = DefaultMaxCandidates): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val banded = embeddingBanded(df, idCol, vecCol, dim, bits, tables, seed)
     val ok = banded.groupBy("table", "bucket").count()
@@ -1001,7 +1001,7 @@ object Dedup {
                       threshold: Double = 0.8, seed: Int = 0,
                       maxBucketSize: Int = 1000,
                       clusterCol: String = "cluster",
-                      maxCandidates: Option[Long] = None): DataFrame = {
+                      maxCandidates: Option[Long] = DefaultMaxCandidates): DataFrame = {
     require(!df.columns.contains(clusterCol),
       s"clusterCol '$clusterCol' already exists on the input")
     val pairs = minhashNearDups(df, idCol, textCol, numHashes, bands,
@@ -1075,8 +1075,20 @@ object Dedup {
 
   /** Log-warn threshold for [[jaccardJoinExact]]'s and
     * [[minhashNearDups]]'s pre-flight candidate estimates (the hard stop
-    * is the caller's opt-in `maxCandidates`). */
+    * is `maxCandidates`, protective by default — see
+    * [[DefaultMaxCandidates]]). */
   val WarnCandidateVolume: Long = 10000000L
+
+  /** Default `maxCandidates` fail-fast ceiling across the banded joins
+    * (minhash/simhash/embedding, their incremental forms, and
+    * [[jaccardJoinExact]]): 1e9 candidate pairs — roughly half an hour
+    * of verification on 32 cores, and far past any sane banding — so an
+    * UNATTENDED run with default arguments stops at the pre-flight
+    * estimate instead of committing a cluster to a quadratic job (r15
+    * measured r=2 banding pricing 219M pairs at sf1; 100 TB multiplies
+    * that). Opt out explicitly with `None` (or `Long.MaxValue` on the
+    * exact join) after reading the priced estimate. */
+  val DefaultMaxCandidates: Option[Long] = Some(1000000000L)
 
   /** Σ c·(c−1)/2 over a (band, bsig, count) bucket-size relation — the
     * EXACT pre-dedup candidate-pair output of the banded bucket join. */
@@ -1224,8 +1236,12 @@ object Dedup {
     * (`min(|A|−i, |B|−j) ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉` for 0-based prefix
     * positions i, j — the FIRST shared prefix token of a qualifying
     * pair always survives it), and verified with the exact sorted-merge
-    * Jaccard. Both prunes are proven lossless in JaccardJoinSpec by
-    * pair-set equality with brute force.
+    * Jaccard via an EARLY-ABANDONING threshold-aware walk
+    * ([[graft.functions.JaccardSortedAtLeast]]) — on the broadcast
+    * verify path the walk runs on the raw candidate rows BEFORE the
+    * pair dedup, eliminating the full-candidate-volume shuffle. All
+    * prunes are proven lossless in JaccardJoinSpec by pair-set equality
+    * with brute force.
     *
     * Scale shape: two token-keyed shuffles (frequency count + the
     * re-rank join) and the prefix self-join — O(docs × prefix) join
@@ -1239,7 +1255,7 @@ object Dedup {
     *
     * Pre-flight guard: the estimated candidate volume (see
     * [[estimateJaccardJoinCandidates]]) is computed and logged before
-    * the join runs; past `maxCandidates` (opt-in — default unlimited)
+    * the join runs; past `maxCandidates` (default [[DefaultMaxCandidates]]; opt out with `Long.MaxValue`)
     * the call fails with the estimate and the minhash recommendation
     * instead of launching a quadratic job. */
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
@@ -1247,7 +1263,7 @@ object Dedup {
                        threshold: Double = 0.8,
                        broadcastVerify: Option[Boolean] = None,
                        broadcastVerifyMaxRows: Long = 1000000L,
-                       maxCandidates: Long = Long.MaxValue): DataFrame = {
+                       maxCandidates: Long = DefaultMaxCandidates.get): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(maxCandidates > 0, s"maxCandidates must be > 0, got $maxCandidates")
@@ -1280,7 +1296,14 @@ object Dedup {
       (col("len_a") + col("len_b")))
     // role order: smaller (len, id) probes larger — every unordered pair
     // is considered exactly once
-    val cand = sideSmall.join(sideLarge, "tok")
+    // (an ACCUMULATED positional bound — group per pair, prune on
+    // c + min(suffix after the last shared prefix token) — was measured
+    // here at sf1: it pruned 0 of 70.4M candidate pairs on the
+    // bounded-vocabulary probe corpus, because frequency-ranked prefixes
+    // make the shared tokens consecutive, while widening every
+    // pre-shuffle row by 16 bytes. The per-row first-match bound below
+    // is the version of the ppos filter that pays for itself.)
+    val candRows = sideSmall.join(sideLarge, "tok")
       .filter(col("len_a") < col("len_b") ||
         (col("len_a") === col("len_b") && col("id_a") < col("id_b")))
       .filter(col("len_b") >= ceil(lit(threshold) * col("len_a")) &&
@@ -1288,7 +1311,6 @@ object Dedup {
       .filter(least(col("len_a") - col("pos_a"),
         col("len_b") - col("pos_b")) >= alpha)
       .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
     // verify side tables: same broadcast policy as minhashNearDups —
     // on a dense corpus the candidate set is orders of magnitude larger
     // than the doc table, so shipping (id → shingles) to every task
@@ -1302,15 +1324,34 @@ object Dedup {
       val s0 = sh.select(col("id").as(s"id_$n"), col("sh").as(s"sh_$n"))
       if (doBroadcast) broadcast(s0) else s0
     }
-    cand
+    // verification kernel: threshold-aware early-abandon merge walk —
+    // NULL below τ, the exact Jaccard at or above it (row-for-row equal
+    // to filtering jaccardSorted >= τ; JaccardJoinSpec pins the parity).
+    // Almost every candidate is a non-match that abandons within its
+    // first few steps, so walks stop pricing the verification.
+    def verified(cand: DataFrame) = cand
       .join(vside("a"), "id_a")
       .join(vside("b"), "id_b")
-      // J(A,B) ≤ min/max set size: size-incompatible candidates skip the
-      // merge walk entirely
-      .filter(least(size(col("sh_a")), size(col("sh_b"))) >=
-        lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))))
-      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard",
+        jaccardSortedAtLeast(col("sh_a"), col("sh_b"), threshold))
+      .filter(col("jaccard").isNotNull)
+    val pairs =
+      if (doBroadcast)
+        // broadcast path: verify the raw candidate ROWS map-side (two
+        // broadcast-hash probes + an early-abandon walk per row, inside
+        // the join stage) and deduplicate the few SURVIVORS — the
+        // shuffle that would otherwise deduplicate the full candidate
+        // row volume (sf1: 149M rows, the single most expensive stage
+        // of this join) disappears; the price is one redundant abandoned
+        // walk per extra shared prefix token (~2× here), far cheaper
+        // than hashing+shuffling every row
+        verified(candRows).dropDuplicates("id_a", "id_b")
+      else
+        // shuffle path: attaching arrays to the full row volume would
+        // dwarf the dedup shuffle — deduplicate the 16-byte pair rows
+        // first, then verify once per distinct pair
+        verified(candRows.dropDuplicates("id_a", "id_b"))
+    pairs
       // the (len, id) role order is not id order — normalize the output
       // contract id_a < id_b here
       .select(least(col("id_a"), col("id_b")).as("id_a"),

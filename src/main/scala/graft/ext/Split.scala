@@ -96,7 +96,7 @@ object Split {
                        shingleLen: Int = 5, threshold: Double = 0.8,
                        minhashSeed: Int = 0,
                        maxBucketSize: Int = 1000,
-                       maxCandidates: Option[Long] = None): DataFrame = {
+                       maxCandidates: Option[Long] = Dedup.DefaultMaxCandidates): DataFrame = {
     val clustered = Dedup.clusterNearDups(df, idCol, textCol, numHashes,
       bands, shingleLen, threshold, minhashSeed, maxBucketSize, clusterCol,
       maxCandidates)
@@ -107,7 +107,8 @@ object Split {
   /** [[leakageSafeSplit]] from a PRE-COMPUTED (id, component) labeling —
     * the composition primitive: any pair source ([[Dedup.minhashNearDups]],
     * [[Dedup.simhashNearDups]], [[Dedup.embeddingNearDups]] — all three
-    * candidate-priced with the same opt-in `maxCandidates` fail-fast — or
+    * candidate-priced with the same `maxCandidates` fail-fast (default
+    * [[Dedup.DefaultMaxCandidates]]) — or
     * a persisted [[DedupIndex]] search) fed through
     * [[Dedup.connectedComponents]] plugs in here. Rows absent from `components` are singletons keyed on
     * their own id. Pure column logic after one left join against the

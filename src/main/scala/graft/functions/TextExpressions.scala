@@ -222,6 +222,87 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = newChildren(0), right = newChildren(1))
 }
 
+/** Threshold-aware [[JaccardSorted]]: `array<long> × array<long> ->
+  * double?`, returning the exact Jaccard when it is ≥ `threshold` and
+  * NULL otherwise — with EARLY ABANDONMENT inside the merge walk. At
+  * every step the best still-reachable intersection is
+  * `inter + min(remaining_l, remaining_r)`; once it drops below the
+  * minimum intersection that can reach the threshold, the walk stops.
+  * On high-volume verification (70M+ candidate pairs of which <0.1%
+  * qualify, the exact-SSJoin regime) most walks abandon in the first
+  * ~(1−τ)·|A| steps instead of walking both arrays to the end — the
+  * difference between verification being the bottleneck and not.
+  * Exactness: the integer abandonment bound `minInter` is calibrated
+  * against the SAME double comparison `inter/(n+m−inter) ≥ τ` the
+  * unabandoned walk would finish with, so (filter on non-null result)
+  * ≡ (jaccardSorted ≥ τ) row for row. `threshold` must be a foldable
+  * non-null double in [0, 1]. */
+case class JaccardSortedAtLeast(left: Expression, right: Expression,
+                                threshold: Expression)
+  extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(left, right, threshold)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType, threshold.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), DoubleType)
+        if threshold.foldable => TypeCheckResult.TypeCheckSuccess
+      case (l, r, t) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted_at_least expects two array<bigint> and a foldable " +
+          s"double threshold, got ${l.catalogString} / ${r.catalogString} / " +
+          s"${t.catalogString}${if (!threshold.foldable) " (non-foldable)" else ""}")
+    }
+
+  @transient private lazy val tau: Double = {
+    val v = threshold.eval(null)
+    require(v != null, "jaccard_sorted_at_least threshold must be non-null")
+    val d = v.asInstanceOf[Double]
+    require(d >= 0.0 && d <= 1.0,
+      s"jaccard_sorted_at_least threshold must be in [0,1], got $d")
+    d
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val lv = left.eval(input)
+    if (lv == null) return null
+    val rv = right.eval(input)
+    if (rv == null) return null
+    val la = lv.asInstanceOf[ArrayData]
+    val ra = rv.asInstanceOf[ArrayData]
+    val n = la.numElements(); val m = ra.numElements()
+    if (n == 0 && m == 0) return null
+    // smallest integer intersection that satisfies the double-precision
+    // acceptance test inter/(n+m-inter) >= tau — derived algebraically,
+    // then nudged so it agrees with the EXACT comparison the plain walk
+    // uses (double rounding at the boundary must not flip a verdict)
+    var minInter = math.ceil(tau * (n + m) / (1.0 + tau)).toLong
+    while (minInter > 0 &&
+      (minInter - 1).toDouble / (n + m - (minInter - 1)).toDouble >= tau)
+      minInter -= 1
+    while (minInter <= math.min(n, m) &&
+      minInter.toDouble / (n + m - minInter).toDouble < tau)
+      minInter += 1
+    if (minInter > math.min(n, m)) return null // size-incompatible
+    var i = 0; var j = 0; var inter = 0L
+    while (i < n && j < m) {
+      if (inter + math.min(n - i, m - j) < minInter) return null // abandon
+      val x = la.getLong(i); val y = ra.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (inter >= minInter) inter.toDouble / (n + m - inter).toDouble
+    else null
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1),
+      threshold = newChildren(2))
+}
+
 /** Character n-gram shingle hashes: `string -> array<long>`, SORTED and
   * DISTINCT. One pass over the string: each n-char window is folded with a
   * multiplicative hash and finalized with the splitmix64 mixer; the hash

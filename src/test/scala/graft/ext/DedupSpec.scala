@@ -135,6 +135,30 @@ class DedupSpec extends SparkSpec {
       .filter(col("id_b") === col("id_a") + 1000).count() shouldBe 10L
   }
 
+  it should "cap candidate volume BY DEFAULT across every banded join" in {
+    // an unattended 100 TB run with default arguments must stop at the
+    // pre-flight estimate, not commit a cluster to a quadratic job: the
+    // protective ceiling is the DEFAULT, opting OUT is what's explicit.
+    // The compiler-generated default getters pin the wiring — a
+    // regression of any signature back to None breaks here.
+    Dedup.DefaultMaxCandidates shouldBe Some(1000000000L)
+    Dedup.minhashNearDups$default$12 shouldBe Dedup.DefaultMaxCandidates
+    Dedup.minhashNewAgainst$default$14 shouldBe Dedup.DefaultMaxCandidates
+    Dedup.simhashNearDups$default$8 shouldBe Dedup.DefaultMaxCandidates
+    Dedup.embeddingNearDups$default$12 shouldBe Dedup.DefaultMaxCandidates
+    Dedup.clusterNearDups$default$11 shouldBe Dedup.DefaultMaxCandidates
+    Dedup.jaccardJoinExact$default$8 shouldBe Dedup.DefaultMaxCandidates.get
+    Split.leakageSafeSplit$default$14 shouldBe Dedup.DefaultMaxCandidates
+    // and None still opts out: the same over-cap corpus that fails fast
+    // under an explicit tiny cap runs uncapped
+    val est = Dedup.estimateMinhashCandidates(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32)
+    est should be > 0L
+    Dedup.minhashNearDups(corpus, "doc_id", "text", numHashes = 64,
+        bands = 32, threshold = 0.5, maxCandidates = None)
+      .filter(col("id_b") === col("id_a") + 1000).count() shouldBe 10L
+  }
+
   it should "reject degenerate chunk counts in the simhash front half" in {
     // chunks=0 used to divide by zero; chunks>64 gives 0-bit signatures
     // whose single corpus-sized bucket silently prices as "no candidates"
@@ -404,6 +428,40 @@ class DedupSpec extends SparkSpec {
     val j = df.select(jaccardSorted(hashedSet(col("a")), hashedSet(col("b"))))
       .as[Double].head()
     j shouldBe 0.5 +- 1e-12 // |∩|=2, |∪|=4
+  }
+
+  it should "early-abandon EXACTLY like filtering the plain walk at the threshold" in {
+    // jaccardSortedAtLeast(a, b, τ) must be row-for-row the plain
+    // jaccardSorted gated at τ — including AT the boundary, where a
+    // sloppy abandonment bound would flip verdicts via double rounding.
+    // Randomized sorted-distinct long sets across the selectivity range.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { k =>
+      val n = 1 + rnd.nextInt(30)
+      val overlap = rnd.nextInt(n + 1)
+      val a = (0 until n).map(i => i.toLong * 7 + 1).sorted
+      val b = (a.take(overlap) ++
+        (0 until (n - overlap)).map(i => 100000L + i * 3 + k)).distinct.sorted
+      (a, b)
+    } :+ ((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))) :+  // J = 1
+      ((Seq(1L, 2L), Seq(3L, 4L)))                // J = 0
+    val df = rows.toDF("a", "b")
+    for (tau <- Seq(0.0, 0.2, 0.5, 2.0 / 3.0, 0.8, 1.0)) {
+      val got = df.select(jaccardSortedAtLeast(col("a"), col("b"), tau))
+        .as[Option[Double]].collect()
+      val want = df.select(jaccardSorted(col("a"), col("b")))
+        .as[Double].collect().map(j => if (j >= tau) Some(j) else None)
+      got should contain theSameElementsInOrderAs want
+    }
+    // null/empty contract mirrors jaccardSorted: null in -> null out,
+    // both-empty -> null; one-empty at τ>0 abandons to null
+    val edge = Seq((Some(Seq.empty[Long]), Some(Seq.empty[Long])),
+      (None, Some(Seq(1L))), (Some(Seq(1L)), None),
+      (Some(Seq.empty[Long]), Some(Seq(1L))))
+      .toDF("a", "b")
+    edge.select(jaccardSortedAtLeast(col("a"), col("b"), 0.5))
+      .as[Option[Double]].collect() shouldBe
+      Array(None, None, None, None)
   }
 }
 
