@@ -484,15 +484,37 @@ object SparkEntry {
       val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
         "l_returnflag", "l_shipdate")
       val li = t(s, d, "lineitem").select(cols.map(col): _*)
-      graft.sources.AvroIO.write(li, s"$tmp/avro")
-      graft.sources.GraftIO.writeJsonLines(li, s"$tmp/json")
+      // shard the audit sinks to the session's parallelism: the avro/json
+      // conversion legs are record-at-a-time per split, and the source
+      // parquet arrives in 1-2 files — writing the round-trip copies in
+      // that layout serialized the whole audit onto 2 cores (measured:
+      // 97% of this gate's wall). Same rows, same multiset contract —
+      // the shard count is free to differ across formats because every
+      // comparison below is order-independent.
+      // pinned: the shuffle runs once and feeds BOTH format sinks
+      val sharded = li.repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      graft.sources.AvroIO.write(sharded, s"$tmp/avro")
+      graft.sources.GraftIO.writeJsonLines(sharded, s"$tmp/json")
+      // one decode pass: the avro relation feeds a sig AND a cohort —
+      // pin it instead of re-running the record-at-a-time read per use
       val avro = graft.sources.AvroIO.read(s, s"$tmp/avro")
+        .localCheckpoint(true)
       val json = graft.sources.GraftIO.readJsonLines(s, s"$tmp/json",
         Some(li.schema))
+      // multiset fingerprint (count, XOR of the row hashes, XOR of the
+      // REMIXED row hashes): all three are ALGEBRAIC, so each leg is one
+      // exchange-free pass — the count_distinct this replaced
+      // re-shuffled every leg's full hash column just to compare
+      // relations that must be equal as multisets anyway. The second,
+      // independently-mixed XOR breaks the paired-cancellation blind
+      // spot a single XOR has (a 4-row symmetric difference cancelling
+      // in h-space won't cancel in farmhash(h)-space).
       def sig(df: DataFrame): (Long, Long, Long) = {
         val r = df.select(fieldHash(cols.map(col)).as("h"))
-          .agg(count(lit(1)), count_distinct(col("h")),
-            expr("bit_xor(h)")).head()
+          .select(col("h"), fieldHash(Seq(col("h"))).as("h2"))
+          .agg(count(lit(1)), expr("bit_xor(h)"), expr("bit_xor(h2)"))
+          .head()
         (r.getLong(0), r.getLong(1), r.getLong(2))
       }
       // the OPERATOR is the shipped hash funnel over the native parquet

@@ -29,7 +29,10 @@ import scala.jdk.CollectionConverters._
 object AvroIO {
 
   /** Distributed scan via AvroKeyInputFormat (splittable, no whole-file
-    * reads). Schema sniffed from the first file when not given. */
+    * reads). Schema sniffed from the first file when not given. Records
+    * convert straight to INTERNAL rows through compiled per-field
+    * converters ([[AvroInternalConverters]]) — no external-Row /
+    * RowEncoder round trip, which at scan scale is the source's cost. */
   def read(spark: SparkSession, path: String, avroSchema: Option[Schema] = None): DataFrame = {
     val schema = avroSchema.getOrElse(sniffSchema(path))
     val st = AvroConverters.toStructType(schema)
@@ -39,10 +42,14 @@ object AvroIO {
     val rdd = spark.sparkContext.newAPIHadoopFile(
         path, classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]], classOf[NullWritable], job.getConfiguration)
-      .mapPartitions(_.map { case (k, _) =>
-        AvroConverters.toCatalyst(k.datum(), stLocal).asInstanceOf[Row]
-      })
-    spark.createDataFrame(rdd, st)
+      .mapPartitions { it =>
+        val rd = AvroInternalConverters.internalReader(stLocal)
+        // convert EAGERLY per record: avro-mapred reuses the datum tree,
+        // and the compiled reader copies every value out of it
+        it.map { case (k, _) => rd(k.datum()) }
+      }
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .internalCreateDataFrame(spark, rdd, st)
   }
 
   /** Distributed sharded sink via AvroKeyOutputFormat. Overwrite
@@ -59,10 +66,15 @@ object AvroIO {
     if (fs.exists(p)) fs.delete(p, true)
     val job = Job.getInstance(hadoopConf)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
-    df.rdd.mapPartitions { it =>
+    // INTERNAL rows straight to avro datums (compiled per-field writers):
+    // df.rdd would deserialize every InternalRow to a boxed external Row
+    // first — at sink scale that encoder pass costs more than the avro
+    // encoding itself. Safe against row reuse: the writer materializes a
+    // full GenericRecord (copying values) before the next row is fetched.
+    df.queryExecution.toRdd.mapPartitions { it =>
       lazy val schema = new Schema.Parser().parse(schemaJson)
-      it.map(r => (new AvroKey[GenericRecord](AvroConverters.toAvro(r, schema, st)),
-        NullWritable.get()))
+      val wr = AvroInternalConverters.internalWriter(schema, st)
+      it.map(r => (new AvroKey[GenericRecord](wr(r)), NullWritable.get()))
     }.saveAsNewAPIHadoopFile(path, classOf[AvroKey[GenericRecord]],
       classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
       job.getConfiguration)

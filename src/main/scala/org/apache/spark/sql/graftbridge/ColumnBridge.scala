@@ -24,4 +24,17 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
+
+  /** DataFrame over an RDD of INTERNAL rows — `private[sql]` in classic
+    * SparkSession. The batch path for hand-rolled sources (AvroIO):
+    * `createDataFrame(RDD[Row], schema)` would re-validate and re-encode
+    * every external row the source just built, doubling the scan's
+    * per-record cost. The rows must already be in Catalyst internal form
+    * (UTF8String, micros longs, Decimal). */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
