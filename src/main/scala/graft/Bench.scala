@@ -40,22 +40,35 @@ object Bench {
   private[graft] val MinCanonicalRuns = 3
   private[graft] val MaxCanonicalLoadavg = 1.5
 
+  /** The heap the committed canonical records were measured under
+    * (-Xmx8g → 8192 MB as stamped). Heap size is a bench VARIABLE:
+    * -Xmx48g measured 1.7× slower medians with 8× the spread on the
+    * memory-heavy sf1 gates (GC profile), so a record taken under a
+    * different heap is not comparable and must not overwrite the
+    * canonical file. The small band absorbs GC-flavor rounding of
+    * Runtime.maxMemory, nothing more. */
+  private[graft] val CanonicalHeapMb = 8192L
+  private[graft] val CanonicalHeapBandMb = 256L
+
   /** Where this bench's durable JSON line goes. A subset run is diverted
     * to a `_partial` sibling (it is not the suite); a full run whose
     * environment stamps fail the canonical bar is diverted to a
     * `_loaded` sibling — the canonical path is only ever written by an
-    * idle median-of-≥3 full-suite run, so a driver single-pass or a
-    * locally-contaminated run can never clobber the committed record
-    * (the r14/r15 failure mode). Unreadable probes (negative loadavg or
-    * sibling count) divert too: a record that cannot PROVE it was idle
-    * is not canonical. */
+    * idle median-of-≥3 full-suite run under the canonical heap, so a
+    * driver single-pass, a locally-contaminated run, or a fat-heap
+    * experiment can never clobber the committed record (the r14/r15
+    * failure mode). Unreadable probes (negative loadavg or sibling
+    * count) divert too: a record that cannot PROVE it was idle is not
+    * canonical. */
   private[graft] def benchOutputFile(requested: String, partial: Boolean,
                                      runs: Int, loadavgStart: Double,
-                                     siblingJvms: Long): String = {
+                                     siblingJvms: Long,
+                                     heapMb: Long = CanonicalHeapMb): String = {
     val suffix =
       if (partial) Some("_partial")
       else if (runs < MinCanonicalRuns || loadavgStart < 0.0 ||
-        loadavgStart > MaxCanonicalLoadavg || siblingJvms != 0L)
+        loadavgStart > MaxCanonicalLoadavg || siblingJvms != 0L ||
+        math.abs(heapMb - CanonicalHeapMb) > CanonicalHeapBandMb)
         Some("_loaded")
       else None
     suffix match {
@@ -66,6 +79,36 @@ object Bench {
         else requested + sfx
     }
   }
+
+  /** Gates whose run-to-run spread regressed past `factor`× the
+    * committed canonical record's spread for the same gate (ignoring
+    * spreads under `floorSec` — sub-second dispersion on short gates is
+    * scheduling noise, not a variance regression). The r16 variance
+    * episode (a gate quietly going 12.7 s ± 50 s) motivates this:
+    * variance regressions must self-identify in the record the way
+    * contamination now does, not wait for a judge diff. */
+  private[graft] def spreadRegressions(current: Map[String, Double],
+                                       committed: Map[String, Double],
+                                       factor: Double = 2.0,
+                                       floorSec: Double = 1.0): Seq[String] =
+    current.toSeq.sortBy(_._1).collect {
+      case (gate, sp) if sp >= floorSec &&
+        committed.get(gate).exists(c => sp > factor * math.max(c, floorSec / factor)) =>
+        gate
+    }
+
+  /** The per-gate "spread" object of a committed bench record, parsed
+    * with a flat-object regex (the bench stays dependency-free). Empty
+    * when the file is absent or carries no spread. */
+  private[graft] def committedSpreads(path: String): Map[String, Double] =
+    try {
+      val line = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val obj = """"spread":\{([^}]*)\}""".r.findFirstMatchIn(line)
+        .map(_.group(1)).getOrElse("")
+      """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(obj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -170,9 +213,21 @@ object Bench {
     // across rounds
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // per-gate sibling re-sampling: a racing JVM that starts after the
+    // suite-start sample and exits before suite end would otherwise never
+    // be observed (r16's worst-of(start,end) only caught racers alive at
+    // a sample instant) — one cheap ProcessHandle scan per gate bounds
+    // the blind window to a single gate's wall
+    var siblingsMaxSeen = siblingsStart
+    def sampleSiblings(): Unit = {
+      val s = siblingJvms()
+      if (s < 0 || siblingsMaxSeen < 0) siblingsMaxSeen = -1L
+      else siblingsMaxSeen = math.max(siblingsMaxSeen, s)
+    }
     def runSuite(): Seq[(String, Double, Boolean, Option[Double], Option[Double])] =
       benched.map { case (name, fn) =>
         skewListener.foreach(_.reset())
+        sampleSiblings()
         SparkEntry.operatorSeconds.remove(name)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -276,20 +331,23 @@ object Bench {
     // 8x the spread on the memory-heavy sf1 gates vs the 8 GB default
     // (GC profile), so records across heap sizes are not comparable
     val heapMb = Runtime.getRuntime.maxMemory() >> 20
-    // sibling JVMs re-sampled at suite END: a bench that started idle
-    // but gained a racing JVM mid-suite is contaminated from that point
-    // on. Unlike loadavg (which the bench's own work inflates), the
-    // sibling count is clean at both ends — routing uses the worst of
-    // the two samples (an unreadable probe stays unreadable).
+    // sibling JVMs sampled at suite start, before EVERY gate, and at
+    // suite end: a bench that gained a racing JVM mid-suite is
+    // contaminated from that point on, and the per-gate samples bound
+    // the blind window for a short-lived racer to one gate's wall.
+    // Unlike loadavg (which the bench's own work inflates), the sibling
+    // count is clean at every sample — routing uses the worst sample
+    // seen (an unreadable probe stays unreadable).
     val siblingsEnd = siblingJvms()
     val siblingsWorst =
-      if (siblingsStart < 0 || siblingsEnd < 0) -1L
-      else math.max(siblingsStart, siblingsEnd)
+      if (siblingsStart < 0 || siblingsEnd < 0 || siblingsMaxSeen < 0) -1L
+      else math.max(siblingsMaxSeen, siblingsEnd)
     val envStamp =
       s""","runs":$nRuns,"loadavg_start":${num("%.2f", loadStart)}""" +
         s""","loadavg_end":${num("%.2f", loadavg())}""" +
         s""","sibling_jvms":$siblingsStart""" +
-        s""","sibling_jvms_end":$siblingsEnd,"heap_mb":$heapMb"""
+        s""","sibling_jvms_end":$siblingsEnd""" +
+        s""","sibling_jvms_max":$siblingsWorst,"heap_mb":$heapMb"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a subset run is NOT the suite: mark it in the JSON and keep it out
     // of the durable full-suite file, so a targeted local iteration can
@@ -297,7 +355,23 @@ object Bench {
     val partial = only.map(names =>
       s""","partial":${names.toSeq.sorted.mkString("[\"", "\",\"", "\"]")}""")
       .getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errs$skews$splits$spreads$envStamp$partial,"sf":"$sfDir"}"""
+    // variance self-identification: gates whose spread regressed past 2×
+    // the committed canonical record's are stamped into the line (the
+    // record flags its own noisy gates the way contamination stamps flag
+    // a loaded machine — a verdict reader needs no cross-file diff)
+    val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      "/root/repo/BENCH_queries.json")
+    val spreadFlag = {
+      val cur = results.collect { case (k, _, _, _, _, Some(sp)) => k -> sp }.toMap
+      val regressed = spreadRegressions(cur, committedSpreads(requested))
+      if (regressed.isEmpty) ""
+      else {
+        System.err.println("[bench] spread regression vs committed record: " +
+          regressed.mkString(", "))
+        regressed.mkString(""","spread_regressed":["""", "\",\"", "\"]")
+      }
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errs$skews$splits$spreads$spreadFlag$envStamp$partial,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line to a file: the driver captures a bounded
     // stdout tail, and with 84 queries the one-line JSON has repeatedly
@@ -308,10 +382,9 @@ object Bench {
     // _partial sibling; a full run that fails the canonical bar (runs,
     // loadavg, sibling JVMs — see benchOutputFile) is diverted to a
     // _loaded sibling. Either way the committed idle record survives.
-    val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/BENCH_queries.json")
     val benchFile = benchOutputFile(requested, partial = only.nonEmpty,
-      runs = nRuns, loadavgStart = loadStart, siblingJvms = siblingsWorst)
+      runs = nRuns, loadavgStart = loadStart, siblingJvms = siblingsWorst,
+      heapMb = heapMb)
     if (benchFile != requested)
       System.err.println(s"[bench] record diverted to $benchFile " +
         s"(runs=$nRuns, loadavg_start=$loadStart, sibling_jvms=" +

@@ -67,4 +67,47 @@ class BenchSpec extends AnyFlatSpec with Matchers {
     Bench.benchOutputFile("/tmp/bench_out", partial = false, runs = 1,
       loadavgStart = 0.1, siblingJvms = 0L) shouldBe "/tmp/bench_out_loaded"
   }
+
+  it should "divert a run under a non-canonical heap" in {
+    // records across heap sizes are not comparable (-Xmx48g measured
+    // 1.7x slower medians, 8x the spread): an idle median-of-3 under a
+    // fat heap must not overwrite the committed 8 GB record
+    Bench.benchOutputFile(canon, partial = false, runs = 3,
+      loadavgStart = 0.2, siblingJvms = 0L, heapMb = 49152L) shouldBe
+      "/root/repo/BENCH_queries_loaded.json"
+    // GC-flavor rounding of Runtime.maxMemory stays canonical
+    Bench.benchOutputFile(canon, partial = false, runs = 3,
+      loadavgStart = 0.2, siblingJvms = 0L, heapMb = 8064L) shouldBe canon
+  }
+
+  behavior of "Bench.spreadRegressions"
+
+  it should "flag gates whose spread regressed past 2x the committed record" in {
+    val committed = Map("a" -> 1.0, "b" -> 4.0, "tiny" -> 0.05)
+    // a: 1.0 -> 2.5 (2.5x) flagged; b: 4.0 -> 6.0 (1.5x) not;
+    // tiny: 0.05 -> 0.4 is sub-floor noise, not a regression
+    Bench.spreadRegressions(
+      Map("a" -> 2.5, "b" -> 6.0, "tiny" -> 0.4), committed) shouldBe Seq("a")
+    // a gate absent from the committed record (new gate) is never flagged
+    Bench.spreadRegressions(Map("new_gate" -> 30.0), committed) shouldBe Seq()
+    // a committed near-zero spread cannot make any jitter a "regression":
+    // the floor bounds the denominator
+    Bench.spreadRegressions(Map("tiny" -> 0.9), committed) shouldBe Seq()
+    Bench.spreadRegressions(Map("tiny" -> 1.1), committed) shouldBe Seq("tiny")
+    // deterministic order for the stamped JSON
+    Bench.spreadRegressions(
+      Map("b" -> 40.0, "a" -> 40.0), committed) shouldBe Seq("a", "b")
+  }
+
+  it should "parse the spread object of a committed record, absent-safe" in {
+    val f = java.nio.file.Files.createTempFile("benchspec", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","value":9.9,"queries":{"a":1.0},""" +
+        """"spread":{"a":0.25,"b":3.125},"runs":3,"sf":"/x"}""" + "\n")
+    Bench.committedSpreads(f.toString) shouldBe Map("a" -> 0.25, "b" -> 3.125)
+    Bench.committedSpreads("/nonexistent/path.json") shouldBe Map.empty
+    java.nio.file.Files.writeString(f, """{"metric":"total","value":1.0}""")
+    Bench.committedSpreads(f.toString) shouldBe Map.empty
+    java.nio.file.Files.delete(f)
+  }
 }
