@@ -1455,6 +1455,31 @@ object SparkEntry {
     // decode kernel, plus a hand-built 0.5 s mono 8 kHz 16-bit WAV header
     // through the RIFF arithmetic — both checked against precomputed
     // oracle constants
+    // REAL MP4 metadata box-walk (pure-JDK ISO-BMFF parse — ftyp brand,
+    // mvhd timescale/duration, tkhd dims, stsd codec fourcc) over two
+    // deterministic fixture files plus a non-BMFF payload that must
+    // yield the all-null struct; every parsed field value-pinned to the
+    // fixture constants. Frame DECODE for these codecs stays behind the
+    // declared stub (no pure-JDK H.264/HEVC decoder exists).
+    "multimodal_mp4_meta" -> ((s, d) => {
+      import s.implicits._
+      val payloads = Seq(
+        (1L, graft.ext.MultimodalFixtures.mp4Bytes(
+          "isom", 600, 1200, 320, 240, "avc1")),
+        (2L, graft.ext.MultimodalFixtures.mp4Bytes(
+          "mp42", 90000, 135000, 1920, 1080, "hvc1")),
+        (3L, graft.ext.MultimodalFixtures.wavBytes(1, 8000, 16, 64)))
+        .toDF("id", "payload")
+      Multimodal.mp4Meta(payloads, "payload")
+        .select(col("id"),
+          col("mp4.major_brand").as("brand"),
+          col("mp4.timescale").as("tick_hz"),
+          col("mp4.duration_ms").as("dur_ms"),
+          col("mp4.n_tracks").as("n_tracks"),
+          col("mp4.width").as("w"), col("mp4.height").as("h"),
+          col("mp4.codecs").getItem(0).as("codec0"))
+        .orderBy("id")
+    }),
     "multimodal_imageio" -> ((s, d) => {
       import s.implicits._
       val payloads = Seq(
@@ -3411,6 +3436,19 @@ object SparkEntry {
           |  CAST(3 AS INTEGER) AS c, CAST(95.0 AS DOUBLE) AS mean_int,
           |  CAST(1 AS INTEGER) AS a_ch, CAST(8000 AS INTEGER) AS a_rate,
           |  CAST(16 AS INTEGER) AS a_bits, CAST(0.5 AS DOUBLE) AS a_dur""".stripMargin,
+      // fixture constants: 1200 ticks at 600 Hz = 2000 ms; 135000 at
+      // 90 kHz = 1500 ms; the WAV payload parses to the all-null row
+      "multimodal_mp4_meta" ->
+        """SELECT * FROM (VALUES
+          |  (CAST(1 AS BIGINT), 'isom', CAST(600 AS BIGINT),
+          |   CAST(2000 AS BIGINT), CAST(1 AS INTEGER),
+          |   CAST(320 AS INTEGER), CAST(240 AS INTEGER), 'avc1'),
+          |  (CAST(2 AS BIGINT), 'mp42', CAST(90000 AS BIGINT),
+          |   CAST(1500 AS BIGINT), CAST(1 AS INTEGER),
+          |   CAST(1920 AS INTEGER), CAST(1080 AS INTEGER), 'hvc1'),
+          |  (CAST(3 AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL, NULL))
+          |  AS t(id, brand, tick_hz, dur_ms, n_tracks, w, h, codec0)
+          |ORDER BY id""".stripMargin,
       // evenly-spaced frames of the uniform 5-frame GIF: 0/2/4 at 10/30/50
       "multimodal_frames" ->
         """SELECT * FROM (VALUES

@@ -507,6 +507,136 @@ object Multimodal {
       .map(j => math.round(j * (num - 1).toDouble / (n - 1)).toInt)
       .distinct
 
+  /** Catalyst schema of [[mp4Meta]]'s output struct. */
+  val mp4MetaSchema: StructType = StructType(Seq(
+    StructField("major_brand", StringType, nullable = true),
+    StructField("timescale", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("n_tracks", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("codecs", ArrayType(StringType, containsNull = false),
+      nullable = true)))
+
+  /** REAL pure-JDK MP4 (ISO-BMFF) METADATA box-walk: `ftyp` major brand,
+    * `mvhd` timescale + duration (both header versions), per-`tkhd`
+    * track count and the first non-zero 16.16-fixed track dimensions,
+    * and every `stsd` sample-entry codec fourcc in file order
+    * (avc1/hvc1/mp4a/…). Metadata only — FRAME DECODE for these codecs
+    * stays behind the declared [[sampleFrames]] stub: no pure-JDK
+    * H.264/HEVC/AAC decoder exists (env-blocked, same contract as the
+    * non-MJPEG video paths; the reference's multimedia surface has no
+    * counterpart either). Bounds-checked like [[demuxAviFrames]]: a
+    * declared box size never reads past the buffer, a lying/truncated
+    * tree yields the fields walked so far, a non-BMFF payload yields the
+    * all-null row — one corrupt payload can never kill the job. Handles
+    * 64-bit `largesize` boxes and caps recursion (a box cycle cannot
+    * stack-overflow an executor). */
+  private[ext] def parseMp4Meta(bytes: Array[Byte]): Row = {
+    val empty = Row(null, null, null, null, null, null, null)
+    if (bytes == null || bytes.length < 16) return empty
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) << 24 | (bytes(off + 1) & 0xffL) << 16 |
+        (bytes(off + 2) & 0xffL) << 8 | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = u32(off) << 32 | u32(off + 4)
+    var brand: String = null
+    var timescale = -1L
+    var duration = -1L
+    var nTracks = 0
+    var width = -1
+    var height = -1
+    var sawBox = false
+    val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      if (depth > 8) return
+      var p = start
+      while (p + 8 <= end) {
+        val declared = u32(p)
+        val typ = fourcc(p + 4)
+        val (hdr, size) =
+          if (declared == 1L) {
+            if (p + 16 > end) return
+            (16, u64(p + 8))
+          } else if (declared == 0L) (8, (end - p).toLong) // box runs to end
+          else (8, declared)
+        val ds = p + hdr
+        val boxEnd = p + size
+        if (size < hdr || boxEnd > end) return // lying/truncated size
+        val be = boxEnd.toInt
+        sawBox = true
+        typ match {
+          case t if containers(t) => walk(ds, be, depth + 1)
+          case "ftyp" if brand == null && ds + 4 <= be =>
+            brand = fourcc(ds)
+          case "mvhd" if ds + 4 <= be =>
+            val v = bytes(ds) & 0xff
+            if (v == 1 && ds + 32 <= be) {
+              timescale = u32(ds + 20); duration = u64(ds + 24)
+            } else if (v == 0 && ds + 20 <= be) {
+              timescale = u32(ds + 12); duration = u32(ds + 16)
+            }
+          case "tkhd" if ds + 4 <= be =>
+            nTracks += 1
+            val v = bytes(ds) & 0xff
+            val wOff = if (v == 1) ds + 88 else ds + 76
+            if (wOff + 8 <= be && width <= 0) {
+              val w = (u32(wOff) >> 16).toInt   // 16.16 fixed point
+              val h = (u32(wOff + 4) >> 16).toInt
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+          case "stsd" if ds + 8 <= be =>
+            val nEntries = u32(ds + 4)
+            var q = ds + 8
+            var e = 0L
+            while (e < nEntries && q + 8 <= be) {
+              val esz = u32(q)
+              if (esz < 8 || q + esz > be) { e = nEntries } // lying entry
+              else {
+                codecs += fourcc(q + 4)
+                q += esz.toInt
+                e += 1
+              }
+            }
+          case _ => ()
+        }
+        p = be
+      }
+    }
+    walk(0, bytes.length, 0)
+    // a payload with no recognizable BMFF structure is not an mp4 —
+    // all-null instead of a half-empty row
+    if (!sawBox || (brand == null && timescale < 0 && nTracks == 0)) return empty
+    val durMs: Any =
+      if (timescale > 0 && duration >= 0) java.lang.Long.valueOf(
+        duration * 1000L / timescale)
+      else null
+    Row(brand,
+      if (timescale > 0) java.lang.Long.valueOf(timescale) else null,
+      durMs,
+      java.lang.Integer.valueOf(nTracks),
+      if (width > 0) java.lang.Integer.valueOf(width) else null,
+      if (height > 0) java.lang.Integer.valueOf(height) else null,
+      codecs.toSeq)
+  }
+
+  /** Append an [[mp4MetaSchema]] struct parsed from `binCol` — the video
+    * analog of [[withMetadata]]: header-arithmetic only, no decode, so it
+    * runs at scan speed over opaque binary columns. Non-MP4 payloads get
+    * the all-null struct. */
+  def mp4Meta(df: DataFrame, binCol: String,
+              metaCol: String = "mp4"): DataFrame = {
+    val schema = df.schema.add(StructField(metaCol, mp4MetaSchema, nullable = true))
+    val idx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions(_.map { r =>
+      val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+      Row.fromSeq(r.toSeq :+ parseMp4Meta(bytes))
+    })
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** REAL multi-frame sampling kernel: up to `n` evenly-spaced frames of
     * a multi-frame container — MJPEG-AVI (RIFF demux, [[demuxAviFrames]])
     * or any multi-image ImageIO container (animated GIF in a stock JDK) —

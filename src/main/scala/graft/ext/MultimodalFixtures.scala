@@ -147,4 +147,63 @@ private[graft] object MultimodalFixtures {
     bb.put("data".getBytes); bb.putInt(dataLen)
     bb.array()
   }
+
+  // ---- ISO-BMFF (MP4) fixture ----------------------------------------------
+  // Big-endian box tree: [size u32][fourcc][payload]. Only the boxes the
+  // metadata walk reads are emitted (ftyp, moov/mvhd, trak/tkhd,
+  // mdia/minf/stbl/stsd) — a stock mp4 muxer writes more, but a correct
+  // walker must not require them.
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length); bb.put(typ.getBytes("US-ASCII"))
+    bb.put(payload); bb.array()
+  }
+
+  /** Minimal valid MP4 metadata skeleton: version-0 `mvhd` with the given
+    * movie timescale/duration, one video track whose version-0 `tkhd`
+    * carries 16.16-fixed `width`×`height`, and an `stsd` declaring one
+    * sample entry with codec fourcc `codec`. Deterministic bytes — the
+    * oracle gate pins the parsed fields to these arguments. */
+  def mp4Bytes(brand: String = "isom", timescale: Int = 600,
+               duration: Int = 1200, width: Int = 320, height: Int = 240,
+               codec: String = "avc1"): Array[Byte] = {
+    val ftyp = box("ftyp", {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put(brand.getBytes("US-ASCII")).putInt(0)
+      bb.put("mp41".getBytes("US-ASCII")).array()
+    })
+    val mvhd = box("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(100) // version-0 payload
+      bb.putInt(0)            // version 0 + flags
+      bb.putInt(0).putInt(0)  // creation, modification
+      bb.putInt(timescale).putInt(duration)
+      bb.putInt(0x00010000)   // rate 1.0
+      // volume+reserved, 2x reserved, 9x matrix, 6x predefined, next id
+      bb.array()              // remaining fields stay zeroed
+    })
+    val tkhd = box("tkhd", {
+      val bb = java.nio.ByteBuffer.allocate(84) // version-0 payload
+      bb.putInt(0)            // version 0 + flags
+      bb.putInt(0).putInt(0)  // creation, modification
+      bb.putInt(1)            // track id
+      bb.putInt(0)            // reserved
+      bb.putInt(duration)
+      bb.position(76)         // reserved/layer/volume/matrix stay zeroed
+      bb.putInt(width << 16).putInt(height << 16)
+      bb.array()
+    })
+    val stsd = box("stsd", {
+      val entry = java.nio.ByteBuffer.allocate(16)
+        .putInt(16).put(codec.getBytes("US-ASCII")).array()
+      val bb = java.nio.ByteBuffer.allocate(8 + entry.length)
+      bb.putInt(0).putInt(1).put(entry).array()
+    })
+    val stbl = box("stbl", stsd)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ moov
+  }
 }

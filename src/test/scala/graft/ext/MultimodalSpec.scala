@@ -279,4 +279,68 @@ class MultimodalSpec extends SparkSpec {
           .toDF("id", "payload"), "payload", 2)
       .select(col("frames").isNull).as[Boolean].head() shouldBe true
   }
+
+  behavior of "MP4 metadata box-walk"
+
+  it should "parse brand, duration, track dims, and codec from the fixture" in {
+    val mp4 = MultimodalFixtures.mp4Bytes(brand = "isom", timescale = 600,
+      duration = 1200, width = 320, height = 240, codec = "avc1")
+    Seq(Tuple1(mp4)).toDF("b").select(Multimodal.sniffFormat(col("b")))
+      .as[String].head() shouldBe "mp4"
+    val row = Multimodal.parseMp4Meta(mp4)
+    row.getString(0) shouldBe "isom"
+    row.getLong(1) shouldBe 600L
+    row.getLong(2) shouldBe 2000L // 1200 / 600 ticks = 2 s
+    row.getInt(3) shouldBe 1
+    row.getInt(4) shouldBe 320
+    row.getInt(5) shouldBe 240
+    row.getSeq[String](6) shouldBe Seq("avc1")
+    // the DataFrame path carries the same fields under mp4MetaSchema
+    val got = Multimodal.mp4Meta(Seq((1L, mp4)).toDF("id", "payload"), "payload")
+      .select(col("mp4.major_brand"), col("mp4.duration_ms"),
+        col("mp4.width"), col("mp4.codecs")(0))
+      .as[(String, Long, Int, String)].head()
+    got shouldBe (("isom", 2000L, 320, "avc1"))
+  }
+
+  it should "parse a version-1 mvhd and 64-bit largesize boxes" in {
+    val mvhd1 = {
+      val p = java.nio.ByteBuffer.allocate(112) // v1 payload
+      p.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+      p.putLong(0L).putLong(0L)                 // creation, modification
+      p.putInt(90000).putLong(270000L)          // timescale, duration (3 s)
+      p.array()
+    }
+    val mvhdBox = java.nio.ByteBuffer.allocate(8 + mvhd1.length)
+      .putInt(8 + mvhd1.length).put("mvhd".getBytes("US-ASCII"))
+      .put(mvhd1).array()
+    // moov wrapped with size==1 + 64-bit largesize
+    val largeMoov = {
+      val b = java.nio.ByteBuffer.allocate(16 + mvhdBox.length)
+      b.putInt(1).put("moov".getBytes("US-ASCII"))
+        .putLong(16L + mvhdBox.length).put(mvhdBox).array()
+    }
+    val ftyp = java.util.Arrays.copyOfRange(
+      MultimodalFixtures.mp4Bytes(), 0, 20)
+    val row = Multimodal.parseMp4Meta(ftyp ++ largeMoov)
+    row.getLong(1) shouldBe 90000L
+    row.getLong(2) shouldBe 3000L
+  }
+
+  it should "yield all-null for non-BMFF payloads and survive lying sizes" in {
+    val wavRow = Multimodal.parseMp4Meta(MultimodalFixtures.wavBytes(1, 8000, 16, 100))
+    (0 until 7).foreach(i => assert(wavRow.isNullAt(i),
+      s"field $i of a WAV payload must be null"))
+    Multimodal.parseMp4Meta("junk".getBytes).toSeq.forall(_ == null) shouldBe true
+    Multimodal.parseMp4Meta(null).toSeq.forall(_ == null) shouldBe true
+    // truncation mid-moov: the walk keeps the fields it completed
+    val mp4 = MultimodalFixtures.mp4Bytes()
+    val cut = java.util.Arrays.copyOfRange(mp4, 0, mp4.length - 30)
+    val row = Multimodal.parseMp4Meta(cut)
+    row.getString(0) shouldBe "isom" // ftyp still parsed
+    // a box declaring a size past the buffer must not read past it
+    val lying = mp4.clone()
+    lying(20) = 0x7f.toByte // inflate moov's declared size
+    noException should be thrownBy Multimodal.parseMp4Meta(lying)
+  }
 }
