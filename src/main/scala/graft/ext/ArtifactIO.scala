@@ -87,13 +87,19 @@ private[ext] object ArtifactIO {
     // clear the staging orphans that are provably not a live writer's
     // work-in-progress: ours (we are about to restage), any marked
     // sibling (its stage completed, its writer aborted at the fence),
-    // and unmarked siblings stale past the lease window. A YOUNG
-    // unmarked foreign tmp may be a fenced-out zombie's still-running
-    // executor tasks — deleting it under them would leave a fresh
-    // partial orphan; it is left for a later pass to age out (and the
-    // marker rule means it can never be promoted either way).
+    // and unmarked siblings stale past the lease window. Two holdbacks:
+    // a YOUNG unmarked foreign tmp may be a fenced-out zombie's
+    // still-running executor tasks — deleting it under them would leave
+    // a fresh partial orphan (it ages out on a later pass, and the
+    // marker rule means it can never be promoted either way) — and
+    // nothing FOREIGN is deleted while dst is ABSENT: with dst gone an
+    // unmarked orphan may be a pre-marker-release writer's fully staged
+    // only copy (those writers never wrote markers), which the operator
+    // can still promote by hand; only our own tmp — this lease's
+    // restageable scratch — cleans unconditionally.
     val now = System.currentTimeMillis
     val ourSuffix = leaseTokenSuffix(dst)
+    val dstExists = hfs.exists(dstP)
     stagingSiblings(hfs, dst).foreach { p =>
       val ours = p.getName == new Path(dst).getName + "_compact_tmp" + ourSuffix
       val legacyShared = p.getName == new Path(dst).getName + "_compact_tmp"
@@ -101,7 +107,8 @@ private[ext] object ArtifactIO {
       val stale =
         try now - hfs.getFileStatus(p).getModificationTime > StagingStaleMs
         catch { case _: java.io.FileNotFoundException => false }
-      if (ours || legacyShared || staged || stale) hfs.delete(p, true)
+      if (ours || (dstExists && (legacyShared || staged || stale)))
+        hfs.delete(p, true)
     }
     hfs.delete(old, true)
     stage(tmp.toString)
@@ -176,8 +183,20 @@ private[ext] object ArtifactIO {
         // and promoting it would surface incomplete data as live (a
         // partial Bloom dir silently yields false negatives). With
         // several marked orphans the most recently completed wins.
-        val tmps = stagingSiblings(hfs, dst)
-          .filter(p => hfs.exists(new Path(p, StagedMarker)))
+        // Unmarked orphans with dst absent are left UNTOUCHED and called
+        // out: a pre-marker-release writer's torn swap looks exactly
+        // like this, and its tmp may be the only copy — the operator
+        // decides (rename it to dst by hand after inspecting it), the
+        // engine never deletes or promotes what it cannot prove staged.
+        val all = stagingSiblings(hfs, dst)
+        val tmps = all.filter(p => hfs.exists(new Path(p, StagedMarker)))
+        if (tmps.isEmpty && all.nonEmpty)
+          System.err.println(s"[graft] $dst is absent and " +
+            s"${all.size} UNMARKED staging sibling(s) exist " +
+            s"(${all.map(_.getName).mkString(", ")}): possibly a " +
+            "pre-marker-release torn swap whose tmp is the only copy — " +
+            "inspect and `rename <tmp> <dst>` manually to restore it; " +
+            "not auto-promoted (could be a killed writer's partial stage)")
         if (tmps.isEmpty) None
         else Some(tmps.maxBy(p => hfs.getFileStatus(p).getModificationTime))
       }
@@ -432,16 +451,37 @@ private[ext] object ArtifactIO {
             t.setDaemon(true)
             t
           })
+        val failedBeats = new java.util.concurrent.atomic.AtomicInteger(0)
         ex.scheduleAtFixedRate(() => {
           try {
             // renew ONLY while the lock still carries our token — after a
             // takeover (we somehow missed >= 3 beats: GC pause, FS hang)
             // the new holder's lock must age on its own heartbeat, and
             // our next commit point will abort us
-            if (readLock(hfs, lock).exists(_.startsWith(token)))
-              hfs.setTimes(lock, System.currentTimeMillis, -1)
-            else ex.shutdown()
-          } catch { case _: Throwable => () } // missed beat, not a crash
+            if (readLock(hfs, lock).exists(_.startsWith(token))) {
+              try hfs.setTimes(lock, System.currentTimeMillis, -1)
+              catch {
+                // filesystems without setTimes (object stores): advance
+                // the mtime by rewriting the lock with our own payload —
+                // the token was just verified, and the commit-point
+                // fence backstops the (non-atomic) check-then-write
+                case _: Exception =>
+                  val out = hfs.create(lock, true)
+                  out.write(payload); out.close()
+              }
+              failedBeats.set(0)
+            } else ex.shutdown()
+          } catch {
+            case _: Throwable =>
+              // a missed beat is survivable; SILENTLY missing every beat
+              // is not — it voids the anti-livelock guarantee (the lock
+              // ages as if we crashed), so persistent failure must say so
+              if (failedBeats.incrementAndGet() == 3)
+                System.err.println(s"[graft] writer-lease heartbeat on " +
+                  s"$artifactRoot failed 3 consecutive beats — renewal is " +
+                  "NOT happening; a long '" + op + "' may be taken over " +
+                  "as stale despite this writer being alive")
+          }
         }, beat, beat, java.util.concurrent.TimeUnit.MILLISECONDS)
         Some(ex)
       }

@@ -610,7 +610,11 @@ object Multimodal {
     // all-null instead of a half-empty row
     if (!sawBox || (brand == null && timescale < 0 && nTracks == 0)) return empty
     val durMs: Any =
-      if (timescale > 0 && duration >= 0) java.lang.Long.valueOf(
+      // overflow guard: a hostile v1 mvhd can declare a 64-bit duration
+      // past Long.MaxValue/1000 — the multiply would wrap and emit
+      // garbage (possibly negative) where the contract says value-or-null
+      if (timescale > 0 && duration >= 0 &&
+        duration <= Long.MaxValue / 1000L) java.lang.Long.valueOf(
         duration * 1000L / timescale)
       else null
     Row(brand,

@@ -123,8 +123,20 @@ object ProfSampler {
       require(need >= 0, s"waitlist band too low for $s")
       (s, need)
     }.toDF("__stratum", "__need"))
-    val waitlisted = j
+    val waitBand = j
       .filter(col("__coin") >= col("__lo") && col("__coin") < col("__hi"))
+    // symmetric band validation: a too-low `hi` would silently
+    // undersample (fewer waitlist rows than needed) and read as a design
+    // inequivalence in the cross-check instead of a band bug — fail here
+    val waitCounts = waitBand.groupBy("__stratum").count()
+      .as[(String, Long)].collect().toMap
+    bands.foreach { case (s, t, _, _) =>
+      val need = t - accCounts.getOrElse(s, 0L)
+      require(waitCounts.getOrElse(s, 0L) >= need,
+        s"waitlist band too high for $s: " +
+          s"${waitCounts.getOrElse(s, 0L)} banded rows < $need needed")
+    }
+    val waitlisted = waitBand
       .join(needDf, "__stratum")
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
         Window.partitionBy("__stratum").orderBy("__coin")))

@@ -77,6 +77,30 @@ class ArtifactIOSpec extends SparkSpec {
     }
     spark.read.parquet(dst).as[(Long, String)].collect().toSet shouldBe
       Set((1L, "ok"))
+    // ...and the foreign unmarked orphan was PRESERVED, not deleted: with
+    // dst absent at entry it could have been a pre-marker-release
+    // writer's fully staged only copy (the upgrade-path data-loss hole) —
+    // the operator promotes it by hand after inspecting; nothing foreign
+    // is deleted while dst is absent
+    hfs(dst).exists(partial) shouldBe true
+  }
+
+  it should "clean a foreign marked orphan only once dst exists again" in {
+    val root = tmpDir("artio")
+    val dst = s"$root/data"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(dst)
+    // a fenced-out writer's fully staged (marked) abandoned tmp
+    val orphan = new Path(dst + "_compact_tmp_feedf00d")
+    Seq((9L, "zombie")).toDF("id", "v").write.parquet(orphan.toString)
+    hfs(dst).create(new Path(orphan, "_STAGED"), true).close()
+    ArtifactIO.rewriteInPlace(spark, dst) { tmp =>
+      Seq((2L, "y")).toDF("id", "v").write.parquet(tmp)
+    }
+    // dst existed at entry, so the marked orphan was provably not the
+    // only copy and entry cleanup removed it
+    hfs(dst).exists(orphan) shouldBe false
+    spark.read.parquet(dst).as[(Long, String)].collect() shouldBe
+      Array((2L, "y"))
   }
 
   it should "not lose folded ledger ids across a torn ledger swap" in {

@@ -327,6 +327,26 @@ class MultimodalSpec extends SparkSpec {
     row.getLong(2) shouldBe 3000L
   }
 
+  it should "null duration_ms when a hostile v1 duration would overflow the millis multiply" in {
+    val mvhd1 = {
+      val p = java.nio.ByteBuffer.allocate(112)
+      p.put(1.toByte).put(Array[Byte](0, 0, 0))
+      p.putLong(0L).putLong(0L)
+      p.putInt(90000).putLong(Long.MaxValue / 500L) // * 1000 would wrap
+      p.array()
+    }
+    val mvhdBox = java.nio.ByteBuffer.allocate(8 + mvhd1.length)
+      .putInt(8 + mvhd1.length).put("mvhd".getBytes("US-ASCII"))
+      .put(mvhd1).array()
+    val moov = java.nio.ByteBuffer.allocate(8 + mvhdBox.length)
+      .putInt(8 + mvhdBox.length).put("moov".getBytes("US-ASCII"))
+      .put(mvhdBox).array()
+    val ftyp = java.util.Arrays.copyOfRange(MultimodalFixtures.mp4Bytes(), 0, 20)
+    val row = Multimodal.parseMp4Meta(ftyp ++ moov)
+    row.getLong(1) shouldBe 90000L // timescale still parsed
+    row.isNullAt(2) shouldBe true  // duration_ms value-or-NULL, never garbage
+  }
+
   it should "yield all-null for non-BMFF payloads and survive lying sizes" in {
     val wavRow = Multimodal.parseMp4Meta(MultimodalFixtures.wavBytes(1, 8000, 16, 100))
     (0 until 7).foreach(i => assert(wavRow.isNullAt(i),
