@@ -320,6 +320,75 @@ object SparkEntry {
           round(col("mean"), 6).as("mean_d"), round(col("variance"), 6).as("var_d"),
           round(col("fraction"), 6).as("fraction_d"))
         .orderBy("field")),
+    // A2 ignoreNan fieldStats (reference BigDiffy.scala:280-284): rhs
+    // plants NaN on keys %7==0 and a varying numeric bump on keys %10==0;
+    // ignoreNan must keep every differing row in `count` while dropping
+    // the NaN deltas from min/max/moments — pinned value-exact against
+    // DuckDB's FILTER (WHERE NOT isnan(delta)) moments. Without the mask
+    // Spark's NaN-is-largest ordering would poison max/mean/variance.
+    "diffy_ignore_nan" -> ((s, d) => {
+      val o = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      val rhs = o.withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, lit(Double.NaN))
+          .when(col("o_orderkey") % 10 === 0,
+            col("o_totalprice") + (col("o_orderkey") % 13).cast("double"))
+          .otherwise(col("o_totalprice")))
+      BigDiffy.diff(o, rhs, Seq("o_orderkey")).fieldStats(ignoreNan = true)
+        .select(col("field"), col("count").as("cnt"), col("delta_type"),
+          round(col("min"), 6).as("min_d"), round(col("max"), 6).as("max_d"),
+          round(col("mean"), 6).as("mean_d"),
+          round(col("variance"), 6).as("var_d"),
+          round(col("fraction"), 6).as("fraction_d"))
+        .orderBy("field")
+    }),
+    // P6 + W6 + S13 + S14 through the CLI front-end (the reference's
+    // flag surface, BigDiffy.scala:581-616): per-order line-number
+    // arrays staged ASCENDING on lhs and DESCENDING on rhs must compare
+    // SAME under --unordered (sortList multiset semantics — without it
+    // every multi-line order would be DIFFERENT), a noise column that
+    // differs on EVERY row is excluded by --ignore-fields, and the only
+    // real differences are the %10 quantity bumps. The verdict reads the
+    // TSV-with-header global stats the CLI wrote (S13) and re-runs the
+    // identical command to prove the output-exists short circuit left
+    // the completed output untouched (S14).
+    "diffy_unordered" -> ((s, d) => {
+      val tmp = sessionTempDir("graft_unord")
+      val li = t(s, d, "lineitem")
+      def sides(noise: String, bump: Boolean, asc: Boolean) = {
+        // min, not sum: an order-independent exact aggregate, so the two
+        // staging passes cannot disagree by a summation-order ulp
+        val base = li.groupBy("l_orderkey").agg(
+          sort_array(collect_list(col("l_linenumber")), asc = asc).as("lines"),
+          min(col("l_quantity")).as("qty"))
+        val bumped = if (bump)
+          base.withColumn("qty",
+            when(col("l_orderkey") % 10 === 0, col("qty") + 1.0)
+              .otherwise(col("qty")))
+        else base
+        bumped.withColumn("noise", lit(noise))
+      }
+      sides("n_a", bump = false, asc = true)
+        .write.mode("overwrite").parquet(s"$tmp/lhs")
+      sides("n_b", bump = true, asc = false)
+        .write.mode("overwrite").parquet(s"$tmp/rhs")
+      val cmd = Seq("bigDiffy", s"--lhs=$tmp/lhs", s"--rhs=$tmp/rhs",
+        "--key=l_orderkey", s"--output=$tmp/out", "--unordered=lines",
+        "--ignore-fields=noise")
+      graft.cli.Graft.run(cmd, s)
+      val marker = java.nio.file.Paths.get(s"$tmp/out/fields/_SUCCESS")
+      val mtime1 = java.nio.file.Files.getLastModifiedTime(marker)
+      graft.cli.Graft.run(cmd, s) // S14: must short-circuit, not rewrite
+      val rerunSkipped =
+        java.nio.file.Files.getLastModifiedTime(marker) == mtime1
+      s.read.option("header", "true").option("sep", "\t")
+        .csv(s"$tmp/out/global")
+        .select(col("num_total").cast("long").as("num_total"),
+          col("num_same").cast("long").as("num_same"),
+          col("num_diff").cast("long").as("num_diff"),
+          col("num_missing_lhs").cast("long").as("num_missing_lhs"),
+          col("num_missing_rhs").cast("long").as("num_missing_rhs"),
+          lit(rerunSkipped).as("rerun_skipped"))
+    }),
 
     // ---- sampling (R2, R5/R6 exact arms, W2, J2, F5/F7/F9, P3) ----
     "sample_exact_stratified" -> ((s, d) =>
@@ -415,6 +484,63 @@ object SparkEntry {
         .select((col("n_a") === col("n_b") && col("h_a") === col("h_b"))
           .as("deterministic"))
     }),
+    // R3-R5 approximate distribution arms, oracle-gated for BOTH coins
+    // (reference BigSampler.scala:393-405 stratified,
+    // SamplerSCollectionFunctions.scala:136-157 uniform). Strata come
+    // from a deliberately SKEWED derived column (60/30/10 by key mod) —
+    // the driver corpus' natural l_returnflag strata are near-equal, so
+    // over them a uniform-arm regression to plain proportional sampling
+    // would be invisible. Tolerance is a fixed slack plus 4 binomial
+    // sigmas computed in-query from the true stratum size, so the band
+    // tightens automatically with SF (measured devs at sf0.001 sit
+    // within ~2.5 sigma for the seeded coins). Verdict booleans compare
+    // value-exact against a constant-true oracle over the same
+    // (coin x stratum) grid.
+    "sample_stratified_approx_tol" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("grp",
+        when(col("l_orderkey") % 10 < 6, "a")
+          .when(col("l_orderkey") % 10 < 9, "b").otherwise("c"))
+      val totals = li.groupBy(col("grp").as("stratum"))
+        .agg(count(lit(1)).as("n_total"))
+      def arm(name: String, det: BigSampler.Determinism) =
+        BigSampler.sample(li, 0.1, det, BigSampler.Stratified(Seq("grp")))
+          .groupBy(col("grp").as("stratum")).agg(count(lit(1)).as("n_samp"))
+          .select(lit(name).as("coin"), col("stratum"), col("n_samp"))
+      arm("hash", BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
+        .unionByName(arm("random", BigSampler.Random(42L)))
+        .join(broadcast(totals), "stratum")
+        .select(col("coin"), col("stratum"),
+          (abs(col("n_samp") / col("n_total") - 0.1) <=
+            lit(0.015) + lit(4.0) * sqrt(lit(0.09) / col("n_total")))
+            .as("within_tol"))
+        .orderBy("coin", "stratum")
+    }),
+    // uniform arm: per-stratum expected kept = min(pop, n_k) with
+    // pop = total*f/#strata; the skewed strata make a regression to
+    // proportional sampling a ~3x count error on the small stratum,
+    // far outside the 25 + 4*sqrt(expected) band
+    "sample_uniform_approx_tol" -> ((s, d) => {
+      val li = t(s, d, "lineitem").withColumn("grp",
+        when(col("l_orderkey") % 10 < 6, "a")
+          .when(col("l_orderkey") % 10 < 9, "b").otherwise("c"))
+      val totals = li.groupBy(col("grp").as("stratum"))
+        .agg(count(lit(1)).as("n_total"))
+      val expected = totals.crossJoin(broadcast(
+          totals.agg((sum("n_total") * 0.1 / count(lit(1))).as("pop"))))
+        .select(col("stratum"),
+          least(col("pop"), col("n_total").cast("double")).as("expected"))
+      def arm(name: String, det: BigSampler.Determinism) =
+        BigSampler.sample(li, 0.1, det, BigSampler.Uniform(Seq("grp")))
+          .groupBy(col("grp").as("stratum")).agg(count(lit(1)).as("n_samp"))
+          .select(lit(name).as("coin"), col("stratum"), col("n_samp"))
+      arm("hash", BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
+        .unionByName(arm("random", BigSampler.Random(42L)))
+        .join(broadcast(expected), "stratum")
+        .select(col("coin"), col("stratum"),
+          (abs(col("n_samp") - col("expected")) <=
+            lit(25.0) + lit(4.0) * sqrt(col("expected"))).as("within_tol"))
+        .orderBy("coin", "stratum")
+    }),
     "sample_reservoir_n" -> ((s, d) =>
       DirectSampler.reservoir(t(s, d, "lineitem"), 100).agg(count(lit(1)).as("n"))),
     "head_sorted" -> ((s, d) =>
@@ -469,6 +595,26 @@ object SparkEntry {
       t(s, d, "lineitem")
         .select(fieldHash(Seq(col("l_orderkey"), col("l_linenumber"))).as("h"))
         .agg(count(lit(1)).as("n_rows"), countDistinct(col("h")).as("n_distinct"))),
+
+    // F6 murmur3-128 FieldHash path (the farm twin is hash_distinct):
+    // seeded murmur over the key pair must be collision-free on the key
+    // domain (n_distinct pins to DuckDB's distinct key count) and a pure
+    // function of the row — two independent evaluations produce the
+    // identical multiset, compared via (count, distinct, decimal-sum)
+    // signatures so the check stays one aggregate per leg
+    "hash_murmur_determinism" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def sig(tag: String) =
+        li.select(fieldHash(Seq(col("l_orderkey"), col("l_linenumber")),
+            "murmur", Some(7)).as("h"))
+          .agg(count(lit(1)).as(s"n_$tag"),
+            countDistinct(col("h")).as(s"d_$tag"),
+            sum(col("h").cast("decimal(38,0)")).as(s"s_$tag"))
+      sig("a").crossJoin(sig("b"))
+        .select(col("n_a").as("n_rows"), col("d_a").as("n_distinct"),
+          (col("n_a") === col("n_b") && col("d_a") === col("d_b") &&
+            col("s_a") === col("s_b")).as("deterministic"))
+    }),
 
     // cross-format hash equality (the reference's cohort contract,
     // BigSamplerTest.scala:249-379): the same logical lineitem rows are
@@ -2889,6 +3035,55 @@ object SparkEntry {
           |  ROUND(AVG(delta), 6) AS mean_d, ROUND(VAR_POP(delta), 6) AS var_d,
           |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT num_diff FROM nd), 6) AS fraction_d
           |FROM d GROUP BY field, delta_type ORDER BY field""".stripMargin,
+      // ignoreNan fieldStats: DuckDB recomputes the same perturbation and
+      // aggregates the non-NaN deltas with FILTER; the single differing
+      // field makes fraction identically 1.0
+      "diffy_ignore_nan" ->
+        """WITH rhs AS (SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 7 = 0 THEN 'NaN'::DOUBLE
+          |       WHEN o_orderkey % 10 = 0
+          |         THEN o_totalprice + CAST(o_orderkey % 13 AS DOUBLE)
+          |       ELSE o_totalprice END AS rp
+          |  FROM orders),
+          |b AS (SELECT l.o_totalprice AS lp, r.rp
+          |      FROM orders l JOIN rhs r USING (o_orderkey)),
+          |d AS (SELECT rp - lp AS delta FROM b WHERE lp IS DISTINCT FROM rp)
+          |SELECT 'o_totalprice' AS field, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |  'NUMERIC' AS delta_type,
+          |  ROUND(MIN(delta) FILTER (WHERE NOT isnan(delta)), 6) AS min_d,
+          |  ROUND(MAX(delta) FILTER (WHERE NOT isnan(delta)), 6) AS max_d,
+          |  ROUND(AVG(delta) FILTER (WHERE NOT isnan(delta)), 6) AS mean_d,
+          |  ROUND(VAR_POP(delta) FILTER (WHERE NOT isnan(delta)), 6) AS var_d,
+          |  CAST(1.0 AS DOUBLE) AS fraction_d
+          |FROM d""".stripMargin,
+      // the CLI unordered/ignore diff: only the %10 quantity bumps are
+      // real differences (the array reorder is neutralized by --unordered,
+      // the noise column by --ignore-fields); rerun_skipped witnesses S14
+      "diffy_unordered" ->
+        """WITH g AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS num_total,
+          |  CAST(SUM(CASE WHEN l_orderkey % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS num_same,
+          |  CAST(SUM(CASE WHEN l_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS num_diff,
+          |  CAST(0 AS BIGINT) AS num_missing_lhs,
+          |  CAST(0 AS BIGINT) AS num_missing_rhs,
+          |  true AS rerun_skipped
+          |FROM g""".stripMargin,
+      // R3-R5 tolerance verdicts over the same (coin x stratum) grid the
+      // Spark side emits; the within_tol booleans carry the assertion
+      "sample_stratified_approx_tol" ->
+        """SELECT c.coin, g.stratum, true AS within_tol
+          |FROM (SELECT 'hash' AS coin UNION ALL SELECT 'random') c,
+          |     (SELECT DISTINCT CASE WHEN l_orderkey % 10 < 6 THEN 'a'
+          |        WHEN l_orderkey % 10 < 9 THEN 'b' ELSE 'c' END AS stratum
+          |      FROM lineitem) g
+          |ORDER BY coin, stratum""".stripMargin,
+      "sample_uniform_approx_tol" ->
+        """SELECT c.coin, g.stratum, true AS within_tol
+          |FROM (SELECT 'hash' AS coin UNION ALL SELECT 'random') c,
+          |     (SELECT DISTINCT CASE WHEN l_orderkey % 10 < 6 THEN 'a'
+          |        WHEN l_orderkey % 10 < 9 THEN 'b' ELSE 'c' END AS stratum
+          |      FROM lineitem) g
+          |ORDER BY coin, stratum""".stripMargin,
       "sample_exact_stratified" ->
         """SELECT l_returnflag AS stratum,
           |  CAST(CEIL(COUNT(*) * CAST(0.1 AS DOUBLE)) AS BIGINT) AS n
@@ -2929,6 +3124,13 @@ object SparkEntry {
       "hash_distinct" ->
         """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
           |  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_distinct
+          |FROM lineitem""".stripMargin,
+      // seeded murmur FieldHash: collision-free on the key domain (the
+      // distinct count pins to the true key-pair count) and replay-stable
+      "hash_murmur_determinism" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          |  CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_distinct,
+          |  true AS deterministic
           |FROM lineitem""".stripMargin,
       "dedup_exact" ->
         """SELECT lang, source, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
