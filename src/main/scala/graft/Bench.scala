@@ -110,6 +110,53 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
 
+  /** Machine-speed calibration: a fixed, deterministic, single-thread
+    * mixing loop timed as min-of-3 (min, not median — the statistic of
+    * interest is the machine's UNLOADED speed, and any contamination
+    * only ever makes a pass slower). Stamped into every record as
+    * `calib_cpu_s`, so a cross-session wall-time drift (the r17 +11%
+    * sf0.1 episode, attributed to machine drift but unprovable from the
+    * record) becomes attributable: same calib = code regression,
+    * shifted calib = machine. The loop's work is data-independent and
+    * JIT-warmed by its own first pass; ~0.5 s per pass on the reference
+    * box. */
+  private[graft] def calibrateCpuSeconds(iters: Int = 200000000): Double = {
+    def pass(n: Int): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < n) {
+        h = java.lang.Long.rotateLeft(h * 0x100000001B3L, 31) ^ (h >>> 17)
+        i += 1
+      }
+      // keep h observable so the loop cannot be eliminated
+      if (h == 42L) System.err.println("[bench] calib fixed point (harmless)")
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass(iters / 20) // untimed JIT warm of the same loop body
+    Seq(pass(iters), pass(iters), pass(iters)).min
+  }
+
+  /** `calib_cpu_s` of the committed record at `path`, absent-safe. */
+  private[graft] def committedCalib(path: String): Option[Double] =
+    try {
+      val line = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      """"calib_cpu_s":([-0-9.eE]+)""".r.findFirstMatchIn(line)
+        .map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
+  /** True when this run's machine speed differs from the committed
+    * record's by more than `band` (default 15%): gate-time comparisons
+    * between the two records are then machine-confounded and the new
+    * record must say so itself (`calib_noncomparable`), the same
+    * self-identification contract as the contamination stamps. */
+  private[graft] def calibNonComparable(current: Double,
+                                        committed: Option[Double],
+                                        band: Double = 0.15): Boolean =
+    current > 0.0 &&
+      committed.exists(c => c > 0.0 && math.abs(current - c) / c > band)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -137,6 +184,9 @@ object Bench {
       catch { case _: Throwable => -1L }
     val loadStart = loadavg()
     val siblingsStart = siblingJvms()
+    // machine-speed stamp, measured BEFORE the warmup like the other
+    // environment probes: the machine as found, not as heated by us
+    val calibCpu = calibrateCpuSeconds()
     // Untimed warmup over SYNTHETIC data: pays the one-time JVM/JIT,
     // whole-stage-codegen and shuffle-machinery costs so the first timed
     // query isn't charged ~7s of session warmup. Deliberately touches no
@@ -179,6 +229,22 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] warmup failed " +
         s"(continuing with cold-start noise): ${e.getMessage}")
     }
+    // shuffle-machinery calibration, AFTER the warmup (a cold-session
+    // shuffle would measure class loading, not the machine): one small
+    // fixed exchange, min-of-3. Secondary to calib_cpu_s — shuffle speed
+    // folds in disk/page-cache state — but it is the number that moves
+    // when only IO drifted.
+    val calibShuffle = try {
+      import org.apache.spark.sql.functions._
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 4000000L, 1, 8)
+          .select((col("id") % 4096).as("k"))
+          .groupBy("k").agg(count(lit(1))).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(pass(), pass(), pass()).min
+    } catch { case _: Throwable => -1.0 }
     // drop the warmup's garbage + ContextCleaner backlog before the first
     // timed query (see the per-query isolation note below)
     System.gc()
@@ -347,7 +413,9 @@ object Bench {
         s""","loadavg_end":${num("%.2f", loadavg())}""" +
         s""","sibling_jvms":$siblingsStart""" +
         s""","sibling_jvms_end":$siblingsEnd""" +
-        s""","sibling_jvms_max":$siblingsWorst,"heap_mb":$heapMb"""
+        s""","sibling_jvms_max":$siblingsWorst,"heap_mb":$heapMb""" +
+        s""","calib_cpu_s":${num("%.3f", calibCpu)}""" +
+        s""","calib_shuffle_s":${num("%.3f", calibShuffle)}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a subset run is NOT the suite: mark it in the JSON and keep it out
     // of the durable full-suite file, so a targeted local iteration can
@@ -355,15 +423,32 @@ object Bench {
     val partial = only.map(names =>
       s""","partial":${names.toSeq.sorted.mkString("[\"", "\",\"", "\"]")}""")
       .getOrElse("")
+    val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      "/root/repo/BENCH_queries.json")
+    // routing decided BEFORE the self-identification flags: both compare
+    // against the committed CANONICAL record, which is only meaningful
+    // for a run eligible to stand next to it
+    val benchFile = benchOutputFile(requested, partial = only.nonEmpty,
+      runs = nRuns, loadavgStart = loadStart, siblingJvms = siblingsWorst,
+      heapMb = heapMb)
+    val diverted = benchFile != requested
     // variance self-identification: gates whose spread regressed past 2×
     // the committed canonical record's are stamped into the line (the
     // record flags its own noisy gates the way contamination stamps flag
-    // a loaded machine — a verdict reader needs no cross-file diff)
-    val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/BENCH_queries.json")
+    // a loaded machine — a verdict reader needs no cross-file diff).
+    // Skipped on a diverted run: a fat-heap or loaded-machine pass has
+    // structurally wider spreads (a 48 GB heap measured 8x), so flags
+    // computed against the idle canonical record would be spurious noise
+    // stamped into a record that already names its own contamination.
     val spreadFlag = {
       val cur = results.collect { case (k, _, _, _, _, Some(sp)) => k -> sp }.toMap
-      val regressed = spreadRegressions(cur, committedSpreads(requested))
+      val regressed =
+        if (diverted) Nil
+        else spreadRegressions(cur, committedSpreads(requested))
+      if (diverted && cur.nonEmpty)
+        System.err.println("[bench] spread-regression check skipped: run " +
+          "diverts from the canonical record, so canonical spreads are " +
+          "not a comparable baseline")
       if (regressed.isEmpty) ""
       else {
         System.err.println("[bench] spread regression vs committed record: " +
@@ -371,7 +456,21 @@ object Bench {
         regressed.mkString(""","spread_regressed":["""", "\",\"", "\"]")
       }
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errs$skews$splits$spreads$spreadFlag$envStamp$partial,"sf":"$sfDir"}"""
+    // machine-speed comparability: >15% calib drift vs the committed
+    // canonical record means gate-time deltas between the two records
+    // are machine-confounded, and the record says so itself
+    val calibFlag = {
+      val nonComp = !diverted &&
+        calibNonComparable(calibCpu, committedCalib(requested))
+      if (nonComp) {
+        System.err.println(f"[bench] machine-speed drift vs committed " +
+          f"record: calib_cpu_s $calibCpu%.3f vs " +
+          f"${committedCalib(requested).getOrElse(-1.0)}%.3f — gate-time " +
+          "comparisons to it are machine-confounded")
+        ""","calib_noncomparable":true"""
+      } else ""
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errs$skews$splits$spreads$spreadFlag$calibFlag$envStamp$partial,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line to a file: the driver captures a bounded
     // stdout tail, and with 84 queries the one-line JSON has repeatedly
@@ -382,10 +481,7 @@ object Bench {
     // _partial sibling; a full run that fails the canonical bar (runs,
     // loadavg, sibling JVMs — see benchOutputFile) is diverted to a
     // _loaded sibling. Either way the committed idle record survives.
-    val benchFile = benchOutputFile(requested, partial = only.nonEmpty,
-      runs = nRuns, loadavgStart = loadStart, siblingJvms = siblingsWorst,
-      heapMb = heapMb)
-    if (benchFile != requested)
+    if (diverted)
       System.err.println(s"[bench] record diverted to $benchFile " +
         s"(runs=$nRuns, loadavg_start=$loadStart, sibling_jvms=" +
         s"$siblingsStart/$siblingsEnd start/end" +

@@ -99,6 +99,42 @@ class BenchSpec extends AnyFlatSpec with Matchers {
       Map("b" -> 40.0, "a" -> 40.0), committed) shouldBe Seq("a", "b")
   }
 
+  behavior of "Bench.calibNonComparable"
+
+  it should "flag >15% machine-speed drift against the committed record" in {
+    // 0.50 -> 0.60 is +20%: the records are machine-confounded
+    Bench.calibNonComparable(0.60, Some(0.50)) shouldBe true
+    Bench.calibNonComparable(0.40, Some(0.50)) shouldBe true
+    // within the band: comparable
+    Bench.calibNonComparable(0.55, Some(0.50)) shouldBe false
+    Bench.calibNonComparable(0.50, Some(0.50)) shouldBe false
+    // no committed calib (pre-calibration record) or unreadable probes:
+    // nothing to compare against, never flagged
+    Bench.calibNonComparable(0.50, None) shouldBe false
+    Bench.calibNonComparable(-1.0, Some(0.50)) shouldBe false
+    Bench.calibNonComparable(0.50, Some(-1.0)) shouldBe false
+  }
+
+  it should "parse calib_cpu_s from a committed record, absent-safe" in {
+    val f = java.nio.file.Files.createTempFile("benchspec_calib", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","value":9.9,"calib_cpu_s":0.512,""" +
+        """"calib_shuffle_s":0.9,"runs":3}""" + "\n")
+    Bench.committedCalib(f.toString) shouldBe Some(0.512)
+    Bench.committedCalib("/nonexistent/path.json") shouldBe None
+    java.nio.file.Files.writeString(f, """{"metric":"total","value":1.0}""")
+    Bench.committedCalib(f.toString) shouldBe None
+    java.nio.file.Files.delete(f)
+  }
+
+  it should "measure a deterministic calibration loop in sane bounds" in {
+    // a tiny iteration count keeps the spec fast; the bound only proves
+    // the loop runs and times (not a performance assertion)
+    val s = Bench.calibrateCpuSeconds(iters = 2000000)
+    s should be > 0.0
+    s should be < 30.0
+  }
+
   it should "parse the spread object of a committed record, absent-safe" in {
     val f = java.nio.file.Files.createTempFile("benchspec", ".json")
     java.nio.file.Files.writeString(f,
