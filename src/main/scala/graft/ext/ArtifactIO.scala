@@ -104,9 +104,18 @@ private[ext] object ArtifactIO {
       val ours = p.getName == new Path(dst).getName + "_compact_tmp" + ourSuffix
       val legacyShared = p.getName == new Path(dst).getName + "_compact_tmp"
       val staged = hfs.exists(new Path(p, StagedMarker))
-      val stale =
-        try now - hfs.getFileStatus(p).getModificationTime > StagingStaleMs
-        catch { case _: java.io.FileNotFoundException => false }
+      // staleness from the NEWEST mtime in the tmp's subtree, not the
+      // root's: a POSIX/HDFS dir's mtime only advances when its DIRECT
+      // entries change, and Spark stages under tmp/_temporary/<job>/
+      // _temporary/<attempt>/..., so a zombie writer's live tasks never
+      // touch the root mtime — root staleness would delete the tmp
+      // under running tasks (safe, the marker rule blocks promotion of
+      // the recreated partial, but it churns). The bounded walk reaches
+      // the attempt dirs, whose entries DO change while tasks write.
+      val stale = {
+        val newest = newestMtime(hfs, p, depth = 5)
+        newest > 0L && now - newest > StagingStaleMs
+      }
       if (ours || (dstExists && (legacyShared || staged || stale)))
         hfs.delete(p, true)
     }
@@ -159,6 +168,28 @@ private[ext] object ArtifactIO {
     * fenced-out zombie whose executor tasks are still writing. */
   private val StagingStaleMs = 15L * 60 * 1000
 
+  /** Newest modification time anywhere in `p`'s tree, to `depth` levels
+    * (directories recursed, file mtimes read from their parent's
+    * listing; -1 when `p` is gone). Races with a live writer are benign:
+    * an entry vanishing mid-walk is skipped, and any surviving fresh
+    * entry is enough to hold the staleness trigger back. */
+  private def newestMtime(hfs: FileSystem, p: Path, depth: Int): Long = {
+    val self =
+      try hfs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return -1L }
+    if (depth <= 0) self
+    else {
+      val kids =
+        try hfs.listStatus(p)
+        catch { case _: Throwable => Array.empty[org.apache.hadoop.fs.FileStatus] }
+      kids.foldLeft(self) { (m, k) =>
+        math.max(m,
+          if (k.isDirectory) newestMtime(hfs, k.getPath, depth - 1)
+          else k.getModificationTime)
+      }
+    }
+  }
+
   /** Torn-swap recovery for a [[rewriteInPlace]] directory: when `dst`
     * is absent but a sibling copy exists, a prior call renamed dst aside
     * (`_compact_old`) and/or fully staged a replacement (`_compact_tmp`)
@@ -195,7 +226,8 @@ private[ext] object ArtifactIO {
             s"${all.size} UNMARKED staging sibling(s) exist " +
             s"(${all.map(_.getName).mkString(", ")}): possibly a " +
             "pre-marker-release torn swap whose tmp is the only copy — " +
-            "inspect and `rename <tmp> <dst>` manually to restore it; " +
+            "inspect it, then run IndexAdmin.forcePromoteStaged(spark, " +
+            s"\"$dst\", \"<sibling>\") to restore it; " +
             "not auto-promoted (could be a killed writer's partial stage)")
         if (tmps.isEmpty) None
         else Some(tmps.maxBy(p => hfs.getFileStatus(p).getModificationTime))
@@ -207,6 +239,42 @@ private[ext] object ArtifactIO {
       System.err.println(s"[graft] recovered $dst from ${s.getName} " +
         "left by a torn swap")
     }
+  }
+
+  /** The operator override [[recoverTornSwap]]'s runbook message
+    * prescribes: promote an UNMARKED staging sibling into an ABSENT
+    * `dst` by hand, for the pre-marker-release torn swap whose tmp is
+    * provably-complete only to a human who inspected it. The engine
+    * never does this automatically (an unmarked tmp is
+    * indistinguishable from a killed writer's partial stage), so the
+    * command demands the operator name the EXACT sibling and refuses
+    * every ambiguous or unsafe shape: dst present (nothing to recover —
+    * never replace live data), the named sibling missing or not a
+    * staging sibling of dst at all. Returns the promoted sibling's
+    * name. */
+  def forcePromoteStaged(spark: SparkSession, dst: String,
+                         staging: String): String = {
+    val hfs = fs(spark, dst)
+    val dstP = new Path(dst)
+    if (hfs.exists(dstP))
+      throw new IllegalStateException(
+        s"forcePromoteStaged: $dst exists — refusing to replace live " +
+          "data (this command only completes a torn swap that left dst " +
+          "absent; use rewriteInPlace/compact for a live artifact)")
+    val sibName = new Path(staging).getName
+    val candidates = stagingSiblings(hfs, dst)
+    val src = candidates.find(_.getName == sibName).getOrElse(
+      throw new IllegalArgumentException(
+        s"forcePromoteStaged: '$sibName' is not a staging sibling of " +
+          s"$dst (found: ${
+            if (candidates.isEmpty) "none" else candidates.map(_.getName).mkString(", ")
+          })"))
+    require(hfs.rename(src, dstP),
+      s"forcePromoteStaged: rename $src -> $dstP failed")
+    hfs.delete(new Path(dstP, StagedMarker), false)
+    System.err.println(s"[graft] force-promoted ${src.getName} to $dst " +
+      "(operator override)")
+    src.getName
   }
 
   /** Every `<dst>_compact_tmp*` staging sibling currently on disk —

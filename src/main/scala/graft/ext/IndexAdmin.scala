@@ -27,6 +27,18 @@ object IndexAdmin {
   def forceUnlock(spark: SparkSession, path: String): Boolean =
     ArtifactIO.forceUnlock(spark, path)
 
+  /** Complete a pre-marker-era torn swap by hand: promote the NAMED
+    * unmarked staging sibling into the absent `dst` — the manual rename
+    * the torn-swap runbook message prescribes, as a command. Explicit
+    * and refusing by design: `dst` present, or `staging` not one of
+    * dst's on-disk staging siblings, is an error; nothing is inferred
+    * (an unmarked tmp is indistinguishable from a killed writer's
+    * partial stage — only the operator who inspected it can know).
+    * Returns the promoted sibling's name. */
+  def forcePromoteStaged(spark: SparkSession, dst: String,
+                         staging: String): String =
+    ArtifactIO.forcePromoteStaged(spark, dst, staging)
+
   /** (relation, batch, files, bytes, rows) for every relation directory
     * under `path`. Batch-less relations (params, centroids, codebooks,
     * an empty-built postings layout) report batch = null. */

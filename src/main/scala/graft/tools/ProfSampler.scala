@@ -120,7 +120,10 @@ object ProfSampler {
       .collect().toMap
     val needDf = broadcast(bands.map { case (s, t, _, _) =>
       val need = t - accCounts.getOrElse(s, 0L)
-      require(need >= 0, s"waitlist band too low for $s")
+      // need < 0 means MORE rows were accepted than the target, i.e. the
+      // acceptance cut (lo) was set too HIGH — name that, not the band
+      require(need >= 0, s"acceptance cut (lo) too high for stratum '$s': " +
+        s"accepted ${accCounts.getOrElse(s, 0L)} exceeds target $t")
       (s, need)
     }.toDF("__stratum", "__need"))
     val waitBand = j

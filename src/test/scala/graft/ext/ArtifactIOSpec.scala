@@ -85,6 +85,43 @@ class ArtifactIOSpec extends SparkSpec {
     hfs(dst).exists(partial) shouldBe true
   }
 
+  it should "force-promote a named unmarked sibling only when dst is absent" in {
+    // the operator override the torn-swap runbook message prescribes:
+    // a pre-marker-era writer fully staged its tmp (no marker — those
+    // writers never wrote one) and died before promoting; dst is gone
+    val root = tmpDir("artio")
+    val dst = s"$root/data"
+    val orphan = dst + "_compact_tmp_cafebabe"
+    Seq((7L, "survivor")).toDF("id", "v").write.parquet(orphan)
+    IndexAdmin.forcePromoteStaged(spark, dst, "data_compact_tmp_cafebabe") shouldBe
+      "data_compact_tmp_cafebabe"
+    spark.read.parquet(dst).as[(Long, String)].collect() shouldBe
+      Array((7L, "survivor"))
+    hfs(dst).exists(new Path(orphan)) shouldBe false
+    // a stray marker in the promoted dir would have been removed
+    hfs(dst).exists(new Path(dst, "_STAGED")) shouldBe false
+  }
+
+  it should "refuse to force-promote over live data or an unknown sibling" in {
+    val root = tmpDir("artio")
+    val dst = s"$root/data"
+    Seq((1L, "live")).toDF("id", "v").write.parquet(dst)
+    val orphan = dst + "_compact_tmp_cafebabe"
+    Seq((9L, "stale")).toDF("id", "v").write.parquet(orphan)
+    // dst exists: never replace live data, whatever the sibling holds
+    an[IllegalStateException] should be thrownBy
+      IndexAdmin.forcePromoteStaged(spark, dst, "data_compact_tmp_cafebabe")
+    spark.read.parquet(dst).as[(Long, String)].collect() shouldBe
+      Array((1L, "live"))
+    hfs(dst).exists(new Path(orphan)) shouldBe true
+    // dst absent but the NAMED sibling isn't on disk: nothing is inferred
+    hfs(dst).rename(new Path(dst), new Path(dst + "_gone"))
+    an[IllegalArgumentException] should be thrownBy
+      IndexAdmin.forcePromoteStaged(spark, dst, "data_compact_tmp_wrongname")
+    // the real sibling was left untouched by the refusals
+    hfs(dst).exists(new Path(orphan)) shouldBe true
+  }
+
   it should "clean a foreign marked orphan only once dst exists again" in {
     val root = tmpDir("artio")
     val dst = s"$root/data"
