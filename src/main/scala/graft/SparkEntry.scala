@@ -2782,10 +2782,16 @@ object SparkEntry {
     }),
 
     // Watermarked stream-stream interval join (clicks x purchase
-    // windows, BOTH sides real 4-trigger streams): buffered two-sided
-    // state must assemble exactly the pairs DuckDB's BETWEEN join
-    // produces — a REAL value oracle on the streaming engine's join,
-    // aggregated per click for an order-independent compare.
+    // windows, BOTH sides real multi-trigger streams): buffered
+    // two-sided state must assemble exactly the pairs DuckDB's BETWEEN
+    // join produces — a REAL value oracle on the streaming engine's
+    // join, aggregated per click for an order-independent compare.
+    // 2 triggers per side, not 4: the invariant is CROSS-TRIGGER
+    // matching (a click buffered in trigger 1 must still pair with a
+    // purchase arriving in trigger 2, and vice versa — round-robin
+    // staging scatters both sides across both triggers), which two
+    // triggers already force; the extra two were pure fixed harness
+    // overhead (~14.5 s/gate at sf0.1, flat in SF).
     "stream_interval_join" -> ((s, d) => {
       val ev = eventsUs(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -2794,8 +2800,8 @@ object SparkEntry {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           timestamp_micros(col("ts_us")).as("pts"))
-      val (ls, _) = stagedStream(s, clicks, nFiles = 4)
-      val (rs, _) = stagedStream(s, purchases, nFiles = 4)
+      val (ls, _) = stagedStream(s, clicks, nFiles = 2)
+      val (rs, _) = stagedStream(s, purchases, nFiles = 2)
       val joined = graft.streaming.StreamOps.intervalJoin(ls, rs,
         Seq("user_id"), "cts", "pts",
         watermark = "3650 days", lower = "0 seconds", upper = "24 hours")
