@@ -640,14 +640,6 @@ object SparkEntry {
       // pinned: the shuffle runs once and feeds BOTH format sinks
       val sharded = li.repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(true)
-      graft.sources.AvroIO.write(sharded, s"$tmp/avro")
-      graft.sources.GraftIO.writeJsonLines(sharded, s"$tmp/json")
-      // one decode pass: the avro relation feeds a sig AND a cohort —
-      // pin it instead of re-running the record-at-a-time read per use
-      val avro = graft.sources.AvroIO.read(s, s"$tmp/avro")
-        .localCheckpoint(true)
-      val json = graft.sources.GraftIO.readJsonLines(s, s"$tmp/json",
-        Some(li.schema))
       // multiset fingerprint (count, XOR of the row hashes, XOR of the
       // REMIXED row hashes): all three are ALGEBRAIC, so each leg is one
       // exchange-free pass — the count_distinct this replaced
@@ -665,17 +657,44 @@ object SparkEntry {
       }
       // the OPERATOR is the shipped hash funnel over the native parquet
       // relation; the avro/json record-at-a-time round trips and the
-      // cross-format comparisons are the IO-contract audit
+      // cross-format comparisons are the IO-contract audit. Measured
+      // ALONE, before the concurrent audit legs, so the span stays a
+      // contention-free operator quote.
       val sigP = timedOperator("hash_cross_format") { sig(li) }
       // pinned: each cohort feeds both exceptAll sides
       def cohort(df: DataFrame) = BigSampler.sample(df, 0.05,
           BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
         .select("l_orderkey", "l_linenumber").localCheckpoint(true)
-      val cp = cohort(li); val ca = cohort(avro)
+      // the three audit legs are INDEPENDENT Spark job chains (avro
+      // write->read->sig->cohort, json write->sig, parquet cohort), each
+      // record-at-a-time conversion bound well under the session's
+      // cores — run them as concurrent job submissions on the one
+      // session (thread-safe by Spark's contract) so the gate's wall is
+      // the longest leg, not the sum; same jobs, same verdicts
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fAvro = Future {
+        graft.sources.AvroIO.write(sharded, s"$tmp/avro")
+        // one decode pass: the avro relation feeds a sig AND a cohort —
+        // pin it instead of re-running the record-at-a-time read per use
+        val avro = graft.sources.AvroIO.read(s, s"$tmp/avro")
+          .localCheckpoint(true)
+        (sig(avro), cohort(avro))
+      }
+      val fJson = Future {
+        graft.sources.GraftIO.writeJsonLines(sharded, s"$tmp/json")
+        sig(graft.sources.GraftIO.readJsonLines(s, s"$tmp/json",
+          Some(li.schema)))
+      }
+      val fCohortP = Future { cohort(li) }
+      val (sigA, ca) = Await.result(fAvro, Duration.Inf)
+      val sigJ = Await.result(fJson, Duration.Inf)
+      val cp = Await.result(fCohortP, Duration.Inf)
       val orphans = cp.exceptAll(ca).count() + ca.exceptAll(cp).count()
       li.agg(count(lit(1)).as("n_rows"))
-        .withColumn("avro_hash_ok", lit(sig(avro) == sigP))
-        .withColumn("json_hash_ok", lit(sig(json) == sigP))
+        .withColumn("avro_hash_ok", lit(sigA == sigP))
+        .withColumn("json_hash_ok", lit(sigJ == sigP))
         .withColumn("cohort_ok", lit(orphans == 0L))
     }),
 
