@@ -691,11 +691,16 @@ object SparkEntry {
       val (sigA, ca) = Await.result(fAvro, Duration.Inf)
       val sigJ = Await.result(fJson, Duration.Inf)
       val cp = Await.result(fCohortP, Duration.Inf)
-      val orphans = cp.exceptAll(ca).count() + ca.exceptAll(cp).count()
+      // both cohort-parity directions attach as lazy 1-row broadcast
+      // scalars — one final action whose independent subtrees the
+      // scheduler overlaps, instead of two serial driver-side counts
       li.agg(count(lit(1)).as("n_rows"))
         .withColumn("avro_hash_ok", lit(sigA == sigP))
         .withColumn("json_hash_ok", lit(sigJ == sigP))
-        .withColumn("cohort_ok", lit(orphans == 0L))
+        .crossJoin(broadcast(cp.exceptAll(ca).agg(count(lit(1)).as("__o_pa"))))
+        .crossJoin(broadcast(ca.exceptAll(cp).agg(count(lit(1)).as("__o_ap"))))
+        .select(col("n_rows"), col("avro_hash_ok"), col("json_hash_ok"),
+          (col("__o_pa") + col("__o_ap") === 0L).as("cohort_ok"))
     }),
 
     // ---- dedup (training-data extension) ----
@@ -833,17 +838,30 @@ object SparkEntry {
       // ledger no-op: the folded keyed id is consumed — a replay appends 0
       val replayRows = DedupIndex.append(docs.filter(col("doc_id") % 10 === 3),
         "doc_id", "text", tmp, batchId = Some("day-k"))
+      // the direct recompute never touches the artifact — it overlaps the
+      // artifact-served leg as a concurrent job submission
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fDirect = Future {
+        Dedup.newAgainst(docs, incoming, "text").select("doc_id")
+          .localCheckpoint(true)
+      }
       val exServed = DedupIndex.newAgainst(s, tmp, incoming, "text")
         .select("doc_id").localCheckpoint(true)
-      val exDirect = Dedup.newAgainst(docs, incoming, "text").select("doc_id")
-        .localCheckpoint(true)
-      val exactDiff = exServed.exceptAll(exDirect).count() +
-        exDirect.exceptAll(exServed).count()
+      val exDirect = Await.result(fDirect, Duration.Inf)
+      // both parity directions attach as lazy 1-row broadcast scalars —
+      // one final action whose independent subtrees the scheduler
+      // overlaps, instead of two serial driver-side counts
       exServed.agg(count(lit(1)).as("n_novel"))
         .withColumn("n_indexed", lit(nIndexed))
         .withColumn("replay_rows", lit(replayRows))
-        .withColumn("exact_parity_ok", lit(exactDiff == 0L))
-        .select("n_indexed", "n_novel", "replay_rows", "exact_parity_ok")
+        .crossJoin(broadcast(exServed.exceptAll(exDirect)
+          .agg(count(lit(1)).as("__d_sd"))))
+        .crossJoin(broadcast(exDirect.exceptAll(exServed)
+          .agg(count(lit(1)).as("__d_ds"))))
+        .select(col("n_indexed"), col("n_novel"), col("replay_rows"),
+          (col("__d_sd") + col("__d_ds") === 0L).as("exact_parity_ok"))
     }),
     // persisted dedup index, gate 2 of 2 — the SERVE path in the shipped
     // append regime: one build of the FULL corpus (the accumulated-corpus
@@ -1341,6 +1359,11 @@ object SparkEntry {
         "vec_id", "embedding", tmp)
       Similarity.compactIvfPqIndex(s, tmp)
       val model = Similarity.loadIvfPqModel(s, tmp)
+      // the brute-force oracle stays LAZY: measured, hoisting it into a
+      // checkpointed concurrent job alongside the PQ training read
+      // slightly WORSE (the 10-query brute force is too cheap to repay
+      // the eager materialization + training contention) — its two uses
+      // already overlap as subtrees of the single final action
       val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id")
       // the OPERATOR is the from-disk ADC serve + exact rerank; the
@@ -1387,18 +1410,29 @@ object SparkEntry {
       def drift(): Double = IndexAdmin.ivfDriftCheck(s, tmp, shifted,
           "vec_id", "embedding")
         .filter(col("cell") === -1).head().getAs[Double]("mean_dist")
-      val driftBefore = drift()
-      val nBefore = s.read.parquet(s"$tmp/postings").count()
+      // the drift probe and the postings census are independent READ-ONLY
+      // jobs over the settled artifact — concurrent submissions, both
+      // before the operator and again after it (the replay stays eager
+      // and last: it must observe the post-retrain folded ledger)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      def probes(): (Double, Long) = {
+        val fD = Future(drift())
+        val fN = Future(s.read.parquet(s"$tmp/postings").count())
+        (Await.result(fD, Duration.Inf), Await.result(fN, Duration.Inf))
+      }
+      val (driftBefore, nBefore) = probes()
       // the OPERATOR is the retrain itself (train + one re-cell shuffle +
       // swaps); the build/append fixture and drift probes are its audit
       val cells = timedOperator("index_retrain") {
         Similarity.retrainIvfIndex(s, tmp, nlist = 8, maxIter = 5)
       }
-      val nAfter = s.read.parquet(s"$tmp/postings").count()
+      val (driftAfter, nAfter) = probes()
       val replay = Similarity.appendIvfIndex(shifted, "vec_id", "embedding",
         tmp, batchId = Some("drift-1"))
       import s.implicits._
-      Seq((nBefore, nAfter, cells, replay, drift() < driftBefore))
+      Seq((nBefore, nAfter, cells, replay, driftAfter < driftBefore))
         .toDF("n_before", "n_after", "cells", "replay_rows", "drift_improved")
     }),
     // the append-a-crawl OPERATIONAL LOOP end-to-end through the
@@ -1458,13 +1492,19 @@ object SparkEntry {
         IndexAdmin.ivfDriftCheck(s, tmp, emb, "vec_id", "embedding")
           .localCheckpoint(true)
       }
+      // the corpus census attaches as a lazy 1-row broadcast scalar
+      // instead of an eager plan-construction-time count job
       census.filter(col("relation") === "postings")
         .agg(sum("rows").as("n_postings"),
           (countDistinct("batch") === 2).as("batches_ok"))
         .crossJoin(drift.filter(col("cell") >= 0)
-          .agg((sum("n") === lit(emb.count())).as("drift_covered"),
+          .agg(sum("n").as("__drift_n"),
             every(col("mean_dist") >= 0.0 && !isnan(col("mean_dist")))
               .as("dist_ok")))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("__n_emb"))))
+        .select(col("n_postings"), col("batches_ok"),
+          (col("__drift_n") === col("__n_emb")).as("drift_covered"),
+          col("dist_ok"))
     }),
     // oracle-gated PQ-ADC quality: product-quantized search (m=16 × 32
     // codes, exact re-rank of the approximate top 10k) must recover ≥70%
@@ -2793,15 +2833,23 @@ object SparkEntry {
         percentile_approx(col("p"), array(qs.map(lit): _*), lit(acc)).as("av"),
         expr(s"percentile(p, array(${qs.mkString("D,")}D))").as("ev"),
         count(col("p")).as("n"))
-      val probes = agg1.select(col("n"), posexplode(col("av")).as(Seq("i", "v")),
-        col("ev"))
-      li.crossJoin(broadcast(probes))
-        .groupBy("i", "v", "n", "ev")
-        .agg(sum(when(col("p") <= col("v"), 1L).otherwise(0L)).as("rank"))
+      // ONE-row broadcast probe + all four ranks as conditional sums in a
+      // single global aggregate — the prior shape (4-row probe crossJoin +
+      // groupBy) amplified the scan 4x through the join and the partial
+      // aggregation for the same four numbers
+      val ranks = li.crossJoin(broadcast(agg1))
+        .agg(first(col("n")).as("n"), first(col("ev")).as("ev"),
+          first(col("av")).as("av"),
+          array(qs.indices.map(i => sum(when(
+            col("p") <= element_at(col("av"), i + 1), 1L)
+            .otherwise(0L))): _*).as("ranks"))
+      ranks
+        .select(col("n"), col("ev"), col("ranks"),
+          posexplode(col("av")).as(Seq("i", "v")))
         .select(
           element_at(array(qs.map(lit): _*), col("i") + 1).as("q"),
           round(element_at(col("ev"), col("i") + 1), 4).as("exact_v"),
-          (abs(col("rank") -
+          (abs(element_at(col("ranks"), col("i") + 1) -
             element_at(array(qs.map(lit): _*), col("i") + 1) * col("n")) <=
             col("n").cast("double") / acc + 1.0).as("rank_ok"))
         .orderBy("q")
