@@ -375,11 +375,15 @@ object SparkEntry {
         "--key=l_orderkey", s"--output=$tmp/out", "--unordered=lines",
         "--ignore-fields=noise")
       graft.cli.Graft.run(cmd, s)
-      val marker = java.nio.file.Paths.get(s"$tmp/out/fields/_SUCCESS")
-      val mtime1 = java.nio.file.Files.getLastModifiedTime(marker)
+      // S14 witness: a sentinel planted INSIDE the completed output dir —
+      // any rewrite (overwrite mode deletes the dir first) removes it,
+      // where an _SUCCESS mtime-equality check can false-pass on
+      // filesystems with coarse (second-granularity) timestamps when the
+      // rewrite completes within one tick
+      val sentinel = java.nio.file.Paths.get(s"$tmp/out/fields/_witness")
+      java.nio.file.Files.writeString(sentinel, "planted-after-run-1")
       graft.cli.Graft.run(cmd, s) // S14: must short-circuit, not rewrite
-      val rerunSkipped =
-        java.nio.file.Files.getLastModifiedTime(marker) == mtime1
+      val rerunSkipped = java.nio.file.Files.exists(sentinel)
       s.read.option("header", "true").option("sep", "\t")
         .csv(s"$tmp/out/global")
         .select(col("num_total").cast("long").as("num_total"),
@@ -604,13 +608,20 @@ object SparkEntry {
     // signatures so the check stays one aggregate per leg
     "hash_murmur_determinism" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      def sig(tag: String) =
-        li.select(fieldHash(Seq(col("l_orderkey"), col("l_linenumber")),
-            "murmur", Some(7)).as("h"))
-          .agg(count(lit(1)).as(s"n_$tag"),
-            countDistinct(col("h")).as(s"d_$tag"),
-            sum(col("h").cast("decimal(38,0)")).as(s"s_$tag"))
-      sig("a").crossJoin(sig("b"))
+      def hashes = li.select(fieldHash(
+        Seq(col("l_orderkey"), col("l_linenumber")), "murmur", Some(7))
+        .as("h"))
+      // leg a is MATERIALIZED (checkpoint) so the second leg cannot be
+      // satisfied by exchange/plan reuse of the first — two canonically
+      // identical lazy subplans would be computed ONCE by Spark's reuse
+      // rules, making the determinism verdict compare a value with
+      // itself (vacuously true even under a nondeterministic hash)
+      val first = hashes.localCheckpoint(true)
+      def sig(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as(s"n_$tag"),
+          countDistinct(col("h")).as(s"d_$tag"),
+          sum(col("h").cast("decimal(38,0)")).as(s"s_$tag"))
+      sig(first, "a").crossJoin(sig(hashes, "b"))
         .select(col("n_a").as("n_rows"), col("d_a").as("n_distinct"),
           (col("n_a") === col("n_b") && col("d_a") === col("d_b") &&
             col("s_a") === col("s_b")).as("deterministic"))

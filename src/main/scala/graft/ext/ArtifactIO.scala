@@ -103,7 +103,11 @@ private[ext] object ArtifactIO {
     stagingSiblings(hfs, dst).foreach { p =>
       val ours = p.getName == new Path(dst).getName + "_compact_tmp" + ourSuffix
       val legacyShared = p.getName == new Path(dst).getName + "_compact_tmp"
-      val staged = hfs.exists(new Path(p, StagedMarker))
+      // lazy: the marker probe (one RPC) and especially the subtree walk
+      // (O(task-attempt files) listStatus RPCs on an object store) only
+      // run when they can affect the decision — `||` short-circuits past
+      // both for our own tmp, and dstExists=false skips everything
+      lazy val staged = hfs.exists(new Path(p, StagedMarker))
       // staleness from the NEWEST mtime in the tmp's subtree, not the
       // root's: a POSIX/HDFS dir's mtime only advances when its DIRECT
       // entries change, and Spark stages under tmp/_temporary/<job>/
@@ -112,7 +116,7 @@ private[ext] object ArtifactIO {
       // under running tasks (safe, the marker rule blocks promotion of
       // the recreated partial, but it churns). The bounded walk reaches
       // the attempt dirs, whose entries DO change while tasks write.
-      val stale = {
+      lazy val stale = {
         val newest = newestMtime(hfs, p, depth = 5)
         newest > 0L && now - newest > StagingStaleMs
       }

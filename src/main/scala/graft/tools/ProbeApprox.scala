@@ -16,19 +16,26 @@ object ProbeApprox {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // the SAME deliberately skewed 60/30/10 derived stratum the tolerance
+    // gates band (sample_stratified_approx_tol / sample_uniform_approx_tol)
+    // -- measuring the natural near-equal l_returnflag strata instead
+    // would calibrate the bands against the wrong distribution (the 10%
+    // stratum 'c' is the one whose margin is tightest)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").withColumn("grp",
+      when(col("l_orderkey") % 10 < 6, "a")
+        .when(col("l_orderkey") % 10 < 9, "b").otherwise("c"))
     val coins: Seq[(String, BigSampler.Determinism)] = Seq(
       "hash" -> BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")),
       "random" -> BigSampler.Random(42L))
-    val totals = li.groupBy(col("l_returnflag").as("stratum"))
+    val totals = li.groupBy(col("grp").as("stratum"))
       .agg(count(lit(1)).as("n_total"))
     val grand = li.count()
     val nStrata = totals.count()
     val pop = grand * 0.1 / nStrata
     for ((name, det) <- coins) {
       val strat = BigSampler.sample(li, 0.1, det,
-          BigSampler.Stratified(Seq("l_returnflag")))
-        .groupBy(col("l_returnflag").as("stratum"))
+          BigSampler.Stratified(Seq("grp")))
+        .groupBy(col("grp").as("stratum"))
         .agg(count(lit(1)).as("n_samp"))
         .join(totals, "stratum").orderBy("stratum").collect()
       strat.foreach { r =>
@@ -36,8 +43,8 @@ object ProbeApprox {
         println(f"STRAT $name%-6s ${r.getString(0)}%-2s frac=$f%.5f dev=${math.abs(f - 0.1)}%.5f")
       }
       val uni = BigSampler.sample(li, 0.1, det,
-          BigSampler.Uniform(Seq("l_returnflag")))
-        .groupBy(col("l_returnflag").as("stratum"))
+          BigSampler.Uniform(Seq("grp")))
+        .groupBy(col("grp").as("stratum"))
         .agg(count(lit(1)).as("n_samp"))
         .join(totals, "stratum").orderBy("stratum").collect()
       uni.foreach { r =>
