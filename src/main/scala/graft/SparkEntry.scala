@@ -256,8 +256,18 @@ object SparkEntry {
     val qn = s"graft_stream_sink_${streamSeq.incrementAndGet()}"
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_stream_ckpt").toFile
-    val q = out.writeStream.format("memory").queryName(qn)
-      .option("checkpointLocation", ckpt.toString).outputMode(mode).start()
+    // State partitions sized to the harness volume: every stateful
+    // operator opens/commits one state store PER shuffle partition PER
+    // trigger, a fixed cost that dwarfs the per-gate data at these SFs
+    // (the count is pinned into the checkpoint at first batch, so it is
+    // per-query, not per-session). A production deployment sizes this to
+    // its key cardinality; the parity invariants are partition-agnostic.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      out.writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt.toString).outputMode(mode).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     // cleanup in finally: a FAILING stream gate must not leak its sink
     // registration or checkpoint either — a Bench session runs every
     // gate twice and must not accumulate per-run state. The analyzed
