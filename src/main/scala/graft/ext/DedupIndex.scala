@@ -231,15 +231,20 @@ object DedupIndex {
       r.getAs[Double]("bloom_fpp"))
   }
 
-  /** Write order is a crash-safety contract, not incidental: the Bloom
-    * SEGMENTS land first (a torn batch then leaves blooms covering keys
-    * whose data never arrived — FALSE POSITIVES only, which the exact
-    * joins absorb; data-before-bloom would instead leave uncovered keys
-    * whose duplicates sail through the "bloom miss = definitely new"
-    * fast path — silent false negatives). Shingles land before bands
-    * for the same reason: a band row whose shingles are missing would
-    * drop its candidate pair at the verify join, while shingles with no
-    * band rows are merely unreachable. An APPEND that tears is therefore
+  /** Write order is a crash-safety contract PER SEARCH PATH, not
+    * incidental: within each path the Bloom SEGMENT lands first (a torn
+    * batch then leaves blooms covering keys whose data never arrived —
+    * FALSE POSITIVES only, which the exact joins absorb; data-before-
+    * bloom would instead leave uncovered keys whose duplicates sail
+    * through the "bloom miss = definitely new" fast path — silent false
+    * negatives). Shingles land before bands for the same reason: a band
+    * row whose shingles are missing would drop its candidate pair at
+    * the verify join, while shingles with no band rows are merely
+    * unreachable. The EXACT path (fp bloom → fingerprints) and the NEAR
+    * path (band bloom → shingles → bands) are read by disjoint searches
+    * and carry no cross-path ordering constraint, so they land as two
+    * concurrent legs — a tear leaves each path individually in a
+    * false-positive-only prefix of its own order. An APPEND that tears is therefore
     * safe to search (extra bloom coverage, missing tail data) but
     * half-written — recover by RE-APPENDING: under a stable batch id the
     * retry is a clean per-partition overwrite (exactly-once), under an
@@ -258,14 +263,27 @@ object DedupIndex {
     require(batch.matches("[A-Za-z0-9._-]+"),
       s"batch id must match [A-Za-z0-9._-]+, got '$batch'")
     val spark = df.sparkSession
-    // pinned: the fingerprint relation feeds the bloom build, the count,
-    // and the write (same eager-localCheckpoint lifecycle as Dedup)
-    val fps = df.select(col(idCol).as("id"), farmHash64(col(textCol)).as("fp"))
-      .localCheckpoint(true)
-    val nDocs = fps.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // the EXACT path's relation (fingerprints) and the NEAR path's
+    // relations (shingles/bands) derive independently from `df` and are
+    // read by disjoint searches — their computation and their writes run
+    // as two concurrent job-submission legs, each preserving ITS OWN
+    // crash order (see the write-order scaladoc above; none of this
+    // touches the lease machinery, which stays on the caller's thread)
+    val fFps = Future {
+      // pinned: the fingerprint relation feeds the bloom build, the
+      // count, and the write (same eager-localCheckpoint lifecycle as
+      // Dedup)
+      val fps = df.select(col(idCol).as("id"),
+        farmHash64(col(textCol)).as("fp")).localCheckpoint(true)
+      (fps, fps.count())
+    }
     val (sh, banded) = Dedup.shingleBanded(df, idCol, textCol,
       p.numHashes, p.bands, p.shingleLen, p.seed)
     val nBands = banded.count()
+    val (fps, nDocs) = Await.result(fFps, Duration.Inf)
     // a keyed RE-append may replace a previous generation of this batch
     // with DIFFERENT data: the old relation partitions must go before
     // the new blooms land, or a tear between bloom-overwrite and
@@ -275,16 +293,22 @@ object DedupIndex {
     // just extra coverage. (No-op for a fresh id.)
     Seq("shingles", "fingerprints", "bands")
       .foreach(r => deleteDir(spark, s"$path/$r/batch=$batch"))
-    if (nDocs > 0)
-      writeBloomSegment(spark, s"$path/$FpBloomDir",
-        fps.stat.bloomFilter("fp", nDocs, p.bloomFpp), batch)
-    if (nBands > 0)
-      writeBloomSegment(spark, s"$path/$BandBloomDir",
-        banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
-          .stat.bloomFilter("__bk", nBands, p.bloomFpp), batch)
-    sh.write.mode("overwrite").parquet(s"$path/shingles/batch=$batch")
-    fps.write.mode("overwrite").parquet(s"$path/fingerprints/batch=$batch")
-    banded.write.mode("overwrite").parquet(s"$path/bands/batch=$batch")
+    val exactLeg = Future {
+      if (nDocs > 0)
+        writeBloomSegment(spark, s"$path/$FpBloomDir",
+          fps.stat.bloomFilter("fp", nDocs, p.bloomFpp), batch)
+      fps.write.mode("overwrite").parquet(s"$path/fingerprints/batch=$batch")
+    }
+    val nearLeg = Future {
+      if (nBands > 0)
+        writeBloomSegment(spark, s"$path/$BandBloomDir",
+          banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
+            .stat.bloomFilter("__bk", nBands, p.bloomFpp), batch)
+      sh.write.mode("overwrite").parquet(s"$path/shingles/batch=$batch")
+      banded.write.mode("overwrite").parquet(s"$path/bands/batch=$batch")
+    }
+    Await.result(exactLeg, Duration.Inf)
+    Await.result(nearLeg, Duration.Inf)
     nDocs
   }
 
