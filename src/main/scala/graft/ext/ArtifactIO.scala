@@ -418,6 +418,27 @@ private[ext] object ArtifactIO {
   private val heldLeases: ThreadLocal[mutable.Map[String, String]] =
     ThreadLocal.withInitial(() => mutable.Map.empty[String, String])
 
+  /** Snapshot of this thread's held leases, for handing to
+    * [[runWithLeaseContext]] on a worker thread. The registry is a
+    * ThreadLocal: a worker thread staging on the lease holder's behalf
+    * would otherwise see NO held lease — its [[rewriteInPlace]] would
+    * stage under the legacy SHARED tmp name (the exact zombie-promotion
+    * hazard the token suffix exists to prevent) and skip the
+    * commit-point fence entirely. */
+  private[ext] def leaseContext: Map[String, String] = heldLeases.get.toMap
+
+  /** Run `body` on THIS thread with `ctx` (a holder's [[leaseContext]])
+    * as its held-lease registry, restoring the thread's own registry
+    * after — the propagation shim for concurrent staging legs under one
+    * writer lease. The worker inherits fencing and token-suffixed
+    * staging; it must complete before the holder releases the lease. */
+  private[ext] def runWithLeaseContext[T](ctx: Map[String, String])
+                                         (body: => T): T = {
+    val prev = heldLeases.get
+    heldLeases.set(mutable.Map(ctx.toSeq: _*))
+    try body finally heldLeases.set(prev)
+  }
+
   /** Commit-point fence: when `dst` sits under an artifact root this
     * thread holds a lease on, re-read the lock file and abort unless it
     * still carries OUR token — the cheap guard that stops an overstaying

@@ -193,32 +193,55 @@ object DedupIndex {
     ArtifactIO.recordFolded(spark, path,
       Seq("shingles", "fingerprints", "bands")
         .flatMap(r => ArtifactIO.listBatchIds(spark, s"$path/$r")).distinct)
-    Seq("shingles", "fingerprints", "bands").foreach { name =>
-      val dir = s"$path/$name"
-      val n = ArtifactIO.targetFileCount(spark, dir, targetBytes)
-      val df0 = spark.read.parquet(dir)
-      val df = df0.dropDuplicates(df0.columns.filterNot(_ == "batch").toSeq)
-        .drop("batch")
-      ArtifactIO.rewriteInPlace(spark, dir)(tmp =>
-        df.repartition(n).write.mode("overwrite").parquet(s"$tmp/batch=$cid"))
+    // the three relation rewrites are independent (dedupe never drops a
+    // KEY, so no cross-relation order is load-bearing while the old
+    // blooms still cover everything) — they stage and swap as concurrent
+    // legs, each under the holder's propagated lease context so its
+    // staging path keeps the token suffix and its swap stays fenced
+    // (ArtifactIO.runWithLeaseContext — the registry is a ThreadLocal)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val ctx = ArtifactIO.leaseContext
+    val relLegs = Seq("shingles", "fingerprints", "bands").map { name =>
+      Future(ArtifactIO.runWithLeaseContext(ctx) {
+        val dir = s"$path/$name"
+        val n = ArtifactIO.targetFileCount(spark, dir, targetBytes)
+        val df0 = spark.read.parquet(dir)
+        val df = df0.dropDuplicates(df0.columns.filterNot(_ == "batch").toSeq)
+          .drop("batch")
+        ArtifactIO.rewriteInPlace(spark, dir)(tmp =>
+          df.repartition(n).write.mode("overwrite").parquet(s"$tmp/batch=$cid"))
+      })
     }
-    val fps = spark.read.parquet(s"$path/fingerprints")
-    val nDocs = fps.count()
-    ArtifactIO.rewriteInPlace(spark, s"$path/$FpBloomDir") { tmp =>
-      fs(spark, tmp).mkdirs(new org.apache.hadoop.fs.Path(tmp))
-      if (nDocs > 0)
-        writeBloomSegment(spark, tmp,
-          fps.stat.bloomFilter("fp", nDocs, p.bloomFpp), cid)
-    }
-    val banded = spark.read.parquet(s"$path/bands")
-    val nBands = banded.count()
-    ArtifactIO.rewriteInPlace(spark, s"$path/$BandBloomDir") { tmp =>
-      fs(spark, tmp).mkdirs(new org.apache.hadoop.fs.Path(tmp))
-      if (nBands > 0)
-        writeBloomSegment(spark, tmp,
-          banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
-            .stat.bloomFilter("__bk", nBands, p.bloomFpp), cid)
-    }
+    relLegs.foreach(Await.result(_, Duration.Inf))
+    // blooms swap LAST (the compact-wide relations-then-blooms order is
+    // the crash contract); the two rebuilds cover disjoint search paths
+    // and run as concurrent legs under the same propagated context
+    val fpLeg = Future(ArtifactIO.runWithLeaseContext(ctx) {
+      val fps = spark.read.parquet(s"$path/fingerprints")
+      val nDocs = fps.count()
+      ArtifactIO.rewriteInPlace(spark, s"$path/$FpBloomDir") { tmp =>
+        fs(spark, tmp).mkdirs(new org.apache.hadoop.fs.Path(tmp))
+        if (nDocs > 0)
+          writeBloomSegment(spark, tmp,
+            fps.stat.bloomFilter("fp", nDocs, p.bloomFpp), cid)
+      }
+      nDocs
+    })
+    val bandLeg = Future(ArtifactIO.runWithLeaseContext(ctx) {
+      val banded = spark.read.parquet(s"$path/bands")
+      val nBands = banded.count()
+      ArtifactIO.rewriteInPlace(spark, s"$path/$BandBloomDir") { tmp =>
+        fs(spark, tmp).mkdirs(new org.apache.hadoop.fs.Path(tmp))
+        if (nBands > 0)
+          writeBloomSegment(spark, tmp,
+            banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
+              .stat.bloomFilter("__bk", nBands, p.bloomFpp), cid)
+      }
+    })
+    val nDocs = Await.result(fpLeg, Duration.Inf)
+    Await.result(bandLeg, Duration.Inf)
     nDocs
     } // lease scope
   }

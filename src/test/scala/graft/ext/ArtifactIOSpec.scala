@@ -376,6 +376,65 @@ class ArtifactIOSpec extends SparkSpec {
       .filter(col("batch") === "day-1").count() shouldBe 1L
   }
 
+  it should "propagate the lease context to worker-thread staging legs" in {
+    // the held-lease registry is a ThreadLocal: a worker thread staging
+    // on the holder's behalf must inherit the token (suffix-unique tmp,
+    // commit fence) via runWithLeaseContext — without it the worker
+    // stages under the legacy SHARED tmp name, the zombie-promotion
+    // hazard the token exists to prevent
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val root = tmpDir("artio")
+    val dst = s"$root/data"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dst)
+    ArtifactIO.withWriterLease(spark, root, "outer") {
+      val lockIn = hfs(root).open(new Path(root, "_writer_lock"))
+      val token = try scala.io.Source.fromInputStream(lockIn, "UTF-8")
+        .mkString.split("\\s+").head.take(8) finally lockIn.close()
+      val ctx = ArtifactIO.leaseContext
+      var stagedName: String = null
+      Await.result(Future(ArtifactIO.runWithLeaseContext(ctx) {
+        ArtifactIO.rewriteInPlace(spark, dst) { tmp =>
+          stagedName = new Path(tmp).getName
+          spark.read.parquet(dst).write.parquet(tmp)
+        }
+      }), Duration.Inf)
+      stagedName shouldBe s"data_compact_tmp_$token"
+      // a worker WITHOUT the context falls back to the shared legacy name
+      var bareName: String = null
+      Await.result(Future {
+        ArtifactIO.rewriteInPlace(spark, dst) { tmp =>
+          bareName = new Path(tmp).getName
+          spark.read.parquet(dst).write.parquet(tmp)
+        }
+      }, Duration.Inf)
+      bareName shouldBe "data_compact_tmp"
+    }
+  }
+
+  it should "fence worker-thread legs after a mid-body takeover" in {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val root = tmpDir("artio")
+    val dst = s"$root/data"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dst)
+    ArtifactIO.withWriterLease(spark, root, "outer") {
+      val ctx = ArtifactIO.leaseContext
+      plantLock(root) // takeover mid-body
+      val ex = intercept[IllegalStateException](
+        Await.result(Future(ArtifactIO.runWithLeaseContext(ctx) {
+          ArtifactIO.rewriteInPlace(spark, dst) { tmp =>
+            spark.read.parquet(dst).write.parquet(tmp)
+          }
+        }), Duration.Inf))
+      ex.getMessage should include("taken over mid-operation")
+    }
+    // the new holder's data is untouched
+    spark.read.parquet(dst).count() shouldBe 1L
+  }
+
   it should "compose guarded operations reentrantly on one thread" in {
     val root = tmpDir("artio")
     val idx = s"$root/dd"
