@@ -214,7 +214,12 @@ object DedupIndex {
           df.repartition(n).write.mode("overwrite").parquet(s"$tmp/batch=$cid"))
       })
     }
-    relLegs.foreach(Await.result(_, Duration.Inf))
+    // settle every leg before leaving (even when one throws): an
+    // un-awaited leg would keep staging after the lease scope exits and
+    // race the next holder (its swap would still fence, but the churn
+    // and the half-staged tmp are avoidable)
+    val relTries = relLegs.map(l => scala.util.Try(Await.result(l, Duration.Inf)))
+    relTries.foreach(_.get)
     // blooms swap LAST (the compact-wide relations-then-blooms order is
     // the crash contract); the two rebuilds cover disjoint search paths
     // and run as concurrent legs under the same propagated context
@@ -240,8 +245,10 @@ object DedupIndex {
               .stat.bloomFilter("__bk", nBands, p.bloomFpp), cid)
       }
     })
-    val nDocs = Await.result(fpLeg, Duration.Inf)
-    Await.result(bandLeg, Duration.Inf)
+    val fpTry = scala.util.Try(Await.result(fpLeg, Duration.Inf))
+    val bandTry = scala.util.Try(Await.result(bandLeg, Duration.Inf))
+    val nDocs = fpTry.get
+    bandTry.get
     nDocs
     } // lease scope
   }
@@ -303,10 +310,15 @@ object DedupIndex {
         farmHash64(col(textCol)).as("fp")).localCheckpoint(true)
       (fps, fps.count())
     }
-    val (sh, banded) = Dedup.shingleBanded(df, idCol, textCol,
-      p.numHashes, p.bands, p.shingleLen, p.seed)
+    // settle EVERY leg before leaving (even when one throws): an
+    // un-awaited leg would keep writing after the lease scope exits and
+    // race the next holder's batch overwrite
+    val shTry = scala.util.Try(Dedup.shingleBanded(df, idCol, textCol,
+      p.numHashes, p.bands, p.shingleLen, p.seed))
+    val fpsTry = scala.util.Try(Await.result(fFps, Duration.Inf))
+    val (sh, banded) = shTry.get
+    val (fps, nDocs) = fpsTry.get
     val nBands = banded.count()
-    val (fps, nDocs) = Await.result(fFps, Duration.Inf)
     // a keyed RE-append may replace a previous generation of this batch
     // with DIFFERENT data: the old relation partitions must go before
     // the new blooms land, or a tear between bloom-overwrite and
@@ -330,8 +342,11 @@ object DedupIndex {
       sh.write.mode("overwrite").parquet(s"$path/shingles/batch=$batch")
       banded.write.mode("overwrite").parquet(s"$path/bands/batch=$batch")
     }
-    Await.result(exactLeg, Duration.Inf)
-    Await.result(nearLeg, Duration.Inf)
+    // settle both legs before leaving, propagating the first failure
+    // only after the other leg has stopped writing (see above)
+    val exactTry = scala.util.Try(Await.result(exactLeg, Duration.Inf))
+    val nearTry = scala.util.Try(Await.result(nearLeg, Duration.Inf))
+    exactTry.get; nearTry.get
     nDocs
   }
 
