@@ -377,10 +377,18 @@ object SparkEntry {
         else base
         bumped.withColumn("noise", lit(noise))
       }
-      sides("n_a", bump = false, asc = true)
-        .write.mode("overwrite").parquet(s"$tmp/lhs")
-      sides("n_b", bump = true, asc = false)
-        .write.mode("overwrite").parquet(s"$tmp/rhs")
+      // the two staging writes are independent job chains — concurrent
+      // submissions, both awaited before the CLI run under test
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fL = Future(sides("n_a", bump = false, asc = true)
+          .write.mode("overwrite").parquet(s"$tmp/lhs"))
+        val fR = Future(sides("n_b", bump = true, asc = false)
+          .write.mode("overwrite").parquet(s"$tmp/rhs"))
+        Await.result(fL, Duration.Inf); Await.result(fR, Duration.Inf)
+      }
       val cmd = Seq("bigDiffy", s"--lhs=$tmp/lhs", s"--rhs=$tmp/rhs",
         "--key=l_orderkey", s"--output=$tmp/out", "--unordered=lines",
         "--ignore-fields=noise")
@@ -2550,12 +2558,20 @@ object SparkEntry {
     // never change results.
     "bucketed_join" -> ((s, d) => {
       val tmp = sessionTempDir("graft_bucketed")
-      val ob = graft.sources.Bucketed.writeBucketed(
+      // the two bucketed-table writes are independent job chains over
+      // DIFFERENT table names (catalog registration is per-table) —
+      // concurrent submissions, both awaited before the join under test
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fOb = Future(graft.sources.Bucketed.writeBucketed(
         t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
-        "graft_orders_b", s"$tmp/orders", buckets = 8, keys = Seq("o_orderkey"))
-      val lb = graft.sources.Bucketed.writeBucketed(
+        "graft_orders_b", s"$tmp/orders", buckets = 8, keys = Seq("o_orderkey")))
+      val fLb = Future(graft.sources.Bucketed.writeBucketed(
         t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
-        "graft_lineitem_b", s"$tmp/lineitem", buckets = 8, keys = Seq("l_orderkey"))
+        "graft_lineitem_b", s"$tmp/lineitem", buckets = 8, keys = Seq("l_orderkey")))
+      val ob = Await.result(fOb, Duration.Inf)
+      val lb = Await.result(fLb, Duration.Inf)
       val joined = lb.hint("merge")
         .join(ob, col("l_orderkey") === col("o_orderkey"))
       val colocated = !joined.queryExecution.executedPlan.toString
