@@ -387,7 +387,7 @@ object SparkEntry {
           .write.mode("overwrite").parquet(s"$tmp/lhs"))
         val fR = Future(sides("n_b", bump = true, asc = false)
           .write.mode("overwrite").parquet(s"$tmp/rhs"))
-        Await.result(fL, Duration.Inf); Await.result(fR, Duration.Inf)
+        graft.core.Par.settleAll(Seq(fL, fR))
       }
       val cmd = Seq("bigDiffy", s"--lhs=$tmp/lhs", s"--rhs=$tmp/rhs",
         "--key=l_orderkey", s"--output=$tmp/out", "--unordered=lines",
@@ -717,9 +717,7 @@ object SparkEntry {
           Some(li.schema)))
       }
       val fCohortP = Future { cohort(li) }
-      val (sigA, ca) = Await.result(fAvro, Duration.Inf)
-      val sigJ = Await.result(fJson, Duration.Inf)
-      val cp = Await.result(fCohortP, Duration.Inf)
+      val ((sigA, ca), sigJ, cp) = graft.core.Par.settle3(fAvro, fJson, fCohortP)
       // both cohort-parity directions attach as lazy 1-row broadcast
       // scalars — one final action whose independent subtrees the
       // scheduler overlaps, instead of two serial driver-side counts
@@ -876,9 +874,10 @@ object SparkEntry {
         Dedup.newAgainst(docs, incoming, "text").select("doc_id")
           .localCheckpoint(true)
       }
-      val exServed = DedupIndex.newAgainst(s, tmp, incoming, "text")
-        .select("doc_id").localCheckpoint(true)
-      val exDirect = Await.result(fDirect, Duration.Inf)
+      val (exDirect, exServed) = graft.core.Par.withLeg(fDirect) {
+        DedupIndex.newAgainst(s, tmp, incoming, "text")
+          .select("doc_id").localCheckpoint(true)
+      }
       // both parity directions attach as lazy 1-row broadcast scalars —
       // one final action whose independent subtrees the scheduler
       // overlaps, instead of two serial driver-side counts
@@ -929,8 +928,9 @@ object SparkEntry {
         Dedup.minhashNewAgainst(docs, sample, "doc_id", "text",
           numHashes = 64, bands = 32, threshold = 0.7).localCheckpoint(true)
       }
-      DedupIndex.build(docs, "doc_id", "text", tmp, numHashes = 64, bands = 32)
-      val direct = Await.result(fDirect, Duration.Inf)
+      val (direct, _) = graft.core.Par.withLeg(fDirect) {
+        DedupIndex.build(docs, "doc_id", "text", tmp, numHashes = 64, bands = 32)
+      }
       // the gate's OPERATOR is the artifact-served search
       val served = timedOperator("dedup_index_search") {
         DedupIndex.minhashNewAgainst(s, tmp, incoming,
@@ -1449,7 +1449,7 @@ object SparkEntry {
       def probes(): (Double, Long) = {
         val fD = Future(drift())
         val fN = Future(s.read.parquet(s"$tmp/postings").count())
-        (Await.result(fD, Duration.Inf), Await.result(fN, Duration.Inf))
+        graft.core.Par.settle2(fD, fN)
       }
       val (driftBefore, nBefore) = probes()
       // the OPERATOR is the retrain itself (train + one re-cell shuffle +
@@ -2524,7 +2524,7 @@ object SparkEntry {
             .sortWithinPartitions("l_partkey")
             .write.mode("overwrite").parquet(s"$tmp/single")
         }
-        Await.result(fZ, Duration.Inf); Await.result(fS, Duration.Inf)
+        graft.core.Par.settleAll(Seq(fZ, fS))
       }
       val zs = graft.ext.Layout
         .fileSpanStats(s, s"$tmp/z", Seq("l_partkey", "l_orderkey"))
@@ -2570,8 +2570,7 @@ object SparkEntry {
       val fLb = Future(graft.sources.Bucketed.writeBucketed(
         t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
         "graft_lineitem_b", s"$tmp/lineitem", buckets = 8, keys = Seq("l_orderkey")))
-      val ob = Await.result(fOb, Duration.Inf)
-      val lb = Await.result(fLb, Duration.Inf)
+      val (ob, lb) = graft.core.Par.settle2(fOb, fLb)
       val joined = lb.hint("merge")
         .join(ob, col("l_orderkey") === col("o_orderkey"))
       val colocated = !joined.queryExecution.executedPlan.toString
@@ -2802,7 +2801,7 @@ object SparkEntry {
         Similarity.buildIvfIndex(t(s, d, "embeddings"), "vec_id", "embedding",
           tmpV, nlist = 16)
       }
-      Await.result(fT, Duration.Inf); Await.result(fV, Duration.Inf)
+      graft.core.Par.settle2(fT, fV)
       val q = bm25Queries.toDF("qid", "qtext")
         .join(t(s, d, "embeddings")
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")), "qid")

@@ -218,8 +218,7 @@ object DedupIndex {
     // un-awaited leg would keep staging after the lease scope exits and
     // race the next holder (its swap would still fence, but the churn
     // and the half-staged tmp are avoidable)
-    val relTries = relLegs.map(l => scala.util.Try(Await.result(l, Duration.Inf)))
-    relTries.foreach(_.get)
+    graft.core.Par.settleAll(relLegs)
     // blooms swap LAST (the compact-wide relations-then-blooms order is
     // the crash contract); the two rebuilds cover disjoint search paths
     // and run as concurrent legs under the same propagated context
@@ -245,10 +244,7 @@ object DedupIndex {
               .stat.bloomFilter("__bk", nBands, p.bloomFpp), cid)
       }
     })
-    val fpTry = scala.util.Try(Await.result(fpLeg, Duration.Inf))
-    val bandTry = scala.util.Try(Await.result(bandLeg, Duration.Inf))
-    val nDocs = fpTry.get
-    bandTry.get
+    val (nDocs, _) = graft.core.Par.settle2(fpLeg, bandLeg)
     nDocs
     } // lease scope
   }
@@ -302,6 +298,7 @@ object DedupIndex {
     // as two concurrent job-submission legs, each preserving ITS OWN
     // crash order (see the write-order scaladoc above; none of this
     // touches the lease machinery, which stays on the caller's thread)
+    val ctx = ArtifactIO.leaseContext
     val fFps = Future {
       // pinned: the fingerprint relation feeds the bloom build, the
       // count, and the write (same eager-localCheckpoint lifecycle as
@@ -310,14 +307,13 @@ object DedupIndex {
         farmHash64(col(textCol)).as("fp")).localCheckpoint(true)
       (fps, fps.count())
     }
-    // settle EVERY leg before leaving (even when one throws): an
-    // un-awaited leg would keep writing after the lease scope exits and
-    // race the next holder's batch overwrite
-    val shTry = scala.util.Try(Dedup.shingleBanded(df, idCol, textCol,
-      p.numHashes, p.bands, p.shingleLen, p.seed))
-    val fpsTry = scala.util.Try(Await.result(fFps, Duration.Inf))
-    val (sh, banded) = shTry.get
-    val (fps, nDocs) = fpsTry.get
+    // Par.withLeg settles the fingerprint leg even when the shingle pass
+    // throws: an un-awaited leg would keep running after the lease scope
+    // exits and race the next holder's batch overwrite
+    val ((fps, nDocs), (sh, banded)) = graft.core.Par.withLeg(fFps) {
+      Dedup.shingleBanded(df, idCol, textCol,
+        p.numHashes, p.bands, p.shingleLen, p.seed)
+    }
     val nBands = banded.count()
     // a keyed RE-append may replace a previous generation of this batch
     // with DIFFERENT data: the old relation partitions must go before
@@ -328,25 +324,31 @@ object DedupIndex {
     // just extra coverage. (No-op for a fresh id.)
     Seq("shingles", "fingerprints", "bands")
       .foreach(r => deleteDir(spark, s"$path/$r/batch=$batch"))
-    val exactLeg = Future {
+    // each leg runs under the holder's propagated lease context and
+    // FENCES at entry: these writes overwrite live bloom segments and
+    // batch partitions, so an overstaying writer's leg (taken over past
+    // the staleness window) must abort instead of clobbering the new
+    // holder's re-appended batch — the same commit-point rule every
+    // other destructive step here follows (deleteDir, rewriteInPlace)
+    val exactLeg = Future(ArtifactIO.runWithLeaseContext(ctx) {
+      ArtifactIO.fenceOrAbort(spark, path)
       if (nDocs > 0)
         writeBloomSegment(spark, s"$path/$FpBloomDir",
           fps.stat.bloomFilter("fp", nDocs, p.bloomFpp), batch)
       fps.write.mode("overwrite").parquet(s"$path/fingerprints/batch=$batch")
-    }
-    val nearLeg = Future {
+    })
+    val nearLeg = Future(ArtifactIO.runWithLeaseContext(ctx) {
+      ArtifactIO.fenceOrAbort(spark, path)
       if (nBands > 0)
         writeBloomSegment(spark, s"$path/$BandBloomDir",
           banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
             .stat.bloomFilter("__bk", nBands, p.bloomFpp), batch)
       sh.write.mode("overwrite").parquet(s"$path/shingles/batch=$batch")
       banded.write.mode("overwrite").parquet(s"$path/bands/batch=$batch")
-    }
+    })
     // settle both legs before leaving, propagating the first failure
-    // only after the other leg has stopped writing (see above)
-    val exactTry = scala.util.Try(Await.result(exactLeg, Duration.Inf))
-    val nearTry = scala.util.Try(Await.result(nearLeg, Duration.Inf))
-    exactTry.get; nearTry.get
+    // only after the other leg has stopped writing (Par contract)
+    graft.core.Par.settleAll(Seq(exactLeg, nearLeg))
     nDocs
   }
 
