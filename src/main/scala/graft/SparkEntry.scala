@@ -262,6 +262,13 @@ object SparkEntry {
     // (the count is pinned into the checkpoint at first batch, so it is
     // per-query, not per-session). A production deployment sizes this to
     // its key cardinality; the parity invariants are partition-agnostic.
+    // SERIAL-GATES ASSUMPTION: this set/restore mutates the SHARED session
+    // conf. It is correct only because start() clones the session
+    // synchronously (pinning 8 into the clone before the finally restores)
+    // and because Bench runs gates serially — no other gate, and no
+    // in-gate Future leg, plans against this session inside the window.
+    // If gates ever share this session concurrently, rebuild `out` on
+    // s.newSession() and set the override there instead.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val q = try {

@@ -26,15 +26,23 @@ object Par {
   def settleAll[T](legs: Seq[Future[T]]): Seq[T] = {
     var interrupted = false
     val results: Seq[Try[T]] = legs.map { leg =>
+      // Await.ready (not .result): its InterruptedException can ONLY mean
+      // the wait itself was interrupted — a leg that FAILED with
+      // InterruptedException completes the future and surfaces through
+      // leg.value below, never as a throw here. (With Await.result the two
+      // are indistinguishable: a completed-Failure(InterruptedException)
+      // leg rethrows instantly on every retry → unbounded busy-spin.)
+      // Reading the outcome from leg.value also keeps fatal leg failures
+      // (OOM, LinkageError) in the Failure branch instead of escaping the
+      // settle loop.
       def loop(): Try[T] =
-        try scala.util.Success(Await.result(leg, Duration.Inf))
+        try { Await.ready(leg, Duration.Inf); leg.value.get }
         catch {
           case _: InterruptedException =>
             // the throw consumed the interrupt flag; remember it, keep
             // waiting — the leg is still running and MUST settle
             interrupted = true
             loop()
-          case scala.util.control.NonFatal(e) => scala.util.Failure(e)
         }
       loop()
     }
@@ -64,7 +72,14 @@ object Par {
     * leg even when `main` throws (the main-thread failure then takes
     * precedence, but only once the leg has stopped running). */
   def withLeg[A, B](leg: Future[A])(main: => B): (A, B) = {
-    val mt = Try(main)
+    // Try(main) would catch NonFatal only — a fatal throwable from main
+    // (InterruptedException, OOM, LinkageError) would skip the settle and
+    // leave the leg mutating state after this scope unwinds, the exact
+    // hazard this helper exists to prevent. Catch Throwable, settle, then
+    // let .get rethrow.
+    val mt: Try[B] =
+      try scala.util.Success(main)
+      catch { case t: Throwable => scala.util.Failure(t) }
     val lt = Try(settleAll(Seq(leg)).head)
     val m = mt.get
     (lt.get, m)

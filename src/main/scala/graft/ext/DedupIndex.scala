@@ -325,25 +325,34 @@ object DedupIndex {
     Seq("shingles", "fingerprints", "bands")
       .foreach(r => deleteDir(spark, s"$path/$r/batch=$batch"))
     // each leg runs under the holder's propagated lease context and
-    // FENCES at entry: these writes overwrite live bloom segments and
-    // batch partitions, so an overstaying writer's leg (taken over past
-    // the staleness window) must abort instead of clobbering the new
-    // holder's re-appended batch — the same commit-point rule every
-    // other destructive step here follows (deleteDir, rewriteInPlace)
+    // fences at entry AND immediately before every destructive write:
+    // the bloom builds are full Spark scans that can run long, so an
+    // entry fence alone would let an overstaying writer (taken over past
+    // the staleness window mid-scan) still clobber the new holder's
+    // bloom segments and batch partitions — re-fencing at each commit
+    // point is the same pattern rewriteInPlace follows before its rename
     val exactLeg = Future(ArtifactIO.runWithLeaseContext(ctx) {
       ArtifactIO.fenceOrAbort(spark, path)
-      if (nDocs > 0)
-        writeBloomSegment(spark, s"$path/$FpBloomDir",
-          fps.stat.bloomFilter("fp", nDocs, p.bloomFpp), batch)
+      if (nDocs > 0) {
+        val bloom = fps.stat.bloomFilter("fp", nDocs, p.bloomFpp)
+        ArtifactIO.fenceOrAbort(spark, path)
+        writeBloomSegment(spark, s"$path/$FpBloomDir", bloom, batch)
+      }
+      ArtifactIO.fenceOrAbort(spark, path)
       fps.write.mode("overwrite").parquet(s"$path/fingerprints/batch=$batch")
     })
     val nearLeg = Future(ArtifactIO.runWithLeaseContext(ctx) {
       ArtifactIO.fenceOrAbort(spark, path)
-      if (nBands > 0)
-        writeBloomSegment(spark, s"$path/$BandBloomDir",
-          banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
-            .stat.bloomFilter("__bk", nBands, p.bloomFpp), batch)
+      if (nBands > 0) {
+        val bloom = banded
+          .select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
+          .stat.bloomFilter("__bk", nBands, p.bloomFpp)
+        ArtifactIO.fenceOrAbort(spark, path)
+        writeBloomSegment(spark, s"$path/$BandBloomDir", bloom, batch)
+      }
+      ArtifactIO.fenceOrAbort(spark, path)
       sh.write.mode("overwrite").parquet(s"$path/shingles/batch=$batch")
+      ArtifactIO.fenceOrAbort(spark, path)
       banded.write.mode("overwrite").parquet(s"$path/bands/batch=$batch")
     })
     // settle both legs before leaving, propagating the first failure
