@@ -137,14 +137,31 @@ object Bench {
     Seq(pass(iters), pass(iters), pass(iters)).min
   }
 
-  /** `calib_cpu_s` of the committed record at `path`, absent-safe. */
-  private[graft] def committedCalib(path: String): Option[Double] =
+  /** Numeric stamp `key` of the committed record at `path`, absent-safe. */
+  private[graft] def committedStamp(path: String, key: String): Option[Double] =
     try {
       val line = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-      """"calib_cpu_s":([-0-9.eE]+)""".r.findFirstMatchIn(line)
-        .map(_.group(1).toDouble)
+      (""""""" + java.util.regex.Pattern.quote(key) + """":([-0-9.eE]+)""").r
+        .findFirstMatchIn(line).map(_.group(1).toDouble)
     } catch { case _: Throwable => None }
+
+  /** `calib_cpu_s` of the committed record at `path`, absent-safe. */
+  private[graft] def committedCalib(path: String): Option[Double] =
+    committedStamp(path, "calib_cpu_s")
+
+  /** Calibration-normalized wall: `wall × committedShuffle / runShuffle`.
+    * Per-channel, shuffle channel only — the r18 session measured
+    * calib_cpu_s steady (0.312–0.317) while calib_shuffle_s swung ±13%
+    * with the wall drift concentrated exactly in the shuffle-heavy gates,
+    * so the shuffle channel is the one that confounds round-over-round
+    * wall comparisons. None when either calibration is missing or invalid
+    * (pre-calibration committed record, failed probe): a reader must fall
+    * back to the raw wall rather than trust a fabricated adjustment. */
+  private[graft] def normalizedWall(wall: Double, runShuffle: Double,
+                                    committedShuffle: Option[Double]): Option[Double] =
+    committedShuffle.filter(c => c > 0.0 && runShuffle > 0.0)
+      .map(c => wall * c / runShuffle)
 
   /** True when this run's machine speed differs from the committed
     * record's by more than `band` (default 15%): gate-time comparisons
@@ -470,7 +487,15 @@ object Bench {
         ""","calib_noncomparable":true"""
       } else ""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"errors":$errs$skews$splits$spreads$spreadFlag$calibFlag$envStamp$partial,"sf":"$sfDir"}"""
+    // calib-normalized wall vs the record this run stands next to: the
+    // committed record's shuffle calib re-prices this run's wall at the
+    // committed machine speed, so round-over-round deltas read directly
+    // off `wall_normalized` with no hand arithmetic (r18-11's ask). The
+    // raw wall stays `value`; both are in the record.
+    val wallNorm = normalizedWall(total, calibShuffle,
+      committedStamp(requested, "calib_shuffle_s"))
+      .map(w => s""","wall_normalized":${num("%.1f", w)}""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec"$wallNorm,"n_queries":${results.size},"queries":$qs,"errors":$errs$skews$splits$spreads$spreadFlag$calibFlag$envStamp$partial,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line to a file: the driver captures a bounded
     // stdout tail, and with 84 queries the one-line JSON has repeatedly

@@ -5,7 +5,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData, TypeUtils}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -60,16 +61,27 @@ object ByteEncoding {
   * semantically equal maps may store entries differently, and Spark's own
   * hash expressions forbid MapType for exactly that reason.
   *
-  * Evaluated via `CodegenFallback`: the guava funnel is a per-row virtual
-  * call either way, and the expression sits behind a `Filter` whose other
-  * conjuncts still enjoy whole-stage codegen.
+  * Full `doGenCode` (not `CodegenFallback` — the trait MARKER alone makes
+  * `CollapseCodegenStages` refuse whole-stage codegen for the enclosing
+  * plan, regardless of any doGenCode override): flat children
+  * (primitives, string, raw binary, date/timestamp, decimal) fold into
+  * the guava `Hasher` with direct unboxed puts generated inline, so the
+  * R2 deterministic-sample scan — this engine's signature 100 TB
+  * operation — stays in one fused WholeStageCodegen stage with no per-row
+  * `Expression.eval` dispatch or boxing. Nested children (struct / array
+  * / map) and re-encoded binary box just that child and fold through the
+  * interpreted funnel on the SAME shared hasher (`putChildBoxed`), so
+  * mixed funnels keep the fast path for their flat fields and the stage
+  * still fuses. The byte stream is guava in both paths — codegen and
+  * interpreted eval are bit-identical by construction (HashSpec pins
+  * guava parity).
   */
 case class FieldHash(
     children: Seq[Expression],
     algo: String,
     seed: Option[Int],
     encoding: ByteEncoding)
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
@@ -174,6 +186,70 @@ case class FieldHash(
       case other =>
         throw new UnsupportedOperationException(s"FieldHash: unsupported type $other")
     }
+  }
+
+  /** Fresh guava hasher for the generated code — referenced through `this`
+    * (an Expression, always plan-serializable) instead of the HashFunction
+    * itself, whose concrete guava classes aren't all Serializable. */
+  private[functions] def newHasher(): Hasher = hashFn.newHasher()
+
+  /** Boxed fold of child `i`'s value into a shared hasher — the generated
+    * code's escape hatch for nested / re-encoded children. */
+  private[functions] def putChildBoxed(h: Hasher, v: Any, i: Int): Unit =
+    putValue(h, v, childArray(i).dataType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("fieldHash", this, "graft.functions.FieldHash")
+    val hasher = ctx.freshName("graftHasher")
+    // FarmHash has no seed parameter; the reference prepends it (matches eval)
+    val seedPut =
+      if (algo == "farm") seed.map(s => s"$hasher.putInt($s);").getOrElse("")
+      else ""
+    val puts = children.zipWithIndex.map { case (c, i) =>
+      val g = c.genCode(ctx)
+      val put = c.dataType match {
+        case ByteType | ShortType | IntegerType | DateType =>
+          s"$hasher.putLong((long) ${g.value});"
+        case LongType | TimestampType | TimestampNTZType =>
+          s"$hasher.putLong(${g.value});"
+        case FloatType   => s"$hasher.putFloat(${g.value});"
+        case DoubleType  => s"$hasher.putDouble(${g.value});"
+        case BooleanType => s"$hasher.putBoolean(${g.value});"
+        case StringType =>
+          // toString-then-encode, NOT UTF8String.getBytes: bit parity with
+          // the interpreted path's putString (they differ on invalid UTF-8,
+          // and a codegen/interpreted hash divergence would make sampling
+          // decisions depend on which engine path ran)
+          s"$hasher.putString(${g.value}.toString(), " +
+            "java.nio.charset.StandardCharsets.UTF_8);"
+        case BinaryType if encoding == ByteEncoding.Raw =>
+          s"$hasher.putBytes(${g.value});"
+        case _: DecimalType =>
+          s"$hasher.putString(${g.value}.toJavaBigDecimal().toPlainString(), " +
+            "java.nio.charset.StandardCharsets.UTF_8);"
+        case _ => // struct / array / map / hex- or base64-encoded binary
+          s"$self.putChildBoxed($hasher, ${g.value}, $i);"
+      }
+      s"""
+         |${g.code}
+         |if (!${g.isNull}) { $put }
+       """.stripMargin
+    }
+    // Spark's own HashExpression split pattern: wide funnels split into
+    // helper methods (64KB limit) with the hasher threaded as an argument;
+    // under currentVars the splitter inlines instead
+    val putsCode = ctx.splitExpressionsWithCurrentInputs(
+      expressions = puts,
+      funcName = "graftFieldHashPut",
+      extraArguments = ("com.google.common.hash.Hasher", hasher) :: Nil)
+    ev.copy(
+      code = code"""
+        |com.google.common.hash.Hasher $hasher = $self.newHasher();
+        |$seedPut
+        |$putsCode
+        |final long ${ev.value} = $hasher.hash().asLong();
+       """.stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

@@ -127,6 +127,36 @@ class BenchSpec extends AnyFlatSpec with Matchers {
     java.nio.file.Files.delete(f)
   }
 
+  behavior of "Bench.normalizedWall"
+
+  it should "re-price the wall at the committed shuffle-calib speed" in {
+    // run twice as slow as the committed machine (0.4 vs 0.2): the
+    // normalized wall halves the raw number
+    Bench.normalizedWall(100.0, 0.4, Some(0.2)) shouldBe Some(50.0)
+    // run faster than committed: normalization raises the wall
+    Bench.normalizedWall(100.0, 0.1, Some(0.2)) shouldBe Some(200.0)
+    // same speed: identity
+    Bench.normalizedWall(100.0, 0.2, Some(0.2)) shouldBe Some(100.0)
+  }
+
+  it should "refuse to normalize against missing or invalid calibs" in {
+    Bench.normalizedWall(100.0, 0.4, None) shouldBe None
+    Bench.normalizedWall(100.0, -1.0, Some(0.2)) shouldBe None
+    Bench.normalizedWall(100.0, 0.4, Some(-1.0)) shouldBe None
+    Bench.normalizedWall(100.0, 0.0, Some(0.2)) shouldBe None
+  }
+
+  it should "parse calib_shuffle_s via the generic stamp reader" in {
+    val f = java.nio.file.Files.createTempFile("benchspec_calibsh", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","value":9.9,"calib_cpu_s":0.512,""" +
+        """"calib_shuffle_s":0.9,"runs":3}""" + "\n")
+    Bench.committedStamp(f.toString, "calib_shuffle_s") shouldBe Some(0.9)
+    Bench.committedStamp(f.toString, "absent_key") shouldBe None
+    Bench.committedStamp("/nonexistent/path.json", "calib_shuffle_s") shouldBe None
+    java.nio.file.Files.delete(f)
+  }
+
   it should "measure a deterministic calibration loop in sane bounds" in {
     // a tiny iteration count keeps the spec fast; the bound only proves
     // the loop runs and times (not a performance assertion)

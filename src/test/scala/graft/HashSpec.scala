@@ -78,6 +78,33 @@ class HashSpec extends SparkSpec {
       .newHasher().putString("0102fd", UTF_8).hash().asLong()
   }
 
+  it should "produce bit-identical hashes from codegen and interpreted eval" in {
+    // the doGenCode fast path (flat inline puts + boxed nested escape
+    // hatch) must agree with Expression.eval on every funnel shape — a
+    // divergence would make sampling cohorts depend on which engine path
+    // ran. Covers: widened ints, string, double, RAW and HEX binary,
+    // array, struct — through a DataFrame (whole-stage codegen) vs a
+    // direct eval of the same bound expression on the same rows.
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    val df = Seq(
+      (7, "abc", 2.5, Array[Byte](1, 2, -3), Seq(1L, 2L), ("s", 9L)),
+      (-1, "", -0.0, Array.empty[Byte], Seq.empty[Long], ("", 0L)))
+      .toDF("i", "s", "d", "b", "arr", "st")
+    for (enc <- Seq(ByteEncoding.Raw, ByteEncoding.Hex)) {
+      val viaCodegen = df.select(fieldHash(
+        Seq(col("i"), col("s"), col("d"), col("b"), col("arr"), col("st")),
+        encoding = enc)).as[Long].collect()
+      val qe = df.queryExecution
+      val attrs = qe.analyzed.output
+      val expr = BindReferences.bindReference(
+        graft.functions.FieldHash(attrs, "farm", None, enc)
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression],
+        org.apache.spark.sql.catalyst.expressions.AttributeSeq(attrs))
+      val viaEval = qe.toRdd.map(r => expr.eval(r).asInstanceOf[Long]).collect()
+      viaCodegen.sorted shouldBe viaEval.sorted
+    }
+  }
+
   it should "hash equal logical values identically across int widths (cross-format)" in {
     val asInt = Seq(7).toDF("v").select(fieldHash(Seq(col("v")))).as[Long].head()
     val asLong = Seq(7L).toDF("v").select(fieldHash(Seq(col("v")))).as[Long].head()

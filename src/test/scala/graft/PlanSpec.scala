@@ -37,6 +37,23 @@ class PlanSpec extends SparkSpec {
     plan(df) should include("Filter")
   }
 
+  "the deterministic hash-dice sample" should "fuse into one whole-stage codegen span" in {
+    // FieldHash's doGenCode (r19): the R2 scan path — this engine's
+    // signature 100 TB operation — must be a SINGLE fused stage, scan
+    // through hash-filter through project. Pre-r19 the CodegenFallback
+    // marker made CollapseCodegenStages refuse the whole stage, leaving
+    // per-row interpreted eval + boxing on every scanned row.
+    val df = BigSampler.sample(
+      spark.read.parquet(s"$sf/lineitem.parquet"), 0.1,
+      BigSampler.Hashed(Seq("l_orderkey", "l_linenumber")))
+    val p = plan(df)
+    // treeString renders a WholeStageCodegen span as a `*(id)` prefix on
+    // its member nodes: exactly one span id, and the Filter is inside it
+    val spanIds = """\*\((\d+)\)""".r.findAllMatchIn(p).map(_.group(1)).toSet
+    spanIds should have size 1
+    p.linesIterator.find(_.contains("Filter")).get should include("*(")
+  }
+
   "a small-dimension join" should "plan as a broadcast hash join when hinted" in {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val customer = spark.read.parquet(s"$sf/customer.parquet")
