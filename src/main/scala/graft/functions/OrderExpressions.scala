@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** Order-preserving map double → signed long: `f(a) < f(b)` iff `a < b`
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   * outlier cannot collapse the whole corpus into one bucket the way
   * linear range-bucketing does. */
 case class DoubleOrderBits(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -34,6 +34,18 @@ case class DoubleOrderBits(child: Expression)
     val raw = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
     if (raw >= 0L) raw else -(raw & Long.MaxValue) - 1L
   }
+
+  // the bit trick inlines into whole-stage codegen (it anchors the
+  // score-selection range-bucket scans); a CodegenFallback marker here
+  // would un-fuse the enclosing stage entirely
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val raw = ctx.freshName("rawBits")
+      s"""
+         |long $raw = Double.doubleToLongBits($c);
+         |${ev.value} = ($raw >= 0L) ? $raw : -($raw & Long.MAX_VALUE) - 1L;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): DoubleOrderBits =
     copy(child = newChild)

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * designed per the brief's shingle→minhash→band→bucket-join pipeline.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -43,8 +43,13 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
 
   import Mix.mix64
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+
+  /** The signature kernel, shared verbatim by eval and the generated
+    * code (referenced through `this`): the per-row loop is a JVM kernel
+    * either way — the codegen win is keeping the enclosing scan stage
+    * fused (no CodegenFallback row boxing of the shingle arrays). */
+  private[functions] def kernel(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val sig = Array.fill(numHashes)(Long.MaxValue)
@@ -81,6 +86,18 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
     new GenericArrayData(sig)
   }
 
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("minhash", this,
+      "graft.functions.MinHashSignature")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = $self.kernel($c);
+      |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -101,7 +118,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
   * (both valid) fingerprint families.
   */
 case class SimHash64(child: Expression, seed: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -137,6 +154,29 @@ case class SimHash64(child: Expression, seed: Int)
   override def nullSafeEval(v: Any): Any =
     if (stringInput) evalString(v.asInstanceOf[UTF8String].toString)
     else evalArray(v.asInstanceOf[ArrayData])
+
+  /** Boxed-result kernels for the generated code (null = no tokens);
+    * same bodies as eval, referenced through `this`. */
+  private[functions] def kernelString(s: UTF8String): java.lang.Long =
+    evalString(s.toString).asInstanceOf[java.lang.Long]
+  private[functions] def kernelArray(a: ArrayData): java.lang.Long =
+    evalArray(a).asInstanceOf[java.lang.Long]
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("simhash", this, "graft.functions.SimHash64")
+    val kernel = if (stringInput) "kernelString" else "kernelArray"
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("simhashBoxed")
+      s"""
+         |java.lang.Long $tmp = $self.$kernel($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  }
 
   private def evalString(s: String): Any = {
     val votes = new Array[Int](64)
@@ -184,7 +224,7 @@ case class SimHash64(child: Expression, seed: Int)
   * null input -> null; two empty arrays -> null.
   */
 case class JaccardSorted(left: Expression, right: Expression)
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   override def children: Seq[Expression] = Seq(left, right)
   override def dataType: DataType = DoubleType
@@ -203,8 +243,43 @@ case class JaccardSorted(left: Expression, right: Expression)
     if (lv == null) return null
     val rv = right.eval(input)
     if (rv == null) return null
-    val la = lv.asInstanceOf[ArrayData]
-    val ra = rv.asInstanceOf[ArrayData]
+    JaccardSorted.kernel(lv.asInstanceOf[ArrayData], rv.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val lG = left.genCode(ctx); val rG = right.genCode(ctx)
+    val tmp = ctx.freshName("jacBoxed")
+    // right evaluated only under left's non-null guard, matching eval's
+    // short-circuit; the merge walk itself stays a static JVM kernel —
+    // the codegen win is keeping the pair-verify stage fused
+    ev.copy(code = code"""
+      |${lG.code}
+      |boolean ${ev.isNull} = true;
+      |double ${ev.value} = 0.0;
+      |if (!${lG.isNull}) {
+      |  ${rG.code}
+      |  if (!${rG.isNull}) {
+      |    java.lang.Double $tmp =
+      |      graft.functions.JaccardSorted.kernel(${lG.value}, ${rG.value});
+      |    if ($tmp != null) { ${ev.isNull} = false; ${ev.value} = $tmp.doubleValue(); }
+      |  }
+      |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+object JaccardSorted {
+  /** One-pass merge walk; null for two empty arrays (the expression's
+    * null contract), boxed so the generated code can branch on it. */
+  def kernel(la: ArrayData, ra: ArrayData): java.lang.Double = {
     val n = la.numElements(); val m = ra.numElements()
     if (n == 0 && m == 0) return null
     var i = 0; var j = 0; var inter = 0L
@@ -214,12 +289,8 @@ case class JaccardSorted(left: Expression, right: Expression)
       else if (x < y) i += 1
       else j += 1
     }
-    inter.toDouble / (n + m - inter).toDouble
+    java.lang.Double.valueOf(inter.toDouble / (n + m - inter).toDouble)
   }
-
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(left = newChildren(0), right = newChildren(1))
 }
 
 /** Threshold-aware [[JaccardSorted]]: `array<long> × array<long> ->
@@ -239,7 +310,7 @@ case class JaccardSorted(left: Expression, right: Expression)
   * non-null double in [0, 1]. */
 case class JaccardSortedAtLeast(left: Expression, right: Expression,
                                 threshold: Expression)
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   override def children: Seq[Expression] = Seq(left, right, threshold)
   override def dataType: DataType = DoubleType
@@ -269,8 +340,12 @@ case class JaccardSortedAtLeast(left: Expression, right: Expression,
     if (lv == null) return null
     val rv = right.eval(input)
     if (rv == null) return null
-    val la = lv.asInstanceOf[ArrayData]
-    val ra = rv.asInstanceOf[ArrayData]
+    kernel(lv.asInstanceOf[ArrayData], rv.asInstanceOf[ArrayData])
+  }
+
+  /** The abandoning walk, shared by eval and the generated code (boxed
+    * result: null = below threshold / null contract). */
+  private[functions] def kernel(la: ArrayData, ra: ArrayData): java.lang.Double = {
     val n = la.numElements(); val m = ra.numElements()
     if (n == 0 && m == 0) return null
     // smallest integer intersection that satisfies the double-precision
@@ -293,8 +368,34 @@ case class JaccardSortedAtLeast(left: Expression, right: Expression,
       else if (x < y) i += 1
       else j += 1
     }
-    if (inter >= minInter) inter.toDouble / (n + m - inter).toDouble
+    if (inter >= minInter)
+      java.lang.Double.valueOf(inter.toDouble / (n + m - inter).toDouble)
     else null
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val self = ctx.addReferenceObj("jaccardAtLeast", this,
+      "graft.functions.JaccardSortedAtLeast")
+    val lG = left.genCode(ctx); val rG = right.genCode(ctx)
+    val tmp = ctx.freshName("jacBoxed")
+    // threshold is foldable and folded into the instance's lazy tau; the
+    // generated code never evaluates it as a child
+    ev.copy(code = code"""
+      |${lG.code}
+      |boolean ${ev.isNull} = true;
+      |double ${ev.value} = 0.0;
+      |if (!${lG.isNull}) {
+      |  ${rG.code}
+      |  if (!${rG.isNull}) {
+      |    java.lang.Double $tmp = $self.kernel(${lG.value}, ${rG.value});
+      |    if ($tmp != null) { ${ev.isNull} = false; ${ev.value} = $tmp.doubleValue(); }
+      |  }
+      |}
+     """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(
@@ -313,7 +414,7 @@ case class JaccardSortedAtLeast(left: Expression, right: Expression,
   * caller. Null input or strings shorter than n -> null.
   */
 case class ShingleHashes(child: Expression, n: Int, seed: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -325,10 +426,20 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
       s"shingle_hashes expects string, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val hs = ShingleHashes.sortedDistinct(v.asInstanceOf[UTF8String].toString, n, seed)
-    if (hs == null) null else new GenericArrayData(hs)
-  }
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashes.fromUTF8(v.asInstanceOf[UTF8String], n, seed)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    // a static call like ScriptTokensExpr: the rolling-hash kernel is JVM
+    // code either way, the win is the fused scan stage (shingling anchors
+    // every minhash/banding pass over the corpus)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.ShingleHashes.fromUTF8($c, $n, ${seed}L);
+      |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -343,6 +454,13 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long)
   */
 object ShingleHashes {
   import Mix.mix64
+
+  /** [[sortedDistinct]] wrapped for the expression contract (ArrayData or
+    * null) — the form both eval and the generated code call. */
+  def fromUTF8(s: UTF8String, n: Int, seed: Long): ArrayData = {
+    val hs = sortedDistinct(s.toString, n, seed)
+    if (hs == null) null else new GenericArrayData(hs)
+  }
 
   /** Streams the mix64'd hash of every n-char window of `s` to `f` in
     * text order, short-circuiting as soon as `f` returns true; returns
