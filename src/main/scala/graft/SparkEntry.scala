@@ -371,12 +371,18 @@ object SparkEntry {
     "diffy_unordered" -> ((s, d) => {
       val tmp = sessionTempDir("graft_unord")
       val li = t(s, d, "lineitem")
-      def sides(noise: String, bump: Boolean, asc: Boolean) = {
-        // min, not sum: an order-independent exact aggregate, so the two
-        // staging passes cannot disagree by a summation-order ulp
-        val base = li.groupBy("l_orderkey").agg(
-          sort_array(collect_list(col("l_linenumber")), asc = asc).as("lines"),
-          min(col("l_quantity")).as("qty"))
+      // ONE staging aggregate (min, not sum: order-independent exact, so
+      // the two sides cannot disagree by a summation-order ulp),
+      // materialized once; the sides are then cheap projections over it —
+      // opposite array sort orders (same multiset, the unordered-diff
+      // invariant under test), a per-key qty bump, and an ignored noise
+      // column — whose writes overlap as independent job submissions
+      val agg = li.groupBy("l_orderkey").agg(
+        collect_list(col("l_linenumber")).as("lines0"),
+        min(col("l_quantity")).as("qty")).localCheckpoint(true)
+      def side(noise: String, bump: Boolean, asc: Boolean) = {
+        val base = agg.select(col("l_orderkey"),
+          sort_array(col("lines0"), asc = asc).as("lines"), col("qty"))
         val bumped = if (bump)
           base.withColumn("qty",
             when(col("l_orderkey") % 10 === 0, col("qty") + 1.0)
@@ -384,15 +390,12 @@ object SparkEntry {
         else base
         bumped.withColumn("noise", lit(noise))
       }
-      // the two staging writes are independent job chains — concurrent
-      // submissions, both awaited before the CLI run under test
       locally {
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.Future
         import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val fL = Future(sides("n_a", bump = false, asc = true)
+        val fL = Future(side("n_a", bump = false, asc = true)
           .write.mode("overwrite").parquet(s"$tmp/lhs"))
-        val fR = Future(sides("n_b", bump = true, asc = false)
+        val fR = Future(side("n_b", bump = true, asc = false)
           .write.mode("overwrite").parquet(s"$tmp/rhs"))
         graft.core.Par.settleAll(Seq(fL, fR))
       }

@@ -881,9 +881,10 @@ object Graft {
       }.toMap,
       ignoreNan = f.contains("ignore-nan"))
     val out = required(f, "output")
-    // saveStats writes global, keys, then fields — the _SUCCESS marker of
-    // the LAST relation is the completion witness for the whole output
-    if (!GraftIO.unlessDone(s"$out/fields") {
+    // saveStats overlaps keys+fields then writes global LAST — the
+    // _SUCCESS marker of the LAST relation (global) is the completion
+    // witness for the whole output
+    if (!GraftIO.unlessDone(s"$out/global") {
       BigDiffy.saveStats(BigDiffy.diff(lhs, rhs, keys, opts), out,
         ignoreNan = opts.ignoreNan)
     }) System.err.println(s"[graft] output $out already complete, skipping")

@@ -281,13 +281,29 @@ object BigDiffy {
   }
 
   /** Write the three stats views as TSV-with-header (reference saveStats +
-    * saveAsTextFileWithHeader, BigDiffy.scala:439-485, 676-687). */
+    * saveAsTextFileWithHeader, BigDiffy.scala:439-485, 676-687).
+    *
+    * The two expensive views (`keys` — a full dump of the cached diff
+    * relation — and `fields` — its delta explode + aggregate) run as
+    * concurrent job submissions over the SAME cached relation: per-block
+    * cache locking means each diff partition is computed once whichever
+    * job reaches it first, and the two writes overlap their scheduler
+    * gaps and stragglers. `global` (a verdict-sized aggregate over the
+    * then-fully-cached relation) is written LAST: its `_SUCCESS` is the
+    * completion witness callers key output-exists short-circuiting on,
+    * and the witness must be the final action — a crash mid-overlap
+    * leaves no witness, so the rerun rewrites, never false-skips. */
   def saveStats(result: DiffResult, outputDir: String, ignoreNan: Boolean = false): Unit = {
     def tsv(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").option("header", "true").option("sep", "\t")
         .csv(s"$outputDir/$name")
+    locally {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      graft.core.Par.settle2(
+        Future(tsv(result.keyStats, "keys")),
+        Future(tsv(result.fieldStats(ignoreNan), "fields")))
+    }
     tsv(result.globalStats, "global")
-    tsv(result.keyStats, "keys")
-    tsv(result.fieldStats(ignoreNan), "fields")
   }
 }
