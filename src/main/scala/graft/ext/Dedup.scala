@@ -38,9 +38,17 @@ object Dedup {
     * (candidate sparsity makes that acceptable). The cutoff is BOTH a row
     * count and an estimated byte budget — a 900k-row corpus of 4096-dim
     * vectors is multi-GB and must not broadcast just because its row count
-    * clears the bar. Logs the choice so a silent executor OOM never hides
-    * behind the default. */
-  private val MaxBroadcastVerifyBytes = 1L << 31 // ~2 GB
+    * clears the bar. The byte budget is HEAP-AWARE: min(2 GB, maxHeap/8) —
+    * building a broadcast HashedRelation transiently needs a multiple of
+    * the data size on the driver, and the r19 sf10 probe measured a flat
+    * 2 GB cutoff choosing to broadcast a ~1.2 GB-estimated shingle
+    * relation on an 8 GB driver, which then died in the broadcast build
+    * ("Not enough memory to build and broadcast"). maxHeap/8 routes that
+    * case to the shuffle join; on a big-memory driver the absolute 2 GB
+    * cap still bounds executor-side residency. Logs the choice so a
+    * silent OOM never hides behind the default. */
+  private[ext] def MaxBroadcastVerifyBytes: Long =
+    math.min(1L << 31, Runtime.getRuntime.maxMemory() / 8)
 
   private[ext] def autoBroadcastVerify(op: String, docCount: Long, maxRows: Long,
                                   estBytesPerRow: Long): Boolean = {

@@ -31,6 +31,17 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // perturbation mode: "rotate" (default — the cipher/rotation scheme
+    // below) or "tag" for a SECOND hop over rotate-mode output. Rotations
+    // compose additively (rotation i of rotation j = rotation i+j), so
+    // stacking this tool twice in rotate mode emits byte-identical text
+    // and embedding copies wherever i+j collides — the degenerate clique
+    // structure the perturbation exists to avoid. Tag mode perturbs along
+    // INDEPENDENT axes (a copy-distinct text suffix; a sign flip on the
+    // first copyIdx embedding coordinates), which compose with rotations
+    // collision-free: sf0.1 --rotate--> sf1 --tag--> sf10.
+    val mode = if (args.length > 3) args(3) else "rotate"
+    require(mode == "rotate" || mode == "tag", s"unknown mode: $mode")
     // the text cipher has 10 distinct rotations and the embedding rotation
     // needs copyIdx < dim; past 10 copies the copy-0 content would repeat
     // byte-identically, reintroducing the degenerate clique structure this
@@ -110,20 +121,35 @@ object ScaleUp {
     val consonants = "bcdfghjklm"
     write(stack(docs)((d, i) => {
       val rot = consonants.drop(i % 10) + consonants.take(i % 10)
+      val perturbed =
+        if (i == 0) col("text")
+        else if (mode == "tag") {
+          // rotate a SECOND, disjoint consonant alphabet: genuinely
+          // decorrelates the shingle profile (a suffix tag measured
+          // catastrophic — 7 appended chars leave jaccard ≈0.95, turning
+          // every doc into a 10-clique of near-dups and inflating the
+          // sf10 pair volume 100×), and composes with the first hop's
+          // rotation collision-free because the alphabets are independent
+          val alt = "npqrstvwxz"
+          translate(col("text"), alt, alt.drop(i % 10) + alt.take(i % 10))
+        } else translate(col("text"), consonants, rot)
       d.withColumn("doc_id", col("doc_id") + lit(i * docOff))
-        .withColumn("text",
-          if (i == 0) col("text") else translate(col("text"), consonants, rot))
+        .withColumn("text", perturbed)
     }), "documents")
 
     // rotate the vector by copyIdx positions: same norm, decorrelated
     val emb = t("embeddings"); val vecOff = off(emb, "vec_id")
     write(stack(emb)((d, i) => {
-      val rotated =
+      val perturbed =
         if (i == 0) col("embedding")
+        else if (mode == "tag")
+          // sign-flip the first i coordinates: norm-preserving,
+          // decorrelated, and composes collision-free with rotations
+          expr(s"transform(embedding, (x, j) -> IF(j < $i, -x, x))")
         else concat(expr(s"slice(embedding, ${i + 1}, size(embedding) - $i)"),
           expr(s"slice(embedding, 1, $i)"))
       d.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
-        .withColumn("embedding", rotated)
+        .withColumn("embedding", perturbed)
     }), "embeddings")
 
     spark.stop()

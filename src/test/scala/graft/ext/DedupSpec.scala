@@ -596,4 +596,21 @@ class EmbeddingDedupSpec extends graft.SparkSpec {
         bits = 4, tables = 12, maxCandidates = Some(est))
       .filter(col("id_b") === col("id_a") + 1000).count() shouldBe 10L
   }
+
+  behavior of "autoBroadcastVerify"
+
+  it should "bound the broadcast byte budget by the driver heap" in {
+    // the r19 sf10 probe measured a flat 2 GB cutoff choosing to broadcast
+    // a ~1.2 GB-estimated shingle relation on an 8 GB driver, which then
+    // died in the broadcast build — the budget must scale with the heap
+    Dedup.MaxBroadcastVerifyBytes should be <= (1L << 31)
+    Dedup.MaxBroadcastVerifyBytes should be <= Runtime.getRuntime.maxMemory() / 8
+    // rows under the cap but bytes over it: shuffle-join
+    val overBytes = Dedup.MaxBroadcastVerifyBytes / 2560L + 1L
+    Dedup.autoBroadcastVerify("spec", overBytes, maxRows = Long.MaxValue,
+      estBytesPerRow = 2560L) shouldBe false
+    // small side: broadcast
+    Dedup.autoBroadcastVerify("spec", 1000L, maxRows = Long.MaxValue,
+      estBytesPerRow = 2560L) shouldBe true
+  }
 }

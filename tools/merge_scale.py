@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Merge the two ScaleR19 records (sf1, sf10) into SCALE_r{N}.json with
+per-operator scaling ratios. ratio_linear = (wall10/wall1) / (rows10/rows1):
+1.0 = perfectly linear in corpus rows, <1 sublinear, >1.3 flagged."""
+import json, sys
+
+sf1 = json.load(open(sys.argv[1]))
+sf10 = json.load(open(sys.argv[2]))
+out = sys.argv[3]
+note = sys.argv[4] if len(sys.argv) > 4 else ""
+
+rows_ratio = sf10["docs"] / sf1["docs"]  # docs/emb/lineitem all scale 10x
+ops = {}
+flagged = []
+for name, r1 in sf1["ops"].items():
+    r10 = sf10["ops"].get(name)
+    if not r10 or "err" in r1 or "err" in r10:
+        ops[name] = {"sf1": r1, "sf10": r10, "ratio_linear": None}
+        flagged.append(name)
+        continue
+    ratio = (r10["wall_s"] / max(r1["wall_s"], 1e-9)) / rows_ratio
+    heap_ratio = r10["peak_driver_mb"] / max(r1["peak_driver_mb"], 1)
+    ops[name] = {
+        "sf1": r1, "sf10": r10,
+        "ratio_linear": round(ratio, 2),
+        "driver_heap_ratio": round(heap_ratio, 2),
+    }
+    if ratio > 1.3:
+        flagged.append(name)
+
+rec = {
+    "round": 19,
+    "method": "tools/ScaleR19 via tools/run_scale.sh (8g heap, 32 cores); "
+              "sf10 = ScaleUp sf0.1 --rotate--> sf1 --tag--> sf10; "
+              "ratio_linear = (wall_sf10/wall_sf1)/10; bar: <=1.3",
+    "rows": {"sf1": {k: sf1[k] for k in ("docs", "embeddings", "lineitem")},
+             "sf10": {k: sf10[k] for k in ("docs", "embeddings", "lineitem")}},
+    "shuffle_partitions": {"sf1": sf1["shuffle_partitions"],
+                           "sf10": sf10["shuffle_partitions"]},
+    "ops": ops,
+    "flagged_over_1p3_linear": flagged,
+    "notes": note,
+}
+with open(out, "w") as f:
+    json.dump(rec, f, indent=1)
+print(json.dumps({k: v["ratio_linear"] for k, v in ops.items()}, indent=0))
+print("flagged:", flagged)
