@@ -630,9 +630,19 @@ private[ext] object ArtifactIO {
   /** Output file count for an in-place rewrite of `dir`, from its actual
     * on-disk parquet bytes (same format + codec in and out, so size
     * carries over — the [[Layout.compactTo]] rule). */
+  /** Output file count for a rewrite of `dir`: ceil(bytes/targetBytes),
+    * optionally floored for scan parallelism. `parallelismFloor` asks for
+    * at least that many files UNLESS the relation is too small to fill
+    * them at ~8 MiB each — the r19 sf10 probe measured a serve-path
+    * relation compacted to 1-2 files at the 256 MiB size target, which
+    * collapsed every downstream scan to 1-2 tasks (a 6 s straggler in a
+    * 17 s serve). Size-only callers (file compaction, whose CONTRACT is
+    * the byte target) keep the default floor of 1. */
   def targetFileCount(spark: SparkSession, dir: String,
-                      targetBytes: Long): Int = {
+                      targetBytes: Long, parallelismFloor: Int = 1): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(parallelismFloor >= 1,
+      s"parallelismFloor must be >= 1, got $parallelismFloor")
     val hfs = fs(spark, dir)
     val it = hfs.listFiles(new Path(dir), true)
     var bytes = 0L
@@ -640,7 +650,10 @@ private[ext] object ArtifactIO {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
-    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val sizeN = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val floorN = math.min(parallelismFloor.toLong,
+      math.max(1L, bytes / (8L << 20)))
+    val n = math.max(sizeN, floorN)
     require(n <= Int.MaxValue, s"computed $n output files — raise targetBytes")
     n.toInt
   }

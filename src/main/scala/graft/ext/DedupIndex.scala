@@ -206,7 +206,11 @@ object DedupIndex {
     val relLegs = Seq("shingles", "fingerprints", "bands").map { name =>
       Future(ArtifactIO.runWithLeaseContext(ctx) {
         val dir = s"$path/$name"
-        val n = ArtifactIO.targetFileCount(spark, dir, targetBytes)
+        // parallelism floor: these are SERVE-path relations — compacting a
+        // mid-size relation into 1-2 size-target files collapses every
+        // downstream search scan to 1-2 tasks (r19 sf10: a 6 s straggler)
+        val n = ArtifactIO.targetFileCount(spark, dir, targetBytes,
+          parallelismFloor = spark.sparkContext.defaultParallelism)
         val df0 = spark.read.parquet(dir)
         val df = df0.dropDuplicates(df0.columns.filterNot(_ == "batch").toSeq)
           .drop("batch")

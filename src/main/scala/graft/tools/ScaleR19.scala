@@ -171,8 +171,13 @@ object ScaleR19 {
     op("semdedup") {
       val dups = emb.select((col("vec_id") + idOffset(emb, "vec_id")).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      // k sized to hold ~1250 vectors/cluster at every SF — the paper's
+      // production discipline (fixed cluster SIZE, not fixed k): a fixed
+      // k=32 at sf10 put every cluster over maxClusterSize and spent the
+      // wall in split rounds rather than clustering
+      val kk = math.max(32, (2 * nEmb / 1250).toInt)
       SemDedup.semanticDedup(emb.unionByName(dups), "vec_id", "embedding",
-        k = 32, tau = 0.9).count()
+        k = kk, tau = 0.9).count()
     }
     op("leakage_safe_split") {
       Split.leakageSafeSplit(docs, "doc_id", "text",

@@ -34,8 +34,11 @@ object SplitDensity {
       .unionByName(docs.filter(col("doc_id") % 30 === 1)
         .select((col("doc_id") + off).as("doc_id"), reverse(col("text")).as("text")))
     val idx = s"/tmp/density_idx_${System.nanoTime()}"
-    graft.ext.DedupIndex.build(docs, "doc_id", "text", idx,
-      numHashes = 64, bands = 16, shingleLen = 10)
+    graft.ext.DedupIndex.build(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, numHashes = 64, bands = 16, shingleLen = 10)
+    graft.ext.DedupIndex.append(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", idx)
+    graft.ext.DedupIndex.compact(spark, idx)
     tasks.clear(); names.clear()
     val t0 = System.nanoTime()
     val n = graft.ext.DedupIndex.minhashNewAgainst(spark, idx, incoming,

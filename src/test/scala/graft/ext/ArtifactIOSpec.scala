@@ -17,6 +17,39 @@ class ArtifactIOSpec extends SparkSpec {
 
   private def hfs(dir: String) = ArtifactIO.fs(spark, dir)
 
+  behavior of "targetFileCount"
+
+  it should "floor the file count for scan parallelism without slicing " +
+    "small relations into near-empty files" in {
+    val dir = tmpDir("afc")
+    // ~17 MB of parquet (incompressible random-ish longs)
+    spark.range(0, 2200000).selectExpr("id", "hash(id) * id as x",
+        "xxhash64(id) as y")
+      .repartition(1).write.parquet(dir)
+    val bytes = {
+      val it = hfs(dir).listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var b = 0L
+      while (it.hasNext) { val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getLen }
+      b
+    }
+    bytes should be > (16L << 20)
+    // size-only (default floor): one 256 MiB-target file
+    ArtifactIO.targetFileCount(spark, dir, 256L << 20) shouldBe 1
+    // parallelism floor asks for 32, but 8 MiB-minimum files cap it at
+    // bytes/8MiB — no near-empty file slicing
+    val floored = ArtifactIO.targetFileCount(spark, dir, 256L << 20,
+      parallelismFloor = 32)
+    floored shouldBe (bytes / (8L << 20)).toInt
+    floored should be > 1
+    // a floor the relation can fill is honored exactly
+    ArtifactIO.targetFileCount(spark, dir, 256L << 20,
+      parallelismFloor = 2) shouldBe 2
+    // the size target still dominates when it asks for more than the floor
+    ArtifactIO.targetFileCount(spark, dir, 4L << 20,
+      parallelismFloor = 2) shouldBe ((bytes + (4L << 20) - 1) / (4L << 20)).toInt
+  }
+
   behavior of "ArtifactIO torn-swap recovery"
 
   it should "restore _compact_old instead of deleting it when dst is absent" in {
