@@ -491,10 +491,16 @@ object Bench {
     // committed record's shuffle calib re-prices this run's wall at the
     // committed machine speed, so round-over-round deltas read directly
     // off `wall_normalized` with no hand arithmetic (r18-11's ask). The
-    // raw wall stays `value`; both are in the record.
-    val wallNorm = normalizedWall(total, calibShuffle,
-      committedStamp(requested, "calib_shuffle_s"))
-      .map(w => s""","wall_normalized":${num("%.1f", w)}""").getOrElse("")
+    // raw wall stays `value`; both are in the record. Skipped on diverted
+    // runs for the same reason as the spread/calib flags: a loaded
+    // machine's shuffle calib is contamination-inflated, and a
+    // "normalized" wall computed against a baseline the run is not
+    // eligible to stand next to would read as comparable when it is not.
+    val wallNorm =
+      if (diverted) ""
+      else normalizedWall(total, calibShuffle,
+        committedStamp(requested, "calib_shuffle_s"))
+        .map(w => s""","wall_normalized":${num("%.1f", w)}""").getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec"$wallNorm,"n_queries":${results.size},"queries":$qs,"errors":$errs$skews$splits$spreads$spreadFlag$calibFlag$envStamp$partial,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the full line to a file: the driver captures a bounded

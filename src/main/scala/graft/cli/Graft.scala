@@ -883,11 +883,19 @@ object Graft {
     val out = required(f, "output")
     // saveStats overlaps keys+fields then writes global LAST — the
     // _SUCCESS marker of the LAST relation (global) is the completion
-    // witness for the whole output
-    if (!GraftIO.unlessDone(s"$out/global") {
+    // witness for the whole output. Done also requires fields/_SUCCESS:
+    // an OLDER binary wrote global FIRST, so a crash under the old order
+    // could leave global complete with keys/fields missing — checking
+    // global alone would false-skip that partial output forever, while
+    // (global && fields) is complete under BOTH write orders (the new
+    // order settles keys+fields before global ever lands).
+    val done = GraftIO.outputExists(s"$out/global") &&
+      GraftIO.outputExists(s"$out/fields")
+    if (done)
+      System.err.println(s"[graft] output $out already complete, skipping")
+    else
       BigDiffy.saveStats(BigDiffy.diff(lhs, rhs, keys, opts), out,
         ignoreNan = opts.ignoreNan)
-    }) System.err.println(s"[graft] output $out already complete, skipping")
   }
 
   private def bigSampler(f: Map[String, String], spark: SparkSession): Unit = {

@@ -48,19 +48,24 @@ object ScaleR19 {
     def reset(): Unit = { stageTasks.clear(); stageNames.clear() }
     /** (worst max/median skew over MATERIAL stages — >=4 tasks and a max
       * task >=500 ms, so sub-second scheduling jitter on tiny stages does
-      * not read as data skew —, n stages, worst stage's callsite). */
+      * not read as data skew —, n stages, worst stage's callsite).
+      * Buffers are snapshotted under the same lock the bus thread appends
+      * under — an unsynchronized length/max read can tear on a concurrent
+      * buffer grow. */
     def worst(): (Double, Int, String) = {
-      val skews = stageTasks.toSeq
+      val snap = stageTasks.toSeq.map { case (id, ds) =>
+        (id, ds.synchronized(ds.toArray)) }
+      val skews = snap
         .filter { case (_, ds) => ds.length >= 4 && ds.max >= 500L }
         .map { case (id, ds) =>
-          val sorted = ds.toArray.sorted
+          val sorted = ds.sorted
           val med = math.max(sorted(sorted.length / 2), 1L)
           (sorted.last.toDouble / med.toDouble, id)
         }
-      if (skews.isEmpty) (1.0, stageTasks.size, "")
+      if (skews.isEmpty) (1.0, snap.size, "")
       else {
         val (sk, id) = skews.maxBy(_._1)
-        (sk, stageTasks.size, stageNames.getOrElse(id, s"stage-$id"))
+        (sk, snap.size, stageNames.getOrElse(id, s"stage-$id"))
       }
     }
   }
@@ -111,14 +116,24 @@ object ScaleR19 {
           return
         }
       val wall = (System.nanoTime() - t0) / 1e9
+      // settle the async listener bus: task-end events for the op's final
+      // tasks can still be in flight when the action returns — reading
+      // (and the NEXT op's reset) before they land would misattribute them
+      Thread.sleep(800)
       val (skew, stages, skewStage) = listener.worst()
       val peak = sampler.peakMb
+      // Locale.ROOT formatting: the record is parsed JSON
+      // (tools/merge_scale.py) — a comma-decimal default locale would
+      // emit "wall_s":12,34 and invalidate it (the Bench.scala rule)
+      def num(fmt: String, v: Double): String =
+        String.format(java.util.Locale.ROOT, fmt, Double.box(v))
       println(f"[scale] $name%-22s ${wall}%8.1f s  peak=${peak}%5d MB  " +
         f"skew=${skew}%5.2f  stages=$stages%3d  out=$out%d  [$skewStage]")
       val stageJson = skewStage.replace("\\", "").replace("\"", "'")
-      results += f""""$name":{"wall_s":$wall%.2f,"peak_driver_mb":$peak,""" +
-        f""""max_task_skew":$skew%.2f,"skew_stage":"$stageJson",""" +
-        f""""stages":$stages,"rows_out":$out}"""
+      results += s""""$name":{"wall_s":${num("%.2f", wall)},""" +
+        s""""peak_driver_mb":$peak,""" +
+        s""""max_task_skew":${num("%.2f", skew)},"skew_stage":"$stageJson",""" +
+        s""""stages":$stages,"rows_out":$out}"""
     }
 
     val docs = t("documents").select("doc_id", "text")

@@ -37,9 +37,10 @@ object ScaleUp {
     // stacking this tool twice in rotate mode emits byte-identical text
     // and embedding copies wherever i+j collides — the degenerate clique
     // structure the perturbation exists to avoid. Tag mode perturbs along
-    // INDEPENDENT axes (a copy-distinct text suffix; a sign flip on the
-    // first copyIdx embedding coordinates), which compose with rotations
-    // collision-free: sf0.1 --rotate--> sf1 --tag--> sf10.
+    // INDEPENDENT axes (rotating a second, disjoint consonant alphabet in
+    // text; a per-copy hash-parity sign pattern on embeddings), which
+    // compose with rotations collision-free:
+    // sf0.1 --rotate--> sf1 --tag--> sf10.
     val mode = if (args.length > 3) args(3) else "rotate"
     require(mode == "rotate" || mode == "tag", s"unknown mode: $mode")
     // the text cipher has 10 distinct rotations and the embedding rotation
@@ -143,9 +144,16 @@ object ScaleUp {
       val perturbed =
         if (i == 0) col("embedding")
         else if (mode == "tag")
-          // sign-flip the first i coordinates: norm-preserving,
-          // decorrelated, and composes collision-free with rotations
-          expr(s"transform(embedding, (x, j) -> IF(j < $i, -x, x))")
+          // hash-parity sign pattern: flip ~half the coordinates, a
+          // DIFFERENT pseudo-random half per copy — norm-preserving and
+          // genuinely decorrelated (cos ≈ 0 against the original and every
+          // other copy), composing collision-free with rotations. A
+          // prefix-only flip measured cos ≈ 1 − 2i/dim ≈ 0.97 for copy 1
+          // at dim 64 — planted cross-copy near-dup chains the source
+          // corpus lacks, the exact fixture distortion tag mode exists to
+          // avoid.
+          expr(s"transform(embedding, (x, j) -> " +
+            s"IF(pmod(hash(j, $i), 2) = 0, -x, x))")
         else concat(expr(s"slice(embedding, ${i + 1}, size(embedding) - $i)"),
           expr(s"slice(embedding, 1, $i)"))
       d.withColumn("vec_id", col("vec_id") + lit(i * vecOff))

@@ -6,7 +6,13 @@ import scala.collection.concurrent.TrieMap
 import scala.collection.mutable.ArrayBuffer
 
 /** One-off: attribute the dedup_index_search skew reading — per-stage
-  * task-duration profile (n, median, max) of the artifact serve path. */
+  * task-duration profile (n, median, max) of the artifact serve path.
+  *
+  * DELIBERATELY mirrors [[ScaleR19]]'s fixture verbatim (the doc_id%30
+  * truncate/reverse incoming batch and the build/append/compact
+  * parameters): this profiler exists to attribute THAT probe's numbers,
+  * so the two must stay in lockstep — change the fixture there, change
+  * it here. */
 object SplitDensity {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf10"
