@@ -402,7 +402,12 @@ object SparkEntry {
       val cmd = Seq("bigDiffy", s"--lhs=$tmp/lhs", s"--rhs=$tmp/rhs",
         "--key=l_orderkey", s"--output=$tmp/out", "--unordered=lines",
         "--ignore-fields=noise")
-      graft.cli.Graft.run(cmd, s)
+      // the OPERATOR is the diff + saveStats the user would run; the
+      // staged fixture above and the S14 rerun + TSV read-back below are
+      // the gate's audit — the bench `splits` entry carries the
+      // distinction (the r18 "diffy_unordered ≤5 s" target applies to
+      // the operator span; see the re-baseline note under `oracleSql`)
+      timedOperator("diffy_unordered") { graft.cli.Graft.run(cmd, s) }
       // S14 witness: a sentinel planted INSIDE the completed output dir —
       // any rewrite (overwrite mode deletes the dir first) removes it,
       // where an _SUCCESS mtime-equality check can false-pass on

@@ -34,41 +34,77 @@ import scala.collection.mutable.ArrayBuffer
   */
 object ScaleR19 {
 
+  /** The worst-skew reading of one operator, with enough structured
+    * facts that a reading above the bar is MACHINE-attributable from the
+    * record alone (r19 verdict #4 — the 99.44/104.77 readings needed
+    * prose): max and median task millis of the worst stage, the max
+    * task's share of the op wall, and whether the max task launched in
+    * the stage's first scheduling wave (the signature of one-time
+    * per-JVM costs — Janino codegen compile, first artifact-footer
+    * read — which land in an initial task, not in the data). */
+  private final case class SkewReading(skew: Double, stages: Int,
+      stageName: String, maxTaskMs: Long, medianTaskMs: Long,
+      firstWave: Boolean)
+
   private final class SkewListener extends SparkListener {
-    private val stageTasks = TrieMap.empty[Int, ArrayBuffer[Long]]
+    private val stageTasks = TrieMap.empty[Int, ArrayBuffer[(Long, Long)]]
     private val stageNames = TrieMap.empty[Int, String]
     override def onStageSubmitted(
         s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
       stageNames(s.stageInfo.stageId) =
         s.stageInfo.name.takeWhile(_ != '\n').take(80)
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-      if (t.taskInfo != null && t.taskInfo.successful)
-        stageTasks.getOrElseUpdate(t.stageId, ArrayBuffer.empty)
-          .synchronized { stageTasks(t.stageId) += t.taskInfo.duration }
+      if (t.taskInfo != null && t.taskInfo.successful) {
+        // capture the buffer ONCE: a reset() between a second map lookup
+        // and the append would throw on the listener-bus thread and
+        // silently drop events (r19 advice); appending into a buffer that
+        // reset() just orphaned is a harmless drop of one stale event
+        val buf = stageTasks.getOrElseUpdate(t.stageId, ArrayBuffer.empty)
+        buf.synchronized { buf += ((t.taskInfo.duration, t.taskInfo.launchTime)) }
+      }
     def reset(): Unit = { stageTasks.clear(); stageNames.clear() }
-    /** (worst max/median skew over MATERIAL stages — >=4 tasks and a max
-      * task >=500 ms, so sub-second scheduling jitter on tiny stages does
-      * not read as data skew —, n stages, worst stage's callsite).
-      * Buffers are snapshotted under the same lock the bus thread appends
-      * under — an unsynchronized length/max read can tear on a concurrent
-      * buffer grow. */
-    def worst(): (Double, Int, String) = {
+    /** Worst max/median task-duration skew over MATERIAL stages (>=4
+      * tasks and a max task >=500 ms — sub-second scheduling jitter on
+      * tiny stages does not read as data skew), with the worst stage's
+      * structured facts. Buffers are snapshotted under the same lock the
+      * bus thread appends under — an unsynchronized length/max read can
+      * tear on a concurrent buffer grow. */
+    def worst(): SkewReading = {
       val snap = stageTasks.toSeq.map { case (id, ds) =>
         (id, ds.synchronized(ds.toArray)) }
-      val skews = snap
-        .filter { case (_, ds) => ds.length >= 4 && ds.max >= 500L }
+      val perStage = snap
+        .filter { case (_, ds) => ds.length >= 4 && ds.map(_._1).max >= 500L }
         .map { case (id, ds) =>
-          val sorted = ds.sorted
-          val med = math.max(sorted(sorted.length / 2), 1L)
-          (sorted.last.toDouble / med.toDouble, id)
+          val durs = ds.map(_._1).sorted
+          val med = math.max(durs(durs.length / 2), 1L)
+          val maxTask = ds.maxBy(_._1)
+          // first scheduling wave = launched within 50 ms of the stage's
+          // earliest launch (local[32] starts a whole wave together)
+          val firstWave = maxTask._2 <= ds.map(_._2).min + 50L
+          (durs.last.toDouble / med.toDouble, id, durs.last, med, firstWave)
         }
-      if (skews.isEmpty) (1.0, snap.size, "")
+      if (perStage.isEmpty) SkewReading(1.0, snap.size, "", 0L, 0L, firstWave = false)
       else {
-        val (sk, id) = skews.maxBy(_._1)
-        (sk, snap.size, stageNames.getOrElse(id, s"stage-$id"))
+        val (sk, id, mx, med, fw) = perStage.maxBy(_._1)
+        SkewReading(sk, snap.size, stageNames.getOrElse(id, s"stage-$id"),
+          mx, med, fw)
       }
     }
   }
+
+  /** The structured attribution verdict stamped next to every skew
+    * number: `even` (below the 3x bar), `first_task_one_time_cost`
+    * (outlier launched in the first wave — per-JVM warmup, codegen
+    * compile, first artifact read), `immaterial` (max task under 5% of
+    * the op wall — a sub-second straggler cannot bottleneck this op at
+    * scale), or `data_skew` (the reading that would demand a salting/
+    * banding fix). Heuristic, but each verdict's inputs are in the
+    * record beside it. */
+  private def attributeSkew(r: SkewReading, wallS: Double): String =
+    if (r.skew <= 3.0) "even"
+    else if (r.firstWave) "first_task_one_time_cost"
+    else if (r.maxTaskMs < 0.05 * wallS * 1000.0) "immaterial"
+    else "data_skew"
 
   private final class HeapSampler extends Thread {
     setDaemon(true)
@@ -120,7 +156,8 @@ object ScaleR19 {
       // tasks can still be in flight when the action returns — reading
       // (and the NEXT op's reset) before they land would misattribute them
       Thread.sleep(800)
-      val (skew, stages, skewStage) = listener.worst()
+      val r = listener.worst()
+      val attribution = attributeSkew(r, wall)
       val peak = sampler.peakMb
       // Locale.ROOT formatting: the record is parsed JSON
       // (tools/merge_scale.py) — a comma-decimal default locale would
@@ -128,12 +165,18 @@ object ScaleR19 {
       def num(fmt: String, v: Double): String =
         String.format(java.util.Locale.ROOT, fmt, Double.box(v))
       println(f"[scale] $name%-22s ${wall}%8.1f s  peak=${peak}%5d MB  " +
-        f"skew=${skew}%5.2f  stages=$stages%3d  out=$out%d  [$skewStage]")
-      val stageJson = skewStage.replace("\\", "").replace("\"", "'")
+        f"skew=${r.skew}%5.2f ($attribution)  stages=${r.stages}%3d  " +
+        f"out=$out%d  [${r.stageName}]")
+      val stageJson = r.stageName.replace("\\", "").replace("\"", "'")
       results += s""""$name":{"wall_s":${num("%.2f", wall)},""" +
         s""""peak_driver_mb":$peak,""" +
-        s""""max_task_skew":${num("%.2f", skew)},"skew_stage":"$stageJson",""" +
-        s""""stages":$stages,"rows_out":$out}"""
+        s""""max_task_skew":${num("%.2f", r.skew)},""" +
+        s""""skew_attribution":"$attribution",""" +
+        s""""skew_max_task_ms":${r.maxTaskMs},""" +
+        s""""skew_median_task_ms":${r.medianTaskMs},""" +
+        s""""skew_wall_frac":${num("%.3f", if (wall > 0) r.maxTaskMs / 1000.0 / wall else 0.0)},""" +
+        s""""skew_first_wave":${r.firstWave},"skew_stage":"$stageJson",""" +
+        s""""stages":${r.stages},"rows_out":$out}"""
     }
 
     val docs = t("documents").select("doc_id", "text")
@@ -156,6 +199,9 @@ object ScaleR19 {
           reverse(col("text")).as("text")))
 
     val idxTmp = s"/tmp/scale_r19_idx_${System.nanoTime()}"
+    // the probe's index/layout fixtures are multi-GB at sf10 — delete
+    // them even on a crashed run (r19 advice: leaked per-run /tmp dirs)
+    try {
 
     // r=4 banding (64 hashes / 16 bands) + shingleLen=10 at BOTH SFs: the
     // scale-appropriate choices the operators' own candidate pricing
@@ -248,6 +294,9 @@ object ScaleR19 {
         Map("0" -> 0.5), 0.1, Seq("doc_id")).count()
     }
 
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxTmp))
+    }
     sampler.shutdown()
     val line =
       s"""{"sf_dir":"$sfDir","docs":$nDocs,"embeddings":$nEmb,""" +

@@ -28,9 +28,12 @@ object SplitDensity {
           .find(l => l.contains("graft") && !l.contains("tools"))
           .getOrElse(s.stageInfo.name).trim.take(100)
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskInfo != null && t.taskInfo.successful)
-          tasks.getOrElseUpdate(t.stageId, ArrayBuffer.empty)
-            .synchronized { tasks(t.stageId) += t.taskInfo.duration }
+        if (t.taskInfo != null && t.taskInfo.successful) {
+          // capture once: a clear() between a second lookup and the
+          // append would throw on the listener-bus thread (r19 advice)
+          val buf = tasks.getOrElseUpdate(t.stageId, ArrayBuffer.empty)
+          buf.synchronized { buf += t.taskInfo.duration }
+        }
     })
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val off = docs.agg(max(col("doc_id")) + 1).first().getLong(0)
@@ -40,20 +43,26 @@ object SplitDensity {
       .unionByName(docs.filter(col("doc_id") % 30 === 1)
         .select((col("doc_id") + off).as("doc_id"), reverse(col("text")).as("text")))
     val idx = s"/tmp/density_idx_${System.nanoTime()}"
-    graft.ext.DedupIndex.build(docs.filter(col("doc_id") % 2 === 0),
-      "doc_id", "text", idx, numHashes = 64, bands = 16, shingleLen = 10)
-    graft.ext.DedupIndex.append(docs.filter(col("doc_id") % 2 === 1),
-      "doc_id", "text", idx)
-    graft.ext.DedupIndex.compact(spark, idx)
-    tasks.clear(); names.clear()
-    val t0 = System.nanoTime()
-    val n = graft.ext.DedupIndex.minhashNewAgainst(spark, idx, incoming,
-      "doc_id", "text", threshold = 0.7).count()
-    println(f"[prof] serve wall=${(System.nanoTime()-t0)/1e9}%.1f s pairs=$n")
-    tasks.toSeq.sortBy(_._1).foreach { case (id, ds) =>
-      val s = ds.toArray.sorted
-      println(f"[prof] stage=$id%3d n=${s.length}%4d med=${s(s.length/2)}%6d ms " +
-        f"max=${s.last}%6d ms  ${names.getOrElse(id, "?")}")
+    // delete the multi-GB index fixture even on a crashed run (r19
+    // advice: leaked per-run /tmp dirs)
+    try {
+      graft.ext.DedupIndex.build(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idx, numHashes = 64, bands = 16, shingleLen = 10)
+      graft.ext.DedupIndex.append(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", idx)
+      graft.ext.DedupIndex.compact(spark, idx)
+      tasks.clear(); names.clear()
+      val t0 = System.nanoTime()
+      val n = graft.ext.DedupIndex.minhashNewAgainst(spark, idx, incoming,
+        "doc_id", "text", threshold = 0.7).count()
+      println(f"[prof] serve wall=${(System.nanoTime()-t0)/1e9}%.1f s pairs=$n")
+      tasks.toSeq.sortBy(_._1).foreach { case (id, ds) =>
+        val s = ds.toArray.sorted
+        println(f"[prof] stage=$id%3d n=${s.length}%4d med=${s(s.length/2)}%6d ms " +
+          f"max=${s.last}%6d ms  ${names.getOrElse(id, "?")}")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
     }
     spark.stop()
   }

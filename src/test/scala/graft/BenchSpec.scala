@@ -165,6 +165,62 @@ class BenchSpec extends AnyFlatSpec with Matchers {
     s should be < 30.0
   }
 
+  behavior of "Bench.blendRatio"
+
+  it should "blend the two calib channels with equal weight" in {
+    // both channels agree (committed twice as fast): blend = that ratio
+    Bench.blendRatio(0.4, 0.6, Some(0.2), Some(0.3)) shouldBe Some(0.5)
+    // channels diverge: cpu says 0.5, shuffle says 2.0 -> 1.25, so no
+    // gate is re-priced by more than half the divergence
+    Bench.blendRatio(0.4, 0.1, Some(0.2), Some(0.2)) shouldBe Some(1.25)
+    // identity when both channels match
+    Bench.blendRatio(0.3, 0.2, Some(0.3), Some(0.2)) shouldBe Some(1.0)
+  }
+
+  it should "refuse to blend unless BOTH channels are valid on both sides" in {
+    // a silent single-channel fallback would reintroduce the failure
+    // mode the blend replaces
+    Bench.blendRatio(0.4, 0.2, None, Some(0.2)) shouldBe None
+    Bench.blendRatio(0.4, 0.2, Some(0.2), None) shouldBe None
+    Bench.blendRatio(-1.0, 0.2, Some(0.2), Some(0.2)) shouldBe None
+    Bench.blendRatio(0.4, -1.0, Some(0.2), Some(0.2)) shouldBe None
+    Bench.blendRatio(0.4, 0.2, Some(-1.0), Some(0.2)) shouldBe None
+    Bench.blendRatio(0.4, 0.2, Some(0.2), Some(0.0)) shouldBe None
+  }
+
+  behavior of "Bench.numbersAtDepth"
+
+  it should "read only top-level numeric stamps, never nested or quoted ones" in {
+    // the r19 advice's fragility case: a string VALUE containing what
+    // looks like a stamp, and the same key nested inside an object
+    val line = """{"value":9.5,"skew_stage":"x \"calib_cpu_s\":0.1 y",""" +
+      """"queries":{"value":1.0,"calib_cpu_s":2.0},"calib_cpu_s":0.313}"""
+    Bench.numbersAtDepth(line, 1) shouldBe
+      Map("value" -> 9.5, "calib_cpu_s" -> 0.313)
+    // unparseable input yields empty, not a throw
+    Bench.numbersAtDepth("""not json at all""", 1) shouldBe Map.empty
+  }
+
+  it should "back committedStamp with the depth-aware scan" in {
+    val f = java.nio.file.Files.createTempFile("benchspec_depth", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","notes":"ran with \"calib_cpu_s\":9.9 once",""" +
+        """"splits":{"g":{"calib_cpu_s":7.7}},"calib_cpu_s":0.25}""" + "\n")
+    // neither the string-embedded 9.9 nor the nested 7.7 shadows 0.25
+    Bench.committedStamp(f.toString, "calib_cpu_s") shouldBe Some(0.25)
+    java.nio.file.Files.delete(f)
+  }
+
+  it should "read the spread object only at top level" in {
+    val f = java.nio.file.Files.createTempFile("benchspec_spreadnest", ".json")
+    // a nested object named "spread" (inside splits) must not be read
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","splits":{"spread":{"fake":9.0}},""" +
+        """"spread":{"a":0.5},"runs":3}""" + "\n")
+    Bench.committedSpreads(f.toString) shouldBe Map("a" -> 0.5)
+    java.nio.file.Files.delete(f)
+  }
+
   it should "parse the spread object of a committed record, absent-safe" in {
     val f = java.nio.file.Files.createTempFile("benchspec", ".json")
     java.nio.file.Files.writeString(f,
