@@ -405,8 +405,12 @@ object SparkEntry {
       // the OPERATOR is the diff + saveStats the user would run; the
       // staged fixture above and the S14 rerun + TSV read-back below are
       // the gate's audit — the bench `splits` entry carries the
-      // distinction (the r18 "diffy_unordered ≤5 s" target applies to
-      // the operator span; see the re-baseline note under `oracleSql`)
+      // distinction. This closes the r18 "≤5 s at sf1" target: the
+      // operator span measures 3.7 s raw / ~3.0 s at the r18 machine
+      // speed (median-of-5, calib 0.244 vs r18's 0.203); the gate TOTAL
+      // sits at ~5.5 s normalized because it also stages a 6M-row
+      // lineitem fixture, re-runs the CLI for the S14 short-circuit
+      // proof, and reads the TSV back — audit the target never priced.
       timedOperator("diffy_unordered") { graft.cli.Graft.run(cmd, s) }
       // S14 witness: a sentinel planted INSIDE the completed output dir —
       // any rewrite (overwrite mode deletes the dir first) removes it,
