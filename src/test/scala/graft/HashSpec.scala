@@ -119,7 +119,7 @@ class HashSpec extends SparkSpec {
   // and dedup cohorts silently diverge between a parquet lake and an
   // avro/json feed of the same data.
   it should "hash one logical row identically from parquet, avro, and JSON" in {
-    val base = java.nio.file.Files.createTempDirectory("xfmt").toString
+    val base = graft.SparkSpec.tempDir("xfmt").toString
     val df = spark.sql(
       """SELECT * FROM VALUES
         |  (CAST(7 AS BIGINT), CAST(3 AS INT), 'héllo wörld', 1.5D, true,

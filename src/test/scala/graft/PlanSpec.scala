@@ -348,8 +348,8 @@ class PlanSpec extends SparkSpec {
   // after reading every file. At 100 TB this is the difference between
   // scanning one day and scanning the lake.
   "a partitioned parquet layout" should "prune partitions at the scan, not post-filter" in {
-    val dir = java.nio.file.Files
-      .createTempDirectory("plan_part").toString + "/out"
+    val dir = graft.SparkSpec
+      .tempDir("plan_part").toString + "/out"
     spark.range(1000)
       .selectExpr("id", "CAST(id % 10 AS INT) AS p")
       .write.partitionBy("p").parquet(dir)

@@ -13,7 +13,7 @@ case class CliRec(k: Long, v: Double, s: String)
 class GraftCliSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("cli").toString
+  private def tmp(): String = graft.SparkSpec.tempDir("cli").toString
 
   behavior of "graft CLI"
 

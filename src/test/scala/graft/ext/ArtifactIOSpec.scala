@@ -13,7 +13,7 @@ class ArtifactIOSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString + "/a"
+    graft.SparkSpec.tempDir(prefix).toString + "/a"
 
   private def hfs(dir: String) = ArtifactIO.fs(spark, dir)
 

@@ -11,7 +11,7 @@ class DedupIndexSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmpDir(): String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_dedupidx")
+    val p = graft.SparkSpec.tempDir("graft_dedupidx")
     p.toFile.deleteOnExit()
     p.toString
   }

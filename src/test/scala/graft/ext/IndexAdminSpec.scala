@@ -9,7 +9,7 @@ class IndexAdminSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmpDir(): String =
-    java.nio.file.Files.createTempDirectory("graft_idxadmin").toString + "/idx"
+    graft.SparkSpec.tempDir("graft_idxadmin").toString + "/idx"
 
   behavior of "IndexAdmin.describeIndex"
 

@@ -13,7 +13,7 @@ class IndexRetrainSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmpDir(): String =
-    java.nio.file.Files.createTempDirectory("retrain").toString + "/idx"
+    graft.SparkSpec.tempDir("retrain").toString + "/idx"
 
   /** `n` vectors near the given axis: axis + U(0, 0.1) jitter on the two
     * other coordinates, deterministic per (axis, i). */

@@ -9,7 +9,7 @@ class IvfIndexSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def tmpDir(): String =
-    java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    graft.SparkSpec.tempDir("ivfidx").toString + "/idx"
 
   behavior of "Similarity IVF index persistence"
 

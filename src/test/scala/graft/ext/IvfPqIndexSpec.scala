@@ -12,7 +12,7 @@ class IvfPqIndexSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def tmpDir(): String =
-    java.nio.file.Files.createTempDirectory("ivfpqidx").toString + "/idx"
+    graft.SparkSpec.tempDir("ivfpqidx").toString + "/idx"
 
   behavior of "Similarity IVF-PQ index persistence"
 

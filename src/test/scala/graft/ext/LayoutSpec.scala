@@ -102,7 +102,7 @@ class LayoutSpec extends SparkSpec {
     val grid = for (x <- 0 until n; y <- 0 until n)
       yield (x.toLong, y.toLong)
     val df = grid.toDF("x", "y")
-    val dir = java.nio.file.Files.createTempDirectory("layout_spec").toString
+    val dir = graft.SparkSpec.tempDir("layout_spec").toString
     Layout.zorderWrite(df, Seq("x", "y"), s"$dir/z", numFiles = 16, bits = 6)
     val spans = Layout.fileSpanStats(spark, s"$dir/z", Seq("x", "y"))
       .select("mean_span_x", "mean_span_y").as[(Double, Double)].head()
@@ -121,7 +121,7 @@ class LayoutSpec extends SparkSpec {
     new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
 
   it should "merge a many-small-files layout down to the computed count" in {
-    val dir = java.nio.file.Files.createTempDirectory("layout_compact").toString
+    val dir = graft.SparkSpec.tempDir("layout_compact").toString
     val df = spark.range(20000).selectExpr("id", "id * 2 AS v")
     df.repartition(64).write.parquet(s"$dir/small") // 64 tiny files
     val inBytes = new java.io.File(s"$dir/small").listFiles()
@@ -137,7 +137,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   it should "keep each input file's rows contiguous and ordered with preserveOrder (no shuffle)" in {
-    val dir = java.nio.file.Files.createTempDirectory("layout_compact2").toString
+    val dir = graft.SparkSpec.tempDir("layout_compact2").toString
     // 4 files, each internally sorted
     spark.range(10000).selectExpr("id")
       .repartitionByRange(4, col("id")).sortWithinPartitions("id")
@@ -160,7 +160,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   it should "split an oversized layout into more files when asked" in {
-    val dir = java.nio.file.Files.createTempDirectory("layout_split").toString
+    val dir = graft.SparkSpec.tempDir("layout_split").toString
     spark.range(50000).selectExpr("id", "id * 3 AS v")
       .coalesce(1).write.parquet(s"$dir/one")
     val inBytes = new java.io.File(s"$dir/one").listFiles()

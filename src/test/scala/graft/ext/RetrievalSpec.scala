@@ -171,7 +171,7 @@ class RetrievalSpec extends SparkSpec {
   behavior of "Retrieval text index"
 
   private def idxDir(): String =
-    java.nio.file.Files.createTempDirectory("txtidx").toString + "/idx"
+    graft.SparkSpec.tempDir("txtidx").toString + "/idx"
 
   it should "serve identical results to direct bm25TopK from the persisted index" in {
     // the two paths sum contributions under different partitionings, so

@@ -83,7 +83,7 @@ class BigSamplerSpec extends SparkSpec {
     // plans: rand(seed) replays bit-identically across the counting job
     // and both selection branches, so the sample must be exact, free of
     // duplicate picks, and identical run-to-run
-    val dir = java.nio.file.Files.createTempDirectory("rxp").toString
+    val dir = graft.SparkSpec.tempDir("rxp").toString
     data.write.parquet(s"$dir/in")
     val in = spark.read.parquet(s"$dir/in")
     def run() = sample(in, 0.1, Random(5L), Stratified(Seq("g")), exact = true)
@@ -102,7 +102,7 @@ class BigSamplerSpec extends SparkSpec {
     // selection jobs (maxSplitBytes tracks defaultParallelism), so a
     // scan-rooted plan that replays fine with fixed executors must STILL
     // pin when dynamic allocation is on
-    val dir = java.nio.file.Files.createTempDirectory("dyn").toString
+    val dir = graft.SparkSpec.tempDir("dyn").toString
     data.limit(100).write.parquet(s"$dir/in")
     val stable = spark.read.parquet(s"$dir/in")
     BigSampler.unstableForReplay(stable, dynamicAllocation = false) shouldBe false
@@ -177,7 +177,7 @@ class DistributionAssertSpec extends graft.SparkSpec {
   }
 
   it should "diff JSON-read rows (TableRow analog) through the generic differ" in {
-    val dir = java.nio.file.Files.createTempDirectory("trdiff").toString
+    val dir = graft.SparkSpec.tempDir("trdiff").toString
     Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("k", "s", "v")
       .write.json(s"$dir/lhs")
     Seq((1L, "x", 11.0), (2L, "z", 20.0)).toDF("k", "s", "v")

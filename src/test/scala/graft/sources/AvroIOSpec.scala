@@ -1,7 +1,6 @@
 package graft.sources
 
 import graft.SparkSpec
-import java.nio.file.Files
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -28,7 +27,7 @@ class AvroIOSpec extends SparkSpec {
   behavior of "AvroIO"
 
   it should "round-trip rows through a local container file" in {
-    val f = Files.createTempDirectory("avro").resolve("data.avro").toString
+    val f = graft.SparkSpec.tempDir("avro").resolve("data.avro").toString
     AvroIO.writeLocal(rows, schema, f)
     val (got, st) = AvroIO.readLocal(f)
     st shouldBe schema
@@ -41,7 +40,7 @@ class AvroIOSpec extends SparkSpec {
   }
 
   it should "round-trip a DataFrame through the distributed sink and scan" in {
-    val dir = Files.createTempDirectory("avrodist").toString + "/out"
+    val dir = graft.SparkSpec.tempDir("avrodist").toString + "/out"
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), schema)
     AvroIO.write(df, dir)
@@ -56,7 +55,7 @@ class AvroIOSpec extends SparkSpec {
   }
 
   it should "honor the output-exists short circuit" in {
-    val dir = Files.createTempDirectory("guard").toString + "/out"
+    val dir = graft.SparkSpec.tempDir("guard").toString + "/out"
     val df = Seq((1L, "a")).toDF("id", "v")
     var runs = 0
     GraftIO.unlessDone(dir) { runs += 1; df.write.parquet(dir) } shouldBe true
@@ -65,7 +64,7 @@ class AvroIOSpec extends SparkSpec {
   }
 
   it should "round-trip JSON lines" in {
-    val dir = Files.createTempDirectory("json").toString + "/out"
+    val dir = graft.SparkSpec.tempDir("json").toString + "/out"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     GraftIO.writeJsonLines(df, dir)
     GraftIO.readJsonLines(spark, dir).count() shouldBe 2
@@ -82,7 +81,7 @@ class AvroIOSpec extends SparkSpec {
     // must keep parsing, and this engine's own 6-digit output must
     // round-trip micros exactly. A custom pattern would break one or
     // the other; this spec locks both.
-    val dir = Files.createTempDirectory("json_ts").toString + "/in"
+    val dir = graft.SparkSpec.tempDir("json_ts").toString + "/in"
     val lines = Seq(
       """{"id":1,"ts":"2024-03-05T06:07:08.123456"}""", // own output shape
       """{"id":2,"ts":"2024-03-05 06:07:08"}""",        // space separator
@@ -114,7 +113,7 @@ class AvroIOSpec extends SparkSpec {
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    val dir = Files.createTempDirectory("ts_fixture").toString
+    val dir = graft.SparkSpec.tempDir("ts_fixture").toString
     val file = s"$dir/part-00000.parquet"
     val schema: MessageType = Types.buildMessage()
       .addField(Types.primitive(PrimitiveTypeName.INT64,
@@ -187,7 +186,7 @@ class AvroIOSpec extends SparkSpec {
     // gate, so the reader must fail loudly (the ScaleUp lesson: a tool
     // writing with the INT96 default broke 8 gates until pinned to
     // TIMESTAMP_MICROS)
-    val dir = Files.createTempDirectory("int96_fix").toString + "/out"
+    val dir = graft.SparkSpec.tempDir("int96_fix").toString + "/out"
     val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
     try Seq(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
@@ -203,7 +202,7 @@ class AvroIOSpec extends SparkSpec {
   }
 
   it should "round-trip decimals via the Avro decimal logical type" in {
-    val dir = Files.createTempDirectory("avro_dec").toString + "/out"
+    val dir = graft.SparkSpec.tempDir("avro_dec").toString + "/out"
     val df = Seq("12345.67", "-0.01", "0.00")
       .toDF("s").select(col("s").cast("decimal(10,2)").as("d"))
     AvroIO.write(df, dir)

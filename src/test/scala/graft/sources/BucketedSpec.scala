@@ -12,7 +12,7 @@ class BucketedSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def tmpDir(): String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_bucketed_spec")
+    val p = graft.SparkSpec.tempDir("graft_bucketed_spec")
     p.toFile.deleteOnExit()
     p.toString
   }

@@ -287,7 +287,7 @@ class Proto3Spec extends SparkSpec {
     }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 4), schema)
-    val dir = java.nio.file.Files.createTempDirectory("proto3").toString + "/out"
+    val dir = graft.SparkSpec.tempDir("proto3").toString + "/out"
     writeDelimited(df, msg, dir)
     val back = readDelimited(spark, dir, msg)
     back.count() shouldBe 200L

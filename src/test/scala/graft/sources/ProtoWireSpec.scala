@@ -393,7 +393,7 @@ class ProtoWireSpec extends SparkSpec {
     val gen = RowGen.of(schema, noneFraction = 0.0)
     val df = RowGen.distributed(spark, gen, schema, rows = 500, shards = 7,
       seed = 99L)
-    val dir = java.nio.file.Files.createTempDirectory("protowire").toString + "/out"
+    val dir = graft.SparkSpec.tempDir("protowire").toString + "/out"
     writeDelimited(df, Schemas.RepeatedRecord, dir)
     // one file per input partition, named by the Hadoop committer
     val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".pb"))
@@ -409,7 +409,7 @@ class ProtoWireSpec extends SparkSpec {
   it should "replace the output directory on rewrite like AvroIO.write" in {
     val schema = sparkSchema(Schemas.RepeatedRecord)
     val gen = RowGen.of(schema, noneFraction = 0.0)
-    val dir = java.nio.file.Files.createTempDirectory("protowire").toString + "/out"
+    val dir = graft.SparkSpec.tempDir("protowire").toString + "/out"
     writeDelimited(RowGen.distributed(spark, gen, schema, 50, 2, 1L),
       Schemas.RepeatedRecord, dir)
     writeDelimited(RowGen.distributed(spark, gen, schema, 30, 2, 2L),

@@ -660,7 +660,7 @@ class StreamOpsSpec extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
       .sortBy(_._1).take(200)
-    val base = java.nio.file.Files.createTempDirectory("graft_idx_sink").toString
+    val base = graft.SparkSpec.tempDir("graft_idx_sink").toString
     val dpath = s"$base/didx"; val tpath = s"$base/tidx"
     graft.ext.DedupIndex.build(docs.take(0).toDF("doc_id", "text"),
       "doc_id", "text", dpath, numHashes = 64, bands = 32)
@@ -711,7 +711,7 @@ class StreamOpsSpec extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
       .sortBy(_._1).take(120)
-    val base = java.nio.file.Files.createTempDirectory("graft_idx_ce").toString
+    val base = graft.SparkSpec.tempDir("graft_idx_ce").toString
     val tpath = s"$base/tidx"
     graft.ext.Retrieval.buildTextIndex(docs.take(0).toDF("doc_id", "text"),
       "doc_id", "text", tpath, buckets = 8)
