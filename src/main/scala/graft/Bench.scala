@@ -230,6 +230,43 @@ object Bench {
     Seq(pass(iters), pass(iters), pass(iters)).min
   }
 
+  /** PARALLEL-channel machine calibration: the same mixing loop run on
+    * `threads` cores simultaneously, min-of-3 of the join-to-join wall.
+    * The loop is pure register work (no memory traffic), so on dedicated
+    * cores the parallel wall ≈ the single-thread wall; a ratio
+    * `calib_mcpu_s / calib_cpu_s` meaningfully above 1 is host-level
+    * core contention (a noisy VM neighbor, a frequency cap under
+    * all-core load) that NEITHER existing channel can see — measured in
+    * r20: a session where calib_cpu_s/calib_shuffle_s both sat at
+    * committed levels while every 32-thread gate inflated ~15-20%
+    * uniformly (cpu-bound and io-bound buckets alike, two independent
+    * median-of-3 runs agreeing) showed mt-ratio 1.11. Stamped into every
+    * record (`calib_mcpu_s`) so that failure mode self-identifies; once
+    * a few rounds establish the healthy-host distribution, it can be
+    * promoted to a divert criterion like loadavg/siblings. */
+  private[graft] def calibrateMcpuSeconds(iters: Int = 200000000,
+                                          threads: Int = 32): Double = {
+    def pass(n: Int): Double = {
+      val ts = (0 until threads).map { _ =>
+        new Thread(() => {
+          var h = 0x9E3779B97F4A7C15L
+          var i = 0
+          while (i < n) {
+            h = java.lang.Long.rotateLeft(h * 0x100000001B3L, 31) ^ (h >>> 17)
+            i += 1
+          }
+          if (h == 42L) System.err.println("[bench] mcpu calib fixed point (harmless)")
+        })
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass(iters / 20) // untimed JIT/scheduler warm
+    Seq(pass(iters), pass(iters), pass(iters)).min
+  }
+
   /** Numeric TOP-LEVEL stamp `key` of the committed record at `path`,
     * absent-safe. Depth-aware (see [[numbersAtDepth]]): a nested or
     * string-embedded `"key":<number>` can never shadow the real stamp. */
@@ -315,9 +352,10 @@ object Bench {
       catch { case _: Throwable => -1L }
     val loadStart = loadavg()
     val siblingsStart = siblingJvms()
-    // machine-speed stamp, measured BEFORE the warmup like the other
+    // machine-speed stamps, measured BEFORE the warmup like the other
     // environment probes: the machine as found, not as heated by us
     val calibCpu = calibrateCpuSeconds()
+    val calibMcpu = calibrateMcpuSeconds()
     // Untimed warmup over SYNTHETIC data: pays the one-time JVM/JIT,
     // whole-stage-codegen and shuffle-machinery costs so the first timed
     // query isn't charged ~7s of session warmup. Deliberately touches no
@@ -546,6 +584,9 @@ object Bench {
         s""","sibling_jvms_end":$siblingsEnd""" +
         s""","sibling_jvms_max":$siblingsWorst,"heap_mb":$heapMb""" +
         s""","calib_cpu_s":${num("%.3f", calibCpu)}""" +
+        s""","calib_mcpu_s":${num("%.3f", calibMcpu)}""" +
+        s""","calib_mt_ratio":${num("%.3f",
+          if (calibCpu > 0) calibMcpu / calibCpu else -1.0)}""" +
         s""","calib_shuffle_s":${num("%.3f", calibShuffle)}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a subset run is NOT the suite: mark it in the JSON and keep it out

@@ -165,6 +165,14 @@ class BenchSpec extends AnyFlatSpec with Matchers {
     s should be < 30.0
   }
 
+  it should "measure the parallel calibration channel in sane bounds" in {
+    // tiny iters + few threads: proves the fan-out/join runs and times,
+    // not a performance assertion (the real channel uses 32 threads)
+    val s = Bench.calibrateMcpuSeconds(iters = 2000000, threads = 4)
+    s should be > 0.0
+    s should be < 30.0
+  }
+
   behavior of "Bench.blendRatio"
 
   it should "blend the two calib channels with equal weight" in {
