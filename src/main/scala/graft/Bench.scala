@@ -241,11 +241,15 @@ object Bench {
     * committed levels while every 32-thread gate inflated ~15-20%
     * uniformly (cpu-bound and io-bound buckets alike, two independent
     * median-of-3 runs agreeing) showed mt-ratio 1.11. Stamped into every
-    * record (`calib_mcpu_s`) so that failure mode self-identifies; once
-    * a few rounds establish the healthy-host distribution, it can be
-    * promoted to a divert criterion like loadavg/siblings. */
+    * record (`calib_mcpu_s`, with `calib_mcpu_threads` naming the
+    * fan-out — the host's available processors, NOT a hardcoded 32:
+    * oversubscribing a smaller box would read as phantom contention) so
+    * that failure mode self-identifies; once a few rounds establish the
+    * healthy-host distribution, it can be promoted to a divert
+    * criterion like loadavg/siblings. */
   private[graft] def calibrateMcpuSeconds(iters: Int = 200000000,
-                                          threads: Int = 32): Double = {
+                                          threads: Int =
+                                            Runtime.getRuntime.availableProcessors()): Double = {
     def pass(n: Int): Double = {
       val ts = (0 until threads).map { _ =>
         new Thread(() => {
@@ -355,7 +359,8 @@ object Bench {
     // machine-speed stamps, measured BEFORE the warmup like the other
     // environment probes: the machine as found, not as heated by us
     val calibCpu = calibrateCpuSeconds()
-    val calibMcpu = calibrateMcpuSeconds()
+    val calibMcpuThreads = Runtime.getRuntime.availableProcessors()
+    val calibMcpu = calibrateMcpuSeconds(threads = calibMcpuThreads)
     // Untimed warmup over SYNTHETIC data: pays the one-time JVM/JIT,
     // whole-stage-codegen and shuffle-machinery costs so the first timed
     // query isn't charged ~7s of session warmup. Deliberately touches no
@@ -585,6 +590,7 @@ object Bench {
         s""","sibling_jvms_max":$siblingsWorst,"heap_mb":$heapMb""" +
         s""","calib_cpu_s":${num("%.3f", calibCpu)}""" +
         s""","calib_mcpu_s":${num("%.3f", calibMcpu)}""" +
+        s""","calib_mcpu_threads":$calibMcpuThreads""" +
         s""","calib_mt_ratio":${num("%.3f",
           if (calibCpu > 0) calibMcpu / calibCpu else -1.0)}""" +
         s""","calib_shuffle_s":${num("%.3f", calibShuffle)}"""

@@ -44,7 +44,7 @@ object ScaleR19 {
     * read — which land in an initial task, not in the data). */
   private final case class SkewReading(skew: Double, stages: Int,
       stageName: String, maxTaskMs: Long, medianTaskMs: Long,
-      firstWave: Boolean)
+      firstWave: Boolean, stageTasks: Int)
 
   private final class SkewListener extends SparkListener {
     private val stageTasks = TrieMap.empty[Int, ArrayBuffer[(Long, Long)]]
@@ -81,45 +81,38 @@ object ScaleR19 {
           // first scheduling wave = launched within 50 ms of the stage's
           // earliest launch (local[32] starts a whole wave together)
           val firstWave = maxTask._2 <= ds.map(_._2).min + 50L
-          (durs.last.toDouble / med.toDouble, id, durs.last, med, firstWave)
+          (durs.last.toDouble / med.toDouble, id, durs.last, med, firstWave,
+            ds.length)
         }
-      if (perStage.isEmpty) SkewReading(1.0, snap.size, "", 0L, 0L, firstWave = false)
+      if (perStage.isEmpty)
+        SkewReading(1.0, snap.size, "", 0L, 0L, firstWave = false, 0)
       else {
-        val (sk, id, mx, med, fw) = perStage.maxBy(_._1)
+        val (sk, id, mx, med, fw, nt) = perStage.maxBy(_._1)
         SkewReading(sk, snap.size, stageNames.getOrElse(id, s"stage-$id"),
-          mx, med, fw)
+          mx, med, fw, nt)
       }
     }
   }
 
   /** The structured attribution verdict stamped next to every skew
     * number: `even` (below the 3x bar), `first_task_one_time_cost`
-    * (outlier launched in the first wave — per-JVM warmup, codegen
-    * compile, first artifact read), `immaterial` (max task under 5% of
-    * the op wall — a sub-second straggler cannot bottleneck this op at
-    * scale), or `data_skew` (the reading that would demand a salting/
-    * banding fix). Heuristic, but each verdict's inputs are in the
-    * record beside it. */
-  private def attributeSkew(r: SkewReading, wallS: Double): String =
+    * (outlier launched in the first wave of a stage WIDER than the
+    * scheduler — per-JVM warmup, codegen compile, first artifact read),
+    * `immaterial` (max task under 5% of the op wall — a sub-second
+    * straggler cannot bottleneck this op at scale),
+    * `indeterminate_small_stage` (the stage has at most `slots` tasks,
+    * so EVERY task launches in the first wave and launch order carries
+    * no one-time-cost signal — merge_scale.py resolves these cross-SF:
+    * a max task that stays flat while rows grow 10x is a fixed cost,
+    * one that grows with rows is volume-driven), or `data_skew` (the
+    * reading that would demand a salting/banding fix). Heuristic, but
+    * each verdict's inputs are in the record beside it. */
+  private def attributeSkew(r: SkewReading, wallS: Double, slots: Int): String =
     if (r.skew <= 3.0) "even"
-    else if (r.firstWave) "first_task_one_time_cost"
+    else if (r.firstWave && r.stageTasks > slots) "first_task_one_time_cost"
     else if (r.maxTaskMs < 0.05 * wallS * 1000.0) "immaterial"
+    else if (r.stageTasks <= slots) "indeterminate_small_stage"
     else "data_skew"
-
-  private final class HeapSampler extends Thread {
-    setDaemon(true)
-    @volatile private var peak = 0L
-    @volatile private var running = true
-    def mark(): Unit = peak = used()
-    def peakMb: Long = peak >> 20
-    private def used(): Long = {
-      val r = Runtime.getRuntime; r.totalMemory() - r.freeMemory()
-    }
-    override def run(): Unit = while (running) {
-      val u = used(); if (u > peak) peak = u; Thread.sleep(25)
-    }
-    def shutdown(): Unit = running = false
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
@@ -157,13 +150,9 @@ object ScaleR19 {
       // (and the NEXT op's reset) before they land would misattribute them
       Thread.sleep(800)
       val r = listener.worst()
-      val attribution = attributeSkew(r, wall)
+      val attribution = attributeSkew(r, wall, slots = cpus.toInt)
       val peak = sampler.peakMb
-      // Locale.ROOT formatting: the record is parsed JSON
-      // (tools/merge_scale.py) — a comma-decimal default locale would
-      // emit "wall_s":12,34 and invalidate it (the Bench.scala rule)
-      def num(fmt: String, v: Double): String =
-        String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+      import ProbeUtil.num
       println(f"[scale] $name%-22s ${wall}%8.1f s  peak=${peak}%5d MB  " +
         f"skew=${r.skew}%5.2f ($attribution)  stages=${r.stages}%3d  " +
         f"out=$out%d  [${r.stageName}]")
@@ -175,7 +164,8 @@ object ScaleR19 {
         s""""skew_max_task_ms":${r.maxTaskMs},""" +
         s""""skew_median_task_ms":${r.medianTaskMs},""" +
         s""""skew_wall_frac":${num("%.3f", if (wall > 0) r.maxTaskMs / 1000.0 / wall else 0.0)},""" +
-        s""""skew_first_wave":${r.firstWave},"skew_stage":"$stageJson",""" +
+        s""""skew_first_wave":${r.firstWave},""" +
+        s""""skew_stage_tasks":${r.stageTasks},"skew_stage":"$stageJson",""" +
         s""""stages":${r.stages},"rows_out":$out}"""
     }
 

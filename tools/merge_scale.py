@@ -32,6 +32,20 @@ for name in sorted(set(sf1["ops"]) | set(sf10["ops"])):
         "ratio_linear": round(ratio, 2),
         "driver_heap_ratio": round(heap_ratio, 2),
     }
+    # cross-SF resolution of verdicts launch-order cannot settle: on
+    # stages no wider than the scheduler every task is first-wave, so the
+    # probe stamps indeterminate_small_stage (or data_skew) — but a max
+    # task that stays flat while rows grow 10x is a FIXED one-time cost,
+    # and one that grows with rows is volume-driven skew. Only emitted
+    # when both sides carry the skew facts (older records lack them).
+    unresolved = {"indeterminate_small_stage", "data_skew"}
+    if (r1.get("skew_attribution") in unresolved
+            or r10.get("skew_attribution") in unresolved):
+        m1, m10 = r1.get("skew_max_task_ms"), r10.get("skew_max_task_ms")
+        if m1 is not None and m10 is not None:
+            ops[name]["skew_resolution"] = (
+                "fixed_cost_not_volume" if m10 <= 2 * max(m1, 1)
+                else "volume_driven")
     if ratio > 1.3:
         flagged.append(name)
 
