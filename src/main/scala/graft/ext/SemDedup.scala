@@ -91,13 +91,11 @@ object SemDedup {
     // direction-only, so every later stage reads the unit vector
     val v = raw.select(col("id"), Embeddings.l2Normalize(col("v")).as("v"))
 
-    val sample = Similarity.sampleTrainVecs(v, trainCap)
+    val pts = Similarity.sampleTrainVecs(v, trainCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(pts.nonEmpty, "semanticDedup: no finite vectors to train on")
     val centroids =
-      try {
-        val pts = sample.collect().map(_.getSeq[Double](0).toArray)
-        require(pts.nonEmpty, "semanticDedup: no finite vectors to train on")
-        Similarity.localKMeansPP(pts, math.min(k, pts.length), maxIter, seed)
-      } finally sample.unpersist()
+      Similarity.localKMeansPP(pts, math.min(k, pts.length), maxIter, seed)
 
     // map-side assignment; degenerate vectors (NaN/dim-mismatch) get a
     // null cell from NearestCells and form their own "cluster" -1 — they

@@ -147,9 +147,11 @@ object Similarity {
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
     * cells and re-ranks candidates by exact cosine.
     *
-    * Scale shape: the quantizer trains on a bounded SAMPLE (distributed
-    * k-means over ≤ `trainCap` rows — MLlib, so the fit itself scales),
-    * centroids ship as expression literals (no closure capture), corpus
+    * Scale shape: the quantizer trains on a bounded SAMPLE (driver-side
+    * seeded Lloyd over ≤ `trainCap` collected rows — bounded by design,
+    * so the fit costs the same at any corpus size; see
+    * [[trainCoarseCentroids]]), centroids ship as expression literals
+    * (no closure capture), corpus
     * assignment is one narrow scan pass, and the candidate join shuffles
     * ids+cells only. Unlike sign-LSH the cells adapt to the data
     * distribution, so recall per candidate examined is typically higher
@@ -158,9 +160,9 @@ object Similarity {
     */
   /** @param maxIter k-means iterations for the coarse quantizer. A coarse
     *        quantizer only needs roughly-shaped cells — recall comes from
-    *        `nprobe`, not from a tightly-converged fit — so the default is
-    *        deliberately below MLlib's 20: on small/medium corpora fit
-    *        time is dominated by per-iteration job overhead, not data. */
+    *        `nprobe`, not from a tightly-converged fit — so the default
+    *        stays deliberately below the classic 20 (Lloyd also
+    *        early-exits once assignments settle). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
               trainCap: Long = 100000L, maxIter: Int = 10): DataFrame = {
@@ -181,32 +183,28 @@ object Similarity {
   }
 
   /** The coarse-quantizer fit shared by [[ivfTopK]] and [[buildIvfIndex]]:
-    * distributed MLlib k-means over a bounded pinned sample. None on an
+    * the bounded sample is collected and fit DRIVER-SIDE with the seeded
+    * k-means++/Lloyd shared by every other quantizer here ([[pqTopK]],
+    * [[ivfpqTopK]], [[SemDedup]]). The sample is ≤ trainCap × dim doubles
+    * by construction (~50 MB at the 100k default over dim 64 — the same
+    * collect the PQ trainer has always done), so the fit costs
+    * microseconds of driver CPU where the previous distributed MLlib fit
+    * cost maxIter JOB CASCADES over a sub-trainCap sample: measured at
+    * bench scale, each fit was 12-25 scheduler round-trips (~1-2 s of
+    * pure fixed overhead) for data that fits in one task — and at 100 TB
+    * the sample is STILL ≤ trainCap rows, so nothing about the
+    * distributed path ever amortized. Corpus-side work (the strided
+    * sampling scan, cell assignment) stays fully distributed. None on an
     * empty/degenerate corpus (no finite vector to train on). */
   private[ext] def trainCoarseCentroids(corpusV: DataFrame, nlist: Int,
       seed: Long, trainCap: Long, maxIter: Int,
       trainStride: Int = 16): Option[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val sample = sampleTrainVecs(corpusV, trainCap, trainStride)
-    val trainDf = sample.select(array_to_vector(col("v")).as("features"))
-    try {
-      // bounded cost: counts the pinned ≤ trainCap-row sample, not the corpus
-      val trainCount = trainDf.count()
-      if (trainCount == 0) return None
-      // Spark 4.1 MLlib crashes (block-mode aggregator AIOOBE) when k
-      // exceeds the training point count — clamp; and KMeans rejects
-      // k < 2 outright, so a 1-row sample (tiny corpus after striding)
-      // skips the fit: one centroid = one cell = probe everything
-      val k_ = math.min(nlist.toLong, trainCount).toInt
-      Some(
-        if (k_ < 2)
-          Array(trainDf.head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray)
-        else
-          new KMeans().setK(k_).setSeed(seed).setMaxIter(maxIter)
-            .setFeaturesCol("features")
-            .fit(trainDf).clusterCenters.map(_.toArray))
-    } finally sample.unpersist()
+    val pts = sampleTrainVecs(corpusV, trainCap, trainStride)
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (pts.isEmpty) None
+    // k clamps to the point count (a 1-row sample yields one centroid =
+    // one cell = probe everything, as before)
+    else Some(localKMeansPP(pts, math.min(nlist, pts.length), maxIter, seed))
   }
 
   /** One codebook per even-ish subspace (first dim%m subspaces take one
@@ -312,10 +310,11 @@ object Similarity {
     * bounded scan cost. Deterministic given the (sorted) file listing —
     * adequate for a coarse or product quantizer. KMeans.fit rejects
     * NaN/Inf features; NearestCells already degrades such rows to null at
-    * assignment, so they are excluded from training too. Returns a PINNED
-    * single-column ("v", array<double>) frame coalesced to a few
-    * partitions (each k-means iteration schedules a handful of tasks
-    * instead of one per corpus partition); caller must unpersist. */
+    * assignment, so they are excluded from training too. Returns a LAZY
+    * single-column ("v", array<double>) frame; every trainer collects it
+    * exactly once, driver-side — the persist+coalesce this used to carry
+    * only served the removed distributed-MLlib fit's repeated iteration
+    * scans. */
   /** `trainStride` keeps every `stride`-th row per partition before the
     * per-partition cap: 16 (the ANN coarse-quantizer default) decorrelates
     * the sample cheaply but shrinks tiny corpora 16×; pass 1 when the fit
@@ -334,8 +333,6 @@ object Similarity {
     finiteVecs.as[Seq[Double]]
       .mapPartitions(_.grouped(trainStride).map(_.head).take(perPart))
       .toDF("v")
-      .coalesce(8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Assignment + probe + re-rank stage of [[ivfTopK]], split out so the
@@ -363,8 +360,8 @@ object Similarity {
   // ---- first-class clustering (topic bucketing) ---------------------------
 
   /** Train `k` data-adaptive centroids over an embedding column — the IVF
-    * coarse quantizer exposed as a first-class operator. Distributed
-    * MLlib k-means over a bounded pinned sample (cost independent of
+    * coarse quantizer exposed as a first-class operator. Driver-side
+    * seeded Lloyd over a bounded collected sample (cost independent of
     * corpus size past `trainCap`); deterministic for a fixed seed and
     * input partitioning. Empty/degenerate corpora yield an empty array. */
   def trainCentroids(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
@@ -655,17 +652,15 @@ object Similarity {
     // by design, and m seeded in-memory Lloyd fits cost microseconds
     // where m MLlib fits cost m job cascades (~13 s vs ~1 s measured on
     // the m=16 gate) — the corpus-side work stays fully distributed.
-    val sample = sampleTrainVecs(corpusV, trainCap)
+    val pts = sampleTrainVecs(corpusV, trainCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (pts.isEmpty)
+      return topKPerQuery(
+        corpusV.crossJoin(queryV)
+          .withColumn("cosine_sim", lit(null).cast("double"))
+          .limit(0), k)
     val codebooks: Array[Array[Array[Double]]] =
-      try {
-        val pts = sample.collect().map(_.getSeq[Double](0).toArray)
-        if (pts.isEmpty)
-          return topKPerQuery(
-            corpusV.crossJoin(queryV)
-              .withColumn("cosine_sim", lit(null).cast("double"))
-              .limit(0), k)
-        trainSubCodebooks(pts, m, codebookSize, maxIter, seed)
-      } finally sample.unpersist()
+      trainSubCodebooks(pts, m, codebookSize, maxIter, seed)
 
     val lens = codebooks.map(_.head.length)
     val offs = lens.scanLeft(0)(_ + _)
@@ -798,10 +793,10 @@ object Similarity {
   private def trainIvfPq(corpusV: DataFrame, nlist: Int, m: Int,
                          codebookSize: Int, seed: Long, trainCap: Long,
                          maxIter: Int): Option[IvfPqModel] = {
-    val sample = sampleTrainVecs(corpusV, trainCap)
-    try {
-      val pts = sample.collect().map(_.getSeq[Double](0).toArray)
-      if (pts.isEmpty) return None
+    val pts = sampleTrainVecs(corpusV, trainCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (pts.isEmpty) None
+    else {
       val dim = pts(0).length
       require(m <= dim, s"m=$m subspaces need dim >= m, got dim=$dim")
       val coarse = localKMeansPP(pts, math.min(nlist, pts.length), maxIter, seed - 1)
@@ -821,7 +816,7 @@ object Similarity {
       }
       Some(IvfPqModel(coarse,
         trainSubCodebooks(resid, m, codebookSize, maxIter, seed)))
-    } finally sample.unpersist()
+    }
   }
 
   /** Encode (id, v) to (id, cell, codes, xnorm) — cell + m residual codes
