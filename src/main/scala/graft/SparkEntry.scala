@@ -271,10 +271,26 @@ object SparkEntry {
     // s.newSession() and set the override there instead.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // No-data micro-batches exist to advance the watermark so watermark-
+    // GATED state (append-mode aggregations, state timeouts) can emit or
+    // expire without new input. No parity gate has such state: watermarks
+    // here are 3650 days (nothing is ever late or expired) and the
+    // aggregating sinks run complete/update mode, so the extra empty
+    // trigger after the staged files drain did one full state-store
+    // commit cycle per partition for zero output rows — one whole
+    // micro-batch of pure fixed cost per stream (measured: 12 -> 11 jobs
+    // on stream_interval_join). Scoped set/restore like the partition
+    // override above, same serial-gates assumption.
+    val prevNoData = s.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val q = try {
       out.writeStream.format("memory").queryName(qn)
         .option("checkpointLocation", ckpt.toString).outputMode(mode).start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     // cleanup in finally: a FAILING stream gate must not leak its sink
     // registration or checkpoint either — a Bench session runs every
     // gate twice and must not accumulate per-run state. The analyzed
@@ -2131,22 +2147,46 @@ object SparkEntry {
       val planted = bench.select((col("doc_id") + off).as("doc_id"),
         regexp_replace(col("text"), "(.{40})", "$1@").as("text"))
       val corpus = docs.unionByName(planted)
-      // NOT checkpointed: its one consumer is the root aggregate below,
-      // so leaving it lazy folds all four fuzzy legs into a single
-      // action whose independent subtrees the scheduler overlaps — an
-      // eager checkpoint here serialized the heaviest leg in front of
-      // the other three
-      val flagged = TextAnalysis.flagContaminatedFuzzy(corpus, "doc_id",
-        "text", bench, "text", threshold = 0.6, numHashes = 64, bands = 32)
-      val exactOnPlanted = TextAnalysis.flagContaminated(planted, "doc_id",
-        "text", bench, "text", n = 50)
-      val kept = TextAnalysis.decontaminateFuzzy(corpus, "doc_id", "text",
-        bench, "text", threshold = 0.6, numHashes = 64, bands = 32)
+      // NOT checkpointed: each result's one consumer is the root
+      // aggregate below, so leaving them lazy folds all four fuzzy legs
+      // into a single action whose independent subtrees the scheduler
+      // overlaps — an eager checkpoint here serialized the heaviest leg
+      // in front of the other three.
+      // CONSTRUCTION is overlapped too (the established concurrent-
+      // submission pattern): each fuzzy operator call performs eager
+      // fixture work at call time — the corpus-side shingle+band
+      // localCheckpoints, the benchmark bloom build, and the
+      // candidate-volume pricing aggregate inside minhashNewAgainst —
+      // which ran SERIALLY here, ~2/3 of the gate's wall in the stage
+      // profile (the final action's subtree overlap never saw them).
+      // The four calls are independent job chains over the same lazy
+      // inputs, so they submit concurrently and settle before the
+      // verdict plan is assembled.
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fFlagged = Future {
+        TextAnalysis.flagContaminatedFuzzy(corpus, "doc_id",
+          "text", bench, "text", threshold = 0.6, numHashes = 64, bands = 32)
+      }
+      val fExact = Future {
+        TextAnalysis.flagContaminated(planted, "doc_id",
+          "text", bench, "text", n = 50)
+      }
+      val fKept = Future {
+        TextAnalysis.decontaminateFuzzy(corpus, "doc_id", "text",
+          bench, "text", threshold = 0.6, numHashes = 64, bands = 32)
+      }
       // the audit direction: every benchmark row leaks at least twice
       // (its verbatim original and its planted edited copy)
-      val report = TextAnalysis.contaminationReportFuzzy(corpus, "doc_id",
-        "text", bench, "doc_id", "text", threshold = 0.6,
-        numHashes = 64, bands = 32)
+      val fReport = Future {
+        TextAnalysis.contaminationReportFuzzy(corpus, "doc_id",
+          "text", bench, "doc_id", "text", threshold = 0.6,
+          numHashes = 64, bands = 32)
+      }
+      val legs = graft.core.Par.settleAll(Seq[Future[DataFrame]](
+        fFlagged, fExact, fKept, fReport))
+      val (flagged, exactOnPlanted, kept, report) =
+        (legs(0), legs(1), legs(2), legs(3))
       flagged.agg(
           count(lit(1)).as("n_corpus"),
           sum(when(col("doc_id") >= off && col("contaminated_fuzzy"), 1L)
