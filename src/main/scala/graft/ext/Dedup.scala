@@ -454,19 +454,39 @@ object Dedup {
     val empty = incoming.select(col(idCol).as("id_new")).limit(0)
       .crossJoin(existing.select(col(idCol).as("id_old")).limit(0))
       .withColumn("jaccard", lit(0.0))
-    val (shEx, bandedEx) = shingleBanded(existing, idCol, textCol,
-      numHashes, bands, shingleLen, seed)
-    val nExBands = bandedEx.count() // sizes the bloom; materializes the pin
+    // the two sides' shingle+band+pin chains are independent job chains
+    // over different inputs — concurrent submissions (the established
+    // pattern): the serial form paid ~8 scheduler round-trips of eager
+    // construction latency per call before the first candidate was even
+    // planned. The incoming side is now derived even when `existing`
+    // turns out empty — wasted work only in that degenerate corner, and
+    // semantics are unchanged.
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fEx = Future {
+      val (shEx, bandedEx) = shingleBanded(existing, idCol, textCol,
+        numHashes, bands, shingleLen, seed)
+      // sizes the bloom; materializes the pin
+      (shEx, bandedEx, bandedEx.count())
+    }
+    val ((shEx, bandedEx, nExBands), (shIn, bandedIn)) =
+      graft.core.Par.withLeg(fEx) {
+        shingleBanded(incoming, idCol, textCol,
+          numHashes, bands, shingleLen, seed)
+      }
     if (nExBands == 0) return empty
-    val (shIn, bandedIn) = shingleBanded(incoming, idCol, textCol,
-      numHashes, bands, shingleLen, seed)
 
     // (band, bsig) funneled to one long; the bloom broadcast prunes the
     // incoming bands BEFORE any shuffle (false positives only add
-    // candidates — the exact verify restores precision)
+    // candidates — the exact verify restores precision). The bloom build
+    // (existing side) and the broadcast-sizing count (incoming side) are
+    // independent too — one more overlapped pair.
     val bandKey = fieldHash(Seq(col("band"), col("bsig")))
-    val bloom = bandedEx.select(bandKey.as("__bk"))
-      .stat.bloomFilter("__bk", nExBands, bloomFpp)
+    val fBloom = Future {
+      bandedEx.select(bandKey.as("__bk"))
+        .stat.bloomFilter("__bk", nExBands, bloomFpp)
+    }
+    val (bloom, nInBands) = graft.core.Par.withLeg(fBloom)(bandedIn.count())
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf { (k: Long) => bc.value.mightContainLong(k) }
 
@@ -509,10 +529,10 @@ object Dedup {
     // BOTH side tables broadcast under the hint, so the decision must
     // size on the LARGER side — a 50M-doc incoming crawl against a small
     // accumulated corpus must not get broadcast just because the existing
-    // side is tiny (bandedIn is pinned; counting it is cheap)
+    // side is tiny (bandedIn is pinned; its count rode the bloom leg)
     val doBroadcast = broadcastVerify.getOrElse(
       autoBroadcastVerify("minhashNewAgainst",
-        math.max(nExBands, bandedIn.count()) / bands,
+        math.max(nExBands, nInBands) / bands,
         broadcastVerifyMaxRows, estBytesPerRow = 2560L))
     def side(sh: DataFrame, n: String) = {
       val s = sh.select(col("id").as(n), col("sh").as(s"shh_$n"))

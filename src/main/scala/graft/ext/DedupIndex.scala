@@ -409,10 +409,18 @@ object DedupIndex {
     val p = readParams(spark, path)
     val bandedEx = spark.read.parquet(s"$path/bands")
     val shEx = spark.read.parquet(s"$path/shingles")
-    val (shIn, bandedIn) = Dedup.shingleBanded(incoming, idCol, textCol,
-      p.numHashes, p.bands, p.shingleLen, p.seed)
-
-    val blooms = loadBloomSegments(spark, s"$path/$BandBloomDir")
+    // the incoming shingle+band+pin chain and the artifact-side reads
+    // (bloom segments, the stored bands' narrow columnar count) are
+    // independent — concurrent submissions, like the direct operator
+    val fIn = scala.concurrent.Future {
+      val (shIn, bandedIn) = Dedup.shingleBanded(incoming, idCol, textCol,
+        p.numHashes, p.bands, p.shingleLen, p.seed)
+      (shIn, bandedIn, bandedIn.count())
+    }(scala.concurrent.ExecutionContext.Implicits.global)
+    val ((shIn, bandedIn, nInBands), (blooms, nExBands)) =
+      graft.core.Par.withLeg(fIn) {
+        (loadBloomSegments(spark, s"$path/$BandBloomDir"), bandedEx.count())
+      }
     val bandKey = fieldHash(Seq(col("band"), col("bsig")))
     val prunedIn =
       if (blooms.isEmpty) bandedIn
@@ -433,11 +441,11 @@ object DedupIndex {
       .dropDuplicates("id_new", "id_old")
 
     // size on the LARGER side, as the direct operator does (both side
-    // tables ride the same broadcast hint); counting parquet bands is a
-    // narrow columnar scan, the pinned incoming bands a block scan
+    // tables ride the same broadcast hint); both counts rode the
+    // overlapped legs above
     val doBroadcast = broadcastVerify.getOrElse(
       Dedup.autoBroadcastVerify("DedupIndex.minhashNewAgainst",
-        math.max(bandedEx.count(), bandedIn.count()) / p.bands,
+        math.max(nExBands, nInBands) / p.bands,
         broadcastVerifyMaxRows, estBytesPerRow = 2560L))
     def side(sh: DataFrame, n: String) = {
       val s0 = sh.select(col("id").as(n), col("sh").as(s"shh_$n"))
