@@ -318,7 +318,6 @@ object DedupIndex {
       Dedup.shingleBanded(df, idCol, textCol,
         p.numHashes, p.bands, p.shingleLen, p.seed)
     }
-    val nBands = banded.count()
     // a keyed RE-append may replace a previous generation of this batch
     // with DIFFERENT data: the old relation partitions must go before
     // the new blooms land, or a tear between bloom-overwrite and
@@ -347,6 +346,9 @@ object DedupIndex {
     })
     val nearLeg = Future(ArtifactIO.runWithLeaseContext(ctx) {
       ArtifactIO.fenceOrAbort(spark, path)
+      // bloom sizing only — counted here so it overlaps the exact leg
+      // instead of serializing on the gate thread before either leg
+      val nBands = banded.count()
       if (nBands > 0) {
         val bloom = banded
           .select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))

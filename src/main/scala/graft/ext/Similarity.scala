@@ -426,27 +426,37 @@ object Similarity {
     val centroids = trainCoarseCentroids(corpusV, nlist, seed, trainCap, maxIter)
       .getOrElse(Array.empty[Array[Double]])
     import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // a rebuild must not inherit appended batches from a prior life
-    ArtifactIO.fs(spark, s"$path/postings")
-      .delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
-    if (centroids.isEmpty) {
-      // empty index: zero-row postings written UNPARTITIONED (a
-      // partitionBy write with no rows emits no schema-bearing file and
-      // the read-back would fail inference) — search doesn't prune an
-      // empty index anyway, and appends to one are rejected, so the
-      // unpartitioned layout can never mix with batch partitions
-      corpusV.withColumn("cell", lit(0)).limit(0)
-        .write.mode("overwrite").parquet(s"$path/postings")
-      return 0
+    // the nlist-row centroid write targets a different directory than the
+    // corpus-sized postings write — independent job chains, overlapped
+    // (build is a full overwrite and idempotent, so no crash ordering
+    // between the two is load-bearing; re-run the build on a tear)
+    val fMeta = scala.concurrent.Future {
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }(scala.concurrent.ExecutionContext.Implicits.global)
+    val (_, nCells) = graft.core.Par.withLeg(fMeta) {
+      // a rebuild must not inherit appended batches from a prior life
+      ArtifactIO.fs(spark, s"$path/postings")
+        .delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
+      if (centroids.isEmpty) {
+        // empty index: zero-row postings written UNPARTITIONED (a
+        // partitionBy write with no rows emits no schema-bearing file and
+        // the read-back would fail inference) — search doesn't prune an
+        // empty index anyway, and appends to one are rejected, so the
+        // unpartitioned layout can never mix with batch partitions
+        corpusV.withColumn("cell", lit(0)).limit(0)
+          .write.mode("overwrite").parquet(s"$path/postings")
+        0
+      } else {
+        corpusV.withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/postings/batch=init")
+        centroids.length
+      }
     }
-    corpusV.withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/postings/batch=init")
-    centroids.length
+    nCells
     } // lease scope
   }
 
@@ -919,34 +929,43 @@ object Similarity {
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val modelOpt = trainIvfPq(corpusV, nlist, m, codebookSize, seed,
       trainCap, maxIter)
-    val coarse = modelOpt.map(_.coarse).getOrElse(Array.empty[Array[Double]])
-    coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val books = modelOpt.map(_.books).getOrElse(Array.empty[Array[Array[Double]]])
-    books.zipWithIndex.flatMap { case (book, sp) =>
-      book.zipWithIndex.map { case (cent, code) => (sp, code, cent.toSeq) }
-    }.toSeq.toDF("subspace", "code", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    // a rebuild must not inherit appended batches from a prior life
-    ArtifactIO.fs(spark, s"$path/postings")
-      .delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
-    modelOpt match {
-      case None =>
-        // empty index: zero-row postings written UNPARTITIONED (same
-        // schema-bearing-file guard as buildIvfIndex; appends to an
-        // empty index are rejected, so layouts can never mix)
-        corpusV.select(col("id"), lit(null).cast("array<int>").as("codes"),
-            lit(null).cast("double").as("xnorm"), lit(0).as("cell"))
-          .limit(0).write.mode("overwrite").parquet(s"$path/postings")
-        0
-      case Some(model) =>
-        ivfpqEncode(corpusV, model)
-          .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$path/postings/batch=init")
-        model.coarse.length
+    // the two driver-sized quantizer-table writes target different
+    // directories than the corpus-sized encode+write — independent job
+    // chains, overlapped (build is a full overwrite and idempotent, so no
+    // crash ordering between them is load-bearing; re-run on a tear)
+    val fMeta = scala.concurrent.Future {
+      val coarse = modelOpt.map(_.coarse).getOrElse(Array.empty[Array[Double]])
+      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+      val books = modelOpt.map(_.books).getOrElse(Array.empty[Array[Array[Double]]])
+      books.zipWithIndex.flatMap { case (book, sp) =>
+        book.zipWithIndex.map { case (cent, code) => (sp, code, cent.toSeq) }
+      }.toSeq.toDF("subspace", "code", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    }(scala.concurrent.ExecutionContext.Implicits.global)
+    val (_, nCells) = graft.core.Par.withLeg(fMeta) {
+      // a rebuild must not inherit appended batches from a prior life
+      ArtifactIO.fs(spark, s"$path/postings")
+        .delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
+      modelOpt match {
+        case None =>
+          // empty index: zero-row postings written UNPARTITIONED (same
+          // schema-bearing-file guard as buildIvfIndex; appends to an
+          // empty index are rejected, so layouts can never mix)
+          corpusV.select(col("id"), lit(null).cast("array<int>").as("codes"),
+              lit(null).cast("double").as("xnorm"), lit(0).as("cell"))
+            .limit(0).write.mode("overwrite").parquet(s"$path/postings")
+          0
+        case Some(model) =>
+          ivfpqEncode(corpusV, model)
+            .repartition(col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$path/postings/batch=init")
+          model.coarse.length
+      }
     }
+    nCells
     } // lease scope
   }
 
