@@ -2579,7 +2579,11 @@ object SparkEntry {
             s"$tmp/z", numFiles = 16, bits = 6)
         }
         val fS = Future {
-          li.repartitionByRange(16, col("l_partkey"))
+          // same scan fan-out as zorderWrite now applies internally: the
+          // single-row-group source file scans as ONE task, which would
+          // serialize this leg's range sample + sort map side on one core
+          li.repartition(s.sparkContext.defaultParallelism)
+            .repartitionByRange(16, col("l_partkey"))
             .sortWithinPartitions("l_partkey")
             .write.mode("overwrite").parquet(s"$tmp/single")
         }

@@ -117,11 +117,26 @@ object Layout {
     val clash = df.columns.filter(c => c == "__z" || c.startsWith("__zb_"))
     require(clash.isEmpty,
       s"zorderWrite: reserved column names in input (rename first): ${clash.mkString(", ")}")
-    val bnds = bucketBoundaries(df, cols, bits)
+    // scale-adaptive scan fan-out: this operator makes THREE passes over
+    // its input (the quantile sketch, the range-exchange sample, and the
+    // bucket+interleave map side), and a narrow input — e.g. one
+    // single-row-group parquet file, which splits into exactly one task
+    // regardless of split size — serializes all three onto one core while
+    // the rest of the session idles. When the scan is narrower than the
+    // session's parallelism, one cheap round-robin exchange of the raw
+    // rows fans the downstream passes out; at cluster scale inputs carry
+    // plenty of splits and the condition is false, so no exchange is
+    // added (the adaptive form of the guide's "derive parallelism from
+    // the input, don't tune a constant").
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+      else df
+    val bnds = bucketBoundaries(src, cols, bits)
     // bucket ids are STAGED as named columns and the Morton code
     // references the attributes — inlining the bucket expression into
     // every bit term would evaluate it bits x dims times per row
-    val withBuckets = cols.zip(bnds).zipWithIndex.foldLeft(df) {
+    val withBuckets = cols.zip(bnds).zipWithIndex.foldLeft(src) {
       case (acc, ((c, b), i)) =>
         acc.withColumn(s"__zb_$i", equiDepthBucket(col(c), b))
     }
