@@ -254,8 +254,22 @@ object SparkEntry {
     * the memory sink exists so a parity gate can read the result back. */
   private def runStream(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
     val qn = s"graft_stream_sink_${streamSeq.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt").toFile
+    // The checkpoint exists only to drive REAL incremental execution
+    // inside this call and is deleted in the finally below — its
+    // durability is discarded by construction. Structured Streaming's
+    // offset/commit logs and per-partition state-store commits are many
+    // tiny create+rename file operations per trigger, which on the disk
+    // filesystem cost more metadata latency than the gates' actual state;
+    // ephemeral state goes on the fastest local medium instead (tmpfs
+    // when the host has one — measured 7.3 -> 4.0 s on the stream-stream
+    // join gate). A production stream points checkpointLocation at
+    // durable storage precisely because it OUTLIVES the query; this one
+    // does not.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = (if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "graft_stream_ckpt")
+    else java.nio.file.Files.createTempDirectory("graft_stream_ckpt")).toFile
     // State partitions sized to the harness volume: every stateful
     // operator opens/commits one state store PER shuffle partition PER
     // trigger, a fixed cost that dwarfs the per-gate data at these SFs
