@@ -80,6 +80,26 @@ class BenchSpec extends AnyFlatSpec with Matchers {
       loadavgStart = 0.2, siblingJvms = 0L, heapMb = 8064L) shouldBe canon
   }
 
+  it should "divert a run whose parallel-contention channel is degraded" in {
+    // the r21 driver bench shape: calm loadavg at start, but the mcpu
+    // channel read 2.57x the single-thread channel — host-level neighbor
+    // contention neither loadavg nor the sibling-JVM scan can see
+    Bench.benchOutputFile(canon, partial = false, runs = 3,
+      loadavgStart = 0.2, siblingJvms = 0L, mtRatio = 2.57) shouldBe
+      "/root/repo/BENCH_queries_loaded.json"
+    // just past the bar diverts; the healthy band (committed records
+    // stamp 1.023-1.063) stays canonical
+    Bench.benchOutputFile(canon, partial = false, runs = 3,
+      loadavgStart = 0.2, siblingJvms = 0L, mtRatio = 1.16) shouldBe
+      "/root/repo/BENCH_queries_loaded.json"
+    Bench.benchOutputFile(canon, partial = false, runs = 3,
+      loadavgStart = 0.2, siblingJvms = 0L, mtRatio = 1.09) shouldBe canon
+    // an unreadable calibration cannot prove the run was quiet
+    Bench.benchOutputFile(canon, partial = false, runs = 3,
+      loadavgStart = 0.2, siblingJvms = 0L, mtRatio = -1.0) shouldBe
+      "/root/repo/BENCH_queries_loaded.json"
+  }
+
   behavior of "Bench.spreadRegressions"
 
   it should "flag gates whose spread regressed past 2x the committed record" in {
