@@ -638,6 +638,30 @@ private[ext] object ArtifactIO {
     * collapsed every downstream scan to 1-2 tasks (a 6 s straggler in a
     * 17 s serve). Size-only callers (file compaction, whose CONTRACT is
     * the byte target) keep the default floor of 1. */
+  /** Exact row count of a parquet relation from its file FOOTERS — a
+    * driver-side metadata read, no Spark job, no data scan. Parquet
+    * footers record exact row counts, so for sizing decisions over a
+    * relation this module just wrote (bloom expectedNumItems, broadcast
+    * cutoffs) this replaces a full count() scan with one metadata pass
+    * over the same bounded file set [[targetFileCount]] already lists
+    * (guide §1.2-1: a removed job is a removed cluster barrier).
+    * Recursive, so hive `batch=`/`cell=` partitions are included. */
+  def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val hfs = fs(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val it = hfs.listFiles(new Path(dir), true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try n += rd.getRecordCount finally rd.close()
+      }
+    }
+    n
+  }
+
   def targetFileCount(spark: SparkSession, dir: String,
                       targetBytes: Long, parallelismFloor: Int = 1): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")

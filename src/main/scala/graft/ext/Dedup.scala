@@ -108,9 +108,12 @@ object Dedup {
     // (localCheckpoint — ContextCleaner-reclaimed, see the cache note up
     // top). `incoming` is scanned twice (the two filter branches); pin
     // it caller-side when it is itself an expensive derived relation.
+    val exObs = org.apache.spark.sql.Observation()
     val exFp = existing.select(farmHash64(col(textCol)).as("__fp"))
+      .observe(exObs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val nEx = exFp.count() // sizes the bloom; counts the pinned projection
+    // sizes the bloom; rides the pin as an observed metric (no count job)
+    val nEx = exObs.get("n").asInstanceOf[Long]
     if (nEx == 0) return incoming
     val bloom = exFp.stat.bloomFilter("__fp", nEx, bloomFpp)
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
@@ -315,6 +318,22 @@ object Dedup {
   private[ext] def shingleBanded(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, shingleLen: Int,
       seed: Int): (DataFrame, DataFrame) = {
+    val (sh, banded, _) = shingleBandedCounted(df, idCol, textCol,
+      numHashes, bands, shingleLen, seed)
+    (sh, banded)
+  }
+
+  /** [[shingleBanded]] plus the banded relation's row count, which RIDES
+    * the eager checkpoint as an observed metric instead of paying its own
+    * scheduler round trip afterwards (guide §1.2-1: every consumer of
+    * this pair — bloom sizing, broadcast-verify sizing — needed that
+    * count and each re-counted the pinned relation as a separate job;
+    * measured 3 jobs → 1 for the pin+count pattern). Values are
+    * identical by construction: the metric is `count(*)` of exactly the
+    * rows the checkpoint materializes. */
+  private[ext] def shingleBandedCounted(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int, shingleLen: Int,
+      seed: Int): (DataFrame, DataFrame, Long) = {
     val rPerB = numHashes / bands
     val sh = df.select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleLen).as("sh"))
@@ -325,10 +344,12 @@ object Dedup {
       struct(lit(b).as("band"),
         farmHash64(slice(col("sig"), b * rPerB + 1, rPerB)).as("bsig"))
     }
+    val obs = org.apache.spark.sql.Observation()
     val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint(true)
-    (sh, banded)
+    (sh, banded, obs.get("n").asInstanceOf[Long])
   }
 
   /** MinHash-LSH near-duplicate pairs over a text column.
@@ -355,8 +376,8 @@ object Dedup {
                       broadcastVerifyMaxRows: Long = 1000000L,
                       maxCandidates: Option[Long] = DefaultMaxCandidates): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val (sh, banded) = shingleBanded(df, idCol, textCol, numHashes, bands,
-      shingleLen, seed)
+    val (sh, banded, nBanded) = shingleBandedCounted(df, idCol, textCol,
+      numHashes, bands, shingleLen, seed)
 
     // candidate pairs within a bucket; cap pathological buckets
     val bucketSizes = banded.groupBy("band", "bsig").count()
@@ -396,10 +417,10 @@ object Dedup {
     // one-pass merge (JaccardSorted) instead of generic string-array
     // intersect/union; the compact set table is re-joined per side
     val doBroadcast = broadcastVerify.getOrElse {
-      // banded is pinned anyway; its count materializes the pin once and
-      // gives docs = rows / bands without an extra corpus pass
+      // docs = banded rows / bands; the count rode the pin as an
+      // observed metric — no extra job, no corpus pass
       // ~2.5 KB/doc hashed-shingle payload (documented above)
-      autoBroadcastVerify("minhashNearDups", banded.count() / bands,
+      autoBroadcastVerify("minhashNearDups", nBanded / bands,
         broadcastVerifyMaxRows, estBytesPerRow = 2560L)
     }
     def side(n: String) = {
@@ -464,29 +485,35 @@ object Dedup {
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
     val fEx = Future {
-      val (shEx, bandedEx) = shingleBanded(existing, idCol, textCol,
+      // the bloom-sizing count rides the banded pin as an observed
+      // metric — one job fewer on this leg
+      shingleBandedCounted(existing, idCol, textCol,
         numHashes, bands, shingleLen, seed)
-      // sizes the bloom; materializes the pin
-      (shEx, bandedEx, bandedEx.count())
     }
-    val ((shEx, bandedEx, nExBands), (shIn, bandedIn)) =
+    val ((shEx, bandedEx, nExBands), (shIn, bandedIn, nInBands)) =
       graft.core.Par.withLeg(fEx) {
-        shingleBanded(incoming, idCol, textCol,
+        shingleBandedCounted(incoming, idCol, textCol,
           numHashes, bands, shingleLen, seed)
       }
-    if (nExBands == 0) return empty
+    if (nExBands == 0) {
+      // known pin corner (r21 advice): the incoming side's two
+      // localCheckpoint pins are left behind on this degenerate path.
+      // Dataset.unpersist would be a silent no-op here — checkpoint
+      // blocks are owned by the underlying RDD, and the ContextCleaner
+      // reclaims them once the dataset is unreachable (the same
+      // lifecycle every other pin in this file relies on), so the leak
+      // is GC-bounded, not session-bounded.
+      return empty
+    }
 
     // (band, bsig) funneled to one long; the bloom broadcast prunes the
     // incoming bands BEFORE any shuffle (false positives only add
-    // candidates — the exact verify restores precision). The bloom build
-    // (existing side) and the broadcast-sizing count (incoming side) are
-    // independent too — one more overlapped pair.
+    // candidates — the exact verify restores precision). Both sizing
+    // counts rode their pins as observed metrics, so the bloom build is
+    // the only job left here.
     val bandKey = fieldHash(Seq(col("band"), col("bsig")))
-    val fBloom = Future {
-      bandedEx.select(bandKey.as("__bk"))
-        .stat.bloomFilter("__bk", nExBands, bloomFpp)
-    }
-    val (bloom, nInBands) = graft.core.Par.withLeg(fBloom)(bandedIn.count())
+    val bloom = bandedEx.select(bandKey.as("__bk"))
+      .stat.bloomFilter("__bk", nExBands, bloomFpp)
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf { (k: Long) => bc.value.mightContainLong(k) }
 
@@ -562,9 +589,8 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     require(bloomFpp > 0 && bloomFpp <= 0.5,
       s"bloomFpp must be in (0, 0.5], got $bloomFpp")
-    val (_, banded) = shingleBanded(existing, idCol, textCol, numHashes,
-      bands, shingleLen, seed)
-    val n = banded.count()
+    val (_, banded, n) = shingleBandedCounted(existing, idCol, textCol,
+      numHashes, bands, shingleLen, seed)
     if (n == 0) return org.apache.spark.util.sketch.BloomFilter.create(1, bloomFpp)
     banded.select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
       .stat.bloomFilter("__bk", n, bloomFpp)
@@ -730,7 +756,14 @@ object Dedup {
     * the relation the bucket join consumes. */
   private[ext] def embeddingBanded(df: DataFrame, idCol: String,
       vecCol: String, dim: Int, bits: Int, tables: Int,
-      seed: Long): DataFrame = {
+      seed: Long): DataFrame =
+    embeddingBandedCounted(df, idCol, vecCol, dim, bits, tables, seed)._1
+
+  /** [[embeddingBanded]] plus its row count riding the pin as an
+    * observed metric (the shingleBandedCounted pattern — no count job). */
+  private[ext] def embeddingBandedCounted(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, bits: Int, tables: Int,
+      seed: Long): (DataFrame, Long) = {
     val planeSets = Array.tabulate(tables) { t =>
       val rnd = new java.util.Random(seed + t)
       Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
@@ -739,9 +772,12 @@ object Dedup {
     val buckets = planeSets.zipWithIndex.map { case (planes, t) =>
       struct(lit(t).as("table"), lshSignBits(col("v"), planes).as("bucket"))
     }
-    v.select(col("id"), explode(array(buckets.toIndexedSeq: _*)).as("tb"))
+    val obs = org.apache.spark.sql.Observation()
+    val banded = v.select(col("id"), explode(array(buckets.toIndexedSeq: _*)).as("tb"))
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint(true)
+    (banded, obs.get("n").asInstanceOf[Long])
   }
 
   /** Embedding-cosine near-duplicate pairs: documents whose embedding
@@ -769,7 +805,8 @@ object Dedup {
                         broadcastVerifyMaxRows: Long = 1000000L,
                         maxCandidates: Option[Long] = DefaultMaxCandidates): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = embeddingBanded(df, idCol, vecCol, dim, bits, tables, seed)
+    val (banded, nBanded) =
+      embeddingBandedCounted(df, idCol, vecCol, dim, bits, tables, seed)
     val ok = banded.groupBy("table", "bucket").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
     // self-pricing (the minhash/simhash discipline): Σ c·(c−1)/2 over
@@ -798,9 +835,9 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     val doBroadcast = broadcastVerify.getOrElse(
-      // banded is pinned anyway; its count materializes the pin once and
-      // gives docs = rows / tables without an extra corpus pass
-      autoBroadcastVerify("embeddingNearDups", banded.count() / tables,
+      // docs = banded rows / tables; the count rode the pin as an
+      // observed metric — no extra job, no corpus pass
+      autoBroadcastVerify("embeddingNearDups", nBanded / tables,
         broadcastVerifyMaxRows, estBytesPerRow = dim.toLong * 4 + 64))
     def side(n: String, vn: String) = {
       val s = v.select(col("id").as(n), col("v").as(vn))
@@ -1177,10 +1214,13 @@ object Dedup {
     * estimator prices EXACTLY the relation the join will consume. */
   private def jaccardPrefix(df: DataFrame, idCol: String, textCol: String,
                             shingleLen: Int, threshold: Double)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Long) = {
+    // the broadcast-sizing doc count rides the pin as an observed metric
+    val shObs = org.apache.spark.sql.Observation()
     val sh = df.select(col(idCol).as("id"),
         shingleHashes(col(textCol), shingleLen).as("sh"))
       .filter(size(col("sh")) > 0)
+      .observe(shObs, count(lit(1)).as("n"))
       .localCheckpoint(true) // feeds the freq pass, the prefix pass, and both verify sides
     val toks = sh.select(col("id"), explode(col("sh")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -1210,7 +1250,7 @@ object Dedup {
       .select(col("e.tok").as("tok"), col("id"), col("len"), col("pos"),
         col("p_mid"))
       .localCheckpoint(true) // the self-join reads it twice
-    (sh, prefix)
+    (sh, prefix, shObs.get("n").asInstanceOf[Long])
   }
 
   /** Per-token Σ |small-prefix occurrences| × |prefix occurrences| — by
@@ -1309,7 +1349,7 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(maxCandidates > 0, s"maxCandidates must be > 0, got $maxCandidates")
-    val (sh, prefix) = jaccardPrefix(df, idCol, textCol, shingleLen, threshold)
+    val (sh, prefix, nDocs) = jaccardPrefix(df, idCol, textCol, shingleLen, threshold)
     // pre-flight guard: the prefix relation is already pinned, so the
     // volume estimate is one cheap aggregation over checkpointed blocks
     // — a fraction of the join it predicts. Quadratic candidate growth
@@ -1358,8 +1398,8 @@ object Dedup {
     // than the doc table, so shipping (id → shingles) to every task
     // beats attaching 2×|doc| arrays to millions of candidate rows
     val doBroadcast = broadcastVerify.getOrElse {
-      // sh is pinned — counting it is a scan of the checkpointed blocks
-      autoBroadcastVerify("jaccardJoinExact", sh.count(),
+      // the doc count rode the sh pin as an observed metric — no count job
+      autoBroadcastVerify("jaccardJoinExact", nDocs,
         broadcastVerifyMaxRows, estBytesPerRow = 2560L)
     }
     def vside(n: String) = {

@@ -228,7 +228,10 @@ object DedupIndex {
     // and run as concurrent legs under the same propagated context
     val fpLeg = Future(ArtifactIO.runWithLeaseContext(ctx) {
       val fps = spark.read.parquet(s"$path/fingerprints")
-      val nDocs = fps.count()
+      // exact census from the freshly-compacted files' footers — a
+      // driver-side metadata read instead of a full count() scan (the
+      // bloom build below is the only Spark job left on this leg)
+      val nDocs = ArtifactIO.parquetRowCount(spark, s"$path/fingerprints")
       ArtifactIO.rewriteInPlace(spark, s"$path/$FpBloomDir") { tmp =>
         fs(spark, tmp).mkdirs(new org.apache.hadoop.fs.Path(tmp))
         if (nDocs > 0)
@@ -239,7 +242,7 @@ object DedupIndex {
     })
     val bandLeg = Future(ArtifactIO.runWithLeaseContext(ctx) {
       val banded = spark.read.parquet(s"$path/bands")
-      val nBands = banded.count()
+      val nBands = ArtifactIO.parquetRowCount(spark, s"$path/bands")
       ArtifactIO.rewriteInPlace(spark, s"$path/$BandBloomDir") { tmp =>
         fs(spark, tmp).mkdirs(new org.apache.hadoop.fs.Path(tmp))
         if (nBands > 0)
@@ -304,18 +307,22 @@ object DedupIndex {
     // touches the lease machinery, which stays on the caller's thread)
     val ctx = ArtifactIO.leaseContext
     val fFps = Future {
-      // pinned: the fingerprint relation feeds the bloom build, the
-      // count, and the write (same eager-localCheckpoint lifecycle as
-      // Dedup)
+      // pinned: the fingerprint relation feeds the bloom build and the
+      // write (same eager-localCheckpoint lifecycle as Dedup); the
+      // bloom-sizing count RIDES the pin as an observed metric instead
+      // of paying its own scheduler round trip (guide §1.2-1)
+      val obs = org.apache.spark.sql.Observation()
       val fps = df.select(col(idCol).as("id"),
-        farmHash64(col(textCol)).as("fp")).localCheckpoint(true)
-      (fps, fps.count())
+          farmHash64(col(textCol)).as("fp"))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      (fps, obs.get("n").asInstanceOf[Long])
     }
     // Par.withLeg settles the fingerprint leg even when the shingle pass
     // throws: an un-awaited leg would keep running after the lease scope
     // exits and race the next holder's batch overwrite
-    val ((fps, nDocs), (sh, banded)) = graft.core.Par.withLeg(fFps) {
-      Dedup.shingleBanded(df, idCol, textCol,
+    val ((fps, nDocs), (sh, banded, nBands)) = graft.core.Par.withLeg(fFps) {
+      Dedup.shingleBandedCounted(df, idCol, textCol,
         p.numHashes, p.bands, p.shingleLen, p.seed)
     }
     // a keyed RE-append may replace a previous generation of this batch
@@ -346,9 +353,7 @@ object DedupIndex {
     })
     val nearLeg = Future(ArtifactIO.runWithLeaseContext(ctx) {
       ArtifactIO.fenceOrAbort(spark, path)
-      // bloom sizing only — counted here so it overlaps the exact leg
-      // instead of serializing on the gate thread before either leg
-      val nBands = banded.count()
+      // bloom sizing: nBands rode the banded pin as an observed metric
       if (nBands > 0) {
         val bloom = banded
           .select(fieldHash(Seq(col("band"), col("bsig"))).as("__bk"))
@@ -415,13 +420,17 @@ object DedupIndex {
     // (bloom segments, the stored bands' narrow columnar count) are
     // independent — concurrent submissions, like the direct operator
     val fIn = scala.concurrent.Future {
-      val (shIn, bandedIn) = Dedup.shingleBanded(incoming, idCol, textCol,
+      // the broadcast-sizing count rides the banded pin as an observed
+      // metric — no separate count job on this leg
+      Dedup.shingleBandedCounted(incoming, idCol, textCol,
         p.numHashes, p.bands, p.shingleLen, p.seed)
-      (shIn, bandedIn, bandedIn.count())
     }(scala.concurrent.ExecutionContext.Implicits.global)
     val ((shIn, bandedIn, nInBands), (blooms, nExBands)) =
       graft.core.Par.withLeg(fIn) {
-        (loadBloomSegments(spark, s"$path/$BandBloomDir"), bandedEx.count())
+        // both artifact-side reads are driver-side metadata/segment IO:
+        // the stored bands' count comes from parquet footers, not a scan
+        (loadBloomSegments(spark, s"$path/$BandBloomDir"),
+          ArtifactIO.parquetRowCount(spark, s"$path/bands"))
       }
     val bandKey = fieldHash(Seq(col("band"), col("bsig")))
     val prunedIn =

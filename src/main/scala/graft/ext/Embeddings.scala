@@ -104,12 +104,13 @@ object Embeddings {
                   trainCap: Long = 100000L, maxIter: Int = 10): Array[Array[Array[Double]]] = {
     require(m >= 1, s"m must be >= 1, got $m")
     val corpusV = df.select(col(vecCol).as("v"))
-    val sample = Similarity.sampleTrainVecs(corpusV, trainCap)
-    try {
-      val pts = sample.collect().map(_.getSeq[Double](0).toArray)
-      if (pts.isEmpty) return Array.empty
-      Similarity.trainSubCodebooks(pts, m, codebookSize, maxIter, seed)
-    } finally sample.unpersist()
+    // sampleTrainVecs no longer persists (r21: the pin only served the
+    // removed distributed MLlib fit) — collect directly, matching the
+    // pqTopK/trainIvfPq call sites
+    val pts = Similarity.sampleTrainVecs(corpusV, trainCap)
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (pts.isEmpty) return Array.empty
+    Similarity.trainSubCodebooks(pts, m, codebookSize, maxIter, seed)
   }
 
   /** Encode a vector column to its m PQ codes (array<int>, one nearest

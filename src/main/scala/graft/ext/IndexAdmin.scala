@@ -78,13 +78,18 @@ object IndexAdmin {
           batchDirs.toSeq.map { b =>
             val id = b.getPath.getName.stripPrefix("batch=")
             val (n, bytes) = filesUnder(b.getPath)
-            val cnt = spark.read.parquet(b.getPath.toString).count()
+            // census from parquet footers — exact row counts, driver-side
+            // metadata only: the census is file accounting, so it reads
+            // the files' own ledgers instead of paying one scan JOB per
+            // batch directory (a full cluster barrier each, at scale)
+            val cnt = ArtifactIO.parquetRowCount(spark, b.getPath.toString)
             (rel, id, n, bytes, Some(cnt))
           }
         else {
           val (n, bytes) = filesUnder(relSt.getPath)
           val cnt =
-            if (n > 0) Some(spark.read.parquet(relSt.getPath.toString).count())
+            if (n > 0)
+              Some(ArtifactIO.parquetRowCount(spark, relSt.getPath.toString))
             else None
           Seq((rel, null: String, n, bytes, cnt))
         }

@@ -545,19 +545,23 @@ object Retrieval {
     require(minDocFreq >= 1, s"minDocFreq must be >= 1, got $minDocFreq")
     requireIntegralId(docs, idCol, "doc id")
     requireIntegralId(queries, qidCol, "query id")
+    // the corpus-size count (the idf N) rides the tfd pin below as an
+    // observed metric on the pre-explode relation — no separate count job
+    val dObs = org.apache.spark.sql.Observation()
     val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
       scriptTokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast(LongType))
-    val nDocs = d.count()
-    if (nDocs == 0L)
-      return queries.select(col(qidCol).cast(LongType).as("query_id"),
-        col(qidCol).cast(LongType).as("doc_id"),
-        lit(0.0).as("score"), lit(0).as("rank")).limit(0)
+      .observe(dObs, count(lit(1)).as("n"))
     // pinned: feeds df, the norms, and the dot products
     val tfd = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
+    val nDocs = dObs.get("n").asInstanceOf[Long]
+    if (nDocs == 0L)
+      return queries.select(col(qidCol).cast(LongType).as("query_id"),
+        col(qidCol).cast(LongType).as("doc_id"),
+        lit(0.0).as("score"), lit(0).as("rank")).limit(0)
     val dfT = tfd.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
@@ -615,10 +619,13 @@ object Retrieval {
             minDocFreq: Int = 2): DataFrame = {
     require(minDocFreq >= 1, s"minDocFreq must be >= 1, got $minDocFreq")
     requireIntegralId(docs, idCol, "doc id")
+    // the idf N rides the tf pin as an observed metric on the
+    // pre-explode relation — no separate count job
+    val dObs = org.apache.spark.sql.Observation()
     val d = docs.select(col(idCol).cast(LongType).as("doc_id"),
       scriptTokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast(LongType))
-    val nDocs = d.count()
+      .observe(dObs, count(lit(1)).as("n"))
     // pinned: feeds the df aggregation AND the final join — one
     // tokenize+aggregate pass instead of two; the pin holds one thin row
     // per distinct (doc, term), the same order of magnitude the shuffle
@@ -627,6 +634,7 @@ object Retrieval {
       .groupBy(col("doc_id"), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
+    val nDocs = dObs.get("n").asInstanceOf[Long]
     val df = tf.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)

@@ -429,11 +429,18 @@ object Similarity {
     // the nlist-row centroid write targets a different directory than the
     // corpus-sized postings write — independent job chains, overlapped
     // (build is a full overwrite and idempotent, so no crash ordering
-    // between the two is load-bearing; re-run the build on a tear)
+    // between the two is load-bearing; re-run the build on a tear).
+    // The leg carries the holder's lease context (r21 advice): plain
+    // parquet overwrites need no fence today, but every thread staging
+    // under a writer lease must carry the holder's context so a future
+    // fence added to this path cannot silently no-op.
+    val leaseCtx = ArtifactIO.leaseContext
     val fMeta = scala.concurrent.Future {
-      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell", "centroid")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+      ArtifactIO.runWithLeaseContext(leaseCtx) {
+        centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+      }
     }(scala.concurrent.ExecutionContext.Implicits.global)
     val (_, nCells) = graft.core.Par.withLeg(fMeta) {
       // a rebuild must not inherit appended batches from a prior life
@@ -499,13 +506,18 @@ object Similarity {
     // absent from the corrected data would survive as stale rows
     ArtifactIO.fs(spark, path).delete(
       new org.apache.hadoop.fs.Path(s"$path/postings/batch=$batch"), true)
+    // the returned row count rides the pin as an observed metric — the
+    // write and the (free) count share the one scan, no count job
+    val obs = org.apache.spark.sql.Observation()
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .localCheckpoint(true) // the count and the write share one scan
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .localCheckpoint(true)
     corpusV.withColumn("cell", nearestCells(col("v"), centroids, 1)(0))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/postings/batch=$batch")
-    corpusV.count()
+    obs.get("n").asInstanceOf[Long]
     } // lease scope
   }
 
@@ -932,17 +944,21 @@ object Similarity {
     // the two driver-sized quantizer-table writes target different
     // directories than the corpus-sized encode+write — independent job
     // chains, overlapped (build is a full overwrite and idempotent, so no
-    // crash ordering between them is load-bearing; re-run on a tear)
+    // crash ordering between them is load-bearing; re-run on a tear).
+    // Lease context carried onto the leg like buildIvfIndex's (r21 advice).
+    val leaseCtx = ArtifactIO.leaseContext
     val fMeta = scala.concurrent.Future {
-      val coarse = modelOpt.map(_.coarse).getOrElse(Array.empty[Array[Double]])
-      coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell", "centroid")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
-      val books = modelOpt.map(_.books).getOrElse(Array.empty[Array[Array[Double]]])
-      books.zipWithIndex.flatMap { case (book, sp) =>
-        book.zipWithIndex.map { case (cent, code) => (sp, code, cent.toSeq) }
-      }.toSeq.toDF("subspace", "code", "centroid")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      ArtifactIO.runWithLeaseContext(leaseCtx) {
+        val coarse = modelOpt.map(_.coarse).getOrElse(Array.empty[Array[Double]])
+        coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+        val books = modelOpt.map(_.books).getOrElse(Array.empty[Array[Array[Double]]])
+        books.zipWithIndex.flatMap { case (book, sp) =>
+          book.zipWithIndex.map { case (cent, code) => (sp, code, cent.toSeq) }
+        }.toSeq.toDF("subspace", "code", "centroid")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      }
     }(scala.concurrent.ExecutionContext.Implicits.global)
     val (_, nCells) = graft.core.Par.withLeg(fMeta) {
       // a rebuild must not inherit appended batches from a prior life
@@ -1013,13 +1029,17 @@ object Similarity {
     // partitionOverwriteMode=dynamic leaving stale old-generation cells
     ArtifactIO.fs(spark, path).delete(
       new org.apache.hadoop.fs.Path(s"$path/postings/batch=$batch"), true)
+    // count rides the pin as an observed metric, as in appendIvfIndex
+    val obs = org.apache.spark.sql.Observation()
     val corpusV = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .localCheckpoint(true) // the count and the write share one scan
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .localCheckpoint(true)
     ivfpqEncode(corpusV, model)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/postings/batch=$batch")
-    corpusV.count()
+    obs.get("n").asInstanceOf[Long]
     } // lease scope
   }
 
