@@ -8,6 +8,40 @@ import org.apache.spark.sql.functions._
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  behavior of "fanOutNarrow"
+
+  it should "fan a narrow file-backed scan out to the session parallelism" in {
+    val dir = java.nio.file.Files.createTempDirectory("layout_fan").toString
+    spark.range(1000).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val narrow = spark.read.parquet(dir)
+    val fanned = Layout.fanOutNarrow(narrow)
+    fanned.rdd.getNumPartitions shouldBe
+      spark.sparkContext.defaultParallelism
+    fanned.count() shouldBe 1000L
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  it should "leave an input with >= parallelism files untouched" in {
+    val par = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("layout_wide").toString
+    spark.range(1000).toDF("id").repartition(par * 2)
+      .write.mode("overwrite").parquet(dir)
+    val wide = spark.read.parquet(dir)
+    // same DataFrame object back: no exchange was added
+    (Layout.fanOutNarrow(wide) eq wide) shouldBe true
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  it should "fall back to the RDD width probe for non-file plans" in {
+    val mem = spark.range(100, 0, -1, numPartitions = 1).toDF("id")
+    Layout.fanOutNarrow(mem).rdd.getNumPartitions shouldBe
+      spark.sparkContext.defaultParallelism
+    val wide = spark.range(100, 0, -1,
+      numPartitions = spark.sparkContext.defaultParallelism).toDF("id")
+    (Layout.fanOutNarrow(wide) eq wide) shouldBe true
+  }
+
   behavior of "interleaveBits"
 
   private def mortonRef(vals: Seq[Long], bits: Int): Long = {
