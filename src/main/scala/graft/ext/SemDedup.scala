@@ -74,12 +74,26 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** Driver-memory budget for the split rounds' per-round collects
+    * (guide §5: the driver should do almost no data work). Each round
+    * samples ≤1024 vectors per still-oversized cluster; with millions of
+    * oversized clusters that collect is active × 1024 × dim × 8 bytes —
+    * unbounded in the corpus. The budget turns it into WAVES: a round
+    * collects at most this many bytes of samples at a time (clusters
+    * beyond the wave are sampled in the next wave of the same round),
+    * and sub-centroid maps past the same budget defer their clusters to
+    * the next round (logged), so driver residency is bounded at any
+    * corpus size. On non-degenerate inputs (active clusters fit one
+    * wave) the plan is bit-identical to the unguarded form. */
+  val DefaultDriverSplitBudgetBytes: Long = 256L << 20
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, tau: Double,
                     trainCap: Long = 100000L, maxIter: Int = 20,
                     seed: Long = 42L,
                     maxClusterSize: Int = 10000,
-                    maxSplitRounds: Int = 6): DataFrame = {
+                    maxSplitRounds: Int = 6,
+                    driverSplitBudgetBytes: Long = DefaultDriverSplitBudgetBytes): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1], got $tau")
     require(maxSplitRounds >= 0, s"maxSplitRounds must be >= 0, got $maxSplitRounds")
@@ -117,10 +131,13 @@ object SemDedup {
       .filter(col("count") > maxClusterSize)
       .select(col("cluster")).as[Long].collect().sorted
 
+    require(driverSplitBudgetBytes > 0,
+      s"driverSplitBudgetBytes must be positive, got $driverSplitBudgetBytes")
     val (resolved, exactRemoved) =
       if (overIds.isEmpty) (assigned, None)
       else resolveOversized(assigned, overIds, k, tau, maxClusterSize,
-        maxIter, seed, maxSplitRounds)
+        maxIter, seed, maxSplitRounds, centroids.headOption.map(_.length)
+          .getOrElse(pts(0).length), driverSplitBudgetBytes)
 
     val sizes = resolved.filter(col("cluster") >= 0)
       .groupBy("cluster").count()
@@ -171,7 +188,8 @@ object SemDedup {
     * broadcast-map pass per round regardless of how many clusters split. */
   private def resolveOversized(assigned: DataFrame, overIds: Array[Long],
       k: Int, tau: Double, maxClusterSize: Int, maxIter: Int, seed: Long,
-      maxSplitRounds: Int): (DataFrame, Option[DataFrame]) = {
+      maxSplitRounds: Int, dim: Int,
+      driverSplitBudgetBytes: Long): (DataFrame, Option[DataFrame]) = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val overDF = broadcast(overIds.toSeq.toDF("cluster"))
@@ -220,23 +238,43 @@ object SemDedup {
         // deterministic per-cluster sample: hash-rate filter to ~2×cap
         // expected rows, then the cap'th smallest hashes (a zero-draw
         // round — astronomically unlikely — just re-samples next round
-        // under a fresh salt)
-        val rates = overNow.toSeq.sortBy(_._1)
-          .map { case (c, n) => (c, math.min(1.0, 2.0 * sampleCap / n)) }
-          .toDF("cluster", "p")
-        val h = pmod(xxhash64(col("id"), lit(round)), lit(1000000L))
-        val sampled = active.join(broadcast(rates), Seq("cluster"))
-          .filter(h < col("p") * 1000000L)
-          .groupBy("cluster")
-          .agg(slice(sort_array(collect_list(struct(
-            xxhash64(col("id"), lit(round)).as("h"), col("v").as("v")))),
-            1, sampleCap).as("sv"))
-          .select(col("cluster"),
-            transform(col("sv"), s => s.getField("v")).as("pts"))
-          .as[(Long, Seq[Seq[Double]])].collect().sortBy(_._1)
+        // under a fresh salt). The collect is WAVE-bounded by the driver
+        // budget (guide §5): at most budget/(cap×dim×8) clusters' samples
+        // are resident at once — one wave on any non-degenerate input
+        // (identical plan to the unguarded form), several sequential
+        // waves only when millions of clusters are simultaneously
+        // oversized, where the unguarded collect would OOM the driver.
+        val perClusterBytes = math.max(1L, sampleCap.toLong * dim * 8)
+        val waveClusters = math.max(1,
+          math.min(Int.MaxValue.toLong,
+            driverSplitBudgetBytes / perClusterBytes).toInt)
+        val activeIds = overNow.keys.toSeq.sorted
+        if (activeIds.size > waveClusters)
+          System.err.println(s"[graft] semanticDedup: ${activeIds.size} " +
+            s"oversized clusters exceed the driver sample budget " +
+            s"($waveClusters/wave at dim=$dim) — sampling round $round " +
+            s"in ${(activeIds.size + waveClusters - 1) / waveClusters} waves")
+        def sampleWave(ids: Seq[Long]): Array[(Long, Seq[Seq[Double]])] = {
+          val rates = ids.sorted
+            .map(c => (c, math.min(1.0, 2.0 * sampleCap / szs(c))))
+            .toDF("cluster", "p")
+          val h = pmod(xxhash64(col("id"), lit(round)), lit(1000000L))
+          active.join(broadcast(rates), Seq("cluster"))
+            .filter(h < col("p") * 1000000L)
+            .groupBy("cluster")
+            .agg(slice(sort_array(collect_list(struct(
+              xxhash64(col("id"), lit(round)).as("h"), col("v").as("v")))),
+              1, sampleCap).as("sv"))
+            .select(col("cluster"),
+              transform(col("sv"), s => s.getField("v")).as("pts"))
+            .as[(Long, Seq[Seq[Double]])].collect().sortBy(_._1)
+        }
 
         var childMap = Map.empty[Long, (Long, Array[Array[Double]])]
-        for ((c, ptsSeq) <- sampled) {
+        var childMapBytes = 0L
+        var deferred = 0
+        for (wave <- activeIds.grouped(waveClusters);
+             (c, ptsSeq) <- sampleWave(wave)) {
           val pts = ptsSeq.map(_.toArray).toArray
           // "stuck" must be PROVEN: >= 2 sampled points, all identical.
           // A 1-point draw (same astronomically-rare class as a zero
@@ -246,15 +284,28 @@ object SemDedup {
             pts.forall(p => java.util.Arrays.equals(p, pts(0)))
           if (oneDirection) stuck += c // k-means cannot split identical points
           else if (pts.length >= 2) {
-            val kSub = math.min(16,
-              math.max(2, math.ceil(2.0 * szs(c) / maxClusterSize).toInt))
-            val cents = Similarity.localKMeansPP(pts,
-              math.min(kSub, pts.length), maxIter,
-              seed ^ c ^ (round.toLong << 32))
-            childMap += c -> (nextChild, cents)
-            nextChild += cents.length
+            // the sub-centroid map is broadcast to every executor: past
+            // the same budget, defer the remaining clusters to the next
+            // round (they stay active and re-sample under a fresh salt;
+            // maxSplitRounds still bounds the recursion, and exhaustion
+            // degrades to the documented skip-and-flag fallback)
+            if (childMapBytes >= driverSplitBudgetBytes) deferred += 1
+            else {
+              val kSub = math.min(16,
+                math.max(2, math.ceil(2.0 * szs(c) / maxClusterSize).toInt))
+              val cents = Similarity.localKMeansPP(pts,
+                math.min(kSub, pts.length), maxIter,
+                seed ^ c ^ (round.toLong << 32))
+              childMap += c -> (nextChild, cents)
+              childMapBytes += cents.length.toLong * dim * 8 + 64
+              nextChild += cents.length
+            }
           }
         }
+        if (deferred > 0)
+          System.err.println(s"[graft] semanticDedup: sub-centroid map hit " +
+            s"the ${driverSplitBudgetBytes >> 20} MiB driver budget — " +
+            s"$deferred clusters deferred to round ${round + 1}")
         // a cluster that produced no children and is not provably stuck
         // (zero-draw round, or a 1-point draw above) must stay active and
         // re-sample next round under the fresh salt. Terminate on an

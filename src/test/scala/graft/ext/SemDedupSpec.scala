@@ -135,6 +135,22 @@ class SemDedupSpec extends SparkSpec {
     run() shouldBe run()
   }
 
+  it should "produce identical results under a wave-bounded driver budget" in {
+    // the §5 driver guard: a budget so tight every sample wave holds ONE
+    // cluster (and the sub-centroid map defers past one cluster's
+    // centroids) must only change driver residency/round pacing, never
+    // the emitted (id, keep) decisions — the guard's degradation path is
+    // extra rounds, and this corpus settles well inside the default 6
+    def run(budget: Long) = SemDedup.semanticDedup(vecs, "vec_id", "embedding",
+        k = 1, tau = 0.95, seed = 9L, maxClusterSize = 5,
+        driverSplitBudgetBytes = budget)
+      .select("id", "keep").as[(Long, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    // one cluster's sample = 1024 × dim × 8 bytes; a budget of exactly
+    // that forces single-cluster waves
+    run(1024L * dim * 8) shouldBe run(SemDedup.DefaultDriverSplitBudgetBytes)
+  }
+
   it should "leave the kept set tau-sparse within every cluster" in {
     val dups = vecs.select((col("vec_id") + 1000L).as("vec_id"),
       transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
