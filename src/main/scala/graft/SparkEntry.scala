@@ -239,12 +239,36 @@ object SparkEntry {
     * sides of a parity check see byte-identical rows. */
   private def stagedStream(s: SparkSession, df: DataFrame,
                            nFiles: Int): (DataFrame, DataFrame) = {
+    val (stream, staged, _) = stagedStreamSized(s, df, nFiles)
+    (stream, staged)
+  }
+
+  /** [[stagedStream]] plus a state-partition suggestion DERIVED FROM THE
+    * STAGED INPUT'S BYTES (r21 verdict #4: the fixed 8 was a constant
+    * tuned to neither the harness volume nor a cluster's): every
+    * stateful operator opens+commits one state store PER shuffle
+    * partition PER trigger — pure fixed cost when partitions outnumber
+    * what the data needs — so partitions scale with input (~16 MB of
+    * staged input per state partition), floored at 2 (cross-partition
+    * state merging must stay real for the parity gates) and capped at
+    * the session's parallelism (the scale-adaptive ceiling: a 100 TB
+    * stream saturates the cap, a harness-sized one stops paying 6
+    * phantom state-store commit cycles per trigger). */
+  private def stagedStreamSized(s: SparkSession, df: DataFrame,
+                                nFiles: Int): (DataFrame, DataFrame, Int) = {
     val dir = sessionTempDir("graft_stream_src")
     df.repartition(nFiles).write.mode("overwrite").parquet(s"$dir/in")
+    val bytes = Option(new java.io.File(s"$dir/in").listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length()).sum)
+      .getOrElse(0L)
+    val perPart = 16L << 20
+    val parts = math.max(2L, math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      (bytes + perPart - 1) / perPart)).toInt
     val staged = s.read.parquet(s"$dir/in")
     val stream = s.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
-    (stream, staged)
+    (stream, staged, parts)
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
@@ -252,7 +276,8 @@ object SparkEntry {
     * QUERY OUTPUT (verdict-sized aggregates / id lists here), not the
     * corpus — the production shape for these lifts is a file/Kafka sink;
     * the memory sink exists so a parity gate can read the result back. */
-  private def runStream(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+  private def runStream(s: SparkSession, out: DataFrame, mode: String,
+                        stateParts: Int = 8): DataFrame = {
     val qn = s"graft_stream_sink_${streamSeq.incrementAndGet()}"
     // The checkpoint exists only to drive REAL incremental execution
     // inside this call and is deleted in the finally below — its
@@ -265,17 +290,28 @@ object SparkEntry {
     // join gate). A production stream points checkpointLocation at
     // durable storage precisely because it OUTLIVES the query; this one
     // does not.
+    // capacity guard (r21 advice): containers commonly mount /dev/shm at
+    // 64 MB — a state-store whose files exceed it would fail with opaque
+    // IO errors where the disk path succeeds. These gates' state is
+    // verdict-sized (well under 64 MB), so require a conservative 256 MB
+    // of headroom before choosing tmpfs; anything tighter falls back to
+    // disk, losing only the metadata-latency win.
     val shm = java.nio.file.Paths.get("/dev/shm")
-    val ckpt = (if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm))
+    def shmUsable: Boolean =
+      try java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm) &&
+        java.nio.file.Files.getFileStore(shm).getUsableSpace > (256L << 20)
+      catch { case _: Throwable => false }
+    val ckpt = (if (shmUsable)
       java.nio.file.Files.createTempDirectory(shm, "graft_stream_ckpt")
     else java.nio.file.Files.createTempDirectory("graft_stream_ckpt")).toFile
-    // State partitions sized to the harness volume: every stateful
-    // operator opens/commits one state store PER shuffle partition PER
-    // trigger, a fixed cost that dwarfs the per-gate data at these SFs
-    // (the count is pinned into the checkpoint at first batch, so it is
-    // per-query, not per-session). A production deployment sizes this to
-    // its key cardinality; the parity invariants are partition-agnostic.
+    // State partitions sized from the STAGED INPUT VOLUME (callers pass
+    // stagedStreamSized's suggestion): every stateful operator
+    // opens/commits one state store PER shuffle partition PER trigger, a
+    // fixed cost that dwarfs the per-gate data at these SFs (the count
+    // is pinned into the checkpoint at first batch, so it is per-query,
+    // not per-session). A production deployment sizes this to its key
+    // cardinality; the parity invariants are partition-agnostic.
     // SERIAL-GATES ASSUMPTION: this set/restore mutates the SHARED session
     // conf. It is correct only because start() clones the session
     // synchronously (pinning 8 into the clone before the finally restores)
@@ -284,7 +320,7 @@ object SparkEntry {
     // If gates ever share this session concurrently, rebuild `out` on
     // s.newSession() and set the override there instead.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     // No-data micro-batches exist to advance the watermark so watermark-
     // GATED state (append-mode aggregations, state timeouts) can emit or
     // expire without new input. No parity gate has such state: watermarks
@@ -714,10 +750,12 @@ object SparkEntry {
       // that layout serialized the whole audit onto 2 cores (measured:
       // 97% of this gate's wall). Same rows, same multiset contract —
       // the shard count is free to differ across formats because every
-      // comparison below is order-independent.
-      // pinned: the shuffle runs once and feeds BOTH format sinks
-      val sharded = li.repartition(s.sparkContext.defaultParallelism)
-        .localCheckpoint(true)
+      // comparison below is order-independent. GUARDED (Layout.
+      // fanOutNarrow): the round-robin exchange only fires when the scan
+      // is narrower than the session — at cluster scale lineitem carries
+      // plenty of splits and no exchange is added.
+      // pinned: the (possibly fanned-out) relation feeds BOTH format sinks
+      val sharded = graft.ext.Layout.fanOutNarrow(li).localCheckpoint(true)
       // multiset fingerprint (count, XOR of the row hashes, XOR of the
       // REMIXED row hashes): all three are ALGEBRAIC, so each leg is one
       // exchange-free pass — the count_distinct this replaced
@@ -1263,10 +1301,13 @@ object SparkEntry {
       // band regardless of banding, and 4-hash signatures keep random
       // bucket collisions (and so candidate volume) linear — r=2 banding
       // measured 15.5M candidates on this corpus at sf0.1, r=4 ~100k
-      val split = Split.leakageSafeSplit(corpus, "doc_id", "text",
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-          threshold = 0.5, bands = 16)
-        .localCheckpoint(true) // feeds four aggregates below
+      // operator = the shipped split (forced by the pin); the four
+      // verdict aggregates below are the gate's audit
+      val split = timedOperator("leakage_safe_split") {
+        Split.leakageSafeSplit(corpus, "doc_id", "text",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            threshold = 0.5, bands = 16)
+          .localCheckpoint(true) } // feeds four aggregates below
       val a = split.select(col("doc_id").as("ida"), col("split").as("sa"),
         col("cluster").as("ca"))
       val b = split.select(col("doc_id").as("idb"), col("split").as("sb"),
@@ -2408,7 +2449,9 @@ object SparkEntry {
            |}""".stripMargin
       val rp = s"$tmp/recipe.json"
       java.nio.file.Files.writeString(java.nio.file.Paths.get(rp), recipe)
-      graft.cli.Pipeline.run(rp, Map.empty, s)
+      // operator = the end-to-end pipeline run (forced — it writes the
+      // output layout); the read-back + ordering below is the audit
+      timedOperator("pipeline_e2e") { graft.cli.Pipeline.run(rp, Map.empty, s) }
       s.read.parquet(out)
         .select(col("doc_id"), col("shard"), col("order_key"))
         .orderBy("doc_id")
@@ -2589,14 +2632,22 @@ object SparkEntry {
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
         val fZ = Future {
-          graft.ext.Layout.zorderWrite(li, Seq("l_partkey", "l_orderkey"),
-            s"$tmp/z", numFiles = 16, bits = 6)
+          // the OPERATOR is the shipped z-order write (forced — a full
+          // write job); the single-sort comparison leg and the two
+          // fileSpanStats audits are the gate's layout-quality fixture
+          timedOperator("zorder_layout") {
+            graft.ext.Layout.zorderWrite(li, Seq("l_partkey", "l_orderkey"),
+              s"$tmp/z", numFiles = 16, bits = 6)
+          }
         }
         val fS = Future {
-          // same scan fan-out as zorderWrite now applies internally: the
-          // single-row-group source file scans as ONE task, which would
-          // serialize this leg's range sample + sort map side on one core
-          li.repartition(s.sparkContext.defaultParallelism)
+          // same scan fan-out as zorderWrite applies internally, and the
+          // SAME narrow-scan guard (r21 verdict #5: the unguarded form
+          // was an unconditional full exchange of this leg's input at
+          // cluster scale): the single-row-group source file scans as
+          // ONE task, which would serialize this leg's range sample +
+          // sort map side on one core — but a wide input stays untouched
+          graft.ext.Layout.fanOutNarrow(li)
             .repartitionByRange(16, col("l_partkey"))
             .sortWithinPartitions("l_partkey")
             .write.mode("overwrite").parquet(s"$tmp/single")
@@ -2727,8 +2778,12 @@ object SparkEntry {
       li.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
       val inBytes = new java.io.File(s"$tmp/small").listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-      val n = graft.ext.Layout.compactTo(s, s"$tmp/small", s"$tmp/big",
-        targetBytes = inBytes / 4 + 1)
+      // operator = the shipped compaction (forced write); the 64-file
+      // scatter write above and the content re-aggregation below are
+      // the gate's fixture/audit
+      val n = timedOperator("compact_files") {
+        graft.ext.Layout.compactTo(s, s"$tmp/small", s"$tmp/big",
+          targetBytes = inBytes / 4 + 1) }
       val outFiles = new java.io.File(s"$tmp/big").listFiles()
         .count(_.getName.endsWith(".parquet"))
       s.read.parquet(s"$tmp/big")
@@ -2978,12 +3033,16 @@ object SparkEntry {
     // the Gopher gate wholesale, which gopher_filter's own oracle pins.)
     "stream_score_parity" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
-      val (stream, staged) = stagedStream(s, docs, nFiles = 4)
+      val (stream, staged, sp) = stagedStreamSized(s, docs, nFiles = 4)
       val cols = Seq("quality_score", "lang_pred", "fingerprint", "n_tokens")
-      val streamed = runStream(s,
+      // the OPERATOR is the streaming lift run to completion (forced by
+      // processAllAvailable inside runStream); the batch recompute and
+      // the full-outer parity join are the gate's audit
+      val streamed = timedOperator("stream_score_parity") { runStream(s,
         graft.streaming.StreamOps.scoreEvents(stream, "text")
           .select(col("doc_id").as("sid") +:
-            cols.map(c => col(c).as(s"s_$c")): _*), mode = "append")
+            cols.map(c => col(c).as(s"s_$c")): _*), mode = "append",
+        stateParts = sp) }
       val batch = graft.streaming.StreamOps.scoreEvents(staged, "text")
         .select(col("doc_id").as("bid") +: cols.map(c => col(c).as(s"b_$c")): _*)
       val valsEq = cols.map(c => col(s"b_$c") <=> col(s"s_$c")).reduce(_ && _)
@@ -3004,10 +3063,13 @@ object SparkEntry {
       val ev = eventsUs(s, d)
         .select(timestamp_micros(col("ts_us")).as("ts"),
           coalesce(col("props"), lit("")).as("text"))
-      val (stream, _) = stagedStream(s, ev, nFiles = 4)
+      val (stream, _, sp) = stagedStreamSized(s, ev, nFiles = 4)
       val win = graft.streaming.StreamOps.windowedQuality(
         stream, "ts", "text", windowLen = "1 hour", watermark = "0 seconds")
-      runStream(s, win, mode = "complete")
+      // operator = the windowed stream run to completion; the remainder
+      // of the gate's wall (final select + collect) is audit-side
+      timedOperator("stream_window_parity") {
+        runStream(s, win, mode = "complete", stateParts = sp) }
         .select(unix_micros(col("window_start")).as("win_start_us"),
           col("n_docs"),
           round(col("mean_tokens"), 6).as("mean_tokens"))
@@ -3033,13 +3095,14 @@ object SparkEntry {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           timestamp_micros(col("ts_us")).as("pts"))
-      val (ls, _) = stagedStream(s, clicks, nFiles = 2)
-      val (rs, _) = stagedStream(s, purchases, nFiles = 2)
+      val (ls, _, spL) = stagedStreamSized(s, clicks, nFiles = 2)
+      val (rs, _, spR) = stagedStreamSized(s, purchases, nFiles = 2)
       val joined = graft.streaming.StreamOps.intervalJoin(ls, rs,
         Seq("user_id"), "cts", "pts",
         watermark = "3650 days", lower = "0 seconds", upper = "24 hours")
-      runStream(s, joined.select("event_id", "purchase_id", "pts"),
-          mode = "append")
+      timedOperator("stream_interval_join") {
+        runStream(s, joined.select("event_id", "purchase_id", "pts"),
+          mode = "append", stateParts = math.max(spL, spR)) }
         .groupBy("event_id")
         .agg(count(lit(1)).as("n_in"),
           sum(unix_micros(col("pts"))).as("sum_starts"))
@@ -3068,11 +3131,12 @@ object SparkEntry {
         .select(col("doc_id"), col("text"),
           timestamp_micros(lit(base) + (col("doc_id") % 2) * lit(3600000000L))
             .as("ts"))
-      val (stream, _) = stagedStream(s, docs.select("ts", "text"), nFiles = 4)
+      val (stream, _, sp) = stagedStreamSized(s, docs.select("ts", "text"), nFiles = 4)
       val wft = graft.streaming.StreamOps.windowedFrequentTerms(
         stream, "ts", "text", windowLen = "1 hour", watermark = "0 seconds",
         k = k)
-      val sk = runStream(s, wft, mode = "complete")
+      val sk = timedOperator("stream_frequent_terms") {
+          runStream(s, wft, mode = "complete", stateParts = sp) }
         .select(((unix_micros(col("window_start")) - base) / 3600000000L)
             .cast("long").as("win"),
           col("item"), col("est"), col("max_undercount"))
@@ -3110,13 +3174,13 @@ object SparkEntry {
         .filter(col("event_type").isNotNull && col("ts_us").isNotNull)
         .select(timestamp_micros(col("ts_us")).as("ts"),
           col("event_type").as("text"))
-      val (stream, staged) = stagedStream(s, ev, nFiles = 4)
+      val (stream, staged, sp) = stagedStreamSized(s, ev, nFiles = 4)
       // 3650d watermark delay: nothing is ever late (staging order is
       // not time order) and no state times out mid-gate
-      val updates = runStream(s,
+      val updates = timedOperator("stream_dup_counts") { runStream(s,
         graft.streaming.StreamOps.duplicateCounts(stream, "text", "ts",
           watermark = "3650 days", stateTimeout = "3650 days").toDF(),
-        mode = "update")
+        mode = "update", stateParts = sp) }
       val fin = updates.groupBy(col("fingerprint").as("s_fp"))
         .agg(max(col("n_seen")).as("s_n"),
           min(col("first_seen_ms")).as("s_first"))
@@ -3160,11 +3224,12 @@ object SparkEntry {
       val comp = rep.join(rep.groupBy("f").agg(min("id").as("component")), "f")
         .select("id", "component").localCheckpoint(true)
       val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-      val (stream, staged) = stagedStream(s, corpus, nFiles = 4)
-      val streamed = runStream(s,
+      val (stream, staged, sp) = stagedStreamSized(s, corpus, nFiles = 4)
+      val streamed = timedOperator("stream_split_parity") { runStream(s,
         Split.leakageSafeSplitByComponents(stream, "doc_id", comp, fracs)
           .select(col("doc_id").as("sid"), col("cluster").as("s_cluster"),
-            col("split").as("s_split")), mode = "append")
+            col("split").as("s_split")), mode = "append",
+        stateParts = sp) }
         .localCheckpoint(true) // feeds the parity join and the pair join
       val batch = Split.leakageSafeSplitByComponents(staged, "doc_id", comp, fracs)
         .select(col("doc_id").as("bid"), col("cluster").as("b_cluster"),
