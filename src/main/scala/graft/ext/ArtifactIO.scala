@@ -662,6 +662,17 @@ private[ext] object ArtifactIO {
     n
   }
 
+  /** Parallelism-floor granule: a file is allowed to be smaller than the
+    * 8 MiB byte minimum when slicing is needed to keep row-dense files
+    * under ~250k rows each. Downstream per-row consumers (bloom builds,
+    * hash probes) cost by ROW, not by byte: the r20 SCALE record's one
+    * `volume_driven` straggler was the post-compact band-bloom scan over
+    * an 8M-row relation the byte floor had compacted to 8 one-row-group
+    * files — 8 working tasks of ~1M bloom inserts each on a 32-slot
+    * host, max task growing linearly in rows/file across the sf1→sf10
+    * decade. ~250k rows keeps that task at a few hundred ms. */
+  private[ext] val RowFloorPerFile = 250000L
+
   def targetFileCount(spark: SparkSession, dir: String,
                       targetBytes: Long, parallelismFloor: Int = 1): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
@@ -675,8 +686,18 @@ private[ext] object ArtifactIO {
       if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
     val sizeN = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
-    val floorN = math.min(parallelismFloor.toLong,
-      math.max(1L, bytes / (8L << 20)))
+    // the floor binds only when the size target would compact BELOW the
+    // requested scan parallelism; only then are footers consulted for the
+    // row-aware term (driver-side metadata over the same bounded file
+    // set — at real scale sizeN >= the floor and no footer is opened)
+    val floorN =
+      if (sizeN >= parallelismFloor) 1L
+      else {
+        val byBytes = bytes / (8L << 20)
+        val byRows = parquetRowCount(spark, dir) / RowFloorPerFile
+        math.min(parallelismFloor.toLong,
+          math.max(1L, math.max(byBytes, byRows)))
+      }
     val n = math.max(sizeN, floorN)
     require(n <= Int.MaxValue, s"computed $n output files — raise targetBytes")
     n.toInt

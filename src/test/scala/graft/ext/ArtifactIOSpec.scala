@@ -36,12 +36,15 @@ class ArtifactIOSpec extends SparkSpec {
     bytes should be > (16L << 20)
     // size-only (default floor): one 256 MiB-target file
     ArtifactIO.targetFileCount(spark, dir, 256L << 20) shouldBe 1
-    // parallelism floor asks for 32, but 8 MiB-minimum files cap it at
-    // bytes/8MiB — no near-empty file slicing
+    // parallelism floor asks for 32; the relation can fill byte-minimum
+    // files at bytes/8MiB, but the ROW floor dominates here (2.2M rows /
+    // 250k-per-file = 8): per-row consumers (bloom builds) cost by row,
+    // so row-dense relations slice below the byte minimum — but never
+    // into near-empty files (the floor stays well under 32)
     val floored = ArtifactIO.targetFileCount(spark, dir, 256L << 20,
       parallelismFloor = 32)
-    floored shouldBe (bytes / (8L << 20)).toInt
-    floored should be > 1
+    floored shouldBe (2200000L / ArtifactIO.RowFloorPerFile).toInt
+    floored should be > (bytes / (8L << 20)).toInt
     // a floor the relation can fill is honored exactly
     ArtifactIO.targetFileCount(spark, dir, 256L << 20,
       parallelismFloor = 2) shouldBe 2
